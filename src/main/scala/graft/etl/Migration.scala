@@ -1,0 +1,298 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, IntegerType, LongType, StringType}
+
+import graft.io.Sources
+
+/** The reference's full capability surface (SURVEY.md §2.2/§2.10), rebuilt
+  * as declarative DataFrame transforms over the `customer` stand-in roster
+  * (FIXTURES.md §2). Where the reference loops row-at-a-time over a MySQL
+  * cursor issuing ≥7 INSERTs per client (reference `README.md:7-19`), every
+  * function here is a single whole-stage-codegen'd pipeline: at 100 TB the
+  * only shuffle any of them needs is the one global sort used to mint
+  * deterministic surrogate keys — and that one is explicitly flagged below.
+  *
+  * Determinism contract (SURVEY.md §7.4): no `uuid()` — verified queries
+  * derive content-addressed ids via `md5(concat_ws(...))`, which also makes
+  * re-runs idempotent (an improvement over the reference's fresh-UUID-per-
+  * run semantics, reference `README.md:19`); every output ends in a total
+  * ORDER BY on a unique key.
+  */
+object Migration {
+
+  private def customer(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+
+  /** Luhn mod-30 check digit — the public OpenMRS idgen algorithm implied by
+    * the reference's "generated patient ID" fallback (reference
+    * `README.md:15`). Scalar UDF by design decision SURVEY.md §2.10 U1; the
+    * upgrade path (a codegen'd Catalyst `Expression`) is only warranted if
+    * profiling shows this hot.
+    */
+  val Mod30Chars = "0123456789ACDEFGHJKLMNPRTUVWXY"
+
+  def luhnMod30(id: String): String = {
+    var sum = 0
+    var factor = 2
+    var i = id.length - 1
+    while (i >= 0) {
+      val v = Mod30Chars.indexOf(id.charAt(i).toUpper)
+      val add = v * factor
+      sum += (if (factor == 2) add / 30 + add % 30 else add)
+      factor = if (factor == 2) 1 else 2
+      i -= 1
+    }
+    Mod30Chars.charAt((30 - sum % 30) % 30).toString
+  }
+
+  val luhnMod30Udf = udf(luhnMod30 _)
+
+  /** Deterministic content-derived id (SURVEY.md §2.2 P4). */
+  def detUuid(cols: Column*): Column =
+    md5(concat_ws("|", cols: _*))
+
+  // ---------------------------------------------------------------------
+  // P1 projection / rename
+  private def qProject(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("client_id"),
+        col("c_name").as("full_name"),
+        col("c_mktsegment").as("segment"))
+      .orderBy("client_id")
+
+  // P2 filter (pushed into the parquet scan by Catalyst)
+  private def qFilter(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .filter(col("c_acctbal") > 1000 && col("c_mktsegment") === "FURNITURE")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  // P3 identifier priority fallback (reference README.md:13-15)
+  private def qIdentFallback(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("client_id"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("NAT-"), col("c_custkey").cast(StringType)))
+          .as("national_id"),
+        when(col("c_custkey") % 2 === 0,
+          concat(lit("BC-"), col("c_custkey").cast(StringType)))
+          .as("birth_certificate"))
+      .withColumn("identifier",
+        coalesce(col("national_id"), col("birth_certificate"),
+          concat(lit("GEN-"), col("client_id").cast(StringType))))
+      .withColumn("identifier_type",
+        when(col("national_id").isNotNull, "national_id")
+          .when(col("birth_certificate").isNotNull, "birth_certificate")
+          .otherwise("generated"))
+      .orderBy("client_id")
+
+  // P4 deterministic uuid
+  private def qDetUuid(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("client_id"),
+        detUuid(lit("person"), col("c_custkey"), col("c_name")).as("uuid"))
+      .orderBy("client_id")
+
+  /** P5 surrogate keys. `row_number` over a global order replaces MySQL
+    * AUTO_INCREMENT (reference `README.md:17` reads lastrowid per insert).
+    * Scale note: a single global window is a one-partition sort — correct
+    * tier only. At 100 TB mint ids per partition instead:
+    * `zipWithIndex`-style (partition offset + local index) keeps the job
+    * fully parallel; `monotonically_increasing_id` is banned in verified
+    * queries (partition-layout-dependent, SURVEY.md §7.3).
+    */
+  private def qSurrogateKey(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        row_number().over(Window.orderBy("c_custkey")).cast(LongType)
+          .as("person_id"),
+        col("c_custkey").as("client_id"))
+      .orderBy("person_id")
+
+  // P7 name cleaning / splitting (reference README.md:9)
+  private def qNameSplit(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("client_id"),
+        upper(trim(split(col("c_name"), "#").getItem(0))).as("given_name"),
+        split(col("c_name"), "#").getItem(1).as("family_name"))
+      .orderBy("client_id")
+
+  // P9 / U1 check digit for generated identifiers
+  private def qCheckDigit(s: SparkSession, dir: String): DataFrame = {
+    val id = col("c_custkey").cast(StringType)
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("client_id"),
+        id.as("id_str"),
+        luhnMod30Udf(id).as("check_char"))
+      .withColumn("full_id", concat_ws("-", col("id_str"), col("check_char")))
+      .orderBy("client_id")
+  }
+
+  /** Flagship: full person registration (P1+P2+P5+P6+P7+P8+P4) — one
+    * codegen'd pipeline producing `person` ⋈ `person_name` shaped rows from
+    * the legacy roster, versus the reference's 2 INSERTs + lastrowid
+    * round-trip per client (reference `README.md:9,19`).
+    */
+  private def qPerson(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        row_number().over(Window.orderBy("c_custkey")).cast(LongType)
+          .as("person_id"),
+        col("c_custkey").as("client_id"),
+        upper(trim(split(col("c_name"), "#").getItem(0))).as("given_name"),
+        split(col("c_name"), "#").getItem(1).as("family_name"),
+        // gender normalization P8: legacy coding -> OpenMRS 'M'/'F'/null
+        when(col("c_custkey") % 3 === 0, "M")
+          .when(col("c_custkey") % 3 === 1, "F")
+          .otherwise(lit(null).cast(StringType)).as("gender"),
+        // date normalization P6: derived deterministic birthdate
+        date_add(to_date(lit("1950-01-01")),
+          ((col("c_custkey") * 37) % 18250).cast(IntegerType))
+          .as("birthdate"),
+        (col("c_custkey") % 5 === 0).as("birthdate_estimated"),
+        lit(1L).as("creator"),
+        lit(false).as("voided"),
+        detUuid(lit("person"), col("c_custkey"), col("c_name")).as("uuid"))
+      .orderBy("person_id")
+
+  /** U3 unpivot: wide legacy row -> `person_attribute` EAV rows (reference
+    * `README.md:11`), 1 row in -> 3 rows out via a generator, no shuffle.
+    */
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir)
+      .select(
+        col("c_custkey").as("person_id"),
+        explode(array(
+          struct(lit("acctbal").as("attr_type"),
+            col("c_acctbal").cast(DecimalType(12, 2)).cast(StringType)
+              .as("value")),
+          struct(lit("mktsegment").as("attr_type"),
+            col("c_mktsegment").as("value")),
+          struct(lit("nation").as("attr_type"),
+            col("c_nationkey").cast(StringType).as("value")))).as("a"))
+      .select(col("person_id"), col("a.attr_type"), col("a.value"))
+      .orderBy("person_id", "attr_type")
+
+  /** A6 pivot: EAV rows -> wide person attributes (inverse of [[qUnpivot]]).
+    * Explicit pivot values keep the plan one-pass (no value-discovery scan)
+    * — at 100 TB an unspecified `pivot()` would scan the fact twice.
+    */
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    qUnpivot(s, dir)
+      .groupBy("person_id")
+      .pivot("attr_type", Seq("acctbal", "mktsegment", "nation"))
+      .agg(first("value"))
+      .orderBy("person_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_project" -> qProject,
+    "q_filter" -> qFilter,
+    "q_ident_fallback" -> qIdentFallback,
+    "q_det_uuid" -> qDetUuid,
+    "q_surrogate_key" -> qSurrogateKey,
+    "q_name_split" -> qNameSplit,
+    "q_checkdigit" -> qCheckDigit,
+    "q_person" -> qPerson,
+    "q_unpivot" -> qUnpivot,
+    "q_pivot" -> qPivot)
+
+  /** Flagship query for the driver smoke check. */
+  def entry(spark: SparkSession): DataFrame =
+    qPerson(spark, "/root/testdata/sf0.001")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_project" ->
+      """SELECT c_custkey AS client_id, c_name AS full_name,
+        |c_mktsegment AS segment FROM customer ORDER BY client_id""".stripMargin,
+    "q_filter" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_acctbal > 1000 AND c_mktsegment = 'FURNITURE'
+        |ORDER BY c_custkey""".stripMargin,
+    "q_ident_fallback" ->
+      """SELECT client_id, national_id, birth_certificate,
+        |COALESCE(national_id, birth_certificate,
+        |         'GEN-' || CAST(client_id AS VARCHAR)) AS identifier,
+        |CASE WHEN national_id IS NOT NULL THEN 'national_id'
+        |     WHEN birth_certificate IS NOT NULL THEN 'birth_certificate'
+        |     ELSE 'generated' END AS identifier_type
+        |FROM (SELECT c_custkey AS client_id,
+        |  CASE WHEN c_custkey % 3 = 0
+        |       THEN 'NAT-' || CAST(c_custkey AS VARCHAR) END AS national_id,
+        |  CASE WHEN c_custkey % 2 = 0
+        |       THEN 'BC-' || CAST(c_custkey AS VARCHAR) END AS birth_certificate
+        |  FROM customer) ORDER BY client_id""".stripMargin,
+    "q_det_uuid" ->
+      """SELECT c_custkey AS client_id,
+        |md5('person' || '|' || CAST(c_custkey AS VARCHAR) || '|' || c_name)
+        |  AS uuid
+        |FROM customer ORDER BY client_id""".stripMargin,
+    "q_surrogate_key" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+        |  AS person_id, c_custkey AS client_id
+        |FROM customer ORDER BY person_id""".stripMargin,
+    "q_name_split" ->
+      """SELECT c_custkey AS client_id,
+        |UPPER(TRIM(split_part(c_name, '#', 1))) AS given_name,
+        |split_part(c_name, '#', 2) AS family_name
+        |FROM customer ORDER BY client_id""".stripMargin,
+    "q_checkdigit" ->
+      """WITH t AS (SELECT c_custkey AS client_id,
+        |  CAST(c_custkey AS VARCHAR) AS id_str FROM customer),
+        |s AS (SELECT client_id, id_str,
+        |  CAST(list_sum(list_transform(range(1, length(id_str) + 1), i ->
+        |    CASE WHEN (length(id_str) - i) % 2 = 0
+        |    THEN (CAST(substring(id_str, i, 1) AS INT) * 2) // 30
+        |       + (CAST(substring(id_str, i, 1) AS INT) * 2) % 30
+        |    ELSE CAST(substring(id_str, i, 1) AS INT) END)) AS BIGINT)
+        |    AS luhn_sum
+        |  FROM t)
+        |SELECT client_id, id_str,
+        |  substring('0123456789ACDEFGHJKLMNPRTUVWXY',
+        |            CAST((30 - luhn_sum % 30) % 30 AS INT) + 1, 1)
+        |    AS check_char,
+        |  id_str || '-' || substring('0123456789ACDEFGHJKLMNPRTUVWXY',
+        |            CAST((30 - luhn_sum % 30) % 30 AS INT) + 1, 1)
+        |    AS full_id
+        |FROM s ORDER BY client_id""".stripMargin,
+    "q_person" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+        |  AS person_id,
+        |c_custkey AS client_id,
+        |UPPER(TRIM(split_part(c_name, '#', 1))) AS given_name,
+        |split_part(c_name, '#', 2) AS family_name,
+        |CASE WHEN c_custkey % 3 = 0 THEN 'M'
+        |     WHEN c_custkey % 3 = 1 THEN 'F' END AS gender,
+        |DATE '1950-01-01' + CAST((c_custkey * 37) % 18250 AS INT)
+        |  AS birthdate,
+        |c_custkey % 5 = 0 AS birthdate_estimated,
+        |CAST(1 AS BIGINT) AS creator,
+        |false AS voided,
+        |md5('person' || '|' || CAST(c_custkey AS VARCHAR) || '|' || c_name)
+        |  AS uuid
+        |FROM customer ORDER BY person_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT person_id, attr_type, value FROM (
+        |  SELECT c_custkey AS person_id, 'acctbal' AS attr_type,
+        |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS value
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR)
+        |  FROM customer)
+        |ORDER BY person_id, attr_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT c_custkey AS person_id,
+        |CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) AS acctbal,
+        |c_mktsegment AS mktsegment,
+        |CAST(c_nationkey AS VARCHAR) AS nation
+        |FROM customer ORDER BY person_id""".stripMargin)
+}
