@@ -16,11 +16,25 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.etl.Migration.queries
+    graft.etl.Migration.queries ++
+      graft.ops.Relational.queries ++
+      graft.ops.Functions.queries ++
+      graft.ops.TextOps.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries ++
+      graft.stream.Streaming.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.etl.Migration.oracleSql
+    graft.etl.Migration.oracleSql ++
+      graft.ops.Relational.oracleSql ++
+      graft.ops.Functions.oracleSql ++
+      graft.ops.TextOps.oracleSql ++
+      graft.ops.Dedup.oracleSql ++
+      graft.ops.Similarity.oracleSql ++
+      graft.ops.Multimodal.oracleSql ++
+      graft.stream.Streaming.oracleSql
 }

@@ -18,9 +18,24 @@ object Sources {
   /** Parquet table loader for the testdata layout `<dir>/<name>.parquet`.
     * Columnar scan: Catalyst pushes projections and predicates into the
     * vectorized parquet reader, so downstream `select`/`filter` prune I/O.
+    *
+    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright (PARQUET_TYPE_ILLEGAL). We read it as a raw nanosecond long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
+    * — the same truncation DuckDB applies — so both engines see identical
+    * TimestampType values (FIXTURES.md §3).
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast(org.apache.spark.sql.types.LongType)))
+    } else {
+      spark.read.parquet(s"$dir/$name.parquet")
+    }
 
   /** CSV source (header + schema inference off by default at scale: pass an
     * explicit schema to avoid a full pre-scan of 100 TB of text).

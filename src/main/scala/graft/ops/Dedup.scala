@@ -1,0 +1,266 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Deduplication suite for the training-data pipeline tier: exact
+  * (hash-groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard
+  * verification of LSH candidates, and embedding-cosine near-dup.
+  *
+  * Scale design: every fuzzy variant is *blocked* — candidate pairs come
+  * from equality joins on band/bucket keys, never an all-pairs cross join
+  * over the corpus (the one O(n²) op, embedding near-dup, is bounded by
+  * its bucket in [[Similarity]]'s IVF variant; here it stays all-pairs only
+  * because `embeddings` is a small table by construction).
+  *
+  * Hash functions are engine-portable by design: md5 hex strings compared
+  * lexicographically (MinHash) or sampled per-nibble (SimHash), so the
+  * DuckDB oracle can reproduce them bit-for-bit — no Spark-private hash.
+  */
+object Dedup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** Word 3-gram shingles (distinct) of a whitespace-tokenized text. */
+  private def shingles(text: Column): Column = {
+    val ws = TextOps.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => md5(concat_ws(" ", slice(ws, i, lit(3))))))
+  }
+
+  /** Plain-text 3-gram shingles (for Jaccard, unhashed). */
+  private def rawShingles(text: Column): Column = {
+    val ws = TextOps.tokens(text)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => concat_ws(" ", slice(ws, i, lit(3)))))
+  }
+
+  // ----------------------------------------------------------- exact
+
+  /** Exact dedup via content-hash groupBy: every doc maps to the min doc_id
+    * of its md5(text) group. One shuffle on the 16-byte hash — the 100 TB
+    * formulation (never groupBy the text itself).
+    */
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(md5(col("text")))
+    docs(s, dir)
+      .select(col("doc_id"),
+        min(col("doc_id")).over(w).as("canonical_id"))
+      .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  // exact dedup of the event stream: earliest event per (user, type);
+  // batch twin of streaming dropDuplicatesWithinWatermark (SURVEY.md R5)
+  private def qDedupEvents(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    Sources.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------- MinHash + LSH
+
+  /** 8 portable minhashes per doc: h_i = lexicographic min of
+    * md5("i:" ++ shingle). Seeded-prefix md5 = 8 independent hash families.
+    */
+  private def signatures(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("sh"))
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Band rows: 4 bands × 2 rows (b=4, r=2 ⇒ s-curve threshold ≈ 0.5).
+    * Candidate pairs = equality join on (band_id, band_key): the join key
+    * IS the LSH bucket, so the shuffle partitions by bucket and no
+    * cross-corpus comparison ever happens.
+    */
+  private def bandRows(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
+      struct(lit(0).as("band_id"), md5(concat(col("h0"), col("h1"))).as("bkey")),
+      struct(lit(1).as("band_id"), md5(concat(col("h2"), col("h3"))).as("bkey")),
+      struct(lit(2).as("band_id"), md5(concat(col("h4"), col("h5"))).as("bkey")),
+      struct(lit(3).as("band_id"), md5(concat(col("h6"), col("h7"))).as("bkey"))))
+      .as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = bandRows(signatures(s, dir))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir).orderBy("doc_a", "doc_b")
+
+  /** LSH candidates verified by true shingle-set Jaccard — the full
+    * shingle→minhash→band→bucket-join→verify pipeline. Jaccard runs only
+    * on candidate pairs, so the expensive set intersection touches
+    * O(candidates), not O(n²).
+    */
+  private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val sets = docs(s, dir)
+      .select(col("doc_id"), rawShingles(col("text")).as("sh"))
+    candidatePairs(s, dir)
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.r4(
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
+            / size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** 32-bit SimHash, engine-portable: bit b of token t = MSB of the b-th
+    * hex nibble of md5(t) (nibble ≥ 8). Tokens vote ±1 per bit; the sign
+    * of each bit-sum is the fingerprint bit. One explode + one groupBy —
+    * linear in corpus size.
+    */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val bitSums = (1 to 32).map(b =>
+      sum(when(substring(col("h"), b, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"s$b"))
+    toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(b =>
+          when(col(s"s$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // -------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding near-dup: pairs with cosine ≥ 0.5. All-pairs is acceptable
+    * here only because `embeddings` is a compact (n ≤ thousands) table;
+    * the corpus-scale path is the bucketed IVF join in
+    * [[Similarity.qSimIvf]]. Norms are precomputed per side so the pair
+    * loop does one dot product, not three.
+    */
+  private def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Num.r4(Similarity.dot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.5)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_events" -> qDedupEvents,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_fuzzy" -> qDedupFuzzy,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_embed" -> qDedupEmbed)
+
+  // shared oracle CTEs for the minhash pipeline (DuckDB dialect)
+  private val MinhashCtes =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  range(1, greatest(len(ws) - 1, 1)),
+      |  i -> md5(array_to_string(ws[i:i+2], ' '))))) AS s FROM w),
+      |sig AS (SELECT doc_id,
+      |  min(md5('0:' || s)) AS h0, min(md5('1:' || s)) AS h1,
+      |  min(md5('2:' || s)) AS h2, min(md5('3:' || s)) AS h3,
+      |  min(md5('4:' || s)) AS h4, min(md5('5:' || s)) AS h5,
+      |  min(md5('6:' || s)) AS h6, min(md5('7:' || s)) AS h7
+      |  FROM sh GROUP BY doc_id),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_id, md5(h0 || h1) AS bkey FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |  ON a.band_id = b.band_id AND a.bkey = b.bkey
+      |  AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val SimhashSums = (1 to 32).map(b =>
+    s"sum(CASE WHEN substring(md5(w), $b, 1) IN " +
+      "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + b)
+    .mkString(",\n")
+
+  private val SimhashBits = (1 to 32).map(b =>
+    s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT doc_id,
+        |min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_events" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts, event_id) = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_dedup_minhash" ->
+      (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "q_dedup_fuzzy" ->
+      (MinhashCtes +
+        """,
+          |sets AS (SELECT doc_id, list_distinct(list_transform(
+          |  range(1, greatest(len(ws) - 1, 1)),
+          |  i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)
+          |SELECT doc_a, doc_b,
+          |floor((CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+          |    AS DOUBLE)
+          |  / (len(sa.sh) + len(sb.sh)
+          |     - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))))
+          |  * 10000 + 0.5) / 10000 AS jaccard
+          |FROM cand JOIN sets sa ON doc_a = sa.doc_id
+          |JOIN sets sb ON doc_b = sb.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |sums AS (SELECT doc_id,
+         |$SimhashSums
+         |FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $SimhashBits AS simhash
+         |FROM sums ORDER BY doc_id""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |floor((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE floor((list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (a.nrm * b.nrm)) * 10000 + 0.5) / 10000 >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Multimodal-column pipeline: media payloads ride through the engine as
+  * opaque `binary` columns with typed metadata, and decode / feature
+  * extraction runs batched per partition — the Scala equivalent of a
+  * pandas-batch UDF stage.
+  *
+  * This container ships no image/audio codecs, so the decoder itself is a
+  * clearly-marked deterministic STUB ([[DecoderStub]]); everything around
+  * it — binary schema, partition-batched execution, feature-struct output
+  * shape — is real and tested. Swapping the stub for a JNI/codec
+  * implementation changes no plumbing.
+  */
+object Multimodal {
+
+  /** A media row as it would arrive from ingestion: payload + metadata. */
+  final case class MediaRow(doc_id: Long, content: Array[Byte], mime: String)
+
+  /** Extracted features (what a real decoder would emit). */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long,
+      n_frames: Long, checksum: Long)
+
+  /** STUB decoder: stands in for image/audio decode (libs absent in this
+    * environment). Deterministic pure function of the bytes, so tests and
+    * oracle runs are stable. A real implementation would decode `content`
+    * per `mime` and emit true dimensions; batch shape and signature stay
+    * identical.
+    */
+  object DecoderStub {
+    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+      rows.map { r =>
+        val n = r.content.length.toLong
+        // cheap rolling checksum of the payload (deterministic fake for a
+        // perceptual hash)
+        var ck = 0L
+        var i = 0
+        while (i < r.content.length) {
+          ck = (ck * 31 + (r.content(i) & 0xff)) & 0x7fffffffL
+          i += 1
+        }
+        MediaFeatures(r.doc_id, n, n % 640 + 1, (n * 7) % 480 + 1,
+          n % 30 + 1, ck)
+      }
+  }
+
+  /** Media table synthesized from `documents`: UTF-8 payload as the binary
+    * column (the testdata carries no real media; the *column shape* is the
+    * point).
+    */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        col("text").cast(BinaryType).as("content"),
+        lit("image/fake").as("mime"))
+
+  /** Metadata extraction as pure column expressions (no decode needed) —
+    * oracle-verified. At 100 TB this is the cheap scan-side pass that
+    * routes payloads to the right decoder pool.
+    */
+  private def qMmMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"), col("mime"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"))
+      .withColumn("width", col("n_bytes") % 640 + 1)
+      .withColumn("height", (col("n_bytes") * 7) % 480 + 1)
+      .withColumn("n_frames", col("n_bytes") % 30 + 1)
+      .orderBy("doc_id")
+
+  /** Partition-batched decode through [[DecoderStub]] — the mapPartitions
+    * stage a real decoder would run in (one decoder init per partition,
+    * rows streamed through in batch). Rows-only check: the stub checksum
+    * is not SQL-expressible, which is the point of the stage.
+    */
+  private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .as[MediaRow]
+      .mapPartitions(DecoderStub.decode)
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_meta" -> qMmMeta,
+    "q_mm_features" -> qMmFeatures)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mm_meta" ->
+      """SELECT doc_id, 'image/fake' AS mime,
+        |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(octet_length(encode(text)) AS BIGINT) % 640 + 1 AS width,
+        |CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 1 AS height,
+        |CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,531 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Relational operator inventory (SURVEY.md §2.3-§2.7): joins J1-J9,
+  * aggregations A1-A7, windows W1-W4, sorts/top-k O1-O4, set ops T1-T3.
+  *
+  * Scale conventions used throughout:
+  *  - money/quantity doubles are cast to DECIMAL(12,2) *before* aggregation
+  *    so partial/final aggregation is exact and partitioning-independent
+  *    (SURVEY.md §7.3: float sums vary with shuffle layout); final outputs
+  *    are cast back to double and rounded to 4 decimals.
+  *  - dimension joins broadcast explicitly; fact-fact joins rely on
+  *    sort-merge + AQE (skew split happens at runtime).
+  *  - every result ends in a total ORDER BY on a unique key set.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Sources.table(s, dir, n)
+
+  /** Exact-aggregation cast (see class doc). */
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Deterministic double output: exact decimal -> double -> 4 decimals. */
+  private def rnd(c: Column): Column = round(c.cast(DoubleType), 4)
+
+  // ------------------------------------------------------------- joins
+
+  // J1 equi inner join: client roster to its address dimension
+  private def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .select(c("c_custkey"), c("c_name"), n("n_name"))
+      .orderBy("c_custkey")
+  }
+
+  // J2 left outer join: persons with their optional enrollment rows
+  private def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(c("c_custkey"), o("o_orderkey"), o("o_totalprice"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  // J3 left semi: clients that already have orders (EXISTS)
+  private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  // J4 left anti: migration backlog (NOT EXISTS)
+  private def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** J5 broadcast hash join: nation ⋈ region is ≤25 rows — replicate it to
+    * every task instead of shuffling the 100 TB fact side. The `broadcast`
+    * hint makes the choice explicit rather than relying on
+    * autoBroadcastJoinThreshold.
+    */
+  private def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val dim = t(s, dir, "nation")
+      .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    c.join(broadcast(dim), c("c_nationkey") === dim("n_nationkey"))
+      .select(c("c_custkey"), col("n_name"), col("r_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** J6 large×large sort-merge join: lineitem ⋈ orders both shuffle on the
+    * order key; aggregation output keeps the verified result small. At
+    * scale both sides would be bucketed by orderkey to elide the shuffle.
+    */
+  private def qJoinSmj(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        rnd(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** J7 range (equi+inequality) join: purchases within 30 minutes after an
+    * error by the same user. The user_id equi-key keeps this a sort-merge
+    * join with the range as a join-side filter — never a broadcast nested
+    * loop over the full fact.
+    */
+  private def qJoinRange(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts").as("e_ts"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    err.join(pur,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("e_ts") &&
+          col("p_ts") < col("e_ts") + expr("INTERVAL 30 MINUTES"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("p_ts")).as("purchase_cnt"))
+      .orderBy("event_id")
+  }
+
+  /** J8 as-of join: latest signup at-or-before each purchase, per user.
+    * Implemented the scalable way — union both streams, one shuffle on
+    * user_id, and a running `last(ignoreNulls)` window — instead of a
+    * join + per-row max, so it stays a single exchange at any scale.
+    * Signup rows sort before purchase rows at equal timestamps (kind 0<1)
+    * so an exactly-simultaneous signup is visible, matching ASOF `>=`.
+    */
+  private def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast(TimestampType).as("s_ts"), lit(1).as("kind"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(lit(null).cast(LongType).as("event_id"), col("user_id"),
+        col("ts"), col("ts").as("s_ts"), lit(0).as("kind"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("kind").asc, col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(signups)
+      .withColumn("signup_ts", last("s_ts", ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"),
+        date_trunc("second", col("ts")).as("purchase_ts"),
+        date_trunc("second", col("signup_ts")).as("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  // ------------------------------------------------------ aggregations
+
+  // A1 hash aggregate with partial/final combine (TPC-H Q1 shape)
+  private def qAggBasic(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rnd(sum(dec(col("l_quantity")))).as("sum_qty"),
+        rnd(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        rnd(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("sum_disc_price"),
+        // exact decimal sum / exact count -> one IEEE division, then the
+        // portable rounding (Num.r4): engine-stable by construction
+        Num.r4(sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1)))
+          .as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // A2 exact distinct counts (expand-based in Spark; two-phase at scale)
+  private def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  /** A3 approximate distinct via HyperLogLog++ — the 100 TB path where A2's
+    * exact expand would shuffle every key. Bench-only: approx results are
+    * not hash-comparable (SURVEY.md §2.4), so no oracle entry.
+    */
+  private def qAggApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
+  // A4 rollup subtotals; grouping nulls normalized to 'ALL'
+  private def qAggRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(rnd(sum(dec(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("returnflag", "linestatus")
+
+  // A5 collect_list with explicit intra-group order (determinism rule)
+  private def qAggCollect(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(
+        sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_orderkey")
+
+  // A7 exact grouped median / quantile (approx twin is percentile_approx)
+  private def qAggMedian(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        Num.r4(median(col("c_acctbal").cast(DoubleType))).as("med_bal"),
+        Num.r4(percentile(col("c_acctbal").cast(DoubleType), lit(0.95)))
+          .as("p95_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  // ------------------------------------------------------------ windows
+
+  // W1 ranking trio within a partition
+  private def qWinRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        row_number().over(w).cast(LongType).as("rn"),
+        rank().over(w).cast(LongType).as("rk"),
+        dense_rank().over(w).cast(LongType).as("drk"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  // W2 lag/lead over per-user event history
+  private def qWinLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_sec"))
+      .orderBy("event_id")
+  }
+
+  // W3 frame aggregates: running total + 3-row moving average
+  private def qWinFrame(s: SparkSession, dir: String): DataFrame = {
+    val base = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mov = base.rowsBetween(-2, Window.currentRow)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        rnd(sum(dec(col("value"))).over(run)).as("running_value"),
+        Num.r4(sum(dec(col("value"))).over(mov).cast(DoubleType) /
+          count(lit(1)).over(mov)).as("mov3_avg"))
+      .orderBy("event_id")
+  }
+
+  // W4 distribution ranks (global window: single-partition sort, correctness
+  // tier only — at scale ntile runs per partition key)
+  private def qWinNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        Num.r4(percent_rank().over(w)).as("pr"),
+        Num.r4(cume_dist().over(w)).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  // ------------------------------------------------- sorts / limits / topk
+
+  // O1 global sort (range-partitioned exchange + per-partition sort)
+  private def qSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+
+  // O2 limit after a total order
+  private def qLimit(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** O3 global top-k: orderBy+limit plans as TakeOrderedAndProject — each
+    * partition keeps a k-heap, driver merges k·p rows; no global sort.
+    */
+  private def qTopk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  // O4 top-k per group via ranking window + filter
+  private def qTopkGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("l_orderkey", "rn")
+  }
+
+  // ---------------------------------------------------------- set ops
+
+  // T1 union of the two identifier sets (reference README.md:13 semantics)
+  private def qUnion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val nat = c.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey").as("client_id"),
+        concat(lit("NAT-"), col("c_custkey").cast(StringType)).as("identifier"),
+        lit("national_id").as("identifier_type"))
+    val bc = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("client_id"),
+        concat(lit("BC-"), col("c_custkey").cast(StringType)).as("identifier"),
+        lit("birth_certificate").as("identifier_type"))
+    nat.unionByName(bc).orderBy("client_id", "identifier_type")
+  }
+
+  // T2 intersect (distinct): customers with both finished and open orders
+  private def qIntersect(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .intersect(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+      .orderBy("o_custkey")
+  }
+
+  // T3 except (distinct): roster minus already-enrolled = backlog
+  private def qExcept(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.select(col("c_custkey"))
+      .except(o.select(col("o_custkey").as("c_custkey")))
+      .orderBy("c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> qJoinInner,
+    "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_smj" -> qJoinSmj,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+    "q_agg_basic" -> qAggBasic,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_approx" -> qAggApprox,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_collect" -> qAggCollect,
+    "q_agg_median" -> qAggMedian,
+    "q_win_rank" -> qWinRank,
+    "q_win_lag" -> qWinLag,
+    "q_win_frame" -> qWinFrame,
+    "q_win_ntile" -> qWinNtile,
+    "q_sort" -> qSort,
+    "q_limit" -> qLimit,
+    "q_topk" -> qTopk,
+    "q_topk_group" -> qTopkGroup,
+    "q_union" -> qUnion,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_custkey, c_name, n_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT c_custkey, n_name, r_name FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_smj" ->
+      """SELECT o_orderpriority,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_range" ->
+      """SELECT e.event_id, e.user_id,
+        |CAST(count(p.ts) AS BIGINT) AS purchase_cnt
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND p.ts >= e.ts
+        |  AND p.ts < e.ts + INTERVAL 30 MINUTE
+        |GROUP BY e.event_id, e.user_id ORDER BY e.event_id""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id,
+        |date_trunc('second', p.ts) AS purchase_ts,
+        |date_trunc('second', s.ts) AS signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_agg_basic" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_qty,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_base_price,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |  AS sum_disc_price,
+        |floor((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |  / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        |CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+        |CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_qty,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT l_orderkey,
+        |list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+        |CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_agg_median" ->
+      """SELECT c_mktsegment,
+        |floor((median(CAST(c_acctbal AS DOUBLE))) * 10000 + 0.5) / 10000
+        |  AS med_bal,
+        |floor((quantile_cont(CAST(c_acctbal AS DOUBLE), 0.95)) * 10000 + 0.5)
+        |  / 10000 AS p95_bal,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_win_rank" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(row_number() OVER w AS BIGINT) AS rn,
+        |CAST(rank() OVER w AS BIGINT) AS rk,
+        |CAST(dense_rank() OVER w AS BIGINT) AS drk
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag" ->
+      """SELECT event_id, user_id,
+        |lag(event_type, 1) OVER w AS prev_type,
+        |lead(event_type, 1) OVER w AS next_type,
+        |CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |  - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT)
+        |  AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_win_frame" ->
+      """SELECT event_id, user_id,
+        |round(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+        |  AS running_value,
+        |floor((CAST(sum(CAST(value AS DECIMAL(12,2))) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / count(*) OVER
+        |  (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 10000 + 0.5) / 10000
+        |  AS mov3_avg
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT c_custkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pr,
+        |floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_topk_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |CAST(row_number() OVER w AS BIGINT) AS rn
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_extendedprice DESC, l_linenumber)
+        |QUALIFY rn <= 3
+        |ORDER BY l_orderkey, rn""".stripMargin,
+    "q_union" ->
+      """SELECT client_id, identifier, identifier_type FROM (
+        |  SELECT c_custkey AS client_id,
+        |    'NAT-' || CAST(c_custkey AS VARCHAR) AS identifier,
+        |    'national_id' AS identifier_type
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'BC-' || CAST(c_custkey AS VARCHAR),
+        |    'birth_certificate'
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |ORDER BY client_id, identifier_type""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin)
+}

@@ -1,0 +1,212 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Similarity search over the embedding corpus: brute-force cosine top-k
+  * (the exact baseline), per-query kNN, an IVF-style bucketed ANN (the
+  * scale path), and a typed top-k Aggregator that replaces sort+limit with
+  * a bounded heap (SURVEY.md §2.10 U2).
+  *
+  * Vector math uses built-in higher-order functions (`zip_with` +
+  * `aggregate`) — sequential left folds, so the double arithmetic is
+  * reproducible across engines; no UDF in the pair loop.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm in double (sequential fold, engine-reproducible). */
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      l2norm(col("embedding")).as("nrm"))
+
+  /** Brute-force cosine top-k for one query vector. The single-row query
+    * side is broadcast; orderBy+limit plans as TakeOrderedAndProject (per-
+    * partition k-heaps, no global sort) — the exact-scan baseline that IVF
+    * approximates.
+    */
+  private def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Typed top-k Aggregator: a bounded (score, id) buffer replaces the
+    * sort+limit — partial heaps merge associatively, so at scale this is
+    * one partial-agg pass + a k-sized final merge instead of a shuffle-sort
+    * of every score (PAPERS.md top-k similarity motivation). Same result
+    * set as [[qSimTopk]], verified against the same oracle.
+    */
+  class TopKAgg(k: Int)
+      extends Aggregator[(Long, Double), ArrayBuffer[(Long, Double)],
+        Seq[(Long, Double)]] {
+    private def prune(b: ArrayBuffer[(Long, Double)]) = {
+      // sort by (-score, id): deterministic under score ties
+      val sorted = b.sortBy { case (id, sc) => (-sc, id) }
+      sorted.take(k)
+    }
+    def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
+    def reduce(b: ArrayBuffer[(Long, Double)], a: (Long, Double)):
+        ArrayBuffer[(Long, Double)] = prune(b += a)
+    def merge(x: ArrayBuffer[(Long, Double)], y: ArrayBuffer[(Long, Double)]):
+        ArrayBuffer[(Long, Double)] = prune(x ++= y)
+    def finish(b: ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
+      prune(b).toSeq
+    def bufferEncoder: Encoder[ArrayBuffer[(Long, Double)]] =
+      Encoders.kryo[ArrayBuffer[(Long, Double)]]
+    def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  private def qSimTopkAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .as[(Long, Double)]
+    val topk = new TopKAgg(10).toColumn
+    scored.select(topk.name("tk"))
+      .toDF("tk")
+      .select(explode(col("tk")).as("p"))
+      .select(col("p._1").as("vec_id"), col("p._2").as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
+  /** Per-query kNN (first 20 vectors as the query set): broadcast the
+    * queries, score all candidates, keep k per query with a ranking window
+    * partitioned by query — the per-group top-k pattern (O4) applied to
+    * vectors.
+    */
+  private def qSimKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 5)
+      .orderBy("q_id", "rn")
+  }
+
+  /** IVF-style bucketed ANN — the scale path. Coarse quantizer: the sign
+    * pattern of the first 6 dimensions (a fixed, training-free codebook of
+    * 64 cells). Search joins query to candidates *within the same cell
+    * only*, so the shuffle key is the cell and cost drops from O(n·q) to
+    * O(n·q / cells) at the price of recall — exactly the IVF trade.
+    */
+  private def bucket(e: Column): Column =
+    concat((1 to 6).map(i =>
+      when(element_at(e, i) >= 0, "P").otherwise("N")): _*)
+
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(emb(s, dir)).withColumn("cell", bucket(col("embedding")))
+    val q = e.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    e.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_topk" -> qSimTopk,
+    "q_sim_topk_agg" -> qSimTopkAgg,
+    "q_sim_knn" -> qSimKnn,
+    "q_sim_ivf" -> qSimIvf)
+
+  /** Rounded cosine between e and q rows, as DuckDB SQL (same portable
+    * rounding as [[Num.r4]]).
+    */
+  private val CosSql = Num.r4Sql(
+    """list_sum(list_transform(list_zip(e.embedding, q.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (e.nrm * q.nrm)""".stripMargin)
+
+  private val NormCte =
+    """SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm""".stripMargin
+
+  private val TopkSql =
+    s"""WITH e AS ($NormCte FROM embeddings)
+       |SELECT e.vec_id, $CosSql AS score
+       |FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_topk" -> TopkSql,
+    "q_sim_topk_agg" -> TopkSql,
+    "q_sim_knn" ->
+      s"""WITH e AS ($NormCte FROM embeddings)
+         |SELECT q.vec_id AS q_id, e.vec_id, $CosSql AS score,
+         |CAST(row_number() OVER (PARTITION BY q.vec_id
+         |  ORDER BY $CosSql DESC, e.vec_id) AS BIGINT) AS rn
+         |FROM e CROSS JOIN (SELECT * FROM e WHERE vec_id < 20) q
+         |WHERE e.vec_id <> q.vec_id
+         |QUALIFY rn <= 5
+         |ORDER BY q_id, rn""".stripMargin,
+    "q_sim_ivf" ->
+      s"""WITH e AS ($NormCte,
+         |  (CASE WHEN embedding[1] >= 0 THEN 'P' ELSE 'N' END ||
+         |   CASE WHEN embedding[2] >= 0 THEN 'P' ELSE 'N' END ||
+         |   CASE WHEN embedding[3] >= 0 THEN 'P' ELSE 'N' END ||
+         |   CASE WHEN embedding[4] >= 0 THEN 'P' ELSE 'N' END ||
+         |   CASE WHEN embedding[5] >= 0 THEN 'P' ELSE 'N' END ||
+         |   CASE WHEN embedding[6] >= 0 THEN 'P' ELSE 'N' END) AS cell
+         |  FROM embeddings)
+         |SELECT q.vec_id AS q_id, e.vec_id, $CosSql AS score,
+         |CAST(row_number() OVER (PARTITION BY q.vec_id
+         |  ORDER BY $CosSql DESC, e.vec_id) AS BIGINT) AS rn
+         |FROM e JOIN (SELECT * FROM e WHERE vec_id < 50) q ON e.cell = q.cell
+         |WHERE e.vec_id <> q.vec_id
+         |QUALIFY rn <= 3
+         |ORDER BY q_id, rn""".stripMargin)
+}

@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Text-analysis operators for the training-data pipeline tier
+  * (BASELINE.json north_star): tokenization, language ID, quality scoring,
+  * fingerprinting. All pure column expressions over `documents` — per-row,
+  * no shuffle except the final presentation sort, so they stream through
+  * 100 TB of text at scan speed.
+  */
+object TextOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** Whitespace token array (empty tokens dropped: texts are single-spaced
+    * word soup, but be robust to doubled spaces).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), w => w =!= "")
+
+  private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private val EsStop = Seq("el", "la", "de", "que", "y", "en", "un")
+
+  private def hits(ws: Column, stop: Seq[String]): Column =
+    size(filter(ws, w => array_contains(
+      array(stop.map(lit): _*), w))).cast(LongType)
+
+  // token counting: whitespace + a BPE-ish regex segmentation
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+          .cast(LongType).as("n_bpe_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  // global term frequency (top 100 terms) — classic map-side-combine agg
+  private def qTextTf(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  // language ID via stopword-hit heuristic (n-gram-free, per-row)
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(ws, EnStop).as("en_hits"),
+        hits(ws, EsStop).as("es_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") > col("es_hits"), "en")
+          .when(col("es_hits") > col("en_hits"), "es")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
+  // quality scoring: length/stopword-ratio features -> [0,1] score
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nWords = size(ws).cast(DoubleType)
+    val stopRatio = hits(ws, EnStop).cast(DoubleType) / nWords
+    val avgWordLen =
+      length(regexp_replace(col("text"), " ", "")).cast(DoubleType) / nWords
+    docs(s, dir)
+      .select(col("doc_id"),
+        nWords.cast(LongType).as("n_words"),
+        Num.r4(avgWordLen).as("avg_word_len"),
+        Num.r4(stopRatio).as("stop_ratio"),
+        Num.r4(least(col("n_chars").cast(DoubleType), lit(500.0)) / 500.0 * 0.5
+          + stopRatio * 0.5).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: lexicographic min of md5 over word 3-gram
+    * shingles — a 1-hash MinHash, stable under small edits at either end.
+    * Docs under 3 words fingerprint as null.
+    */
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val shingleHashes = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => md5(concat_ws(" ", slice(ws, i, lit(3)))))
+    docs(s, dir)
+      .select(col("doc_id"), array_min(shingleHashes).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> qTextTokens,
+    "q_text_tf" -> qTextTf,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_fingerprint" -> qTextFingerprint)
+
+  private val enList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val esList = EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+        |  AS BIGINT) AS n_ws_tokens,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+        |  AS BIGINT) AS n_bpe_tokens,
+        |n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_tf" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_text_langid" ->
+      s"""SELECT doc_id, lang,
+         |CAST(len(list_filter(string_split(text, ' '),
+         |  w -> list_contains($enList, w))) AS BIGINT) AS en_hits,
+         |CAST(len(list_filter(string_split(text, ' '),
+         |  w -> list_contains($esList, w))) AS BIGINT) AS es_hits,
+         |CASE
+         |  WHEN len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($enList, w)))
+         |    > len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($esList, w))) THEN 'en'
+         |  WHEN len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($esList, w)))
+         |    > len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($enList, w))) THEN 'es'
+         |  ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      s"""WITH f AS (SELECT doc_id, n_chars,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |    AS DOUBLE) AS n_words,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($enList, w))) AS DOUBLE) AS en_hits,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters
+         |  FROM documents)
+         |SELECT doc_id,
+         |CAST(n_words AS BIGINT) AS n_words,
+         |floor((n_letters / n_words) * 10000 + 0.5) / 10000 AS avg_word_len,
+         |floor((en_hits / n_words) * 10000 + 0.5) / 10000 AS stop_ratio,
+         |floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
+         |  + en_hits / n_words * 0.5) * 10000 + 0.5) / 10000 AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents)
+        |SELECT doc_id,
+        |list_aggregate(list_transform(range(1, greatest(len(ws) - 1, 1)),
+        |  i -> md5(array_to_string(ws[i:i+2], ' '))), 'min') AS fingerprint
+        |FROM w ORDER BY doc_id""".stripMargin)
+}

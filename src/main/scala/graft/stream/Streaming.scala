@@ -1,0 +1,207 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Structured Streaming tier (SURVEY.md §2.9). The reference is batch-only;
+  * this is the [EXT] pipeline design: every windowed transform below is a
+  * single `DataFrame => DataFrame` function that runs unchanged in batch
+  * (the oracle-verified twin over the static `events` table) and under
+  * `readStream` (unit-tested with MemoryStream). Timestamps are reduced to
+  * epoch seconds *in the output only* — TZ-free, so Spark and DuckDB hash
+  * identically.
+  *
+  * Shuffle story at scale: every stateful op keys by (user_id | window),
+  * so state is partitioned by the same key as the shuffle — one exchange,
+  * state store co-located with it.
+  */
+object Streaming {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+
+  /** Decimal cast for exact, partitioning-independent value sums. */
+  private def decVal = col("value").cast(DecimalType(12, 2))
+
+  // ------------------------------------------------ mode-agnostic transforms
+
+  /** R1 tumbling 10-minute windows: count/sum/users per bucket. */
+  def tumbling(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(decVal).cast(DoubleType), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("n_events"), col("sum_value"), col("n_users"))
+
+  /** R2 sliding windows (10 min length, 5 min slide): each event lands in
+    * two overlapping buckets.
+    */
+  def sliding(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(decVal).cast(DoubleType), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("n_events"), col("sum_value"))
+
+  /** R3 session windows, gaps-and-islands formulation (30-minute gap):
+    * portable to the SQL oracle, and proven equal to Spark's native
+    * `session_window` by unit test. One shuffle on user_id.
+    */
+  def sessionize(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) -
+      unix_timestamp(lag(col("ts"), 1).over(w))
+    df.withColumn("new_sess",
+        when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(LongType))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_sec"),
+        max(unix_timestamp(col("ts"))).as("end_sec"))
+  }
+
+  /** Native session_window twin of [[sessionize]] (streaming-ready;
+    * unit-tested equal to the portable formulation).
+    */
+  def sessionizeNative(df: DataFrame): DataFrame =
+    df.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("start_sec"),
+        col("n_events"))
+
+  // ------------------------------------------------------- streaming entry
+
+  /** Streaming source over a parquet directory (schema required up front —
+    * a stream cannot infer). `maxFilesPerTrigger` paces micro-batches.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType),
+        StructField("props", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+
+  /** R1+R4 streaming: watermarked tumbling aggregation — late events beyond
+    * 10 minutes are dropped and state for closed windows is evicted.
+    */
+  def tumblingStream(stream: DataFrame): DataFrame =
+    tumbling(stream.withWatermark("ts", "10 minutes"))
+
+  /** R5 streaming dedup within the watermark horizon. */
+  def dedupStream(stream: DataFrame): DataFrame =
+    stream.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  /** R6 custom keyed state: running event count + last-seen second per
+    * user via mapGroupsWithState (processing-time timeout evicts idle
+    * users; state is one small struct per key).
+    */
+  final case class UserState(n: Long, lastSec: Long)
+  final case class UserCount(user_id: Long, n: Long, last_sec: Long)
+
+  def runningCounts(spark: SparkSession, stream: DataFrame) = {
+    import spark.implicits._
+    stream
+      .selectExpr("user_id", "unix_timestamp(ts) AS sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserCount](
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0L))
+          var n = prev.n
+          var last = prev.lastSec
+          rows.foreach { case (_, sec) =>
+            n += 1
+            if (sec > last) last = sec
+          }
+          val next = UserState(n, last)
+          state.update(next)
+          state.setTimeoutDuration("1 hour")
+          UserCount(user, next.n, next.lastSec)
+      }
+  }
+
+  /** R7 foreachBatch sink: idempotent micro-batch upsert — the streaming
+    * replacement for the reference's per-row INSERT loop (reference
+    * `README.md:7`). Pattern: stage the micro-batch, then MERGE on the
+    * natural key inside one transaction; `batchId` makes retries
+    * idempotent. JDBC target absent in this env, so the batch writer is
+    * injected.
+    */
+  def foreachBatchUpsert(stream: DataFrame)(
+      write: (DataFrame, Long) => Unit) =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      // dedup within the batch before handing to the idempotent writer
+      val cleaned = batch.dropDuplicates("event_id")
+      write(cleaned, batchId)
+    }
+
+  // ----------------------------------------------------- oracle batch twins
+
+  private def qStreamTumble(s: SparkSession, dir: String): DataFrame =
+    tumbling(events(s, dir)).orderBy("bucket_start")
+
+  private def qStreamSlide(s: SparkSession, dir: String): DataFrame =
+    sliding(events(s, dir)).orderBy("bucket_start")
+
+  private def qStreamSession(s: SparkSession, dir: String): DataFrame =
+    sessionize(events(s, dir)).orderBy("user_id", "session_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumble" -> qStreamTumble,
+    "q_stream_slide" -> qStreamSlide,
+    "q_stream_session" -> qStreamSession)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      """SELECT CAST(floor(epoch(date_trunc('second', ts)) / 600) * 600
+        |  AS BIGINT) AS bucket_start,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_value,
+        |CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+    "q_stream_slide" ->
+      """SELECT CAST(floor(epoch(date_trunc('second', ts)) / 300) * 300
+        |  - j * 300 AS BIGINT) AS bucket_start,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS j)
+        |GROUP BY 1 ORDER BY bucket_start""".stripMargin,
+    "q_stream_session" ->
+      """WITH g AS (SELECT user_id, event_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+        |  CASE WHEN lag(ts, 1) OVER w IS NULL
+        |    OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |     - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT)
+        |     > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, sec,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |min(sec) AS start_sec, max(sec) AS end_sec
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)
+}
