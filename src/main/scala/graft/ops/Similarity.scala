@@ -32,8 +32,14 @@ object Similarity {
       transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
+  /** Null-safe cosine: a zero-norm side yields null instead of tripping
+    * Spark 4's ANSI DIVIDE_BY_ZERO — at corpus scale a few degenerate
+    * vectors must not fail the job.
+    */
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom =!= 0.0, dot(a, b) / denom)
+  }
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")

@@ -30,14 +30,23 @@ object Streaming {
 
   // ------------------------------------------------ mode-agnostic transforms
 
-  /** R1 tumbling 10-minute windows: count/sum/users per bucket. */
-  def tumbling(df: DataFrame): DataFrame =
+  /** R1 tumbling 10-minute windows: count/sum/users per bucket.
+    * `exactDistinct = false` switches user counting to HyperLogLog —
+    * required under readStream, where Spark forbids exact distinct
+    * aggregation (unbounded per-window state); the batch/oracle twin keeps
+    * the exact count.
+    */
+  def tumbling(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
+    val users =
+      if (exactDistinct) countDistinct(col("user_id"))
+      else approx_count_distinct(col("user_id"))
     df.groupBy(window(col("ts"), "10 minutes").as("w"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(decVal).cast(DoubleType), 4).as("sum_value"),
-        countDistinct(col("user_id")).as("n_users"))
+        users.as("n_users"))
       .select(unix_timestamp(col("w.start")).as("bucket_start"),
         col("n_events"), col("sum_value"), col("n_users"))
+  }
 
   /** R2 sliding windows (10 min length, 5 min slide): each event lands in
     * two overlapping buckets.
@@ -100,7 +109,7 @@ object Streaming {
     * 10 minutes are dropped and state for closed windows is evicted.
     */
   def tumblingStream(stream: DataFrame): DataFrame =
-    tumbling(stream.withWatermark("ts", "10 minutes"))
+    tumbling(stream.withWatermark("ts", "10 minutes"), exactDistinct = false)
 
   /** R5 streaming dedup within the watermark horizon. */
   def dedupStream(stream: DataFrame): DataFrame =
@@ -108,8 +117,10 @@ object Streaming {
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
   /** R6 custom keyed state: running event count + last-seen second per
-    * user via mapGroupsWithState (processing-time timeout evicts idle
-    * users; state is one small struct per key).
+    * user via mapGroupsWithState. State is one small struct per key,
+    * partitioned with the shuffle; production deployments add an
+    * event-time timeout for eviction (a processing-time timeout keeps the
+    * trigger firing empty batches — poor fit for bounded tests).
     */
   final case class UserState(n: Long, lastSec: Long)
   final case class UserCount(user_id: Long, n: Long, last_sec: Long)
@@ -120,8 +131,7 @@ object Streaming {
       .selectExpr("user_id", "unix_timestamp(ts) AS sec")
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[UserState, UserCount](
-        GroupStateTimeout.ProcessingTimeTimeout) {
+      .mapGroupsWithState[UserState, UserCount](GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
           val prev = state.getOption.getOrElse(UserState(0L, 0L))
           var n = prev.n
@@ -132,7 +142,6 @@ object Streaming {
           }
           val next = UserState(n, last)
           state.update(next)
-          state.setTimeoutDuration("1 hour")
           UserCount(user, next.n, next.lastSec)
       }
   }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dedup-suite specs on planted fixtures: LSH finds a known near-dup,
+  * SimHash is edit-stable, exact dedup is idempotent.
+  */
+class DedupSpec extends TestSpark {
+
+  import spark.implicits._
+
+  test("exact dedup is idempotent and maps dups to min doc_id") {
+    val d = graft.SparkEntry.queries("q_dedup_exact")(spark, Sf)
+    // canonical ids are always <= their doc_id
+    assert(d.filter($"canonical_id" > $"doc_id").count() === 0)
+    // deduping the canonical set again changes nothing
+    val canon = d.select($"canonical_id").distinct().count()
+    val dupFree = d.filter(!$"is_dup").count()
+    assert(canon === dupFree)
+  }
+
+  test("minhash LSH finds planted near-duplicates (jaccard-verified)") {
+    val fuzzy = graft.SparkEntry.queries("q_dedup_fuzzy")(spark, Sf)
+      .collect()
+    // sf0.001 documents contain generator-planted near-dups; the LSH
+    // pipeline must surface at least one with high verified jaccard
+    assert(fuzzy.nonEmpty, "LSH found no candidate pairs")
+    assert(fuzzy.exists(_.getDouble(2) >= 0.8),
+      "no candidate verified at jaccard >= 0.8")
+  }
+
+  test("simhash: identical docs share fingerprints; near-identical are close") {
+    // two identical + one near-identical (one word changed) + one different
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("sim_docs")
+
+    // rebuild the simhash expression over the fixture via the public query
+    // on a temp stand-in: reuse Dedup's production query against a dir is
+    // file-bound, so replicate the semantics check with a direct call
+    val toks = docs.select($"doc_id",
+      explode(split($"text", " ")).as("w")).withColumn("h", md5($"w"))
+    val bitSums = (1 to 32).map(b =>
+      sum(when(substring($"h", b, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
+        .as(s"s$b"))
+    val fp = toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id", concat((1 to 32).map(b =>
+        when(col(s"s$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    def hamming(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+
+    assert(fp(1L) === fp(2L))
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+
+  test("event dedup keeps exactly one row per (user, type)") {
+    val d = graft.SparkEntry.queries("q_dedup_events")(spark, Sf)
+    val dupKeys = d.groupBy("user_id", "event_type").count()
+      .filter($"count" > 1).count()
+    assert(dupKeys === 0)
+  }
+}

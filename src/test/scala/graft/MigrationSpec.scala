@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.Migration
+
+/** Unit specs for the reference-surface transforms (SURVEY.md §5.2 layer 2):
+  * check-digit arithmetic, identifier fallback branches, deterministic ids.
+  */
+class MigrationSpec extends TestSpark {
+
+  test("luhn mod-30 check digit: reference values and structure") {
+    // independent recomputation for a couple of ids
+    // id "0": value 0, rightmost doubled: 0 -> sum 0 -> check (30-0)%30=0 -> '0'
+    assert(Migration.luhnMod30("0") === "0")
+    // id "1": doubled -> 2, check = 30-2 = 28 -> chars(28) = 'X'
+    assert(Migration.luhnMod30("1") === "X")
+    // all check chars come from the mod-30 alphabet
+    (0 until 200).foreach { i =>
+      val c = Migration.luhnMod30(i.toString)
+      assert(c.length === 1 && Migration.Mod30Chars.contains(c))
+    }
+  }
+
+  test("luhn mod-30 rejects single-digit mutations") {
+    // property: changing one digit changes the check digit (Luhn guarantee)
+    (0 until 100).foreach { i =>
+      val id = i.toString
+      val check = Migration.luhnMod30(id)
+      id.indices.foreach { pos =>
+        val orig = id.charAt(pos) - '0'
+        val mutated = id.updated(pos, ('0' + ((orig + 3) % 10)).toChar)
+        if (mutated != id && mutated.head != '0') {
+          assert(Migration.luhnMod30(mutated) != check ||
+            mutated.toLong == id.toLong)
+        }
+      }
+    }
+  }
+
+  test("identifier fallback covers all four branches") {
+    val q = graft.SparkEntry.queries("q_ident_fallback")(spark, Sf)
+    val byType = q.groupBy("identifier_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // custkeys 0..149: %3==0 -> 50 national; else %2==0 -> 50 BC; rest gen
+    assert(byType("national_id") === 50)
+    assert(byType("birth_certificate") === 50)
+    assert(byType("generated") === 50)
+    // priority: a client with both keeps national_id (custkey 6)
+    val both = q.filter(col("client_id") === 6).collect().head
+    assert(both.getAs[String]("identifier_type") === "national_id")
+  }
+
+  test("deterministic uuid is stable and content-derived") {
+    val a = graft.SparkEntry.queries("q_det_uuid")(spark, Sf).collect()
+    val b = graft.SparkEntry.queries("q_det_uuid")(spark, Sf).collect()
+    assert(a.sameElements(b)) // idempotent re-run (unlike reference uuid())
+    assert(a.map(_.getString(1)).distinct.length === a.length)
+  }
+
+  test("surrogate keys are dense and unique") {
+    val ids = graft.SparkEntry.queries("q_surrogate_key")(spark, Sf)
+      .select("person_id").collect().map(_.getLong(0)).sorted
+    assert(ids.head === 1L)
+    assert(ids.last === ids.length.toLong)
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("pivot(unpivot) round-trips the wide attributes") {
+    val wide = graft.SparkEntry.queries("q_pivot")(spark, Sf)
+    val src = graft.io.Sources.table(spark, Sf, "customer")
+    assert(wide.count() === src.count())
+    val row = wide.filter(col("person_id") === 0).collect().head
+    assert(row.getAs[String]("mktsegment") === "FURNITURE")
+    assert(row.getAs[String]("acctbal") === "2095.23")
+  }
+}

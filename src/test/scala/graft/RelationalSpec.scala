@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Operator-semantics specs over tiny literal frames + the sf0.001 tables
+  * (SURVEY.md §5.2): join kinds, as-of correctness vs a naive formulation,
+  * set-op algebra.
+  */
+class RelationalSpec extends TestSpark {
+
+  import spark.implicits._
+
+  test("semi + anti partition the left side") {
+    val semi = graft.SparkEntry.queries("q_join_semi")(spark, Sf).count()
+    val anti = graft.SparkEntry.queries("q_join_anti")(spark, Sf).count()
+    val all = graft.io.Sources.table(spark, Sf, "customer").count()
+    assert(semi + anti === all)
+  }
+
+  test("as-of join matches the naive per-row max formulation") {
+    val fast = graft.SparkEntry.queries("q_join_asof")(spark, Sf)
+      .select("event_id", "signup_ts")
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+
+    val ev = graft.io.Sources.table(spark, Sf, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val s = ev.filter($"event_type" === "signup")
+      .select($"user_id".as("s_user"), $"ts".as("s_ts"))
+    // naive: join all signups <= ts, take max (quadratic — test-only)
+    val naive = p.join(s, $"user_id" === $"s_user" && $"s_ts" <= $"ts", "left")
+      .groupBy("event_id")
+      .agg(date_trunc("second", max($"s_ts")).as("signup_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(1))).toMap
+    assert(fast === naive)
+  }
+
+  test("union / except algebra: identifiers split and recombine") {
+    val union = graft.SparkEntry.queries("q_union")(spark, Sf)
+    val nat = union.filter($"identifier_type" === "national_id").count()
+    val bc = union.filter($"identifier_type" === "birth_certificate").count()
+    assert(union.count() === nat + bc)
+    // except: backlog of sf0.001 is empty (every customer has an order)
+    val backlog = graft.SparkEntry.queries("q_except")(spark, Sf).count()
+    val anti = graft.SparkEntry.queries("q_join_anti")(spark, Sf).count()
+    assert(backlog === anti)
+  }
+
+  test("rollup grand total equals table count") {
+    val r = graft.SparkEntry.queries("q_agg_rollup")(spark, Sf)
+    val grand = r.filter($"returnflag" === "ALL" && $"linestatus" === "ALL")
+      .select("n").collect().head.getLong(0)
+    assert(grand === graft.io.Sources.table(spark, Sf, "lineitem").count())
+  }
+
+  test("topk_group returns at most k rows per group, in rank order") {
+    val t = graft.SparkEntry.queries("q_topk_group")(spark, Sf)
+    val perGroup = t.groupBy("l_orderkey").count()
+      .agg(max("count")).collect().head.getLong(0)
+    assert(perGroup <= 3)
+  }
+
+  test("window frame: running value is monotone per user for positive values") {
+    val f = graft.SparkEntry.queries("q_win_frame")(spark, Sf)
+    val ev = graft.io.Sources.table(spark, Sf, "events")
+    assert(f.count() === ev.count())
+    // last running value per user == user's total (decimal-exact); join ts
+    // back in so "last" means last in the window's own (ts, event_id) order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy($"ts".desc, $"event_id".desc)
+    val lastRunning = f
+      .join(ev.select($"event_id", $"ts"), "event_id")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"running_value")
+    val totals = ev.groupBy("user_id")
+      .agg(round(sum($"value".cast("decimal(12,2)")).cast("double"), 4)
+        .as("total"))
+    val joined = lastRunning.join(totals, "user_id")
+      .filter(abs($"running_value" - $"total") > 1e-9)
+    assert(joined.count() === 0)
+  }
+}

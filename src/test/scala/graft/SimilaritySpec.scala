@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Similarity
+
+/** Vector-similarity specs: cosine identities, top-k Aggregator vs
+  * sort+limit equivalence, IVF candidate containment.
+  */
+class SimilaritySpec extends TestSpark {
+
+  import spark.implicits._
+
+  test("cosine(v, v) = 1 and cosine is symmetric") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(-4.0f, 0.5f, 2.0f))).toDF("id", "v")
+    val self = df.select(
+      Similarity.cosine(col("v"), col("v"),
+        Similarity.l2norm(col("v")), Similarity.l2norm(col("v"))).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+
+    val a = df.filter($"id" === 1).select($"v".as("a")).crossJoin(
+      df.filter($"id" === 2).select($"v".as("b")))
+    val ab = a.select(Similarity.cosine(col("a"), col("b"),
+      Similarity.l2norm(col("a")), Similarity.l2norm(col("b")))).head.getDouble(0)
+    val ba = a.select(Similarity.cosine(col("b"), col("a"),
+      Similarity.l2norm(col("b")), Similarity.l2norm(col("a")))).head.getDouble(0)
+    assert(math.abs(ab - ba) < 1e-12)
+  }
+
+  test("TopKAgg equals sort+limit on the same scores") {
+    val viaAgg = graft.SparkEntry.queries("q_sim_topk_agg")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val viaSort = graft.SparkEntry.queries("q_sim_topk")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaAgg.toSeq === viaSort.toSeq)
+  }
+
+  test("IVF results are a subset of same-cell exact scores") {
+    val ivf = graft.SparkEntry.queries("q_sim_ivf")(spark, Sf)
+    // every returned neighbor pair shares the quantizer cell by construction;
+    // scores must match the brute-force cosine for those pairs
+    val knn = graft.SparkEntry.queries("q_sim_knn")(spark, Sf)
+      .select($"q_id", $"vec_id", $"score".as("knn_score"))
+    val joined = ivf.join(knn, Seq("q_id", "vec_id"))
+      .filter(abs($"score" - $"knn_score") > 1e-9)
+    assert(joined.count() === 0)
+    // and per query at most 3 neighbors
+    val maxPer = ivf.groupBy("q_id").count().agg(max("count"))
+      .collect().head.getLong(0)
+    assert(maxPer <= 3)
+  }
+
+  test("zero vector yields null cosine, not an ANSI divide-by-zero crash") {
+    val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
+      .toDF("id", "v")
+    val row = df.filter($"id" === 1).select($"v".as("a")).crossJoin(
+      df.filter($"id" === 2).select($"v".as("b")))
+      .select(Similarity.cosine(col("a"), col("b"),
+        Similarity.l2norm(col("a")), Similarity.l2norm(col("b"))).as("c"))
+      .head
+    assert(row.isNullAt(0))
+  }
+}
