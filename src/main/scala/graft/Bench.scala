@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup so timings measure the queries, not classloading —
+    // without it the first query pays ~5 s of one-time JIT/codegen cost.
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      SparkEntry.entry(spark).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,17 +20,16 @@ import graft.io.Sources
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float vectors, in double. */
+  /** Dot product of two float vectors, in double — backed by the codegen'd
+    * [[graft.functions.FloatVecDot]]; same sequential accumulation order as
+    * the `zip_with`+`aggregate` composition it replaced (and as DuckDB's
+    * `list_sum`), so results are bit-identical and oracle-stable.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorExprs.vecDot(a, b)
 
-  /** L2 norm in double (sequential fold, engine-reproducible). */
-  def l2norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, x) => acc + x))
+  /** L2 norm in double (codegen'd self-dot). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Null-safe cosine: a zero-norm side yields null instead of tripping
     * Spark 4's ANSI DIVIDE_BY_ZERO — at corpus scale a few degenerate
