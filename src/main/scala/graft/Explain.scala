@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump formatted physical plans for the scale-critical queries
+  * so the partitioning/pushdown story is inspectable, not assumed.
+  * `runMain graft.Explain [sfDir] [query ...]`
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir =
+      if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_filter", "q_join_broadcast", "q_join_smj", "q_join_range",
+        "q_topk", "q_sim_topk", "q_agg_basic", "q_dedup_minhash")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}
