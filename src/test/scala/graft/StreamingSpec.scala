@@ -50,6 +50,31 @@ class StreamingSpec extends TestSpark {
     assert(streamed === batch)
   }
 
+  test("watermark drops events later than the threshold (R4)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streaming.tumblingStream(mem.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    try {
+      // watermark horizon is 10 min; an event at t=30min advances the
+      // watermark to 20min, closing (and emitting) the [0,10) window
+      mem.addData(Ev(0, ts(0), 1, "a", 1.0, "{}"),
+        Ev(1, ts(30), 1, "a", 1.0, "{}"))
+      q.processAllAvailable()
+      // t=5min is far behind the 20min watermark -> must be dropped
+      mem.addData(Ev(2, ts(5), 1, "late", 99.0, "{}"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val bucket0 = spark.table("wm_out")
+      .filter($"bucket_start" === Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime / 1000)
+      .collect()
+    assert(bucket0.length === 1, s"window re-emitted: ${bucket0.toSeq}")
+    assert(bucket0.head.getAs[Long]("n_events") === 1L,
+      "late event leaked into the closed window")
+  }
+
   test("dropDuplicatesWithinWatermark removes in-horizon duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
