@@ -94,9 +94,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF per (doc, term) for the first 50 docs: term frequency is
+    * per-doc, document frequency is a *corpus-global* aggregate — at scale
+    * the (term, df) table is tiny relative to the corpus and broadcasts
+    * into the per-doc join, so the only fact-sized shuffles are the two
+    * token groupBys (both with map-side combine).
+    */
+  private def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("dfc"))
+    val nDocs = docs(s, dir).agg(count(lit(1)).as("nd"))
+    tf.join(dlen, "doc_id")
+      .join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("w").as("word"),
+        Num.r4((col("cnt").cast(DoubleType) / col("n_words"))
+          * log(col("nd").cast(DoubleType) / col("dfc"))).as("tfidf"))
+      .orderBy("doc_id", "word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
+    "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_fingerprint" -> qTextFingerprint)
@@ -118,6 +142,26 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS cnt FROM toks
+        |  GROUP BY doc_id, w),
+        |dlen AS (SELECT doc_id, count(*) AS n_words FROM toks
+        |  GROUP BY doc_id),
+        |dfreq AS (SELECT w, count(DISTINCT doc_id) AS dfc FROM toks
+        |  GROUP BY w),
+        |n AS (SELECT count(*) AS nd FROM documents)
+        |SELECT tf.doc_id, tf.w AS word,
+        |floor(((CAST(cnt AS DOUBLE) / n_words)
+        |  * ln(CAST(nd AS DOUBLE) / dfc)) * 10000 + 0.5) / 10000 AS tfidf
+        |FROM tf
+        |JOIN dlen ON tf.doc_id = dlen.doc_id
+        |JOIN dfreq ON tf.w = dfreq.w
+        |CROSS JOIN n
+        |WHERE tf.doc_id < 50
+        |ORDER BY tf.doc_id, word""".stripMargin,
     "q_text_langid" ->
       s"""SELECT doc_id, lang,
          |CAST(len(list_filter(string_split(text, ' '),
