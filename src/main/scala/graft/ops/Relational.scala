@@ -205,6 +205,28 @@ object Relational {
         count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey")
 
+  /** Exact second-moment statistics from DECIMAL-exact sums: variance is
+    * (Σx² − (Σx)²/n)/(n−1) where both sums are exact decimals, so —
+    * unlike `stddev_samp` over doubles — the result cannot vary with
+    * partitioning or merge order (SURVEY.md §7.3 float nondeterminism).
+    */
+  private def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    val q = dec(col("l_quantity"))
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(q).cast(DoubleType).as("s"),
+        sum(q * q).cast(DoubleType).as("ss"))
+      .select(col("l_returnflag"),
+        col("n"),
+        Num.r4(col("s") / col("n")).as("mean_qty"),
+        Num.r4((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1)).as("var_qty"),
+        Num.r4(sqrt((col("ss") - col("s") * col("s") / col("n"))
+          / (col("n") - 1))).as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // A7 exact grouped median / quantile (approx twin is percentile_approx)
   private def qAggMedian(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
@@ -350,6 +372,7 @@ object Relational {
     "q_agg_approx" -> qAggApprox,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_collect" -> qAggCollect,
+    "q_agg_stats" -> qAggStats,
     "q_agg_median" -> qAggMedian,
     "q_win_rank" -> qWinRank,
     "q_win_lag" -> qWinLag,
@@ -441,6 +464,20 @@ object Relational {
         |list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
         |CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q_agg_stats" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS ss
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |floor((s / n) * 10000 + 0.5) / 10000 AS mean_qty,
+        |floor(((ss - s * s / n) / (n - 1)) * 10000 + 0.5) / 10000
+        |  AS var_qty,
+        |floor((sqrt((ss - s * s / n) / (n - 1))) * 10000 + 0.5) / 10000
+        |  AS std_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "q_agg_median" ->
       """SELECT c_mktsegment,
         |floor((median(CAST(c_acctbal AS DOUBLE))) * 10000 + 0.5) / 10000

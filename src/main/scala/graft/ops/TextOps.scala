@@ -117,7 +117,23 @@ object TextOps {
       .orderBy("doc_id", "word")
   }
 
+  /** Deterministic train/val/test corpus split: a multiplicative-hash
+    * bucket of the stable document id — reproducible across runs, retries
+    * and engines (never `rand()`: a retried task must land every row in
+    * the same split). 90/5/5.
+    */
+  private def qCorpusSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 100).as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_split" -> qCorpusSplit,
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
     "q_text_tfidf" -> qTextTfidf,
@@ -142,6 +158,12 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_corpus_split" ->
+      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+        |CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
+        |     WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
+        |     ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
