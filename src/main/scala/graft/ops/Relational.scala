@@ -196,6 +196,18 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("returnflag", "linestatus")
 
+  // A4b cube: all grouping-set combinations (rollup's superset)
+  private def qAggCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(rnd(sum(dec(col("o_totalprice")))).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price"), col("n"))
+      .orderBy("status", "priority")
+
   // A5 collect_list with explicit intra-group order (determinism rule)
   private def qAggCollect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -275,6 +287,19 @@ object Relational {
         Num.r4(sum(dec(col("value"))).over(mov).cast(DoubleType) /
           count(lit(1)).over(mov)).as("mov3_avg"))
       .orderBy("event_id")
+  }
+
+  // W5 positional window values: first/last/nth within the running frame
+  private def qWinFirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(full).as("first_order"),
+        last(col("o_orderkey")).over(full).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy("o_orderkey")
   }
 
   // W4 distribution ranks (global window: single-partition sort, correctness
@@ -371,10 +396,12 @@ object Relational {
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx" -> qAggApprox,
     "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
     "q_agg_collect" -> qAggCollect,
     "q_agg_stats" -> qAggStats,
     "q_agg_median" -> qAggMedian,
     "q_win_rank" -> qWinRank,
+    "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
     "q_win_frame" -> qWinFrame,
     "q_win_ntile" -> qWinNtile,
@@ -459,6 +486,24 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |COALESCE(o_orderpriority, 'ALL') AS priority,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_price,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_win_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |first_value(o_orderkey) OVER w AS first_order,
+        |last_value(o_orderkey) OVER w AS last_order,
+        |nth_value(o_orderkey, 2) OVER w AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_agg_collect" ->
       """SELECT l_orderkey,
         |list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
