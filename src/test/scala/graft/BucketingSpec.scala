@@ -16,7 +16,25 @@ class BucketingSpec extends TestSpark {
 
   import spark.implicits._
 
+  /** The session catalog is in-memory but the warehouse dir persists
+    * across JVMs — a leftover location fails saveAsTable with
+    * LOCATION_ALREADY_EXISTS, so clear both before writing.
+    */
+  private def dropManaged(names: String*): Unit = {
+    val warehouse = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(warehouse, n))
+    }
+  }
+
   test("co-located bucketed join plans with no shuffle exchange") {
+    dropManaged("li_b", "o_b")
     val li = Sources.table(spark, Sf, "lineitem")
       .select("l_orderkey", "l_quantity")
     val o = Sources.table(spark, Sf, "orders")
