@@ -50,6 +50,21 @@ object Relational {
       .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
   }
 
+  // J2b full outer: reconciliation view keeping both unmatched sides
+  private def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val hasF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k")).distinct()
+      .withColumn("has_finished", lit(true))
+    val hasO = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k")).distinct()
+      .withColumn("has_open", lit(true))
+    hasF.join(hasO, Seq("k"), "full_outer")
+      .select(col("k").as("custkey"),
+        coalesce(col("has_finished"), lit(false)).as("has_finished"),
+        coalesce(col("has_open"), lit(false)).as("has_open"))
+      .orderBy("custkey")
+  }
+
   // J3 left semi: clients that already have orders (EXISTS)
   private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -383,9 +398,22 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  // T3b exceptAll (bag semantics): multiplicity-aware difference — each
+  // customer key minus one occurrence per order placed
+  private def qExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val many = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+    val some = t(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("k"))
+    many.exceptAll(some)
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
+    "q_join_full" -> qJoinFull,
     "q_join_semi" -> qJoinSemi,
     "q_join_anti" -> qJoinAnti,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -411,7 +439,8 @@ object Relational {
     "q_topk_group" -> qTopkGroup,
     "q_union" -> qUnion,
     "q_intersect" -> qIntersect,
-    "q_except" -> qExcept)
+    "q_except" -> qExcept,
+    "q_except_all" -> qExceptAll)
 
   val oracleSql: Map[String, String] = Map(
     "q_join_inner" ->
@@ -422,6 +451,17 @@ object Relational {
       """SELECT c_custkey, o_orderkey, o_totalprice FROM customer
         |LEFT JOIN orders ON c_custkey = o_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_full" ->
+      """SELECT COALESCE(f.k, o.k) AS custkey,
+        |COALESCE(f.has_finished, false) AS has_finished,
+        |COALESCE(o.has_open, false) AS has_open
+        |FROM (SELECT DISTINCT o_custkey AS k, true AS has_finished
+        |      FROM orders WHERE o_orderstatus = 'F') f
+        |FULL OUTER JOIN
+        |     (SELECT DISTINCT o_custkey AS k, true AS has_open
+        |      FROM orders WHERE o_orderstatus = 'O') o
+        |ON f.k = o.k
+        |ORDER BY custkey""".stripMargin,
     "q_join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -609,5 +649,11 @@ object Relational {
       """SELECT c_custkey FROM customer
         |EXCEPT
         |SELECT o_custkey AS c_custkey FROM orders
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT k, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT l_orderkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY k ORDER BY k""".stripMargin)
 }
