@@ -27,12 +27,21 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
+      // ns→µs with INTEGER division (`div`): `/ 1000` is double division in
+      // Spark, and epoch-nanos (~1.8e18) exceed double's 2^53 exact range,
+      // so the round-trip could land ±1 µs off DuckDB's exact truncation
+      // near µs boundaries (round-1 ADVICE, medium).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast(org.apache.spark.sql.types.LongType)))
+      try {
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+      } finally {
+        // scope the legacy flag to this read: later TIMESTAMP(NANOS) reads
+        // elsewhere should fail loudly, not silently come back as longs
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }

@@ -29,10 +29,9 @@ object Dedup {
   /** Word 3-gram shingles (distinct, plain text) of a whitespace-tokenized
     * text — shared by the MinHash signatures and Jaccard verification.
     */
-  private def rawShingles(text: Column): Column = {
+  private[graft] def rawShingles(text: Column): Column = {
     val ws = TextOps.tokens(text)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+    array_distinct(transform(TextOps.shingleIdx(ws),
       i => concat_ws(" ", slice(ws, i, lit(3)))))
   }
 

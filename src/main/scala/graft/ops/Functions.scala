@@ -61,19 +61,29 @@ object Functions {
         round(log(col("l_extendedprice")), 4).as("price_ln"))
       .orderBy("l_orderkey", "l_linenumber")
 
-  // F4 arrays / higher-order functions over the embedding vectors
+  /** F4 arrays / higher-order functions over the embedding vectors.
+    * `head4` is the slice/transform result flattened to scalar columns via
+    * `element_at`: the driver's pandas hash can't sort array cells
+    * (round-1 q_fn_array compare error), and doubles-as-strings would
+    * reintroduce cross-engine formatting drift. All double outputs use
+    * [[Num.r4]] — embeddings are signed floats and Spark/DuckDB `round`
+    * disagree on rendering-boundary and negative-half cases.
+    */
   private def qFnArray(s: SparkSession, dir: String): DataFrame = {
     val e = col("embedding")
+    val head4 = transform(slice(e, 1, 4), x => Num.r4(x.cast(DoubleType)))
     t(s, dir, "embeddings")
       .select(col("vec_id"),
         size(e).cast(LongType).as("dim"),
-        transform(slice(e, 1, 4),
-          x => round(x.cast(DoubleType), 4)).as("head4"),
-        round(sqrt(aggregate(
+        element_at(head4, 1).as("h1"),
+        element_at(head4, 2).as("h2"),
+        element_at(head4, 3).as("h3"),
+        element_at(head4, 4).as("h4"),
+        Num.r4(sqrt(aggregate(
           transform(e, x => x.cast(DoubleType) * x.cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x)), 4).as("l2_norm"),
-        round(array_max(e).cast(DoubleType), 4).as("max_val"),
-        round(array_min(e).cast(DoubleType), 4).as("min_val"))
+          lit(0.0), (acc, x) => acc + x))).as("l2_norm"),
+        Num.r4(array_max(e).cast(DoubleType)).as("max_val"),
+        Num.r4(array_min(e).cast(DoubleType)).as("min_val"))
       .orderBy("vec_id")
   }
 
@@ -149,14 +159,16 @@ object Functions {
         |round(ln(l_extendedprice), 4) AS price_ln
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_fn_array" ->
-      """SELECT vec_id,
+      s"""SELECT vec_id,
         |CAST(len(embedding) AS BIGINT) AS dim,
-        |list_transform(embedding[1:4],
-        |  x -> round(CAST(x AS DOUBLE), 4)) AS head4,
-        |round(sqrt(list_sum(list_transform(embedding,
-        |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
-        |round(CAST(list_max(embedding) AS DOUBLE), 4) AS max_val,
-        |round(CAST(list_min(embedding) AS DOUBLE), 4) AS min_val
+        |${Num.r4Sql("CAST(embedding[1] AS DOUBLE)")} AS h1,
+        |${Num.r4Sql("CAST(embedding[2] AS DOUBLE)")} AS h2,
+        |${Num.r4Sql("CAST(embedding[3] AS DOUBLE)")} AS h3,
+        |${Num.r4Sql("CAST(embedding[4] AS DOUBLE)")} AS h4,
+        |${Num.r4Sql("sqrt(list_sum(list_transform(embedding, " +
+           "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))")} AS l2_norm,
+        |${Num.r4Sql("CAST(list_max(embedding) AS DOUBLE)")} AS max_val,
+        |${Num.r4Sql("CAST(list_min(embedding) AS DOUBLE)")} AS min_val
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_fn_map" ->
       """SELECT c_custkey,

@@ -223,12 +223,15 @@ object Relational {
         col("sum_price"), col("n"))
       .orderBy("status", "priority")
 
-  // A5 collect_list with explicit intra-group order (determinism rule)
+  // A5 collect_list with explicit intra-group order (determinism rule).
+  // Serialized to a CSV string for the oracle compare: the driver's pandas
+  // hash can't sort array cells (round-1 q_agg_collect compare error).
   private def qAggCollect(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy("l_orderkey")
       .agg(
-        sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
+        array_join(sort_array(collect_list(col("l_linenumber")))
+          .cast("array<string>"), ",").as("linenumbers"),
         count(lit(1)).as("n_lines"))
       .orderBy("l_orderkey")
 
@@ -546,7 +549,7 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "q_agg_collect" ->
       """SELECT l_orderkey,
-        |list(l_linenumber ORDER BY l_linenumber) AS linenumbers,
+        |string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS linenumbers,
         |CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "q_agg_stats" ->

@@ -23,6 +23,16 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, " "), w => w =!= "")
 
+  /** 1-based start indices of word 3-gram shingles; EMPTY for texts under
+    * 3 tokens. The guard is load-bearing: Spark's `sequence(1, 0)` yields
+    * the *descending* array `[1, 0]` (not empty), and index 0 then makes
+    * `slice` throw INVALID_PARAMETER_VALUE.START — any short/empty doc
+    * would crash the shingle pipelines (round-1 ADVICE, high).
+    */
+  def shingleIdx(ws: Column): Column =
+    when(size(ws) >= 3, sequence(lit(1), size(ws) - 2))
+      .otherwise(array().cast("array<int>"))
+
   private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private val EsStop = Seq("el", "la", "de", "que", "y", "en", "un")
 
@@ -82,12 +92,13 @@ object TextOps {
 
   /** Document fingerprint: lexicographic min of md5 over word 3-gram
     * shingles — a 1-hash MinHash, stable under small edits at either end.
-    * Docs under 3 words fingerprint as null.
+    * Docs under 3 words have no shingles and fingerprint as null
+    * (`array_min` of an empty array) — same as the oracle's end-exclusive
+    * `range`, which yields no shingles for them.
     */
   private def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     val ws = tokens(col("text"))
-    val shingleHashes = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+    val shingleHashes = transform(shingleIdx(ws),
       i => md5(concat_ws(" ", slice(ws, i, lit(3)))))
     docs(s, dir)
       .select(col("doc_id"), array_min(shingleHashes).as("fingerprint"))

@@ -61,13 +61,21 @@ object Streaming {
   /** R3 session windows, gaps-and-islands formulation (30-minute gap):
     * portable to the SQL oracle, and proven equal to Spark's native
     * `session_window` by unit test. One shuffle on user_id.
+    *
+    * Boundary semantics match `session_window`: gaps are FULL-precision
+    * microsecond deltas — the old second-truncated formulation classified
+    * sub-second gaps in (1800, 1801) differently (round-1 ADVICE, low).
+    * Native `session_window` MERGES an event at exactly `last_ts + gap`
+    * (verified empirically on 4.1.2: sessions combine while
+    * `start <= prev_end`), so a new session starts strictly at `gap >
+    * threshold`, full precision.
     */
   def sessionize(df: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val gap = unix_timestamp(col("ts")) -
-      unix_timestamp(lag(col("ts"), 1).over(w))
+    val gap = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(w))
     df.withColumn("new_sess",
-        when(gap.isNull || gap > 1800, 1).otherwise(0))
+        when(gap.isNull || gap > 1800L * 1000000L, 1).otherwise(0))
       .withColumn("session_id",
         sum(col("new_sess"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -198,9 +206,8 @@ object Streaming {
       """WITH g AS (SELECT user_id, event_id, ts,
         |  CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
         |  CASE WHEN lag(ts, 1) OVER w IS NULL
-        |    OR CAST(epoch(date_trunc('second', ts)) AS BIGINT)
-        |     - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT)
-        |     > 1800 THEN 1 ELSE 0 END AS new_sess
+        |    OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w)
+        |     > 1800000000 THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, sec,

@@ -61,6 +61,21 @@ class DedupSpec extends TestSpark {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("shingles of short docs are empty, not a crash (ADVICE r1 high)") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0]; unguarded, docs
+    // under 3 tokens made slice() throw INVALID_PARAMETER_VALUE.START
+    val docs = Seq(
+      (1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "one two three"), (5L, "  "), (6L, "one  two"))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select($"doc_id", graft.ops.Dedup.rawShingles($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(5L).isEmpty && out(6L).isEmpty)
+    assert(out(4L) === Seq("one two three"))
+  }
+
   test("event dedup keeps exactly one row per (user, type)") {
     val d = graft.SparkEntry.queries("q_dedup_events")(spark, Sf)
     val dupKeys = d.groupBy("user_id", "event_type").count()

@@ -116,6 +116,36 @@ class StreamingSpec extends TestSpark {
     assert(portable.exceptAll(native).count() === 0)
   }
 
+  test("session gap boundaries match native (exact-gap merges, +1µs splits)") {
+    // Native session_window on 4.1.2 MERGES an event at exactly
+    // last_ts + gap and splits 1 µs past it; sub-second gaps in
+    // (1800, 1801) split too (the old second-truncated `> 1800`
+    // formulation kept them together — ADVICE r1 low)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(micros: Long): Timestamp = {
+      val t = new Timestamp(base.getTime + micros / 1000)
+      t.setNanos(((micros % 1000000) * 1000).toInt)
+      t
+    }
+    val ev = Seq(
+      Ev(0, at(0L), 1, "a", 0.0, "{}"),
+      Ev(1, at(1800L * 1000000), 1, "a", 0.0, "{}"), // exact gap: merge
+      Ev(2, at(0L), 2, "a", 0.0, "{}"),
+      Ev(3, at(1800L * 1000000 + 1), 2, "a", 0.0, "{}"), // 1 µs past: split
+      Ev(4, at(0L), 3, "a", 0.0, "{}"),
+      Ev(5, at(1800L * 1000000 + 500000), 3, "a", 0.0, "{}")) // 1800.5s: split
+      .toDF()
+    val portable = Streaming.sessionize(ev)
+    assert(portable.filter($"user_id" === 1).count() === 1)
+    assert(portable.filter($"user_id" === 2).count() === 2)
+    assert(portable.filter($"user_id" === 3).count() === 2)
+    val native = Streaming.sessionizeNative(ev)
+      .select("user_id", "start_sec", "n_events")
+    val p2 = portable.select("user_id", "start_sec", "n_events")
+    assert(native.exceptAll(p2).count() === 0)
+    assert(p2.exceptAll(native).count() === 0)
+  }
+
   test("sliding windows double-count each event across buckets") {
     val slide = graft.SparkEntry.queries("q_stream_slide")(spark, Sf)
     val total = slide.agg(sum("n_events")).collect().head.getLong(0)
