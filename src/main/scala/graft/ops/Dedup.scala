@@ -68,22 +68,24 @@ object Dedup {
   /** 8 portable minhashes per doc. Hash families are the four disjoint
     * 32-bit (8-hex-char) slices of md5(shingle) plus the four slices of
     * md5("x:" ++ shingle) — two md5 evaluations per shingle instead of
-    * eight seeded ones (~4× less hashing, the dominant cost of this
-    * pipeline), with slices of independent digests serving as independent
-    * hash families. Explicitly projected before the groupBy so each md5 is
-    * computed exactly once per shingle row.
+    * eight seeded ones, with slices of independent digests serving as
+    * independent hash families.
+    *
+    * Computed by the one-pass [[graft.functions.MinHashSig]] expression:
+    * a pure map-side scan (no shingle explode, no pre-signature shuffle) —
+    * see its Scaladoc for the scale argument. The `size > 0` filter drops
+    * sub-3-token docs, exactly as the exploded form produced no rows for
+    * them. Result column names/types are unchanged, so the DuckDB oracle
+    * (explode + min-substring formulation) verifies this expression
+    * hash-for-hash.
     */
   private def signatures(s: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(s, dir)
-      .select(col("doc_id"), explode(rawShingles(col("text"))).as("sh"))
-      .select(col("doc_id"),
-        md5(col("sh")).as("m1"),
-        md5(concat(lit("x:"), col("sh"))).as("m2"))
-    val aggs = (0 until 8).map { i =>
-      val src = if (i < 4) col("m1") else col("m2")
-      min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
-    }
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sig = graft.functions.MinHashExprs.minhashSig(col("text"))
+    val cols = (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"h$i"))
+    docs(s, dir)
+      .select(col("doc_id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
+      .select(col("doc_id") +: cols: _*)
   }
 
   /** Band rows: 4 bands × 2 rows (b=4, r=2 ⇒ s-curve threshold ≈ 0.5).
