@@ -21,6 +21,7 @@ object SparkEntry {
       graft.ops.Functions.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
+      graft.ops.Linkage.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       graft.stream.Streaming.queries
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.ops.Functions.oracleSql ++
       graft.ops.TextOps.oracleSql ++
       graft.ops.Dedup.oracleSql ++
+      graft.ops.Linkage.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++
       graft.stream.Streaming.oracleSql

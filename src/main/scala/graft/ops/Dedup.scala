@@ -157,6 +157,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------- near-dup clusters (connected comp.)
+
+  /** Connected components over the LSH candidate-pair graph: every doc in a
+    * near-dup cluster labeled with the cluster's min doc_id — the actual
+    * "keep one, drop the rest" dedup output.
+    *
+    * Pregel-style iterative min-label propagation: each round every node
+    * takes the min of its own label and its neighbors' labels; a round is
+    * one shuffle join on node id. Rounds needed = graph diameter, and
+    * near-dup clusters are tiny cliques (LSH buckets), so this converges in
+    * 1–2 rounds here and O(log n) even on pathological chains — the
+    * standard large-graph formulation (GraphX/GraphFrames use the same
+    * loop; Kiveris et al.'s large-star/small-star halves rounds at
+    * trillion-edge scale if ever needed). `localCheckpoint` truncates the
+    * per-iteration lineage so plans don't grow unboundedly; edges are
+    * cached because every round re-reads them.
+    */
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(s, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nb_min"))
+      val next = labels.join(prop, col("node") === col("src"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nb_min"), col("label")))
+            .as("new_label"))
+        .localCheckpoint()
+      changed = next.filter(col("new_label") < col("label")).count()
+      labels = next.select(col("node"), col("new_label").as("label"))
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ 0.5. All-pairs is acceptable
@@ -183,6 +226,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_components" -> qDedupComponents,
     "q_dedup_embed" -> qDedupEmbed)
 
   // shared oracle CTEs for the minhash pipeline (DuckDB dialect)
@@ -231,6 +275,19 @@ object Dedup {
         |ORDER BY event_id""".stripMargin,
     "q_dedup_minhash" ->
       (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    // transitive closure by recursive CTE (tiny clusters make this cheap
+    // for the oracle; the Spark side is the scalable iterative form)
+    "q_dedup_components" ->
+      (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+        """,
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          |  UNION ALL SELECT doc_b, doc_a FROM cand),
+          |reach AS (
+          |  SELECT src AS node, dst AS peer FROM edges
+          |  UNION
+          |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+          |SELECT node AS doc_id, least(node, min(peer)) AS component_id
+          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
     "q_dedup_fuzzy" ->
       (MinhashCtes +
         """,

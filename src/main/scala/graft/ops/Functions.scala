@@ -87,6 +87,19 @@ object Functions {
       .orderBy("vec_id")
   }
 
+  // F7 bitwise: masks, shifts, popcount (flag words, bitmap-index style
+  // predicates; every op is codegen'd long arithmetic)
+  private def qFnBitwise(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255L)).as("and255"),
+        (col("o_orderkey").bitwiseOR(255L)).as("or255"),
+        (col("o_orderkey").bitwiseXOR(4095L)).as("xor4095"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        bit_count(col("o_orderkey")).cast(LongType).as("popcount"))
+      .orderBy("o_orderkey")
+
   /** F5 maps: attributes-as-map (SURVEY.md §1.3 EAV alternative). The
     * oracle states the equivalent scalar results directly — DuckDB's
     * MAP extraction yields lists, not scalars, so the map machinery is
@@ -121,9 +134,19 @@ object Functions {
     "q_fn_math" -> qFnMath,
     "q_fn_array" -> qFnArray,
     "q_fn_map" -> qFnMap,
-    "q_fn_json" -> qFnJson)
+    "q_fn_json" -> qFnJson,
+    "q_fn_bitwise" -> qFnBitwise)
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        |o_orderkey & 255 AS and255,
+        |o_orderkey | 255 AS or255,
+        |xor(o_orderkey, 4095) AS xor4095,
+        |o_orderkey << 3 AS shl3,
+        |o_orderkey >> 2 AS shr2,
+        |CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_fn_string" ->
       """SELECT c_custkey,
         |c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS tagged,

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Fuzzy record linkage — the "is this the same patient?" capability the
+  * reference's migration implies (reference `README.md:10` identifier
+  * reconciliation): find identifier pairs within edit distance 1 WITHOUT an
+  * all-pairs comparison.
+  *
+  * Blocking scheme: each 9-char identifier emits 9 blocking keys, key i =
+  * the identifier with position i wildcarded. Two identifiers differing by
+  * exactly one substitution share exactly the key masking that position, so
+  * an equality self-join on (pos, masked) finds every substitution-distance-1
+  * pair — the join key IS the block, the shuffle partitions by it, and no
+  * quadratic block ever forms (candidates per key are the handful of records
+  * sharing 8 of 9 chars). `levenshtein` then verifies — it also rules out
+  * the identical-string case. This is the standard pass-blocking design from
+  * the record-linkage literature, shaped for Spark's shuffle.
+  */
+object Linkage {
+
+  /** Patient-style identifiers: the 9-digit family_name tail of c_name
+    * (same derivation as the migration's name_split).
+    */
+  private def idents(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        split(col("c_name"), "#").getItem(1).as("ident"))
+
+  private def qLinkNames(s: SparkSession, dir: String): DataFrame = {
+    val masked = idents(s, dir)
+      .select(col("c_custkey"), col("ident"),
+        explode(sequence(lit(1), lit(9))).as("pos"))
+      .select(col("c_custkey"), col("ident"), col("pos"),
+        concat(
+          col("ident").substr(lit(1), col("pos") - 1),
+          lit("#"),
+          col("ident").substr(col("pos") + 1, lit(9))).as("mkey"))
+    masked.as("a").join(masked.as("b"),
+        col("a.pos") === col("b.pos") &&
+          col("a.mkey") === col("b.mkey") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("cust_a"),
+        col("b.c_custkey").as("cust_b"),
+        col("a.ident").as("ident_a"),
+        col("b.ident").as("ident_b"))
+      .distinct()
+      .filter(levenshtein(col("ident_a"), col("ident_b")) === 1)
+      .withColumn("distance", lit(1L))
+      .orderBy("cust_a", "cust_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_link_names" -> qLinkNames)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_link_names" ->
+      """WITH ids AS (SELECT c_custkey,
+        |  split_part(c_name, '#', 2) AS ident FROM customer),
+        |masked AS (SELECT c_custkey, ident, pos,
+        |  substring(ident, 1, pos - 1) || '#' || substring(ident, pos + 1)
+        |    AS mkey
+        |  FROM ids, (SELECT unnest(range(1, 10)) AS pos)),
+        |cand AS (SELECT DISTINCT
+        |  a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+        |  a.ident AS ident_a, b.ident AS ident_b
+        |  FROM masked a JOIN masked b
+        |  ON a.pos = b.pos AND a.mkey = b.mkey
+        |  AND a.c_custkey < b.c_custkey)
+        |SELECT cust_a, cust_b, ident_a, ident_b, CAST(1 AS BIGINT) AS distance
+        |FROM cand WHERE levenshtein(ident_a, ident_b) = 1
+        |ORDER BY cust_a, cust_b""".stripMargin)
+}

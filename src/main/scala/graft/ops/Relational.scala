@@ -268,6 +268,39 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** A8 explicit GROUPING SETS — the general grouping-set algebra beyond
+    * rollup/cube's fixed lattices, through the engine's SQL surface
+    * (Catalyst plans one Expand + one aggregate: each input row fans out
+    * once per set, so cost is |sets| × scan, not |sets| separate passes).
+    */
+  private def qAggGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+    s.sql("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+               AS sum_price,
+             count(*) AS n
+      FROM gs_orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+
+  /** A9 deterministic stratified sample: keep a row iff the first hex
+    * nibble of md5(row key) is '0' — an exact 1/16 Bernoulli sample that is
+    * reproducible across engines, runs, and partitionings (`sample()` /
+    * TABLESAMPLE are seed- and split-dependent, so they can never be
+    * oracle-verified). Per-stratum rates verify the sample is unbiased.
+    */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(substring(md5(concat_ws("-",
+        col("l_orderkey"), col("l_linenumber"))), 1, 1) === "0")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"),
+        rnd(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   // ------------------------------------------------------------ windows
 
   // W1 ranking trio within a partition
@@ -317,6 +350,24 @@ object Relational {
         first(col("o_orderkey")).over(full).as("first_order"),
         last(col("o_orderkey")).over(full).as("last_order"),
         nth_value(col("o_orderkey"), 2).over(full).as("second_order"))
+      .orderBy("o_orderkey")
+  }
+
+  /** W6 value-based RANGE frame: 30-day trailing spend per customer — the
+    * frame is defined by the ORDER BY *value* (days), not row position, so
+    * all orders on tied days enter the frame together. Decimal-exact sum
+    * keeps it partitioning-independent.
+    */
+  private def qWinRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff(col("o_orderdate").cast(DateType),
+      to_date(lit("1990-01-01"))).cast(LongType)
+    val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-30, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("day", day)
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        rnd(sum(dec(col("o_totalprice"))).over(w)).as("trail30_spend"),
+        count(lit(1)).over(w).as("trail30_orders"))
       .orderBy("o_orderkey")
   }
 
@@ -431,6 +482,9 @@ object Relational {
     "q_agg_collect" -> qAggCollect,
     "q_agg_stats" -> qAggStats,
     "q_agg_median" -> qAggMedian,
+    "q_agg_grouping_sets" -> qAggGroupingSets,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_win_range_frame" -> qWinRangeFrame,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -537,6 +591,35 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |coalesce(o_orderpriority, 'ALL') AS priority,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_price,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT l_returnflag,
+        |CAST(count(*) AS BIGINT) AS n_sampled,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_qty
+        |FROM lineitem
+        |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
+        |  || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_win_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS day,
+        |round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w
+        |  AS DOUBLE), 4) AS trail30_spend,
+        |CAST(count(*) OVER w AS BIGINT) AS trail30_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT)
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_win_first_last" ->
       """SELECT o_orderkey, o_custkey,
         |first_value(o_orderkey) OVER w AS first_order,

@@ -160,11 +160,46 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Per-cluster embedding centroids — the building block for k-means-style
+    * IVF training and corpus summarization. `posexplode` turns the vector
+    * column into (cluster, pos, value) rows so the mean is one hash
+    * aggregate over (cluster, dim): fully parallel, map-side combinable,
+    * and decimal-exact (float sums would be partitioning-dependent). The
+    * centroid norm folds the per-dim means in `pos` order via a sorted
+    * collect, so the double accumulation order is deterministic and matches
+    * the oracle's `list_sum` fold. Scale: rows = corpus × dim, but the
+    * aggregate state is clusters × dim — tiny; no shuffle carries vectors.
+    */
+  private def qEmbedCentroid(s: SparkSession, dir: String): DataFrame = {
+    val means = emb(s, dir)
+      .select((col("vec_id") % 16).as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("x").cast(DoubleType).cast(DecimalType(20, 10)))
+          .cast(DoubleType) / count(lit(1))).as("mean"))
+    means.groupBy("cluster")
+      .agg(max(col("n")).as("n_vecs"),
+        Num.r4(max(when(col("pos") === 0, col("mean")))).as("c0"),
+        Num.r4(max(when(col("pos") === 1, col("mean")))).as("c1"),
+        Num.r4(max(when(col("pos") === 2, col("mean")))).as("c2"),
+        Num.r4(max(when(col("pos") === 3, col("mean")))).as("c3"),
+        sort_array(collect_list(struct(col("pos"), col("mean"))))
+          .as("mlist"))
+      .select(col("cluster"), col("n_vecs"),
+        col("c0"), col("c1"), col("c2"), col("c3"),
+        Num.r4(sqrt(aggregate(col("mlist"), lit(0.0),
+          (acc, m) => acc + m.getField("mean") * m.getField("mean"))))
+          .as("centroid_norm"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> qSimTopk,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
-    "q_sim_ivf" -> qSimIvf)
+    "q_sim_ivf" -> qSimIvf,
+    "q_embed_centroid" -> qEmbedCentroid)
 
   /** Rounded cosine between e and q rows, as DuckDB SQL (same portable
     * rounding as [[Num.r4]]).
@@ -187,6 +222,20 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_embed_centroid" ->
+      s"""WITH d AS (SELECT vec_id % 16 AS cluster, pos,
+         |  CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,10)) AS xd
+         |  FROM embeddings, unnest(range(0, len(embedding))) AS t(pos)),
+         |m AS (SELECT cluster, pos, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(xd) AS DOUBLE) / count(*) AS mean FROM d GROUP BY 1, 2)
+         |SELECT cluster, max(n) AS n_vecs,
+         |${Num.r4Sql("max(CASE WHEN pos = 0 THEN mean END)")} AS c0,
+         |${Num.r4Sql("max(CASE WHEN pos = 1 THEN mean END)")} AS c1,
+         |${Num.r4Sql("max(CASE WHEN pos = 2 THEN mean END)")} AS c2,
+         |${Num.r4Sql("max(CASE WHEN pos = 3 THEN mean END)")} AS c3,
+         |${Num.r4Sql("sqrt(list_sum(list_transform(" +
+            "list(mean ORDER BY pos), x -> x * x)))")} AS centroid_norm
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
     "q_sim_topk" -> TopkSql,
     "q_sim_topk_agg" -> TopkSql,
     "q_sim_knn" ->

@@ -76,6 +76,23 @@ class DedupSpec extends TestSpark {
     assert(out(4L) === Seq("one two three"))
   }
 
+  test("connected components: both ends of every candidate pair share a label") {
+    val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf)
+    val comp = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)
+    val ca = comp.select($"doc_id".as("doc_a"), $"component_id".as("comp_a"))
+    val cb = comp.select($"doc_id".as("doc_b"), $"component_id".as("comp_b"))
+    val joined = pairs.join(ca, "doc_a").join(cb, "doc_b")
+    assert(joined.count() === pairs.count(), "a paired doc is missing a label")
+    assert(joined.filter($"comp_a" =!= $"comp_b").count() === 0,
+      "a candidate pair straddles two components")
+    // labels are canonical: every component_id is itself a member doc_id
+    // with its own label (the cluster min)
+    val bad = comp.select($"component_id".as("doc_id")).distinct()
+      .join(comp.filter($"doc_id" === $"component_id"), Seq("doc_id"),
+        "left_anti")
+    assert(bad.count() === 0)
+  }
+
   test("event dedup keeps exactly one row per (user, type)") {
     val d = graft.SparkEntry.queries("q_dedup_events")(spark, Sf)
     val dupKeys = d.groupBy("user_id", "event_type").count()
