@@ -73,6 +73,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // character-bigram profiles for the n-gram language ID: frequent bigrams
+  // of each language's function words
+  private val EnBigrams = Seq("th", "he", "an", "in", "er", "on", "re", "ed")
+  private val EsBigrams = Seq("de", "la", "el", "que", "os", "as", "ue", "ra")
+
+  /** Non-overlapping occurrence count of `pat` in `text` via length
+    * arithmetic over literal replace-all — codegen'd string ops, no
+    * per-char lambda, identical `replace` semantics in DuckDB (regexp
+    * variants differ: DuckDB needs a 'g' flag), so it is oracle-portable.
+    */
+  private def occurrences(text: Column, pat: String): Column =
+    (length(text) -
+      length(call_function("replace", text, lit(pat), lit("")))) / pat.length
+
+  /** Language ID by character n-gram profile (the classic Cavnar–Trenkle
+    * shape, reduced to two profile sets): score = profile-bigram hits per
+    * character. Complements the stopword-based [[qTextLangid]]; per-row
+    * scan-speed column arithmetic, no shuffle but the presentation sort.
+    */
+  private def qTextLangidNgram(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val enHits = EnBigrams.map(occurrences(t, _)).reduce(_ + _)
+    val esHits = EsBigrams.map(occurrences(t, _)).reduce(_ + _)
+    docs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        enHits.cast(LongType).as("en_2g"),
+        esHits.cast(LongType).as("es_2g"),
+        when(col("n_chars") === 0, lit(null).cast(DoubleType))
+          .otherwise(Num.r4(enHits.cast(DoubleType) / col("n_chars")))
+          .as("en_score"),
+        when(col("n_chars") === 0, lit(null).cast(DoubleType))
+          .otherwise(Num.r4(esHits.cast(DoubleType) / col("n_chars")))
+          .as("es_score"))
+      .withColumn("pred_lang",
+        when(col("en_2g") > col("es_2g"), "en")
+          .when(col("es_2g") > col("en_2g"), "es")
+          .otherwise("und"))
+      .orderBy("doc_id")
+  }
+
   // quality scoring: length/stopword-ratio features -> [0,1] score
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val ws = tokens(col("text"))
@@ -149,11 +189,17 @@ object TextOps {
     "q_text_tf" -> qTextTf,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangid,
+    "q_text_langid_ngram" -> qTextLangidNgram,
     "q_text_quality" -> qTextQuality,
     "q_text_fingerprint" -> qTextFingerprint)
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
   private val esList = EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(grams: Seq[String]): String =
+    grams.map(g =>
+      s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+      .mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
     "q_text_tokens" ->
@@ -195,6 +241,21 @@ object TextOps {
         |CROSS JOIN n
         |WHERE tf.doc_id < 50
         |ORDER BY tf.doc_id, word""".stripMargin,
+    "q_text_langid_ngram" ->
+      s"""SELECT doc_id, lang,
+         |CAST(${hitsSql(EnBigrams)} AS BIGINT) AS en_2g,
+         |CAST(${hitsSql(EsBigrams)} AS BIGINT) AS es_2g,
+         |CASE WHEN n_chars = 0 THEN NULL ELSE
+         |  ${Num.r4Sql(s"CAST(${hitsSql(EnBigrams)} AS DOUBLE) / n_chars")}
+         |END AS en_score,
+         |CASE WHEN n_chars = 0 THEN NULL ELSE
+         |  ${Num.r4Sql(s"CAST(${hitsSql(EsBigrams)} AS DOUBLE) / n_chars")}
+         |END AS es_score,
+         |CASE
+         |  WHEN ${hitsSql(EnBigrams)} > ${hitsSql(EsBigrams)} THEN 'en'
+         |  WHEN ${hitsSql(EsBigrams)} > ${hitsSql(EnBigrams)} THEN 'es'
+         |  ELSE 'und' END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_langid" ->
       s"""SELECT doc_id, lang,
          |CAST(len(list_filter(string_split(text, ' '),

@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import graft.io.Sources
@@ -152,6 +152,66 @@ object Streaming {
           state.update(next)
           UserCount(user, next.n, next.lastSec)
       }
+  }
+
+  /** R8 stateful sessionization with flatMapGroupsWithState: the streaming
+    * form of [[sessionize]] — per-user state holds the open session
+    * (start/last/count); an event past the 30-minute gap EMITS the closed
+    * session and opens a new one. EventTimeTimeout would also flush idle
+    * sessions once the watermark passes; bounded tests drain the open
+    * session by sending a per-user sentinel past the gap. flatMap (not map)
+    * because one input batch can close several sessions for a key. State is
+    * one small struct per user, co-partitioned with the shuffle.
+    */
+  final case class SessState(start: Long, last: Long, n: Long)
+  final case class SessOut(user_id: Long, start_sec: Long, n_events: Long)
+
+  def sessionStream(spark: SparkSession, stream: DataFrame) = {
+    import spark.implicits._
+    stream
+      .selectExpr("user_id", "unix_micros(ts) AS us")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          val gapUs = 1800L * 1000000L
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          var cur = state.getOption
+          rows.toSeq.sortBy(_._2).foreach { case (_, us) =>
+            cur match {
+              case Some(st) if us - st.last <= gapUs =>
+                cur = Some(st.copy(last = us, n = st.n + 1))
+              case Some(st) =>
+                closed += SessOut(user, st.start / 1000000L, st.n)
+                cur = Some(SessState(us, us, 1L))
+              case None =>
+                cur = Some(SessState(us, us, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  /** R9 stream-stream interval join: purchases within 30 minutes after an
+    * error by the same user — the streaming twin of the batch range join
+    * (q_join_range). Both sides carry watermarks so the join state for
+    * expired time ranges is evicted; the time-interval condition bounds how
+    * long an error row waits for matching purchases.
+    */
+  def errorPurchaseJoin(stream: DataFrame): DataFrame = {
+    val errors = stream.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    errors.join(purchases,
+      col("err_user") === col("p_user") &&
+        col("p_ts") >= col("err_ts") &&
+        col("p_ts") < col("err_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
   /** R7 foreachBatch sink: idempotent micro-batch upsert — the streaming

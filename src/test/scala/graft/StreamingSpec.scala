@@ -153,6 +153,54 @@ class StreamingSpec extends TestSpark {
     assert(total === 2 * nEvents)
   }
 
+  test("flatMapGroupsWithState sessions == batch sessionize (closed sessions)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // sentinels 10h past the fixture close every real session; their own
+    // session stays open in state and must NOT be emitted
+    val sentinels = Seq(Ev(98, ts(59, 59), 1, "x", 0, "{}"),
+      Ev(99, ts(59, 59), 2, "x", 0, "{}"))
+      .map(e => e.copy(ts = new Timestamp(e.ts.getTime + 10 * 3600 * 1000)))
+    mem.addData(fixture ++ sentinels: _*)
+    val q = Streaming.sessionStream(spark, mem.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess_out")
+      .select("user_id", "start_sec", "n_events")
+    val batch = Streaming.sessionize(fixture.toDF())
+      .select("user_id", "start_sec", "n_events")
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("stream-stream interval join matches the batch pairing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val withErrors = fixture ++ Seq(
+      Ev(10, ts(3), 1, "error", 0, "{}"), // catches purchases at 4 and 12
+      Ev(11, ts(20), 2, "error", 0, "{}"), // catches purchase at 25
+      Ev(12, ts(58), 2, "error", 0, "{}")) // no purchase follows
+    mem.addData(withErrors: _*)
+    val q = Streaming.errorPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("join_out")
+      .select("err_id", "p_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val expected = for {
+      e <- withErrors if e.event_type == "error"
+      p <- withErrors
+      if p.event_type == "purchase" && p.user_id == e.user_id
+      if p.ts.getTime >= e.ts.getTime &&
+        p.ts.getTime < e.ts.getTime + 30 * 60 * 1000
+    } yield (e.event_id, p.ts)
+    assert(got === expected.toSet)
+    assert(got.size === 3)
+  }
+
   test("foreachBatch upsert sink dedups within the batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
