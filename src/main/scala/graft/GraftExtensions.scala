@@ -3,11 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, MinHashSig}
 
 /** Session extensions: registers the library's native expressions for SQL
-  * callers, so `SELECT vec_dot(a.embedding, b.embedding)` works alongside
-  * the Column API. Install with
+  * callers, so `SELECT vec_dot(a.embedding, b.embedding)` and
+  * `SELECT minhash_sig(text)` work alongside the Column API. Install with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
@@ -18,5 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(children.head)))
   }
 }

@@ -199,6 +199,21 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** A3b sketched quantiles: percentile_approx (KLL-style mergeable sketch)
+    * next to [[qAggMedian]]'s exact forms. Sketch internals are
+    * engine-specific, so like the HLL query this is rows-only checked by
+    * the driver; the spec bounds it against the exact percentile instead.
+    */
+  private def qAggApproxPct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(
+        Num.r4(percentile_approx(col("c_acctbal").cast(DoubleType),
+          lit(0.5), lit(1000))).as("apx_med_bal"),
+        Num.r4(percentile_approx(col("c_acctbal").cast(DoubleType),
+          lit(0.95), lit(1000))).as("apx_p95_bal"))
+      .orderBy("c_mktsegment")
+
   // A4 rollup subtotals; grouping nulls normalized to 'ALL'
   private def qAggRollup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -408,14 +423,28 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
 
-  // O4 top-k per group via ranking window + filter
+  /** O4 top-k per group, as a hash aggregate instead of a ranking window:
+    * collect (−price, linenumber) structs per group, sort the tiny
+    * per-group array, slice k. The windowed form sorts the entire fact
+    * table inside each shuffle partition; this form is one hash aggregate
+    * whose map-side partial combine collapses each group's rows before the
+    * shuffle (facts are typically clustered by their group key, so the
+    * shuffle carries ~1 row per group, not every fact row). Same rank
+    * order — the struct sort key is (price DESC, linenumber ASC) — and the
+    * same windowed-form oracle verifies it.
+    */
   private def qTopkGroup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_extendedprice").desc, col("l_linenumber"))
+    val key = struct((col("l_extendedprice") * -1).as("np"),
+      col("l_linenumber").as("ln"))
     t(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
-        row_number().over(w).cast(LongType).as("rn"))
-      .filter(col("rn") <= 3)
+      .select(col("l_orderkey"), key.as("k"))
+      .groupBy("l_orderkey")
+      .agg(slice(sort_array(collect_list(col("k"))), 1, 3).as("top"))
+      .select(col("l_orderkey"), posexplode(col("top")).as(Seq("pos", "k")))
+      .select(col("l_orderkey"),
+        col("k.ln").as("l_linenumber"),
+        (col("k.np") * -1).as("l_extendedprice"),
+        (col("pos") + 1).cast(LongType).as("rn"))
       .orderBy("l_orderkey", "rn")
   }
 
@@ -477,6 +506,7 @@ object Relational {
     "q_agg_basic" -> qAggBasic,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_approx" -> qAggApprox,
+    "q_agg_approx_pct" -> qAggApproxPct,
     "q_agg_rollup" -> qAggRollup,
     "q_agg_cube" -> qAggCube,
     "q_agg_collect" -> qAggCollect,

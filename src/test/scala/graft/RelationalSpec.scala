@@ -60,6 +60,20 @@ class RelationalSpec extends TestSpark {
     assert(perGroup <= 3)
   }
 
+  test("approx percentiles land near the exact ones") {
+    val exact = graft.SparkEntry.queries("q_agg_median")(spark, Sf)
+      .select($"c_mktsegment", $"med_bal", $"p95_bal")
+    val apx = graft.SparkEntry.queries("q_agg_approx_pct")(spark, Sf)
+    val rows = exact.join(apx, "c_mktsegment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("med_bal")
+        - r.getAs[Double]("apx_med_bal")) <= 200.0, r.toString)
+      assert(math.abs(r.getAs[Double]("p95_bal")
+        - r.getAs[Double]("apx_p95_bal")) <= 200.0, r.toString)
+    }
+  }
+
   test("window frame: running value is monotone per user for positive values") {
     val f = graft.SparkEntry.queries("q_win_frame")(spark, Sf)
     val ev = graft.io.Sources.table(spark, Sf, "events")

@@ -53,6 +53,21 @@ class SimilaritySpec extends TestSpark {
     assert(maxPer <= 3)
   }
 
+  test("native expressions are SQL-callable via GraftExtensions") {
+    val dot = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(dot === 11.0)
+    val sig = spark.sql("SELECT minhash_sig('a b c d') AS s")
+      .collect().head.getSeq[String](0)
+    assert(sig.length === 8)
+    assert(sig.forall(_.length == 8))
+    val short = spark.sql("SELECT minhash_sig('a b') AS s")
+      .collect().head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("zero vector yields null cosine, not an ANSI divide-by-zero crash") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
       .toDF("id", "v")
