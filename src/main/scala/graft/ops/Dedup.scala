@@ -175,9 +175,13 @@ object Dedup {
     * cached because every round re-reads them.
     */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(s, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // both edge directions via one explode — a union of two selects over
+    // the pair pipeline would recompute the whole LSH join per branch
+    val edges = candidatePairs(s, dir)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))

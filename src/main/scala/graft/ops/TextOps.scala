@@ -145,6 +145,54 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition ratio (Gopher-style quality rule): the fraction of word
+    * 3-gram occurrences that are repeats of an earlier shingle —
+    * `1 − distinct/total`. Highly repetitive machine text scores near 1,
+    * natural text near 0. Pure per-row array arithmetic at scan speed;
+    * shares [[shingleIdx]] with the dedup pipeline (sub-3-token docs have
+    * no shingles → null ratio).
+    */
+  private def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val sh = transform(shingleIdx(ws),
+      i => concat_ws(" ", slice(ws, i, lit(3))))
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(sh).cast(LongType).as("n_shingles"),
+        size(array_distinct(sh)).cast(LongType).as("n_distinct"))
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        when(col("n_shingles") > 0,
+          Num.r4(lit(1.0) - col("n_distinct").cast(DoubleType)
+            / col("n_shingles")))
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Composite corpus filter — the keep/drop decision a training-data
+    * pipeline actually ships: minimum length, confident language ID, and
+    * stopword-ratio floor, with a reason code for every drop (reason
+    * buckets are what you monitor at 100 TB; the filter itself is pure
+    * per-row arithmetic fused into one scan).
+    */
+  private def qCorpusFilter(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nWords = size(ws).cast(LongType)
+    val en = hits(ws, EnStop)
+    val es = hits(ws, EsStop)
+    docs(s, dir)
+      .select(col("doc_id"), nWords.as("n_words"), en.as("en_hits"),
+        es.as("es_hits"), col("n_chars"))
+      .withColumn("reason",
+        when(col("n_words") < 5, "too_short")
+          .when(col("en_hits") === col("es_hits"), "lang_unclear")
+          .when(greatest(col("en_hits"), col("es_hits"))
+            .cast(DoubleType) / col("n_words") < 0.05, "low_stopword")
+          .otherwise("keep"))
+      .select(col("doc_id"), col("n_words"), col("reason"),
+        (col("reason") === "keep").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF per (doc, term) for the first 50 docs: term frequency is
     * per-doc, document frequency is a *corpus-global* aggregate — at scale
     * the (term, df) table is tiny relative to the corpus and broadcasts
@@ -191,6 +239,8 @@ object TextOps {
     "q_text_langid" -> qTextLangid,
     "q_text_langid_ngram" -> qTextLangidNgram,
     "q_text_quality" -> qTextQuality,
+    "q_text_repetition" -> qTextRepetition,
+    "q_corpus_filter" -> qCorpusFilter,
     "q_text_fingerprint" -> qTextFingerprint)
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -241,6 +291,38 @@ object TextOps {
         |CROSS JOIN n
         |WHERE tf.doc_id < 50
         |ORDER BY tf.doc_id, word""".stripMargin,
+    "q_text_repetition" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |sh AS (SELECT doc_id, list_transform(
+         |  range(1, greatest(len(ws) - 1, 1)),
+         |  i -> array_to_string(ws[i:i+2], ' ')) AS s FROM w)
+         |SELECT doc_id,
+         |CAST(len(s) AS BIGINT) AS n_shingles,
+         |CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+         |CASE WHEN len(s) > 0 THEN
+         |  ${Num.r4Sql("1.0 - CAST(len(list_distinct(s)) AS DOUBLE) / len(s)")}
+         |END AS rep_ratio
+         |FROM sh ORDER BY doc_id""".stripMargin,
+    "q_corpus_filter" ->
+      s"""WITH f AS (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+         |    AS BIGINT) AS n_words,
+         |  len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($enList, w))) AS en_hits,
+         |  len(list_filter(string_split(text, ' '),
+         |    w -> list_contains($esList, w))) AS es_hits
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words < 5 THEN 'too_short'
+         |       WHEN en_hits = es_hits THEN 'lang_unclear'
+         |       WHEN CAST(greatest(en_hits, es_hits) AS DOUBLE) / n_words
+         |         < 0.05 THEN 'low_stopword'
+         |       ELSE 'keep' END AS reason
+         |  FROM f)
+         |SELECT doc_id, n_words, reason, reason = 'keep' AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
     "q_text_langid_ngram" ->
       s"""SELECT doc_id, lang,
          |CAST(${hitsSql(EnBigrams)} AS BIGINT) AS en_2g,
