@@ -448,6 +448,72 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** W7 / ETL: SCD-2 style validity intervals — each event version is
+    * valid from its own timestamp until the key's next event (open-ended
+    * for the current version). The temporal-table shape OpenMRS-style
+    * migrations need for visit/state history; one window shuffle on the
+    * entity key.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("valid_from_sec"),
+        unix_timestamp(lead(col("ts"), 1).over(w)).as("valid_to_sec"))
+      .withColumn("is_current", col("valid_to_sec").isNull)
+      .orderBy("event_id")
+  }
+
+  /** Bloom-filter semi-join reduction, engine-portable: build a 64-bit
+    * Bloom filter (k=2) over one segment's customer keys, probe every
+    * order against it, and report the false-positive rate vs the exact
+    * semi join. This is the classic shuffle-avoidance pattern — at 100 TB
+    * the tiny bitmap broadcasts to the fact scan and drops most non-
+    * matching rows before the join's exchange (Spark's own runtime row
+    * filtering does the same with its native BloomFilterAggregate; this
+    * formulation is hash-portable so the oracle can replay it bit-for-bit).
+    * Bit positions come from md5 nibbles; `bit_or` aggregates the bitmap.
+    *
+    * The demo bitmap is a single BIGINT (m=64), so the build side is
+    * bounded (`c_custkey <= 100`, ~20 keys at every SF) to keep the fill
+    * factor in Bloom's useful range — a production filter sizes m ≈ 10
+    * bits/key (Spark's runtime filter picks this dynamically); the
+    * pruning algebra demonstrated here is the same at any m.
+    */
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    // % 63 keeps the shift under the sign bit — DuckDB rejects 1 << 63 on
+    // signed BIGINT, so the portable bitmap is 63 bits wide
+    def pos(key: String, n1: Int, n2: Int): String =
+      s"""(((instr('0123456789abcdef',
+         |  substring(md5(CAST($key AS STRING)), $n1, 1)) - 1) * 4 +
+         | (instr('0123456789abcdef',
+         |  substring(md5(CAST($key AS STRING)), $n2, 1)) - 1) % 4) % 63)""".stripMargin
+    val buildSide = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") <= 100)
+    val bloom = buildSide
+      .select(expr(s"shiftleft(CAST(1 AS BIGINT), ${pos("c_custkey", 1, 2)})")
+        .bitwiseOR(
+          expr(s"shiftleft(CAST(1 AS BIGINT), ${pos("c_custkey", 3, 4)})"))
+        .as("bits"))
+      .agg(expr("bit_or(bits)").as("bloom"))
+    val autoKeys = buildSide.select(col("c_custkey").as("auto_key"))
+    t(s, dir, "orders")
+      .crossJoin(broadcast(bloom))
+      .join(broadcast(autoKeys), col("o_custkey") === col("auto_key"),
+        "left")
+      .select(
+        (expr(s"shiftright(bloom, ${pos("o_custkey", 1, 2)})")
+          .bitwiseAND(1L) === 1L &&
+          expr(s"shiftright(bloom, ${pos("o_custkey", 3, 4)})")
+            .bitwiseAND(1L) === 1L).as("bloom_pass"),
+        col("auto_key").isNotNull.as("is_match"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass_bloom"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_true"),
+        Num.r4(sum(when(col("bloom_pass") && !col("is_match"), 1.0)
+          .otherwise(0.0)) / count(lit(1))).as("fp_rate"))
+  }
+
   // ---------------------------------------------------------- set ops
 
   // T1 union of the two identifier sets (reference README.md:13 semantics)
@@ -515,6 +581,8 @@ object Relational {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_sample_stratified" -> qSampleStratified,
     "q_win_range_frame" -> qWinRangeFrame,
+    "q_scd2" -> qScd2,
+    "q_bloom_prune" -> qBloomPrune,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -621,6 +689,42 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_scd2" ->
+      """SELECT event_id, user_id, event_type,
+        |CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_sec,
+        |CAST(epoch(date_trunc('second',
+        |  lead(ts, 1) OVER w)) AS BIGINT) AS valid_to_sec,
+        |lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_bloom_prune" -> {
+      def pos(key: String, n1: Int, n2: Int): String =
+        s"(((instr('0123456789abcdef', " +
+          s"substring(md5(CAST($key AS VARCHAR)), $n1, 1)) - 1) * 4 + " +
+          s"(instr('0123456789abcdef', " +
+          s"substring(md5(CAST($key AS VARCHAR)), $n2, 1)) - 1) % 4) % 63)"
+      s"""WITH b AS (SELECT bit_or(
+         |    (CAST(1 AS BIGINT) << ${pos("c_custkey", 1, 2)})
+         |  | (CAST(1 AS BIGINT) << ${pos("c_custkey", 3, 4)})) AS bloom
+         |  FROM customer
+         |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey <= 100),
+         |p AS (SELECT
+         |  ((bloom >> ${pos("o_custkey", 1, 2)}) & 1 = 1 AND
+         |   (bloom >> ${pos("o_custkey", 3, 4)}) & 1 = 1) AS bloom_pass,
+         |  o_custkey IN (SELECT c_custkey FROM customer
+         |    WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey <= 100)
+         |    AS is_match
+         |  FROM orders CROSS JOIN b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         |CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_pass_bloom,
+         |CAST(sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_true,
+         |${Num.r4Sql("sum(CASE WHEN bloom_pass AND NOT is_match " +
+            "THEN 1.0 ELSE 0.0 END) / count(*)")} AS fp_rate
+         |FROM p""".stripMargin
+    },
     "q_agg_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |coalesce(o_orderpriority, 'ALL') AS priority,

@@ -60,6 +60,20 @@ class RelationalSpec extends TestSpark {
     assert(perGroup <= 3)
   }
 
+  test("bloom prune: every true match passes, fp rate sane") {
+    val r = graft.SparkEntry.queries("q_bloom_prune")(spark, Sf)
+      .collect().head
+    val (n, pass, t) = (r.getAs[Long]("n_orders"),
+      r.getAs[Long]("n_pass_bloom"), r.getAs[Long]("n_true"))
+    assert(t > 0 && n > 0)
+    // Bloom filters admit false positives, never false negatives
+    assert(pass >= t)
+    val fp = r.getAs[Double]("fp_rate")
+    assert(fp >= 0.0 && fp <= 1.0)
+    // 64-bit bitmap with |S| ~ n/5 keys is dense; just require some pruning
+    assert(pass < n)
+  }
+
   test("approx percentiles land near the exact ones") {
     val exact = graft.SparkEntry.queries("q_agg_median")(spark, Sf)
       .select($"c_mktsegment", $"med_bal", $"p95_bal")
