@@ -87,6 +87,23 @@ object Functions {
       .orderBy("vec_id")
   }
 
+  /** F8 null-handling family over the left join's naturally-null columns:
+    * coalesce / nullif / null-guarded arithmetic — the semantics the
+    * reference's fallback chain (README.md:10) leans on.
+    */
+  private def qFnNull(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(c("c_custkey"), o("o_orderkey"),
+        coalesce(o("o_totalprice"), lit(0.0)).as("price_or_zero"),
+        o("o_orderkey").isNull.as("no_order"),
+        nullif(o("o_orderstatus"), lit("O")).as("status_nz"),
+        when(o("o_orderkey").isNotNull, lit("has")).otherwise(lit("none"))
+          .as("presence"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
   // F7 bitwise: masks, shifts, popcount (flag words, bitmap-index style
   // predicates; every op is codegen'd long arithmetic)
   private def qFnBitwise(s: SparkSession, dir: String): DataFrame =
@@ -135,9 +152,19 @@ object Functions {
     "q_fn_array" -> qFnArray,
     "q_fn_map" -> qFnMap,
     "q_fn_json" -> qFnJson,
-    "q_fn_bitwise" -> qFnBitwise)
+    "q_fn_bitwise" -> qFnBitwise,
+    "q_fn_null" -> qFnNull)
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_null" ->
+      """SELECT c_custkey, o_orderkey,
+        |coalesce(o_totalprice, 0.0) AS price_or_zero,
+        |o_orderkey IS NULL AS no_order,
+        |nullif(o_orderstatus, 'O') AS status_nz,
+        |CASE WHEN o_orderkey IS NOT NULL THEN 'has' ELSE 'none' END
+        |  AS presence
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT o_orderkey,
         |o_orderkey & 255 AS and255,

@@ -65,6 +65,26 @@ object Relational {
       .orderBy("custkey")
   }
 
+  /** J10 null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the semantics identifier
+    * reconciliation needs when legacy keys are absent on both sides.
+    * Exercised on a derived nullable key so both engines see real NULLs.
+    */
+  private def qJoinNullsafe(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"),
+        when(col("c_custkey") % 10 =!= 0, col("c_nationkey")).as("nk"))
+    val extra = s.range(1)
+      .select(lit(null).cast(LongType).as("nnk"), lit("NO-NATION").as("n_name"))
+    val n = t(s, dir, "nation")
+      .select(when(col("n_nationkey") =!= 0, col("n_nationkey")).as("nnk"),
+        col("n_name"))
+      .unionByName(extra)
+    c.join(n, col("nk") <=> col("nnk"))
+      .select(col("c_custkey"), col("n_name"))
+      .orderBy("c_custkey", "n_name")
+  }
+
   // J3 left semi: clients that already have orders (EXISTS)
   private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -282,6 +302,20 @@ object Relational {
           .as("p95_bal"),
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
+
+  /** A10 boolean aggregates: every / any / count_if — audit predicates
+    * ("did every order of this priority ship?", "any failures at all?")
+    * that fold with map-side combine like any other aggregate.
+    */
+  private def qAggBool(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        every(col("o_totalprice") > 1000.0).as("all_over_1k"),
+        some(col("o_orderstatus") === "F").as("any_finished"),
+        count_if(col("o_orderstatus") === "O").as("n_open"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
 
   /** A8 explicit GROUPING SETS — the general grouping-set algebra beyond
     * rollup/cube's fixed lattices, through the engine's SQL surface
@@ -583,6 +617,8 @@ object Relational {
     "q_win_range_frame" -> qWinRangeFrame,
     "q_scd2" -> qScd2,
     "q_bloom_prune" -> qBloomPrune,
+    "q_join_nullsafe" -> qJoinNullsafe,
+    "q_agg_bool" -> qAggBool,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -689,6 +725,25 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH c AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey % 10 <> 0 THEN c_nationkey END AS nk
+        |  FROM customer),
+        |n AS (SELECT CASE WHEN n_nationkey <> 0 THEN n_nationkey END AS nnk,
+        |  n_name FROM nation
+        |  UNION ALL SELECT NULL, 'NO-NATION')
+        |SELECT c_custkey, n_name FROM c
+        |JOIN n ON nk IS NOT DISTINCT FROM nnk
+        |ORDER BY c_custkey, n_name""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        |bool_and(o_totalprice > 1000.0) AS all_over_1k,
+        |bool_or(o_orderstatus = 'F') AS any_finished,
+        |CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_open,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_scd2" ->
       """SELECT event_id, user_id, event_type,
         |CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS valid_from_sec,

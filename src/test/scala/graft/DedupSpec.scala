@@ -76,6 +76,39 @@ class DedupSpec extends TestSpark {
     assert(out(4L) === Seq("one two three"))
   }
 
+  test("MinHashSig equals the composed explode+md5+min formulation") {
+    // pin the one-pass native expression to the declarative form it
+    // replaced (and to the oracle's semantics) on adversarial shapes:
+    // dup shingles, multi-space, unicode, exactly-3 tokens
+    val docs = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "a a a a a a"),
+      (3L, "uno dos tres"),
+      (4L, "x  y   z w"),
+      (5L, "tok" + (1 to 40).map(i => s" w$i").mkString),
+      (6L, "ñ é ü ß когда 汉字 a b"))
+      .toDF("doc_id", "text")
+    val native = docs.select($"doc_id",
+      graft.functions.MinHashExprs.minhashSig($"text").as("sig"))
+      .filter(size($"sig") > 0)
+    val composed = {
+      val sh = docs.select($"doc_id",
+        explode(graft.ops.Dedup.rawShingles($"text")).as("s"))
+        .select($"doc_id", md5($"s").as("m1"),
+          md5(concat(lit("x:"), $"s")).as("m2"))
+      val aggs = (0 until 8).map { i =>
+        val src = if (i < 4) $"m1" else $"m2"
+        min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
+      }
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
+    val flat = native.select($"doc_id" +:
+      (0 until 8).map(i => element_at($"sig", i + 1).as(s"h$i")): _*)
+    assert(flat.exceptAll(composed).count() === 0)
+    assert(composed.exceptAll(flat).count() === 0)
+    assert(flat.count() === 6)
+  }
+
   test("connected components: both ends of every candidate pair share a label") {
     val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf)
     val comp = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)
