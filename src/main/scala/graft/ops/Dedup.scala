@@ -170,9 +170,10 @@ object Dedup {
     * 1–2 rounds here and O(log n) even on pathological chains — the
     * standard large-graph formulation (GraphX/GraphFrames use the same
     * loop; Kiveris et al.'s large-star/small-star halves rounds at
-    * trillion-edge scale if ever needed). `localCheckpoint` truncates the
-    * per-iteration lineage so plans don't grow unboundedly; edges are
-    * cached because every round re-reads them.
+    * trillion-edge scale if ever needed). `localCheckpoint` materializes
+    * each round's labels and truncates lineage so per-round plans stay
+    * O(1); a lazy-cache variant benched slower (InMemoryRelation re-plan
+    * overhead per round). Edges are cached — every round re-reads them.
     */
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     // both edge directions via one explode — a union of two selects over

@@ -87,9 +87,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Resize stage STUB: bounds each payload to `maxBytes` (a real
+    * implementation re-encodes to a target resolution; the batch shape —
+    * binary in, binary out, one init per partition — is identical).
+    */
+  object ResizeStub {
+    def resize(rows: Iterator[MediaRow], maxBytes: Int): Iterator[MediaRow] =
+      rows.map(r =>
+        if (r.content.length <= maxBytes) r
+        else r.copy(content = r.content.take(maxBytes)))
+  }
+
+  /** Frame sampling: every 5th frame index per payload with its byte
+    * offset — the generate/explode stage that fans one video row out to
+    * its sampled frames before decode. Pure integer arithmetic over the
+    * metadata, so it is oracle-verified; at scale this is where you size
+    * the decoder pool (rows out = Σ n_frames/5, not corpus rows).
+    */
+  private def qMmFrames(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("content")).cast(LongType).as("n_bytes"))
+      .withColumn("n_frames", col("n_bytes") % 30 + 1)
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(5L)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (col("frame_idx") * expr("n_bytes div n_frames")).as("byte_offset"))
+      .orderBy("doc_id", "frame_idx")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> qMmMeta,
-    "q_mm_features" -> qMmFeatures)
+    "q_mm_features" -> qMmFeatures,
+    "q_mm_frames" -> qMmFrames)
 
   val oracleSql: Map[String, String] = Map(
     "q_mm_meta" ->
@@ -98,5 +128,14 @@ object Multimodal {
         |CAST(octet_length(encode(text)) AS BIGINT) % 640 + 1 AS width,
         |CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 + 1 AS height,
         |CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) % 30 + 1 AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |CAST(fi * (n_bytes // n_frames) AS BIGINT) AS byte_offset
+        |FROM f, unnest(range(0, n_frames, 5)) AS t(fi)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }
