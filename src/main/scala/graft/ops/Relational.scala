@@ -482,6 +482,50 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** ETL: CDC-style snapshot diff — classify every key as added, removed,
+    * changed, or unchanged between a source snapshot and a (synthetically
+    * drifted) target. This is the reconciliation pass an idempotent
+    * migration re-run needs (reference README.md usage: the script is
+    * re-runnable); one full outer join on the key, change detection on a
+    * content hash so wide rows compare in O(1) shuffled bytes.
+    */
+  private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    // hash inputs go through DECIMAL(12,2): its string rendering is
+    // canonical in both engines, unlike raw doubles
+    val src = t(s, dir, "orders")
+      .select(col("o_orderkey").as("k"),
+        md5(concat_ws("|", col("o_orderstatus"), dec(col("o_totalprice"))))
+          .as("src_hash"))
+    // simulated target drift: every 97th key missing, every 89th modified
+    val tgt = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .select(col("o_orderkey").as("k2"),
+        md5(concat_ws("|", col("o_orderstatus"),
+          dec(when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))))).as("tgt_hash"))
+    src.join(tgt, col("k") === col("k2"), "full_outer")
+      .select(coalesce(col("k"), col("k2")).as("o_orderkey"),
+        when(col("k2").isNull, "missing_in_target")
+          .when(col("k").isNull, "extra_in_target")
+          .when(col("src_hash") =!= col("tgt_hash"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("status")
+  }
+
+  /** A11 histogram binning: equal-width buckets via `width_bucket` — the
+    * one-pass distribution profile (out-of-range rows land in the under/
+    * overflow buckets 0 and n+1).
+    */
+  private def qQuantileBins(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(width_bucket(col("o_totalprice"), lit(0.0), lit(400000.0),
+        lit(10L)).as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
   /** W7 / ETL: SCD-2 style validity intervals — each event version is
     * valid from its own timestamp until the key's next event (open-ended
     * for the current version). The temporal-table shape OpenMRS-style
@@ -619,6 +663,8 @@ object Relational {
     "q_bloom_prune" -> qBloomPrune,
     "q_join_nullsafe" -> qJoinNullsafe,
     "q_agg_bool" -> qAggBool,
+    "q_cdc_diff" -> qCdcDiff,
+    "q_quantile_bins" -> qQuantileBins,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -725,6 +771,33 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH src AS (SELECT o_orderkey AS k,
+        |  md5(o_orderstatus || '|' ||
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR))
+        |    AS src_hash FROM orders),
+        |tgt AS (SELECT o_orderkey AS k2,
+        |  md5(o_orderstatus || '|' ||
+        |    CAST(CAST(CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS DECIMAL(12,2)) AS VARCHAR))
+        |    AS tgt_hash
+        |  FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT CASE WHEN k2 IS NULL THEN 'missing_in_target'
+        |            WHEN k IS NULL THEN 'extra_in_target'
+        |            WHEN src_hash <> tgt_hash THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM src FULL OUTER JOIN tgt ON k = k2
+        |GROUP BY status ORDER BY status""".stripMargin,
+    // DuckDB 1.0 has no width_bucket; the CASE is Spark's exact formula
+    // (floor((v - lo) / ((hi - lo) / n)) + 1 with under/overflow buckets)
+    "q_quantile_bins" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |            WHEN o_totalprice >= 400000.0 THEN 11
+        |            ELSE CAST(floor((o_totalprice - 0.0) / 40000.0)
+        |              AS BIGINT) + 1 END AS bucket,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_join_nullsafe" ->
       """WITH c AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 10 <> 0 THEN c_nationkey END AS nk
