@@ -482,6 +482,57 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** Analytics: 3-step event funnel (signup → purchase → error) with
+    * strictly-ordered stage entry — a user counts for stage n only with an
+    * event at-or-after their stage n−1 entry time. Each stage is one
+    * aggregate + one equi join on user_id, so the funnel deepens linearly
+    * in shuffles and never materializes event pairs.
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "purchase")
+      .join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "error")
+      .join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val n1 = s1.agg(count(lit(1))).first().getLong(0)
+    val n2 = s2.agg(count(lit(1))).first().getLong(0)
+    val n3 = s3.agg(count(lit(1))).first().getLong(0)
+    import s.implicits._
+    Seq(("1_signup", n1), ("2_purchase_after", n2), ("3_error_after", n3))
+      .toDF("stage", "n_users")
+      .withColumn("rate_vs_prev",
+        when(col("stage") === "1_signup", lit(1.0))
+          .when(col("stage") === "2_purchase_after",
+            Num.r4(lit(n2.toDouble) / n1))
+          .otherwise(Num.r4(lit(n3.toDouble) / n2)))
+      .orderBy("stage")
+  }
+
+  /** Analytics: weekly cohort retention — users grouped by first-seen week,
+    * counted per week offset they return in. Two hash aggregates and one
+    * equi join; `count(DISTINCT user)` stays shuffle-partitioned by the
+    * (cohort, offset) cell.
+    */
+  private def qRetentionCohort(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firsts = ev.groupBy("user_id").agg(min(col("d")).as("cohort_d"))
+    // epoch-week index anchored on a Monday so both engines agree
+    val anchor = to_date(lit("1970-01-05"))
+    ev.distinct().join(firsts, "user_id")
+      .select(
+        floor(datediff(col("cohort_d"), anchor) / 7).as("cohort_week"),
+        floor(datediff(col("d"), col("cohort_d")) / 7).as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** ETL: CDC-style snapshot diff — classify every key as added, removed,
     * changed, or unchanged between a source snapshot and a (synthetically
     * drifted) target. This is the reconciliation pass an idempotent
@@ -665,6 +716,8 @@ object Relational {
     "q_agg_bool" -> qAggBool,
     "q_cdc_diff" -> qCdcDiff,
     "q_quantile_bins" -> qQuantileBins,
+    "q_funnel" -> qFunnel,
+    "q_retention_cohort" -> qRetentionCohort,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -771,6 +824,40 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+        |  GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'error' AND e.ts >= s2.t2
+        |  GROUP BY e.user_id),
+        |n AS (SELECT (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2,
+        |  (SELECT count(*) FROM s3) AS n3)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users, rate_vs_prev
+        |FROM (
+        |  SELECT '1_signup' AS stage, n1 AS n_users, 1.0 AS rate_vs_prev
+        |    FROM n
+        |  UNION ALL SELECT '2_purchase_after', n2,
+        |    floor((CAST(n2 AS DOUBLE) / n1) * 10000 + 0.5) / 10000 FROM n
+        |  UNION ALL SELECT '3_error_after', n3,
+        |    floor((CAST(n3 AS DOUBLE) / n2) * 10000 + 0.5) / 10000 FROM n)
+        |ORDER BY stage""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+        |  FROM events),
+        |firsts AS (SELECT user_id, min(d) AS cohort_d FROM ev
+        |  GROUP BY user_id)
+        |SELECT CAST(floor((cohort_d - DATE '1970-01-05') / 7) AS BIGINT)
+        |  AS cohort_week,
+        |CAST(floor((ev.d - cohort_d) / 7) AS BIGINT) AS week_offset,
+        |CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN firsts ON ev.user_id = firsts.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
     "q_cdc_diff" ->
       """WITH src AS (SELECT o_orderkey AS k,
         |  md5(o_orderstatus || '|' ||
