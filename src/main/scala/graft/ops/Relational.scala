@@ -482,6 +482,27 @@ object Relational {
       .orderBy("l_orderkey", "rn")
   }
 
+  /** J11 skew-salted join in the verified set: the fact side is salted
+    * into 8 deterministic sub-keys and the dimension replicated 8×
+    * ([[Skew.saltedJoin]]), so a hot supplier key spreads over 8 tasks —
+    * and the aggregate result is provably identical to the plain join (the
+    * oracle IS the unsalted formulation). This is the explicit fallback
+    * when AQE's runtime skew split can't help (non-broadcastable dim).
+    */
+  private def qSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+    val sup = t(s, dir, "supplier")
+      .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+    Skew.saltedJoin(li, sup, "suppkey", 8,
+        Seq("l_orderkey", "l_linenumber"))
+      .groupBy("s_nationkey")
+      .agg(rnd(sum(dec(col("l_extendedprice")))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy("s_nationkey")
+  }
+
   /** Analytics: 3-step event funnel (signup → purchase → error) with
     * strictly-ordered stage entry — a user counts for stage n only with an
     * event at-or-after their stage n−1 entry time. Each stage is one
@@ -498,9 +519,16 @@ object Relational {
     val s3 = ev.filter(col("event_type") === "error")
       .join(s2, "user_id").filter(col("ts") >= col("t2"))
       .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val n1 = s1.agg(count(lit(1))).first().getLong(0)
-    val n2 = s2.agg(count(lit(1))).first().getLong(0)
-    val n3 = s3.agg(count(lit(1))).first().getLong(0)
+    // one action for all three stage counts — separate .count() calls
+    // would re-evaluate the stage chain once per stage
+    val counts = s1
+      .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .first()
+    val (n1, n2, n3) =
+      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
     import s.implicits._
     Seq(("1_signup", n1), ("2_purchase_after", n2), ("3_error_after", n3))
       .toDF("stage", "n_users")
@@ -718,6 +746,7 @@ object Relational {
     "q_quantile_bins" -> qQuantileBins,
     "q_funnel" -> qFunnel,
     "q_retention_cohort" -> qRetentionCohort,
+    "q_skew_salted" -> qSkewSalted,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -824,6 +853,14 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // the oracle is the UNSALTED join: salting must be invisible
+    "q_skew_salted" ->
+      """SELECT s_nationkey,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS revenue,
+        |CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
         |  WHERE event_type = 'signup' GROUP BY user_id),
