@@ -505,27 +505,46 @@ object Relational {
 
   /** Analytics: 3-step event funnel (signup → purchase → error) with
     * strictly-ordered stage entry — a user counts for stage n only with an
-    * event at-or-after their stage n−1 entry time. Each stage is one
-    * aggregate + one equi join on user_id, so the funnel deepens linearly
-    * in shuffles and never materializes event pairs.
+    * event at-or-after their stage n−1 entry time.
+    *
+    * ONE shuffle on user_id: each user's (ts, stage) events fold in time
+    * order through a 3-slot state (first signup; first purchase at-or-
+    * after it; first error at-or-after that), then a global aggregate
+    * counts non-empty slots. The naive formulation — one aggregate + one
+    * equi join *per stage* — costs 2k shuffle stages for a k-step funnel
+    * and re-shuffles the fact each time; this form is O(1) exchanges for
+    * any k. The oracle IS the per-stage join chain, proving equivalence.
+    * Ties sort signup < purchase < error so an exactly-simultaneous next
+    * stage counts, matching the join chain's `>=`.
     */
   private def qFunnel(s: SparkSession, dir: String): DataFrame = {
-    val ev = t(s, dir, "events")
-    val s1 = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val s2 = ev.filter(col("event_type") === "purchase")
-      .join(s1, "user_id").filter(col("ts") >= col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val s3 = ev.filter(col("event_type") === "error")
-      .join(s2, "user_id").filter(col("ts") >= col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    // one action for all three stage counts — separate .count() calls
-    // would re-evaluate the stage chain once per stage
-    val counts = s1
-      .join(s2.select(col("user_id"), col("t2")), Seq("user_id"), "left")
-      .join(s3.select(col("user_id"), col("t3")), Seq("user_id"), "left")
-      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
-        count(col("t3")).as("n3"))
+    val none = Long.MaxValue
+    val rank = when(col("event_type") === "signup", 0)
+      .when(col("event_type") === "purchase", 1).otherwise(2)
+    val step = (st: Column, e: Column) => {
+      val (t1, t2, t3) =
+        (st.getField("t1"), st.getField("t2"), st.getField("t3"))
+      val (us, r) = (e.getField("us"), e.getField("r"))
+      struct(
+        when(t1 === none && r === 0, us).otherwise(t1).as("t1"),
+        when(t2 === none && t1 =!= none && r === 1 && us >= t1, us)
+          .otherwise(t2).as("t2"),
+        when(t3 === none && t2 =!= none && r === 2 && us >= t2, us)
+          .otherwise(t3).as("t3"))
+    }
+    val counts = t(s, dir, "events")
+      .filter(col("event_type").isin("signup", "purchase", "error"))
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), rank.as("r")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("es"))
+      .select(aggregate(col("es"),
+        struct(lit(none).as("t1"), lit(none).as("t2"), lit(none).as("t3")),
+        step).as("st"))
+      .agg(
+        count(when(col("st.t1") =!= none, 1)).as("n1"),
+        count(when(col("st.t2") =!= none, 1)).as("n2"),
+        count(when(col("st.t3") =!= none, 1)).as("n3"))
       .first()
     val (n1, n2, n3) =
       (counts.getLong(0), counts.getLong(1), counts.getLong(2))
