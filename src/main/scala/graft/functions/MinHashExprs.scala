@@ -70,6 +70,9 @@ object MinHash {
     new String(out)
   }
 
+  /** md5 hex of a string's UTF-8 bytes (thread-local digest). */
+  def md5HexOf(s: String): String = md5Hex(md.get(), s)
+
   /** 8-slot signature of `text` (empty array if < 3 tokens); see
     * [[MinHashSig]] for the hash-family construction.
     */
@@ -104,6 +107,60 @@ object MinHash {
   }
 }
 
+/** One-pass 32-bit SimHash as a native expression — same motivation as
+  * [[MinHashSig]]: the composed form explodes every token and shuffles all
+  * of them into 32 conditional sums per doc; this walks the tokens once
+  * per row and votes the bits in place, so the fingerprint is a pure scan.
+  * Bit b of token t = MSB of the b-th hex nibble of md5(t) (char ≥ '8');
+  * token multiset votes ±1 per bit; sign of each sum is the output bit —
+  * byte-identical to the SQL/oracle formulation. Docs with no tokens yield
+  * an EMPTY string (the exploded form produced no row; callers filter).
+  */
+case class SimHashSig(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash.sig(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash.sig($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashSig =
+    copy(child = newChild)
+}
+
+object SimHash {
+
+  /** 32-char '1'/'0' fingerprint of `text`; empty if no tokens. */
+  def sig(text: UTF8String): UTF8String = {
+    val raw = text.toString.split(" ", -1)
+    val votes = new Array[Int](32)
+    var any = false
+    var i = 0
+    while (i < raw.length) {
+      if (!raw(i).isEmpty) {
+        any = true
+        val h = MinHash.md5HexOf(raw(i))
+        var b = 0
+        while (b < 32) {
+          if (h.charAt(b) >= '8') votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return UTF8String.EMPTY_UTF8
+    val out = new Array[Char](32)
+    var b = 0
+    while (b < 32) {
+      out(b) = if (votes(b) >= 0) '1' else '0'
+      b += 1
+    }
+    UTF8String.fromString(new String(out))
+  }
+}
+
 object MinHashExprs {
 
   /** Codegen'd one-pass MinHash signature of a text column:
@@ -111,4 +168,10 @@ object MinHashExprs {
     */
   def minhashSig(text: Column): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(text)))
+
+  /** Codegen'd one-pass 32-bit SimHash of a text column ('1'/'0' chars;
+    * empty string for token-less docs).
+    */
+  def simhashSig(text: Column): Column =
+    ColumnBridge.column(SimHashSig(ColumnBridge.expression(text)))
 }

@@ -140,22 +140,18 @@ object Dedup {
     * of each bit-sum is the fingerprint bit. One explode + one groupBy —
     * linear in corpus size.
     */
-  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
+  /** Fingerprint by the one-pass [[graft.functions.SimHashSig]] expression:
+    * a pure scan — no token explode, no 32-sum shuffle (the composed form
+    * this replaced is pinned equal by spec). Empty-token docs yield the
+    * expression's empty string and are filtered, exactly as the exploded
+    * form produced no rows for them.
+    */
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"),
-        explode(TextOps.tokens(col("text"))).as("w"))
-      .withColumn("h", md5(col("w")))
-    val bitSums = (1 to 32).map(b =>
-      sum(when(substring(col("h"), b, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1))
-        .as(s"s$b"))
-    toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 32).map(b =>
-          when(col(s"s$b") >= 0, "1").otherwise("0")): _*).as("simhash"))
+        graft.functions.MinHashExprs.simhashSig(col("text")).as("simhash"))
+      .filter(length(col("simhash")) > 0)
       .orderBy("doc_id")
-  }
 
   // ------------------------------------- near-dup clusters (connected comp.)
 

@@ -59,6 +59,17 @@ class DedupSpec extends TestSpark {
 
     assert(fp(1L) === fp(2L))
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+
+    // the one-pass native expression equals the composed explode+sum form
+    val native = docs.select($"doc_id",
+      graft.functions.MinHashExprs.simhashSig($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native === fp)
+    // and empty/whitespace-only docs yield the empty sentinel
+    val empty = Seq((9L, ""), (10L, "  ")).toDF("doc_id", "text")
+      .select(graft.functions.MinHashExprs.simhashSig($"text").as("s"))
+      .collect().map(_.getString(0))
+    assert(empty.forall(_.isEmpty))
   }
 
   test("shingles of short docs are empty, not a crash (ADVICE r1 high)") {
