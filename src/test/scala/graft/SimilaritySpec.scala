@@ -66,6 +66,9 @@ class SimilaritySpec extends TestSpark {
     val short = spark.sql("SELECT minhash_sig('a b') AS s")
       .collect().head.getSeq[String](0)
     assert(short.isEmpty)
+    val sh = spark.sql("SELECT simhash_sig('a b c') AS s")
+      .collect().head.getString(0)
+    assert(sh.length === 32 && sh.forall(c => c == '0' || c == '1'))
   }
 
   test("zero vector yields null cosine, not an ANSI divide-by-zero crash") {
