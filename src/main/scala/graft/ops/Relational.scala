@@ -559,6 +559,24 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Analytics: 1-minute resampling with gap fill — the dense time grid is
+    * *generated* (sequence over the observed bounds) and left-joined to the
+    * sparse per-minute aggregate, so silent gaps become explicit zero rows.
+    * The grid generator is one row exploded, the aggregate has map-side
+    * combine, and the join key is the grid minute — no driver-side loop.
+    */
+  private def qTsResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select((floor(unix_timestamp(col("ts")) / 60) * 60)
+        .cast(LongType).as("m"))
+    val counts = ev.groupBy("m").agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(60L))).as("m"))
+    grid.join(counts, Seq("m"), "left")
+      .select(col("m"), coalesce(col("cnt"), lit(0L)).as("n_events"))
+      .orderBy("m")
+  }
+
   /** Analytics: weekly cohort retention — users grouped by first-seen week,
     * counted per week offset they return in. Two hash aggregates and one
     * equi join; `count(DISTINCT user)` stays shuffle-partitioned by the
@@ -766,6 +784,7 @@ object Relational {
     "q_funnel" -> qFunnel,
     "q_retention_cohort" -> qRetentionCohort,
     "q_skew_salted" -> qSkewSalted,
+    "q_ts_resample" -> qTsResample,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -872,6 +891,16 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_ts_resample" ->
+      """WITH e AS (SELECT CAST(floor(epoch(date_trunc('second', ts)) / 60)
+        |  * 60 AS BIGINT) AS m FROM events),
+        |c AS (SELECT m, CAST(count(*) AS BIGINT) AS n_events FROM e
+        |  GROUP BY m),
+        |b AS (SELECT min(m) AS lo, max(m) AS hi FROM e),
+        |g AS (SELECT CAST(unnest(range(lo, hi + 60, 60)) AS BIGINT) AS m
+        |  FROM b)
+        |SELECT g.m, coalesce(c.n_events, 0) AS n_events
+        |FROM g LEFT JOIN c ON g.m = c.m ORDER BY g.m""".stripMargin,
     // the oracle is the UNSALTED join: salting must be invisible
     "q_skew_salted" ->
       """SELECT s_nationkey,
