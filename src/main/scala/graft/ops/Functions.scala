@@ -87,6 +87,19 @@ object Functions {
       .orderBy("vec_id")
   }
 
+  /** F9 digest family: md5 / sha-256 row checksums — the integrity
+    * fingerprints a migration uses to prove source and target rows match
+    * without shipping the rows (CDC q_cdc_diff builds on the same idea).
+    */
+  private def qFnDigest(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        md5(col("c_name")).as("name_md5"),
+        sha2(col("c_name"), 256).as("name_sha256"),
+        md5(concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_mktsegment"))).as("row_md5"))
+      .orderBy("c_custkey")
+
   /** F8 null-handling family over the left join's naturally-null columns:
     * coalesce / nullif / null-guarded arithmetic — the semantics the
     * reference's fallback chain (README.md:10) leans on.
@@ -153,9 +166,17 @@ object Functions {
     "q_fn_map" -> qFnMap,
     "q_fn_json" -> qFnJson,
     "q_fn_bitwise" -> qFnBitwise,
-    "q_fn_null" -> qFnNull)
+    "q_fn_null" -> qFnNull,
+    "q_fn_digest" -> qFnDigest)
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_digest" ->
+      """SELECT c_custkey,
+        |md5(c_name) AS name_md5,
+        |sha256(c_name) AS name_sha256,
+        |md5(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|'
+        |  || c_mktsegment) AS row_md5
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_fn_null" ->
       """SELECT c_custkey, o_orderkey,
         |coalesce(o_totalprice, 0.0) AS price_or_zero,

@@ -317,6 +317,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 
+  /** A12 argmax aggregates — last-write-wins survivorship: per user, the
+    * payload of their first/latest event selected by `min_by`/`max_by` on
+    * a UNIQUE ordering key (event_id), so the pick is deterministic with
+    * no window sort; one hash aggregate with map-side combine. This is the
+    * "which record survives the merge" rule a migration re-run applies.
+    */
+  private def qAggArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"),
+        max(col("event_id")).as("last_event_id"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+
   /** A8 explicit GROUPING SETS — the general grouping-set algebra beyond
     * rollup/cube's fixed lattices, through the engine's SQL surface
     * (Catalyst plans one Expand + one aggregate: each input row fans out
@@ -779,6 +795,7 @@ object Relational {
     "q_bloom_prune" -> qBloomPrune,
     "q_join_nullsafe" -> qJoinNullsafe,
     "q_agg_bool" -> qAggBool,
+    "q_agg_argmax" -> qAggArgmax,
     "q_cdc_diff" -> qCdcDiff,
     "q_quantile_bins" -> qQuantileBins,
     "q_funnel" -> qFunnel,
@@ -891,6 +908,13 @@ object Relational {
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_agg_argmax" ->
+      """SELECT user_id,
+        |arg_min(event_type, event_id) AS first_type,
+        |arg_max(event_type, event_id) AS last_type,
+        |max(event_id) AS last_event_id,
+        |CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ts_resample" ->
       """WITH e AS (SELECT CAST(floor(epoch(date_trunc('second', ts)) / 60)
         |  * 60 AS BIGINT) AS m FROM events),
