@@ -1,5 +1,11 @@
 package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,19 +18,42 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so timings measure the queries, not classloading —
     // without it the first query pays ~5 s of one-time JIT/codegen cost.
+    // Covers the paths a first query would otherwise compile cold: plain
+    // codegen, the custom native expressions (MinHashSig / SimHashSig /
+    // FloatVecDot), and the Dataset-encoder boundary (mapPartitions).
     try {
       spark.range(1000).selectExpr("sum(id)").count()
       SparkEntry.entry(spark).count()
+      import spark.implicits._
+      val txt = Seq.fill(64)("warm up the native shingle expressions")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      txt.select(
+          graft.functions.MinHashExprs.minhashSig(col("text")),
+          graft.functions.MinHashExprs.simhashSig(col("text")))
+        .count()
+      val vec = array((0 until 8).map(i => lit(i.toFloat)): _*)
+      txt.select(graft.functions.VectorExprs.vecDot(vec, vec)).count()
+      txt.as[(Long, String)].mapPartitions(it => it.map(_._1)).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // `metric`/`value` go LAST: the driver keeps only the final ~2000 chars
+    // of output, so with ~90 per-query timings the head of this line gets
+    // truncated — the headline total must sit at the tail to survive. The
+    // full line is also written to /tmp/bench.json so nothing is ever lost.
+    val line =
+      s"""{"queries":$qs,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}"""
+    try Files.write(Paths.get("/tmp/bench.json"),
+      (line + "\n").getBytes(StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -16,7 +16,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.etl.Migration.queries ++
+    graft.io.Sources.queries ++
+      graft.etl.Migration.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Functions.queries ++
       graft.ops.TextOps.queries ++
@@ -30,7 +31,8 @@ object SparkEntry {
     * parquet tables. Omitted keys get the driver's weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.etl.Migration.oracleSql ++
+    graft.io.Sources.oracleSql ++
+      graft.etl.Migration.oracleSql ++
       graft.ops.Relational.oracleSql ++
       graft.ops.Functions.oracleSql ++
       graft.ops.TextOps.oracleSql ++

@@ -102,10 +102,10 @@ object Migration {
   /** P5 surrogate keys. `row_number` over a global order replaces MySQL
     * AUTO_INCREMENT (reference `README.md:17` reads lastrowid per insert).
     * Scale note: a single global window is a one-partition sort — correct
-    * tier only. At 100 TB mint ids per partition instead:
-    * `zipWithIndex`-style (partition offset + local index) keeps the job
-    * fully parallel; `monotonically_increasing_id` is banned in verified
-    * queries (partition-layout-dependent, SURVEY.md §7.3).
+    * tier only; [[surrogateKeysScaled]] below is the 100 TB formulation
+    * and `q_surrogate_key_scaled` verifies it against the same oracle.
+    * `monotonically_increasing_id` is banned in verified queries
+    * (partition-layout-dependent, SURVEY.md §7.3).
     */
   private def qSurrogateKey(s: SparkSession, dir: String): DataFrame =
     customer(s, dir)
@@ -113,6 +113,50 @@ object Migration {
         row_number().over(Window.orderBy("c_custkey")).cast(LongType)
           .as("person_id"),
         col("c_custkey").as("client_id"))
+      .orderBy("person_id")
+
+  /** Scale path for P5: `zipWithIndex`-style partition-offset minting,
+    * expressed declaratively so it stays a lazy, optimizable plan.
+    *
+    * 1. `repartitionByRange(order)` — partition i holds keys strictly below
+    *    partition i+1's (one shuffle, the same one a global sort would pay).
+    * 2. `row_number` windowed BY PARTITION ID — every window is one range
+    *    partition, so the sort is parallel across the cluster; nothing ever
+    *    funnels through a single task, unlike `Window.orderBy(key)`.
+    * 3. Per-partition row counts → running offsets (a window over ≤ nParts
+    *    rows — trivially small) broadcast-joined back: id = offset + local
+    *    row number.
+    *
+    * The result is layout-INdependent even though `spark_partition_id` is
+    * layout-dependent: wherever the sampled range boundaries fall, offset +
+    * local rank telescopes to the global rank of `order`, which is unique
+    * and dense by construction. Requires a unique order key (ties would
+    * make the rank assignment arbitrary — same caveat as `row_number`).
+    * No driver action anywhere: unlike RDD `zipWithIndex` (whose offset
+    * scan is an eager job), the offsets here are a plan node.
+    */
+  def surrogateKeysScaled(df: DataFrame, order: Column,
+                          idName: String): DataFrame = {
+    val parted = df.repartitionByRange(order)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__idx",
+      row_number().over(Window.partitionBy("__pid").orderBy(order))
+        .cast(LongType))
+    val offsets = parted.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__pid"),
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(idName, col("__off") + col("__idx"))
+      .drop("__pid", "__idx", "__off")
+  }
+
+  private def qSurrogateKeyScaled(s: SparkSession, dir: String): DataFrame =
+    surrogateKeysScaled(customer(s, dir), col("c_custkey"), "person_id")
+      .select(col("person_id"), col("c_custkey").as("client_id"))
       .orderBy("person_id")
 
   // P7 name cleaning / splitting (reference README.md:9)
@@ -198,6 +242,7 @@ object Migration {
     "q_ident_fallback" -> qIdentFallback,
     "q_det_uuid" -> qDetUuid,
     "q_surrogate_key" -> qSurrogateKey,
+    "q_surrogate_key_scaled" -> qSurrogateKeyScaled,
     "q_name_split" -> qNameSplit,
     "q_checkdigit" -> qCheckDigit,
     "q_person" -> qPerson,
@@ -235,6 +280,11 @@ object Migration {
         |  AS uuid
         |FROM customer ORDER BY client_id""".stripMargin,
     "q_surrogate_key" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+        |  AS person_id, c_custkey AS client_id
+        |FROM customer ORDER BY person_id""".stripMargin,
+    // the scaled form must equal the single-window form bit-for-bit
+    "q_surrogate_key_scaled" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
         |  AS person_id, c_custkey AS client_id
         |FROM customer ORDER BY person_id""".stripMargin,

@@ -3,6 +3,7 @@ package graft.io
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Input/output adapters.
   *
@@ -62,6 +63,31 @@ object Sources {
     val base = spark.read
     schemaDdl.fold(base)(base.schema).json(path)
   }
+
+  /** S5 verified query: schema-on-read JSON ingest. `events.props` is a
+    * JSON document column; `from_json` with an EXPLICIT schema parses it
+    * into a typed struct in one codegen'd pass — the same parse path
+    * `spark.read.json` uses per line, so this is the oracle-checkable twin
+    * of the JSON-lines reader ([[json]], whose file round-trip is
+    * spec-covered). Explicit schema is the scale rule: schema inference
+    * pre-scans the corpus (a full extra pass at 100 TB).
+    */
+  private def qSrcJson(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_id"), from_json(col("props"), "k BIGINT").as("rec"))
+      .select(col("event_id"), col("rec.k").as("k"),
+        (col("rec.k") % 10).as("k_mod"))
+      .orderBy("event_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_src_json" -> qSrcJson)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_src_json" ->
+      """SELECT event_id,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin)
 
   /** Partitioned JDBC read — the scale path for the reference's source scan
     * (reference `README.md:5`: single mysql-connector cursor). Splitting on

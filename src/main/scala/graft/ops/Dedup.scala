@@ -1,9 +1,12 @@
 package graft.ops
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.io.Sources
 
@@ -102,8 +105,28 @@ object Dedup {
       .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
 
+  /** Band rows, lazily persisted and memoized per (session, dir).
+    *
+    * Without the persist, the LSH self-join evaluates `MinHashSig` (two
+    * md5s per shingle) TWICE per doc — AQE can plan the small side as a
+    * broadcast, which defeats ReuseExchange, so the "identical subtree"
+    * dedup cannot be relied on. With it, both join sides scan one
+    * InMemoryRelation: signatures compute exactly once per doc, and the
+    * three downstream queries (minhash / fuzzy / components) share the
+    * same materialized rows instead of each rebuilding the signature
+    * pipeline from the raw text. `persist` is lazy — no job runs at
+    * construction. Band rows are 4 × (long, int, 32-char hex) per doc —
+    * a few hundred bytes/doc, far smaller than the corpus text, so
+    * MEMORY_AND_DISK is safe at any scale the corpus itself fits.
+    */
+  private val bandCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedBands(s: SparkSession, dir: String): DataFrame =
+    bandCache.getOrElseUpdate((s, dir),
+      bandRows(signatures(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
+
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = bandRows(signatures(s, dir))
+    val bands = cachedBands(s, dir)
     bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bkey") === col("b.bkey") &&
@@ -166,11 +189,29 @@ object Dedup {
     * 1–2 rounds here and O(log n) even on pathological chains — the
     * standard large-graph formulation (GraphX/GraphFrames use the same
     * loop; Kiveris et al.'s large-star/small-star halves rounds at
-    * trillion-edge scale if ever needed). `localCheckpoint` materializes
-    * each round's labels and truncates lineage so per-round plans stay
-    * O(1); a lazy-cache variant benched slower (InMemoryRelation re-plan
-    * overhead per round). Edges are cached — every round re-reads them.
+    * trillion-edge scale if ever needed). Each round's labels are
+    * checkpointed so per-round plans stay O(1); a lazy-cache variant
+    * benched slower (InMemoryRelation re-plan overhead per round). Edges
+    * are cached — every round re-reads them.
+    *
+    * Checkpoint durability: `localCheckpoint` stores blocks on executors —
+    * fast, but an executor loss mid-loop kills the job. When the session
+    * has a reliable checkpoint dir configured
+    * (`sparkContext.setCheckpointDir`, e.g. an HDFS/S3 path on a real
+    * cluster), [[checkpointLabels]] uses a reliable `checkpoint()` instead,
+    * which survives executor loss — the 100 TB setting. Locally no dir is
+    * set and the fast path applies. Rounds are capped at [[MaxCcRounds]]:
+    * min-label propagation converges in O(diameter) rounds and LSH near-dup
+    * graphs are micro-cliques, so a 50-round graph is a data bug worth
+    * failing loudly on rather than looping forever.
     */
+  private[graft] val MaxCcRounds = 50
+
+  private def checkpointLabels(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     // both edge directions via one explode — a union of two selects over
     // the pair pipeline would recompute the whole LSH join per branch
@@ -180,21 +221,25 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+    var labels = checkpointLabels(
+      edges.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
     var changed = 1L
+    var round = 0
     while (changed > 0) {
+      require(round < MaxCcRounds,
+        s"connected components did not converge in $MaxCcRounds rounds")
       val prop = edges.join(labels, col("dst") === col("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nb_min"))
-      val next = labels.join(prop, col("node") === col("src"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nb_min"), col("label")))
-            .as("new_label"))
-        .localCheckpoint()
+      val next = checkpointLabels(
+        labels.join(prop, col("node") === col("src"), "left")
+          .select(col("node"), col("label"),
+            least(col("label"), coalesce(col("nb_min"), col("label")))
+              .as("new_label")))
       changed = next.filter(col("new_label") < col("label")).count()
       labels = next.select(col("node"), col("new_label").as("label"))
+      round += 1
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))

@@ -77,12 +77,24 @@ object Multimodal {
     * stage a real decoder would run in (one decoder init per partition,
     * rows streamed through in batch). Rows-only check: the stub checksum
     * is not SQL-expressible, which is the point of the stage.
+    *
+    * Encoder-boundary hygiene: the scan is pre-projected to the two
+    * columns the decoder consumes and crosses into JVM objects via a lean
+    * (Long, Array[Byte]) product encoder — the constant `mime` column is
+    * attached object-side, so no literal string is deserialized per row.
+    * mapPartitions breaks whole-stage codegen by nature; keeping the
+    * serialized footprint minimal is what bounds that cost at scale.
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    mediaTable(s, dir)
-      .as[MediaRow]
-      .mapPartitions(DecoderStub.decode)
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        DecoderStub.decode(it.map { case (id, bytes) =>
+          MediaRow(id, bytes, "image/fake")
+        })
+      }
       .toDF()
       .orderBy("doc_id")
   }

@@ -548,7 +548,10 @@ object Relational {
         when(t3 === none && t2 =!= none && r === 2 && us >= t2, us)
           .otherwise(t3).as("t3"))
     }
-    val counts = t(s, dir, "events")
+    // one lazy plan end-to-end: the single counts row fans out to the three
+    // stage rows via explode(array(struct…)) — no .first()/collect at
+    // construction, so explain() is free and the query stays composable
+    t(s, dir, "events")
       .filter(col("event_type").isin("signup", "purchase", "error"))
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("us"), rank.as("r")).as("e"))
@@ -561,17 +564,17 @@ object Relational {
         count(when(col("st.t1") =!= none, 1)).as("n1"),
         count(when(col("st.t2") =!= none, 1)).as("n2"),
         count(when(col("st.t3") =!= none, 1)).as("n3"))
-      .first()
-    val (n1, n2, n3) =
-      (counts.getLong(0), counts.getLong(1), counts.getLong(2))
-    import s.implicits._
-    Seq(("1_signup", n1), ("2_purchase_after", n2), ("3_error_after", n3))
-      .toDF("stage", "n_users")
-      .withColumn("rate_vs_prev",
-        when(col("stage") === "1_signup", lit(1.0))
-          .when(col("stage") === "2_purchase_after",
-            Num.r4(lit(n2.toDouble) / n1))
-          .otherwise(Num.r4(lit(n3.toDouble) / n2)))
+      .select(explode(array(
+        struct(lit("1_signup").as("stage"), col("n1").as("n_users"),
+          lit(1.0).as("rate_vs_prev")),
+        struct(lit("2_purchase_after").as("stage"), col("n2").as("n_users"),
+          Num.r4(when(col("n1") =!= 0,
+            col("n2").cast(DoubleType) / col("n1"))).as("rate_vs_prev")),
+        struct(lit("3_error_after").as("stage"), col("n3").as("n_users"),
+          Num.r4(when(col("n2") =!= 0,
+            col("n3").cast(DoubleType) / col("n2"))).as("rate_vs_prev"))))
+        .as("f"))
+      .select(col("f.stage"), col("f.n_users"), col("f.rate_vs_prev"))
       .orderBy("stage")
   }
 
