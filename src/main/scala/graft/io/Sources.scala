@@ -74,7 +74,9 @@ object Sources {
     */
   private def qSrcJson(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "events")
-      .select(col("event_id"), from_json(col("props"), "k BIGINT").as("rec"))
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).as("rec"))
       .select(col("event_id"), col("rec.k").as("k"),
         (col("rec.k") % 10).as("k_mod"))
       .orderBy("event_id")
