@@ -137,8 +137,17 @@ object Migration {
     */
   def surrogateKeysScaled(df: DataFrame, order: Column,
                           idName: String): DataFrame = {
+    // Persisted because BOTH branches below (local ranks, offsets) consume
+    // it: without the persist each branch re-evaluates the range exchange,
+    // and identical partition boundaries across the two evaluations would
+    // rest on RangePartitioner's sampling being deterministic — an
+    // implementation detail AQE replanning can break (round-3 ADVICE,
+    // medium). One materialization makes the invariant structural. The
+    // blocks are reclaimed by Spark's ContextCleaner once the returned
+    // plan is garbage-collected.
     val parted = df.repartitionByRange(order)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val local = parted.withColumn("__idx",
       row_number().over(Window.partitionBy("__pid").orderBy(order))
         .cast(LongType))

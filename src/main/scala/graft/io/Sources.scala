@@ -32,16 +32,25 @@ object Sources {
       // Spark, and epoch-nanos (~1.8e18) exceed double's 2^53 exact range,
       // so the round-trip could land ±1 µs off DuckDB's exact truncation
       // near µs boundaries (round-1 ADVICE, medium).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      try {
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts",
-            org.apache.spark.sql.functions.timestamp_micros(
-              org.apache.spark.sql.functions.expr("ts div 1000")))
-      } finally {
-        // scope the legacy flag to this read: later TIMESTAMP(NANOS) reads
-        // elsewhere should fail loudly, not silently come back as longs
-        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+      //
+      // The legacy flag is session-global, so the set/read/unset must not
+      // interleave with a concurrent `table()` call on the same session —
+      // synchronize on the session. (The flag only affects schema
+      // resolution, which happens inside this block; executing the
+      // returned plan later needs no flag.)
+      spark.synchronized {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try {
+          spark.read.parquet(s"$dir/$name.parquet")
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+        } finally {
+          // scope the legacy flag to this read: later TIMESTAMP(NANOS)
+          // reads elsewhere should fail loudly, not silently come back as
+          // longs
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        }
       }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
@@ -81,15 +90,50 @@ object Sources {
         (col("rec.k") % 10).as("k_mod"))
       .orderBy("event_id")
 
+  /** S5 verified query, CSV half: format each event as a CSV line, then
+    * parse it back with `from_csv` + an explicit schema — the same
+    * Univocity parse path `spark.read.csv` runs per line (whose file-level
+    * round-trip is spec-covered in `SourcesSpec`), but oracle-checkable
+    * because the line is derived from a parquet table both engines see.
+    * The DuckDB oracle formats and re-parses with its own string ops, so
+    * the hash compare proves the format→parse round-trip is lossless in
+    * BOTH engines (doubles round-trip exactly through shortest-repr text).
+    * Unquoted fields only: `events` has no nulls/commas/quotes in these
+    * columns (checked), and quote-dialect semantics are not portable.
+    */
+  private def qSrcCsv(s: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "eid BIGINT, user_id BIGINT, event_type STRING, value DOUBLE")
+    table(s, dir, "events")
+      .select(col("event_id"),
+        concat_ws(",", col("event_id"), col("user_id"), col("event_type"),
+          col("value")).as("line"))
+      .select(col("event_id"),
+        from_csv(col("line"), schema, Map.empty[String, String]).as("rec"))
+      .select(col("event_id"), col("rec.user_id").as("user_id"),
+        col("rec.event_type").as("event_type"), col("rec.value").as("value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_src_json" -> qSrcJson)
+    Map("q_src_json" -> qSrcJson, "q_src_csv" -> qSrcCsv)
 
   val oracleSql: Map[String, String] = Map(
     "q_src_json" ->
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_src_csv" ->
+      """WITH lines AS (SELECT event_id,
+        |  CAST(event_id AS VARCHAR) || ',' || CAST(user_id AS VARCHAR)
+        |    || ',' || event_type || ',' || CAST(value AS VARCHAR) AS line
+        |  FROM events)
+        |SELECT event_id,
+        |CAST(string_split(line, ',')[2] AS BIGINT) AS user_id,
+        |string_split(line, ',')[3] AS event_type,
+        |CAST(string_split(line, ',')[4] AS DOUBLE) AS value
+        |FROM lines ORDER BY event_id""".stripMargin)
 
   /** Partitioned JDBC read — the scale path for the reference's source scan
     * (reference `README.md:5`: single mysql-connector cursor). Splitting on

@@ -125,6 +125,20 @@ object Dedup {
     bandCache.getOrElseUpdate((s, dir),
       bandRows(signatures(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Release every memoized band-row cache: unpersist the blocks and drop
+    * the session references. Lifecycle contract (round-3 ADVICE): the cache
+    * is keyed by (session, dir) and NEVER self-expires — results go stale
+    * if the data under `dir` is rewritten within one session, and the
+    * persisted blocks plus session references live until this is called.
+    * Call it when a batch of dedup queries over one corpus is done (the
+    * Verify/Bench mains do); long-lived sessions embedding this library
+    * must do the same.
+    */
+  def clearCaches(): Unit =
+    bandCache.keys.toList.foreach { k =>
+      bandCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedBands(s, dir)
     bands.as("a").join(bands.as("b"),

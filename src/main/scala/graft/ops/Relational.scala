@@ -437,7 +437,8 @@ object Relational {
   }
 
   // W4 distribution ranks (global window: single-partition sort, correctness
-  // tier only — at scale ntile runs per partition key)
+  // tier only — [[qWinNtileScaled]] is the 100 TB formulation, verified
+  // against this same oracle)
   private def qWinNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     t(s, dir, "customer")
@@ -445,6 +446,65 @@ object Relational {
         ntile(4).over(w).cast(LongType).as("quartile"),
         Num.r4(percent_rank().over(w)).as("pr"),
         Num.r4(cume_dist().over(w)).as("cd"))
+      .orderBy("c_custkey")
+  }
+
+  /** W4 at scale: the same ntile/percent_rank/cume_dist WITHOUT the
+    * single-partition global window — the [[graft.etl.Migration
+    * .surrogateKeysScaled]] machinery applied to distribution ranks.
+    *
+    * 1. `repartitionByRange(order)` spreads the sort across the cluster
+    *    (the one shuffle a global sort would pay anyway).
+    * 2. `row_number` per range partition — parallel local sorts.
+    * 3. Per-partition row counts roll up into running offsets AND the
+    *    grand total N (a window over ≤ nParts rows), broadcast back.
+    * 4. Global rank r = offset + local rank; with a UNIQUE total order
+    *    (c_custkey tiebreak ⇒ no rank ties) the distribution functions are
+    *    closed-form: percent_rank = (r−1)/(N−1), cume_dist = r/N, and
+    *    ntile(b) assigns the first N mod b buckets ⌈N/b⌉ rows and the rest
+    *    ⌊N/b⌋ — exactly Spark's and DuckDB's ntile contract.
+    *
+    * The `when` guards keep ANSI mode from a DIVIDE_BY_ZERO on N=1 (pr)
+    * and N<b (ntile's empty tail buckets are never reached per-row).
+    */
+  private def qWinNtileScaled(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
+    val parted = t(s, dir, "customer")
+      .select("c_custkey", "c_acctbal")
+      .repartitionByRange(ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val local = parted.withColumn("__idx",
+      row_number().over(Window.partitionBy("__pid").orderBy(ord: _*))
+        .cast(LongType))
+    // ≤ nParts rows: the global windows here sort a handful of counters,
+    // not data. Offsets carry the running prefix AND the grand total.
+    val offsets = parted.groupBy("__pid").agg(count(lit(1)).as("__n"))
+      .select(col("__pid"),
+        coalesce(sum(col("__n")).over(
+          Window.orderBy("__pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+          .as("__off"),
+        sum(col("__n")).over(
+          Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("__N"))
+    val r = col("__off") + col("__idx") // global 1-based row_number
+    val n = col("__N")
+    val b = lit(4L) // bucket count
+    // Column./ is double division; floor() recovers ⌊·⌋ as a long (exact
+    // for any N below 2^53 rows — i.e. always)
+    val q = floor(n / b)
+    val rem = n % b
+    val quartile = when(r <= rem * (q + 1L),
+        floor((r - 1L) / (q + 1L)) + 1L)
+      .otherwise(rem + floor((r - rem * (q + 1L) - 1L) / q) + 1L)
+    local.join(broadcast(offsets), "__pid")
+      .select(col("c_custkey"),
+        quartile.cast(LongType).as("quartile"),
+        Num.r4(when(n > 1L, (r - 1L).cast(DoubleType) / (n - 1L))
+          .otherwise(0.0)).as("pr"),
+        Num.r4(r.cast(DoubleType) / n).as("cd"))
       .orderBy("c_custkey")
   }
 
@@ -810,6 +870,7 @@ object Relational {
     "q_win_lag" -> qWinLag,
     "q_win_frame" -> qWinFrame,
     "q_win_ntile" -> qWinNtile,
+    "q_win_ntile_scaled" -> qWinNtileScaled,
     "q_sort" -> qSort,
     "q_limit" -> qLimit,
     "q_topk" -> qTopk,
@@ -1152,6 +1213,16 @@ object Relational {
         |  AS mov3_avg
         |FROM events ORDER BY event_id""".stripMargin,
     "q_win_ntile" ->
+      """SELECT c_custkey,
+        |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pr,
+        |floor((cume_dist() OVER w) * 10000 + 0.5) / 10000 AS cd
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    // the scaled formulation must reproduce the windowed one bit-for-bit:
+    // same oracle
+    "q_win_ntile_scaled" ->
       """SELECT c_custkey,
         |CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         |floor((percent_rank() OVER w) * 10000 + 0.5) / 10000 AS pr,

@@ -143,4 +143,20 @@ class DedupSpec extends TestSpark {
       .filter($"count" > 1).count()
     assert(dupKeys === 0)
   }
+
+  test("clearCaches releases the band-row blocks (no executor-memory leak)") {
+    graft.ops.Dedup.clearCaches()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // materialize the memoized band cache
+    graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf).count()
+    val during = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(during.nonEmpty, "expected the band rows to be persisted")
+    graft.ops.Dedup.clearCaches()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(after.isEmpty,
+      s"band cache blocks still registered after clearCaches: $after")
+    // and the cache rebuilds cleanly after a clear
+    assert(graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf).count() > 0)
+    graft.ops.Dedup.clearCaches()
+  }
 }
