@@ -17,6 +17,18 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the class-name extension path fails SILENTLY if the class can't load
+    // (Spark logs a warning and builds the session anyway) — probe the SQL
+    // surface so a regression is visible in the verify log, without
+    // failing the run (no oracle query depends on SQL-registered names)
+    try {
+      spark.sql(
+        "SELECT vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)))")
+        .collect()
+      System.err.println("[verify] GraftExtensions SQL surface OK")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] WARN GraftExtensions missing: $e")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -108,4 +108,17 @@ class RelationalSpec extends TestSpark {
       .filter(abs($"running_value" - $"total") > 1e-9)
     assert(joined.count() === 0)
   }
+
+  test("scaled rank formulations window per range partition, not globally") {
+    // the data-sized window must be keyed by the range-partition id — the
+    // whole point of the scaled twins is that no full-table sort funnels
+    // through one task (the only unpartitioned windows left are over the
+    // <= nParts per-partition counters)
+    for (key <- Seq("q_win_ntile_scaled", "q_surrogate_key_scaled")) {
+      val plan = graft.SparkEntry.queries(key)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("windowspecdefinition(__pid"),
+        s"$key no longer ranks within __pid range partitions:\n$plan")
+    }
+  }
 }
