@@ -170,10 +170,17 @@ object Similarity {
     * the oracle's `list_sum` fold. Scale: rows = corpus × dim, but the
     * aggregate state is clusters × dim — tiny; no shuffle carries vectors.
     */
-  private def qEmbedCentroid(s: SparkSession, dir: String): DataFrame = {
-    val means = emb(s, dir)
-      .select((col("vec_id") % 16).as("cluster"),
-        posexplode(col("embedding")).as(Seq("pos", "x")))
+  private def qEmbedCentroid(s: SparkSession, dir: String): DataFrame =
+    centroidsOf(emb(s, dir)
+      .select((col("vec_id") % 16).as("cluster"), col("embedding")))
+
+  /** Centroid summary of a `(cluster, embedding)` frame — the shared tail
+    * of [[qEmbedCentroid]] (hash-bucketed clusters) and [[qIvfTrain]]
+    * (nearest-seed clusters). See [[qEmbedCentroid]] for the scale notes.
+    */
+  private def centroidsOf(assigned: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
       .agg(count(lit(1)).as("n"),
         (sum(col("x").cast(DoubleType).cast(DecimalType(20, 10)))
@@ -194,12 +201,47 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** One Lloyd (k-means) step — the codebook-training primitive behind a
+    * REAL IVF index (the sign-pattern quantizer in [[qSimIvf]] is
+    * training-free; this is the trained-codebook upgrade path the IVF
+    * Scaladoc promises). Seeds = the first 16 vectors (deterministic init);
+    * assignment = argmin squared L2 distance, computed as
+    * ‖v‖² − 2·v·s + ‖s‖² so the per-pair work is ONE codegen'd dot
+    * product against a BROADCAST seed table — at corpus scale this is a
+    * map-only pass (no shuffle carries vectors); the only shuffle is the
+    * (cluster, dim) mean aggregation, whose state is k × dim cells.
+    * `min_by` on a (dist², seed) struct keys ties to the lowest seed id,
+    * and every double on the distance path is an ordered fold both engines
+    * reproduce exactly, so the argmin is portable. Output = the recomputed
+    * centroid summary ([[centroidsOf]]); iterate to convergence by feeding
+    * centroids back as seeds.
+    */
+  private def qIvfTrain(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm2"))
+    val seeds = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
+        col("nrm2").as("snrm2"))
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("semb")) +
+      col("snrm2")
+    val assigned = e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"),
+        dist2.as("dist2"), col("seed_id"))
+      .groupBy("vec_id")
+      .agg(min_by(col("seed_id"), struct(col("dist2"), col("seed_id")))
+          .as("cluster"),
+        first(col("embedding")).as("embedding"))
+    centroidsOf(assigned)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> qSimTopk,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
     "q_sim_ivf" -> qSimIvf,
-    "q_embed_centroid" -> qEmbedCentroid)
+    "q_embed_centroid" -> qEmbedCentroid,
+    "q_ivf_train" -> qIvfTrain)
 
   /** Rounded cosine between e and q rows, as DuckDB SQL (same portable
     * rounding as [[Num.r4]]).
@@ -226,6 +268,36 @@ object Similarity {
       s"""WITH d AS (SELECT vec_id % 16 AS cluster, pos,
          |  CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,10)) AS xd
          |  FROM embeddings, unnest(range(0, len(embedding))) AS t(pos)),
+         |m AS (SELECT cluster, pos, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(xd) AS DOUBLE) / count(*) AS mean FROM d GROUP BY 1, 2)
+         |SELECT cluster, max(n) AS n_vecs,
+         |${Num.r4Sql("max(CASE WHEN pos = 0 THEN mean END)")} AS c0,
+         |${Num.r4Sql("max(CASE WHEN pos = 1 THEN mean END)")} AS c1,
+         |${Num.r4Sql("max(CASE WHEN pos = 2 THEN mean END)")} AS c2,
+         |${Num.r4Sql("max(CASE WHEN pos = 3 THEN mean END)")} AS c3,
+         |${Num.r4Sql("sqrt(list_sum(list_transform(" +
+            "list(mean ORDER BY pos), x -> x * x)))")} AS centroid_norm
+         |FROM m GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // one Lloyd step: argmin ||v||^2 - 2 v.s + ||s||^2 over the 16 seed
+    // vectors (ties -> lowest seed), then the centroid tail — every double
+    // on the distance path is an ordered list fold matching FloatVecDot
+    "q_ivf_train" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
+         |  FROM embeddings),
+         |s AS (SELECT vec_id AS seed_id, embedding AS semb, nrm2 AS snrm2
+         |  FROM e WHERE vec_id < 16),
+         |a AS (SELECT e.vec_id, seed_id AS cluster, e.embedding
+         |  FROM e CROSS JOIN s
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, s.semb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + s.snrm2, seed_id) = 1),
+         |d AS (SELECT cluster, pos,
+         |  CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,10)) AS xd
+         |  FROM a, unnest(range(0, len(embedding))) AS t(pos)),
          |m AS (SELECT cluster, pos, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(xd) AS DOUBLE) / count(*) AS mean FROM d GROUP BY 1, 2)
          |SELECT cluster, max(n) AS n_vecs,

@@ -81,4 +81,16 @@ class SimilaritySpec extends TestSpark {
       .head
     assert(row.isNullAt(0))
   }
+
+  test("ivf training step partitions the corpus across seed clusters") {
+    val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
+    // clusters are seed ids (0..15) and every vector lands in exactly one
+    assert(t.nonEmpty && t.length <= 16)
+    assert(t.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+    val total = graft.io.Sources.table(spark, Sf, "embeddings").count()
+    assert(t.map(_.getLong(1)).sum === total)
+    // a seed vector is its own nearest seed (distance 0) — seed clusters
+    // are non-empty
+    assert(t.length === math.min(16, total).toInt)
+  }
 }
