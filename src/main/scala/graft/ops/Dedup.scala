@@ -237,9 +237,22 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
+    // Bucket-min seeding: every LSH bucket is a clique, so initializing
+    // each member to the min over its buckets' minima IS the first
+    // propagation round, computed as two cheap aggregates over the cached
+    // band rows instead of an edge join — the loop below then only has to
+    // stitch overlapping buckets (usually 1 confirming round). Buckets of
+    // size 1 are dropped: their docs join no candidate pair, matching the
+    // edge formulation's node set exactly.
+    val bucketMin = cachedBands(s, dir)
+      .groupBy("band_id", "bkey")
+      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
     var labels = checkpointLabels(
-      edges.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+      cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bmin")).as("label"))
+        .select(col("doc_id").as("node"), col("label")))
     var changed = 1L
     var round = 0
     while (changed > 0) {
