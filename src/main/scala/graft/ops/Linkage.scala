@@ -31,24 +31,39 @@ object Linkage {
       .select(col("c_custkey"),
         split(col("c_name"), "#").getItem(1).as("ident"))
 
+  /** One-shuffle formulation: group the masked rows by blocking key and
+    * expand ordered pairs INSIDE each (tiny) group with array HOFs, instead
+    * of a self-join — which would evaluate the masked rows twice, shuffle
+    * both copies, and need a distinct exchange. The wildcard position is
+    * implied by the '#' placement, so the mask string alone is the block
+    * key. A substitution-distance-1 pair shares exactly one mask ⇒ after
+    * the levenshtein filter no duplicates exist and no `distinct` is
+    * needed (identical idents share all 9 masks but fail distance = 1).
+    * Per-group arrays are sorted on the unique c_custkey, so pair order
+    * and output are deterministic.
+    */
   private def qLinkNames(s: SparkSession, dir: String): DataFrame = {
     val masked = idents(s, dir)
       .select(col("c_custkey"), col("ident"),
         explode(sequence(lit(1), lit(9))).as("pos"))
-      .select(col("c_custkey"), col("ident"), col("pos"),
+      .select(col("c_custkey"), col("ident"),
         concat(
           col("ident").substr(lit(1), col("pos") - 1),
           lit("#"),
           col("ident").substr(col("pos") + 1, lit(9))).as("mkey"))
-    masked.as("a").join(masked.as("b"),
-        col("a.pos") === col("b.pos") &&
-          col("a.mkey") === col("b.mkey") &&
-          col("a.c_custkey") < col("b.c_custkey"))
-      .select(col("a.c_custkey").as("cust_a"),
-        col("b.c_custkey").as("cust_b"),
-        col("a.ident").as("ident_a"),
-        col("b.ident").as("ident_b"))
-      .distinct()
+    masked
+      .groupBy("mkey")
+      .agg(sort_array(collect_list(
+        struct(col("c_custkey"), col("ident")))).as("g"))
+      .filter(size(col("g")) >= 2)
+      .select(explode(flatten(transform(col("g"), (x, i) =>
+        transform(slice(col("g"), i + 2, size(col("g"))), y =>
+          struct(x.getField("c_custkey").as("cust_a"),
+            y.getField("c_custkey").as("cust_b"),
+            x.getField("ident").as("ident_a"),
+            y.getField("ident").as("ident_b")))))).as("p"))
+      .select(col("p.cust_a"), col("p.cust_b"),
+        col("p.ident_a"), col("p.ident_b"))
       .filter(levenshtein(col("ident_a"), col("ident_b")) === 1)
       .withColumn("distance", lit(1L))
       .orderBy("cust_a", "cust_b")
