@@ -66,6 +66,15 @@ object Sources {
       .csv(path)
   }
 
+  /** ORC source — the columnar alternative when the lake standard is ORC
+    * rather than parquet. Same pushdown story: Catalyst sends predicates
+    * and column pruning into the vectorized ORC reader, so the operator
+    * layer above is format-agnostic. Spec-covered round-trip (the DuckDB
+    * oracle cannot read ORC, so no `q_*` form applies).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JSON-lines source; same explicit-schema guidance as [[csv]]. */
   def json(spark: SparkSession, path: String,
            schemaDdl: Option[String] = None): DataFrame = {

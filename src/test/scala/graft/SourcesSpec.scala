@@ -37,4 +37,21 @@ class SourcesSpec extends TestSpark {
     assert(back(0).getString(1) === "x")
     assert(back(1).isNullAt(1))
   }
+
+  test("orc round-trips real table data with predicate pushdown intact") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val src = Sources.table(spark, Sf, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    src.write.mode("overwrite").orc(dir)
+    val back = Sources.orc(spark, dir)
+    assert(back.count() === src.count())
+    // same content, both directions
+    assert(back.exceptAll(src).count() === 0)
+    assert(src.exceptAll(back).count() === 0)
+    // the filter reaches the ORC scan (pushed, not post-scan)
+    val plan = back.filter(col("user_id") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("EqualTo(user_id,7)"), s"no pushdown in:\n$plan")
+  }
 }
