@@ -26,7 +26,10 @@ object Verify {
         "SELECT vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)))")
         .collect()
       System.err.println("[verify] GraftExtensions SQL surface OK")
-    } catch { case e: Throwable =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // NonFatal only: an OutOfMemoryError / NoClassDefFoundError means the
+      // session itself is broken and must propagate, not downgrade to WARN
+      // (round-4 ADVICE)
       System.err.println(s"[verify] WARN GraftExtensions missing: $e")
     }
     new java.io.File(outDir).mkdirs()

@@ -143,11 +143,14 @@ object Migration {
     // rest on RangePartitioner's sampling being deterministic — an
     // implementation detail AQE replanning can break (round-3 ADVICE,
     // medium). One materialization makes the invariant structural. The
-    // blocks are reclaimed by Spark's ContextCleaner once the returned
-    // plan is garbage-collected.
-    val parted = df.repartitionByRange(order)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // frame is registered in [[graft.Caches]] so `Dedup.clearCaches()`
+    // (already called by the Verify/Bench mains) releases the blocks
+    // deterministically instead of waiting on GC + ContextCleaner
+    // (round-4 ADVICE).
+    val parted = graft.Caches.register(
+      df.repartitionByRange(order)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val local = parted.withColumn("__idx",
       row_number().over(Window.partitionBy("__pid").orderBy(order))
         .cast(LongType))
@@ -193,12 +196,19 @@ object Migration {
     * codegen'd pipeline producing `person` ⋈ `person_name` shaped rows from
     * the legacy roster, versus the reference's 2 INSERTs + lastrowid
     * round-trip per client (reference `README.md:9,19`).
+    *
+    * `person_id` is minted by [[surrogateKeysScaled]] — range-repartitioned
+    * parallel local sorts + broadcast offsets — so the showcase query
+    * carries NO partition-unbounded window: every windowspecdefinition in
+    * its plan is either partitioned by `__pid` (one range partition per
+    * window) or the ≤-nParts-row offsets rollup. `MigrationSpec` asserts
+    * this on the optimized plan; the oracle is unchanged (the scaled form
+    * equals `ROW_NUMBER() OVER (ORDER BY c_custkey)` bit-for-bit).
     */
   private def qPerson(s: SparkSession, dir: String): DataFrame =
-    customer(s, dir)
+    surrogateKeysScaled(customer(s, dir), col("c_custkey"), "person_id")
       .select(
-        row_number().over(Window.orderBy("c_custkey")).cast(LongType)
-          .as("person_id"),
+        col("person_id"),
         col("c_custkey").as("client_id"),
         upper(trim(split(col("c_name"), "#").getItem(0))).as("given_name"),
         split(col("c_name"), "#").getItem(1).as("family_name"),

@@ -469,11 +469,15 @@ object Relational {
     */
   private def qWinNtileScaled(s: SparkSession, dir: String): DataFrame = {
     val ord = Seq(col("c_acctbal").desc, col("c_custkey").asc)
-    val parted = t(s, dir, "customer")
-      .select("c_custkey", "c_acctbal")
-      .repartitionByRange(ord: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered in graft.Caches → released by Dedup.clearCaches()
+    // (round-4 ADVICE: repeated calls in a long session must not
+    // accumulate cached blocks)
+    val parted = graft.Caches.register(
+      t(s, dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .repartitionByRange(ord: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val local = parted.withColumn("__idx",
       row_number().over(Window.partitionBy("__pid").orderBy(ord: _*))
         .cast(LongType))
@@ -820,15 +824,33 @@ object Relational {
       .orderBy("c_custkey")
   }
 
-  // T3b exceptAll (bag semantics): multiplicity-aware difference — each
-  // customer key minus one occurrence per order placed
+  /** T3b exceptAll (bag semantics): multiplicity-aware difference — each
+    * lineitem key minus one occurrence per finished order.
+    *
+    * Deliberately NOT `Dataset.exceptAll`: Spark plans that as
+    * union → per-side ±1 replication → a sum window over the whole bag →
+    * generator re-expansion — a full-data window (the slowest query of the
+    * round-4 bench at 3.4 s). Since only per-key multiplicities survive
+    * this query, the bag difference is computed arithmetically: one hash
+    * aggregate per side (map-side partial combine collapses each key before
+    * the shuffle), a left join of pre-aggregated keys, and
+    * `greatest(cnt_many − cnt_some, 0)` — shuffles carry distinct keys
+    * instead of every fact row, which is the 100 TB-shaped plan. Same
+    * EXCEPT ALL oracle.
+    */
   private def qExceptAll(s: SparkSession, dir: String): DataFrame = {
-    val many = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+    val many = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cnt_many"))
     val some = t(s, dir, "orders")
       .filter(col("o_orderstatus") === "F")
-      .select(col("o_orderkey").as("k"))
-    many.exceptAll(some)
-      .groupBy("k").agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("cnt_some"))
+    many.join(some, Seq("k"), "left")
+      .select(col("k"),
+        greatest(col("cnt_many") - coalesce(col("cnt_some"), lit(0L)), lit(0L))
+          .as("n"))
+      .filter(col("n") > 0)
       .orderBy("k")
   }
 

@@ -66,6 +66,16 @@ class MigrationSpec extends TestSpark {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("flagship q_person plan has no partition-unbounded window") {
+    // the showcase query mints person_id via surrogateKeysScaled: every
+    // window must be keyed by the __pid range-partition id — a regression
+    // back to row_number().over(Window.orderBy(...)) funnels the whole
+    // table through one task at 100 TB (round-4 VERDICT #1)
+    val plan = graft.SparkEntry.queries("q_person")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assertOnlyPidWindows(plan, "q_person")
+  }
+
   test("pivot(unpivot) round-trips the wide attributes") {
     val wide = graft.SparkEntry.queries("q_pivot")(spark, Sf)
     val src = graft.io.Sources.table(spark, Sf, "customer")

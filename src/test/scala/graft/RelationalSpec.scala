@@ -117,8 +117,7 @@ class RelationalSpec extends TestSpark {
     for (key <- Seq("q_win_ntile_scaled", "q_surrogate_key_scaled")) {
       val plan = graft.SparkEntry.queries(key)(spark, Sf)
         .queryExecution.executedPlan.toString
-      assert(plan.contains("windowspecdefinition(__pid"),
-        s"$key no longer ranks within __pid range partitions:\n$plan")
+      assertOnlyPidWindows(plan, key)
     }
   }
 }

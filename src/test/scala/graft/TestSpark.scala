@@ -11,6 +11,29 @@ trait TestSpark extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = TestSpark.session
 
   val Sf: String = "/root/testdata/sf0.001"
+
+  /** Assert every window in `plan` is keyed by the `__pid` range-partition
+    * id — i.e. no data-sized window funnels through a single task. The
+    * per-partition-counter offsets window (`Window.orderBy("__pid")`) also
+    * leads with `__pid`, so "every windowspecdefinition opens with __pid"
+    * is exactly the property that fails if a scaled formulation regresses
+    * to a global `Window.orderBy(dataColumn)` (round-4 ADVICE: the old
+    * `plan.contains` check was satisfiable by the offsets window alone).
+    */
+  def assertOnlyPidWindows(plan: String, label: String): Unit = {
+    val marker = "windowspecdefinition("
+    var i = plan.indexOf(marker)
+    var n = 0
+    while (i >= 0) {
+      n += 1
+      val arg = plan.substring(i + marker.length,
+        math.min(plan.length, i + marker.length + 5))
+      assert(arg == "__pid",
+        s"$label has a window not keyed by __pid (spec starts '$arg'):\n$plan")
+      i = plan.indexOf(marker, i + 1)
+    }
+    assert(n > 0, s"$label plan has no windows at all — check the query:\n$plan")
+  }
 }
 
 object TestSpark {
