@@ -124,8 +124,51 @@ object Sources {
       .orderBy("event_id")
   }
 
+  /** Path of the date-partitioned `events` copy for `dir`, written once per
+    * JVM by [[partitionedEvents]] (keyed on the sf dir so different scale
+    * factors never share a copy).
+    */
+  private[graft] def partitionedEventsPath(dir: String): String =
+    "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Hive-partitioned copy of `events` (partition column `event_date`),
+    * written through [[Layout.writePartitioned]] on first use. This is the
+    * at-rest layout a 100 TB event lake uses: one directory per day, so a
+    * day predicate prunes directories BEFORE any I/O is scheduled.
+    */
+  private[graft] def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
+    val path = partitionedEventsPath(dir)
+    val done = new java.io.File(path, "_SUCCESS")
+    if (!done.exists()) {
+      Layout.writePartitioned(
+        table(s, dir, "events")
+          .withColumn("event_date", to_date(col("ts"))),
+        path, Seq("event_date"))
+    }
+    s.read.parquet(path)
+  }
+
+  /** S-layout verified query: static partition pruning over the
+    * date-partitioned events copy. The `event_date = '2024-01-07'` filter
+    * binds to the partition column, so it lands in the scan's
+    * `PartitionFilters` (directory pruning — 1 of 30 day-dirs read, no
+    * row-level I/O elsewhere); `SourcesSpec` asserts that on the physical
+    * plan, plus the dynamic (DPP) variant of the same pruning. The oracle
+    * filters the ORIGINAL events table on the same derived date — the
+    * partitioned copy holds exactly the same rows, so content equality
+    * proves the layout round-trip while the plan assertion proves the
+    * pruning.
+    */
+  private def qSrcPartitioned(s: SparkSession, dir: String): DataFrame =
+    partitionedEvents(s, dir)
+      .filter(col("event_date") === lit("2024-01-07").cast("date"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("event_date"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_src_json" -> qSrcJson, "q_src_csv" -> qSrcCsv)
+    Map("q_src_json" -> qSrcJson, "q_src_csv" -> qSrcCsv,
+      "q_src_partitioned" -> qSrcPartitioned)
 
   val oracleSql: Map[String, String] = Map(
     "q_src_json" ->
@@ -142,7 +185,12 @@ object Sources {
         |CAST(string_split(line, ',')[2] AS BIGINT) AS user_id,
         |string_split(line, ',')[3] AS event_type,
         |CAST(string_split(line, ',')[4] AS DOUBLE) AS value
-        |FROM lines ORDER BY event_id""".stripMargin)
+        |FROM lines ORDER BY event_id""".stripMargin,
+    "q_src_partitioned" ->
+      """SELECT event_id, user_id, event_type, value,
+        |CAST(ts AS DATE) AS event_date
+        |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-07'
+        |ORDER BY event_id""".stripMargin)
 
   /** Partitioned JDBC read — the scale path for the reference's source scan
     * (reference `README.md:5`: single mysql-connector cursor). Splitting on

@@ -134,12 +134,16 @@ object Dedup {
     * Verify/Bench mains do); long-lived sessions embedding this library
     * must do the same.
     */
-  def clearCaches(): Unit =
+  def clearCaches(): Unit = {
     Seq(bandCache, embedBandCache).foreach { cache =>
       cache.keys.toList.foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
+    // also release the per-call persisted frames other operators registered
+    // (surrogateKeysScaled, qWinNtileScaled — round-4 ADVICE)
+    graft.Caches.releaseAll()
+  }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedBands(s, dir)
@@ -228,6 +232,42 @@ object Dedup {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** The min-label propagation loop itself, over an arbitrary graph:
+    * `edges` must carry both directions as (src, dst); `init` is the
+    * starting (node, label) frame. Returns the converged labels and the
+    * number of propagation rounds run (the last is the confirming no-change
+    * round, so rounds = diameter-from-minima + 1). Rounds are capped at
+    * `maxRounds` — min-label propagation moves a label ONE hop per round,
+    * so a graph whose diameter exceeds the cap fails loudly here; at that
+    * point the fix is the large-star/small-star reformulation (Kiveris et
+    * al.), which contracts paths and converges in O(log n) rounds, not a
+    * bigger cap. Exposed `private[graft]` so the adversarial-diameter spec
+    * can drive it with a synthetic chain graph.
+    */
+  private[graft] def propagateMinLabels(
+      edges: DataFrame, init: DataFrame,
+      maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+    var labels = checkpointLabels(init)
+    var changed = 1L
+    var round = 0
+    while (changed > 0) {
+      require(round < maxRounds,
+        s"connected components did not converge in $maxRounds rounds")
+      val prop = edges.join(labels, col("dst") === col("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nb_min"))
+      val next = checkpointLabels(
+        labels.join(prop, col("node") === col("src"), "left")
+          .select(col("node"), col("label"),
+            least(col("label"), coalesce(col("nb_min"), col("label")))
+              .as("new_label")))
+      changed = next.filter(col("new_label") < col("label")).count()
+      labels = next.select(col("node"), col("new_label").as("label"))
+      round += 1
+    }
+    (labels, round)
+  }
+
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
     // both edge directions via one explode — a union of two selects over
     // the pair pipeline would recompute the whole LSH join per branch
@@ -248,28 +288,11 @@ object Dedup {
       .groupBy("band_id", "bkey")
       .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
       .filter(col("n") >= 2)
-    var labels = checkpointLabels(
-      cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("bmin")).as("label"))
-        .select(col("doc_id").as("node"), col("label")))
-    var changed = 1L
-    var round = 0
-    while (changed > 0) {
-      require(round < MaxCcRounds,
-        s"connected components did not converge in $MaxCcRounds rounds")
-      val prop = edges.join(labels, col("dst") === col("node"))
-        .groupBy(col("src"))
-        .agg(min(col("label")).as("nb_min"))
-      val next = checkpointLabels(
-        labels.join(prop, col("node") === col("src"), "left")
-          .select(col("node"), col("label"),
-            least(col("label"), coalesce(col("nb_min"), col("label")))
-              .as("new_label")))
-      changed = next.filter(col("new_label") < col("label")).count()
-      labels = next.select(col("node"), col("new_label").as("label"))
-      round += 1
-    }
+    val init = cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bmin")).as("label"))
+      .select(col("doc_id").as("node"), col("label"))
+    val (labels, _) = propagateMinLabels(edges, init)
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("component_id"))
       .orderBy("doc_id")

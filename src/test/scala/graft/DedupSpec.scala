@@ -164,6 +164,32 @@ class DedupSpec extends TestSpark {
       .forall(r => exact((r.getLong(0), r.getLong(1)))))
   }
 
+  test("min-label propagation converges in O(diameter) rounds on a chain") {
+    // adversarial-diameter graph: a 17-node path 0-1-2-...-16. LSH near-dup
+    // graphs are micro-cliques (diameter 1-2), but the loop machinery must
+    // still behave predictably on the worst case: label 0 moves one hop per
+    // round, so convergence takes exactly diameter rounds + 1 confirming
+    // round, and the MaxCcRounds cap turns a deeper-than-expected graph
+    // into a loud failure instead of an unbounded driver loop.
+    val n = 17
+    val edges = (0 until n - 1).flatMap(i =>
+      Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+      .toDF("src", "dst")
+    val init = (0 until n).map(_.toLong).map(i => (i, i)).toDF("node", "label")
+    val (labels, rounds) = graft.ops.Dedup.propagateMinLabels(edges, init)
+    assert(rounds === n - 1 + 1,
+      s"chain of diameter ${n - 1} should take diameter+1 rounds, took $rounds")
+    assert(labels.filter($"label" =!= 0L).count() === 0,
+      "every chain node must end labeled with the component min (0)")
+    // the cap fails loudly when the diameter exceeds it — the documented
+    // signal to switch to large-star/small-star (O(log n) rounds) rather
+    // than raise the cap
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.propagateMinLabels(edges, init, maxRounds = 8)
+    }
+    assert(err.getMessage.contains("did not converge in 8 rounds"))
+  }
+
   test("clearCaches releases the band-row blocks (no executor-memory leak)") {
     graft.ops.Dedup.clearCaches()
     val before = spark.sparkContext.getPersistentRDDs.keySet

@@ -38,6 +38,44 @@ class SourcesSpec extends TestSpark {
     assert(back(1).isNullAt(1))
   }
 
+  test("q_src_csv fixture invariant: no nulls/commas/quotes in csv columns") {
+    // qSrcCsv's Spark/DuckDB equivalence rests on the four formatted events
+    // columns containing no nulls, commas, or quotes: Spark's concat_ws
+    // silently DROPS a null field (shifting the rest) while DuckDB's ||
+    // nulls the whole line — a fixture change would make the oracle diverge
+    // silently. Fail loudly here instead (round-4 ADVICE).
+    val violations = Sources.table(spark, Sf, "events")
+      .filter(
+        col("event_id").isNull || col("user_id").isNull ||
+        col("event_type").isNull || col("value").isNull ||
+        col("event_type").contains(",") || col("event_type").contains("\""))
+      .count()
+    assert(violations === 0L,
+      s"$violations events rows violate the q_src_csv unquoted-CSV invariant")
+  }
+
+  test("partitioned events scan prunes directories, statically and via DPP") {
+    // static pruning: the day predicate must bind to the partition column —
+    // PartitionFilters on the scan, not a post-scan Filter over all 30 days
+    val q = graft.SparkEntry.queries("q_src_partitioned")(spark, Sf)
+    val plan = q.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("event_date"),
+      s"day predicate did not reach PartitionFilters:\n$plan")
+    // dynamic partition pruning: joining the partitioned fact to a
+    // selectively-filtered dim on the partition column must plan a
+    // dynamicpruning subquery filter on the scan (SURVEY §4.2 DPP row)
+    val fact = graft.io.Sources.partitionedEvents(spark, Sf)
+    val dim = fact.select("event_date").distinct()
+      .filter(dayofmonth(col("event_date")) === 3)
+    val dppPlan = fact.join(dim, "event_date")
+      .groupBy("event_date").count()
+      .queryExecution.executedPlan.toString
+    assert(dppPlan.contains("dynamicpruning"),
+      s"no dynamic partition pruning in join plan:\n$dppPlan")
+  }
+
   test("orc round-trips real table data with predicate pushdown intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Sources.table(spark, Sf, "events")
