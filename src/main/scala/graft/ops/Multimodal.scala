@@ -11,43 +11,121 @@ import graft.io.Sources
   * extraction runs batched per partition — the Scala equivalent of a
   * pandas-batch UDF stage.
   *
-  * This container ships no image/audio codecs, so the decoder itself is a
-  * clearly-marked deterministic STUB ([[DecoderStub]]); everything around
-  * it — binary schema, partition-batched execution, feature-struct output
-  * shape — is real and tested. Swapping the stub for a JNI/codec
-  * implementation changes no plumbing.
+  * The container ships no external media libraries, but the JDK's own
+  * `javax.imageio` is a real PNG codec — so the decode stage is REAL
+  * ([[ImageCodec]]): actual PNG bytes in the binary column, actual ImageIO
+  * decode in the partition-batched stage. The *test images* are synthesized
+  * deterministically from document metadata (there is no true media in the
+  * testdata), which is exactly what makes the decoded pixel statistics
+  * oracle-checkable: DuckDB recomputes them from the same generator
+  * formula, and the hash match proves the encode→decode round-trip is
+  * lossless in the engine.
   */
 object Multimodal {
 
   /** A media row as it would arrive from ingestion: payload + metadata. */
   final case class MediaRow(doc_id: Long, content: Array[Byte], mime: String)
 
-  /** Extracted features (what a real decoder would emit). */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long,
-      n_frames: Long, checksum: Long)
+  /** Features decoded from a real image payload. */
+  final case class DecodedFeatures(
+      doc_id: Long, width: Long, height: Long,
+      px_sum: Long, px_min: Long, px_max: Long)
 
-  /** STUB decoder: stands in for image/audio decode (libs absent in this
-    * environment). Deterministic pure function of the bytes, so tests and
-    * oracle runs are stable. A real implementation would decode `content`
-    * per `mime` and emit true dimensions; batch shape and signature stay
-    * identical.
+  /** Real PNG codec on `javax.imageio` (JDK-native, headless-safe).
+    *
+    * Images are 8-bit grayscale: PNG is lossless there, so
+    * raster-sample-level equality between what [[encodePng]] wrote and what
+    * [[decode]] reads back is guaranteed — the property the q_mm_features
+    * oracle checks end-to-end. Samples are read/written through the raster
+    * (never `getRGB`, whose color-space conversion is not portable).
     */
-  object DecoderStub {
-    def decode(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
-      rows.map { r =>
-        val n = r.content.length.toLong
-        // cheap rolling checksum of the payload (deterministic fake for a
-        // perceptual hash)
-        var ck = 0L
-        var i = 0
-        while (i < r.content.length) {
-          ck = (ck * 31 + (r.content(i) & 0xff)) & 0x7fffffffL
-          i += 1
-        }
-        MediaFeatures(r.doc_id, n, n % 640 + 1, (n * 7) % 480 + 1,
-          n % 30 + 1, ck)
+  object ImageCodec {
+
+    /** Deterministic image dimensions for a doc with `n` payload bytes. */
+    def dims(n: Long): (Int, Int) =
+      ((n % 16 + 1).toInt, ((n * 7) % 12 + 1).toInt)
+
+    /** Deterministic grayscale value at (x, y) for `docId`. */
+    def pixel(docId: Long, x: Int, y: Int): Int =
+      ((docId * 31 + x * 7 + y * 13) % 256).toInt
+
+    /** Encode the deterministic test image for (docId, n) as real PNG
+      * bytes.
+      */
+    def encodePng(docId: Long, n: Long): Array[Byte] = {
+      val (w, h) = dims(n)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, pixel(docId, x, y)); x += 1 }
+        y += 1
       }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode PNG payloads batched per partition (one codec context per
+      * partition, rows streamed through) and emit per-image pixel
+      * statistics — the real form of the decode/feature-extract stage.
+      */
+    def decode(rows: Iterator[MediaRow]): Iterator[DecodedFeatures] =
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.content))
+        require(img != null, s"undecodable payload for doc ${r.doc_id}")
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sum, mn, mx) = (0L, 256L, -1L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = raster.getSample(x, y, 0).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        DecodedFeatures(r.doc_id, w.toLong, h.toLong, sum, mn, mx)
+      }
+
+    /** Nearest-neighbor downscale to at most `maxDim` on each side, then
+      * re-encode — a real resize with deterministic integer sampling
+      * (library scalers vary by platform; `out(x,y) = in(x·w/ow, y·h/oh)`
+      * does not). Payloads already within bounds pass through untouched,
+      * which also makes the operation idempotent.
+      */
+    def resizePng(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w <= maxDim && h <= maxDim) bytes
+      else {
+        val scale = math.max(
+          (w + maxDim - 1) / maxDim, (h + maxDim - 1) / maxDim)
+        val (ow, oh) = (math.max(1, w / scale), math.max(1, h / scale))
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            out.getRaster.setSample(x, y, 0,
+              img.getRaster.getSample(x * w / ow, y * h / oh, 0))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
   }
 
   /** Media table synthesized from `documents`: UTF-8 payload as the binary
@@ -73,13 +151,30 @@ object Multimodal {
       .withColumn("n_frames", col("n_bytes") % 30 + 1)
       .orderBy("doc_id")
 
-  /** Partition-batched decode through [[DecoderStub]] — the mapPartitions
-    * stage a real decoder would run in (one decoder init per partition,
-    * rows streamed through in batch). Rows-only check: the stub checksum
-    * is not SQL-expressible, which is the point of the stage.
+  /** Real-PNG media table: one deterministic grayscale PNG per document,
+    * encoded by [[ImageCodec.encodePng]] in a partition-batched stage —
+    * genuine image bytes riding the binary column (the testdata carries no
+    * true media, so the images are synthesized from document metadata).
+    */
+  def pngTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .as[(Long, Long)]
+      .mapPartitions(it =>
+        it.map { case (id, n) => (id, ImageCodec.encodePng(id, n)) })
+      .toDF("doc_id", "content")
+  }
+
+  /** Partition-batched REAL decode: PNG bytes from [[pngTable]] through
+    * `javax.imageio` ([[ImageCodec.decode]]) to per-image pixel statistics.
+    * Oracle-checked end-to-end — DuckDB regenerates the expected stats from
+    * the deterministic image formula, so a hash match proves the PNG
+    * encode→binary-column→decode chain is lossless.
     *
     * Encoder-boundary hygiene: the scan is pre-projected to the two
-    * columns the decoder consumes and crosses into JVM objects via a lean
+    * columns the codec consumes and crosses into JVM objects via a lean
     * (Long, Array[Byte]) product encoder — the constant `mime` column is
     * attached object-side, so no literal string is deserialized per row.
     * mapPartitions breaks whole-stage codegen by nature; keeping the
@@ -87,27 +182,15 @@ object Multimodal {
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Sources.table(s, dir, "documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("content"))
+    pngTable(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        DecoderStub.decode(it.map { case (id, bytes) =>
-          MediaRow(id, bytes, "image/fake")
+        ImageCodec.decode(it.map { case (id, bytes) =>
+          MediaRow(id, bytes, "image/png")
         })
       }
       .toDF()
       .orderBy("doc_id")
-  }
-
-  /** Resize stage STUB: bounds each payload to `maxBytes` (a real
-    * implementation re-encodes to a target resolution; the batch shape —
-    * binary in, binary out, one init per partition — is identical).
-    */
-  object ResizeStub {
-    def resize(rows: Iterator[MediaRow], maxBytes: Int): Iterator[MediaRow] =
-      rows.map(r =>
-        if (r.content.length <= maxBytes) r
-        else r.copy(content = r.content.take(maxBytes)))
   }
 
   /** Frame sampling: every 5th frame index per payload with its byte
@@ -134,6 +217,21 @@ object Multimodal {
     "q_mm_frames" -> qMmFrames)
 
   val oracleSql: Map[String, String] = Map(
+    // regenerate the expected pixel statistics from the deterministic image
+    // formula (dims + pixel in ImageCodec) — a hash match proves the real
+    // PNG encode→decode chain reproduced every sample exactly
+    "q_mm_features" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |dims AS (SELECT doc_id, n % 16 + 1 AS w, (n * 7) % 12 + 1 AS h
+        |  FROM d),
+        |px AS (SELECT doc_id, w, h, (doc_id * 31 + x * 7 + y * 13) % 256 AS v
+        |  FROM dims, unnest(range(0, w)) AS tx(x),
+        |  unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS BIGINT) AS px_min,
+        |CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

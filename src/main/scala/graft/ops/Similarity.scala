@@ -235,8 +235,96 @@ object Similarity {
     centroidsOf(assigned)
   }
 
+  /** One Lloyd assignment+update step against a broadcast codebook:
+    * `cents` is (cid, cemb float vector); returns the recomputed (cid,
+    * cemb) frame. Per-vector work is k codegen'd dot products against the
+    * BROADCAST codebook (map-side); the 16× candidate fan-out collapses in
+    * the partial hash aggregate before its exchange, so the shuffle carries
+    * one row per vector, and the mean aggregate's state is k × dim cells.
+    * Means accumulate in DECIMAL (partitioning-independent) and land as
+    * FLOAT so the next step's distances are bit-portable across engines.
+    */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
+    val withNrm2 = cents.select(col("cid"), col("cemb"),
+      dot(col("cemb"), col("cemb")).as("cnrm2"))
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val assigned = e.crossJoin(broadcast(withNrm2))
+      .select(col("vec_id"), col("embedding"), dist2.as("dist2"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cluster"),
+        first(col("embedding")).as("embedding"))
+    assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("x").cast(DoubleType).cast(DecimalType(20, 10)))
+        .cast(DoubleType) / count(lit(1))).as("mean"))
+      .groupBy("cluster")
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("mean").cast(FloatType).as("m")))).as("ml"))
+      .select(col("cluster").as("cid"),
+        transform(col("ml"), m => m.getField("m")).as("cemb"))
+  }
+
+  /** Trained codebook: `steps` Lloyd iterations from the deterministic
+    * first-k seed, entirely as a DataFrame chain (each step is one corpus
+    * pass — Lloyd's inherent cost; the codebook itself is k × dim and only
+    * ever moves by broadcast). k is the scale knob the hard-coded 64-cell
+    * sign quantizer in [[qSimIvf]] lacks: at 100 TB you raise k so each
+    * inverted list stays executor-sized, and the candidate join cost is
+    * O(n·q/k).
+    */
+  private def lloydCentroids(e: DataFrame, k: Int, steps: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    (1 to steps).foreach(_ => cents = lloydStep(e, cents))
+    cents
+  }
+
+  /** IVF search over the TRAINED codebook — train → assign → search
+    * end-to-end (the composition [[qIvfTrain]] alone lacked). Every vector
+    * (and every query) is assigned to its nearest of the 16 trained
+    * centroids by the same broadcast argmin used in training; the candidate
+    * join then matches query to corpus *within a cell only* — shuffle key =
+    * cell, cost O(n·q/k), recall bounded by the quantizer like any IVF with
+    * nprobe=1. Distances to the float codebook are bit-portable, so the
+    * DuckDB oracle reproduces the full 2-step training and the search
+    * exactly.
+    */
+  private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm2"))
+    val cents = lloydCentroids(e, 16, 2)
+      .select(col("cid"), col("cemb"),
+        dot(col("cemb"), col("cemb")).as("cnrm2"))
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm2"),
+        dist2.as("dist2"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"),
+        sqrt(first(col("nrm2"))).as("nrm"))
+    val q = assigned.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> qSimTopk,
+    "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
     "q_sim_ivf" -> qSimIvf,
@@ -263,7 +351,63 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** One Lloyd step as DuckDB CTEs: assign each vector to the nearest of
+    * `prev`'s centroids (ties → lowest cid, matching `min_by` on the
+    * (dist2, cid) struct), recompute per-dim means in DECIMAL, land them as
+    * FLOAT — the same arithmetic [[lloydStep]] runs, fold-order-exact.
+    */
+  private def lloydStepSql(prev: String, a: String, m: String, c: String,
+                           cn: String): String =
+    s"""$a AS (SELECT e.vec_id, cid AS cluster, e.embedding
+       |  FROM e CROSS JOIN $prev
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    e.nrm2 - 2.0 * list_sum(list_transform(
+       |      list_zip(e.embedding, $prev.cemb),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      + $prev.cnrm2, cid) = 1),
+       |$m AS (SELECT cluster, pos,
+       |    CAST(sum(CAST(CAST(embedding[pos + 1] AS DOUBLE)
+       |      AS DECIMAL(20,10))) AS DOUBLE) / count(*) AS mean
+       |  FROM $a, unnest(range(0, len(embedding))) AS t(pos) GROUP BY 1, 2),
+       |$c AS (SELECT cluster AS cid, list(CAST(mean AS FLOAT) ORDER BY pos)
+       |    AS cemb
+       |  FROM $m GROUP BY cluster),
+       |$cn AS (SELECT cid, cemb,
+       |  list_sum(list_transform(cemb,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS cnrm2
+       |  FROM $c)""".stripMargin
+
+  private val TrainedCosSql = Num.r4Sql(
+    """list_sum(list_transform(list_zip(c.embedding, q.embedding),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (c.nrm * q.nrm)""".stripMargin)
+
   val oracleSql: Map[String, String] = Map(
+    "q_sim_ivf_trained" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
+         |  FROM embeddings),
+         |c0n AS (SELECT vec_id AS cid, embedding AS cemb, nrm2 AS cnrm2
+         |  FROM e WHERE vec_id < 16),
+         |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
+         |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
+         |af AS (SELECT e.vec_id, cid AS cell, e.embedding,
+         |    sqrt(e.nrm2) AS nrm
+         |  FROM e CROSS JOIN c2n
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c2n.cemb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + c2n.cnrm2, cid) = 1)
+         |SELECT q.vec_id AS q_id, c.vec_id, $TrainedCosSql AS score,
+         |CAST(row_number() OVER (PARTITION BY q.vec_id
+         |  ORDER BY $TrainedCosSql DESC, c.vec_id) AS BIGINT) AS rn
+         |FROM af c JOIN (SELECT * FROM af WHERE vec_id < 50) q
+         |  ON c.cell = q.cell
+         |WHERE c.vec_id <> q.vec_id
+         |QUALIFY rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
     "q_embed_centroid" ->
       s"""WITH d AS (SELECT vec_id % 16 AS cluster, pos,
          |  CAST(CAST(embedding[pos + 1] AS DOUBLE) AS DECIMAL(20,10)) AS xd

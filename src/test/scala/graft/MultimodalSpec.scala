@@ -1,38 +1,54 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.{DecoderStub, MediaRow, ResizeStub}
+import graft.ops.Multimodal.{ImageCodec, MediaRow}
 
-/** Multimodal plumbing specs: stub decoder determinism and batch shape,
-  * binary-column schema through the engine.
+/** Multimodal specs: real PNG codec round-trip, resize bounds, batch
+  * shape, binary-column schema through the engine.
   */
 class MultimodalSpec extends TestSpark {
 
-  test("decoder stub is deterministic and total") {
-    val rows = Seq(
-      MediaRow(1L, "hello".getBytes("UTF-8"), "image/fake"),
-      MediaRow(2L, Array.empty[Byte], "image/fake"))
-    val out1 = DecoderStub.decode(rows.iterator).toSeq
-    val out2 = DecoderStub.decode(rows.iterator).toSeq
-    assert(out1 === out2)
-    assert(out1.head.n_bytes === 5L)
-    assert(out1(1).n_bytes === 0L) // empty payload doesn't crash
-    out1.foreach { f =>
-      assert(f.width >= 1 && f.width <= 640)
-      assert(f.height >= 1 && f.height <= 480)
-      assert(f.n_frames >= 1 && f.n_frames <= 30)
+  test("png codec round-trips the deterministic image losslessly") {
+    for (docId <- Seq(0L, 7L, 123L); n <- Seq(0L, 5L, 100L, 12345L)) {
+      val png = ImageCodec.encodePng(docId, n)
+      // real PNG bytes: magic header
+      assert(png.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+      val Seq(f) = ImageCodec.decode(
+        Iterator(MediaRow(docId, png, "image/png"))).toSeq
+      val (w, h) = ImageCodec.dims(n)
+      assert(f.width === w.toLong && f.height === h.toLong)
+      // decoded stats equal the generator formula exactly (lossless)
+      val vals = for (y <- 0 until h; x <- 0 until w)
+        yield ImageCodec.pixel(docId, x, y).toLong
+      assert(f.px_sum === vals.sum)
+      assert(f.px_min === vals.min && f.px_max === vals.max)
     }
   }
 
-  test("resize stub bounds payloads, keeps small ones intact, is idempotent") {
+  test("decode is deterministic across repeated batches") {
     val rows = Seq(
-      MediaRow(1L, Array.fill[Byte](1000)(7), "image/fake"),
-      MediaRow(2L, "tiny".getBytes("UTF-8"), "image/fake"))
-    val out = ResizeStub.resize(rows.iterator, 256).toSeq
-    assert(out.head.content.length === 256)
-    assert(out(1).content.sameElements("tiny".getBytes("UTF-8")))
-    val again = ResizeStub.resize(out.iterator, 256).toSeq
-    assert(again.map(_.content.toSeq) === out.map(_.content.toSeq))
+      MediaRow(1L, ImageCodec.encodePng(1L, 42L), "image/png"),
+      MediaRow(2L, ImageCodec.encodePng(2L, 7L), "image/png"))
+    val out1 = ImageCodec.decode(rows.iterator).toSeq
+    val out2 = ImageCodec.decode(rows.iterator).toSeq
+    assert(out1 === out2)
+  }
+
+  test("resize bounds dimensions, keeps small images intact, is idempotent") {
+    val big = ImageCodec.encodePng(3L, 12L)      // 13 x 1 — width over 8
+    val small = ImageCodec.encodePng(3L, 2L)     // 3 x 3 — within 8
+    val shrunk = ImageCodec.resizePng(big, 8)
+    val Seq(f) = ImageCodec.decode(
+      Iterator(MediaRow(0L, shrunk, "image/png"))).toSeq
+    assert(f.width <= 8 && f.height <= 8)
+    // within-bounds payloads pass through untouched (same bytes)
+    assert(ImageCodec.resizePng(small, 8).toSeq === small.toSeq)
+    // idempotent: resizing the resized payload changes nothing
+    assert(ImageCodec.resizePng(shrunk, 8).toSeq === shrunk.toSeq)
+    // nearest-neighbor samples come from the source image
+    val Seq(g) = ImageCodec.decode(
+      Iterator(MediaRow(0L, big, "image/png"))).toSeq
+    assert(f.px_min >= g.px_min && f.px_max <= g.px_max)
   }
 
   test("frame sampling fans each payload out to its every-5th frames") {
@@ -48,16 +64,15 @@ class MultimodalSpec extends TestSpark {
     }
   }
 
-  test("media table carries a real binary column through a Spark plan") {
+  test("media tables carry real binary columns through a Spark plan") {
     val mt = Multimodal.mediaTable(spark, Sf)
     assert(mt.schema("content").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val pt = Multimodal.pngTable(spark, Sf)
+    assert(pt.schema("content").dataType ===
       org.apache.spark.sql.types.BinaryType)
     val features = graft.SparkEntry.queries("q_mm_features")(spark, Sf)
     assert(features.count() ===
       graft.io.Sources.table(spark, Sf, "documents").count())
-    // checksum distributes: different payloads, different checksums (spot)
-    val cks = features.select("checksum").limit(100)
-      .collect().map(_.getLong(0))
-    assert(cks.distinct.length > 90)
   }
 }

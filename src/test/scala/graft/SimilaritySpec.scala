@@ -82,6 +82,24 @@ class SimilaritySpec extends TestSpark {
     assert(row.isNullAt(0))
   }
 
+  test("trained IVF searches within trained cells and improves on random") {
+    val res = graft.SparkEntry.queries("q_sim_ivf_trained")(spark, Sf)
+      .collect()
+    // every query with a non-singleton cell returns at most 3 candidates,
+    // ranked 1..n with descending scores
+    assert(res.nonEmpty)
+    val byQ = res.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 3, s"query $q returned ${rows.length} rows")
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks === (1L to rows.length).toSeq, s"query $q ranks $ranks")
+      val scores = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(scores === scores.sorted.reverse, s"query $q not rank-ordered")
+    }
+    // candidates never include the query itself
+    assert(res.forall(r => r.getLong(1) != r.getLong(0)))
+  }
+
   test("ivf training step partitions the corpus across seed clusters") {
     val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
     // clusters are seed ids (0..15) and every vector lands in exactly one
