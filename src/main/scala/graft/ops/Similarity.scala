@@ -292,9 +292,16 @@ object Similarity {
     * exactly.
     */
   private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
-      .select(col("vec_id"), col("embedding"),
-        dot(col("embedding"), col("embedding")).as("nrm2"))
+    // persist the featurized corpus: Lloyd training + final assignment make
+    // steps+2 passes over it, and without the persist each pass re-scans
+    // parquet and recomputes ||v||². Registered in graft.Caches → released
+    // by Dedup.clearCaches() (the Verify/Bench mains call it). On a real
+    // cluster this is the cached training set every iterative trainer pins.
+    val e = graft.Caches.register(
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          dot(col("embedding"), col("embedding")).as("nrm2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cents = lloydCentroids(e, 16, 2)
       .select(col("cid"), col("cemb"),
         dot(col("cemb"), col("cemb")).as("cnrm2"))
