@@ -151,6 +151,75 @@ object Multimodal {
       .withColumn("n_frames", col("n_bytes") % 30 + 1)
       .orderBy("doc_id")
 
+  /** Features decoded from a real audio payload. */
+  final case class AudioFeatures(
+      doc_id: Long, n_samples: Long, sample_rate: Long,
+      amp_sum: Long, amp_min: Long, amp_max: Long)
+
+  /** Real WAV codec on `javax.sound.sampled` (JDK-native, headless-safe).
+    * 16-bit signed PCM mono: the WAVE container is lossless, so decoded
+    * sample values equal what [[encodeWav]] wrote — the property the
+    * q_mm_audio oracle checks end-to-end against the generator formula.
+    */
+  object AudioCodec {
+
+    val SampleRate = 8000
+
+    /** Deterministic sample count for a doc with `n` payload bytes. */
+    def nSamples(n: Long): Int = (n % 100 + 10).toInt
+
+    /** Deterministic 16-bit sample value at index `i` for `docId`. */
+    def sample(docId: Long, i: Int): Int =
+      ((docId * 7919 + i * 337) % 65536 - 32768).toInt
+
+    /** Encode the deterministic test waveform for (docId, n) as real WAV
+      * bytes (RIFF/WAVE, 16-bit LE PCM mono).
+      */
+    def encodeWav(docId: Long, n: Long): Array[Byte] = {
+      val ns = nSamples(n)
+      val pcm = new Array[Byte](ns * 2)
+      var i = 0
+      while (i < ns) {
+        val v = sample(docId, i)
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, ns.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode WAV payloads batched per partition and emit amplitude
+      * statistics — the audio half of the decode/feature-extract stage.
+      */
+    def decode(rows: Iterator[MediaRow]): Iterator[AudioFeatures] =
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"unexpected wav format for doc ${r.doc_id}: $fmt")
+        val data = ais.readAllBytes()
+        val ns = data.length / 2
+        var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+        var i = 0
+        while (i < ns) {
+          val v = (((data(2 * i + 1).toInt) << 8) |
+            (data(2 * i).toInt & 0xff)).toShort.toLong
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          i += 1
+        }
+        AudioFeatures(r.doc_id, ns.toLong, fmt.getSampleRate.toLong,
+          sum, mn, mx)
+      }
+  }
+
   /** Real-PNG media table: one deterministic grayscale PNG per document,
     * encoded by [[ImageCodec.encodePng]] in a partition-batched stage —
     * genuine image bytes riding the binary column (the testdata carries no
@@ -211,9 +280,52 @@ object Multimodal {
         (col("frame_idx") * expr("n_bytes div n_frames")).as("byte_offset"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Resize-then-decode: each PNG payload through
+    * [[ImageCodec.resizePng]] (bound 8×8) and back through the decoder —
+    * the typical thumbnail/normalization stage before feature extraction.
+    * Oracle-verified: nearest-neighbor sampling is pure integer index
+    * arithmetic, so DuckDB recomputes the post-resize pixel statistics
+    * from the image formula and the hash match proves the full
+    * encode→resize→re-encode→decode chain.
+    */
+  private def qMmResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pngTable(s, dir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageCodec.decode(it.map { case (id, bytes) =>
+          MediaRow(id, ImageCodec.resizePng(bytes, 8), "image/png")
+        })
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Audio half of the decode stage: deterministic 16-bit PCM waveforms
+    * encoded as real WAV bytes in the binary column, decoded back through
+    * `javax.sound` ([[AudioCodec]]), emitting amplitude statistics the
+    * oracle regenerates from the waveform formula.
+    */
+  private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        AudioCodec.decode(it.map { case (id, n) =>
+          MediaRow(id, AudioCodec.encodeWav(id, n), "audio/wav")
+        })
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_meta" -> qMmMeta,
     "q_mm_features" -> qMmFeatures,
+    "q_mm_resize" -> qMmResize,
+    "q_mm_audio" -> qMmAudio,
     "q_mm_frames" -> qMmFrames)
 
   val oracleSql: Map[String, String] = Map(
@@ -232,6 +344,43 @@ object Multimodal {
         |CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS BIGINT) AS px_min,
         |CAST(max(v) AS BIGINT) AS px_max
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // post-resize stats: nearest-neighbor is out(x,y) = in(x·w0/ow,
+    // y·h0/oh) with integer division, so the expected pixels are index
+    // arithmetic over the same generator formula
+    "q_mm_resize" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |dims AS (SELECT doc_id, n % 16 + 1 AS w0, (n * 7) % 12 + 1 AS h0
+        |  FROM d),
+        |sc AS (SELECT doc_id, w0, h0,
+        |  CASE WHEN w0 <= 8 AND h0 <= 8 THEN 1
+        |       ELSE greatest((w0 + 7) // 8, (h0 + 7) // 8) END AS s
+        |  FROM dims),
+        |od AS (SELECT doc_id, w0, h0, greatest(1, w0 // s) AS ow,
+        |  greatest(1, h0 // s) AS oh FROM sc),
+        |px AS (SELECT doc_id, ow, oh,
+        |  (doc_id * 31 + (x * w0 // ow) * 7 + (y * h0 // oh) * 13) % 256 AS v
+        |  FROM od, unnest(range(0, ow)) AS tx(x),
+        |  unnest(range(0, oh)) AS ty(y))
+        |SELECT doc_id, CAST(ow AS BIGINT) AS width,
+        |CAST(oh AS BIGINT) AS height,
+        |CAST(sum(v) AS BIGINT) AS px_sum, CAST(min(v) AS BIGINT) AS px_min,
+        |CAST(max(v) AS BIGINT) AS px_max
+        |FROM px GROUP BY doc_id, ow, oh ORDER BY doc_id""".stripMargin,
+    // amplitude stats of the deterministic PCM waveform — WAV is a
+    // lossless container, so decode must reproduce every 16-bit sample
+    "q_mm_audio" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+        |dims AS (SELECT doc_id, n % 100 + 10 AS ns FROM d),
+        |sm AS (SELECT doc_id, ns,
+        |  (doc_id * 7919 + i * 337) % 65536 - 32768 AS v
+        |  FROM dims, unnest(range(0, ns)) AS t(i))
+        |SELECT doc_id, CAST(ns AS BIGINT) AS n_samples,
+        |CAST(8000 AS BIGINT) AS sample_rate,
+        |CAST(sum(v) AS BIGINT) AS amp_sum, CAST(min(v) AS BIGINT) AS amp_min,
+        |CAST(max(v) AS BIGINT) AS amp_max
+        |FROM sm GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin,
     "q_mm_meta" ->
       """SELECT doc_id, 'image/fake' AS mime,
         |CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.{ImageCodec, MediaRow}
+import graft.ops.Multimodal.{AudioCodec, ImageCodec, MediaRow}
 
 /** Multimodal specs: real PNG codec round-trip, resize bounds, batch
   * shape, binary-column schema through the engine.
@@ -49,6 +49,22 @@ class MultimodalSpec extends TestSpark {
     val Seq(g) = ImageCodec.decode(
       Iterator(MediaRow(0L, big, "image/png"))).toSeq
     assert(f.px_min >= g.px_min && f.px_max <= g.px_max)
+  }
+
+  test("wav codec round-trips the deterministic waveform losslessly") {
+    for (docId <- Seq(0L, 42L, 999L); n <- Seq(0L, 13L, 12345L)) {
+      val wav = AudioCodec.encodeWav(docId, n)
+      // real RIFF/WAVE container
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+      val Seq(f) = AudioCodec.decode(
+        Iterator(MediaRow(docId, wav, "audio/wav"))).toSeq
+      val ns = AudioCodec.nSamples(n)
+      assert(f.n_samples === ns.toLong)
+      assert(f.sample_rate === AudioCodec.SampleRate.toLong)
+      val vals = (0 until ns).map(i => AudioCodec.sample(docId, i).toLong)
+      assert(f.amp_sum === vals.sum)
+      assert(f.amp_min === vals.min && f.amp_max === vals.max)
+    }
   }
 
   test("frame sampling fans each payload out to its every-5th frames") {
