@@ -141,8 +141,10 @@ object Dedup {
       }
     }
     // also release the per-call persisted frames other operators registered
-    // (surrogateKeysScaled, qWinNtileScaled — round-4 ADVICE)
+    // (surrogateKeysScaled, qWinNtileScaled — round-4 ADVICE) and drop the
+    // similarity memos so re-use after a release rebuilds cleanly
     graft.Caches.releaseAll()
+    Similarity.clearMemos()
   }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {

@@ -291,29 +291,62 @@ object Similarity {
     * DuckDB oracle reproduces the full 2-step training and the search
     * exactly.
     */
-  private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
-    // persist the featurized corpus: Lloyd training + final assignment make
-    // steps+2 passes over it, and without the persist each pass re-scans
-    // parquet and recomputes ||v||². Registered in graft.Caches → released
-    // by Dedup.clearCaches() (the Verify/Bench mains call it). On a real
-    // cluster this is the cached training set every iterative trainer pins.
-    val e = graft.Caches.register(
+  /** Memoized featurized corpus and trained codebook, keyed by sf dir —
+    * the trained-IVF queries (nprobe=1 and nprobe=2) share one training
+    * run the way a real index serves many searches. The corpus persist is
+    * registered in [[graft.Caches]] (released by `Dedup.clearCaches()`);
+    * after a release the memoized plans remain correct, merely uncached,
+    * and [[clearMemos]] (also called from `clearCaches`) drops them so a
+    * long-lived session can rebuild cleanly.
+    */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val codebookCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private[graft] def clearMemos(): Unit = {
+    corpusCache.clear()
+    codebookCache.clear()
+  }
+
+  private def featurizedCorpus(s: SparkSession, dir: String): DataFrame =
+    corpusCache.getOrElseUpdate(dir, graft.Caches.register(
       emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           dot(col("embedding"), col("embedding")).as("nrm2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cents = lloydCentroids(e, 16, 2)
-      .select(col("cid"), col("cemb"),
-        dot(col("cemb"), col("cemb")).as("cnrm2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  /** The 2-step-Lloyd codebook with per-centroid ||c||², ready to
+    * broadcast. Persisted (k × dim — tiny) so the second consumer skips
+    * re-training.
+    */
+  private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
+    codebookCache.getOrElseUpdate(dir, graft.Caches.register(
+      lloydCentroids(featurizedCorpus(s, dir), 16, 2)
+        .select(col("cid"), col("cemb"),
+          dot(col("cemb"), col("cemb")).as("cnrm2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
+  /** Corpus rows labeled with their nearest trained centroid (the inverted
+    * file): broadcast argmin, partial agg collapses the k-way fan-out
+    * map-side.
+    */
+  private def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
+    val e = featurizedCorpus(s, dir)
+    val cents = trainedCodebook(s, dir)
     val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
       col("cnrm2")
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm2"),
         dist2.as("dist2"), col("cid"))
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"),
         sqrt(first(col("nrm2"))).as("nrm"))
+  }
+
+  private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(s, dir)
     val q = assigned.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("cell"))
@@ -329,9 +362,45 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Multi-probe trained IVF (nprobe = 2): each query searches its TWO
+    * nearest cells instead of one — the standard IVF recall knob. Corpus
+    * cells stay disjoint (every vector lives in exactly one inverted
+    * list), so probing fans out only the tiny query side (q × nprobe rows
+    * into the cell join) and recall rises at O(nprobe) extra candidate
+    * cost — nothing about the corpus layout changes. The query-side
+    * 2-nearest ranking windows over ≤ k rows per query.
+    */
+  private def qSimIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(s, dir)
+    val cents = trainedCodebook(s, dir)
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val q = featurizedCorpus(s, dir).filter(col("vec_id") < 50)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm2"),
+        dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(col("nrm2")).as("q_nrm"), col("cid").as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
+    "q_sim_ivf_probe" -> qSimIvfProbe,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
     "q_sim_ivf" -> qSimIvf,
@@ -390,6 +459,41 @@ object Similarity {
       |  / (c.nrm * q.nrm)""".stripMargin)
 
   val oracleSql: Map[String, String] = Map(
+    // same training replay as q_sim_ivf_trained; the query side QUALIFYs
+    // its TWO nearest cells (nprobe=2) while the corpus stays rn=1
+    "q_sim_ivf_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
+         |  FROM embeddings),
+         |c0n AS (SELECT vec_id AS cid, embedding AS cemb, nrm2 AS cnrm2
+         |  FROM e WHERE vec_id < 16),
+         |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
+         |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
+         |af AS (SELECT e.vec_id, cid AS cell, e.embedding,
+         |    sqrt(e.nrm2) AS nrm
+         |  FROM e CROSS JOIN c2n
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c2n.cemb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + c2n.cnrm2, cid) = 1),
+         |qp AS (SELECT e.vec_id, cid AS cell, e.embedding,
+         |    sqrt(e.nrm2) AS nrm
+         |  FROM e CROSS JOIN c2n
+         |  WHERE e.vec_id < 50
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c2n.cemb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + c2n.cnrm2, cid) <= 2)
+         |SELECT q.vec_id AS q_id, c.vec_id, $TrainedCosSql AS score,
+         |CAST(row_number() OVER (PARTITION BY q.vec_id
+         |  ORDER BY $TrainedCosSql DESC, c.vec_id) AS BIGINT) AS rn
+         |FROM af c JOIN qp q ON c.cell = q.cell
+         |WHERE c.vec_id <> q.vec_id
+         |QUALIFY rn <= 3
+         |ORDER BY q_id, rn""".stripMargin,
     "q_sim_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  list_sum(list_transform(embedding,

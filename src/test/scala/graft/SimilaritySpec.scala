@@ -100,6 +100,25 @@ class SimilaritySpec extends TestSpark {
     assert(res.forall(r => r.getLong(1) != r.getLong(0)))
   }
 
+  test("multi-probe IVF never scores below single-probe at any rank") {
+    // nprobe=2 searches a superset of nprobe=1's candidates, so for every
+    // (query, rank) the score must be >= the single-probe score — the
+    // monotone-recall property of the probe knob
+    val one = graft.SparkEntry.queries("q_sim_ivf_trained")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val two = graft.SparkEntry.queries("q_sim_ivf_probe")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    assert(two.nonEmpty)
+    one.foreach { case (key, s1) =>
+      two.get(key).foreach { s2 =>
+        assert(s2 >= s1 - 1e-9, s"probe-2 worse at $key: $s2 < $s1")
+      }
+    }
+    // and it genuinely improves at least one rank on this corpus
+    assert(one.exists { case (key, s1) => two.get(key).exists(_ > s1) },
+      "expected the second probe to improve some rank")
+  }
+
   test("ivf training step partitions the corpus across seed clusters") {
     val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
     // clusters are seed ids (0..15) and every vector lands in exactly one
