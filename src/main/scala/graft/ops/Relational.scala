@@ -85,6 +85,54 @@ object Relational {
       .orderBy("c_custkey", "n_name")
   }
 
+  /** J-bucketed: the co-located fact-fact join over bucketed AT-REST
+    * layout — the 100 TB answer to "lineitem ⋈ orders shuffles both
+    * tables every run". Both sides are written once per (JVM, sf dir)
+    * through [[graft.io.Layout.writeBucketed]] with the SAME bucket count
+    * on the join key, so the sort-merge join reads bucket i against
+    * bucket i with NO Exchange on either side (`BucketingSpec` asserts
+    * that on this very layout shape; at cluster scale the one-time write
+    * amortizes over every later join/agg on the key). The oracle runs the
+    * identical join from the plain parquet tables — layout must never
+    * change results.
+    */
+  private def bucketedName(base: String, dir: String): String =
+    base + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  private def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val li = bucketedName("graft_b_li", dir)
+    val od = bucketedName("graft_b_od", dir)
+    this.synchronized {
+      if (!s.catalog.tableExists(li)) {
+        // a leftover warehouse dir from a previous JVM fails saveAsTable
+        // with LOCATION_ALREADY_EXISTS: the in-memory catalog forgot the
+        // table but the files persist — clear both
+        val warehouse = new java.io.File(
+          s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+        Seq(li, od).foreach { n =>
+          s.sql(s"DROP TABLE IF EXISTS $n")
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(new java.io.File(warehouse, n))
+        }
+        graft.io.Layout.writeBucketed(
+          t(s, dir, "lineitem").select(col("l_orderkey").as("k"),
+            col("l_quantity")), li, 8, Seq("k"))
+        graft.io.Layout.writeBucketed(
+          t(s, dir, "orders").select(col("o_orderkey").as("k"),
+            col("o_orderstatus")), od, 8, Seq("k"))
+      }
+    }
+    graft.io.Layout.table(s, li)
+      .join(graft.io.Layout.table(s, od).hint("merge"), "k")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_items"),
+        rnd(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
   // J3 left semi: clients that already have orders (EXISTS)
   private def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -879,6 +927,7 @@ object Relational {
     "q_scd2" -> qScd2,
     "q_bloom_prune" -> qBloomPrune,
     "q_join_nullsafe" -> qJoinNullsafe,
+    "q_join_bucketed" -> qJoinBucketed,
     "q_agg_bool" -> qAggBool,
     "q_agg_argmax" -> qAggArgmax,
     "q_cdc_diff" -> qCdcDiff,
@@ -1080,6 +1129,14 @@ object Relational {
         |              AS BIGINT) + 1 END AS bucket,
         |CAST(count(*) AS BIGINT) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // identical join/agg from the plain parquet tables: the bucketed
+    // layout is a physical detail, never a semantic one
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_join_nullsafe" ->
       """WITH c AS (SELECT c_custkey,
         |  CASE WHEN c_custkey % 10 <> 0 THEN c_nationkey END AS nk

@@ -109,6 +109,42 @@ class RelationalSpec extends TestSpark {
     assert(joined.count() === 0)
   }
 
+  test("bucketed join query reads co-located buckets with no join exchange") {
+    // AQE wraps subtrees in query stages that tree-collect cannot see
+    // through pre-execution; the static plan shows the true join shape
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_join_bucketed")(spark, Sf)
+        .queryExecution.executedPlan
+      val joins = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, s"expected a sort-merge join:\n$plan")
+      // the aggregation above the join may shuffle; the join subtree
+      // itself must not — that's the point of the bucketed at-rest layout
+      val shuffles = joins.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }
+      assert(shuffles.isEmpty,
+        s"bucketed join still shuffles its inputs:\n${joins.head}")
+      assert(joins.head.toString.contains("Bucketed: true"),
+        s"join inputs are not bucketed scans:\n${joins.head}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("except_all plans as pre-aggregated join, not a bag-replication window") {
+    // the arithmetic formulation must shuffle distinct keys only: no
+    // Window operator (exceptAll's union+replicate+sum-window shape) and
+    // both sides hash-aggregated before the join
+    val plan = graft.SparkEntry.queries("q_except_all")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition"),
+      s"q_except_all regressed to a window-based bag difference:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"q_except_all lost its pre-aggregation:\n$plan")
+  }
+
   test("scaled rank formulations window per range partition, not globally") {
     // the data-sized window must be keyed by the range-partition id — the
     // whole point of the scaled twins is that no full-table sort funnels
