@@ -166,9 +166,35 @@ object Sources {
         col("value"), col("event_date"))
       .orderBy("event_id")
 
+  /** S-robustness verified query: malformed-record tolerance on the
+    * schema-on-read path. One in seven JSON documents is truncated to a
+    * syntactically invalid prefix; `from_json` in PERMISSIVE mode (the
+    * default, and the only sane 100 TB setting) yields a NULL struct for
+    * the bad rows instead of failing the job, so the pipeline can
+    * quarantine them (`is_bad`) and continue — a single corrupt document
+    * in a trillion must never kill the run. The FAILFAST counterpoint
+    * (throw on first bad record) is spec-covered in `SourcesSpec`.
+    */
+  private def qSrcBadRecords(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, substring(col("props"), 1, 5))
+          .otherwise(col("props")).as("line"))
+      .select(col("event_id"),
+        // the canonical quarantine pattern: a _corrupt_record field in the
+        // read schema captures the raw line iff the parse failed
+        from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "k BIGINT, _corrupt_record STRING"),
+          Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("rec"))
+      .select(col("event_id"), col("rec.k").as("k"),
+        col("rec._corrupt_record").isNotNull.as("is_bad"))
+      .orderBy("event_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_src_json" -> qSrcJson, "q_src_csv" -> qSrcCsv,
-      "q_src_partitioned" -> qSrcPartitioned)
+      "q_src_partitioned" -> qSrcPartitioned,
+      "q_src_badrecords" -> qSrcBadRecords)
 
   val oracleSql: Map[String, String] = Map(
     "q_src_json" ->
@@ -190,7 +216,16 @@ object Sources {
       """SELECT event_id, user_id, event_type, value,
         |CAST(ts AS DATE) AS event_date
         |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-07'
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q_src_badrecords" ->
+      """WITH l AS (SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5)
+        |       ELSE props END AS line FROM events)
+        |SELECT event_id,
+        |CASE WHEN json_valid(line)
+        |  THEN CAST(json_extract_string(line, '$.k') AS BIGINT) END AS k,
+        |NOT json_valid(line) AS is_bad
+        |FROM l ORDER BY event_id""".stripMargin)
 
   /** Partitioned JDBC read — the scale path for the reference's source scan
     * (reference `README.md:5`: single mysql-connector cursor). Splitting on

@@ -76,6 +76,26 @@ class SourcesSpec extends TestSpark {
       s"no dynamic partition pruning in join plan:\n$dppPlan")
   }
 
+  test("bad records null out in PERMISSIVE mode but FAILFAST throws") {
+    // PERMISSIVE (default): the q_src_badrecords path quarantines exactly
+    // the planted 1-in-7 truncated documents
+    val q = graft.SparkEntry.queries("q_src_badrecords")(spark, Sf)
+    val bad = q.filter(col("is_bad")).select("event_id").collect()
+      .map(_.getLong(0))
+    assert(bad.nonEmpty && bad.forall(_ % 7 == 0))
+    assert(q.filter(col("is_bad") && col("k").isNotNull).count() === 0)
+    // FAILFAST: the same malformed line kills the job loudly instead
+    val failfast = Sources.table(spark, Sf, "events")
+      .select(from_json(substring(col("props"), 1, 5),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"),
+        Map("mode" -> "FAILFAST")).as("rec"))
+    val e = intercept[org.apache.spark.SparkException] {
+      failfast.collect()
+    }
+    assert(e.getMessage.contains("Malformed") ||
+      e.getCondition != null, s"unexpected failfast error: $e")
+  }
+
   test("orc round-trips real table data with predicate pushdown intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Sources.table(spark, Sf, "events")
