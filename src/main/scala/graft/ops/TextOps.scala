@@ -231,7 +231,64 @@ object TextOps {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: for every TEST-split document, how many of
+    * its word 3-gram shingles also occur anywhere in the TRAIN split — the
+    * standard "did the eval set leak into training data" scan every serious
+    * LLM data pipeline runs before training. Scale shape: shingling is
+    * map-side (reusing the dedup pipeline's [[Dedup.rawShingles]]); the
+    * train side collapses to DISTINCT shingles (map-side combine before
+    * one shuffle on the shingle); the overlap is a shuffle equi-join on
+    * the shingle string — never doc×doc. At 100 TB the train-shingle set
+    * is the big side and the contamination join is exactly an inverted-
+    * index probe.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        ((col("doc_id") * 2654435761L) % 100).as("bucket"))
+    val sh = d.select(col("doc_id"), col("bucket"),
+      explode(Dedup.rawShingles(col("text"))).as("sh"))
+    val trainSh = sh.filter(col("bucket") < 90)
+      .select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    sh.filter(col("bucket") >= 95)
+      .select(col("doc_id"), col("sh"))
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        Num.r4(col("n_contaminated").cast(DoubleType) / col("n_shingles")))
+      .orderBy("doc_id")
+  }
+
+  /** PII redaction: scrub email addresses and phone-shaped tokens before a
+    * corpus ships to training. The testdata carries no PII, so a
+    * deterministic synthetic email + phone is appended per document and
+    * then redacted — the hash compare proves the redaction regexes remove
+    * exactly what they should in BOTH engines (patterns kept inside the
+    * Java-regex ∩ RE2 common dialect; Spark's regexp_replace is global by
+    * default, DuckDB needs the explicit 'g' flag).
+    */
+  private def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    docs(s, dir)
+      .select(col("doc_id"), withPii.as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(col("raw"), "[a-z0-9]+@[a-z]+\\.[a-z]+", "<EMAIL>"),
+          "[0-9]{3}-[0-9]{4}", "<PHONE>").as("redacted"))
+      .withColumn("clean",
+        !col("redacted").rlike("@") && !col("redacted").rlike("[0-9]{3}-"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_text_redact" -> qTextRedact,
     "q_corpus_split" -> qCorpusSplit,
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
@@ -265,6 +322,35 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 1, 1)),
+        |  i -> array_to_string(ws[i:i+2], ' ')))) AS s FROM w),
+        |tr AS (SELECT DISTINCT s FROM sh WHERE bucket < 90),
+        |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 95)
+        |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated,
+        |floor((CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS contamination
+        |FROM te LEFT JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    "q_text_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents),
+        |r AS (SELECT doc_id, regexp_replace(regexp_replace(raw,
+        |  '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+        |  '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted FROM p)
+        |SELECT doc_id, redacted,
+        |NOT regexp_matches(redacted, '@')
+        |  AND NOT regexp_matches(redacted, '[0-9]{3}-') AS clean
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
       """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
         |CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
