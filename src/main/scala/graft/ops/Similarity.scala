@@ -133,11 +133,14 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** IVF-style bucketed ANN — the scale path. Coarse quantizer: the sign
-    * pattern of the first 6 dimensions (a fixed, training-free codebook of
-    * 64 cells). Search joins query to candidates *within the same cell
-    * only*, so the shuffle key is the cell and cost drops from O(n·q) to
-    * O(n·q / cells) at the price of recall — exactly the IVF trade.
+  /** IVF-style bucketed ANN with a training-free quantizer: the sign
+    * pattern of the first 6 dimensions (a fixed codebook of 64 cells).
+    * Search joins query to candidates *within the same cell only*, so the
+    * shuffle key is the cell and cost drops from O(n·q) to O(n·q / cells)
+    * at the price of recall — exactly the IVF trade. The 64-cell constant
+    * is this variant's scale limit; the production path is the TRAINED
+    * codebook ([[qSimIvfTrained]], k configurable) with multi-probe
+    * ([[qSimIvfProbe]]) as the recall knob.
     */
   private def bucket(e: Column): Column =
     concat((1 to 6).map(i =>
