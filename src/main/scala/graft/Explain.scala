@@ -13,7 +13,12 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_filter", "q_join_broadcast", "q_join_smj", "q_join_range",
-        "q_topk", "q_sim_topk", "q_agg_basic", "q_dedup_minhash")
+        "q_topk", "q_sim_topk", "q_agg_basic", "q_dedup_minhash",
+        // round-5 scale-critical additions: partition pruning, co-located
+        // bucketed join, window-free bag difference, scaled flagship,
+        // trained IVF, decontamination inverted-index probe
+        "q_src_partitioned", "q_join_bucketed", "q_except_all", "q_person",
+        "q_sim_ivf_trained", "q_decontaminate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
