@@ -140,6 +140,9 @@ object Dedup {
         cache.remove(k).foreach(_.unpersist(blocking = false))
       }
     }
+    labelsCache.keys.toList.foreach { k =>
+      labelsCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
     // also release the per-call persisted frames other operators registered
     // (surrogateKeysScaled, qWinNtileScaled — round-4 ADVICE) and drop the
     // similarity memos so re-use after a release rebuilds cleanly
@@ -270,35 +273,67 @@ object Dedup {
     (labels, round)
   }
 
-  private def qDedupComponents(s: SparkSession, dir: String): DataFrame = {
-    // both edge directions via one explode — a union of two selects over
-    // the pair pipeline would recompute the whole LSH join per branch
-    val edges = candidatePairs(s, dir)
-      .select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    // Bucket-min seeding: every LSH bucket is a clique, so initializing
-    // each member to the min over its buckets' minima IS the first
-    // propagation round, computed as two cheap aggregates over the cached
-    // band rows instead of an edge join — the loop below then only has to
-    // stitch overlapping buckets (usually 1 confirming round). Buckets of
-    // size 1 are dropped: their docs join no candidate pair, matching the
-    // edge formulation's node set exactly.
-    val bucketMin = cachedBands(s, dir)
-      .groupBy("band_id", "bkey")
-      .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-    val init = cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
-      .groupBy(col("doc_id"))
-      .agg(min(col("bmin")).as("label"))
-      .select(col("doc_id").as("node"), col("label"))
-    val (labels, _) = propagateMinLabels(edges, init)
-    edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+  /** Memoized converged component labels (doc_id, component_id) per
+    * (session, dir) — shared by [[qDedupComponents]] and the leakage-safe
+    * split, released through [[clearCaches]] like the band rows.
+    */
+  private val labelsCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+    labelsCache.getOrElseUpdate((s, dir), {
+      // both edge directions via one explode — a union of two selects over
+      // the pair pipeline would recompute the whole LSH join per branch
+      val edges = candidatePairs(s, dir)
+        .select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .cache()
+      // Bucket-min seeding: every LSH bucket is a clique, so initializing
+      // each member to the min over its buckets' minima IS the first
+      // propagation round, computed as two cheap aggregates over the cached
+      // band rows instead of an edge join — the loop below then only has to
+      // stitch overlapping buckets (usually 1 confirming round). Buckets of
+      // size 1 are dropped: their docs join no candidate pair, matching the
+      // edge formulation's node set exactly.
+      val bucketMin = cachedBands(s, dir)
+        .groupBy("band_id", "bkey")
+        .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      val init = cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bmin")).as("label"))
+        .select(col("doc_id").as("node"), col("label"))
+      val (labels, _) = propagateMinLabels(edges, init)
+      edges.unpersist()
+      labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
+    componentLabels(s, dir).orderBy("doc_id")
+
+  /** Leakage-safe corpus split: a near-duplicate CLUSTER is assigned to
+    * train/val/test as a unit — hashing per-document (the plain
+    * `q_corpus_split`) can put two near-identical documents on opposite
+    * sides of the train/test boundary, which silently contaminates every
+    * downstream eval. Group id = the doc's connected-component label
+    * (singletons group as themselves), split = the same multiplicative
+    * hash over the GROUP id. The component labels are the memoized frame
+    * above; the split itself is one broadcast-sized left join + map-side
+    * arithmetic.
+    */
+  private def qSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"))
+      .join(componentLabels(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("gid"))
+      .withColumn("bucket", (col("gid") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
       .orderBy("doc_id")
-  }
 
   // -------------------------------------------- embedding-cosine near-dup
 
@@ -404,6 +439,7 @@ object Dedup {
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_components" -> qDedupComponents,
+    "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh)
 
@@ -466,6 +502,26 @@ object Dedup {
           |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
           |SELECT node AS doc_id, least(node, min(peer)) AS component_id
           |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    // same recursive component labels, then the multiplicative-hash split
+    // over the GROUP id (singletons group as themselves)
+    "q_split_leakfree" ->
+      (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+        """,
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+          |  UNION ALL SELECT doc_b, doc_a FROM cand),
+          |reach AS (
+          |  SELECT src AS node, dst AS peer FROM edges
+          |  UNION
+          |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+          |comp AS (SELECT node AS doc_id, least(node, min(peer)) AS cid
+          |  FROM reach GROUP BY node),
+          |g AS (SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS gid
+          |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+          |SELECT doc_id, gid, (gid * 2654435761) % 100 AS bucket,
+          |CASE WHEN (gid * 2654435761) % 100 < 90 THEN 'train'
+          |     WHEN (gid * 2654435761) % 100 < 95 THEN 'val'
+          |     ELSE 'test' END AS split
+          |FROM g ORDER BY doc_id""".stripMargin),
     "q_dedup_fuzzy" ->
       (MinhashCtes +
         """,

@@ -164,6 +164,25 @@ class DedupSpec extends TestSpark {
       .forall(r => exact((r.getLong(0), r.getLong(1)))))
   }
 
+  test("leakage-safe split keeps every near-dup pair on the same side") {
+    val split = graft.SparkEntry.queries("q_split_leakfree")(spark, Sf)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the contamination hazard the operator exists to prevent: both ends
+    // of every LSH candidate pair must land in the SAME split
+    val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) === split(b), s"pair ($a, $b) straddles splits")
+    }
+    // and the split still covers every document with a sane distribution
+    assert(split.size ===
+      graft.io.Sources.table(spark, Sf, "documents").count())
+    val frac = split.values.count(_ == "train").toDouble / split.size
+    assert(frac > 0.8 && frac < 0.97, s"train fraction $frac out of range")
+  }
+
   test("min-label propagation converges in O(diameter) rounds on a chain") {
     // adversarial-diameter graph: a 17-node path 0-1-2-...-16. LSH near-dup
     // graphs are micro-cliques (diameter 1-2), but the loop machinery must
