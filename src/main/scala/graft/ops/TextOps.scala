@@ -286,7 +286,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences, the step right before tokenized shards are written. Docs
+    * are routed to 32 output shards by hash and packed contiguously in
+    * doc order within each shard — a running token sum windowed PER SHARD
+    * (never a global window: the shard count is the parallelism knob, and
+    * each shard's pack is exactly one output file's worth of local work).
+    * `seq_id = floor(tokens-before-this-doc / budget)`: a doc starts a new
+    * sequence when the budget would overflow — the standard contiguous-
+    * fill packing.
+    */
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    docs(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        (col("doc_id") % 32).as("shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        ((col("cum_tokens") - col("n_tokens")) / budget)
+          .cast(LongType))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
     "q_text_redact" -> qTextRedact,
     "q_corpus_split" -> qCorpusSplit,
@@ -322,6 +348,19 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens,
+        |  doc_id % 32 AS shard FROM documents),
+        |c AS (SELECT doc_id, n_tokens, shard,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |    AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, n_tokens, shard,
+        |CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS seq_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH w AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws

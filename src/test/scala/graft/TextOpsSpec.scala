@@ -23,6 +23,25 @@ class TextOpsSpec extends TestSpark {
     assert(d.exists(_.getLong(2) > 0), "no contamination found at all")
   }
 
+  test("sequence packing fills budgets contiguously per shard") {
+    val p = graft.SparkEntry.queries("q_pack_sequences")(spark, Sf).collect()
+    assert(p.length ===
+      graft.io.Sources.table(spark, Sf, "documents").count())
+    val byShardSeq = p.groupBy(r => (r.getLong(2), r.getLong(4)))
+    byShardSeq.foreach { case ((shard, seq), docs) =>
+      val toks = docs.map(_.getLong(1)).sum
+      // a sequence only overflows 256 by (at most) its final document —
+      // the contiguous-fill invariant; and no doc is dropped or duplicated
+      val maxDoc = docs.map(_.getLong(1)).max
+      assert(toks < 256 + maxDoc, s"shard $shard seq $seq packed $toks")
+    }
+    // seq ids are dense from 0 within each shard
+    p.groupBy(_.getLong(2)).foreach { case (shard, docs) =>
+      val seqs = docs.map(_.getLong(4)).distinct.sorted
+      assert(seqs.head === 0L, s"shard $shard starts at seq ${seqs.head}")
+    }
+  }
+
   test("redaction removes every planted email and phone") {
     val r = graft.SparkEntry.queries("q_text_redact")(spark, Sf)
     assert(r.filter(!col("clean")).count() === 0,
