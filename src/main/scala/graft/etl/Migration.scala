@@ -54,6 +54,20 @@ object Migration {
   def detUuid(cols: Column*): Column =
     md5(concat_ws("|", cols: _*))
 
+  /** Production-parity uuid flag (SURVEY.md §7.3, reference `README.md:19`):
+    * with `graft.migration.prodUuid=true` in the session conf, [[mintUuid]]
+    * mints real random RFC-4122 v4 uuids (`uuid()`), matching the
+    * reference's fresh-UUID-per-run semantics. Default (flag unset) is the
+    * deterministic content-derived id — idempotent re-runs, oracle-checkable
+    * outputs. `MigrationSpec` proves the flagged run yields RFC-4122-shaped
+    * uuids with identical keys/row counts to the deterministic run.
+    */
+  val ProdUuidFlag = "graft.migration.prodUuid"
+
+  def mintUuid(s: SparkSession, cols: Column*): Column =
+    if (s.conf.getOption(ProdUuidFlag).contains("true")) expr("uuid()")
+    else detUuid(cols: _*)
+
   // ---------------------------------------------------------------------
   // P1 projection / rename
   private def qProject(s: SparkSession, dir: String): DataFrame =
@@ -223,7 +237,7 @@ object Migration {
         (col("c_custkey") % 5 === 0).as("birthdate_estimated"),
         lit(1L).as("creator"),
         lit(false).as("voided"),
-        detUuid(lit("person"), col("c_custkey"), col("c_name")).as("uuid"))
+        mintUuid(s, lit("person"), col("c_custkey"), col("c_name")).as("uuid"))
       .orderBy("person_id")
 
   /** U3 unpivot: wide legacy row -> `person_attribute` EAV rows (reference
@@ -255,7 +269,131 @@ object Migration {
       .agg(first("value"))
       .orderBy("person_id")
 
+  // ---------------------------------------------------------------------
+  // Full FK-ordered migration bundle (reference README.md:7-17)
+
+  /** The seven OpenMRS tables one reference run inserts — person,
+    * person_name, person_address, person_attribute, patient,
+    * patient_identifier, dreams_client_patient_mapping — produced as ONE
+    * coherent bundle in FK dependency order. Where the reference loops ≥7
+    * INSERTs + a lastrowid round-trip per client (reference
+    * `README.md:7-17`), every table here is a declarative frame off ONE
+    * shared keyed scan: `person_id` is minted once by
+    * [[surrogateKeysScaled]] (the persisted range-partitioned frame), so
+    * cross-table FK consistency is structural — no table re-derives the
+    * key, and a [[graft.io.Sources.jdbcAppend]] over this Seq in order
+    * satisfies every FK at insert time. uuids go through [[mintUuid]]:
+    * deterministic by default, real `uuid()` under [[ProdUuidFlag]].
+    */
+  def migrateAll(s: SparkSession, dir: String): Seq[(String, DataFrame)] = {
+    val nation = Sources.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val base = surrogateKeysScaled(customer(s, dir), col("c_custkey"),
+      "person_id")
+    val key = col("c_custkey")
+
+    val person = base.select(
+      col("person_id"),
+      key.as("client_id"),
+      upper(trim(split(col("c_name"), "#").getItem(0))).as("given_name"),
+      split(col("c_name"), "#").getItem(1).as("family_name"),
+      when(key % 3 === 0, "M").when(key % 3 === 1, "F")
+        .otherwise(lit(null).cast(StringType)).as("gender"),
+      date_add(to_date(lit("1950-01-01")),
+        ((key * 37) % 18250).cast(IntegerType)).as("birthdate"),
+      (key % 5 === 0).as("birthdate_estimated"),
+      lit(1L).as("creator"),
+      lit(false).as("voided"),
+      mintUuid(s, lit("person"), key, col("c_name")).as("uuid"))
+
+    val personName = base.select(
+      col("person_id"),
+      upper(trim(split(col("c_name"), "#").getItem(0))).as("given_name"),
+      split(col("c_name"), "#").getItem(1).as("family_name"),
+      lit(true).as("preferred"),
+      mintUuid(s, lit("person_name"), key, col("c_name")).as("uuid"))
+
+    val personAddress = base
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("person_id"),
+        concat(lit("PLOT-"), (key % 997).cast(StringType)).as("address1"),
+        col("n_name").as("city_village"),
+        mintUuid(s, lit("person_address"), key).as("uuid"))
+
+    val personAttribute = base
+      .select(col("person_id"), key.as("ck"),
+        explode(array(
+          struct(lit("acctbal").as("attr_type"),
+            col("c_acctbal").cast(DecimalType(12, 2)).cast(StringType)
+              .as("value")),
+          struct(lit("mktsegment").as("attr_type"),
+            col("c_mktsegment").as("value")),
+          struct(lit("nation").as("attr_type"),
+            col("c_nationkey").cast(StringType).as("value")))).as("a"))
+      .select(col("person_id"), col("a.attr_type").as("attr_type"),
+        col("a.value").as("value"),
+        mintUuid(s, lit("person_attribute"), col("ck"), col("a.attr_type"))
+          .as("uuid"))
+
+    val patient = base.select(
+      col("person_id").as("patient_id"),
+      lit(1L).as("creator"),
+      lit(false).as("voided"),
+      mintUuid(s, lit("patient"), key).as("uuid"))
+
+    val patientIdentifier = base
+      .withColumn("national_id", when(key % 3 === 0,
+        concat(lit("NAT-"), key.cast(StringType))))
+      .withColumn("birth_certificate", when(key % 2 === 0,
+        concat(lit("BC-"), key.cast(StringType))))
+      .select(
+        col("person_id").as("patient_id"),
+        coalesce(col("national_id"), col("birth_certificate"),
+          concat(lit("GEN-"), key.cast(StringType), lit("-"),
+            luhnMod30Udf(key.cast(StringType)))).as("identifier"),
+        when(col("national_id").isNotNull, "national_id")
+          .when(col("birth_certificate").isNotNull, "birth_certificate")
+          .otherwise("generated").as("identifier_type"),
+        lit(true).as("preferred"),
+        mintUuid(s, lit("patient_identifier"), key).as("uuid"))
+
+    val mapping = base.select(
+      key.as("client_id"),
+      col("person_id").as("patient_id"),
+      mintUuid(s, lit("dreams_mapping"), key).as("uuid"))
+
+    Seq(
+      "person" -> person,
+      "person_name" -> personName,
+      "person_address" -> personAddress,
+      "person_attribute" -> personAttribute,
+      "patient" -> patient,
+      "patient_identifier" -> patientIdentifier,
+      "dreams_client_patient_mapping" -> mapping)
+  }
+
+  /** Oracle-checkable projection of the whole bundle: every row of every
+    * table reduced to (tbl, key, row_digest) where row_digest = md5 of the
+    * '|'-joined string casts of ALL columns in declaration order — so the
+    * driver's hash compare verifies the complete 7-table content, not just
+    * counts. NULLs (only `gender`) are coalesced to a sentinel BEFORE the
+    * join so both engines concatenate identical strings.
+    */
+  private def qMigrateBundle(s: SparkSession, dir: String): DataFrame = {
+    val digests = migrateAll(s, dir).map { case (name, df) =>
+      val all = df.columns.map(c =>
+        coalesce(col(c).cast(StringType), lit("~null~")))
+      df.select(lit(name).as("tbl"),
+        col(df.columns.head).as("key"),
+        md5(concat_ws("|", all.toIndexedSeq: _*)).as("row_digest"))
+    }
+    digests.reduce(_ unionByName _)
+      .orderBy("tbl", "key", "row_digest")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_migrate_bundle" -> qMigrateBundle,
     "q_project" -> qProject,
     "q_filter" -> qFilter,
     "q_ident_fallback" -> qIdentFallback,
@@ -273,6 +411,96 @@ object Migration {
     qPerson(spark, "/root/testdata/sf0.001")
 
   val oracleSql: Map[String, String] = Map(
+    // the full 7-table bundle, reduced to per-row digests: each arm
+    // recomputes one table's columns and md5-joins them in the same
+    // declaration order as the Spark side's concat_ws("|", ...)
+    "q_migrate_bundle" ->
+      """WITH base AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey) AS BIGINT)
+        |    AS pid, c_custkey AS ck, c_name, c_nationkey, c_acctbal,
+        |    c_mktsegment
+        |  FROM customer),
+        |chk AS (SELECT ck AS ck2,
+        |  substring('0123456789ACDEFGHJKLMNPRTUVWXY',
+        |    CAST((30 - CAST(list_sum(list_transform(
+        |      range(1, length(CAST(ck AS VARCHAR)) + 1), i ->
+        |      CASE WHEN (length(CAST(ck AS VARCHAR)) - i) % 2 = 0
+        |      THEN (CAST(substring(CAST(ck AS VARCHAR), i, 1) AS INT) * 2) // 30
+        |         + (CAST(substring(CAST(ck AS VARCHAR), i, 1) AS INT) * 2) % 30
+        |      ELSE CAST(substring(CAST(ck AS VARCHAR), i, 1) AS INT) END))
+        |      AS BIGINT) % 30) % 30 AS INT) + 1, 1) AS c
+        |  FROM base),
+        |p AS (SELECT pid, ck,
+        |    UPPER(TRIM(split_part(c_name, '#', 1))) AS gn,
+        |    split_part(c_name, '#', 2) AS fn,
+        |    CASE WHEN ck % 3 = 0 THEN 'M'
+        |         WHEN ck % 3 = 1 THEN 'F' END AS gender,
+        |    CAST(DATE '1950-01-01' + CAST((ck * 37) % 18250 AS INT)
+        |      AS VARCHAR) AS bd,
+        |    CAST(ck % 5 = 0 AS VARCHAR) AS est,
+        |    c_name, c_nationkey, c_acctbal, c_mktsegment
+        |  FROM base),
+        |r AS (
+        |  SELECT 'person' AS tbl, pid AS key,
+        |    md5(CAST(pid AS VARCHAR) || '|' || CAST(ck AS VARCHAR) || '|'
+        |      || gn || '|' || fn || '|' || COALESCE(gender, '~null~') || '|'
+        |      || bd || '|' || est || '|1|false|'
+        |      || md5('person|' || CAST(ck AS VARCHAR) || '|' || c_name))
+        |      AS row_digest
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'person_name', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|' || gn || '|' || fn || '|true|'
+        |      || md5('person_name|' || CAST(ck AS VARCHAR) || '|' || c_name))
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'person_address', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|PLOT-' || CAST(ck % 997 AS VARCHAR)
+        |      || '|' || n.n_name || '|'
+        |      || md5('person_address|' || CAST(ck AS VARCHAR)))
+        |  FROM p JOIN nation n ON p.c_nationkey = n.n_nationkey
+        |  UNION ALL
+        |  SELECT 'person_attribute', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|acctbal|'
+        |      || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR) || '|'
+        |      || md5('person_attribute|' || CAST(ck AS VARCHAR) || '|acctbal'))
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'person_attribute', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|mktsegment|' || c_mktsegment || '|'
+        |      || md5('person_attribute|' || CAST(ck AS VARCHAR)
+        |        || '|mktsegment'))
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'person_attribute', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|nation|'
+        |      || CAST(c_nationkey AS VARCHAR) || '|'
+        |      || md5('person_attribute|' || CAST(ck AS VARCHAR) || '|nation'))
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'patient', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|1|false|'
+        |      || md5('patient|' || CAST(ck AS VARCHAR)))
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'patient_identifier', pid,
+        |    md5(CAST(pid AS VARCHAR) || '|'
+        |      || COALESCE(
+        |           CASE WHEN ck % 3 = 0 THEN 'NAT-' || CAST(ck AS VARCHAR) END,
+        |           CASE WHEN ck % 2 = 0 THEN 'BC-' || CAST(ck AS VARCHAR) END,
+        |           'GEN-' || CAST(ck AS VARCHAR) || '-' || chk.c) || '|'
+        |      || CASE WHEN ck % 3 = 0 THEN 'national_id'
+        |              WHEN ck % 2 = 0 THEN 'birth_certificate'
+        |              ELSE 'generated' END || '|true|'
+        |      || md5('patient_identifier|' || CAST(ck AS VARCHAR)))
+        |  FROM p JOIN chk ON p.ck = chk.ck2
+        |  UNION ALL
+        |  SELECT 'dreams_client_patient_mapping', ck,
+        |    md5(CAST(ck AS VARCHAR) || '|' || CAST(pid AS VARCHAR) || '|'
+        |      || md5('dreams_mapping|' || CAST(ck AS VARCHAR)))
+        |  FROM p)
+        |SELECT tbl, key, row_digest FROM r
+        |ORDER BY tbl, key, row_digest""".stripMargin,
     "q_project" ->
       """SELECT c_custkey AS client_id, c_name AS full_name,
         |c_mktsegment AS segment FROM customer ORDER BY client_id""".stripMargin,

@@ -124,12 +124,32 @@ object Sources {
       .orderBy("event_id")
   }
 
-  /** Path of the date-partitioned `events` copy for `dir`, written once per
-    * JVM by [[partitionedEvents]] (keyed on the sf dir so different scale
-    * factors never share a copy).
+  /** Content fingerprint of `<dir>/<name>.parquet`: md5 over the sorted
+    * (file name, size, mtime) walk, truncated to 12 hex chars. Keys every
+    * /tmp derived-layout cache (partitioned events, media fixtures) so a
+    * REGENERATED testdata dir can never silently reuse a stale copy while
+    * the oracle reads the live table (round-5 ADVICE).
+    */
+  private[graft] def fingerprint(dir: String, name: String): String = {
+    def walk(f: java.io.File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(walk(new java.io.File(s"$dir/$name.parquet"))
+        .mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
+  /** Path of the date-partitioned `events` copy for `dir`, written once by
+    * [[partitionedEvents]] — keyed on the sf dir (different scale factors
+    * never share a copy) AND the source table's content [[fingerprint]]
+    * (a regenerated source invalidates the path instead of being silently
+    * shadowed by the stale copy's _SUCCESS sentinel).
     */
   private[graft] def partitionedEventsPath(dir: String): String =
-    "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    "/tmp/graft_part_events_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + fingerprint(dir, "events")
 
   /** Hive-partitioned copy of `events` (partition column `event_date`),
     * written through [[Layout.writePartitioned]] on first use. This is the

@@ -328,7 +328,7 @@ object Dedup {
       .join(componentLabels(s, dir), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component_id"), col("doc_id")).as("gid"))
-      .withColumn("bucket", (col("gid") * 2654435761L) % 100)
+      .withColumn("bucket", TextOps.splitBucket(col("gid")))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
@@ -506,7 +506,7 @@ object Dedup {
     // over the GROUP id (singletons group as themselves)
     "q_split_leakfree" ->
       (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
-        """,
+        s""",
           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
           |  UNION ALL SELECT doc_b, doc_a FROM cand),
           |reach AS (
@@ -517,9 +517,9 @@ object Dedup {
           |  FROM reach GROUP BY node),
           |g AS (SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS gid
           |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
-          |SELECT doc_id, gid, (gid * 2654435761) % 100 AS bucket,
-          |CASE WHEN (gid * 2654435761) % 100 < 90 THEN 'train'
-          |     WHEN (gid * 2654435761) % 100 < 95 THEN 'val'
+          |SELECT doc_id, gid, ${TextOps.splitBucketSql("gid")} AS bucket,
+          |CASE WHEN ${TextOps.splitBucketSql("gid")} < 90 THEN 'train'
+          |     WHEN ${TextOps.splitBucketSql("gid")} < 95 THEN 'val'
           |     ELSE 'test' END AS split
           |FROM g ORDER BY doc_id""".stripMargin),
     "q_dedup_fuzzy" ->

@@ -42,8 +42,22 @@ object Linkage {
     * Per-group arrays are sorted on the unique c_custkey, so pair order
     * and output are deterministic.
     */
-  private def qLinkNames(s: SparkSession, dir: String): DataFrame = {
-    val masked = idents(s, dir)
+  /** Per-mask-group size cap. The in-group pair expansion below collects
+    * each blocking group into one array, whose size is data-dependent: a
+    * degenerate identifier distribution (thousands of ids sharing 8 of 9
+    * chars) would bloat a single group into an O(g²) row and memory spike.
+    * Like [[Dedup.MaxCcRounds]], a group past the cap is a data bug worth
+    * failing LOUDLY on (the fix at that point is a pair-join formulation
+    * over the offending masks), not silently grinding through.
+    */
+  private[graft] val MaxMaskGroup = 1024
+
+  /** The blocking + in-group pair expansion over an arbitrary
+    * (c_custkey, ident) frame — `private[graft]` so the adversarial spec
+    * can drive it with a degenerate identifier distribution.
+    */
+  private[graft] def linkPairs(ids: DataFrame): DataFrame = {
+    val masked = ids
       .select(col("c_custkey"), col("ident"),
         explode(sequence(lit(1), lit(9))).as("pos"))
       .select(col("c_custkey"), col("ident"),
@@ -56,6 +70,13 @@ object Linkage {
       .agg(sort_array(collect_list(
         struct(col("c_custkey"), col("ident")))).as("g"))
       .filter(size(col("g")) >= 2)
+      // assert_true returns NULL when the guard holds and throws otherwise,
+      // so the `when` wrapper is an identity on healthy data — the cap
+      // rides the existing plan with no extra pass
+      .withColumn("g",
+        when(assert_true(size(col("g")) <= MaxMaskGroup,
+          concat(lit(s"linkage mask group exceeds $MaxMaskGroup for key "),
+            col("mkey"))).isNull, col("g")))
       .select(explode(flatten(transform(col("g"), (x, i) =>
         transform(slice(col("g"), i + 2, size(col("g"))), y =>
           struct(x.getField("c_custkey").as("cust_a"),
@@ -68,6 +89,9 @@ object Linkage {
       .withColumn("distance", lit(1L))
       .orderBy("cust_a", "cust_b")
   }
+
+  private def qLinkNames(s: SparkSession, dir: String): DataFrame =
+    linkPairs(idents(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_link_names" -> qLinkNames)

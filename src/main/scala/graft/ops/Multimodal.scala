@@ -236,7 +236,61 @@ object Multimodal {
       .toDF("doc_id", "content")
   }
 
-  /** Partition-batched REAL decode: PNG bytes from [[pngTable]] through
+  /** Real-WAV media table: one deterministic 16-bit PCM waveform per
+    * document, encoded by [[AudioCodec.encodeWav]] in a partition-batched
+    * stage — the audio twin of [[pngTable]].
+    */
+  def wavTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Sources.table(s, dir, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(LongType).as("n_bytes"))
+      .as[(Long, Long)]
+      .mapPartitions(it =>
+        it.map { case (id, n) => (id, AudioCodec.encodeWav(id, n)) })
+      .toDF("doc_id", "content")
+  }
+
+  /** Materialized binary media fixtures — parquet with a binary `content`
+    * column, written ONCE per (sf dir, documents fingerprint) and read by
+    * the decode-stage queries. Synthesizing + encoding the media inside
+    * each query timed fixture creation with the decode it is supposed to
+    * measure (round-5 VERDICT: most of q_mm_features' 6.7 s); at 100 TB
+    * the payload bytes are an at-rest input, so the honest query shape is
+    * scan(binary) → decode. The path is keyed on the source table's
+    * content fingerprint like [[Sources.partitionedEventsPath]], so
+    * regenerated testdata invalidates the fixture instead of silently
+    * reusing it.
+    */
+  private def fixturePath(dir: String, kind: String): String =
+    s"/tmp/graft_mm_${kind}_" + dir.replaceAll("[^A-Za-z0-9]", "_") +
+      "_" + Sources.fingerprint(dir, "documents")
+
+  private def materialized(s: SparkSession, dir: String, kind: String,
+                           build: => DataFrame): DataFrame = {
+    val path = fixturePath(dir, kind)
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        build.write.mode("overwrite").parquet(path)
+    }
+    s.read.parquet(path)
+  }
+
+  private[graft] def pngFixture(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "png", pngTable(s, dir))
+
+  private[graft] def wavFixture(s: SparkSession, dir: String): DataFrame =
+    materialized(s, dir, "wav", wavTable(s, dir))
+
+  /** Force both media fixtures into existence — [[graft.Bench]] runs this
+    * in its prepare step so the timed queries measure decode only.
+    */
+  def prepareFixtures(s: SparkSession, dir: String): Unit = {
+    pngFixture(s, dir)
+    wavFixture(s, dir)
+  }
+
+  /** Partition-batched REAL decode: PNG bytes from [[pngFixture]] through
     * `javax.imageio` ([[ImageCodec.decode]]) to per-image pixel statistics.
     * Oracle-checked end-to-end — DuckDB regenerates the expected stats from
     * the deterministic image formula, so a hash match proves the PNG
@@ -251,7 +305,7 @@ object Multimodal {
     */
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir)
+    pngFixture(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageCodec.decode(it.map { case (id, bytes) =>
@@ -290,7 +344,7 @@ object Multimodal {
     */
   private def qMmResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    pngTable(s, dir)
+    pngFixture(s, dir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageCodec.decode(it.map { case (id, bytes) =>
@@ -308,13 +362,11 @@ object Multimodal {
     */
   private def qMmAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Sources.table(s, dir, "documents")
-      .select(col("doc_id"),
-        octet_length(col("text")).cast(LongType).as("n_bytes"))
-      .as[(Long, Long)]
+    wavFixture(s, dir)
+      .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        AudioCodec.decode(it.map { case (id, n) =>
-          MediaRow(id, AudioCodec.encodeWav(id, n), "audio/wav")
+        AudioCodec.decode(it.map { case (id, bytes) =>
+          MediaRow(id, bytes, "audio/wav")
         })
       }
       .toDF()

@@ -1,7 +1,5 @@
 package graft.ops
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
@@ -65,29 +63,84 @@ object Similarity {
       .limit(10)
   }
 
-  /** Typed top-k Aggregator: a bounded (score, id) buffer replaces the
-    * sort+limit — partial heaps merge associatively, so at scale this is
-    * one partial-agg pass + a k-sized final merge instead of a shuffle-sort
-    * of every score (PAPERS.md top-k similarity motivation). Same result
-    * set as [[qSimTopk]], verified against the same oracle.
+  /** Buffer for [[TopKAgg]]: a binary min-heap on the keep-order's REVERSE
+    * — root = the worst kept element — laid out in two parallel primitive
+    * arrays so the buffer is product-encoded (UnsafeRow-native, no kryo
+    * round-trip at exchange boundaries). Both arrays always have heap
+    * length; occupancy grows only until k.
+    */
+  final case class TopKBuf(ids: Array[Long], scores: Array[Double])
+
+  /** Typed top-k Aggregator: a bounded heap replaces the sort+limit —
+    * partial heaps merge associatively, so at scale this is one partial-agg
+    * pass + a k-sized final merge instead of a shuffle-sort of every score
+    * (PAPERS.md top-k similarity motivation). Each input row costs O(log k)
+    * (one root replacement + sift-down once the heap is full) versus the
+    * O(k log k) full re-sort an earlier draft paid per row. Same result set
+    * as [[qSimTopk]], verified against the same oracle; deterministic under
+    * score ties (keep-order is (score desc, id asc)).
     */
   class TopKAgg(k: Int)
-      extends Aggregator[(Long, Double), ArrayBuffer[(Long, Double)],
-        Seq[(Long, Double)]] {
-    private def prune(b: ArrayBuffer[(Long, Double)]) = {
-      // sort by (-score, id): deterministic under score ties
-      val sorted = b.sortBy { case (id, sc) => (-sc, id) }
-      sorted.take(k)
+      extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Double)]] {
+
+    // "a is worse than b" under the keep-order (score desc, id asc)
+    private def worse(ia: Long, sa: Double, ib: Long, sb: Double): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    private def siftDown(ids: Array[Long], scs: Array[Double]): Unit = {
+      val n = ids.length
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = l + 1
+        var w = i
+        if (l < n && worse(ids(l), scs(l), ids(w), scs(w))) w = l
+        if (r < n && worse(ids(r), scs(r), ids(w), scs(w))) w = r
+        if (w == i) done = true
+        else {
+          val ti = ids(i); ids(i) = ids(w); ids(w) = ti
+          val ts = scs(i); scs(i) = scs(w); scs(w) = ts
+          i = w
+        }
+      }
     }
-    def zero: ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
-    def reduce(b: ArrayBuffer[(Long, Double)], a: (Long, Double)):
-        ArrayBuffer[(Long, Double)] = prune(b += a)
-    def merge(x: ArrayBuffer[(Long, Double)], y: ArrayBuffer[(Long, Double)]):
-        ArrayBuffer[(Long, Double)] = prune(x ++= y)
-    def finish(b: ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
-      prune(b).toSeq
-    def bufferEncoder: Encoder[ArrayBuffer[(Long, Double)]] =
-      Encoders.kryo[ArrayBuffer[(Long, Double)]]
+
+    private def push(b: TopKBuf, id: Long, sc: Double): TopKBuf = {
+      val n = b.ids.length
+      if (n < k) {
+        // growing phase: append + sift-up (at most k allocations per buffer)
+        val ids = java.util.Arrays.copyOf(b.ids, n + 1)
+        val scs = java.util.Arrays.copyOf(b.scores, n + 1)
+        ids(n) = id; scs(n) = sc
+        var i = n
+        while (i > 0 && worse(ids(i), scs(i), ids((i - 1) / 2), scs((i - 1) / 2))) {
+          val p = (i - 1) / 2
+          val ti = ids(i); ids(i) = ids(p); ids(p) = ti
+          val ts = scs(i); scs(i) = scs(p); scs(p) = ts
+          i = p
+        }
+        TopKBuf(ids, scs)
+      } else if (worse(b.ids(0), b.scores(0), id, sc)) {
+        // full: replace the worst kept element in place, restore heap order
+        b.ids(0) = id; b.scores(0) = sc
+        siftDown(b.ids, b.scores)
+        b
+      } else b
+    }
+
+    def zero: TopKBuf = TopKBuf(Array.emptyLongArray, Array.emptyDoubleArray)
+    def reduce(b: TopKBuf, a: (Long, Double)): TopKBuf = push(b, a._1, a._2)
+    def merge(x: TopKBuf, y: TopKBuf): TopKBuf = {
+      var b = x
+      var i = 0
+      while (i < y.ids.length) { b = push(b, y.ids(i), y.scores(i)); i += 1 }
+      b
+    }
+    def finish(b: TopKBuf): Seq[(Long, Double)] =
+      b.ids.indices.map(i => (b.ids(i), b.scores(i)))
+        .sortBy { case (id, sc) => (-sc, id) }
+    def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
     def outputEncoder: Encoder[Seq[(Long, Double)]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
@@ -303,17 +356,20 @@ object Similarity {
     * long-lived session can rebuild cleanly.
     */
   private val corpusCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private val codebookCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def clearMemos(): Unit = {
     corpusCache.clear()
     codebookCache.clear()
   }
 
+  // memos key on (session, dir) like Dedup.labelsCache: a second session
+  // sharing the dir must not receive frames bound to the first (possibly
+  // stopped) session (round-5 ADVICE)
   private def featurizedCorpus(s: SparkSession, dir: String): DataFrame =
-    corpusCache.getOrElseUpdate(dir, graft.Caches.register(
+    corpusCache.getOrElseUpdate((s, dir), graft.Caches.register(
       emb(s, dir)
         .select(col("vec_id"), col("embedding"),
           dot(col("embedding"), col("embedding")).as("nrm2"))
@@ -324,7 +380,7 @@ object Similarity {
     * re-training.
     */
   private def trainedCodebook(s: SparkSession, dir: String): DataFrame =
-    codebookCache.getOrElseUpdate(dir, graft.Caches.register(
+    codebookCache.getOrElseUpdate((s, dir), graft.Caches.register(
       lloydCentroids(featurizedCorpus(s, dir), 16, 2)
         .select(col("cid"), col("cemb"),
           dot(col("cemb"), col("cemb")).as("cnrm2"))

@@ -216,6 +216,22 @@ object TextOps {
       .orderBy("doc_id", "word")
   }
 
+  /** Multiplicative-hash split bucket `(id * 2654435761) % 100`, computed
+    * as `((id % 100) * (2654435761 % 100)) % 100` — identical by modular
+    * arithmetic for any non-negative id, but overflow-free: the direct
+    * product wraps Long for id ≳ 3.5e9, where Spark wraps SILENTLY (a
+    * negative bucket routes every row to 'test') while DuckDB raises — at
+    * 100 TB document counts the direct form silently degenerates (round-5
+    * ADVICE). Shared by the corpus split, decontamination, and the
+    * leakage-safe split in [[Dedup]].
+    */
+  private[graft] def splitBucket(id: Column): Column =
+    ((id % 100) * lit(2654435761L % 100)) % 100
+
+  /** The matching DuckDB form of [[splitBucket]] for oracle SQL. */
+  private[graft] def splitBucketSql(id: String): String =
+    s"(($id % 100) * (2654435761 % 100)) % 100"
+
   /** Deterministic train/val/test corpus split: a multiplicative-hash
     * bucket of the stable document id — reproducible across runs, retries
     * and engines (never `rand()`: a retried task must land every row in
@@ -224,7 +240,7 @@ object TextOps {
   private def qCorpusSplit(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"),
-        ((col("doc_id") * 2654435761L) % 100).as("bucket"))
+        splitBucket(col("doc_id")).as("bucket"))
       .withColumn("split",
         when(col("bucket") < 90, "train")
           .when(col("bucket") < 95, "val")
@@ -245,7 +261,7 @@ object TextOps {
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
       .select(col("doc_id"), col("text"),
-        ((col("doc_id") * 2654435761L) % 100).as("bucket"))
+        splitBucket(col("doc_id")).as("bucket"))
     val sh = d.select(col("doc_id"), col("bucket"),
       explode(Dedup.rawShingles(col("text"))).as("sh"))
     val trainSh = sh.filter(col("bucket") < 90)
@@ -362,7 +378,7 @@ object TextOps {
         |CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS seq_id
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
-      """WITH w AS (SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
+      s"""WITH w AS (SELECT doc_id, ${splitBucketSql("doc_id")} AS bucket,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
         |  FROM documents),
         |sh AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
@@ -391,11 +407,11 @@ object TextOps {
         |  AND NOT regexp_matches(redacted, '[0-9]{3}-') AS clean
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_corpus_split" ->
-      """SELECT doc_id, (doc_id * 2654435761) % 100 AS bucket,
-        |CASE WHEN (doc_id * 2654435761) % 100 < 90 THEN 'train'
-        |     WHEN (doc_id * 2654435761) % 100 < 95 THEN 'val'
-        |     ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, ${splitBucketSql("doc_id")} AS bucket,
+         |CASE WHEN ${splitBucketSql("doc_id")} < 90 THEN 'train'
+         |     WHEN ${splitBucketSql("doc_id")} < 95 THEN 'val'
+         |     ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_tfidf" ->
       """WITH toks AS (SELECT doc_id,
         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

@@ -58,6 +58,28 @@ class MigrationSpec extends TestSpark {
     assert(a.map(_.getString(1)).distinct.length === a.length)
   }
 
+  test("prod uuid flag mints RFC-4122 v4 uuids with identical keys") {
+    val det = graft.SparkEntry.queries("q_person")(spark, Sf).collect()
+    spark.conf.set(Migration.ProdUuidFlag, "true")
+    try {
+      val prod = graft.SparkEntry.queries("q_person")(spark, Sf).collect()
+      assert(prod.length === det.length)
+      // every column except uuid matches the deterministic run row-for-row
+      // (rows are totally ordered by person_id in both)
+      det.zip(prod).foreach { case (d, p) =>
+        (0 until d.length - 1).foreach(i => assert(d.get(i) === p.get(i)))
+      }
+      // uuid() output is RFC-4122 v4 shaped and unique per row
+      val v4 = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$".r
+      val uuids = prod.map(_.getAs[String]("uuid"))
+      uuids.foreach(u => assert(v4.matches(u), s"not RFC-4122 v4: $u"))
+      assert(uuids.distinct.length === uuids.length)
+      // and genuinely fresh per run, unlike the deterministic form
+      val detUuids = det.map(_.getAs[String]("uuid")).toSet
+      assert(uuids.toSet.intersect(detUuids).isEmpty)
+    } finally spark.conf.unset(Migration.ProdUuidFlag)
+  }
+
   test("surrogate keys are dense and unique") {
     val ids = graft.SparkEntry.queries("q_surrogate_key")(spark, Sf)
       .select("person_id").collect().map(_.getLong(0)).sorted
@@ -74,6 +96,37 @@ class MigrationSpec extends TestSpark {
     val plan = graft.SparkEntry.queries("q_person")(spark, Sf)
       .queryExecution.executedPlan.toString
     assertOnlyPidWindows(plan, "q_person")
+  }
+
+  test("migrateAll bundle is FK-consistent across all seven tables") {
+    val tables = Migration.migrateAll(spark, Sf).toMap
+    def ids(t: String, c: String): Set[Long] =
+      tables(t).select(c).collect().map(_.getLong(0)).toSet
+
+    val persons = ids("person", "person_id")
+    val n = persons.size
+    // dense surrogate keys 1..n
+    assert(persons === (1L to n.toLong).toSet)
+    // 1:1 tables carry exactly the person keys
+    assert(ids("person_name", "person_id") === persons)
+    assert(ids("person_address", "person_id") === persons)
+    assert(ids("patient", "patient_id") === persons)
+    assert(ids("patient_identifier", "patient_id") === persons)
+    assert(ids("dreams_client_patient_mapping", "patient_id") === persons)
+    // attributes: 3 per person, all FKs valid
+    val attr = tables("person_attribute")
+    assert(attr.count() === 3L * n)
+    assert(ids("person_attribute", "person_id") === persons)
+    // the mapping joins back to person recovering the original client_id
+    val joined = tables("dreams_client_patient_mapping").as("m")
+      .join(tables("person").as("p"),
+        col("m.patient_id") === col("p.person_id"))
+      .filter(col("m.client_id") =!= col("p.client_id"))
+    assert(joined.count() === 0)
+    // row counts: every table has exactly one row per person (attrs 3)
+    Seq("person", "person_name", "person_address", "patient",
+      "patient_identifier", "dreams_client_patient_mapping").foreach(t =>
+      assert(tables(t).count() === n.toLong, s"count mismatch in $t"))
   }
 
   test("pivot(unpivot) round-trips the wide attributes") {

@@ -38,6 +38,26 @@ class SimilaritySpec extends TestSpark {
     assert(viaAgg.toSeq === viaSort.toSeq)
   }
 
+  test("TopKAgg heap matches a full sort under ties and arbitrary splits") {
+    // pure-JVM adversarial check of the bounded-heap buffer: duplicate
+    // scores (tie-break on id asc), values in shuffled order, and a merge
+    // of two independently reduced partial buffers — exactly the partial/
+    // final aggregation shape Spark executes.
+    val agg = new Similarity.TopKAgg(7)
+    val rng = new scala.util.Random(42)
+    val data = (0 until 500).map(i => (i.toLong, (rng.nextInt(40) / 10.0)))
+    val shuffled = rng.shuffle(data)
+    val (left, right) = shuffled.splitAt(shuffled.length / 3)
+    val bufL = left.foldLeft(agg.zero)(agg.reduce)
+    val bufR = right.foldLeft(agg.zero)(agg.reduce)
+    val got = agg.finish(agg.merge(bufL, bufR))
+    val expect = data.sortBy { case (id, sc) => (-sc, id) }.take(7)
+    assert(got === expect)
+    // under-filled buffer path: fewer inputs than k
+    val tiny = agg.finish(data.take(3).foldLeft(agg.zero)(agg.reduce))
+    assert(tiny === data.take(3).sortBy { case (id, sc) => (-sc, id) })
+  }
+
   test("IVF results are a subset of same-cell exact scores") {
     val ivf = graft.SparkEntry.queries("q_sim_ivf")(spark, Sf)
     // every returned neighbor pair shares the quantizer cell by construction;
