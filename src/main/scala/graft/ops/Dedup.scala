@@ -241,21 +241,31 @@ object Dedup {
     * `edges` must carry both directions as (src, dst); `init` is the
     * starting (node, label) frame. Returns the converged labels and the
     * number of propagation rounds run (the last is the confirming no-change
-    * round, so rounds = diameter-from-minima + 1). Rounds are capped at
-    * `maxRounds` — min-label propagation moves a label ONE hop per round,
-    * so a graph whose diameter exceeds the cap fails loudly here; at that
-    * point the fix is the large-star/small-star reformulation (Kiveris et
-    * al.), which contracts paths and converges in O(log n) rounds, not a
-    * bigger cap. Exposed `private[graft]` so the adversarial-diameter spec
-    * can drive it with a synthetic chain graph.
+    * round, so rounds = diameter-from-minima + 1). Min-label propagation
+    * moves a label ONE hop per round, so a graph whose diameter exceeds
+    * `maxRounds` trips the cap: by default the loop then ESCALATES to the
+    * large-star/small-star contraction ([[starComponents]], Kiveris et al.
+    * — O(log n) rounds on any graph), carrying the partially-propagated
+    * labels forward; with `escalate = false` it fails loudly instead (the
+    * behavior a data-bug-detection caller wants). Exposed `private[graft]`
+    * so the adversarial-diameter specs can drive both paths with synthetic
+    * chain graphs.
     */
   private[graft] def propagateMinLabels(
       edges: DataFrame, init: DataFrame,
-      maxRounds: Int = MaxCcRounds): (DataFrame, Int) = {
+      maxRounds: Int = MaxCcRounds,
+      escalate: Boolean = true): (DataFrame, Int) = {
     var labels = checkpointLabels(init)
     var changed = 1L
     var round = 0
     while (changed > 0) {
+      if (round >= maxRounds && escalate) {
+        // deeper-than-expected graph: hand the partially-converged labels
+        // to the O(log n) star contraction instead of looping one hop at
+        // a time (round-5 VERDICT #7)
+        val (starred, starRounds) = starComponents(edges, labels)
+        return (starred, round + starRounds)
+      }
       require(round < maxRounds,
         s"connected components did not converge in $maxRounds rounds")
       val prop = edges.join(labels, col("dst") === col("node"))
@@ -270,6 +280,87 @@ object Dedup {
       labels = next.select(col("node"), col("new_label").as("label"))
       round += 1
     }
+    (labels, round)
+  }
+
+  // ------------------------- large-star/small-star (O(log n) contraction)
+
+  /** Round cap for [[starComponents]]: the algorithm converges in
+    * O(log n) rounds (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC '14), so 2^40 nodes fit comfortably — past this the
+    * input is a data bug worth failing loudly on.
+    */
+  private[graft] val MaxStarRounds = 40
+
+  /** One large-star round over canonical (hi, lo) edges (lo < hi always):
+    * every node u connects each STRICTLY LARGER neighbor to the minimum of
+    * its neighborhood ∪ {u}. Two shuffles (groupBy + join on node id);
+    * long paths contract because far-from-min nodes re-attach directly to
+    * the locally known minimum.
+    */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
+      .select(col("u").as("mu"), least(col("mv"), col("u")).as("m"))
+    sym.join(m, col("u") === col("mu"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** One small-star round: edges already point downward (lo < hi), so for
+    * every node u the minimum m of its smaller neighbors replaces each
+    * (x, u) with (x, m) and adds (u, m) — the star flattening step.
+    */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
+    val withM = e.join(m, "hi")
+    withM.select(col("lo").as("hi"), col("m").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .unionByName(withM.select(col("hi"), col("m").as("lo")))
+      .distinct()
+  }
+
+  /** Large-star/small-star connected components: alternate the two
+    * contractions until the edge set is stable, at which point every
+    * component is a star rooted at its minimum node id. Converges in
+    * O(log n) rounds on ANY graph shape — the escalation path for graphs
+    * whose diameter defeats one-hop-per-round label propagation. `init`'s
+    * pre-seeded labels join the edge set as (node, label) links (a seeded
+    * label IS a known smaller neighbor), so partially-propagated state from
+    * [[propagateMinLabels]] carries over losslessly; `init` also fixes the
+    * node universe (isolated nodes label as themselves). Each round is
+    * checkpointed like the propagation loop so plans stay O(1).
+    */
+  private[graft] def starComponents(
+      edges: DataFrame, init: DataFrame,
+      maxRounds: Int = MaxStarRounds): (DataFrame, Int) = {
+    val fromInit = init.filter(col("label") =!= col("node"))
+      .select(greatest(col("node"), col("label")).as("hi"),
+        least(col("node"), col("label")).as("lo"))
+    var e = checkpointLabels(
+      edges.select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .unionByName(fromInit)
+        .distinct())
+    var round = 0
+    var done = false
+    while (!done) {
+      require(round < maxRounds,
+        s"large-star/small-star did not converge in $maxRounds rounds")
+      val next = checkpointLabels(smallStar(largeStar(e)))
+      // exact stabilization check: same cardinality and no novel edges
+      done = next.count() == e.count() && next.exceptAll(e).isEmpty
+      e = next
+      round += 1
+    }
+    val labels = init.select(col("node"))
+      .join(e.select(col("hi").as("node"), col("lo").as("label")),
+        Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("label"), col("node")).as("label"))
     (labels, round)
   }
 
