@@ -404,6 +404,25 @@ object Dedup {
   private def qDedupComponents(s: SparkSession, dir: String): DataFrame =
     componentLabels(s, dir).orderBy("doc_id")
 
+  /** The SAME component labels computed by the large-star/small-star
+    * contraction instead of min-label propagation — oracle-verified against
+    * the identical recursive-CTE oracle, proving the O(log n) escalation
+    * path produces bit-identical labels on the real LSH graph (not just on
+    * spec fixtures). Node universe = every doc in a size-≥2 bucket, exactly
+    * the propagation loop's; singletons are absent from both.
+    */
+  private def qDedupComponentsStar(s: SparkSession, dir: String): DataFrame = {
+    val edges = candidatePairs(s, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node"), col("node").as("label"))
+    val (labels, _) = starComponents(edges, nodes)
+    labels.select(col("node").as("doc_id"), col("label").as("component_id"))
+      .orderBy("doc_id")
+  }
+
   /** Leakage-safe corpus split: a near-duplicate CLUSTER is assigned to
     * train/val/test as a unit — hashing per-document (the plain
     * `q_corpus_split`) can put two near-identical documents on opposite
@@ -530,6 +549,7 @@ object Dedup {
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_components" -> qDedupComponents,
+    "q_dedup_components_star" -> qDedupComponentsStar,
     "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh)
@@ -559,6 +579,22 @@ object Dedup {
       |  ON a.band_id = b.band_id AND a.bkey = b.bkey
       |  AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Component labels via transitive closure (DuckDB recursive CTE) —
+    * shared verbatim by the propagation query and its star-contraction
+    * twin, which must agree label-for-label.
+    */
+  private val ComponentsSql =
+    MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+      """,
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach AS (
+        |  SELECT src AS node, dst AS peer FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+        |SELECT node AS doc_id, least(node, min(peer)) AS component_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   private val SimhashSums = (1 to 32).map(b =>
     s"sum(CASE WHEN substring(md5(w), $b, 1) IN " +
       "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s" + b)
@@ -582,17 +618,9 @@ object Dedup {
       (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
     // transitive closure by recursive CTE (tiny clusters make this cheap
     // for the oracle; the Spark side is the scalable iterative form)
-    "q_dedup_components" ->
-      (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
-        """,
-          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-          |  UNION ALL SELECT doc_b, doc_a FROM cand),
-          |reach AS (
-          |  SELECT src AS node, dst AS peer FROM edges
-          |  UNION
-          |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
-          |SELECT node AS doc_id, least(node, min(peer)) AS component_id
-          |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin),
+    "q_dedup_components" -> ComponentsSql,
+    // the star-contraction path must produce the IDENTICAL labels
+    "q_dedup_components_star" -> ComponentsSql,
     // same recursive component labels, then the multiplicative-hash split
     // over the GROUP id (singletons group as themselves)
     "q_split_leakfree" ->

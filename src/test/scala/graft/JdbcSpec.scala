@@ -78,6 +78,34 @@ class JdbcSpec extends TestSpark {
       .count() === 100)
   }
 
+  test("migrateAll bundle lands in Derby in FK order, FKs intact") {
+    // the reference's actual deliverable: one run inserts all seven OpenMRS
+    // tables over JDBC in FK dependency order (reference README.md:7-17).
+    // migrateAll's Seq is already FK-ordered, so the write is a fold.
+    val tables = graft.etl.Migration.migrateAll(spark, Sf)
+    tables.foreach { case (name, df) => Sources.jdbcAppend(df, url, name) }
+    def count(sql: String): Long = withConn { c =>
+      val rs = c.createStatement().executeQuery(sql)
+      rs.next(); rs.getLong(1)
+    }
+    val persons = count("SELECT COUNT(*) FROM person")
+    assert(persons > 0)
+    assert(count("SELECT COUNT(*) FROM person_attribute") === 3 * persons)
+    Seq("person_name", "person_address", "patient", "patient_identifier",
+      "dreams_client_patient_mapping").foreach(t =>
+      assert(count(s"SELECT COUNT(*) FROM $t") === persons, s"count in $t"))
+    // referential integrity AT THE SINK: no identifier row orphaned from
+    // patient, no patient orphaned from person
+    assert(count(
+      """SELECT COUNT(*) FROM patient_identifier pi
+        |LEFT JOIN patient p ON pi."patient_id" = p."patient_id"
+        |WHERE p."patient_id" IS NULL""".stripMargin) === 0)
+    assert(count(
+      """SELECT COUNT(*) FROM patient p
+        |LEFT JOIN person pe ON p."patient_id" = pe."person_id"
+        |WHERE pe."person_id" IS NULL""".stripMargin) === 0)
+  }
+
   test("foreachBatch staging upsert into Derby is idempotent across batches") {
     withConn { c =>
       c.createStatement().execute(
