@@ -216,6 +216,105 @@ object TextOps {
       .orderBy("doc_id", "word")
   }
 
+  /** BM25 retrieval scoring against a fixed query — the classic inverted-
+    * index ranking function, shaped for Spark: the only shuffles are the
+    * (doc, term) tf aggregate and the tiny per-term df aggregate
+    * (broadcast back), so the corpus streams through once; at 100 TB the
+    * df/avgdl statistics are the index metadata a real deployment
+    * precomputes. Doubles stay portable by the repo's DECIMAL-sum rule:
+    * every per-term contribution is one fixed expression tree (identical
+    * in DuckDB), and the cross-term sum accumulates in DECIMAL(20,10) —
+    * order-independent — before the final rounded cast.
+    */
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  private def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // scalar corpus stats: N docs, average doc length (bigint/bigint IEEE
+    // division — bit-identical in both engines)
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+      .select(col("n_docs"),
+        (col("total_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val tf = toks.filter(col("w").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs").cast(DoubleType) - col("df") + 0.5)
+      / (col("df").cast(DoubleType) + 0.5) + 1.0)
+    val contrib = idf * (col("tf").cast(DoubleType) * lit(Bm25K1 + 1.0)
+      / (col("tf").cast(DoubleType)
+        + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B)
+          * (col("dl").cast(DoubleType) / col("avgdl")))))
+    tf.join(broadcast(df), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc_id"), contrib.cast(DecimalType(20, 10)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"),
+        Num.r4(sum(col("c")).cast(DoubleType)).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  /** Unigram language-model quality score: mean per-token log-probability
+    * under the corpus's own unigram distribution — the cheapest useful
+    * perplexity proxy (a doc of globally rare tokens scores low; boilerplate
+    * scores high). Scale shape: one token-count aggregate (the unigram
+    * "model" — vocab-sized, broadcast back), one join, one per-doc
+    * aggregate; the log-prob sum accumulates in DECIMAL(20,10) so the
+    * result is partitioning-independent and engine-portable.
+    */
+  private def qTextUnigramLp(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val lp = log(col("cnt").cast(DoubleType) / col("total"))
+    toks.join(broadcast(counts), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), lp.cast(DecimalType(20, 10)).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        Num.r4(sum(col("lp")).cast(DoubleType)
+          / count(lit(1))).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
+  /** Domain-mixture rebalancing: deterministic quota downsampling to the
+    * smallest source's size (the uniform-mix special case of DoReMi-style
+    * domain reweighting). Per-source keep-rate = quota/count computed in
+    * PURE INTEGER arithmetic (threshold out of 10000), and membership by
+    * the multiplicative doc_id hash — so a retried task, a different
+    * partitioning, or a different engine keeps exactly the same documents.
+    * Scale shape: one tiny per-source count (broadcast back), then a
+    * map-side filter — no shuffle touches the corpus.
+    */
+  private def qCorpusMix(s: SparkSession, dir: String): DataFrame = {
+    // the testdata's `source` column is uniform, so the skew this operator
+    // exists for is derived deterministically: floor(sqrt(doc_id % 100))
+    // buckets ids into 10 domains with 1:19 count skew (IEEE sqrt is
+    // correctly rounded, so the floor is exact in both engines)
+    val domain = concat(lit("dom"),
+      floor(sqrt((col("doc_id") % 100).cast(DoubleType)))
+        .cast(LongType).cast(StringType))
+    val d = docs(s, dir).select(col("doc_id"), domain.as("domain"))
+    val byDomain = d.groupBy("domain").agg(count(lit(1)).as("cnt"))
+    val quota = byDomain.agg(min(col("cnt")).as("quota"))
+    val thresh = least(lit(10000L), expr("(quota * 10000) div cnt"))
+    // (doc_id * 2654435761) % 10000 decomposed mod-first — same value,
+    // overflow-free at any id (same rule as splitBucket)
+    val bucket = ((col("doc_id") % 10000) * lit(2654435761L % 10000)) % 10000
+    d.join(broadcast(byDomain), "domain")
+      .crossJoin(broadcast(quota))
+      .select(col("doc_id"), col("domain"), bucket.as("bucket"),
+        thresh.as("thresh"))
+      .withColumn("kept", col("bucket") < col("thresh"))
+      .orderBy("doc_id")
+  }
+
   /** Multiplicative-hash split bucket `(id * 2654435761) % 100`, computed
     * as `((id % 100) * (2654435761 % 100)) % 100` — identical by modular
     * arithmetic for any non-negative id, but overflow-free: the direct
@@ -340,6 +439,9 @@ object TextOps {
     "q_text_quality" -> qTextQuality,
     "q_text_repetition" -> qTextRepetition,
     "q_corpus_filter" -> qCorpusFilter,
+    "q_text_bm25" -> qTextBm25,
+    "q_text_unigram_lp" -> qTextUnigramLp,
+    "q_corpus_mix" -> qCorpusMix,
     "q_text_fingerprint" -> qTextFingerprint)
 
   private val enList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -351,6 +453,58 @@ object TextOps {
       .mkString("(", " + ", ")")
 
   val oracleSql: Map[String, String] = Map(
+    // BM25 against the fixed 3-term query; contribution expression mirrors
+    // the Spark tree EXACTLY (same literal sub-expressions, left-to-right),
+    // and the cross-term sum goes through DECIMAL(20,10) in both engines
+    "q_text_bm25" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT count(*) AS n_docs,
+         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+         |  WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
+         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+         |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |${Num.r4Sql(
+            "CAST(sum(CAST(" +
+              "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / " +
+              "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+              "(CAST(tf AS DOUBLE) * (1.2 + 1.0) / " +
+              "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
+              "(CAST(dl AS DOUBLE) / avgdl)))) " +
+              "AS DECIMAL(20,10))) AS DOUBLE)")} AS bm25
+         |FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+         |CROSS JOIN corpus
+         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_unigram_lp" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         |  FROM documents),
+         |counts AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+         |total AS (SELECT sum(cnt) AS total FROM counts)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |${Num.r4Sql(
+            "CAST(sum(CAST(ln(CAST(cnt AS DOUBLE) / total) " +
+              "AS DECIMAL(20,10))) AS DOUBLE) / count(*)")} AS avg_logprob
+         |FROM toks JOIN counts USING (w) CROSS JOIN total
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // pure-integer quota thresholds: (quota*10000)//cnt out of the
+    // mod-first multiplicative hash — bit-identical keeps in any engine
+    "q_corpus_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |  'dom' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR) AS domain FROM documents),
+        |bys AS (SELECT domain, count(*) AS cnt FROM d GROUP BY domain),
+        |q AS (SELECT min(cnt) AS quota FROM bys)
+        |SELECT doc_id, domain,
+        |((doc_id % 10000) * (2654435761 % 10000)) % 10000 AS bucket,
+        |least(10000, (quota * 10000) // cnt) AS thresh,
+        |((doc_id % 10000) * (2654435761 % 10000)) % 10000
+        |  < least(10000, (quota * 10000) // cnt) AS kept
+        |FROM d JOIN bys USING (domain) CROSS JOIN q
+        |ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))

@@ -8,6 +8,47 @@ import org.apache.spark.sql.functions._
   */
 class TextOpsSpec extends TestSpark {
 
+  test("bm25 scores are positive, hits bounded by the query size") {
+    val r = graft.SparkEntry.queries("q_text_bm25")(spark, Sf).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (hits, score) = (row.getLong(1), row.getDouble(2))
+      assert(hits >= 1 && hits <= 3)
+      assert(score > 0.0, s"doc ${row.getLong(0)} scored $score")
+    }
+    // a doc hitting all 3 terms outscores the same doc hitting fewer ONLY
+    // within idf bounds; the robust global invariant is the ceiling:
+    // score <= sum over terms of idf * (k1+1)  (tf-saturation limit)
+    val n = graft.io.Sources.table(spark, Sf, "documents").count().toDouble
+    val maxIdf = math.log((n - 0.5) / 1.5 + 1.0) // df=1 term
+    r.foreach(row => assert(row.getDouble(2) <= 3 * maxIdf * 2.2))
+  }
+
+  test("unigram log-prob is negative and text-content-determined") {
+    val r = graft.SparkEntry.queries("q_text_unigram_lp")(spark, Sf)
+      .collect()
+    assert(r.length ===
+      graft.io.Sources.table(spark, Sf, "documents").count())
+    r.foreach(row => assert(row.getDouble(2) < 0.0))
+  }
+
+  test("corpus mix downsamples skewed domains toward the quota") {
+    val r = graft.SparkEntry.queries("q_corpus_mix")(spark, Sf).collect()
+    val byDomain = r.groupBy(_.getString(1))
+    val counts = byDomain.map { case (d, rows) => d -> rows.length }
+    val quota = counts.values.min
+    // smallest domain keeps everything (thresh = 10000)
+    val smallest = counts.minBy(_._2)._1
+    assert(byDomain(smallest).forall(_.getBoolean(4)))
+    byDomain.foreach { case (d, rows) =>
+      val kept = rows.count(_.getBoolean(4))
+      // hash-threshold sampling is exact in expectation with bounded
+      // granularity error; at these sizes 2x quota is a loose ceiling
+      assert(kept <= 2 * quota + 2, s"$d kept $kept vs quota $quota")
+      assert(kept >= 1, s"$d kept nothing")
+    }
+  }
+
   test("decontamination scans exactly the test split, ratios in [0,1]") {
     val d = graft.SparkEntry.queries("q_decontaminate")(spark, Sf).collect()
     assert(d.nonEmpty)
