@@ -433,6 +433,48 @@ object Relational {
         rnd(sum(dec(col("l_quantity")))).as("sum_qty"))
       .orderBy("l_returnflag")
 
+  /** A-reagg: two-level re-aggregation — daily partial aggregates merged
+    * into monthly totals, oracle-checked against the DIRECT single-level
+    * aggregation of the raw events. This is the at-rest pre-aggregation
+    * pattern a 100 TB warehouse lives on: the partial state is algebraic
+    * (count + DECIMAL sum), so any coarser grain re-aggregates from the
+    * daily rollup without rescanning the fact table, and the hash match
+    * proves the merge is exact (a float sum would NOT be — decimal is what
+    * makes partials order- and partitioning-independent).
+    */
+  private def qAggReaggregate(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        dec(col("value")).as("v"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("pn"), sum(col("v")).as("psum"))
+    daily
+      .select(trunc(col("day"), "month").as("month"), col("event_type"),
+        col("pn"), col("psum"))
+      .groupBy("month", "event_type")
+      .agg(sum(col("pn")).as("n_events"),
+        rnd(sum(col("psum"))).as("sum_value"))
+      .orderBy("month", "event_type")
+  }
+
+  /** O-sample: deterministic per-group uniform sample — bottom-k by
+    * md5(doc_id), the bottom-k sketch. `TABLESAMPLE`/`rand()` samples are
+    * seed- and split-dependent (never reproducible, never oracle-checkable);
+    * a hash order is a fixed uniform permutation every engine, retry, and
+    * partitioning reproduces. Mergeable at scale: partial bottom-k per
+    * partition, k-sized merge — the same shape as the top-k heap.
+    */
+  private def qSampleBottomK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("h"), col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 2)
+      .orderBy("source", "rn")
+  }
+
   // ------------------------------------------------------------ windows
 
   // W1 ranking trio within a partition
@@ -966,6 +1008,8 @@ object Relational {
     "q_agg_median" -> qAggMedian,
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_sample_stratified" -> qSampleStratified,
+    "q_sample_bottomk" -> qSampleBottomK,
+    "q_agg_reaggregate" -> qAggReaggregate,
     "q_win_range_frame" -> qWinRangeFrame,
     "q_scd2" -> qScd2,
     "q_bloom_prune" -> qBloomPrune,
@@ -1254,6 +1298,21 @@ object Relational {
         |WHERE substring(md5(CAST(l_orderkey AS VARCHAR) || '-'
         |  || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // direct single-level aggregation — a hash match against the Spark
+    // side's daily-partials-then-merge proves the pre-agg is exact
+    "q_agg_reaggregate" ->
+      """SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month,
+        |event_type,
+        |CAST(count(*) AS BIGINT) AS n_events,
+        |round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin,
+    "q_sample_bottomk" ->
+      """SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |CAST(row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |FROM documents QUALIFY rn <= 2
+        |ORDER BY source, rn""".stripMargin,
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS day,

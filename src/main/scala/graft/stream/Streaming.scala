@@ -240,12 +240,34 @@ object Streaming {
   private def qStreamSession(s: SparkSession, dir: String): DataFrame =
     sessionize(events(s, dir)).orderBy("user_id", "session_id")
 
+  /** R6 batch twin: the running per-user event count — exactly the state
+    * the `mapGroupsWithState` counter accumulates (StreamingSpec proves the
+    * streaming side reaches the same totals). A cumulative count window
+    * partitioned BY USER: state per key, parallel across keys — the batch
+    * rendering of keyed streaming state, oracle-verified.
+    */
+  private def qStreamRunningCount(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).cast(org.apache.spark.sql.types.LongType)
+          .as("running_n"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_slide" -> qStreamSlide,
+    "q_stream_running_count" -> qStreamRunningCount,
     "q_stream_session" -> qStreamSession)
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_running_count" ->
+      """SELECT event_id, user_id,
+        |CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |  AS BIGINT) AS running_n
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_stream_tumble" ->
       """SELECT CAST(floor(epoch(date_trunc('second', ts)) / 600) * 600
         |  AS BIGINT) AS bucket_start,
