@@ -301,14 +301,19 @@ object TextOps {
       floor(sqrt((col("doc_id") % 100).cast(DoubleType)))
         .cast(LongType).cast(StringType))
     val d = docs(s, dir).select(col("doc_id"), domain.as("domain"))
+    // quota = min domain count, attached as a GLOBAL window over the
+    // domain-count aggregate — that frame is domains-sized (tiny), so the
+    // single-partition window is harmless, and it keeps the whole model
+    // side ONE aggregation subtree: a separate `agg(min)` + crossJoin
+    // re-scanned the corpus to rebuild the counts (caught by PlanAuditSpec)
     val byDomain = d.groupBy("domain").agg(count(lit(1)).as("cnt"))
-    val quota = byDomain.agg(min(col("cnt")).as("quota"))
+      .withColumn("quota", min(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
     val thresh = least(lit(10000L), expr("(quota * 10000) div cnt"))
     // (doc_id * 2654435761) % 10000 decomposed mod-first — same value,
     // overflow-free at any id (same rule as splitBucket)
     val bucket = ((col("doc_id") % 10000) * lit(2654435761L % 10000)) % 10000
     d.join(broadcast(byDomain), "domain")
-      .crossJoin(broadcast(quota))
       .select(col("doc_id"), col("domain"), bucket.as("bucket"),
         thresh.as("thresh"))
       .withColumn("kept", col("bucket") < col("thresh"))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+/** Physical-plan audits for the round-6 operators — the plan each query
+  * SHOULD have at 100 TB, pinned so an innocent refactor can't silently
+  * regress the shape (same philosophy as `BucketingSpec`). AQE is disabled
+  * around plan collection: its pre-execution query stages hide subtrees
+  * from `collect` (round-5 memory).
+  */
+class PlanAuditSpec extends TestSpark {
+
+  private def staticPlan(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_topk_group_heap: partial+final object hash aggregate, no window") {
+    val plan = staticPlan("q_topk_group_heap")
+    val s = plan.toString
+    // UDAF buffers aggregate object-side: partial on the map side (that is
+    // what bounds the exchange to k rows/group) + final after the shuffle
+    val n = "ObjectHashAggregate".r.findAllIn(s).length
+    assert(n >= 2, s"expected partial+final ObjectHashAggregate:\n$s")
+    assert(!s.contains("WindowExec"), s"heap form must not window-sort:\n$s")
+  }
+
+  test("q_text_bm25: model statistics broadcast, corpus never re-shuffled for them") {
+    val s = staticPlan("q_text_bm25").toString
+    // df (per-term doc frequencies) and the corpus stats row are broadcast;
+    // a regression to shuffling the tf side for those tiny frames would
+    // show as extra hashpartitioning exchanges
+    assert(s.contains("BroadcastExchange"),
+      s"expected broadcast model statistics:\n$s")
+  }
+
+  test("q_corpus_mix: fact side is never shuffle-joined") {
+    val plan = staticPlan("q_corpus_mix")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty,
+      s"mix thresholds must reach the corpus by broadcast, not SMJ:\n$plan")
+    // the only shuffles allowed are the tiny per-domain aggregate and the
+    // final presentation sort — the corpus itself is filtered map-side
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 3,
+      s"unexpected corpus-sized exchanges (${shuffles.length}):\n$plan")
+  }
+
+  test("q_agg_reaggregate: both levels partial-aggregate before exchanging") {
+    val s = staticPlan("q_agg_reaggregate").toString
+    val n = "HashAggregate".r.findAllIn(s).length
+    // daily partial+final, monthly partial+final = 4 hash aggregates; the
+    // partials are what make the merge map-side-combining at scale
+    assert(n >= 4, s"expected two partial+final aggregate pairs, got $n:\n$s")
+  }
+
+  test("q_migrate_bundle: no partition-unbounded window anywhere in 7 tables") {
+    val plan = staticPlan("q_migrate_bundle").toString
+    assertOnlyPidWindows(plan, "q_migrate_bundle")
+  }
+
+  test("q_sample_bottomk and q_stream_running_count window by their keys") {
+    // per-group windows keyed by a data column (source / user_id) are
+    // parallel across groups — assert nothing degenerated to a global
+    // (empty-partition-spec) window, which WindowExec warns about
+    Seq("q_sample_bottomk" -> "source", "q_stream_running_count" -> "user_id")
+      .foreach { case (q, key) =>
+        val s = staticPlan(q).toString
+        val specs = "windowspecdefinition\\(([A-Za-z_0-9#]+)".r
+          .findAllMatchIn(s).map(_.group(1)).toList
+        assert(specs.nonEmpty, s"$q plan has no window:\n$s")
+        specs.foreach(k =>
+          assert(k.startsWith(key), s"$q window keyed by $k, not $key:\n$s"))
+      }
+  }
+}
