@@ -36,6 +36,7 @@ object SparkEntry {
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Linkage.queries ++
+      graft.ops.Graph.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       graft.stream.Streaming.queries
@@ -51,6 +52,7 @@ object SparkEntry {
       graft.ops.TextOps.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Linkage.oracleSql ++
+      graft.ops.Graph.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++
       graft.stream.Streaming.oracleSql
