@@ -18,7 +18,13 @@ object Explain {
         // bucketed join, window-free bag difference, scaled flagship,
         // trained IVF, decontamination inverted-index probe
         "q_src_partitioned", "q_join_bucketed", "q_except_all", "q_person",
-        "q_sim_ivf_trained", "q_decontaminate")
+        "q_sim_ivf_trained", "q_decontaminate",
+        // round-6: bounded-heap grouped top-k (partial ObjectHashAggregate
+        // before the exchange), broadcast-model BM25, single-scan domain
+        // mix, two-level re-aggregation, the 7-table bundle digests, and
+        // integer PageRank's per-iteration shape
+        "q_topk_group_heap", "q_text_bm25", "q_corpus_mix",
+        "q_agg_reaggregate", "q_migrate_bundle", "q_pagerank")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -69,17 +69,20 @@ object Graph {
     // count — it only has to be the SAME constant in both engines
     val base = (15L * (Scale / N)) / 100L
     var pr = checkpoint(nodes.select(col("node"), lit(Scale / N).as("v")))
-    (1 to Iters).foreach { _ =>
+    (1 to Iters).foreach { i =>
       val contrib = eo.join(pr.withColumnRenamed("node", "src"), "src")
         // `div` (integer division), never `/` (Spark's `/` on longs is
         // DOUBLE division — it would silently break the determinism story)
         .select(col("dst").as("to"), expr("v div outdeg").as("c"))
         .groupBy("to")
         .agg(sum(col("c")).as("in_sum"))
-      pr = checkpoint(
-        nodes.join(contrib, col("node") === col("to"), "left")
-          .select(col("node"),
-            expr(s"$base + (85 * coalesce(in_sum, 0)) div 100").as("v")))
+      val next = nodes.join(contrib, col("node") === col("to"), "left")
+        .select(col("node"),
+          expr(s"$base + (85 * coalesce(in_sum, 0)) div 100").as("v"))
+      // checkpoint every SECOND round (and the last): plan depth stays ≤2
+      // iterations while halving the eager materializations — lineage
+      // truncation is what matters, per-round is overkill
+      pr = if (i % 2 == 0 || i == Iters) checkpoint(next) else next
       ()
     }
     val out = pr.orderBy("node")
