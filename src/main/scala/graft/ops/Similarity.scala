@@ -456,7 +456,59 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** Product quantization with asymmetric-distance (ADC) scoring — the
+    * memory-bound half of production vector search (IVF partitions the
+    * corpus; PQ compresses what each list stores: 64 floats → 4 small
+    * codes here). Subspaces = 4 × 16 dims; per-subspace codebook = the
+    * first 4 vectors' subvectors (deterministic, training-free — the Lloyd
+    * upgrade path is [[lloydCentroids]], same as IVF's). Encoding is a
+    * broadcast argmin per (vector, subspace); search never touches raw
+    * corpus vectors — each query precomputes a 4×4 distance table and the
+    * approximate distance is a JOIN on (subspace, code) + a DECIMAL-exact
+    * sum of 4 entries. At 100 TB that is the whole point: the corpus side
+    * is 4 small ints per vector, and scoring is table lookups, not float
+    * dot products. Per-subspace distances fold sequentially (zip_with +
+    * aggregate), so the DuckDB oracle reproduces every double exactly.
+    */
+  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val d2 = (a: Column, b: Column) =>
+      aggregate(
+        zip_with(a, b, (x, y) =>
+          (x.cast(DoubleType) - y.cast(DoubleType))
+            * (x.cast(DoubleType) - y.cast(DoubleType))),
+        lit(0.0), (acc, v) => acc + v)
+    val sub = emb(s, dir).select(col("vec_id"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("s"),
+          slice(col("embedding"), i * 16 + 1, 16).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+    val cb = sub.filter(col("vec_id") < 4)
+      .select(col("s"), col("vec_id").as("cid"), col("sv").as("cemb"))
+    // inverted-file side: each (vector, subspace) encoded as its nearest
+    // centroid id — ties to the lowest cid, the portable min_by pattern
+    val codes = sub.join(broadcast(cb), "s")
+      .select(col("vec_id"), col("s"), col("cid"),
+        d2(col("sv"), col("cemb")).as("dist2"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+    // query side: the per-query ADC table (4 subspaces × 4 centroids)
+    val qd = sub.filter(col("vec_id") < 8)
+      .join(broadcast(cb), "s")
+      .select(col("vec_id").as("q_id"), col("s"), col("cid"),
+        d2(col("sv"), col("cemb")).cast(DecimalType(20, 10)).as("d"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(qd, Seq("s", "cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_pq" -> qSimPq,
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
@@ -517,7 +569,38 @@ object Similarity {
       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |  / (c.nrm * q.nrm)""".stripMargin)
 
+  /** Squared L2 distance between two float lists as a sequential DuckDB
+    * fold — matches the Spark `zip_with`+`aggregate` composition exactly.
+    */
+  private def D2Sql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b), p ->
+       |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+       |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_sim_pq" ->
+      s"""WITH sub AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sv
+         |  FROM embeddings, unnest(range(0, 4)) AS t(s)),
+         |cb AS (SELECT s, vec_id AS cid, sv AS cemb FROM sub
+         |  WHERE vec_id < 4),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |  SELECT sub.vec_id, sub.s, cb.cid,
+         |    ${D2Sql("sub.sv", "cb.cemb")} AS dist2
+         |  FROM sub JOIN cb ON sub.s = cb.s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+         |    ORDER BY dist2, cid) = 1),
+         |qd AS (SELECT sub.vec_id AS q_id, sub.s, cb.cid,
+         |    CAST(${D2Sql("sub.sv", "cb.cemb")} AS DECIMAL(20,10)) AS d
+         |  FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
+         |scored AS (SELECT q_id, c.vec_id,
+         |  ${Num.r4Sql("CAST(sum(d) AS DOUBLE)")} AS adist
+         |  FROM codes c JOIN qd ON c.s = qd.s AND c.cid = qd.cid
+         |  WHERE c.vec_id <> qd.q_id
+         |  GROUP BY q_id, c.vec_id)
+         |SELECT q_id, vec_id, adist,
+         |CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY adist, vec_id) AS BIGINT) AS rn
+         |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin,
     // same training replay as q_sim_ivf_trained; the query side QUALIFYs
     // its TWO nearest cells (nprobe=2) while the corpus stays rn=1
     "q_sim_ivf_probe" ->

@@ -58,6 +58,22 @@ class SimilaritySpec extends TestSpark {
     assert(tiny === data.take(3).sortBy { case (id, sc) => (-sc, id) })
   }
 
+  test("PQ/ADC: 3 ranked rows per query, distances non-negative and sorted") {
+    val r = graft.SparkEntry.queries("q_sim_pq")(spark, Sf).collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2),
+        row.getLong(3)))
+    val byQ = r.groupBy(_._1)
+    assert(byQ.size === 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length === 3, s"query $q returned ${rows.length} rows")
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).forall(_ >= 0.0))
+      // approximate distance is non-decreasing in rank
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+    }
+  }
+
   test("IVF results are a subset of same-cell exact scores") {
     val ivf = graft.SparkEntry.queries("q_sim_ivf")(spark, Sf)
     // every returned neighbor pair shares the quantizer cell by construction;
