@@ -158,12 +158,15 @@ object Sources {
     */
   private[graft] def partitionedEvents(s: SparkSession, dir: String): DataFrame = {
     val path = partitionedEventsPath(dir)
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
-      Layout.writePartitioned(
-        table(s, dir, "events")
-          .withColumn("event_date", to_date(col("ts"))),
-        path, Seq("event_date"))
+    // synchronized like the media fixtures: two threads racing the first
+    // write would interleave overwrites of the same directory
+    this.synchronized {
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Layout.writePartitioned(
+          table(s, dir, "events")
+            .withColumn("event_date", to_date(col("ts"))),
+          path, Seq("event_date"))
+      }
     }
     s.read.parquet(path)
   }
