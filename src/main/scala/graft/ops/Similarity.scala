@@ -330,7 +330,7 @@ object Similarity {
     * inverted list stays executor-sized, and the candidate join cost is
     * O(n·q/k).
     */
-  private def lloydCentroids(e: DataFrame, k: Int, steps: Int): DataFrame = {
+  private[graft] def lloydCentroids(e: DataFrame, k: Int, steps: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     (1 to steps).foreach(_ => cents = lloydStep(e, cents))

@@ -74,6 +74,40 @@ class SimilaritySpec extends TestSpark {
     }
   }
 
+  test("PQ training path: one Lloyd step never increases subspace distortion") {
+    // the documented upgrade path from q_sim_pq's training-free codebooks:
+    // lloydCentroids is dimension-generic, so it trains per-SUBSPACE
+    // codebooks directly on the sliced vectors. Lloyd monotonicity —
+    // total quantization error after assign+update is never worse than
+    // the seed codebook's — is the property that makes training worth it.
+    import org.apache.spark.sql.DataFrame
+    val e = graft.io.Sources.table(spark, Sf, "embeddings")
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v)
+    def distortion(sub: DataFrame, cb: DataFrame): Double =
+      sub.crossJoin(broadcast(cb))
+        .select(col("vec_id"), dist2(col("embedding"), col("cemb")).as("d2"))
+        .groupBy("vec_id").agg(min(col("d2")).as("best"))
+        .agg(sum(col("best"))).head().getDouble(0)
+    (0 until 4).foreach { s =>
+      val sub = e.select(col("vec_id"),
+        slice(col("embedding"), s * 16 + 1, 16).as("embedding"))
+        .withColumn("nrm2", graft.ops.Similarity.dot(
+          col("embedding"), col("embedding")))
+      val seeds = sub.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      val trained = graft.ops.Similarity.lloydCentroids(sub, 4, 1)
+      val (d0, d1) = (distortion(sub, seeds), distortion(sub, trained))
+      assert(trained.count() <= 4)
+      assert(d1 <= d0 + 1e-9,
+        s"subspace $s: trained distortion $d1 > seed $d0")
+      assert(d1 < d0, s"subspace $s: training changed nothing ($d0)")
+    }
+  }
+
   test("IVF results are a subset of same-cell exact scores") {
     val ivf = graft.SparkEntry.queries("q_sim_ivf")(spark, Sf)
     // every returned neighbor pair shares the quantizer cell by construction;
