@@ -320,6 +320,31 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy per document — low entropy flags
+    * degenerate/repetitive text, the information-theoretic complement to
+    * the repetition-ratio rule. Scale shape: one explode + two hash
+    * aggregates, linear in corpus size. The `p·ln p` terms accumulate in
+    * DECIMAL(20,10): order-independent, and the cast absorbs any sub-1e-10
+    * libm differences between engines (same rule as the BM25/unigram
+    * scores). Non-empty guard on both sides: the engines disagree on
+    * splitting the empty string.
+    */
+  private def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
+    val tot = counts.groupBy("doc_id").agg(sum(col("cnt")).as("tot"))
+    val p = col("cnt").cast(DoubleType) / col("tot")
+    counts.join(tot, "doc_id")
+      .select(col("doc_id"), col("tot"),
+        (p * log(p)).cast(DecimalType(20, 10)).as("term"))
+      .groupBy("doc_id", "tot")
+      .agg(Num.r4((sum(col("term")) * -1).cast(DoubleType)).as("entropy"))
+      .select(col("doc_id"), col("tot").as("n_chars_split"), col("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Multiplicative-hash split bucket `(id * 2654435761) % 100`, computed
     * as `((id % 100) * (2654435761 % 100)) % 100` — identical by modular
     * arithmetic for any non-negative id, but overflow-free: the direct
@@ -446,6 +471,7 @@ object TextOps {
     "q_corpus_filter" -> qCorpusFilter,
     "q_text_bm25" -> qTextBm25,
     "q_text_unigram_lp" -> qTextUnigramLp,
+    "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
     "q_text_fingerprint" -> qTextFingerprint)
 
@@ -495,6 +521,20 @@ object TextOps {
               "AS DECIMAL(20,10))) AS DOUBLE) / count(*)")} AS avg_logprob
          |FROM toks JOIN counts USING (w) CROSS JOIN total
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      s"""WITH cnts AS (SELECT doc_id, c, count(*) AS cnt
+         |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+         |        FROM documents WHERE length(text) > 0)
+         |  GROUP BY doc_id, c),
+         |tot AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts
+         |  GROUP BY doc_id)
+         |SELECT doc_id, tot AS n_chars_split,
+         |${Num.r4Sql(
+            "-CAST(sum(CAST((CAST(cnt AS DOUBLE) / tot) * " +
+              "ln(CAST(cnt AS DOUBLE) / tot) AS DECIMAL(20,10))) " +
+              "AS DOUBLE)")} AS entropy
+         |FROM cnts JOIN tot USING (doc_id)
+         |GROUP BY doc_id, tot ORDER BY doc_id""".stripMargin,
     // pure-integer quota thresholds: (quota*10000)//cnt out of the
     // mod-first multiplicative hash — bit-identical keeps in any engine
     "q_corpus_mix" ->
