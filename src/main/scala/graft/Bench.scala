@@ -41,12 +41,17 @@ object Bench {
     // tables, media fixtures, partitioned events (round-5 VERDICT bench
     // hygiene — these are at-rest inputs at scale, not per-query work).
     try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
-    def runAll(): Map[String, Double] = SparkEntry.queries.map {
-      case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-    }
+    // Sorted key order: Map iteration order reshuffles whenever a query is
+    // added, which moves JIT warmup across queries and manufactured phantom
+    // per-query regressions three rounds running (round-6 VERDICT item 3).
+    // Lexicographic order is stable under insertion.
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+      }
     // Two passes, report the second: the first pass soaks up cold page
     // cache + residual JIT, which round-5 showed masquerading as 2-4×
     // regressions on static plans. clearCaches() between passes keeps the
@@ -63,12 +68,12 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // `metric`/`value` go LAST: the driver keeps only the final ~2000 chars
     // of output, so with ~90 per-query timings the head of this line gets
     // truncated — the headline total must sit at the tail to survive. The
     // full line is also written to /tmp/bench.json so nothing is ever lost.
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val coldTotal = if (cold.nonEmpty) cold.map(_._2).sum else 0.0
     val line =
       s"""{"queries":$qs,"sf":"$sfDir","cold_total":${fmt(coldTotal)},""" +
         s""""unit":"sec","metric":"total","value":$total}"""

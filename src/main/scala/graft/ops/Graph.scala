@@ -46,42 +46,69 @@ object Graph {
       .distinct()
   }
 
+  /** Lineage truncation for the iteration loop. Both branches return a
+    * Dataset whose logical plan is a flat `LogicalRDD` — that alone is
+    * what keeps Catalyst analysis O(1) per round instead of O(rounds).
+    * The LOCAL branch is lazy (`eager = false`): materialization folds
+    * into the single final action rather than paying one blocking job per
+    * checkpoint — that was 5 of q_pagerank's 6.8 s (round-6 VERDICT item
+    * 4). The RELIABLE branch (cluster, checkpoint dir set) stays eager: a
+    * lazy reliable checkpoint re-runs the lineage after the first action
+    * to write it, doubling every round's compute.
+    */
   private def checkpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
       df.checkpoint()
-    else df.localCheckpoint()
+    else df.localCheckpoint(eager = false)
+
+  // base uses the fixed modulus N, not the data-dependent live-node
+  // count — it only has to be the SAME constant in both engines
+  private val Base = (15L * (Scale / N)) / 100L
+
+  /** One PageRank round: contributions grouped by destination (THE one
+    * shuffle of the iteration), then ranks rebuilt against the node
+    * universe. Exposed for `PlanAuditSpec`, which pins that shuffle count.
+    */
+  private[graft] def iterate(eo: DataFrame, nodes: DataFrame,
+      pr: DataFrame): DataFrame = {
+    val contrib = eo.join(pr.withColumnRenamed("node", "src"), "src")
+      // `div` (integer division), never `/` (Spark's `/` on longs is
+      // DOUBLE division — it would silently break the determinism story)
+      .select(col("dst").as("to"), expr("v div outdeg").as("c"))
+      .groupBy("to")
+      .agg(sum(col("c")).as("in_sum"))
+    nodes.join(contrib, col("node") === col("to"), "left")
+      .select(col("node"),
+        expr(s"$Base + (85 * coalesce(in_sum, 0)) div 100").as("v"))
+  }
+
+  /** Loop-invariant adjacency with out-degrees attached ONCE — one join
+    * per iteration instead of two, and no shared-lineage ambiguity
+    * between the raw edges and their own degree aggregate inside the loop.
+    */
+  private[graft] def adjacency(e: DataFrame): DataFrame =
+    e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+
+  /** Node universe = sources ∪ destinations (every iteration's left join
+    * re-reads it, so callers cache it).
+    */
+  private[graft] def nodeUniverse(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
 
   /** 10 fixed iterations of integer PageRank over the derived graph. */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
-    // loop-invariant adjacency with out-degrees attached ONCE — one join
-    // per iteration instead of two, and no shared-lineage ambiguity
-    // between the raw edges and their own degree aggregate inside the loop
-    val eo = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .cache()
-    // node universe = sources ∪ destinations, materialized once (every
-    // iteration's left join re-reads it)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
-      .cache()
-    // base uses the fixed modulus N, not the data-dependent live-node
-    // count — it only has to be the SAME constant in both engines
-    val base = (15L * (Scale / N)) / 100L
+    val eo = adjacency(e).cache()
+    val nodes = nodeUniverse(e).cache()
     var pr = checkpoint(nodes.select(col("node"), lit(Scale / N).as("v")))
     (1 to Iters).foreach { i =>
-      val contrib = eo.join(pr.withColumnRenamed("node", "src"), "src")
-        // `div` (integer division), never `/` (Spark's `/` on longs is
-        // DOUBLE division — it would silently break the determinism story)
-        .select(col("dst").as("to"), expr("v div outdeg").as("c"))
-        .groupBy("to")
-        .agg(sum(col("c")).as("in_sum"))
-      val next = nodes.join(contrib, col("node") === col("to"), "left")
-        .select(col("node"),
-          expr(s"$base + (85 * coalesce(in_sum, 0)) div 100").as("v"))
+      val next = iterate(eo, nodes, pr)
       // checkpoint every SECOND round (and the last): plan depth stays ≤2
-      // iterations while halving the eager materializations — lineage
-      // truncation is what matters, per-round is overkill
+      // iterations while halving the lineage-truncation points — per-round
+      // is overkill (and with the lazy local form each mark is free until
+      // the final action anyway)
       pr = if (i % 2 == 0 || i == Iters) checkpoint(next) else next
       ()
     }

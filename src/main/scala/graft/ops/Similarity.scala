@@ -498,7 +498,10 @@ object Similarity {
         d2(col("sv"), col("cemb")).cast(DecimalType(20, 10)).as("d"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
-    codes.join(qd, Seq("s", "cid"))
+    // the ADC table is #queries × (4 subspaces × 4 centroids) rows — by
+    // construction broadcast-sized at any corpus scale, and the corpus
+    // side (codes) must never shuffle for it
+    codes.join(broadcast(qd), Seq("s", "cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))

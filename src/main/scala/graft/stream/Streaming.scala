@@ -3,7 +3,7 @@ package graft.stream
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 import graft.io.Sources
@@ -152,6 +152,55 @@ object Streaming {
           state.update(next)
           UserCount(user, next.n, next.lastSec)
       }
+  }
+
+  /** R6 on the CURRENT arbitrary-state API (SURVEY §2.9 names
+    * `transformWithState` beside `mapGroupsWithState`): the identical
+    * running-count semantics as [[runningCounts]], expressed as a
+    * [[StatefulProcessor]]. State is declared through the handle (here one
+    * `ValueState[UserState]` per key, `TTLConfig.NONE`; production sets a
+    * TTL for eviction instead of a timeout callback), which is what the
+    * new API buys at scale: composable named state variables, TTL-based
+    * eviction, and a RocksDB-backed store requirement that keeps per-key
+    * state off-heap. StreamingSpec proves it emits exactly what the
+    * mapGroupsWithState form emits on the same MemoryStream.
+    */
+  final class RunningCountProcessor
+      extends StatefulProcessor[Long, (Long, Long), UserCount] {
+    @transient private var st: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("userState",
+        org.apache.spark.sql.Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val prev = if (st.exists()) st.get() else UserState(0L, 0L)
+      var n = prev.n
+      var last = prev.lastSec
+      rows.foreach { case (_, sec) =>
+        n += 1
+        if (sec > last) last = sec
+      }
+      val next = UserState(n, last)
+      st.update(next)
+      Iterator.single(UserCount(user, next.n, next.lastSec))
+    }
+  }
+
+  /** [[runningCounts]] on `transformWithState`. Streaming-only: the new
+    * API requires the RocksDB state store provider (the caller's session
+    * must set `spark.sql.streaming.stateStore.providerClass`; the batch
+    * twin `q_stream_running_count` stays the oracle-verified surface).
+    */
+  def runningCountsTws(spark: SparkSession, stream: DataFrame) = {
+    import spark.implicits._
+    stream
+      .selectExpr("user_id", "unix_timestamp(ts) AS sec")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** R8 stateful sessionization with flatMapGroupsWithState: the streaming

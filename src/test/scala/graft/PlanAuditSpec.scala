@@ -61,6 +61,57 @@ class PlanAuditSpec extends TestSpark {
     assertOnlyPidWindows(plan, "q_migrate_bundle")
   }
 
+  test("q_pagerank: the per-iteration subtree has exactly one shuffle") {
+    // the 100 TB shape: adjacency is cached partitioned by src (its
+    // degree join already hash-partitions it), ranks come out of each
+    // round partitioned by node (== next round's src, alias-preserved),
+    // and the node universe is cached partitioned by node — so the ONLY
+    // exchange a round needs is the contributions groupBy(dst). 10 rounds
+    // = 10 shuffles, not 30.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = graft.ops.Graph.edges(spark, Sf)
+      val eo = graft.ops.Graph.adjacency(e).cache()
+      val nodes = graft.ops.Graph.nodeUniverse(e).cache()
+      import org.apache.spark.sql.functions.{col, lit}
+      // an eager local checkpoint reproduces the loop's LogicalRDD input
+      // (partitioning-preserving), exactly what iteration i+1 consumes
+      val pr = nodes.select(col("node"), lit(1000000L).as("v"))
+        .localCheckpoint()
+      val plan = graft.ops.Graph.iterate(eo, nodes, pr)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.length === 1,
+        s"expected the contributions groupBy as the only exchange:\n$plan")
+      eo.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q_sim_pq: ADC scoring never sort-merge-joins the corpus codes") {
+    val plan = staticPlan("q_sim_pq")
+    // codebook and distance-table sides are broadcast by construction
+    // (4×4 and #queries×16 rows); any SMJ means the corpus-sized code
+    // table started shuffling for a model-sized frame
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.isEmpty, s"expected broadcast-only joins in PQ/ADC:\n$plan")
+  }
+
+  test("q_migrate_bundle: all seven tables reuse ONE materialized roster scan") {
+    val plan = staticPlan("q_migrate_bundle")
+    // the keyed roster (surrogateKeysScaled over customer) is persisted;
+    // every per-table branch must hit that cache, so the executed plan
+    // contains NO direct parquet scan of customer — a regression here
+    // re-reads the 100 TB roster once per table
+    val custScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("customer")) => f
+    }
+    assert(custScans.isEmpty,
+      s"found ${custScans.length} direct customer scans (cache bypassed):\n" +
+        plan.toString.take(4000))
+  }
+
   test("q_sample_bottomk and q_stream_running_count window by their keys") {
     // per-group windows keyed by a data column (source / user_id) are
     // parallel across groups — assert nothing degenerated to a global

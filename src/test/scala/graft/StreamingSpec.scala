@@ -106,6 +106,45 @@ class StreamingSpec extends TestSpark {
     assert(last(2L) === 2L)
   }
 
+  test("transformWithState emits exactly what mapGroupsWithState emits") {
+    implicit val sqlCtx = spark.sqlContext
+    // the new API requires the RocksDB state store provider; scope it to
+    // this query and restore so the other streaming tests keep the default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      mem.addData(fixture: _*)
+      val q = Streaming.runningCountsTws(spark, mem.toDF())
+        .writeStream.format("memory").queryName("counts_tws_out")
+        .outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    // the old API over the identical fixture (default state store)
+    val mem2 = MemoryStream[Ev]
+    mem2.addData(fixture: _*)
+    val q2 = Streaming.runningCounts(spark, mem2.toDF())
+      .writeStream.format("memory").queryName("counts_mgs_tw_out")
+      .outputMode("update").start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // identical per-user terminal state ('update' output emits one row per
+    // key per batch, so compare the max-n row per user on both sides)
+    def terminal(table: String) = spark.table(table)
+      .groupBy("user_id").agg(max("n").as("n"), max("last_sec").as("last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tws = terminal("counts_tws_out")
+    assert(tws === terminal("counts_mgs_tw_out"))
+    assert(tws.map(_._1) === Set(1L, 2L)) // and it's not vacuously empty
+  }
+
   test("native session_window == gaps-and-islands formulation") {
     val ev = graft.io.Sources.table(spark, Sf, "events")
     val native = Streaming.sessionizeNative(ev)
