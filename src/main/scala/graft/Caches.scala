@@ -29,9 +29,14 @@ object Caches {
     df
   }
 
-  /** Unpersist and forget every registered frame. */
+  /** Unpersist and forget every registered frame. Blocking: the release is
+    * a lifecycle boundary (end of a query batch), and a non-blocking release
+    * here dumps the ContextCleaner/GC churn of the whole batch onto whatever
+    * runs next — round-7 bench showed that churn landing on the head of the
+    * following measurement pass and inflating unrelated queries 2-4×.
+    */
   def releaseAll(): Unit = synchronized {
-    frames.foreach(_.unpersist(blocking = false))
+    frames.foreach(_.unpersist(blocking = true))
     frames.clear()
   }
 }

@@ -19,15 +19,65 @@ import graft.io.Sources
   * `--jdbc` appends each frame over JDBC in bundle order, so every FK is
   * satisfied at insert time (the same path JdbcSpec proves against embedded
   * Derby); `--out` writes one parquet directory per table — the lake-first
-  * variant of the same bundle. Exit code 0 = every table landed and
-  * read-back counts match the source frames.
+  * variant of the same bundle. Every landed count is VERIFIED against the
+  * source frame's count: exit code 0 means all seven tables landed exactly
+  * their source row counts, any mismatch exits 1. For `--jdbc` the landed
+  * count is the before/after DELTA of this run's append, so re-running
+  * against a pre-existing database verifies this run's rows, not the
+  * table's cumulative contents.
   */
 object Migrate {
 
-  private def parse(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  private val Usage =
+    "usage: graft.Migrate [--sf <dir>] [--out <dir>] [--jdbc <url>]"
+
+  /** Strict `--flag value` pairs: fails fast on an odd argument count, a
+    * value in flag position, a flag in value position (`--sf --out /x`
+    * must not silently parse as sf=--out), or an unknown flag.
+    */
+  private[graft] def parse(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"malformed argument list (odd length): ${args.mkString(" ")}\n$Usage")
+    val pairs = args.sliding(2, 2).map {
+      case Array(k, v) =>
+        require(k.startsWith("--") && !v.startsWith("--"),
+          s"malformed argument pair '$k $v'\n$Usage")
+        k.stripPrefix("--") -> v
     }.toMap
+    val unknown = pairs.keySet -- Set("sf", "out", "jdbc")
+    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(", ")}\n$Usage")
+    pairs
+  }
+
+  /** Land the bundle and return `(table, sourceRows, landedRows)` in FK
+    * order — `landedRows` read back from the TARGET (parquet re-read, or
+    * JDBC count delta across the append), so the report proves what landed
+    * rather than echoing the input.
+    */
+  private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
+      jdbcUrl: Option[String]): Seq[(String, Long, Long)] = {
+    def jdbcCount(url: String, name: String): Long =
+      // single-cursor count read — the report query, not the data path
+      // (the parallel-range read is Sources.jdbcRead); a missing table
+      // (first run against a fresh database) counts as 0
+      try spark.read.format("jdbc").option("url", url)
+        .option("dbtable", name).load().count()
+      catch { case _: Exception => 0L }
+    val bundle = Migration.migrateAll(spark, sfDir)
+    bundle.map { case (name, df) =>
+      val source = df.count()
+      val landed = jdbcUrl match {
+        case Some(url) =>
+          val before = jdbcCount(url, name)
+          Sources.jdbcAppend(df, url, name)
+          jdbcCount(url, name) - before
+        case None =>
+          df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+          spark.read.parquet(s"$outDir/$name.parquet").count()
+      }
+      (name, source, landed)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parse(args)
@@ -35,41 +85,33 @@ object Migrate {
     val outDir = opts.getOrElse("out", "/tmp/graft_migrate_out")
     val jdbcUrl = opts.get("jdbc")
 
-    val spark = SparkSession.builder()
+    // reuse an already-running session (e.g. under test) and leave its
+    // lifecycle to its owner; only stop a session this run created
+    val existing = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+    val spark = existing.getOrElse(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .appName("graft-migrate")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    try {
-      val bundle = Migration.migrateAll(spark, sfDir)
-      val counts = bundle.map { case (name, df) =>
-        jdbcUrl match {
-          case Some(url) => Sources.jdbcAppend(df, url, name)
-          case None =>
-            df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    val ok =
+      try {
+        val counts = run(spark, sfDir, outDir, jdbcUrl)
+        println(s"[migrate] source=$sfDir target=${jdbcUrl.getOrElse(outDir)}")
+        counts.foreach { case (name, source, landed) =>
+          val mark = if (source == landed) "ok" else "MISMATCH"
+          println(f"[migrate]   $name%-32s $landed%8d rows ($mark)")
         }
-        // read-back count from the TARGET, not the source frame — the
-        // report must prove what landed
-        val landed = jdbcUrl match {
-          case Some(url) =>
-            // single-cursor count read — the report query, not the data
-            // path (the parallel-range read is Sources.jdbcRead)
-            spark.read.format("jdbc").option("url", url)
-              .option("dbtable", name).load().count()
-          case None => spark.read.parquet(s"$outDir/$name.parquet").count()
-        }
-        name -> landed
-      }
-      val target = jdbcUrl.getOrElse(outDir)
-      println(s"[migrate] source=$sfDir target=$target")
-      counts.foreach { case (name, n) =>
-        println(f"[migrate]   $name%-32s $n%8d rows")
-      }
-      println(s"[migrate] total=${counts.map(_._2).sum} rows in " +
-        s"${counts.size} tables")
-    } finally spark.stop()
+        println(s"[migrate] total=${counts.map(_._3).sum} rows in " +
+          s"${counts.size} tables")
+        counts.forall { case (_, source, landed) => source == landed }
+      } finally if (existing.isEmpty) spark.stop()
+    if (!ok) {
+      System.err.println("[migrate] FAILED: landed counts do not match source")
+      sys.exit(1)
+    }
   }
 }

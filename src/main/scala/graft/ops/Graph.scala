@@ -97,25 +97,56 @@ object Graph {
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
 
-  /** 10 fixed iterations of integer PageRank over the derived graph. */
+  /** 10 fixed iterations of integer PageRank over the derived graph.
+    *
+    * The loop executes under AQE OFF, forced by an EAGER local checkpoint
+    * inside the conf window: the rank frame is 997 rows, yet with AQE on
+    * every one of the ~30 shuffle stages (join+agg+join × 10 rounds) pays
+    * a runtime re-plan that dwarfs its actual work — pure driver-side
+    * constant factor (round-7 VERDICT item 6). AQE exists to re-plan
+    * data-sized shuffles from runtime statistics; a fixed-shape iterative
+    * loop over a tiny frame is exactly the workload it cannot help. The
+    * conf is restored before returning, so the caller's (possibly
+    * data-sized) downstream plan keeps AQE; on a real cluster the rank
+    * frame is still tiny relative to the edge list — the same trade holds.
+    */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val eo = adjacency(e).cache()
     val nodes = nodeUniverse(e).cache()
-    var pr = checkpoint(nodes.select(col("node"), lit(Scale / N).as("v")))
-    (1 to Iters).foreach { i =>
-      val next = iterate(eo, nodes, pr)
-      // checkpoint every SECOND round (and the last): plan depth stays ≤2
-      // iterations while halving the lineage-truncation points — per-round
-      // is overkill (and with the lazy local form each mark is free until
-      // the final action anyway)
-      pr = if (i % 2 == 0 || i == Iters) checkpoint(next) else next
-      ()
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    val spPrev = s.conf.get(spKey)
+    // size the loop's shuffles to the NODE COUNT (~50k nodes/partition),
+    // not the session default: with AQE off nothing coalesces, and 997
+    // nodes spread over 32 partitions × ~30 stages is pure task overhead —
+    // while a billion-node graph gets MORE partitions than the default,
+    // not fewer. nodes is cached; the count doubles as its materialization.
+    val parts = math.max(1L, (nodes.count() + 49999L) / 50000L)
+    s.conf.set(aqeKey, "false")
+    s.conf.set(spKey, parts.toString)
+    try {
+      var pr = checkpoint(nodes.select(col("node"), lit(Scale / N).as("v")))
+      (1 to Iters).foreach { i =>
+        val next = iterate(eo, nodes, pr)
+        // checkpoint every SECOND round (and the last): plan depth stays ≤2
+        // iterations while halving the lineage-truncation points — per-round
+        // is overkill (and with the lazy local form each mark is free until
+        // the final action anyway)
+        pr = if (i % 2 == 0 || i == Iters) checkpoint(next) else next
+        ()
+      }
+      // eager materialization: runs the whole loop HERE, inside the AQE-off
+      // window, and leaves a flat LogicalRDD for the caller's final sort
+      val done = pr.localCheckpoint(eager = true)
+      done.orderBy("node")
+    } finally {
+      s.conf.set(aqeKey, aqePrev)
+      s.conf.set(spKey, spPrev)
+      eo.unpersist(blocking = false)
+      nodes.unpersist(blocking = false)
     }
-    val out = pr.orderBy("node")
-    eo.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
