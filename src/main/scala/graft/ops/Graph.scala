@@ -112,8 +112,6 @@ object Graph {
     */
   private def qPagerank(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
-    val eo = adjacency(e).cache()
-    val nodes = nodeUniverse(e).cache()
     val aqeKey = "spark.sql.adaptive.enabled"
     val spKey = "spark.sql.shuffle.partitions"
     val aqePrev = s.conf.get(aqeKey, "true")
@@ -122,8 +120,16 @@ object Graph {
     // not the session default: with AQE off nothing coalesces, and 997
     // nodes spread over 32 partitions × ~30 stages is pure task overhead —
     // while a billion-node graph gets MORE partitions than the default,
-    // not fewer. nodes is cached; the count doubles as its materialization.
-    val parts = math.max(1L, (nodes.count() + 49999L) / 50000L)
+    // not fewer.
+    val nRaw = nodeUniverse(e)
+    val parts = math.max(1L, (nRaw.count() + 49999L) / 50000L).toInt
+    // pre-partition BOTH loop invariants onto the loop's own partitioning
+    // (adjacency by src, node universe by node): every iteration's joins
+    // then find their sides already clustered, so the only per-round
+    // exchange left is the contribution groupBy — the same co-location
+    // trick as bucketing a dimension that is joined every round
+    val eo = adjacency(e).repartition(parts, col("src")).cache()
+    val nodes = nRaw.repartition(parts, col("node")).cache()
     s.conf.set(aqeKey, "false")
     s.conf.set(spKey, parts.toString)
     try {
