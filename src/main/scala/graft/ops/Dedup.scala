@@ -515,7 +515,7 @@ object Dedup {
   private def cachedEmbedBands(s: SparkSession, dir: String): DataFrame =
     embedBandCache.getOrElseUpdate((s, dir), {
       val bits = HyperPlanes.map { h =>
-        val plane = array(h.map(v => lit(v)): _*)
+        val plane = array(h.toIndexedSeq.map(v => lit(v)): _*)
         when(Similarity.dot(col("embedding"), plane) >= 0, "1").otherwise("0")
       }
       Sources.table(s, dir, "embeddings")
