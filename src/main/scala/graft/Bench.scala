@@ -103,12 +103,18 @@ object Bench {
       settle()
       p
     }
-    // per-query min over the passes where the query succeeded
+    // per-query min over the passes where the query succeeded; the median
+    // rides along so regressions can be told from noise without a re-run
+    // (min = steady-state plan cost; median-vs-min spread = variance)
+    def successTimes(name: String): Seq[Double] =
+      allPasses.flatMap(_.collectFirst { case (`name`, t) if t >= 0 => t })
     val results = keys.map(_._1).map { name =>
-      val ts = allPasses.flatMap(_.collectFirst {
-        case (`name`, t) if t >= 0 => t
-      })
+      val ts = successTimes(name)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
+    }
+    val medians = keys.map(_._1).map { name =>
+      val ts = successTimes(name).sorted
+      name -> (if (ts.nonEmpty) ts(ts.size / 2) else -1.0)
     }
     // Locale.ROOT: f"" interpolation uses the JVM default locale, which
     // under comma-decimal locales (de_DE …) would emit `0,1234` and break
@@ -116,6 +122,8 @@ object Bench {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val qsMed = medians.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val passTotals = allPasses
@@ -127,9 +135,9 @@ object Bench {
     // this line gets truncated — the headline fields must sit at the tail
     // to survive. The full line is also written to /tmp/bench.json.
     val line =
-      s"""{"queries":$qs,"sf":"$sfDir","passes":$passes,""" +
-        s""""pass_totals":$passTotals,"errors":$errJson,""" +
-        s""""error_count":${errors.size},""" +
+      s"""{"queries_median":$qsMed,"queries":$qs,"sf":"$sfDir",""" +
+        s""""passes":$passes,"pass_totals":$passTotals,""" +
+        s""""errors":$errJson,"error_count":${errors.size},""" +
         s""""unit":"sec","metric":"total","value":$total}"""
     try Files.write(Paths.get("/tmp/bench.json"),
       (line + "\n").getBytes(StandardCharsets.UTF_8))
