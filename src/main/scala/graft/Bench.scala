@@ -31,6 +31,14 @@ import org.apache.spark.sql.functions._
   *     need when a number looks implausible.
   */
 object Bench {
+
+  /** JSON-safe error text: strip EVERY control character plus quote and
+    * backslash (not just LF/CR — a tab or form feed in an exception message
+    * would emit invalid JSON and break the driver's `json.load`).
+    */
+  private def sanitize(msg: String): String =
+    msg.replaceAll("[\\x00-\\x1f\"\\\\]", " ").take(160)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -67,9 +75,28 @@ object Bench {
     } catch { case _: Throwable => () }
     // One-time layout/fixture preparation OUTSIDE the timed loop: bucketed
     // tables, media fixtures, partitioned events (round-5 VERDICT bench
-    // hygiene — these are at-rest inputs at scale, not per-query work).
-    try SparkEntry.prepare(spark, sfDir) catch { case _: Throwable => () }
+    // hygiene — these are at-rest inputs at scale, not per-query work). A
+    // prepare failure is NOT fatal (the queries rebuild layouts lazily) but
+    // it silently moves layout cost back into query timings — the exact
+    // attribution bug the prepare step exists to prevent — so it must be
+    // loud on stderr AND ride in the JSON line.
+    var prepareError: Option[String] = None
+    try SparkEntry.prepare(spark, sfDir) catch {
+      case e: Throwable =>
+        prepareError = Some(sanitize(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}"))
+        System.err.println(
+          s"[bench] WARNING: prepare failed (${prepareError.get}); " +
+            "layout/fixture cost will be paid INSIDE query timings")
+    }
 
+    // an unknown SPARK_GRAFT_ONLY name must abort, not silently produce an
+    // empty (or partial) run that reads as a dramatic A/B pass
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -80,9 +107,8 @@ object Bench {
         try { fn(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: " +
-              String.valueOf(e.getMessage).replaceAll("[\"\n\r\\\\]", " ")
-                .take(160)
+            errors(name) = sanitize(s"${e.getClass.getSimpleName}: " +
+              String.valueOf(e.getMessage))
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -134,9 +160,11 @@ object Bench {
     // ~2000 chars of output, so with ~120 per-query timings the head of
     // this line gets truncated — the headline fields must sit at the tail
     // to survive. The full line is also written to /tmp/bench.json.
+    val prepJson = prepareError
+      .map(e => s""""prepare_error":"$e",""").getOrElse("")
     val line =
       s"""{"queries_median":$qsMed,"queries":$qs,"sf":"$sfDir",""" +
-        s""""passes":$passes,"pass_totals":$passTotals,""" +
+        s""""passes":$passes,"pass_totals":$passTotals,$prepJson""" +
         s""""errors":$errJson,"error_count":${errors.size},""" +
         s""""unit":"sec","metric":"total","value":$total}"""
     try Files.write(Paths.get("/tmp/bench.json"),
@@ -144,5 +172,9 @@ object Bench {
     catch { case _: Throwable => () }
     println(line)
     spark.stop()
+    // a failed query is EXCLUDED from `value`, so without this a broken
+    // query makes the total read FASTER — never let breakage look like a
+    // speedup to a consumer that only compares `value`/exit status
+    if (errors.nonEmpty) sys.exit(2)
   }
 }

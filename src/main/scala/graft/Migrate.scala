@@ -56,13 +56,24 @@ object Migrate {
     */
   private[graft] def run(spark: SparkSession, sfDir: String, outDir: String,
       jdbcUrl: Option[String]): Seq[(String, Long, Long)] = {
+    // ONLY a missing table (first run against a fresh database) counts as
+    // 0; any other failure (permissions, dropped connection) must propagate
+    // — mapping it to 0 would mis-report a read error as "landed counts do
+    // not match source" and hide the real cause. Table-not-found is
+    // recognized by SQLSTATE 42X05 (Derby) / 42S02 (MySQL/standard) on the
+    // SQLException chain under Spark's analysis wrapper.
+    def isTableMissing(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+        case s: java.sql.SQLException =>
+          Set("42X05", "42S02").contains(String.valueOf(s.getSQLState))
+        case _ => false
+      }
     def jdbcCount(url: String, name: String): Long =
       // single-cursor count read — the report query, not the data path
-      // (the parallel-range read is Sources.jdbcRead); a missing table
-      // (first run against a fresh database) counts as 0
+      // (the parallel-range read is Sources.jdbcRead)
       try spark.read.format("jdbc").option("url", url)
         .option("dbtable", name).load().count()
-      catch { case _: Exception => 0L }
+      catch { case e: Exception if isTableMissing(e) => 0L }
     val bundle = Migration.migrateAll(spark, sfDir)
     bundle.map { case (name, df) =>
       val source = df.count()
