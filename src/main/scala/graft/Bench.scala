@@ -46,6 +46,15 @@ object Bench {
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an unknown SPARK_GRAFT_ONLY name must abort, not silently produce an
+    // empty (or partial) run that reads as a dramatic A/B pass — and it
+    // must abort HERE, before session creation/warmup/prepare pay their
+    // ~tens of seconds for a doomed run (round-9 ADVICE)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -90,13 +99,6 @@ object Bench {
             "layout/fixture cost will be paid INSIDE query timings")
     }
 
-    // an unknown SPARK_GRAFT_ONLY name must abort, not silently produce an
-    // empty (or partial) run that reads as a dramatic A/B pass
-    only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
-      require(unknown.isEmpty,
-        s"SPARK_GRAFT_ONLY names no registered query: ${unknown.toSeq.sorted.mkString(", ")}")
-    }
     val keys = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -167,14 +169,25 @@ object Bench {
         s""""passes":$passes,"pass_totals":$passTotals,$prepJson""" +
         s""""errors":$errJson,"error_count":${errors.size},""" +
         s""""unit":"sec","metric":"total","value":$total}"""
-    try Files.write(Paths.get("/tmp/bench.json"),
-      (line + "\n").getBytes(StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // the driver's per-round artifact keeps only the final ~2000 chars of
+    // stdout, which truncates the head-of-alphabet per-query timings — so
+    // the FULL line is also written into the repo (BENCH_full.json,
+    // overwritten per run) where it survives as a committed record
+    // (round-9 VERDICT missing #5), plus /tmp/bench.json as before
+    Seq("/tmp/bench.json", "BENCH_full.json").foreach { p =>
+      try Files.write(Paths.get(p),
+        (line + "\n").getBytes(StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    }
     println(line)
     spark.stop()
-    // a failed query is EXCLUDED from `value`, so without this a broken
-    // query makes the total read FASTER — never let breakage look like a
-    // speedup to a consumer that only compares `value`/exit status
-    if (errors.nonEmpty) sys.exit(2)
+    // a query with ZERO successful passes is excluded from `value`, so
+    // without this a broken query makes the total read FASTER — never let
+    // breakage look like a speedup to a consumer that only compares
+    // `value`/exit status. A query that failed in SOME pass but succeeded
+    // in another still contributes a valid min, so a transient single-pass
+    // flake is reported in `errors` without failing the run (round-9
+    // ADVICE).
+    if (results.exists(_._2 < 0)) sys.exit(2)
   }
 }

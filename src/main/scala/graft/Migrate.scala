@@ -60,12 +60,16 @@ object Migrate {
     // 0; any other failure (permissions, dropped connection) must propagate
     // — mapping it to 0 would mis-report a read error as "landed counts do
     // not match source" and hide the real cause. Table-not-found is
-    // recognized by SQLSTATE 42X05 (Derby) / 42S02 (MySQL/standard) on the
-    // SQLException chain under Spark's analysis wrapper.
+    // recognized by SQLSTATE 42X05 (Derby) / 42S02 (MySQL/standard) /
+    // 42P01 (PostgreSQL) on the SQLException chain under Spark's analysis
+    // wrapper. Targets whose drivers report table-not-found under a
+    // different (or null) SQLSTATE — e.g. SQLite — are not auto-detected:
+    // against those, create the tables before the first --jdbc run
+    // (round-9 ADVICE documents the supported-target contract).
     def isTableMissing(e: Throwable): Boolean =
       Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
         case s: java.sql.SQLException =>
-          Set("42X05", "42S02").contains(String.valueOf(s.getSQLState))
+          Set("42X05", "42S02", "42P01").contains(String.valueOf(s.getSQLState))
         case _ => false
       }
     def jdbcCount(url: String, name: String): Long =
