@@ -151,6 +151,7 @@ object Dedup {
     // similarity memos so re-use after a release rebuilds cleanly
     graft.Caches.releaseAll()
     Similarity.clearMemos()
+    Multimodal.clearMemos()
   }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
@@ -373,7 +374,7 @@ object Dedup {
     */
   private val labelsCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def componentLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def componentLabels(s: SparkSession, dir: String): DataFrame =
     labelsCache.getOrElseUpdate((s, dir), {
       // both edge directions via one explode — a union of two selects over
       // the pair pipeline would recompute the whole LSH join per branch
@@ -575,8 +576,9 @@ object Dedup {
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh)
 
-  // shared oracle CTEs for the minhash pipeline (DuckDB dialect)
-  private val MinhashCtes =
+  // shared oracle CTEs for the minhash pipeline (DuckDB dialect) — also
+  // the head of the composed corpus-pipeline oracle in [[TextOps]]
+  private[graft] val MinhashCtes =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
       |  FROM documents),
@@ -624,7 +626,72 @@ object Dedup {
   private val SimhashBits = (1 to 32).map(b =>
     s"CASE WHEN s$b >= 0 THEN '1' ELSE '0' END").mkString(" || ")
 
+  /** Oracle for [[TextOps]]' composed q_corpus_pipeline. It LIVES here
+    * (not in TextOps.oracleSql) because it embeds [[MinhashCtes]]: Dedup's
+    * own init already forces TextOps init (splitBucketSql below), so a
+    * TextOps-init-time read of a Dedup val would create an
+    * object-initialization cycle — a deadlock risk when two test suites
+    * touch the two objects concurrently. SparkEntry merges the maps, so
+    * placement is invisible to the harness.
+    *
+    * The chain replays every stage bit-for-bit: the recursive-CTE
+    * component labels, the filter keep-rule, QUALIFY-based exact and
+    * cluster dedup, the integer split bucket over gid, the shingle
+    * inverted-index probe with the 2·hits ≤ shingles keep rule, and the
+    * per-shard running-sum pack.
+    */
+  private val CorpusPipelineSql =
+    MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+      s""",
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach AS (
+        |  SELECT src AS node, dst AS peer FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+        |comp AS (SELECT node AS doc_id, least(node, min(peer)) AS cid
+        |  FROM reach GROUP BY node),
+        |flt AS (SELECT d.doc_id, d.text,
+        |  CAST(len(w.ws) AS BIGINT) AS n_words,
+        |  len(list_filter(w.ws, x -> list_contains(${TextOps.EnStopList}, x)))
+        |    AS en_hits,
+        |  len(list_filter(w.ws, x -> list_contains(${TextOps.EsStopList}, x)))
+        |    AS es_hits
+        |  FROM documents d JOIN w ON d.doc_id = w.doc_id),
+        |kept AS (SELECT doc_id, text FROM flt
+        |  WHERE n_words >= 5 AND en_hits <> es_hits
+        |  AND CAST(greatest(en_hits, es_hits) AS DOUBLE) / n_words >= 0.05),
+        |ex AS (SELECT doc_id, text FROM kept
+        |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(text))),
+        |g AS (SELECT ex.doc_id, ex.text, COALESCE(c.cid, ex.doc_id) AS gid
+        |  FROM ex LEFT JOIN comp c ON ex.doc_id = c.doc_id
+        |  QUALIFY ex.doc_id = min(ex.doc_id) OVER (PARTITION BY gid)),
+        |sp AS (SELECT doc_id, text, gid,
+        |  ${TextOps.splitBucketSql("gid")} AS bucket FROM g),
+        |ssh AS (SELECT sp.doc_id, sp.bucket, sh.s
+        |  FROM sp JOIN sh ON sp.doc_id = sh.doc_id),
+        |te AS (SELECT DISTINCT s FROM ssh WHERE bucket >= 95),
+        |cont AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |  CAST(sum(CASE WHEN te.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hit
+        |  FROM (SELECT doc_id, s FROM ssh WHERE bucket < 90) tr
+        |  LEFT JOIN te ON tr.s = te.s GROUP BY tr.doc_id),
+        |surv AS (SELECT sp.doc_id, sp.gid,
+        |  CAST(len(list_filter(string_split(sp.text, ' '), x -> x <> ''))
+        |    AS BIGINT) AS n_tokens,
+        |  sp.doc_id % 32 AS shard
+        |  FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id
+        |  WHERE sp.bucket < 90
+        |  AND 2 * COALESCE(cont.n_hit, 0) <= COALESCE(cont.n_sh, 0)),
+        |pk AS (SELECT doc_id, gid, n_tokens, shard,
+        |  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+        |  FROM surv)
+        |SELECT doc_id, gid, n_tokens, CAST(shard AS BIGINT) AS shard,
+        |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
+        |FROM pk ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_pipeline" -> CorpusPipelineSql,
     "q_dedup_exact" ->
       """SELECT doc_id,
         |min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -456,7 +456,105 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** THE composed end-to-end corpus pipeline — the single query a real
+    * training-data pipeline user runs: quality filter → exact dedup →
+    * fuzzy (near-dup-cluster) dedup → leakage-safe split → train-side
+    * decontamination → sequence packing, as ONE DataFrame plan producing
+    * the packed TRAIN shards. Every stage is the verified standalone
+    * operator re-used in place, so this query proves they COMPOSE without
+    * hidden barriers (round-8/9 VERDICT task 1):
+    *
+    *   1. filter: the [[qCorpusFilter]] keep rule (≥5 words, clear
+    *      language, stopword floor) — map-side, fused into the scan;
+    *   2. exact dedup: min doc per md5(text) among survivors — one
+    *      window shuffle on the 16-byte hash, never on the text;
+    *   3. fuzzy dedup: min doc per near-dup CLUSTER among survivors —
+    *      the memoized LSH connected-component labels
+    *      ([[Dedup.componentLabels]]) attached by a doc_id join
+    *      (singletons cluster as themselves), then one window shuffle on
+    *      the cluster id;
+    *   4. split: the leakage-safe multiplicative-hash bucket of the
+    *      CLUSTER id ([[splitBucket]] on gid, as in q_split_leakfree), so
+    *      near-identical docs can never straddle train/test;
+    *   5. decontaminate: a TRAIN doc is dropped when more than half its
+    *      word-3-gram shingles also occur in the surviving TEST split —
+    *      the same inverted-index probe as [[qDecontaminate]], with a
+    *      pure-integer threshold (2·hits > shingles) so the keep set is
+    *      bit-portable;
+    *   6. pack: [[qPackSequences]]' per-shard contiguous fill over the
+    *      surviving train docs (32 hash shards, 256-token budget).
+    *
+    * Scale shape: the corpus is scanned once; the only corpus-sized
+    * shuffles are the two dedup windows, the shingle join, and the final
+    * per-shard pack window — each keyed exactly as its standalone
+    * operator. The cluster-label frame rides the existing memoized build
+    * (owned by this key in sorted bench order). PlanAuditSpec bounds the
+    * total exchange count so a refactor cannot silently introduce a
+    * barrier.
+    */
+  private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    // stage 1: quality filter (the q_corpus_filter keep rule, inlined so
+    // the reason buckets fuse into the same scan)
+    val f = docs(s, dir)
+      .select(col("doc_id"), col("text"),
+        size(ws).cast(LongType).as("n_words"),
+        hits(ws, EnStop).as("en_hits"), hits(ws, EsStop).as("es_hits"))
+      .filter(col("n_words") >= 5 &&
+        col("en_hits") =!= col("es_hits") &&
+        greatest(col("en_hits"), col("es_hits")).cast(DoubleType)
+          / col("n_words") >= 0.05)
+    // stage 2: exact dedup among survivors (min doc per content hash)
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val ex = f
+      .withColumn("canon", min(col("doc_id")).over(wEx))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("text"))
+    // stage 3: fuzzy dedup — near-dup cluster id from the memoized LSH
+    // component labels (un-hinted join: AQE broadcasts the label frame at
+    // test scale; at 100 TB it is a shuffle join on doc_id, which is the
+    // correct shape), then min doc per cluster among survivors
+    val wFz = org.apache.spark.sql.expressions.Window.partitionBy("gid")
+    val fz = ex
+      .join(Dedup.componentLabels(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("component_id"), col("doc_id")).as("gid"))
+      .withColumn("canon", min(col("doc_id")).over(wFz))
+      .filter(col("doc_id") === col("canon"))
+      .select(col("doc_id"), col("text"), col("gid"))
+    // stage 4: leakage-safe split over the CLUSTER id
+    val sp = fz.withColumn("bucket", splitBucket(col("gid")))
+    // stage 5: train-side decontamination against the surviving test split
+    val sh = sp.select(col("doc_id"), col("bucket"),
+      explode(Dedup.rawShingles(col("text"))).as("sh"))
+    val testSh = sh.filter(col("bucket") >= 95)
+      .select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    val cont = sh.filter(col("bucket") < 90)
+      .join(testSh, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    // stage 6: pack the surviving train docs into per-shard sequences
+    val wPk = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+    sp.filter(col("bucket") < 90)
+      .join(cont, Seq("doc_id"), "left")
+      .filter(lit(2L) * coalesce(col("n_hit"), lit(0L))
+        <= coalesce(col("n_sh"), lit(0L)))
+      .select(col("doc_id"), col("gid"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
+        (col("doc_id") % 32).as("shard"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wPk))
+      .withColumn("seq_id",
+        ((col("cum_tokens") - col("n_tokens")) / 256L).cast(LongType))
+      .select("doc_id", "gid", "n_tokens", "shard", "seq_id")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
     "q_text_redact" -> qTextRedact,
@@ -475,8 +573,8 @@ object TextOps {
     "q_corpus_mix" -> qCorpusMix,
     "q_text_fingerprint" -> qTextFingerprint)
 
-  private val enList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
-  private val esList = EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[graft] val EnStopList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
+  private[graft] val EsStopList = EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private def hitsSql(grams: Seq[String]): String =
     grams.map(g =>
@@ -650,9 +748,9 @@ object TextOps {
          |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
          |    AS BIGINT) AS n_words,
          |  len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($enList, w))) AS en_hits,
+         |    w -> list_contains($EnStopList, w))) AS en_hits,
          |  len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($esList, w))) AS es_hits
+         |    w -> list_contains($EsStopList, w))) AS es_hits
          |  FROM documents),
          |r AS (SELECT doc_id, n_words,
          |  CASE WHEN n_words < 5 THEN 'too_short'
@@ -681,18 +779,18 @@ object TextOps {
     "q_text_langid" ->
       s"""SELECT doc_id, lang,
          |CAST(len(list_filter(string_split(text, ' '),
-         |  w -> list_contains($enList, w))) AS BIGINT) AS en_hits,
+         |  w -> list_contains($EnStopList, w))) AS BIGINT) AS en_hits,
          |CAST(len(list_filter(string_split(text, ' '),
-         |  w -> list_contains($esList, w))) AS BIGINT) AS es_hits,
+         |  w -> list_contains($EsStopList, w))) AS BIGINT) AS es_hits,
          |CASE
          |  WHEN len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($enList, w)))
+         |    w -> list_contains($EnStopList, w)))
          |    > len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($esList, w))) THEN 'en'
+         |    w -> list_contains($EsStopList, w))) THEN 'en'
          |  WHEN len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($esList, w)))
+         |    w -> list_contains($EsStopList, w)))
          |    > len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($enList, w))) THEN 'es'
+         |    w -> list_contains($EnStopList, w))) THEN 'es'
          |  ELSE 'und' END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
@@ -700,7 +798,7 @@ object TextOps {
          |  CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
          |    AS DOUBLE) AS n_words,
          |  CAST(len(list_filter(string_split(text, ' '),
-         |    w -> list_contains($enList, w))) AS DOUBLE) AS en_hits,
+         |    w -> list_contains($EnStopList, w))) AS DOUBLE) AS en_hits,
          |  CAST(length(replace(text, ' ', '')) AS DOUBLE) AS n_letters
          |  FROM documents)
          |SELECT doc_id,

@@ -51,6 +51,47 @@ class MultimodalSpec extends TestSpark {
     assert(f.px_min >= g.px_min && f.px_max <= g.px_max)
   }
 
+  test("block mosaic: thumbnails hash near, distinct docs hash far") {
+    def ham(a: String, b: String): Int =
+      a.zip(b).count { case (x, y) => x != y }
+    val lens = (0L until 50L).map(d => (d * 37 + 113 * d * d) % 400 + 20)
+    val origs = (0L until 50L).map(d =>
+      ImageCodec.encodeBlockPng(d, lens(d.toInt)))
+    val hashes = origs.map(ImageCodec.aHashPng)
+    val thumbHams = origs.zipWithIndex.map { case (png, d) =>
+      val thumb = ImageCodec.resizePng(png, 16)
+      // dedup dims are always > 16, so every thumbnail is a genuinely
+      // different payload
+      assert(!java.util.Arrays.equals(png, thumb))
+      ham(hashes(d), ImageCodec.aHashPng(thumb))
+    }
+    assert(thumbHams.count(_ <= 10) >= 30,
+      s"thumbnail hamming too high: $thumbHams")
+    // independent md5 mosaics: cross-doc hashes ~32 bits apart, never
+    // inside the near-dup threshold at this sample size
+    val cross = for {
+      i <- hashes.indices; j <- (i + 1) until hashes.size
+    } yield ham(hashes(i), hashes(j))
+    assert(cross.min > 10, s"cross-doc hash collision: min ${cross.min}")
+  }
+
+  test("q_mm_dedup surfaces original↔thumbnail pairs under the threshold") {
+    val rows = SparkEntry.queries("q_mm_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "no near-dup pairs found")
+    assert(rows.forall(_._3 <= 10), "verified pair above the threshold")
+    val thumb = rows.count { case (a, b, _) =>
+      b - a == Multimodal.ResizeIdOffset
+    }
+    // measured at sf0.001: 319 thumbnail pairs of 324 total (the rest are
+    // the honest banded-LSH near-collision tail)
+    assert(thumb * 10 >= rows.length * 9,
+      s"thumbnail pairs $thumb of ${rows.length} — precision collapsed")
+    val nDocs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(thumb * 10 >= nDocs * 5,
+      s"recovered $thumb of $nDocs thumbnails — recall collapsed")
+  }
+
   test("wav codec round-trips the deterministic waveform losslessly") {
     for (docId <- Seq(0L, 42L, 999L); n <- Seq(0L, 13L, 12345L)) {
       val wav = AudioCodec.encodeWav(docId, n)

@@ -112,6 +112,30 @@ class PlanAuditSpec extends TestSpark {
         plan.toString.take(4000))
   }
 
+  test("q_corpus_pipeline: bounded exchanges, no barrier the stages don't own") {
+    val plan = staticPlan("q_corpus_pipeline")
+    // the composed filter→dedup→split→decontaminate→pack plan: every
+    // exchange must belong to a stage that owns it (md5 window, cluster
+    // window, shingle distinct+join, contamination agg+attach, shard pack,
+    // presentation sort). A count above the pin means a refactor introduced
+    // a hidden barrier — exactly what composing the stages must not do.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 12,
+      s"q_corpus_pipeline grew to ${shuffles.length} exchanges:\n$plan")
+    // no stage may degenerate to a cartesian pair loop or a global window
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"cartesian product in the pipeline:\n$plan")
+    // every window must be keyed (md5-hash window projects as _w0); an
+    // empty partition spec prints specifiedwindowframe in key position
+    val specs = "windowspecdefinition\\(([A-Za-z_0-9#]+)".r
+      .findAllMatchIn(plan.toString).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"q_corpus_pipeline plan has no windows:\n$plan")
+    specs.foreach(k => assert(
+      k.startsWith("_w") || k.startsWith("gid") || k.startsWith("shard"),
+      s"unexpected window key $k (global window regression?):\n${plan.toString.take(3000)}"))
+  }
+
   test("q_sample_bottomk and q_stream_running_count window by their keys") {
     // per-group windows keyed by a data column (source / user_id) are
     // parallel across groups — assert nothing degenerated to a global
