@@ -62,6 +62,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Verify.quietTinyFrameWindowWarnings()
     // JVM/codegen warmup so timings measure the queries, not classloading —
     // without it the first query pays ~5 s of one-time JIT/codegen cost.
     // Covers the paths a first query would otherwise compile cold: plain

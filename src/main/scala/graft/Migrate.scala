@@ -110,7 +110,11 @@ object Migrate {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    // log level belongs to the session's owner: forcing WARN on an ADOPTED
+    // session flipped the shared test session from ERROR mid-run, and every
+    // suite after MigrateSpec then flooded WindowExec warnings (round-8
+    // VERDICT task 7 — the "spec" warnings were this leak, not the specs)
+    if (existing.isEmpty) spark.sparkContext.setLogLevel("WARN")
 
     val ok =
       try {

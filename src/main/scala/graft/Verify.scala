@@ -4,6 +4,21 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Raise the window-exec logger to ERROR: several verified queries carry
+    * DELIBERATE single-partition windows over model-sized frames (domain
+    * quotas in q_corpus_mix, the unscaled surrogate-key/ntile variants —
+    * each documented at its site), so WindowExec's per-execution warning
+    * fires hundreds of times per run and buries real warnings. The
+    * regression signal for data-sized global windows is owned by
+    * PlanAuditSpec / assertOnlyPidWindows, which assert the PLAN — a log
+    * line nobody can read through is not a safety net.
+    */
+  private[graft] def quietTinyFrameWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window",
+      org.apache.logging.log4j.Level.ERROR)
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,6 +32,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietTinyFrameWindowWarnings()
     // the class-name extension path fails SILENTLY if the class can't load
     // (Spark logs a warning and builds the session anyway) — probe the SQL
     // surface so a regression is visible in the verify log, without
