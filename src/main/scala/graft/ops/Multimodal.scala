@@ -191,8 +191,25 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       require(img != null, "undecodable payload")
+      if (img.getWidth <= maxDim && img.getHeight <= maxDim) bytes
+      else {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(downscale(img, maxDim), "png", bos)
+        bos.toByteArray
+      }
+    }
+
+    /** The raster half of [[resizePng]]: nearest-neighbor downscale of a
+      * decoded image (identity when already within bounds). Shared so
+      * in-memory consumers (the q_mm_dedup hash stage) use bit-identical
+      * sampling arithmetic without paying the dead encode→decode pair —
+      * PNG grayscale is lossless, so the two paths agree sample-for-
+      * sample.
+      */
+    def downscale(img: java.awt.image.BufferedImage,
+                  maxDim: Int): java.awt.image.BufferedImage = {
       val (w, h) = (img.getWidth, img.getHeight)
-      if (w <= maxDim && h <= maxDim) bytes
+      if (w <= maxDim && h <= maxDim) img
       else {
         val scale = math.max(
           (w + maxDim - 1) / maxDim, (h + maxDim - 1) / maxDim)
@@ -209,9 +226,7 @@ object Multimodal {
           }
           y += 1
         }
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(out, "png", bos)
-        bos.toByteArray
+        out
       }
     }
   }
@@ -503,20 +518,27 @@ object Multimodal {
   private def aHashSigs(s: SparkSession, dir: String): DataFrame =
     hashCache.getOrElseUpdate((s, dir), {
       import s.implicits._
-      val fix = blockPngFixture(s, dir).as[(Long, Array[Byte])]
-      val orig = fix.mapPartitions(it =>
-        it.map { case (id, b) => (id, ImageCodec.aHashPng(b)) })
-      // thumbnail variant: the REAL resize codec path (decode → nearest-
-      // neighbor downscale to ≤16 px → re-encode), then hash the result —
-      // genuinely different payload bytes whose hash must land near the
-      // original's
-      val rez = fix.mapPartitions(it =>
-        it.map { case (id, b) =>
-          (id + ResizeIdOffset,
-            ImageCodec.aHashPng(ImageCodec.resizePng(b, 16)))
-        })
+      // ONE decode per image, both hashes emitted from it. The semantic
+      // contract is hash(decode(resizePng(bytes, 16))) — but PNG grayscale
+      // is lossless, so decode∘encode is the identity on raster samples
+      // and the thumbnail hash equals aHash(downscale(img)) computed
+      // in-memory: the dead encode→decode pair is skipped (a first cut
+      // that re-encoded per variant decoded every payload 3× and wrote
+      // 5000 PNGs per pass — 5.8 s at sf0.1). The byte-level resize path
+      // stays exercised by q_mm_resize, and the oracle pins this plan to
+      // the same values the byte path produces.
       graft.Caches.register(
-        orig.union(rez).toDF("img_id", "ahash")
+        blockPngFixture(s, dir).as[(Long, Array[Byte])]
+          .mapPartitions(it => it.flatMap { case (id, b) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b))
+            require(img != null, s"undecodable payload for img $id")
+            Iterator(
+              (id, ImageCodec.aHash(img)),
+              (id + ResizeIdOffset,
+                ImageCodec.aHash(ImageCodec.downscale(img, 16))))
+          })
+          .toDF("img_id", "ahash")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     })
 

@@ -22,6 +22,25 @@ class MigrationSpec extends TestSpark {
     }
   }
 
+  test("codegen'd Luhn expression agrees with the UDF value-for-value") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // mixed shapes: numeric, prefixed, lower-case (kernel upper-cases)
+    val ids = ((0L until 300L).map(_.toString) ++
+      (0L until 100L).map(i => s"GEN-$i") ++
+      Seq("", "acdefghj", "x9y")).toDF("id")
+    val out = ids.select(
+      graft.functions.LuhnExprs.luhnMod30(col("id")).as("e"),
+      Migration.luhnMod30Udf(col("id")).as("u")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(1)))
+    // null in → null out (the UDF form NPEs on null — the expression's
+    // null-intolerant contract is strictly safer; production paths never
+    // feed it null, but a dirty roster must not crash the stage)
+    val nulls = Seq(Option.empty[String]).toDF("id").select(
+      graft.functions.LuhnExprs.luhnMod30(col("id")).as("e")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("luhn mod-30 rejects single-digit mutations") {
     // property: changing one digit changes the check digit (Luhn guarantee)
     (0 until 100).foreach { i =>

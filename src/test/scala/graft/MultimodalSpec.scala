@@ -63,7 +63,13 @@ class MultimodalSpec extends TestSpark {
       // dedup dims are always > 16, so every thumbnail is a genuinely
       // different payload
       assert(!java.util.Arrays.equals(png, thumb))
-      ham(hashes(d), ImageCodec.aHashPng(thumb))
+      val byteHash = ImageCodec.aHashPng(thumb)
+      // the in-memory downscale the hash stage uses must agree with the
+      // full byte path bit-for-bit (PNG grayscale losslessness)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(ImageCodec.aHash(ImageCodec.downscale(img, 16)) === byteHash)
+      ham(hashes(d), byteHash)
     }
     assert(thumbHams.count(_ <= 10) >= 30,
       s"thumbnail hamming too high: $thumbHams")
