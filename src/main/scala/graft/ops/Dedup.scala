@@ -466,6 +466,45 @@ object Dedup {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  // --------------------------------- cross-doc substring (k-gram) dedup
+
+  /** Cross-document SUBSTRING duplication per doc — the k-gram inverted-
+    * index form of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL '22:
+    * exact ≥k-token spans shared across documents are the highest-impact
+    * duplication to remove, and doc-level near-dup misses them). Every
+    * overlapping word 8-gram is hashed (md5 — the gram TEXT never
+    * shuffles), grams occurring in ≥2 distinct docs form the duplicated
+    * set, and each doc reports its duplicated-gram fraction — the score a
+    * curation pass thresholds on. Scale shape: one map-side explode, one
+    * gram aggregate (map-side combine; state = distinct grams), one
+    * shuffle join back on the 16-byte hash, one per-doc aggregate —
+    * linear in corpus token count, never doc×doc. Docs under 8 tokens
+    * have no grams and no row, like the other shingle pipelines.
+    */
+  private[graft] val SubstringK = 8
+
+  private def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val idx = when(size(ws) >= SubstringK,
+      sequence(lit(1), size(ws) - (SubstringK - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs(s, dir).select(col("doc_id"),
+      explode(transform(idx,
+        i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))).as("g"))
+    val dupGrams = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("g"), lit(1L).as("dup"))
+    grams.join(dupGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("dup"), lit(0L))).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        Num.r4(col("n_dup_grams").cast(DoubleType) / col("n_grams")))
+      .orderBy("doc_id")
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ 0.5. All-pairs is acceptable
@@ -565,6 +604,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_events" -> qDedupEvents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_fuzzy" -> qDedupFuzzy,
@@ -704,6 +744,24 @@ object Dedup {
         |ORDER BY event_id""".stripMargin,
     "q_dedup_minhash" ->
       (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    // overlapping word 8-grams (md5-hashed), duplicated = in ≥2 distinct
+    // docs; per-doc duplicated fraction (same end-exclusive range device
+    // as the 3-gram shingles: positions 1..len-7)
+    "q_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |g AS (SELECT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS g
+         |  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+         |d AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_dup_grams,
+         |${Num.r4Sql(
+            "CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)" +
+              " / count(*)")} AS dup_frac
+         |FROM g JOIN d USING (g)
+         |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
     // transitive closure by recursive CTE (tiny clusters make this cheap
     // for the oracle; the Spark side is the scalable iterative form)
     "q_dedup_components" -> ComponentsSql,

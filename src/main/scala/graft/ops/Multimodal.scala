@@ -574,9 +574,11 @@ object Multimodal {
           col("a.img_id") < col("b.img_id"))
       .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"))
       .distinct()
-    val ham = size(filter(zip_with(
-      split(col("ha.ahash"), ""), split(col("hb.ahash"), ""),
-      (x, y) => x =!= y), v => v)).cast(LongType)
+    // codegen'd byte-wise Hamming (StringHamming) — the zip_with/filter
+    // composition it replaced allocated two char arrays + two lambda
+    // dispatches per candidate pair, interpreted
+    val ham = graft.functions.HammingExprs.hamming(
+      col("ha.ahash"), col("hb.ahash"))
     cand.join(sigs.as("ha"), col("img_a") === col("ha.img_id"))
       .join(sigs.as("hb"), col("img_b") === col("hb.img_id"))
       .select(col("img_a"), col("img_b"), ham.as("hamming"))

@@ -139,6 +139,12 @@ class SimilaritySpec extends TestSpark {
     val sh = spark.sql("SELECT simhash_sig('a b c') AS s")
       .collect().head.getString(0)
     assert(sh.length === 32 && sh.forall(c => c == '0' || c == '1'))
+    val hm = spark.sql("SELECT hamming('10110', '11010') AS h")
+      .collect().head.getLong(0)
+    assert(hm === 2L)
+    val luhn = spark.sql("SELECT luhn_mod30('1') AS c")
+      .collect().head.getString(0)
+    assert(luhn === "X")
   }
 
   test("zero vector yields null cosine, not an ANSI divide-by-zero crash") {
