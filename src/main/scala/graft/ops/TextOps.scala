@@ -562,7 +562,75 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distributed BPE merge training — the first `BpeMerges` byte-pair
+    * merges learned from the corpus, the algorithm behind every modern
+    * tokenizer (Sennrich et al., ACL '16), expressed as a declarative
+    * iterative DataFrame loop like the Lloyd/PageRank chains:
+    *
+    *   - vocab = (word, count) — one token aggregate, vocab-sized from
+    *     then on (the corpus is never touched again);
+    *   - each round: explode adjacent symbol pairs weighted by word
+    *     count → one vocab-sized aggregate → global argmax by
+    *     (total desc, pair asc) → the 1-row winner broadcasts back and a
+    *     codegen'd `replace` applies the merge to every word —
+    *     NO collect(): the argmax rides the plan as a broadcast join, so
+    *     the whole training is one lazy composition;
+    *   - symbols are double-space-joined with sentinel spaces
+    *     (` a  b  c `): a pair pattern ` a  b ` owns one boundary space
+    *     on each side, so consecutive merge sites never share a
+    *     delimiter and leftmost non-overlapping `replace` applies the
+    *     merge at every site in both engines (a single-space join misses
+    *     every second adjacent occurrence).
+    *
+    * Scale shape: after the first aggregate everything is vocab-sized;
+    * at 100 TB the corpus pass is the one heavy stage and each round is
+    * a small-frame aggregate + broadcast — the standard distributed BPE
+    * formulation. Rounds are a fixed constant, so the oracle unrolls
+    * them as CTE chains exactly like the 2-step Lloyd and 10-round
+    * PageRank oracles.
+    */
+  private[graft] val BpeMerges = 6
+
+  private def bpePairs(seq: Column): Column = {
+    val toks = split(trim(seq), "  ")
+    when(size(toks) >= 2, transform(sequence(lit(0), size(toks) - 2),
+      j => concat(element_at(toks, j + 1), lit(" "), element_at(toks, j + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var cur = docs(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        array_join(split(col("w"), ""), "  "), lit(" ")).as("seq"),
+        col("cnt"))
+    var merges: DataFrame = null
+    (1 to BpeMerges).foreach { step =>
+      val best = cur
+        .select(col("cnt"), explode(bpePairs(col("seq"))).as("p"))
+        .groupBy("p").agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("p"))
+        .limit(1)
+        .select(col("p").as("pair"),
+          call_function("replace", col("p"), lit(" "), lit("")).as("tok"),
+          col("total"))
+      val m = best.select(lit(step.toLong).as("step"), col("pair"),
+        col("tok"), col("total"))
+      merges = if (merges == null) m else merges.unionByName(m)
+      cur = cur.crossJoin(broadcast(best))
+        .select(call_function("replace", col("seq"),
+          concat(lit(" "),
+            call_function("replace", col("pair"), lit(" "), lit("  ")),
+            lit(" ")),
+          concat(lit(" "), col("tok"), lit(" "))).as("seq"),
+          col("cnt"))
+    }
+    merges.orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> qBpeTrain,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
@@ -590,7 +658,41 @@ object TextOps {
       s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
       .mkString("(", " + ", ")")
 
+  /** The identical `BpeMerges` rounds unrolled as CTE chains (fixed
+    * iteration count ⇒ plain unrolled chain, the same device as the
+    * 2-step Lloyd and 10-round PageRank oracles). Every round is
+    * pair-count → (total desc, pair) argmax → boundary-aware replace,
+    * mirroring the Spark chain expression-for-expression.
+    */
+  private val BpeOracleSql: String = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (SELECT p, sum(cnt) AS total FROM (
+         |  SELECT cnt, unnest(list_transform(range(0, len(tk) - 1),
+         |    j -> tk[j + 1] || ' ' || tk[j + 2])) AS p
+         |  FROM (SELECT cnt, string_split(trim(seq), '  ') AS tk
+         |        FROM s${r - 1})) GROUP BY p),
+         |b$r AS (SELECT p AS pair, replace(p, ' ', '') AS tok, total
+         |  FROM p$r ORDER BY total DESC, p LIMIT 1),
+         |s$r AS (SELECT replace(seq,
+         |    ' ' || replace(pair, ' ', '  ') || ' ', ' ' || tok || ' ')
+         |    AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS step, pair, tok, " +
+        s"CAST(total AS BIGINT) AS total FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
+       |  x -> x <> '')) AS w FROM documents),
+       |s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
+       |    || ' ' AS seq, count(*) AS cnt
+       |  FROM toks GROUP BY 1),
+       |$rounds
+       |$selects
+       |ORDER BY step""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_train" -> BpeOracleSql,
     // BM25 against the fixed 3-term query; contribution expression mirrors
     // the Spark tree EXACTLY (same literal sub-expressions, left-to-right),
     // and the cross-term sum goes through DECIMAL(20,10) in both engines
