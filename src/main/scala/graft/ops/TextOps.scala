@@ -598,11 +598,16 @@ object TextOps {
       .otherwise(array().cast("array<string>"))
   }
 
-  private def qBpeTrain(s: SparkSession, dir: String): DataFrame = {
+  /** The trained BPE state after [[BpeMerges]] rounds: the merge table
+    * and the final per-word symbol sequences (the tokenizer's vocab
+    * mapping) — shared by the training query and the encode query so
+    * train → apply composes from one chain.
+    */
+  private def bpeTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     var cur = docs(s, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(concat(lit(" "),
+      .select(col("w"), concat(lit(" "),
         array_join(split(col("w"), ""), "  "), lit(" ")).as("seq"),
         col("cnt"))
     var merges: DataFrame = null
@@ -619,18 +624,47 @@ object TextOps {
         col("tok"), col("total"))
       merges = if (merges == null) m else merges.unionByName(m)
       cur = cur.crossJoin(broadcast(best))
-        .select(call_function("replace", col("seq"),
+        .select(col("w"), call_function("replace", col("seq"),
           concat(lit(" "),
             call_function("replace", col("pair"), lit(" "), lit("  ")),
             lit(" ")),
           concat(lit(" "), col("tok"), lit(" "))).as("seq"),
           col("cnt"))
     }
-    merges.orderBy("step")
+    (merges, cur.select(col("w"), col("seq")))
+  }
+
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeTrained(s, dir)._1.orderBy("step")
+
+  /** Encode the corpus with the trained merges — train → apply as one
+    * composition: every token joins its final symbol sequence from the
+    * trained vocab mapping and each doc reports its word/symbol counts
+    * (symbols-per-word is the compression a tokenizer team tracks as
+    * merges are added). The vocab attach is an UN-hinted equi-join on the
+    * word: AQE broadcasts the vocab at test scale; at 100 TB vocab is
+    * corpus-distinct-words-sized, so the honest shape is a shuffle join
+    * on the word — same contract as the CC-label attach in the corpus
+    * pipeline.
+    */
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val vocab = bpeTrained(s, dir)._2
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(vocab, "w")
+      .select(col("doc_id"),
+        size(split(trim(col("seq")), "  ")).cast(LongType).as("n_sym"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_bpe_symbols"))
+      .withColumn("sym_per_word",
+        Num.r4(col("n_bpe_symbols").cast(DoubleType) / col("n_words")))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
+    "q_bpe_encode" -> qBpeEncode,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
@@ -664,7 +698,7 @@ object TextOps {
     * pair-count → (total desc, pair) argmax → boundary-aware replace,
     * mirroring the Spark chain expression-for-expression.
     */
-  private val BpeOracleSql: String = {
+  private val BpeChainSql: String = {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS (SELECT p, sum(cnt) AS total FROM (
          |  SELECT cnt, unnest(list_transform(range(0, len(tk) - 1),
@@ -673,26 +707,43 @@ object TextOps {
          |        FROM s${r - 1})) GROUP BY p),
          |b$r AS (SELECT p AS pair, replace(p, ' ', '') AS tok, total
          |  FROM p$r ORDER BY total DESC, p LIMIT 1),
-         |s$r AS (SELECT replace(seq,
+         |s$r AS (SELECT w, replace(seq,
          |    ' ' || replace(pair, ' ', '  ') || ' ', ' ' || tok || ' ')
          |    AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val selects = (1 to BpeMerges).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS step, pair, tok, " +
-        s"CAST(total AS BIGINT) AS total FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '),
-       |  x -> x <> '')) AS w FROM documents),
-       |s0 AS (SELECT ' ' || array_to_string(string_split(w, ''), '  ')
-       |    || ' ' AS seq, count(*) AS cnt
-       |  FROM toks GROUP BY 1),
-       |$rounds
-       |$selects
-       |ORDER BY step""".stripMargin
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |s0 AS (SELECT w,
+       |  ' ' || array_to_string(string_split(w, ''), '  ') || ' ' AS seq,
+       |  count(*) AS cnt
+       |  FROM toks GROUP BY w),
+       |$rounds""".stripMargin
   }
 
+  private val BpeTrainSql: String =
+    BpeChainSql + "\n" +
+      (1 to BpeMerges).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS step, pair, tok, " +
+          s"CAST(total AS BIGINT) AS total FROM b$r")
+        .mkString("\nUNION ALL ") +
+      "\nORDER BY step"
+
+  private val BpeEncodeSql: String =
+    BpeChainSql +
+      s"""
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |CAST(sum(len(string_split(trim(seq), '  '))) AS BIGINT)
+         |  AS n_bpe_symbols,
+         |${Num.r4Sql(
+            "CAST(sum(len(string_split(trim(seq), '  '))) AS DOUBLE)" +
+              " / count(*)")} AS sym_per_word
+         |FROM toks JOIN s$BpeMerges USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_bpe_train" -> BpeOracleSql,
+    "q_bpe_train" -> BpeTrainSql,
+    "q_bpe_encode" -> BpeEncodeSql,
     // BM25 against the fixed 3-term query; contribution expression mirrors
     // the Spark tree EXACTLY (same literal sub-expressions, left-to-right),
     // and the cross-term sum goes through DECIMAL(20,10) in both engines
