@@ -152,6 +152,7 @@ object Dedup {
     graft.Caches.releaseAll()
     Similarity.clearMemos()
     Multimodal.clearMemos()
+    TextOps.clearMemos()
   }
 
   private def candidatePairs(s: SparkSession, dir: String): DataFrame = {

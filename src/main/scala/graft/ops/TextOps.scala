@@ -601,15 +601,56 @@ object TextOps {
   /** The trained BPE state after [[BpeMerges]] rounds: the merge table
     * and the final per-word symbol sequences (the tokenizer's vocab
     * mapping) — shared by the training query and the encode query so
-    * train → apply composes from one chain.
+    * train → apply composes from one chain. Memoized per (session, dir)
+    * with the initial vocab persisted: the ONE corpus-sized pass (the
+    * token aggregate) runs once, every training round re-reads the
+    * vocab-sized cached frame, and both consumer queries (q_bpe_encode
+    * first in sorted bench order) share one training run — the same
+    * contract as the IVF codebook memo. Released via [[clearMemos]] from
+    * `Dedup.clearCaches()`.
     */
-  private def bpeTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var cur = docs(s, dir)
-      .select(explode(tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("w"), concat(lit(" "),
-        array_join(split(col("w"), ""), "  "), lit(" ")).as("seq"),
-        col("cnt"))
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[graft] def clearMemos(): Unit = bpeCache.clear()
+
+  private def bpeTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.getOrElseUpdate((s, dir), trainBpe(s, dir))
+
+  /** Runs the [[BpeMerges]]-round training eagerly under an AQE-off
+    * window — the [[graft.ops.Graph]] qPagerank recipe: a fixed-shape
+    * iterative loop over vocab-sized frames pays an AQE runtime re-plan
+    * per tiny stage for nothing, and lazy chaining makes round k
+    * re-evaluate rounds 1..k-1 (measured 3.7/5.9 s for train/encode at
+    * sf0.1 under lazy persists). The one corpus-sized pass (token
+    * aggregate) is persisted, each round ends in a checkpoint so the next
+    * consumes a flat plan, and the merge table + vocab mapping come back
+    * as eager local checkpoints — training runs HERE once, consumers read
+    * materialized state.
+    */
+  private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    s.conf.set(aqeKey, "false")
+    try trainBpeLoop(s, dir)
+    finally s.conf.set(aqeKey, aqePrev)
+  }
+
+  private def checkpointBpe(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  private def trainBpeLoop(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val vocab0 = graft.Caches.register(
+      docs(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .select(col("w"), concat(lit(" "),
+          array_join(split(col("w"), ""), "  "), lit(" ")).as("seq"),
+          col("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var cur: DataFrame = vocab0
     var merges: DataFrame = null
     (1 to BpeMerges).foreach { step =>
       val best = cur
@@ -623,15 +664,15 @@ object TextOps {
       val m = best.select(lit(step.toLong).as("step"), col("pair"),
         col("tok"), col("total"))
       merges = if (merges == null) m else merges.unionByName(m)
-      cur = cur.crossJoin(broadcast(best))
+      cur = checkpointBpe(cur.crossJoin(broadcast(best))
         .select(col("w"), call_function("replace", col("seq"),
           concat(lit(" "),
             call_function("replace", col("pair"), lit(" "), lit("  ")),
             lit(" ")),
           concat(lit(" "), col("tok"), lit(" "))).as("seq"),
-          col("cnt"))
+          col("cnt")))
     }
-    (merges, cur.select(col("w"), col("seq")))
+    (checkpointBpe(merges), checkpointBpe(cur.select(col("w"), col("seq"))))
   }
 
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
