@@ -664,12 +664,20 @@ object TextOps {
       val m = best.select(lit(step.toLong).as("step"), col("pair"),
         col("tok"), col("total"))
       merges = if (merges == null) m else merges.unionByName(m)
-      cur = checkpointBpe(cur.crossJoin(broadcast(best))
-        .select(col("w"), call_function("replace", col("seq"),
-          concat(lit(" "),
-            call_function("replace", col("pair"), lit(" "), lit("  ")),
-            lit(" ")),
-          concat(lit(" "), col("tok"), lit(" "))).as("seq"),
+      // LEFT join on TRUE, not crossJoin: when the pair supply is
+      // exhausted before the round budget (tiny corpora — every word
+      // already one symbol), `best` is EMPTY and a cross join would wipe
+      // the vocab; with the left join the null pattern makes the replace
+      // null and the coalesce keeps the sequence unchanged — an idempotent
+      // no-op round in both engines
+      cur = checkpointBpe(cur.join(broadcast(best), lit(true), "left")
+        .select(col("w"), coalesce(
+          call_function("replace", col("seq"),
+            concat(lit(" "),
+              call_function("replace", col("pair"), lit(" "), lit("  ")),
+              lit(" ")),
+            concat(lit(" "), col("tok"), lit(" "))),
+          col("seq")).as("seq"),
           col("cnt")))
     }
     (checkpointBpe(merges), checkpointBpe(cur.select(col("w"), col("seq"))))
@@ -748,9 +756,10 @@ object TextOps {
          |        FROM s${r - 1})) GROUP BY p),
          |b$r AS (SELECT p AS pair, replace(p, ' ', '') AS tok, total
          |  FROM p$r ORDER BY total DESC, p LIMIT 1),
-         |s$r AS (SELECT w, replace(seq,
-         |    ' ' || replace(pair, ' ', '  ') || ' ', ' ' || tok || ' ')
-         |    AS seq, cnt FROM s${r - 1} CROSS JOIN b$r)""".stripMargin
+         |s$r AS (SELECT w, COALESCE(replace(seq,
+         |    ' ' || replace(pair, ' ', '  ') || ' ', ' ' || tok || ' '),
+         |    seq) AS seq, cnt
+         |  FROM s${r - 1} LEFT JOIN b$r ON TRUE)""".stripMargin
     }.mkString(",\n")
     s"""WITH toks AS (SELECT doc_id,
        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

@@ -8,6 +8,39 @@ import org.apache.spark.sql.functions._
   */
 class TextOpsSpec extends TestSpark {
 
+  test("bpe training merges every adjacent site and encode matches by hand") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // a micro corpus where the winning pair occurs at CONSECUTIVE sites
+    // inside one word ("ababab" = three adjacent "a b" sites) — the case
+    // a single-space join representation silently half-misses
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((1L, "ababab ab cd"), (2L, "ababab ab"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val merges = SparkEntry.queries("q_bpe_train")(spark, dir).collect()
+    // round 1 must merge "a b" (weight: 3 sites in ababab ×2 docs + ab ×2
+    // = 8, beating "b a" at 4 and "c d" at 1)
+    assert(merges.head.getString(1) === "a b")
+    assert(merges.head.getLong(3) === 8L)
+    // round 2 sees "ababab" as [ab ab ab]: pair "ab ab" twice per word ×2
+    // docs = 4 — every adjacent site survived round 1's replace
+    val r2 = merges(1)
+    assert(r2.getString(1) === "ab ab" && r2.getLong(3) === 4L,
+      s"adjacent merge sites lost: ${merges.mkString("; ")}")
+    // encode: after 6 merges "ababab" and "ab" both collapse further;
+    // spot-check doc 2 = words [ababab, ab] against the learned vocab
+    val enc = SparkEntry.queries("q_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(enc(2L)._1 === 2L) // two words
+    assert(enc(2L)._2 <= 3L,  // at most [ababab-as-one-or-two, ab]
+      s"encode under-merged: ${enc(2L)}")
+    graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
+  }
+
   test("bm25 scores are positive, hits bounded by the query size") {
     val r = graft.SparkEntry.queries("q_text_bm25")(spark, Sf).collect()
     assert(r.nonEmpty)
