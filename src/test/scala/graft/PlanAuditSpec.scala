@@ -136,6 +136,28 @@ class PlanAuditSpec extends TestSpark {
       s"unexpected window key $k (global window regression?):\n${plan.toString.take(3000)}"))
   }
 
+  test("q_dedup_substring: inverted-index shape, never doc×doc") {
+    val plan = staticPlan("q_dedup_substring")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"substring dedup degenerated to all-pairs:\n$plan")
+    // explode is map-side; the only exchanges are the two-phase distinct
+    // gram count, the gram join, the per-doc aggregate, and the sort
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 7,
+      s"q_dedup_substring grew to ${shuffles.length} exchanges:\n$plan")
+  }
+
+  test("q_mm_dedup: banded LSH join, never an all-pairs image compare") {
+    val plan = staticPlan("q_mm_dedup")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"image near-dup degenerated to all-pairs:\n$plan")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 10,
+      s"q_mm_dedup grew to ${shuffles.length} exchanges:\n$plan")
+  }
+
   test("q_sample_bottomk and q_stream_running_count window by their keys") {
     // per-group windows keyed by a data column (source / user_id) are
     // parallel across groups — assert nothing degenerated to a global
