@@ -40,6 +40,22 @@ object TextOps {
     size(filter(ws, w => array_contains(
       array(stop.map(lit): _*), w))).cast(LongType)
 
+  /** The corpus keep rule as ONE reusable predicate (≥5 words, clear
+    * language signal, stopword-ratio floor) — the boolean form of
+    * [[qCorpusFilter]]'s reason chain, shared by the composed batch
+    * pipeline and the streaming ingest so batch and stream cannot drift.
+    * Division is double, so a 0-word doc yields NaN (comparison false),
+    * never an ANSI divide-by-zero.
+    */
+  private[graft] def keepRule(text: Column): Column = {
+    val ws = tokens(text)
+    val nWords = size(ws).cast(LongType)
+    val en = hits(ws, EnStop)
+    val es = hits(ws, EsStop)
+    nWords >= 5 && en =!= es &&
+      greatest(en, es).cast(DoubleType) / nWords >= 0.05
+  }
+
   // token counting: whitespace + a BPE-ish regex segmentation
   private def qTextTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -493,17 +509,11 @@ object TextOps {
     * barrier.
     */
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
-    val ws = tokens(col("text"))
-    // stage 1: quality filter (the q_corpus_filter keep rule, inlined so
-    // the reason buckets fuse into the same scan)
+    // stage 1: quality filter — the shared [[keepRule]] predicate, fused
+    // map-side into the scan
     val f = docs(s, dir)
-      .select(col("doc_id"), col("text"),
-        size(ws).cast(LongType).as("n_words"),
-        hits(ws, EnStop).as("en_hits"), hits(ws, EsStop).as("es_hits"))
-      .filter(col("n_words") >= 5 &&
-        col("en_hits") =!= col("es_hits") &&
-        greatest(col("en_hits"), col("es_hits")).cast(DoubleType)
-          / col("n_words") >= 0.05)
+      .select(col("doc_id"), col("text"))
+      .filter(keepRule(col("text")))
     // stage 2: exact dedup among survivors (min doc per content hash)
     val wEx = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(col("text")))

@@ -124,6 +124,24 @@ object Streaming {
     stream.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Streaming corpus ingest — the continuous form of the batch corpus
+    * pipeline's first two stages (quality filter + exact dedup), the
+    * shape a crawl-fed training-data pipeline runs 24/7: each arriving
+    * document passes the [[graft.ops.TextOps]] keep rule map-side, and
+    * exact duplicates are dropped on the md5 content key within the
+    * watermark horizon — state is one 16-byte key per surviving doc,
+    * evicted as the watermark advances, so the stream runs forever on
+    * bounded state (the batch twin's groupBy-everything is exactly what
+    * an unbounded stream cannot do). Columns in: (doc_id, text, ts).
+    */
+  def corpusIngestStream(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .filter(graft.ops.TextOps.keepRule(col("text")))
+      .withColumn("content_key", md5(col("text")))
+      .dropDuplicatesWithinWatermark("content_key")
+      .select("doc_id", "text", "ts")
+
   /** R6 custom keyed state: running event count + last-seen second per
     * user via mapGroupsWithState. State is one small struct per key,
     * partitioned with the shuffle; production deployments add an

@@ -90,6 +90,30 @@ class StreamingSpec extends TestSpark {
       .filter($"count" > 1).count() === 0)
   }
 
+  test("streaming corpus ingest == batch filter+dedup on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val keep1 = "the cat and the dog is in a tree"
+    val keep2 = "a fish of the sea is in the net"
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val stream = Streaming.corpusIngestStream(
+      mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two keepers (one duplicated), one too-short junk doc
+      mem.addData((1L, keep1, ts(0)), (2L, keep1, ts(1)), (3L, "x y", ts(1)))
+      stream.processAllAvailable()
+      // batch 2: an in-horizon duplicate of keep1 and a fresh keeper
+      mem.addData((4L, keep1, ts(2)), (5L, keep2, ts(3)))
+      stream.processAllAvailable()
+    } finally stream.stop()
+    val out = spark.table("ingest_out").select("text").collect()
+      .map(_.getString(0))
+    // exactly one survivor per distinct kept text, junk filtered out
+    assert(out.sorted.toSeq === Seq(keep1, keep2).sorted,
+      s"ingest emitted: ${out.mkString(" | ")}")
+  }
+
   test("mapGroupsWithState accumulates running per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
