@@ -24,7 +24,12 @@ object Explain {
         // mix, two-level re-aggregation, the 7-table bundle digests, and
         // integer PageRank's per-iteration shape
         "q_topk_group_heap", "q_text_bm25", "q_corpus_mix",
-        "q_agg_reaggregate", "q_migrate_bundle", "q_pagerank")
+        "q_agg_reaggregate", "q_migrate_bundle", "q_pagerank",
+        // round-10: the composed corpus pipeline (stage-boundary persist,
+        // keyed windows), banded perceptual-hash image dedup, the k-gram
+        // substring inverted index, and BPE train/encode
+        "q_corpus_pipeline", "q_mm_dedup", "q_dedup_substring",
+        "q_bpe_train", "q_bpe_encode")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
