@@ -640,19 +640,27 @@ object TextOps {
     */
   private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val aqeKey = "spark.sql.adaptive.enabled"
+    val spKey = "spark.sql.shuffle.partitions"
     val aqePrev = s.conf.get(aqeKey, "true")
+    val spPrev = s.conf.get(spKey)
     s.conf.set(aqeKey, "false")
-    try trainBpeLoop(s, dir)
-    finally s.conf.set(aqeKey, aqePrev)
+    try {
+      val vocab0 = vocabFrame(s, dir)
+      // materialize the ONE corpus-sized aggregate at the session's full
+      // parallelism, BEFORE narrowing the loop's shuffles
+      vocab0.count()
+      // the rounds are vocab-sized: spreading tens of thousands of rows
+      // over the session's partition count across ~20 stages is pure task
+      // overhead with AQE off (the qPagerank lesson — it sizes to the
+      // node count for the same reason)
+      s.conf.set(spKey, "4")
+      try trainBpeLoop(vocab0)
+      finally s.conf.set(spKey, spPrev)
+    } finally s.conf.set(aqeKey, aqePrev)
   }
 
-  private def checkpointBpe(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
-
-  private def trainBpeLoop(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val vocab0 = graft.Caches.register(
+  private def vocabFrame(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.register(
       docs(s, dir)
         .select(explode(tokens(col("text"))).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -660,6 +668,13 @@ object TextOps {
           array_join(split(col("w"), ""), "  "), lit(" ")).as("seq"),
           col("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  private def checkpointBpe(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
+  private def trainBpeLoop(vocab0: DataFrame): (DataFrame, DataFrame) = {
     var cur: DataFrame = vocab0
     var merges: DataFrame = null
     (1 to BpeMerges).foreach { step =>
