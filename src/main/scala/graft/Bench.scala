@@ -174,8 +174,13 @@ object Bench {
     // stdout, which truncates the head-of-alphabet per-query timings — so
     // the FULL line is also written into the repo (BENCH_full.json,
     // overwritten per run) where it survives as a committed record
-    // (round-9 VERDICT missing #5), plus /tmp/bench.json as before
-    Seq("/tmp/bench.json", "BENCH_full.json").foreach { p =>
+    // (round-9 VERDICT missing #5), plus /tmp/bench.json as before.
+    // ONLY full runs touch the repo artifact: a SPARK_GRAFT_ONLY A/B
+    // overwriting it would silently replace the 128-query record with a
+    // 2-query line.
+    val outs = if (only.isEmpty) Seq("/tmp/bench.json", "BENCH_full.json")
+      else Seq("/tmp/bench.json")
+    outs.foreach { p =>
       try Files.write(Paths.get(p),
         (line + "\n").getBytes(StandardCharsets.UTF_8))
       catch { case _: Throwable => () }
