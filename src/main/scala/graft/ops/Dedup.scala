@@ -582,7 +582,11 @@ object Dedup {
     * true near-dup; the oracle reproduces plane generation, banding, and
     * verification exactly.
     */
-  private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame = {
+  /** The verified embedding near-dup pairs (band-join candidates that pass
+    * exact cosine ≥ 0.4) — shared by the pair listing and the component
+    * labeling below.
+    */
+  private def embedVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedEmbedBands(s, dir)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -600,12 +604,37 @@ object Dedup {
         Num.r4(Similarity.dot(col("ea.embedding"), col("eb.embedding"))
           / (col("ea.nrm") * col("eb.nrm"))).as("cosine"))
       .filter(col("cosine") >= 0.4)
-      .orderBy("vec_a", "vec_b")
+  }
+
+  private def qDedupEmbedLsh(s: SparkSession, dir: String): DataFrame =
+    embedVerifiedPairs(s, dir).orderBy("vec_a", "vec_b")
+
+  /** Embedding near-dup CLUSTERS: the same min-label propagation that
+    * labels the text near-dup graph ([[propagateMinLabels]]), run over the
+    * VERIFIED embedding pairs — "keep one per cluster" is the actual
+    * dedup action for an embedding corpus, and edges here are exact-cosine
+    * verified (unlike the text graph's bucket cliques), so every cluster
+    * member truly sits within the threshold of a neighbor. Same scale
+    * shape as the text CC: one shuffle per propagation round, O(diameter)
+    * rounds with the large-star escalation behind the cap.
+    */
+  private def qDedupEmbedComponents(s: SparkSession, dir: String): DataFrame = {
+    val vp = embedVerifiedPairs(s, dir)
+    val edges = vp.select(explode(array(
+        struct(col("vec_a").as("src"), col("vec_b").as("dst")),
+        struct(col("vec_b").as("src"), col("vec_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val (labels, _) = propagateMinLabels(edges, nodes)
+    labels.select(col("node").as("vec_id"), col("label").as("component_id"))
+      .orderBy("vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_substring" -> qDedupSubstring,
+    "q_dedup_embed_components" -> qDedupEmbedComponents,
     "q_dedup_events" -> qDedupEvents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_fuzzy" -> qDedupFuzzy,
@@ -731,6 +760,39 @@ object Dedup {
         |CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_id
         |FROM pk ORDER BY doc_id""".stripMargin
 
+  /** Shared CTEs for the embedding sign-LSH pipeline: signatures, band
+    * rows, candidate pairs, and the exact-cosine VERIFIED pairs (`vp`) —
+    * the head of both the pair listing and its component-label twin.
+    */
+  private val EmbedLshCtes =
+    """WITH sig AS (SELECT vec_id, embedding,
+      |  sqrt(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+      |  list_aggregate(list_transform(range(0, 32), p ->
+      |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
+      |      CAST(embedding[d + 1] AS DOUBLE) *
+      |      (CASE WHEN substring(md5(p || ':' || d), 1, 1) IN
+      |        ('8','9','a','b','c','d','e','f')
+      |       THEN 1.0 ELSE -1.0 END))) >= 0
+      |    THEN '1' ELSE '0' END), 'string_agg', '') AS s
+      |  FROM embeddings),
+      |bands AS (SELECT vec_id, b AS band_id,
+      |  substring(s, b * 8 + 1, 8) AS bkey
+      |  FROM sig, unnest(range(0, 4)) AS t(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b ON a.band_id = b.band_id
+      |  AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+      |vp AS (SELECT vec_a, vec_b,
+      |  floor((list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 AS cosine
+      |  FROM cand JOIN sig ea ON vec_a = ea.vec_id
+      |  JOIN sig eb ON vec_b = eb.vec_id
+      |  WHERE floor((list_sum(list_transform(
+      |      list_zip(ea.embedding, eb.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |    / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 >= 0.4)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_corpus_pipeline" -> CorpusPipelineSql,
     "q_dedup_exact" ->
@@ -830,33 +892,21 @@ object Dedup {
     // bands and verifies exactly as the Spark side; the per-bit dot is an
     // ordered list fold, matching FloatVecDot's sequential accumulation
     "q_dedup_embed_lsh" ->
-      """WITH sig AS (SELECT vec_id, embedding,
-        |  sqrt(list_sum(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
-        |  list_aggregate(list_transform(range(0, 32), p ->
-        |    CASE WHEN list_sum(list_transform(range(0, 64), d ->
-        |      CAST(embedding[d + 1] AS DOUBLE) *
-        |      (CASE WHEN substring(md5(p || ':' || d), 1, 1) IN
-        |        ('8','9','a','b','c','d','e','f')
-        |       THEN 1.0 ELSE -1.0 END))) >= 0
-        |    THEN '1' ELSE '0' END), 'string_agg', '') AS s
-        |  FROM embeddings),
-        |bands AS (SELECT vec_id, b AS band_id,
-        |  substring(s, b * 8 + 1, 8) AS bkey
-        |  FROM sig, unnest(range(0, 4)) AS t(b)),
-        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM bands a JOIN bands b ON a.band_id = b.band_id
-        |  AND a.bkey = b.bkey AND a.vec_id < b.vec_id)
-        |SELECT vec_a, vec_b,
-        |floor((list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |  / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 AS cosine
-        |FROM cand JOIN sig ea ON vec_a = ea.vec_id
-        |JOIN sig eb ON vec_b = eb.vec_id
-        |WHERE floor((list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-        |  / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+      (EmbedLshCtes + "\nSELECT vec_a, vec_b, cosine FROM vp" +
+        "\nORDER BY vec_a, vec_b"),
+    // the verified-pair graph's components by transitive closure — the
+    // embedding twin of q_dedup_components
+    "q_dedup_embed_components" ->
+      (EmbedLshCtes.replaceFirst("WITH sig", "WITH RECURSIVE sig") +
+        """,
+          |edges AS (SELECT vec_a AS src, vec_b AS dst FROM vp
+          |  UNION ALL SELECT vec_b, vec_a FROM vp),
+          |reach AS (
+          |  SELECT src AS node, dst AS peer FROM edges
+          |  UNION
+          |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
+          |SELECT node AS vec_id, least(node, min(peer)) AS component_id
+          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin),
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding,
         |  sqrt(list_sum(list_transform(embedding,
