@@ -40,4 +40,32 @@ object Layout {
 
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Write packed training shards — the physical tail of the corpus
+    * pipeline: rows already carrying (shard, seq_id) land hive-partitioned
+    * by shard with rows sorted by (seq_id, doc_id) INSIDE each partition
+    * file, so a trainer streams each shard file and reads its sequences
+    * contiguously in pack order — no post-hoc sort at load time. One
+    * file per shard partition (`repartition(shard)` before the
+    * partitioned write): the shard count is the parallelism knob chosen
+    * at pack time, and splitting a shard across files would break the
+    * contiguous-sequence contract. `sortWithinPartitions` is the whole
+    * point versus a plain partitioned write — a global `orderBy` would
+    * funnel through one range exchange for an ordering nobody needs
+    * ACROSS shards.
+    */
+  def writePackedShards(packed: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    packed
+      .repartition(col("shard"))
+      // shard leads the sort: FileFormatWriter re-sorts by partition
+      // columns when the incoming order doesn't start with them, which
+      // would destroy the within-shard sequence order — leading with
+      // shard makes the required order and the useful order one sort
+      .sortWithinPartitions(col("shard"), col("seq_id"), col("doc_id"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("shard")
+      .parquet(path)
+  }
 }

@@ -96,6 +96,29 @@ class SourcesSpec extends TestSpark {
       e.getCondition != null, s"unexpected failfast error: $e")
   }
 
+  test("packed shards land one file per shard, contiguous in pack order") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    val packed = SparkEntry.queries("q_pack_sequences")(spark, Sf)
+    graft.io.Layout.writePackedShards(packed, out)
+    val shardDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length === 32, s"expected 32 shard dirs in $out")
+    shardDirs.take(4).foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1,
+        s"${d.getName}: ${files.length} files — contiguous contract broken")
+      // file order IS pack order: (seq_id, doc_id) nondecreasing as read
+      val rows = spark.read.parquet(files.head.getPath)
+        .select(col("seq_id"), col("doc_id"))
+        .coalesce(1).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${d.getName} not in (seq_id, doc_id) order")
+    }
+  }
+
   test("orc round-trips real table data with predicate pushdown intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Sources.table(spark, Sf, "events")
