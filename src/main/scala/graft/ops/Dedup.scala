@@ -793,7 +793,48 @@ object Dedup {
       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
       |    / (ea.nrm * eb.nrm)) * 10000 + 0.5) / 10000 >= 0.4)""".stripMargin
 
+  /** Oracle for [[TextOps]]' q_corpus_report — lives here for the same
+    * init-cycle reason as [[CorpusPipelineSql]] (it embeds the recursive
+    * component-label CTEs).
+    */
+  private val CorpusReportSql =
+    MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+      s""",
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |reach AS (
+         |  SELECT src AS node, dst AS peer FROM edges
+         |  UNION
+         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+         |comp AS (SELECT node AS doc_id, least(node, min(peer)) AS cid
+         |  FROM reach GROUP BY node),
+         |g AS (SELECT d.doc_id,
+         |  COALESCE(c.cid, d.doc_id) AS gid,
+         |  CAST(c.cid IS NOT NULL AS BIGINT) AS near_dup,
+         |  CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+         |    AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN len(list_filter(string_split(d.text, ' '),
+         |      x -> x <> '')) > 0 THEN
+         |    least(CAST(d.n_chars AS DOUBLE), 500.0) / 500.0 * 0.5 +
+         |    (CAST(len(list_filter(string_split(d.text, ' '),
+         |        w -> list_contains(${TextOps.EnStopList}, w))) AS DOUBLE)
+         |     / CAST(len(list_filter(string_split(d.text, ' '),
+         |        x -> x <> '')) AS DOUBLE)) * 0.5
+         |    END AS DECIMAL(20,10)) AS q
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         |sp AS (SELECT g.*, ${TextOps.splitBucketSql("gid")} AS bucket
+         |  FROM g)
+         |SELECT CASE WHEN bucket < 90 THEN 'train'
+         |            WHEN bucket < 95 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |CAST(count(*) AS BIGINT) AS n_docs,
+         |CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |CAST(sum(near_dup) AS BIGINT) AS n_near_dup,
+         |${Num.r4Sql("CAST(sum(q) / count(*) AS DOUBLE)")} AS mean_quality
+         |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_corpus_report" -> CorpusReportSql,
     "q_corpus_pipeline" -> CorpusPipelineSql,
     "q_dedup_exact" ->
       """SELECT doc_id,

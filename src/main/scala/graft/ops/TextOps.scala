@@ -736,9 +736,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Per-split corpus health report — the monitoring query a 100 TB
+    * pipeline runs after every ingest: for each leakage-safe split
+    * (cluster-keyed, the same gid buckets as q_split_leakfree), how many
+    * docs and tokens it holds, how much near-duplicate mass (docs in
+    * size-≥2 LSH clusters), and the mean quality score. One corpus scan +
+    * the memoized CC-label attach + a 3-group aggregate; the quality mean
+    * accumulates per-row DECIMAL(20,10) terms so it is
+    * partitioning-independent and engine-portable (the BM25 device).
+    * Sub-word docs contribute a null quality term (NULLIF-guarded ratio)
+    * in both engines.
+    */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nWords = size(ws).cast(DoubleType)
+    val quality =
+      least(col("n_chars").cast(DoubleType), lit(500.0)) / 500.0 * 0.5 +
+        (hits(ws, EnStop).cast(DoubleType) / nWords) * 0.5
+    docs(s, dir)
+      .join(Dedup.componentLabels(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("gid"),
+        col("component_id").isNotNull.cast(LongType).as("near_dup"),
+        size(ws).cast(LongType).as("n_tokens"),
+        when(nWords > 0, quality).cast(DecimalType(20, 10)).as("q"))
+      .withColumn("bucket", splitBucket(col("gid")))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("near_dup")).as("n_near_dup"),
+        Num.r4((sum(col("q")) / count(lit(1))).cast(DoubleType))
+          .as("mean_quality"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bpe_train" -> qBpeTrain,
     "q_bpe_encode" -> qBpeEncode,
+    "q_corpus_report" -> qCorpusReport,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
