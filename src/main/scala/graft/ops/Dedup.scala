@@ -467,6 +467,41 @@ object Dedup {
           .otherwise("test"))
       .orderBy("doc_id")
 
+  /** Incremental (daily-batch) dedup: documents with id ≥
+    * [[IncrementalSplit]] are "today's batch", everything below is the
+    * standing corpus. A new doc is a duplicate if ANY earlier doc
+    * (existing corpus or earlier in the batch) is an LSH candidate whose
+    * true shingle Jaccard ≥ 0.5; novel docs are what the pipeline
+    * actually appends. The 100 TB shape this encodes: the corpus band
+    * rows are a STANDING INDEX (here the memoized [[cachedBands]]) — the
+    * per-batch cost is new-batch bands probed against it, candidates are
+    * verified, and the existing corpus is never compared against itself
+    * again. `first_dup` (the smallest matching earlier doc) is the audit
+    * pointer a rejection log carries.
+    */
+  private[graft] val IncrementalSplit = 250L
+
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val sets = docs(s, dir)
+      .select(col("doc_id"), rawShingles(col("text")).as("sh"))
+    val verified = candidatePairs(s, dir)
+      .filter(col("doc_b") >= IncrementalSplit)
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
+          / size(array_union(col("sa.sh"), col("sb.sh")))).as("j"))
+      .filter(col("j") >= 0.5)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("first_dup"))
+    docs(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") >= IncrementalSplit)
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("first_dup").isNull.as("is_novel"),
+        col("first_dup"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------- cross-doc substring (k-gram) dedup
 
   /** Cross-document SUBSTRING duplication per doc — the k-gram inverted-
@@ -635,6 +670,7 @@ object Dedup {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_embed_components" -> qDedupEmbedComponents,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_events" -> qDedupEvents,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_fuzzy" -> qDedupFuzzy,
@@ -848,6 +884,28 @@ object Dedup {
         |ORDER BY event_id""".stripMargin,
     "q_dedup_minhash" ->
       (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    // new-batch docs (id >= split) probed against every earlier doc via
+    // the band index; duplicate = any candidate with true Jaccard >= 0.5
+    "q_dedup_incremental" ->
+      (MinhashCtes +
+        s""",
+           |sets AS (SELECT doc_id, list_distinct(list_transform(
+           |  range(1, greatest(len(ws) - 1, 1)),
+           |  i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
+           |ver AS (SELECT doc_b AS doc_id, min(doc_a) AS first_dup
+           |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+           |  JOIN sets sb ON doc_b = sb.doc_id
+           |  WHERE doc_b >= $IncrementalSplit
+           |  AND CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+           |      AS DOUBLE)
+           |    / (len(sa.sh) + len(sb.sh)
+           |       - len(list_filter(sa.sh, x -> list_contains(sb.sh, x))))
+           |    >= 0.5
+           |  GROUP BY doc_b)
+           |SELECT d.doc_id, v.first_dup IS NULL AS is_novel, v.first_dup
+           |FROM documents d LEFT JOIN ver v ON d.doc_id = v.doc_id
+           |WHERE d.doc_id >= $IncrementalSplit
+           |ORDER BY d.doc_id""".stripMargin),
     // overlapping word 8-grams (md5-hashed), duplicated = in ≥2 distinct
     // docs; per-doc duplicated fraction (same end-exclusive range device
     // as the 3-gram shingles: positions 1..len-7)
