@@ -251,6 +251,55 @@ class DedupSpec extends TestSpark {
       .count() > 0)
   }
 
+  test("incremental dedup: audit pointers precede their docs and agree with fuzzy pairs") {
+    import org.apache.spark.sql.functions.col
+    val split = graft.ops.Dedup.IncrementalSplit
+    val rows = SparkEntry.queries("q_dedup_incremental")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // every reported row is a new-batch doc; every rejection points to a
+    // STRICTLY earlier doc (standing corpus or earlier in batch)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= split)
+      if (!r.getBoolean(1)) assert(r.getLong(2) < r.getLong(0),
+        s"first_dup must precede the doc: $r")
+      else assert(r.isNullAt(2))
+    }
+    // rejections are consistent with the verified fuzzy pairs: a rejected
+    // doc's first_dup must appear as its partner in q_dedup_fuzzy at
+    // jaccard >= 0.5, and a novel doc must have NO such partner
+    val strong = SparkEntry.queries("q_dedup_fuzzy")(spark, Sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val partners = strong.collect {
+        case (a, b) if b == id && a < id => a
+        case (a, b) if a == id && b < id => b
+      }
+      if (r.getBoolean(1)) assert(partners.isEmpty,
+        s"novel doc $id has a strong earlier pair: $partners")
+      else assert(partners.min === r.getLong(2),
+        s"doc $id first_dup ${r.getLong(2)} != min partner ${partners.min}")
+    }
+  }
+
+  test("embedding components: labels are cluster minima over verified pairs") {
+    val labels = SparkEntry.queries("q_dedup_embed_components")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("q_dedup_embed_lsh")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // both endpoints of every verified pair share a label, the label is a
+    // member of its own cluster, and it is the cluster minimum
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) === labels(b), s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keySet.min === lbl,
+        s"cluster $lbl not labeled by its minimum: ${members.keySet}")
+    }
+  }
+
   test("clearCaches releases the band-row blocks (no executor-memory leak)") {
     graft.ops.Dedup.clearCaches()
     val before = spark.sparkContext.getPersistentRDDs.keySet
