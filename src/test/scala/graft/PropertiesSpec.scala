@@ -30,4 +30,29 @@ object PropertiesSpec extends Properties("graft") {
       val r = math.floor(x * 10000 + 0.5) / 10000
       math.abs(r - x) <= 0.00005 + 1e-12
     }
+
+  // the codegen'd Hamming kernel == the obvious char-compare on any
+  // pair of ASCII bit strings, including unequal lengths (min-length
+  // convention of the zip_with composition it replaced)
+  private val bitString = Gen.chooseNum(0, 80).flatMap(n =>
+    Gen.listOfN(n, Gen.oneOf('0', '1')).map(_.mkString))
+
+  property("StringHamming kernel equals naive char compare") =
+    Prop.forAll(bitString, bitString) { (a, b) =>
+      val naive = a.zip(b).count { case (x, y) => x != y }.toLong
+      graft.functions.HammingFn.hamming(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)) == naive
+    }
+
+  // the overflow-free decomposed split bucket == the exact BigInt form of
+  // (id * 2654435761) % 100 for ANY non-negative id — the direct Long
+  // product wraps silently past ~3.5e9 ids, which is the whole reason the
+  // decomposition exists
+  property("decomposed split bucket equals exact BigInt arithmetic") =
+    Prop.forAll(Gen.chooseNum(0L, Long.MaxValue)) { id =>
+      val decomposed = ((id % 100) * (2654435761L % 100)) % 100
+      val exact = (BigInt(id) * BigInt(2654435761L)) % 100
+      BigInt(decomposed) == exact
+    }
 }
