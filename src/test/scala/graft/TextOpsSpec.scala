@@ -41,6 +41,23 @@ class TextOpsSpec extends TestSpark {
     graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
   }
 
+  test("corpus pipeline output lands through the packed-shard writer") {
+    // the full chain: filter→dedup→split→decontaminate→pack → SHARDS ON
+    // DISK — proves the composed pipeline's schema feeds the physical
+    // tail without adaptation
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_pipe_shards").toString
+    val packed = SparkEntry.queries("q_corpus_pipeline")(spark, Sf)
+    val n = packed.count()
+    graft.io.Layout.writePackedShards(packed, out)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === n)
+    // shard partition column survives the round-trip and stays 0..31
+    val shards = landed.select("shard").distinct()
+      .collect().map(_.getInt(0))
+    assert(shards.forall(s => s >= 0 && s < 32))
+  }
+
   test("bm25 scores are positive, hits bounded by the query size") {
     val r = graft.SparkEntry.queries("q_text_bm25")(spark, Sf).collect()
     assert(r.nonEmpty)
