@@ -402,6 +402,14 @@ object TextOps {
     * the shingle string — never doc×doc. At 100 TB the train-shingle set
     * is the big side and the contamination join is exactly an inverted-
     * index probe.
+    *
+    * Bloom prune (round-11): a [[Bloom]] bitmap over the TEST shingles
+    * (the tiny side) broadcasts to the train-shingle scan, dropping
+    * train shingles that cannot match BEFORE the distinct's exchange —
+    * at 100 TB the train-shingle shuffle is this query's dominant cost
+    * and shrinks by (1 − hit-rate). Results are provably unchanged
+    * (dropped shingles match no test shingle; false positives die in the
+    * exact join), so the oracle SQL needs no Bloom model.
     */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -409,8 +417,10 @@ object TextOps {
         splitBucket(col("doc_id")).as("bucket"))
     val sh = d.select(col("doc_id"), col("bucket"),
       explode(Dedup.rawShingles(col("text"))).as("sh"))
-    val trainSh = sh.filter(col("bucket") < 90)
-      .select("sh").distinct()
+    val trainSh = Bloom.prune(
+        sh.filter(col("bucket") < 90).select("sh"),
+        "sh", sh.filter(col("bucket") >= 95).select("sh"), "sh")
+      .distinct()
       .withColumn("hit", lit(1L))
     sh.filter(col("bucket") >= 95)
       .select(col("doc_id"), col("sh"))
@@ -544,24 +554,32 @@ object TextOps {
     val sp = graft.Caches.register(
       fz.withColumn("bucket", splitBucket(col("gid")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // stage 5: train-side decontamination against the surviving test split
+    // stage 5: train-side decontamination against the surviving test
+    // split. Round-11 Bloom prune: per-doc shingle totals move map-side
+    // (`size` over the shingle array — no join needed for n_sh), and only
+    // train shingles passing the broadcast [[Bloom]] bitmap of the test
+    // shingles reach the contamination join at all — the train-shingle
+    // exchange (the pipeline's dominant 100 TB shuffle) carries just the
+    // candidate hits. Inner join = exact verify, so Bloom false positives
+    // contribute nothing and the output hash is unchanged.
     val sh = sp.select(col("doc_id"), col("bucket"),
       explode(Dedup.rawShingles(col("text"))).as("sh"))
-    val testSh = sh.filter(col("bucket") >= 95)
-      .select("sh").distinct()
-      .withColumn("hit", lit(1L))
-    val cont = sh.filter(col("bucket") < 90)
-      .join(testSh, Seq("sh"), "left")
+    val testShRows = sh.filter(col("bucket") >= 95).select("sh")
+    val hits = Bloom.prune(
+        sh.filter(col("bucket") < 90).select(col("doc_id"), col("sh")),
+        "sh", testShRows, "sh")
+      .join(testShRows.distinct(), Seq("sh"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"),
-        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .agg(count(lit(1)).as("n_hit"))
     // stage 6: pack the surviving train docs into per-shard sequences
     val wPk = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
     sp.filter(col("bucket") < 90)
-      .join(cont, Seq("doc_id"), "left")
-      .filter(lit(2L) * coalesce(col("n_hit"), lit(0L))
-        <= coalesce(col("n_sh"), lit(0L)))
+      // text survived stage 1's keep rule, so the shingle array is
+      // non-null and `size` equals the exploded row count per doc
+      .withColumn("n_sh", size(Dedup.rawShingles(col("text"))).cast(LongType))
+      .join(hits, Seq("doc_id"), "left")
+      .filter(lit(2L) * coalesce(col("n_hit"), lit(0L)) <= col("n_sh"))
       .select(col("doc_id"), col("gid"),
         size(tokens(col("text"))).cast(LongType).as("n_tokens"),
         (col("doc_id") % 32).as("shard"))

@@ -116,12 +116,20 @@ class PlanAuditSpec extends TestSpark {
     val plan = staticPlan("q_corpus_pipeline")
     // the composed filter→dedup→split→decontaminate→pack plan: every
     // exchange must belong to a stage that owns it (md5 window, cluster
-    // window, shingle distinct+join, contamination agg+attach, shard pack,
-    // presentation sort). A count above the pin means a refactor introduced
-    // a hidden barrier — exactly what composing the stages must not do.
+    // window, shingle distinct+join, Bloom-bitmap build (2, bitmap-sized),
+    // pruned contamination agg+attach, shard pack, presentation sort). A
+    // count above the pin means a refactor introduced a hidden barrier —
+    // exactly what composing the stages must not do. (12 → 13 in round
+    // 11: the Bloom build added two TINY exchanges ≤ mBits/64 rows and
+    // removed the corpus-sized contamination aggregate — fewer bytes
+    // shuffled through one more exchange.)
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.length <= 12,
+    assert(shuffles.length <= 13,
       s"q_corpus_pipeline grew to ${shuffles.length} exchanges:\n$plan")
+    // the Bloom bitmap must broadcast to the train-shingle side — a
+    // shuffled bitmap join would defeat the map-side prune
+    assert(plan.toString.contains("BroadcastExchange"),
+      s"q_corpus_pipeline lost the broadcast Bloom bitmap:\n$plan")
     // no stage may degenerate to a cartesian pair loop or a global window
     assert(plan.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
@@ -134,6 +142,24 @@ class PlanAuditSpec extends TestSpark {
     specs.foreach(k => assert(
       k.startsWith("_w") || k.startsWith("gid") || k.startsWith("shard"),
       s"unexpected window key $k (global window regression?):\n${plan.toString.take(3000)}"))
+  }
+
+  test("q_decontaminate: Bloom bitmap broadcasts ahead of the train-shingle exchange") {
+    val plan = staticPlan("q_decontaminate")
+    val s = plan.toString
+    // the 1-row bitmap rides a BroadcastExchange (BroadcastNestedLoopJoin
+    // over a single row — NOT a data-sized cartesian), and the probe
+    // (might-contain bit test) evaluates as a Filter BEFORE the distinct's
+    // hashpartitioning exchange, i.e. the prune is map-side
+    assert(s.contains("BroadcastExchange"),
+      s"q_decontaminate lost the broadcast Bloom bitmap:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"bitmap attach should be a broadcast loop join over one row:\n$s")
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    // distinct (partial+final share one exchange), contamination join's
+    // two sides, per-doc agg, bitmap build ×2, presentation sort
+    assert(shuffles.length <= 8,
+      s"q_decontaminate grew to ${shuffles.length} exchanges:\n$plan")
   }
 
   test("q_dedup_substring: inverted-index shape, never doc×doc") {
