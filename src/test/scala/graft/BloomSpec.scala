@@ -7,7 +7,8 @@ import graft.ops.Bloom
 /** The [[graft.ops.Bloom]] prune is only sound if it NEVER drops a key
   * present in the build set — that one-sided contract is what lets the
   * decontamination queries keep their oracle SQL unchanged. These specs
-  * pin the contract and the reason the prune exists (it actually prunes).
+  * pin the contract, the degenerate cases, and the reason the prune
+  * exists (it actually prunes).
   */
 class BloomSpec extends TestSpark {
   import spark.implicits._
@@ -36,28 +37,29 @@ class BloomSpec extends TestSpark {
   }
 
   test("the filter prunes: non-member pass rate under 5% at design load") {
-    // 10k build keys in a 2^20-bit filter ≈ the documented 10-bits/key
-    // regime; 50k disjoint probes → fp well under 5%
     val build = (0 until 10000).map(i => s"member-$i").toDF("k")
     val probe = (0 until 50000).map(i => s"outsider-$i").toDF("k")
     val passed = Bloom.prune(probe, "k", build, "k").count()
     assert(passed < 2500L, s"fp pass-through $passed / 50000 — filter too full")
-    assert(passed < 50000L, "filter passed everything — pruning is a no-op")
   }
 
   test("empty build set rejects every probe (degenerate prune is total)") {
+    // the aggregate over zero rows yields a NULL filter; might_contain
+    // propagates the null, and Filter drops null — prune must stay total,
+    // matching the exact-join semantics (nothing can match an empty set)
     val build = Seq.empty[String].toDF("k")
     val probe = (0 until 100).map(i => s"p$i").toDF("k")
     assert(Bloom.prune(probe, "k", build, "k").count() == 0L)
   }
 
-  test("bitmap is one broadcastable row, bounded by mBits/64 words") {
-    val bm = Bloom.bitmap((0 until 1000).map(_.toString).toDF("k"), "k")
-    val rows = bm.collect()
-    assert(rows.length == 1)
-    val words = rows(0).getMap[Int, Long](0)
-    assert(words.size <= Bloom.DefaultBits / 64)
-    // 1000 keys × 2 probes can set at most 2000 bits
-    assert(words.size <= 2000)
+  test("probe is a map-side might_contain filter — no join, no per-row state") {
+    val build = (0 until 100).map(_.toString).toDF("k")
+    val probe = (0 until 100).map(_.toString).toDF("k")
+    val plan = Bloom.prune(probe, "k", build, "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"expected Spark's native bloom probe in the plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Cartesian"),
+      s"prune must be a pure Filter, not a join:\n$plan")
   }
 }

@@ -116,20 +116,20 @@ class PlanAuditSpec extends TestSpark {
     val plan = staticPlan("q_corpus_pipeline")
     // the composed filter→dedup→split→decontaminate→pack plan: every
     // exchange must belong to a stage that owns it (md5 window, cluster
-    // window, shingle distinct+join, Bloom-bitmap build (2, bitmap-sized),
-    // pruned contamination agg+attach, shard pack, presentation sort). A
-    // count above the pin means a refactor introduced a hidden barrier —
-    // exactly what composing the stages must not do. (12 → 13 in round
-    // 11: the Bloom build added two TINY exchanges ≤ mBits/64 rows and
-    // removed the corpus-sized contamination aggregate — fewer bytes
-    // shuffled through one more exchange.)
+    // window, shingle distinct+join, bloom-pruned contamination
+    // agg+attach, shard pack, presentation sort). A count above the pin
+    // means a refactor introduced a hidden barrier — exactly what
+    // composing the stages must not do. (Round 11: the bloom build rides
+    // a scalar subquery — its exchanges live in the subquery plan — and
+    // the corpus-sized contamination aggregate now sees only
+    // bloom-surviving rows.)
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.length <= 13,
+    assert(shuffles.length <= 12,
       s"q_corpus_pipeline grew to ${shuffles.length} exchanges:\n$plan")
-    // the Bloom bitmap must broadcast to the train-shingle side — a
-    // shuffled bitmap join would defeat the map-side prune
-    assert(plan.toString.contains("BroadcastExchange"),
-      s"q_corpus_pipeline lost the broadcast Bloom bitmap:\n$plan")
+    // the bloom probe must prune the train-shingle side map-side — losing
+    // it silently restores the full contamination shuffle at 100 TB
+    assert(plan.toString.contains("might_contain"),
+      s"q_corpus_pipeline lost the bloom prune:\n$plan")
     // no stage may degenerate to a cartesian pair loop or a global window
     assert(plan.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
@@ -144,21 +144,22 @@ class PlanAuditSpec extends TestSpark {
       s"unexpected window key $k (global window regression?):\n${plan.toString.take(3000)}"))
   }
 
-  test("q_decontaminate: Bloom bitmap broadcasts ahead of the train-shingle exchange") {
+  test("q_decontaminate: native bloom probe filters ahead of the train-shingle exchange") {
     val plan = staticPlan("q_decontaminate")
     val s = plan.toString
-    // the 1-row bitmap rides a BroadcastExchange (BroadcastNestedLoopJoin
-    // over a single row — NOT a data-sized cartesian), and the probe
-    // (might-contain bit test) evaluates as a Filter BEFORE the distinct's
-    // hashpartitioning exchange, i.e. the prune is map-side
-    assert(s.contains("BroadcastExchange"),
-      s"q_decontaminate lost the broadcast Bloom bitmap:\n$s")
-    assert(s.contains("BroadcastNestedLoopJoin"),
-      s"bitmap attach should be a broadcast loop join over one row:\n$s")
+    // the filter binary is a scalar subquery (Spark's own runtime-filter
+    // shape), and the might_contain probe evaluates as a plain Filter
+    // BEFORE the distinct's hashpartitioning exchange — map-side prune,
+    // no join, no per-row broadcast state
+    assert(s.contains("might_contain"),
+      s"q_decontaminate lost the bloom probe:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("Cartesian"),
+      s"bloom probe must be a Filter, not a join:\n$s")
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     // distinct (partial+final share one exchange), contamination join's
-    // two sides, per-doc agg, bitmap build ×2, presentation sort
-    assert(shuffles.length <= 8,
+    // two sides, per-doc agg, presentation sort (the bloom build lives in
+    // the subquery plan, not this tree)
+    assert(shuffles.length <= 6,
       s"q_decontaminate grew to ${shuffles.length} exchanges:\n$plan")
   }
 
