@@ -581,37 +581,55 @@ object TextOps {
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val sp = pipelineSurvivors(s, dir)
     // stage 5: train-side decontamination against the surviving test
-    // split. Round-11 Bloom prune: only train shingles passing the
-    // [[Bloom]] might_contain probe (filter binary over the test
-    // shingles, bound as a scalar subquery) reach the contamination join
-    // at all — the train-shingle exchange (the pipeline's dominant
-    // 100 TB shuffle) carries just the candidate hits. The explode stays
-    // a DIRECT generator over rawShingles: materializing the array in a
-    // projection below the Generate (to take size(arr) map-side) blocks
-    // the bucket-filter pushdown, so the test/bloom branches re-shingled
-    // the WHOLE corpus (+0.4 s each at sf0.1). The per-doc total `n_sh`
-    // is only consulted for docs that HAVE hits (n_hit = 0 docs pass the
-    // keep filter regardless), so it is recomputed on the hits side over
-    // that tiny doc set instead of riding every exploded row. Inner join
-    // = exact verify, so Bloom false positives contribute nothing and
-    // the output hash is unchanged.
+    // split — TWO formulations chosen by [[Bloom.worthPruning]] (the
+    // same statistics-driven decision Spark's InjectRuntimeFilter makes,
+    // 10 GB probe-side default; both produce identical rows, so the
+    // oracle is formulation-independent):
+    //   - scale form (probe side ≥ threshold): only train shingles
+    //     passing the [[Bloom]] might_contain probe (filter built over
+    //     the test shingles, bound as a scalar subquery) reach the
+    //     contamination join — the train-shingle exchange, the
+    //     pipeline's dominant 100 TB shuffle, carries just the ~1/4
+    //     candidate rows; per-doc totals attach afterwards from the
+    //     hit-doc-sized side. Inner join = exact verify, so Bloom false
+    //     positives contribute nothing.
+    //   - lean form (below threshold): the plain left join + single
+    //     aggregate. An interleaved same-JVM A/B at sf0.1 measured every
+    //     scale-form component (bloom build job, probe, attach join,
+    //     extra AQE stage) individually larger than the ENTIRE shuffle
+    //     it saves at that scale — exactly why Spark's own runtime
+    //     filter refuses to fire below its size threshold.
+    // The explode stays a DIRECT generator over rawShingles:
+    // materializing the array in a projection below the Generate (to
+    // take size(arr) map-side) blocks the bucket-filter pushdown, so
+    // the test/bloom branches re-shingled the WHOLE corpus (+0.4 s each
+    // at sf0.1).
     val sh = sp.select(col("doc_id"), col("bucket"),
       explode(Dedup.rawShingles(col("text"))).as("sh"))
     val testShRows = sh.filter(col("bucket") >= 95).select("sh")
-    val hits = Bloom.prune(
-        sh.filter(col("bucket") < 90).select(col("doc_id"), col("sh")),
-        "sh", testShRows, "sh")
-      .join(testShRows.distinct(), Seq("sh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hit"))
-      .join(sp.select(col("doc_id"), col("text")), Seq("doc_id"))
-      .select(col("doc_id"), col("n_hit"),
-        size(Dedup.rawShingles(col("text"))).cast(LongType).as("n_sh"))
+    val trainShRows = sh.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("sh"))
+    val cont =
+      if (Bloom.worthPruning(trainShRows))
+        Bloom.prune(trainShRows, "sh", testShRows, "sh")
+          .join(testShRows.distinct(), Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"))
+          .join(sp.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("doc_id"), col("n_hit"),
+            size(Dedup.rawShingles(col("text"))).cast(LongType).as("n_sh"))
+      else
+        trainShRows
+          .join(testShRows.distinct().withColumn("hit", lit(1L)),
+            Seq("sh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
     // stage 6: pack the surviving train docs into per-shard sequences
     val wPk = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
     sp.filter(col("bucket") < 90)
-      .join(hits, Seq("doc_id"), "left")
+      .join(cont, Seq("doc_id"), "left")
       .filter(lit(2L) * coalesce(col("n_hit"), lit(0L))
         <= coalesce(col("n_sh"), lit(0L)))
       .select(col("doc_id"), col("gid"),

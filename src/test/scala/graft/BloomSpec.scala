@@ -52,6 +52,34 @@ class BloomSpec extends TestSpark {
     assert(Bloom.prune(probe, "k", build, "k").count() == 0L)
   }
 
+  test("worthPruning gates on optimizer stats like Spark's own runtime filter") {
+    import spark.implicits._
+    val tiny = (0 until 100).map(_.toString).toDF("k")
+    // 100 strings is nowhere near the 10 GB default threshold
+    assert(!Bloom.worthPruning(tiny), "tiny frame must not clear 10 GB gate")
+    spark.conf.set(Bloom.ThresholdKey, "0")
+    try assert(Bloom.worthPruning(tiny), "threshold 0 must always fire")
+    finally spark.conf.unset(Bloom.ThresholdKey)
+  }
+
+  test("pipeline scale form ≡ lean form: forced bloom prune changes no rows") {
+    // both stage-5 formulations must be row-identical — the oracle pins
+    // the lean form, this pins the gated one against it
+    val lean = graft.SparkEntry.queries("q_corpus_pipeline")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    graft.ops.Dedup.clearCaches()
+    spark.conf.set(Bloom.ThresholdKey, "0")
+    try {
+      val scale = graft.SparkEntry.queries("q_corpus_pipeline")(spark, Sf)
+        .collect().map(_.toSeq).toSet
+      assert(scale == lean,
+        s"bloom-pruned pipeline diverged: ${(scale diff lean).take(3)} / ${(lean diff scale).take(3)}")
+    } finally {
+      spark.conf.unset(Bloom.ThresholdKey)
+      graft.ops.Dedup.clearCaches()
+    }
+  }
+
   test("probe is a map-side might_contain filter — no join, no per-row state") {
     val build = (0 until 100).map(_.toString).toDF("k")
     val probe = (0 until 100).map(_.toString).toDF("k")

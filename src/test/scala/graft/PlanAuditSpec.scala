@@ -116,20 +116,22 @@ class PlanAuditSpec extends TestSpark {
     val plan = staticPlan("q_corpus_pipeline")
     // the composed filter→dedup→split→decontaminate→pack plan: every
     // exchange must belong to a stage that owns it (md5 window, cluster
-    // window, shingle distinct+join, bloom-pruned contamination
-    // agg+attach, shard pack, presentation sort). A count above the pin
-    // means a refactor introduced a hidden barrier — exactly what
-    // composing the stages must not do. (Round 11: the bloom build rides
-    // a scalar subquery — its exchanges live in the subquery plan — and
-    // the corpus-sized contamination aggregate now sees only
-    // bloom-surviving rows.)
+    // window, shingle distinct+join, contamination agg+attach, shard
+    // pack, presentation sort). A count above the pin means a refactor
+    // introduced a hidden barrier — exactly what composing the stages
+    // must not do. At test scale the probe side is far below the
+    // bloom-prune threshold, so the plan must be the LEAN form — the
+    // gated scale form is pinned by the forced-threshold test below.
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     assert(shuffles.length <= 12,
       s"q_corpus_pipeline grew to ${shuffles.length} exchanges:\n$plan")
-    // the bloom probe must prune the train-shingle side map-side — losing
-    // it silently restores the full contamination shuffle at 100 TB
-    assert(plan.toString.contains("might_contain"),
-      s"q_corpus_pipeline lost the bloom prune:\n$plan")
+    // Spark's own InjectRuntimeFilter may fire on doc_id equi-joins (also
+    // a might_contain) — the gate being pinned here is OUR shingle-side
+    // prune, recognizable by its xxhash64(sh#...) probe argument
+    val shingleProbe = "might_contain\\([^\\n]{0,160}xxhash64\\(sh#".r
+    assert(shingleProbe.findFirstIn(plan.toString).isEmpty,
+      "shingle bloom prune fired below its size threshold — the gate regressed:\n" +
+        plan.toString.take(3000))
     // no stage may degenerate to a cartesian pair loop or a global window
     assert(plan.collect {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
@@ -142,6 +144,25 @@ class PlanAuditSpec extends TestSpark {
     specs.foreach(k => assert(
       k.startsWith("_w") || k.startsWith("gid") || k.startsWith("shard"),
       s"unexpected window key $k (global window regression?):\n${plan.toString.take(3000)}"))
+  }
+
+  test("q_corpus_pipeline: above the size threshold the bloom prune fires") {
+    spark.conf.set(graft.ops.Bloom.ThresholdKey, "0")
+    try {
+      val plan = staticPlan("q_corpus_pipeline")
+      val s = plan.toString
+      val shingleProbe = "might_contain\\([^\\n]{0,160}xxhash64\\(sh#".r
+      assert(shingleProbe.findFirstIn(s).isDefined,
+        s"forced threshold 0 but no shingle bloom probe in the plan:\n${s.take(3000)}")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "cartesian product in the bloom-pruned pipeline")
+      // scale form owns one more boundary (hit-count attach join) than
+      // the lean form; anything beyond that is a hidden barrier
+      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length <= 14,
+        s"bloom-pruned pipeline grew to ${shuffles.length} exchanges:\n$plan")
+    } finally spark.conf.unset(graft.ops.Bloom.ThresholdKey)
   }
 
   test("q_decontaminate: native bloom probe filters ahead of the train-shingle exchange") {
