@@ -68,4 +68,27 @@ object Layout {
       .partitionBy("shard")
       .parquet(path)
   }
+
+  /** The STREAMING form of [[writePackedShards]]: land one micro-batch of
+    * packed rows (carrying a `batch_id` column) under
+    * `batch_id=N/shard=M` hive partitions. Dynamic partition overwrite is
+    * the idempotence mechanism — a replayed batch (foreachBatch offers
+    * at-least-once delivery) rewrites exactly its own partitions instead
+    * of appending duplicates, so the landed corpus is effectively
+    * exactly-once without any sink-side transaction. Same file contract
+    * as the batch writer: one file per (batch, shard), rows sorted by
+    * (seq_id, doc_id) in-file, trainer-streamable.
+    */
+  def writeShardBatch(packed: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    packed
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("batch_id"), col("shard"), col("seq_id"),
+        col("doc_id"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id", "shard")
+      .parquet(path)
+  }
 }

@@ -467,20 +467,26 @@ object TextOps {
     * sequence when the budget would overflow — the standard contiguous-
     * fill packing.
     */
-  private def qPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 256L
+  /** The packing kernel behind [[qPackSequences]] and the streaming
+    * shard tail: (doc_id, text, …) → (doc_id, …, n_tokens, shard,
+    * cum_tokens, seq_id). Extra input columns pass through untouched.
+    */
+  private[graft] def packDocs(in: DataFrame, budget: Long = 256L,
+                              nShards: Int = 32): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
-    docs(s, dir)
-      .select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"),
-        (col("doc_id") % 32).as("shard"))
+    in.withColumn("n_tokens", size(tokens(col("text"))).cast(LongType))
+      .withColumn("shard", col("doc_id") % nShards)
+      .drop("text")
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("seq_id",
         ((col("cum_tokens") - col("n_tokens")) / budget)
           .cast(LongType))
-      .orderBy("doc_id")
   }
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    packDocs(docs(s, dir).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
 
   /** THE composed end-to-end corpus pipeline — the single query a real
     * training-data pipeline user runs: quality filter → exact dedup →

@@ -142,6 +142,40 @@ object Streaming {
       .dropDuplicatesWithinWatermark("content_key")
       .select("doc_id", "text", "ts")
 
+  /** The per-batch landing half of the streaming corpus tail: pack one
+    * micro-batch of surviving docs into per-shard sequences (the
+    * [[graft.ops.TextOps.packDocs]] kernel — seq_ids are per-batch, so
+    * (batch_id, shard, seq_id) is the global sequence key) and land them
+    * through [[graft.io.Layout.writeShardBatch]]'s idempotent dynamic
+    * partition overwrite. Exposed separately from [[corpusIngestToShards]]
+    * so the replay contract is directly testable: calling it twice with
+    * the same (batch, id) must leave the landed rows unchanged.
+    */
+  def shardBatchWriter(path: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => graft.io.Layout.writeShardBatch(
+      graft.ops.TextOps.packDocs(batch.select(col("doc_id"), col("text")))
+        .withColumn("batch_id", lit(batchId)),
+      path)
+
+  /** The full 24/7 crawl-to-trainer tail: [[corpusIngestStream]] (quality
+    * filter + bounded-state exact dedup) composed with the packed-shard
+    * writer via foreachBatch — each micro-batch of surviving documents
+    * lands as trainer-streamable shard files. Scale shape: everything
+    * corpus-sized stays inside the micro-batch plan (filter map-side,
+    * dedup state bounded by the watermark, pack windowed per shard); the
+    * sink's dynamic partition overwrite makes replays idempotent, so the
+    * query restarts cleanly from its checkpoint.
+    */
+  def corpusIngestToShards(stream: DataFrame, path: String,
+                           checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    corpusIngestStream(stream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(shardBatchWriter(path))
+      .start()
+
   /** R6 custom keyed state: running event count + last-seen second per
     * user via mapGroupsWithState. State is one small struct per key,
     * partitioned with the shuffle; production deployments add an
