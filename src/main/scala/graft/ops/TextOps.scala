@@ -336,6 +336,78 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hard per-domain document cap — the standard defense against one
+    * crawl domain dominating a training mixture (the complement of
+    * [[qCorpusMix]]'s rate-based downsampling: a cap is EXACT, a rate is
+    * not). Semantics: within each domain, keep the first `cap` documents
+    * in deterministic pseudo-random order (multiplicative-hash bucket,
+    * doc_id tiebreak); cap = [[CapMultiple]] × the smallest domain's
+    * count, so mid-size domains pass untouched and only the dominating
+    * tail is cut.
+    *
+    * Scale shape — deliberately NOT `row_number() OVER (PARTITION BY
+    * domain)`: with ~10 domains that window funnels each domain through
+    * ONE task (the q_win_ntile_scaled lesson, but with corpus-sized
+    * partitions). Instead a counting-sort selection: (1) one aggregate to
+    * per-(domain, bucket) counts — model-sized (≤ domains ×
+    * [[MixBucketSpace]] rows) regardless of corpus size; (2) cumulative
+    * counts per domain over that tiny frame find each domain's BOUNDARY
+    * bucket, the only bucket where rank must be resolved; (3) rows in
+    * sub-boundary buckets keep map-side (broadcast join + filter — no
+    * corpus shuffle), rows beyond drop map-side, and only the boundary
+    * bucket's rows (~1/[[MixBucketSpace]] of a domain) go through a
+    * window keyed (domain, bucket). Identical keep set to the global
+    * per-domain rank — the oracle states it as `row_number() ≤ cap`.
+    */
+  private[graft] val MixBucketSpace = 10000L
+  private[graft] val CapMultiple = 10L
+
+  private def qCorpusCap(s: SparkSession, dir: String): DataFrame = {
+    val domain = concat(lit("dom"),
+      floor(sqrt((col("doc_id") % 100).cast(DoubleType)))
+        .cast(LongType).cast(StringType))
+    val bucket =
+      ((col("doc_id") % MixBucketSpace) * lit(2654435761L % MixBucketSpace)) %
+        MixBucketSpace
+    capByDomain(docs(s, dir)
+      .select(col("doc_id"), domain.as("domain"), bucket.as("bucket")))
+  }
+
+  /** The counting-sort cap kernel over a (doc_id, domain, bucket) frame —
+    * separated from [[qCorpusCap]]'s domain derivation so specs can drive
+    * degenerate mixtures (e.g. 90% one domain) through the real plan.
+    */
+  private[graft] def capByDomain(d: DataFrame): DataFrame = {
+    // model side: per-(domain, bucket) counts; cumulative per domain and
+    // the global cap both ride windows over this tiny frame (ONE
+    // aggregation subtree, same rule as qCorpusMix's quota)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("bucket")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val model = d.groupBy("domain", "bucket").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("total", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("domain")))
+      .withColumn("cap", lit(CapMultiple) * min(col("total")).over(wAll))
+      .select(col("domain"), col("bucket"),
+        (col("cum") - col("c")).as("cum_before"), col("cum"), col("cap"))
+    val base = d.join(broadcast(model), Seq("domain", "bucket"))
+    // non-boundary buckets decide map-side; the boundary bucket (the only
+    // one straddling the cap) resolves by doc_id rank over its own rows
+    val settled = base
+      .filter(col("cum") <= col("cap") || col("cum_before") >= col("cap"))
+      .select(col("doc_id"), col("domain"),
+        (col("cum") <= col("cap")).as("kept"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain", "bucket").orderBy("doc_id")
+    val boundary = base
+      .filter(col("cum_before") < col("cap") && col("cap") < col("cum"))
+      .withColumn("rk", row_number().over(wB))
+      .select(col("doc_id"), col("domain"),
+        (col("rk") <= col("cap") - col("cum_before")).as("kept"))
+    settled.unionByName(boundary).orderBy("doc_id")
+  }
+
   /** Character-level Shannon entropy per document — low entropy flags
     * degenerate/repetitive text, the information-theoretic complement to
     * the repetition-ratio rule. Scale shape: one explode + two hash
@@ -877,6 +949,7 @@ object TextOps {
     "q_text_unigram_lp" -> qTextUnigramLp,
     "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
+    "q_corpus_cap" -> qCorpusCap,
     "q_text_fingerprint" -> qTextFingerprint)
 
   private[graft] val EnStopList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1006,6 +1079,22 @@ object TextOps {
         |  < least(10000, (quota * 10000) // cnt) AS kept
         |FROM d JOIN bys USING (domain) CROSS JOIN q
         |ORDER BY doc_id""".stripMargin,
+    // the counting-sort cap selection is keep-set-identical to a global
+    // per-domain rank, which the oracle states directly: row_number over
+    // (domain, ordered by hash bucket then doc_id) vs cap = 10 × min
+    // domain count — integer-pure, engine-portable
+    "q_corpus_cap" ->
+      """WITH d AS (SELECT doc_id,
+        |  'dom' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR) AS domain,
+        |  ((doc_id % 10000) * (2654435761 % 10000)) % 10000 AS bucket
+        |  FROM documents),
+        |caps AS (SELECT 10 * min(cnt) AS cap FROM
+        |  (SELECT count(*) AS cnt FROM d GROUP BY domain)),
+        |r AS (SELECT doc_id, domain, row_number() OVER
+        |  (PARTITION BY domain ORDER BY bucket, doc_id) AS rk FROM d)
+        |SELECT doc_id, domain, rk <= cap AS kept
+        |FROM r CROSS JOIN caps ORDER BY doc_id""".stripMargin,
     "q_text_tokens" ->
       """SELECT doc_id,
         |CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))

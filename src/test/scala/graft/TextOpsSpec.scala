@@ -41,6 +41,56 @@ class TextOpsSpec extends TestSpark {
     graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
   }
 
+  test("per-domain cap cuts a 90%-dominant domain to 10x the smallest, exactly") {
+    import spark.implicits._
+    // degenerate mixture: 900 docs in domA, 60 in domB, 40 in domC —
+    // the single-crawl-domain-dominates shape the cap exists for
+    val rows =
+      (0L until 900L).map(i => (i, "domA")) ++
+      (900L until 960L).map(i => (i, "domB")) ++
+      (960L until 1000L).map(i => (i, "domC"))
+    val d = rows.toDF("doc_id", "domain")
+      .withColumn("bucket",
+        ((col("doc_id") % 10000) * lit(2654435761L % 10000)) % 10000)
+    val out = graft.ops.TextOps.capByDomain(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(out.length === 1000)
+    val keptBy = out.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    // cap = 10 × min(40) = 400: the dominant domain is cut to exactly
+    // 400, the others pass whole
+    assert(keptBy("domA") === 400, s"domA kept ${keptBy("domA")}")
+    assert(keptBy("domB") === 60 && keptBy("domC") === 40)
+    // keep SET equals the global per-domain rank rule the oracle states
+    val expected = rows.groupBy(_._2).flatMap { case (dom, ds) =>
+      val cap = 10 * 40
+      ds.map { case (id, _) => (id, ((id % 10000) * (2654435761L % 10000)) % 10000) }
+        .sortBy { case (id, b) => (b, id) }
+        .zipWithIndex.map { case ((id, _), i) => (id, dom, i < cap) }
+    }.toSet
+    assert(out.toSet === expected)
+  }
+
+  test("per-domain cap plan: no corpus-sized per-domain window") {
+    // the whole point of the counting-sort formulation: the corpus never
+    // goes through a window keyed only by the ~10 domains — the only
+    // windows live on the model frame and the boundary bucket
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_corpus_cap")(spark, Sf)
+        .queryExecution.executedPlan.toString
+      // the only row_number (rank) window is the boundary one, and it
+      // must be keyed (domain, bucket) — a row_number keyed by domain
+      // alone is the corpus-sized 10-partition funnel this formulation
+      // exists to avoid
+      val rnSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]{0,80})".r
+        .findAllMatchIn(plan).map(_.group(1)).toList
+      assert(rnSpecs.nonEmpty, s"cap plan lost its boundary rank window:\n$plan")
+      rnSpecs.foreach(spec => assert(
+        spec.startsWith("domain#") && spec.contains("bucket#"),
+        s"boundary rank window not keyed (domain, bucket): $spec\n$plan"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("corpus pipeline output lands through the packed-shard writer") {
     // the full chain: filter→dedup→split→decontaminate→pack → SHARDS ON
     // DISK — proves the composed pipeline's schema feeds the physical
