@@ -104,4 +104,88 @@ class AnnRecallSpec extends TestSpark {
       f"q_sim_pq recall@3 collapsed to $pq%.3f (measured 0.125; " +
         "4-centroid training-free codebook — coarse by design)")
   }
+
+  test("clustered fixture: IVF nprobe=2 recall@10 >= 0.9 (the regime IVF is built for)") {
+    // blob-clustered embeddings — 16 well-separated Gaussian blobs in
+    // 64-d, deterministic seed. The uniform-fixture floors above pin
+    // pruning-constant regressions; THIS fixture answers the quality
+    // question: on data with actual cluster structure, does the same
+    // Lloyd-trained IVF machinery reach conventional recall?
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(16)(
+      Array.fill(dim)((rnd.nextGaussian() * 10.0).toFloat))
+    val vecs = (0 until 2000).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextGaussian().toFloat))
+    }
+    val e = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding"),
+        Similarity.dot(col("embedding"), col("embedding")).as("nrm2"))
+      .cache()
+    e.count()
+
+    // same machinery as q_sim_ivf_probe: 2-step Lloyd codebook over the
+    // fixture, disjoint cell assignment, nprobe=2 query fan-out, cosine
+    // top-10 within probed cells
+    val nQ = 50
+    val topK = 10
+    val cents = Similarity.lloydCentroids(e, 16, 2)
+      .select(col("cid"), col("cemb"),
+        Similarity.dot(col("cemb"), col("cemb")).as("cnrm2"))
+    val dist2 = col("nrm2") - lit(2.0) *
+      Similarity.dot(col("embedding"), col("cemb")) + col("cnrm2")
+    val assigned = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm2"),
+        dist2.as("dist2"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cell"),
+        first(col("embedding")).as("embedding"),
+        sqrt(first(col("nrm2"))).as("nrm"))
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val q = e.filter(col("vec_id") < nQ)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm2"),
+        dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(col("nrm2")).as("q_nrm"), col("cid").as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val approx = assigned.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(Similarity.cosine(col("embedding"), col("q_emb"),
+          col("nrm"), col("q_nrm"))).as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select("q_id", "vec_id")
+
+    // exact cosine top-10 truth on the same fixture
+    val qT = e.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        sqrt(col("nrm2")).as("q_nrm"))
+    val truth = e.crossJoin(broadcast(qT))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(Similarity.cosine(col("embedding"), col("q_emb"),
+          sqrt(col("nrm2")), col("q_nrm"))).as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= topK)
+      .select("q_id", "vec_id")
+      .cache()
+
+    val n = truth.count().toDouble
+    val hits = approx.join(truth, Seq("q_id", "vec_id")).count()
+    val recall = hits / n
+    e.unpersist(blocking = false)
+    truth.unpersist(blocking = false)
+    info(f"clustered-fixture IVF nprobe=2 recall@10 = $recall%.3f")
+    assert(recall >= 0.9,
+      f"clustered-regime recall@10 $recall%.3f below 0.9 — " +
+        "the index is losing neighbors even when the data is separable")
+  }
 }
