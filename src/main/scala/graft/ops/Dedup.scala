@@ -541,6 +541,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Longest shared token RUN per doc pair — the step from "these docs
+    * share a [[SubstringK]]-gram" ([[qDedupSubstring]]) to "these docs
+    * share a 500-token span", which is what substring-level training-data
+    * dedup actually acts on (cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL '22 — suffix-array exact-substring
+    * dedup; this is its inverted-index distributed approximation, exact
+    * for spans ≥ [[SubstringK]] tokens).
+    *
+    * Algorithm: k-grams with POSITIONS; doc pairs sharing a gram align on
+    * the DIAGONAL `pos_a − pos_b` (the dot-plot device): a maximal run of
+    * consecutive shared grams on one diagonal has consecutive `pos_a`, so
+    * gaps-and-islands (`pos_a − row_number`) over (pair, diagonal) finds
+    * every run, and `max(run) + k − 1` is the longest shared token span.
+    *
+    * Scale shape: everything is keyed by gram or by (pair, diagonal) —
+    * never doc×doc. The pair fan-out is quadratic ONLY in a gram's
+    * posting-list length, so grams shared by more than
+    * [[SubstringPostingCap]] docs are excluded (boilerplate: a gram in
+    * 10⁶ docs would fan 10¹² pairs; such text is caught by the
+    * fraction metric and the fuzzy-dedup tier instead — the standard
+    * posting-cap in inverted-index pair generation). The island windows
+    * partition on (doc_a, doc_b, diag) — many small keys, no skew funnel.
+    */
+  private[graft] val SubstringPostingCap = 64L
+
+  private def qDedupSubstringRun(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextOps.tokens(col("text"))
+    val idx = when(size(ws) >= SubstringK,
+      sequence(lit(1), size(ws) - (SubstringK - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs(s, dir)
+      .select(col("doc_id"), posexplode(transform(idx,
+        i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    val shared = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= SubstringPostingCap)
+      .select("g")
+    val gs = grams.join(shared, Seq("g"))
+    val pairs = gs.as("a").join(gs.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"),
+        (col("a.pos") - col("b.pos")).as("diag"))
+    val wI = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    pairs
+      .withColumn("island", col("pos_a") - row_number().over(wI))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("run")).as("longest_run_grams"))
+      .withColumn("longest_run_tokens",
+        col("longest_run_grams") + lit(SubstringK - 1).cast(LongType))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // -------------------------------------------- embedding-cosine near-dup
 
   /** Embedding near-dup: pairs with cosine ≥ 0.5. All-pairs is acceptable
@@ -669,6 +725,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_substring" -> qDedupSubstring,
+    "q_dedup_substring_run" -> qDedupSubstringRun,
     "q_dedup_embed_components" -> qDedupEmbedComponents,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_events" -> qDedupEvents,
@@ -924,6 +981,31 @@ object Dedup {
               " / count(*)")} AS dup_frac
          |FROM g JOIN d USING (g)
          |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    // the diagonal/gaps-and-islands run length mirrors the Spark chain
+    // step for step; posting cap (nd <= 64) applied identically
+    "q_dedup_substring_run" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |  md5(array_to_string(ws[i:i+7], ' ')) AS g
+        |  FROM w, unnest(range(1, greatest(len(ws) - 6, 1))) AS t(i)),
+        |d AS (SELECT g FROM
+        |  (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g)
+        |  WHERE nd >= 2 AND nd <= 64),
+        |gs AS (SELECT g.doc_id, g.pos, g.g FROM g JOIN d USING (g)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  a.pos AS pos_a, a.pos - b.pos AS diag
+        |  FROM gs a JOIN gs b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |i AS (SELECT doc_a, doc_b, diag, pos_a - row_number() OVER
+        |  (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS island
+        |  FROM p),
+        |r AS (SELECT doc_a, doc_b, count(*) AS run FROM i
+        |  GROUP BY doc_a, doc_b, diag, island)
+        |SELECT doc_a, doc_b,
+        |CAST(max(run) AS BIGINT) AS longest_run_grams,
+        |CAST(max(run) + 7 AS BIGINT) AS longest_run_tokens
+        |FROM r GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     // transitive closure by recursive CTE (tiny clusters make this cheap
     // for the oracle; the Spark side is the scalable iterative form)
     "q_dedup_components" -> ComponentsSql,

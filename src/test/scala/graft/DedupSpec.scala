@@ -120,6 +120,34 @@ class DedupSpec extends TestSpark {
     assert(flat.count() === 6)
   }
 
+  test("substring-run reports the exact longest shared token span") {
+    import spark.implicits._
+    // planted spans: docs 1,2 share EXACTLY 12 consecutive tokens (= a
+    // 5-run of 8-grams); doc 4 carries only the first 8 of them (= the
+    // minimum single-gram span); doc 3 shares nothing
+    val common = (1 to 12).map(i => s"c$i").mkString(" ")
+    val first8 = (1 to 8).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_runs").toString
+    Seq(
+      (1L, s"a1 a2 a3 $common a4 a5"),
+      (2L, s"b1 b2 $common b3"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10"),
+      (4L, s"d1 $first8 d2 d3"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_substring_run")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out((1L, 2L)) === (5L, 12L),
+      s"12-token planted span misreported: ${out.get((1L, 2L))}")
+    assert(out((1L, 4L)) === (1L, 8L) && out((2L, 4L)) === (1L, 8L),
+      s"minimum 8-token span misreported: $out")
+    assert(out.size === 3, s"phantom pairs: ${out.keys}")
+  }
+
   test("connected components: both ends of every candidate pair share a label") {
     val pairs = graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf)
     val comp = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)

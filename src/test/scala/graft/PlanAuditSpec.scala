@@ -184,6 +184,26 @@ class PlanAuditSpec extends TestSpark {
       s"q_decontaminate grew to ${shuffles.length} exchanges:\n$plan")
   }
 
+  test("q_dedup_substring_run: gram-keyed pair join, diagonal-keyed windows, never doc×doc") {
+    val plan = staticPlan("q_dedup_substring_run")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }.isEmpty, s"substring-run degenerated to all-pairs:\n$plan")
+    // the pair join must be an equi-join keyed on the gram hash — a
+    // BroadcastNestedLoop over docs would be the doc×doc regression
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }.isEmpty, s"substring-run pair join lost its gram key:\n$plan")
+    // island windows are keyed (doc_a, doc_b, diag) — many small keys;
+    // a window keyed by less would funnel a pair's whole gram stream
+    val rnSpecs = "row_number\\(\\) windowspecdefinition\\(([^)]{0,100})".r
+      .findAllMatchIn(plan.toString).map(_.group(1)).toList
+    assert(rnSpecs.nonEmpty, s"island rank window missing:\n$plan")
+    rnSpecs.foreach(spec => assert(
+      spec.startsWith("doc_a#") && spec.contains("diag#"),
+      s"island window under-keyed: $spec"))
+  }
+
   test("q_dedup_substring: inverted-index shape, never doc×doc") {
     val plan = staticPlan("q_dedup_substring")
     assert(plan.collect {
