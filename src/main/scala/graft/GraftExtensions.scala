@@ -12,31 +12,41 @@ import graft.functions.{FloatVecDot, LuhnMod30Expr, MinHashSig, SimHashSig, Stri
   * `spark.sql.extensions=graft.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Arity guard: a builder indexing `children(1)` on a 1-argument call
+    * dies with IndexOutOfBounds deep in resolution; this raises the
+    * standard wrong-number-of-arguments AnalysisException instead
+    * (round-10 ADVICE). Input TYPES are validated by each expression's
+    * own `ExpectsInputTypes` declaration.
+    */
+  private def arity[E](name: String, n: Int)(
+      build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => E)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => E =
+    children =>
+      if (children.length == n) build(children)
+      else throw new IllegalArgumentException(
+        s"Function `$name` requires $n argument(s) but got ${children.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        FloatVecDot(children(0), children(1))))
+      arity("vec_dot", 2)(c => FloatVecDot(c(0), c(1)))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSig(children.head)))
+      arity("minhash_sig", 1)(c => MinHashSig(c.head))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_sig"),
       new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashSig(children.head)))
+      arity("simhash_sig", 1)(c => SimHashSig(c.head))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[StringHamming].getName, "hamming"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        StringHamming(children(0), children(1))))
+      arity("hamming", 2)(c => StringHamming(c(0), c(1)))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("luhn_mod30"),
       new ExpressionInfo(classOf[LuhnMod30Expr].getName, "luhn_mod30"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        LuhnMod30Expr(children.head)))
+      arity("luhn_mod30", 1)(c => LuhnMod30Expr(c.head))))
   }
 }

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared byte-wise Hamming kernel: differing positions over the common
@@ -34,9 +34,14 @@ object HammingFn {
   * [[LuhnMod30Expr]] pattern). Null-intolerant: null in → null out.
   */
 case class StringHamming(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+
+  // declared input types turn `hamming(1, 2)` into an AnalysisException
+  // with implicit-cast support instead of a ClassCastException at
+  // execution (round-10 ADVICE)
+  override def inputTypes = Seq(StringType, StringType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     HammingFn.hamming(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

@@ -612,13 +612,15 @@ object TextOps {
     .empty[(SparkSession, String), DataFrame]
 
   private def pipelineSurvivors(s: SparkSession, dir: String): DataFrame =
-    survivorsCache.getOrElseUpdate((s, dir), {
-      val sp = graft.Caches.register(
-        buildSurvivors(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      sp.count()
-      sp
-    })
+    survivorsCache.synchronized {
+      survivorsCache.getOrElseUpdate((s, dir), {
+        val sp = graft.Caches.register(
+          buildSurvivors(s, dir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        sp.count()
+        sp
+      })
+    }
 
   private def buildSurvivors(s: SparkSession, dir: String): DataFrame = {
     // stage 1: quality filter — the shared [[keepRule]] predicate, fused
@@ -778,8 +780,14 @@ object TextOps {
     survivorsCache.clear()
   }
 
+  // the lock makes the expensive thunk once-only: TrieMap.getOrElseUpdate
+  // alone is atomic for the INSERT but not the computation, so two first
+  // callers could both train (round-10 ADVICE). Training is rare and
+  // minutes-scale; a coarse lock is the right tradeoff.
   private def bpeTrained(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    bpeCache.getOrElseUpdate((s, dir), trainBpe(s, dir))
+    bpeCache.synchronized {
+      bpeCache.getOrElseUpdate((s, dir), trainBpe(s, dir))
+    }
 
   /** Runs the [[BpeMerges]]-round training eagerly under an AQE-off
     * window — the [[graft.ops.Graph]] qPagerank recipe: a fixed-shape
@@ -793,24 +801,25 @@ object TextOps {
     * materialized state.
     */
   private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val spKey = "spark.sql.shuffle.partitions"
-    val aqePrev = s.conf.get(aqeKey, "true")
-    val spPrev = s.conf.get(spKey)
-    s.conf.set(aqeKey, "false")
-    try {
-      val vocab0 = vocabFrame(s, dir)
-      // materialize the ONE corpus-sized aggregate at the session's full
-      // parallelism, BEFORE narrowing the loop's shuffles
-      vocab0.count()
-      // the rounds are vocab-sized: spreading tens of thousands of rows
-      // over the session's partition count across ~20 stages is pure task
-      // overhead with AQE off (the qPagerank lesson — it sizes to the
-      // node count for the same reason)
-      s.conf.set(spKey, "4")
-      try trainBpeLoop(vocab0)
-      finally s.conf.set(spKey, spPrev)
-    } finally s.conf.set(aqeKey, aqePrev)
+    // conf isolation (round-10 ADVICE): training tunes AQE off and a tiny
+    // shuffle-partition count for its fixed-shape vocab-sized loop, so it
+    // runs on a CLONED session — same SparkContext, shared cache blocks,
+    // PRIVATE SQLConf — and concurrent queries on the caller's session
+    // are never planned under the training's knobs. The returned frames
+    // are eager local checkpoints (LogicalRDD), so they compose with
+    // any sibling session's plans.
+    val t = s.newSession()
+    t.conf.set("spark.sql.adaptive.enabled", "false")
+    val vocab0 = vocabFrame(t, dir)
+    // materialize the ONE corpus-sized aggregate at full parallelism,
+    // BEFORE narrowing the loop's shuffles
+    vocab0.count()
+    // the rounds are vocab-sized: spreading tens of thousands of rows
+    // over the session's partition count across ~20 stages is pure task
+    // overhead with AQE off (the qPagerank lesson — it sizes to the
+    // node count for the same reason)
+    t.conf.set("spark.sql.shuffle.partitions", "4")
+    trainBpeLoop(vocab0)
   }
 
   private def vocabFrame(s: SparkSession, dir: String): DataFrame =

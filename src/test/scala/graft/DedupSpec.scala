@@ -293,11 +293,23 @@ class DedupSpec extends TestSpark {
       else assert(r.isNullAt(2))
     }
     // rejections are consistent with the verified fuzzy pairs: a rejected
-    // doc's first_dup must appear as its partner in q_dedup_fuzzy at
-    // jaccard >= 0.5, and a novel doc must have NO such partner
+    // doc's first_dup must appear as a fuzzy candidate partner whose
+    // UNROUNDED jaccard >= 0.5 (the incremental query's own rule), and a
+    // novel doc must have NO such partner. The fuzzy query's presented
+    // `jaccard` column is r4-ROUNDED — filtering on it directly admits a
+    // pair with true jaccard in [0.49995, 0.5) that rounds up to 0.5 and
+    // would fail this spec on unlucky fixture data (round-10 ADVICE), so
+    // the strong set recomputes the exact ratio per candidate pair
+    val sets = graft.io.Sources.table(spark, Sf, "documents")
+      .select(col("doc_id"), graft.ops.Dedup.rawShingles(col("text")).as("sh"))
     val strong = SparkEntry.queries("q_dedup_fuzzy")(spark, Sf)
-      .filter(col("jaccard") >= 0.5).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("doc_a", "doc_b")
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .filter(size(array_intersect(col("sa"), col("sb")))
+        .cast("double") / size(array_union(col("sa"), col("sb"))) >= 0.5)
+      .select("doc_a", "doc_b") // join keys re-lead after each join
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     rows.foreach { r =>
       val id = r.getLong(0)
       val partners = strong.collect {

@@ -147,6 +147,37 @@ class SimilaritySpec extends TestSpark {
     assert(luhn === "X")
   }
 
+  test("SQL surface rejects wrong arity and wrong types with analysis-time errors") {
+    // wrong arity: the builder guard raises a clear error instead of
+    // IndexOutOfBounds deep inside resolution (round-10 ADVICE)
+    for (bad <- Seq("SELECT hamming('a')", "SELECT hamming('a','b','c')",
+        "SELECT luhn_mod30()", "SELECT luhn_mod30('1','2')",
+        "SELECT vec_dot(array(CAST(1 AS FLOAT)))")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      assert(e.getMessage.contains("argument"),
+        s"$bad failed with the wrong error: ${e.getMessage.take(200)}")
+    }
+    // wrong types: ExpectsInputTypes turns them into AnalysisException
+    // (ints implicit-cast to string is fine; an ARRAY argument is not)
+    val te = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT hamming(array(1), array(2))").collect())
+    assert(te.getMessage.toLowerCase.contains("type"),
+      s"wrong type error: ${te.getMessage.take(200)}")
+  }
+
+  test("luhn_mod30 nulls out-of-alphabet input instead of minting garbage digits") {
+    // B is outside the mod-30 alphabet; the legacy kernel mapped it to
+    // indexOf = -1 and emitted an undetectably wrong digit (round-10
+    // ADVICE). Null in both the eval and codegen paths, and in the kernel.
+    val r = spark.sql(
+      "SELECT luhn_mod30('1B2') AS bad, luhn_mod30('123') AS good")
+      .collect().head
+    assert(r.isNullAt(0), "out-of-alphabet input must yield null")
+    assert(r.getString(1) != null)
+    assert(graft.functions.LuhnMod30Fn.computeString("O0PS") == null)
+    assert(graft.etl.Migration.luhnMod30("ok-not") == null)
+  }
+
   test("zero vector yields null cosine, not an ANSI divide-by-zero crash") {
     val df = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 1.0f)))
       .toDF("id", "v")
