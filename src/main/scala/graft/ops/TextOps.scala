@@ -336,6 +336,96 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Model-based quality scoring — the "quality classifier" slot of a
+    * modern pretraining pipeline (GPT-3/LLaMA-style pipelines train a
+    * linear classifier against a trusted corpus and keep documents it
+    * scores well; fastText is the usual tool): a Naive-Bayes
+    * log-likelihood-ratio scorer TRAINED IN-PLANE on the corpus itself,
+    * using [[keepRule]]'s verdicts as weak labels. Per token w:
+    * `llr(w) = ln P(w|keep) − ln P(w|drop)` with Laplace smoothing; a
+    * document's score is its mean token llr, and `nb_keep` is the
+    * exact-DECIMAL sign of the sum — a second, model-based opinion on
+    * quality that generalizes beyond the rule's own features (stopword
+    * ratios) to every token the two classes use differently.
+    *
+    * Scale shape: two corpus passes (label+tokenize feeding one
+    * vocab-sized class-count aggregate; score join), the model rides
+    * global windows over the VOCAB-sized count frame (one aggregation
+    * subtree, the q_corpus_mix quota device) and broadcasts back. The
+    * llr terms cast to DECIMAL(20,10) before summing — order-independent
+    * and engine-portable (the bm25/unigram device), and the keep
+    * decision compares the EXACT decimal sum to zero, so no rounding
+    * boundary can flip it between engines.
+    */
+  private def qQualityNb(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), keepRule(col("text")).as("weak_keep"),
+        explode(tokens(col("text"))).as("w"))
+    val cc = toks.groupBy("w")
+      .agg(sum(when(col("weak_keep"), 1L).otherwise(0L)).as("ck"),
+        sum(when(!col("weak_keep"), 1L).otherwise(0L)).as("cd"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val model = cc
+      .withColumn("nk", sum(col("ck")).over(wAll))
+      .withColumn("nd", sum(col("cd")).over(wAll))
+      .withColumn("v", count(lit(1)).over(wAll))
+      .select(col("w"),
+        (log((col("ck") + 1).cast(DoubleType) / (col("nk") + col("v")))
+          - log((col("cd") + 1).cast(DoubleType) / (col("nd") + col("v"))))
+          .cast(DecimalType(20, 10)).as("llr"))
+    toks.join(broadcast(model), Seq("w"))
+      .groupBy(col("doc_id"), col("weak_keep"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("llr")).as("llr_sum"))
+      .select(col("doc_id"), col("weak_keep"), col("n_tokens"),
+        Num.r4(col("llr_sum").cast(DoubleType) / col("n_tokens"))
+          .as("nb_score"),
+        (col("llr_sum") > 0).as("nb_keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-LM perplexity proxy — the CCNet device (Wenzek et al.,
+    * LREC '20: score crawl text under a language model trained on a
+    * trusted corpus; keep the low-perplexity tail): mean per-bigram
+    * log-probability under the corpus's own add-one-smoothed bigram
+    * model, `P(w2|w1) = (c(w1 w2)+1) / (c1(w1)+V)`. The step up from
+    * [[qTextUnigramLp]]: a unigram model cannot see scrambled word
+    * ORDER, a bigram model penalizes it — the degenerate-sequence flag
+    * word frequency alone misses.
+    *
+    * Scale shape: one corpus pass builds (bigram, context) counts — the
+    * model side is vocabulary-bounded, joined back broadcast (at real
+    * scale the standard move is pruning rare bigrams first; the
+    * smoothing already accounts for unseen mass). Log terms cast to
+    * DECIMAL(20,10) pre-sum — the bm25/unigram portability device. Docs
+    * with fewer than 2 tokens have no bigrams and drop out, mirrored by
+    * both engines.
+    */
+  private def qTextBigramLp(s: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val arr = when(size(ws) >= 2, transform(sequence(lit(0), size(ws) - 2),
+        i => struct(
+          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))
+            .as("big"),
+          element_at(ws, i + 1).as("w1"))))
+      .otherwise(array().cast("array<struct<big:string,w1:string>>"))
+    val b = docs(s, dir).select(col("doc_id"), explode(arr).as("p"))
+      .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+    val c2 = b.groupBy("big", "w1").agg(count(lit(1)).as("c2"))
+    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = docs(s, dir).select(explode(ws).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val model = c2.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("big"),
+        log((col("c2") + 1).cast(DoubleType) / (col("c1") + col("v")))
+          .cast(DecimalType(20, 10)).as("lp"))
+    b.join(broadcast(model), Seq("big"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r4(sum(col("lp")).cast(DoubleType) / count(lit(1)))
+          .as("avg_bigram_lp"))
+      .orderBy("doc_id")
+  }
+
   /** Hard per-domain document cap — the standard defense against one
     * crawl domain dominating a training mixture (the complement of
     * [[qCorpusMix]]'s rate-based downsampling: a cap is EXACT, a rate is
@@ -959,6 +1049,8 @@ object TextOps {
     "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_cap" -> qCorpusCap,
+    "q_quality_nb" -> qQualityNb,
+    "q_text_bigram_lp" -> qTextBigramLp,
     "q_text_fingerprint" -> qTextFingerprint)
 
   private[graft] val EnStopList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1088,6 +1180,58 @@ object TextOps {
         |  < least(10000, (quota * 10000) // cnt) AS kept
         |FROM d JOIN bys USING (domain) CROSS JOIN q
         |ORDER BY doc_id""".stripMargin,
+    // bigram LM: identical counts, smoothing, and DECIMAL(20,10) terms;
+    // range(1, len(ws)) yields i in [1, len-1], so ws[i+1] always exists
+    "q_text_bigram_lp" ->
+      s"""WITH w0 AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |b AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS big, ws[i] AS w1
+         |  FROM w0, unnest(range(1, len(ws))) AS t(i)),
+         |c2 AS (SELECT big, w1, count(*) AS c2 FROM b GROUP BY big, w1),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT unnest(ws) AS w FROM w0)),
+         |m AS (SELECT big, CAST(ln(CAST(c2.c2 + 1 AS DOUBLE)
+         |    / (c1.c1 + v.v)) AS DECIMAL(20,10)) AS lp
+         |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |${Num.r4Sql("CAST(sum(lp) AS DOUBLE) / count(*)")} AS avg_bigram_lp
+         |FROM b JOIN m USING (big) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    // NB scorer: identical label rule, class counts, smoothed llr (cast
+    // DECIMAL(20,10) per term — the bm25 device), and the keep decision
+    // compares the exact decimal sum to zero
+    "q_quality_nb" ->
+      s"""WITH w0 AS (SELECT doc_id,
+         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |lab AS (SELECT doc_id, ws,
+         |  (len(ws) >= 5
+         |   AND len(list_filter(ws, w -> list_contains($EnStopList, w)))
+         |     <> len(list_filter(ws, w -> list_contains($EsStopList, w)))
+         |   AND CAST(greatest(
+         |       len(list_filter(ws, w -> list_contains($EnStopList, w))),
+         |       len(list_filter(ws, w -> list_contains($EsStopList, w))))
+         |     AS DOUBLE) / len(ws) >= 0.05) AS weak_keep
+         |  FROM w0),
+         |t AS (SELECT doc_id, weak_keep, unnest(ws) AS w FROM lab),
+         |cc AS (SELECT w,
+         |  sum(CASE WHEN weak_keep THEN 1 ELSE 0 END) AS ck,
+         |  sum(CASE WHEN NOT weak_keep THEN 1 ELSE 0 END) AS cd
+         |  FROM t GROUP BY w),
+         |m AS (SELECT w, CAST(
+         |  ln(CAST(ck + 1 AS DOUBLE) / (nk + v))
+         |  - ln(CAST(cd + 1 AS DOUBLE) / (nd + v)) AS DECIMAL(20,10)) AS llr
+         |  FROM (SELECT w, ck, cd, sum(ck) OVER () AS nk,
+         |    sum(cd) OVER () AS nd, count(*) OVER () AS v FROM cc)),
+         |sc AS (SELECT t.doc_id, t.weak_keep,
+         |  CAST(count(*) AS BIGINT) AS n_tokens, sum(m.llr) AS llr_sum
+         |  FROM t JOIN m USING (w) GROUP BY t.doc_id, t.weak_keep)
+         |SELECT doc_id, weak_keep, n_tokens,
+         |${Num.r4Sql("CAST(llr_sum AS DOUBLE) / n_tokens")} AS nb_score,
+         |llr_sum > 0 AS nb_keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     // the counting-sort cap selection is keep-set-identical to a global
     // per-domain rank, which the oracle states directly: row_number over
     // (domain, ordered by hash bucket then doc_id) vs cap = 10 × min

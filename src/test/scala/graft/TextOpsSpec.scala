@@ -41,6 +41,46 @@ class TextOpsSpec extends TestSpark {
     graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
   }
 
+  test("NB quality scorer separates the weak-label classes it trained on") {
+    val rows = SparkEntry.queries("q_quality_nb")(spark, Sf).collect()
+      .map(r => (r.getBoolean(1), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val (keep, drop) = rows.partition(_._1)
+    assert(keep.nonEmpty && drop.nonEmpty, "fixture lost a class")
+    // the model must score its own positive class higher on average...
+    val meanK = keep.map(_._2).sum / keep.length
+    val meanD = drop.map(_._2).sum / drop.length
+    assert(meanK > meanD,
+      f"no separation: keep mean $meanK%.4f <= drop mean $meanD%.4f")
+    // ...and its keep/drop decision must agree with the weak labels far
+    // above chance (measured 0.92 at sf0.001 — floor leaves noise room)
+    val agree = rows.count(r => r._1 == r._3).toDouble / rows.length
+    assert(agree >= 0.8, f"NB agreement $agree%.3f below 0.8")
+  }
+
+  test("bigram LM penalizes scrambled word order that a unigram model cannot see") {
+    import spark.implicits._
+    // 9 docs share one fixed word order; doc 10 is the SAME multiset
+    // shuffled. Unigram scores are identical by construction; the bigram
+    // model must rank the common order higher.
+    val inOrder = "the cat sat on the mat and the dog ran off"
+    val scrambled = "mat the ran cat off and sat dog the on the"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram").toString
+    ((1L to 9L).map(i => (i, inOrder)) :+ (10L, scrambled))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val lp = SparkEntry.queries("q_text_bigram_lp")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(lp(1L) > lp(10L),
+      s"scrambled doc not penalized: in-order ${lp(1L)} vs scrambled ${lp(10L)}")
+    val uni = SparkEntry.queries("q_text_unigram_lp")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(1L) === uni(10L),
+      s"unigram control broken: ${uni(1L)} vs ${uni(10L)} should be equal")
+  }
+
   test("per-domain cap cuts a 90%-dominant domain to 10x the smallest, exactly") {
     import spark.implicits._
     // degenerate mixture: 900 docs in domA, 60 in domB, 40 in domC —
