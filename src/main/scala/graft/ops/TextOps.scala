@@ -358,9 +358,15 @@ object TextOps {
     * boundary can flip it between engines.
     */
   private def qQualityNb(s: SparkSession, dir: String): DataFrame = {
+    // label + token array in a SEPARATE select below the explode:
+    // ExtractGenerator hoists non-generator select expressions into the
+    // Project ABOVE the Generate, so a one-select form re-evaluated the
+    // whole keepRule (≈6 tokenizations of the full text) PER TOKEN ROW —
+    // measured 8.0 s vs 0.5 s for this shape at sf0.1
     val toks = docs(s, dir)
       .select(col("doc_id"), keepRule(col("text")).as("weak_keep"),
-        explode(tokens(col("text"))).as("w"))
+        tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("weak_keep"), explode(col("ws")).as("w"))
     val cc = toks.groupBy("w")
       .agg(sum(when(col("weak_keep"), 1L).otherwise(0L)).as("ck"),
         sum(when(!col("weak_keep"), 1L).otherwise(0L)).as("cd"))
@@ -401,18 +407,26 @@ object TextOps {
     * both engines.
     */
   private def qTextBigramLp(s: SparkSession, dir: String): DataFrame = {
-    val ws = tokens(col("text"))
-    val arr = when(size(ws) >= 2, transform(sequence(lit(0), size(ws) - 2),
+    // ws is MATERIALIZED in a lower select: the lambda references it per
+    // array element, and with the raw tokens(text) expression inlined
+    // every element re-tokenized the whole document — O(tokens²) per
+    // doc, measured 4.4 s vs 0.3 s for the exploded bigram stream at
+    // sf0.1. Multi-reference aliases are exactly what CollapseProject
+    // refuses to inline, so the boundary is stable.
+    val w2 = col("ws")
+    val arr = when(size(w2) >= 2, transform(sequence(lit(0), size(w2) - 2),
         i => struct(
-          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))
+          concat_ws(" ", element_at(w2, i + 1), element_at(w2, i + 2))
             .as("big"),
-          element_at(ws, i + 1).as("w1"))))
+          element_at(w2, i + 1).as("w1"))))
       .otherwise(array().cast("array<struct<big:string,w1:string>>"))
-    val b = docs(s, dir).select(col("doc_id"), explode(arr).as("p"))
+    val b = docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(arr).as("p"))
       .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
     val c2 = b.groupBy("big", "w1").agg(count(lit(1)).as("c2"))
     val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val v = docs(s, dir).select(explode(ws).as("w"))
+    val v = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val model = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("big"),
