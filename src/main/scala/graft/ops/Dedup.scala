@@ -29,14 +29,25 @@ object Dedup {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
-  /** Word 3-gram shingles (distinct, plain text) of a whitespace-tokenized
-    * text — shared by the MinHash signatures and Jaccard verification.
+  /** Word 3-gram shingles (distinct, plain text) from a MATERIALIZED
+    * token-array column — shared by the MinHash signatures and Jaccard
+    * verification. Callers on corpus-sized frames must pass a column that
+    * a LOWER select materialized (`tokens(text).as("ws")` in its own
+    * projection): higher-order functions aren't codegen'd, and an inlined
+    * `tokens(text)` expression inside the lambda re-tokenizes the whole
+    * document once per ARRAY ELEMENT — O(tokens²) per doc, measured
+    * 1.9 s vs 0.5 s for the corpus shingle explode at sf0.1 (round 11).
     */
-  private[graft] def rawShingles(text: Column): Column = {
-    val ws = TextOps.tokens(text)
+  private[graft] def rawShinglesWs(ws: Column): Column =
     array_distinct(transform(TextOps.shingleIdx(ws),
       i => concat_ws(" ", slice(ws, i, lit(3)))))
-  }
+
+  /** Convenience form for SMALL frames (spec fixtures, per-hit-doc
+    * recomputes): inlines the tokenization and therefore pays the
+    * per-element cost above — do NOT use on a corpus-sized path.
+    */
+  private[graft] def rawShingles(text: Column): Column =
+    rawShinglesWs(TextOps.tokens(text))
 
   // ----------------------------------------------------------- exact
 
@@ -175,7 +186,8 @@ object Dedup {
     */
   private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
     val sets = docs(s, dir)
-      .select(col("doc_id"), rawShingles(col("text")).as("sh"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
     candidatePairs(s, dir)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -483,7 +495,8 @@ object Dedup {
 
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val sets = docs(s, dir)
-      .select(col("doc_id"), rawShingles(col("text")).as("sh"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
     val verified = candidatePairs(s, dir)
       .filter(col("doc_b") >= IncrementalSplit)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -521,13 +534,16 @@ object Dedup {
   private[graft] val SubstringK = 8
 
   private def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
+    // ws materialized below the explode (the rawShinglesWs contract)
+    val ws = col("ws")
     val idx = when(size(ws) >= SubstringK,
       sequence(lit(1), size(ws) - (SubstringK - 1)))
       .otherwise(array().cast("array<int>"))
-    val grams = docs(s, dir).select(col("doc_id"),
-      explode(transform(idx,
-        i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))).as("g"))
+    val grams = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(transform(idx,
+          i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))).as("g"))
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -567,11 +583,13 @@ object Dedup {
   private[graft] val SubstringPostingCap = 64L
 
   private def qDedupSubstringRun(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextOps.tokens(col("text"))
+    // ws materialized below the explode (the rawShinglesWs contract)
+    val ws = col("ws")
     val idx = when(size(ws) >= SubstringK,
       sequence(lit(1), size(ws) - (SubstringK - 1)))
       .otherwise(array().cast("array<int>"))
     val grams = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(transform(idx,
         i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))

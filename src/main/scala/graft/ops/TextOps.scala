@@ -591,8 +591,13 @@ object TextOps {
     val d = docs(s, dir)
       .select(col("doc_id"), col("text"),
         splitBucket(col("doc_id")).as("bucket"))
-    val sh = d.select(col("doc_id"), col("bucket"),
-      explode(Dedup.rawShingles(col("text"))).as("sh"))
+    // token array materialized a select below the explode — the inlined
+    // form re-tokenizes per array element inside the (non-codegen'd)
+    // transform lambda (see Dedup.rawShinglesWs)
+    val sh = d
+      .select(col("doc_id"), col("bucket"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("bucket"),
+        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
     val trainSh = Bloom.prune(
         sh.filter(col("bucket") < 90).select("sh"),
         "sh", sh.filter(col("bucket") >= 95).select("sh"), "sh")
@@ -783,13 +788,16 @@ object TextOps {
     //     extra AQE stage) individually larger than the ENTIRE shuffle
     //     it saves at that scale — exactly why Spark's own runtime
     //     filter refuses to fire below its size threshold.
-    // The explode stays a DIRECT generator over rawShingles:
-    // materializing the array in a projection below the Generate (to
-    // take size(arr) map-side) blocks the bucket-filter pushdown, so
-    // the test/bloom branches re-shingled the WHOLE corpus (+0.4 s each
-    // at sf0.1).
-    val sh = sp.select(col("doc_id"), col("bucket"),
-      explode(Dedup.rawShingles(col("text"))).as("sh"))
+    // The TOKEN array is materialized one select below the explode (the
+    // rawShinglesWs contract — the inlined form re-tokenizes per array
+    // element inside the transform lambda), while the SHINGLE array
+    // stays inside the generator: only n_sh for hit docs ever needs it
+    // as a value, and that is recomputed hits-side over the tiny hit
+    // set.
+    val sh = sp
+      .select(col("doc_id"), col("bucket"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("bucket"),
+        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
     val testShRows = sh.filter(col("bucket") >= 95).select("sh")
     val trainShRows = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), col("sh"))
