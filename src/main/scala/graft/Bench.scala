@@ -165,9 +165,15 @@ object Bench {
     // to survive. The full line is also written to /tmp/bench.json.
     val prepJson = prepareError
       .map(e => s""""prepare_error":"$e",""").getOrElse("")
+    // `cpus` is recorded because it silently changes the comparison basis:
+    // same-code captures at local[4] vs local[32] differ by ~10-20% on the
+    // overhead-dominated sf0.1 set, and a JSON line that omits the config
+    // invites exactly that apples-to-oranges read (it happened in round 11:
+    // three "sibling" runs were captured without SPARK_GRAFT_CPUS=32 and
+    // could not anchor against the local[32] baseline).
     val line =
       s"""{"queries_median":$qsMed,"queries":$qs,"sf":"$sfDir",""" +
-        s""""passes":$passes,"pass_totals":$passTotals,$prepJson""" +
+        s""""cpus":"$cpus","passes":$passes,"pass_totals":$passTotals,$prepJson""" +
         s""""errors":$errJson,"error_count":${errors.size},""" +
         s""""unit":"sec","metric":"total","value":$total}"""
     // the driver's per-round artifact keeps only the final ~2000 chars of
