@@ -438,6 +438,46 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component_id")
 
+  /** Canonical-copy selection — the curation form of fuzzy dedup. Instead
+    * of keeping each near-dup cluster's minimum doc_id, keep its BEST
+    * member: the doc maximizing the q_text_quality score, ties to the
+    * lower doc_id. This is what production corpus pipelines actually ship
+    * (a crawl's near-dup cluster usually holds one clean copy and N
+    * boilerplate-damaged ones; min-id keeps an arbitrary one). Singleton
+    * docs (no candidate pair, absent from the label frame) pass through as
+    * their own cluster.
+    *
+    * Scale shape: quality is computed map-side over a materialized token
+    * array, the label attach is an equi left join on doc_id against the
+    * MEMOIZED component labels (built once, owned by q_corpus_pipeline in
+    * bench order), and selection is ONE hash aggregate on cluster id whose
+    * `max(struct(quality, -doc_id))` partial-aggregates map-side — no
+    * corpus-wide window, no second shuffle. 0-word docs score 0.0 (not
+    * NaN) so the struct ordering stays total and portable.
+    */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val nWords = size(col("ws")).cast(DoubleType)
+    val quality = when(size(col("ws")) === 0, lit(0.0)).otherwise(
+      Num.r4(least(col("n_chars").cast(DoubleType), lit(500.0)) / 500.0 * 0.5
+        + TextOps.hits(col("ws"), TextOps.EnStop).cast(DoubleType)
+          / nWords * 0.5))
+    docs(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), quality.as("quality"))
+      .join(componentLabels(s, dir), Seq("doc_id"), "left")
+      .select(
+        coalesce(col("component_id"), col("doc_id")).as("component_id"),
+        col("doc_id"), col("quality"))
+      .groupBy("component_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("component_id"), col("n_members"),
+        (-col("b.neg_id")).as("keep_doc_id"),
+        col("b.quality").as("keep_quality"))
+      .orderBy("component_id")
+  }
+
   /** The SAME component labels computed by the large-star/small-star
     * contraction instead of min-label propagation — oracle-verified against
     * the identical recursive-CTE oracle, proving the O(log n) escalation
@@ -753,6 +793,7 @@ object Dedup {
     "q_dedup_cc_sizes" -> qDedupCcSizes,
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
+    "q_dedup_canonical" -> qDedupCanonical,
     "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh)
@@ -798,6 +839,41 @@ object Dedup {
         |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src)
         |SELECT node AS doc_id, least(node, min(peer)) AS component_id
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Canonical-pick twin: the recursive-CTE labels, the q_text_quality
+    * formula verbatim (same r4 floor-rounding), best member via QUALIFY
+    * row_number (quality DESC, doc_id) = 1 — the declarative statement of
+    * the Spark side's max(struct(quality, -doc_id)) aggregate.
+    */
+  private val CanonicalSql =
+    MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
+      s""",
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |reach AS (
+        |  SELECT src AS node, dst AS peer FROM edges
+        |  UNION
+        |  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.peer = e.src),
+        |comp AS (SELECT node AS doc_id, least(node, min(peer)) AS cid
+        |  FROM reach GROUP BY node),
+        |q AS (SELECT d.doc_id, coalesce(c.cid, d.doc_id) AS component_id,
+        |  CASE WHEN len(list_filter(string_split(d.text, ' '),
+        |      w -> w <> '')) = 0 THEN 0.0
+        |    ELSE floor((least(CAST(d.n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
+        |      + CAST(len(list_filter(string_split(d.text, ' '),
+        |          w -> list_contains(${TextOps.EnStopList}, w))) AS DOUBLE)
+        |        / len(list_filter(string_split(d.text, ' '), w -> w <> ''))
+        |        * 0.5) * 10000 + 0.5) / 10000 END AS quality
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+        |agg AS (SELECT component_id, count(*) AS n_members FROM q
+        |  GROUP BY component_id),
+        |sel AS (SELECT component_id, doc_id, quality FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY component_id
+        |    ORDER BY quality DESC, doc_id) = 1)
+        |SELECT a.component_id, a.n_members, s.doc_id AS keep_doc_id,
+        |  s.quality AS keep_quality
+        |FROM agg a JOIN sel s ON a.component_id = s.component_id
+        |ORDER BY a.component_id""".stripMargin
 
   private val SimhashSums = (1 to 32).map(b =>
     s"sum(CASE WHEN substring(md5(w), $b, 1) IN " +
@@ -1027,6 +1103,7 @@ object Dedup {
     // transitive closure by recursive CTE (tiny clusters make this cheap
     // for the oracle; the Spark side is the scalable iterative form)
     "q_dedup_components" -> ComponentsSql,
+    "q_dedup_canonical" -> CanonicalSql,
     // the star-contraction path must produce the IDENTICAL labels
     "q_dedup_components_star" -> ComponentsSql,
     // same component labels, aggregated to cluster sizes

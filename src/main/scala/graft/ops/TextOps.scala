@@ -33,10 +33,10 @@ object TextOps {
     when(size(ws) >= 3, sequence(lit(1), size(ws) - 2))
       .otherwise(array().cast("array<int>"))
 
-  private val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
+  private[graft] val EnStop = Seq("the", "a", "and", "of", "to", "in", "is")
   private val EsStop = Seq("el", "la", "de", "que", "y", "en", "un")
 
-  private def hits(ws: Column, stop: Seq[String]): Column =
+  private[graft] def hits(ws: Column, stop: Seq[String]): Column =
     size(filter(ws, w => array_contains(
       array(stop.map(lit): _*), w))).cast(LongType)
 

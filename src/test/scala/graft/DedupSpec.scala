@@ -19,6 +19,40 @@ class DedupSpec extends TestSpark {
     assert(canon === dupFree)
   }
 
+  test("canonical pick keeps each cluster's max-quality member; singletons pass through") {
+    // independent cross-check: rebuild the expected winner per cluster from
+    // the two queries the canonical pick composes (labels + quality)
+    val comp = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val quality = graft.SparkEntry.queries("q_text_quality")(spark, Sf)
+      .collect().map { r =>
+        val q = r.getDouble(4)
+        r.getLong(0) -> (if (q.isNaN) 0.0 else q)
+      }.toMap
+    val canon = graft.SparkEntry.queries("q_dedup_canonical")(spark, Sf)
+      .collect()
+    val clusters = comp.values.toSet
+    // one row per cluster plus one per singleton doc, nothing else
+    assert(canon.length === clusters.size + (quality.size - comp.size))
+    val byCluster = comp.toSeq.groupBy(_._2)
+    canon.foreach { r =>
+      val (cid, n, keep, kq) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val members = byCluster.get(cid).map(_.map(_._1)).getOrElse(Seq(cid))
+      assert(n === members.size, s"cluster $cid member count")
+      val expected = members.minBy(d => (-quality(d), d))
+      assert(keep === expected,
+        s"cluster $cid kept $keep, expected max-quality member $expected")
+      assert(kq === quality(expected), s"cluster $cid keep_quality")
+    }
+    // the fixture must exercise the interesting case: clusters where the
+    // best copy is NOT the min doc_id (11 of 24 at sf0.001) — otherwise
+    // this spec couldn't distinguish quality-pick from the min-id rule
+    assert(canon.exists(r => byCluster.contains(r.getLong(0)) &&
+      r.getLong(2) != byCluster(r.getLong(0)).map(_._1).min),
+      "no cluster distinguishes quality-pick from min-id")
+  }
+
   test("minhash LSH finds planted near-duplicates (jaccard-verified)") {
     val fuzzy = graft.SparkEntry.queries("q_dedup_fuzzy")(spark, Sf)
       .collect()

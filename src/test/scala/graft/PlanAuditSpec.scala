@@ -226,6 +226,27 @@ class PlanAuditSpec extends TestSpark {
       s"q_mm_dedup grew to ${shuffles.length} exchanges:\n$plan")
   }
 
+  test("q_dedup_canonical: selection is one partial+final aggregate, no window") {
+    val plan = staticPlan("q_dedup_canonical")
+    val s = plan.toString
+    // best-member selection must stay the max(struct) aggregate — a
+    // regression to row_number-over-cluster would put a corpus-wide
+    // WindowExec (and its per-cluster sort) back into the plan
+    assert(!s.contains("WindowExec"),
+      s"canonical pick must aggregate, not window-sort:\n$s")
+    // max(struct) buffers aren't UnsafeRow-mutable, so the planner places
+    // SortAggregate — fine at scale PROVIDED the partial runs map-side,
+    // bounding the exchange to one row per cluster per task
+    assert(s.contains("partial_max(struct"),
+      s"expected a map-side partial max before the exchange:\n$s")
+    val n = "Aggregate\\(".r.findAllIn(s).length
+    assert(n >= 2, s"expected partial+final selection aggregate:\n$s")
+    // the label attach rides the MEMOIZED component-label frame — a cache
+    // miss here would silently rebuild the whole LSH + propagation chain
+    assert(s.contains("InMemoryTableScan"),
+      s"expected the memoized component labels:\n$s")
+  }
+
   test("q_sample_bottomk and q_stream_running_count window by their keys") {
     // per-group windows keyed by a data column (source / user_id) are
     // parallel across groups — assert nothing degenerated to a global
