@@ -116,6 +116,27 @@ object Dedup {
       .as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
 
+  /** Band rows straight from a `text` column, carrying `carry` columns
+    * through — the SAME (band_id, bkey) derivation as [[signatures]] +
+    * [[bandRows]] (b=4, r=2, md5 band keys), factored so the STREAMING
+    * fuzzy dedup buckets identically to the batch queries and the two
+    * can never drift (the keepRule device, applied to banding). Batch
+    * callers keep the memoized split-column path; DedupSpec pins
+    * row-equality between the two formulations.
+    */
+  private[graft] def bandRowsFromText(df: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val lead = col("doc_id") +: carry.map(col)
+    def h(i: Int) = element_at(col("sig"), i + 1)
+    df.select(lead :+
+        graft.functions.MinHashExprs.minhashSig(col("text")).as("sig"): _*)
+      .filter(size(col("sig")) > 0)
+      .select(lead :+ explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band_id"),
+          md5(concat(h(2 * b), h(2 * b + 1))).as("bkey"))): _*)).as("b"): _*)
+      .select(lead :+ col("b.band_id") :+ col("b.bkey"): _*)
+  }
+
   /** Band rows, lazily persisted and memoized per (session, dir).
     *
     * Without the persist, the LSH self-join evaluates `MinHashSig` (two
@@ -132,7 +153,7 @@ object Dedup {
     */
   private val bandCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private def cachedBands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def cachedBands(s: SparkSession, dir: String): DataFrame =
     bandCache.getOrElseUpdate((s, dir),
       bandRows(signatures(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 

@@ -142,6 +142,73 @@ object Streaming {
       .dropDuplicatesWithinWatermark("content_key")
       .select("doc_id", "text", "ts")
 
+  /** Per-bucket owner state for [[fuzzyDedupStream]]. */
+  final case class BandOwner(owner: Long)
+  /** One emitted row per (doc, band): the LSH bucket's owner when the doc
+    * arrived — `owner == doc_id` on every band ⇔ the doc is novel.
+    */
+  final case class BandHit(doc_id: Long, ts_sec: Long, band_id: Int,
+      owner: Long)
+
+  /** Streaming FUZZY (near-dup) dedup — the in-stream twin of the batch
+    * `q_dedup_fuzzy`/`q_dedup_incremental` pair, and the missing cell of
+    * the dedup matrix (batch ✓ / incremental-batch ✓ / streaming-exact ✓).
+    * Docs are bucketed by the SAME MinHash banding as the batch queries
+    * ([[graft.ops.Dedup.bandRowsFromText]] — b=4, r=2, md5 keys, shared
+    * code so stream and batch cannot drift), and each LSH bucket keeps ONE
+    * long of state: the minimum doc_id it has ever seen inside the
+    * watermark horizon. An arriving doc is emitted with its buckets'
+    * owners at arrival time; any `owner < doc_id` band hit means a
+    * near-dup candidate of that earlier doc (b=4/r=2 s-curve, same
+    * precision as the batch candidate stage — a downstream verifier can
+    * re-check Jaccard exactly as `q_dedup_fuzzy` does).
+    *
+    * Scale/state contract: state is bounded by the number of DISTINCT
+    * active buckets in the horizon (one 8-byte owner each), NOT by corpus
+    * size — EventTimeTimeout evicts a bucket once the watermark passes its
+    * last activity + 10 minutes, so a 24/7 crawl stream runs forever.
+    * Per-doc folding (min owner across the 4 bands) is stateless and
+    * belongs to the sink's foreachBatch, exactly where the production
+    * upsert into a standing dedup index runs ([[foreachBatchUpsert]]).
+    * flatMapGroupsWithState is a SINGLE stateful operator — chaining the
+    * per-doc aggregate into the same streaming plan would be a second one,
+    * which Spark's append-mode support matrix does not allow after fMGWS.
+    * Columns in: (doc_id, text, ts).
+    */
+  def fuzzyDedupStream(spark: SparkSession, stream: DataFrame) = {
+    import spark.implicits._
+    graft.ops.Dedup
+      // `ts` must survive to the stateful operator AS the watermarked
+      // Timestamp column — projecting it to seconds here detaches the
+      // watermark metadata and fails the event-time-timeout check
+      .bandRowsFromText(stream.withWatermark("ts", "10 minutes"), Seq("ts"))
+      .select(col("doc_id"), col("ts"), col("band_id"), col("bkey"))
+      .as[(Long, java.sql.Timestamp, Int, String)]
+      .groupByKey { case (_, _, band, key) => (band, key) }
+      .flatMapGroupsWithState[BandOwner, BandHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, _), rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // deterministic within a micro-batch: docs fold in doc_id
+            // order, so a batch-internal near-dup pair resolves to the
+            // smaller id — the batch queries' canonical orientation
+            val docs = rows.toSeq.sortBy(_._1)
+            var owner = state.getOption.map(_.owner)
+            val out = docs.map { case (d, t, b, _) =>
+              val o = owner.getOrElse(d)
+              owner = Some(math.min(o, d))
+              BandHit(d, t.getTime / 1000L, b, o)
+            }
+            state.update(BandOwner(owner.get))
+            // evict once the watermark passes this bucket's last activity
+            // plus the horizon — the bounded-state half of the contract
+            state.setTimeoutTimestamp(docs.map(_._2.getTime).max + 600000L)
+            out.iterator
+          }
+      }
+  }
+
   /** The per-batch landing half of the streaming corpus tail: pack one
     * micro-batch of surviving docs into per-shard sequences (the
     * [[graft.ops.TextOps.packDocs]] kernel — seq_ids are per-batch, so

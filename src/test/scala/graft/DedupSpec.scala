@@ -19,6 +19,18 @@ class DedupSpec extends TestSpark {
     assert(canon === dupFree)
   }
 
+  test("text-column banding kernel == memoized batch banding, row for row") {
+    // the streaming fuzzy dedup buckets with bandRowsFromText; the batch
+    // queries bucket with the split-column signatures path — pin them
+    // equal so the two formulations can never drift
+    val docs = graft.io.Sources.table(spark, Sf, "documents")
+    val a = graft.ops.Dedup.bandRowsFromText(docs, Nil)
+    val b = graft.ops.Dedup.cachedBands(spark, Sf)
+      .select("doc_id", "band_id", "bkey")
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("canonical pick keeps each cluster's max-quality member; singletons pass through") {
     // independent cross-check: rebuild the expected winner per cluster from
     // the two queries the canonical pick composes (labels + quality)

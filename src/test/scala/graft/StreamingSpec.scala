@@ -90,6 +90,54 @@ class StreamingSpec extends TestSpark {
       .filter($"count" > 1).count() === 0)
   }
 
+  test("streaming fuzzy dedup: owners fold to the earliest doc, idle buckets evict") {
+    implicit val sqlCtx = spark.sqlContext
+    val t1 = "the cat and the dog is in a tree by the old red barn"
+    val t1n = t1 + " now" // near-dup: shares all but the last shingle
+    val t2 = "a fish of the sea is in the net under a big blue wave"
+    // ground truth from the SHARED banding kernel: the near-dup pair must
+    // actually land in a common LSH bucket, or the fixture proves nothing
+    val bands = graft.ops.Dedup.bandRowsFromText(
+      Seq((1L, t1), (3L, t1n)).toDF("doc_id", "text"), Nil)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getString(2))))
+    assert(bands.filter(_._1 == 1L).map(_._2).toSet
+      .intersect(bands.filter(_._1 == 3L).map(_._2).toSet).nonEmpty,
+      "fixture must plant a shared LSH bucket")
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming
+      .fuzzyDedupStream(spark, mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("fuzzy_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, t1, ts(0)), (2L, t2, ts(0)))
+      q.processAllAvailable()
+      // in-horizon near-dup: doc 3 must hit doc 1's bucket
+      mem.addData((3L, t1n, ts(1)))
+      q.processAllAvailable()
+      // jump event time 4 h ahead (watermark follows at batch end), then a
+      // data-bearing sweep batch fires the expired bucket timers
+      mem.addData((9L, t2, ts(240)))
+      q.processAllAvailable()
+      mem.addData((8L, t2, ts(241)))
+      q.processAllAvailable()
+      // doc 1's text returns AFTER its buckets were evicted: novel again
+      mem.addData((10L, t1, ts(242)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val owner = spark.table("fuzzy_out")
+      .groupBy("doc_id").agg(min($"owner").as("o")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(owner(1L) === 1L, "first doc owns its buckets")
+    assert(owner(2L) === 2L, "unrelated doc is novel")
+    assert(owner(3L) === 1L, "near-dup resolves to the earlier doc")
+    assert(owner(9L) === 2L, "doc 2's buckets still live at the jump")
+    assert(owner(8L) === 2L, "activity keeps a bucket's owner")
+    assert(owner(10L) === 10L,
+      "post-eviction repeat is novel — state horizon is bounded")
+  }
+
   test("streaming corpus ingest == batch filter+dedup on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val keep1 = "the cat and the dog is in a tree"
