@@ -184,6 +184,56 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Domain-level boilerplate scoring over (doc_id, source, text) — the
+    * shingle-granularity form of CCNet/RefinedWeb line dedup (this corpus
+    * is single-line, and at shingle granularity the device needs no line
+    * structure): a word 3-gram occurring in ≥ max(2 docs, 5% of a
+    * domain's docs) is domain boilerplate — navigation chrome, legal
+    * footers, templated headers repeat across a domain's pages, body text
+    * does not. Each doc reports its flagged-gram share. Detection, not
+    * surgery: production filters drop/score on the ratio, and the flagged
+    * set is exactly what a rewriter would strip.
+    *
+    * Scale shape: the df aggregate is the tf-idf exchange — keyed
+    * (source, gram), map-side combining over per-doc DISTINCT grams.
+    * Domain sizes are model-sized and broadcast. The flagged set is tiny
+    * BY CONSTRUCTION (≥5% of a domain's docs must share a gram), so the
+    * per-doc recount is a broadcast LEFT SEMI join: the corpus-sized gram
+    * stream is never shuffled for the count-back, only the narrow
+    * (doc_id, count) rows exchange. Factored off the dir so specs can
+    * plant a degenerate boilerplate domain.
+    */
+  private[graft] def boilerplateScores(d: DataFrame): DataFrame = {
+    val base = d
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        Dedup.rawShinglesWs(col("ws")).as("grams"))
+    val gramRows = base.select(col("doc_id"), col("source"),
+      explode(col("grams")).as("g"))
+    val domSizes = base.groupBy("source").agg(count(lit(1)).as("nd"))
+    val flagged = gramRows.groupBy("source", "g")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(domSizes), Seq("source"))
+      .filter(col("df").cast(DoubleType) >=
+        greatest(lit(2.0), col("nd").cast(DoubleType) * 0.05))
+      .select(col("source"), col("g"))
+    val perDoc = gramRows
+      .join(broadcast(flagged), Seq("source", "g"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    base
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast(LongType).as("n_grams"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_grams") === 0, lit(0.0)).otherwise(
+          Num.r4(coalesce(col("n_boiler"), lit(0L)).cast(DoubleType)
+            / col("n_grams").cast(DoubleType))).as("boiler_ratio"))
+  }
+
+  private def qTextBoilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateScores(docs(s, dir)).orderBy("doc_id")
+
   /** Composite corpus filter — the keep/drop decision a training-data
     * pipeline actually ships: minimum length, confident language ID, and
     * stopword-ratio floor, with a reason code for every drop (reason
@@ -1065,6 +1115,7 @@ object TextOps {
     "q_text_langid_ngram" -> qTextLangidNgram,
     "q_text_quality" -> qTextQuality,
     "q_text_repetition" -> qTextRepetition,
+    "q_text_boilerplate" -> qTextBoilerplate,
     "q_corpus_filter" -> qCorpusFilter,
     "q_text_bm25" -> qTextBm25,
     "q_text_unigram_lp" -> qTextUnigramLp,
@@ -1430,6 +1481,29 @@ object TextOps {
          |floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
          |  + en_hits / n_words * 0.5) * 10000 + 0.5) / 10000 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, source, list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 1, 1)),
+        |  i -> array_to_string(ws[i:i+2], ' '))) AS grams FROM w),
+        |g AS (SELECT doc_id, source, unnest(grams) AS g FROM b),
+        |nd AS (SELECT source, count(*) AS nd FROM w GROUP BY source),
+        |df AS (SELECT source, g, count(*) AS df FROM g
+        |  GROUP BY source, g),
+        |fl AS (SELECT d.source, d.g FROM df d JOIN nd ON d.source = nd.source
+        |  WHERE CAST(d.df AS DOUBLE) >=
+        |    greatest(2.0, CAST(nd.nd AS DOUBLE) * 0.05)),
+        |nb AS (SELECT g.doc_id, count(*) AS n_boiler FROM g
+        |  JOIN fl ON g.source = fl.source AND g.g = fl.g GROUP BY g.doc_id)
+        |SELECT b.doc_id, b.source, CAST(len(b.grams) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(nb.n_boiler, 0) AS BIGINT) AS n_boiler,
+        |  CASE WHEN len(b.grams) = 0 THEN 0.0
+        |    ELSE floor(CAST(coalesce(nb.n_boiler, 0) AS DOUBLE)
+        |      / len(b.grams) * 10000 + 0.5) / 10000 END AS boiler_ratio
+        |FROM b LEFT JOIN nb ON b.doc_id = nb.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """WITH w AS (SELECT doc_id,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -247,6 +247,21 @@ class PlanAuditSpec extends TestSpark {
       s"expected the memoized component labels:\n$s")
   }
 
+  test("q_text_boilerplate: flagged-set recount is a broadcast semi join") {
+    val plan = staticPlan("q_text_boilerplate")
+    val s = plan.toString
+    // the flagged gram set is tiny by construction (>= 5% of a domain's
+    // docs must share a gram) — the per-doc recount must reach the
+    // corpus-sized gram stream by broadcast, never by shuffling it again
+    assert(s.contains("BroadcastHashJoin") && s.contains("LeftSemi"),
+      s"expected a broadcast left-semi recount:\n$s")
+    val smjSemi = plan.collect {
+      case j: SortMergeJoinExec if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(smjSemi.isEmpty,
+      s"gram recount degenerated to a shuffled semi join:\n$s")
+  }
+
   test("q_sample_bottomk and q_stream_running_count window by their keys") {
     // per-group windows keyed by a data column (source / user_id) are
     // parallel across groups — assert nothing degenerated to a global

@@ -41,6 +41,32 @@ class TextOpsSpec extends TestSpark {
     graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
   }
 
+  test("boilerplate scoring flags a planted domain header, leaves unique text clean") {
+    import spark.implicits._
+    // spam domain: every doc opens with the same 6-token header, so its 4
+    // internal shingles have df = 10 >= max(2, 0.05*10); tails use
+    // per-doc-unique tokens, so every header-crossing and tail shingle has
+    // df = 1 and stays unflagged — n_boiler must be EXACTLY 4
+    val header = "click here to buy now friend"
+    val spam = (0 until 10).map(i =>
+      (i.toLong, "spam", s"$header sp${i}a sp${i}b sp${i}c sp${i}d"))
+    val clean = (10 until 20).map(i =>
+      (i.toLong, "clean", s"cl${i}a cl${i}b cl${i}c cl${i}d cl${i}e"))
+    val scored = graft.ops.TextOps
+      .boilerplateScores((spam ++ clean).toDF("doc_id", "source", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    (0 until 10).foreach { i =>
+      val (nGrams, nBoiler, ratio) = scored(i.toLong)
+      assert(nGrams === 8L, s"spam doc $i gram count") // 10 tokens -> 8
+      assert(nBoiler === 4L, s"spam doc $i must flag the 4 header shingles")
+      assert(ratio === 0.5, s"spam doc $i ratio")
+    }
+    (10 until 20).foreach { i =>
+      assert(scored(i.toLong)._2 === 0L, s"clean doc $i must stay clean")
+    }
+  }
+
   test("NB quality scorer separates the weak-label classes it trained on") {
     val rows = SparkEntry.queries("q_quality_nb")(spark, Sf).collect()
       .map(r => (r.getBoolean(1), r.getDouble(3), r.getBoolean(4)))
