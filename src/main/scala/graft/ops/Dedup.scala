@@ -459,6 +459,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("component_id")
 
+  /** Incremental connected-component maintenance — the label-table update
+    * a 24/7 crawl pipeline runs per batch, without recomputing the corpus
+    * graph. Standing components are CONTRACTED to their label (supernode):
+    * the propagation loop then runs on the DELTA graph only — new↔new
+    * pairs plus new↔supernode pairs — so per-batch work scales with the
+    * batch and the touched components, never the corpus. Three cases fall
+    * out of the contraction: a new doc joining one old cluster inherits
+    * its label; a new doc BRIDGING two old clusters merges them (both
+    * supernodes see the same new node and the min propagates); an old doc
+    * that was a singleton until a new near-dup arrived enters the label
+    * table now. Contraction is exact for min-label semantics because an
+    * old label IS its component's minimum member id — the min over a
+    * merged group of supernodes equals the min over the full member set.
+    * The result must EQUAL the from-scratch batch labels; the oracle is
+    * ComponentsSql verbatim, and that equality is the entire correctness
+    * claim of incremental maintenance.
+    */
+  private[graft] def incrementalLabels(oldPairs: DataFrame,
+      deltaPairs: DataFrame, split: Long): DataFrame = {
+    def bothDirs(pairs: DataFrame): DataFrame =
+      pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src"), col("e.dst"))
+    def seeded(edges: DataFrame): DataFrame =
+      edges.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("node"), least(col("node"), col("m")).as("label"))
+    // the standing label table — production reads this from storage; here
+    // it is built once from the old half's pairs
+    val oldEdges = bothDirs(oldPairs)
+    val oldLabels = propagateMinLabels(oldEdges, seeded(oldEdges))._1
+    // contract: every old endpoint of a delta pair becomes its component's
+    // supernode (an old singleton keeps its own id)
+    val contracted = deltaPairs
+      .join(oldLabels.select(col("node").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("doc_a"), col("doc_b"))
+      .distinct()
+    val deltaEdges = bothDirs(contracted)
+    val deltaLabels = propagateMinLabels(deltaEdges, seeded(deltaEdges))._1
+    val newLabels = deltaLabels.filter(col("node") >= split)
+    // an old component whose supernode was relabeled (merged) carries the
+    // new label to every member
+    val remap = deltaLabels.filter(col("node") < split)
+      .select(col("node").as("label"), col("label").as("merged"))
+    val oldFinal = oldLabels.join(remap, Seq("label"), "left")
+      .select(col("node"), coalesce(col("merged"), col("label")).as("label"))
+    // old docs that were singletons until this batch: delta supernodes the
+    // standing table does not know (every label VALUE is also a node, so
+    // the anti join selects exactly the unknown old ids)
+    val bridged = deltaLabels.filter(col("node") < split)
+      .join(oldLabels.select(col("node")), Seq("node"), "left_anti")
+    oldFinal.unionByName(bridged).unionByName(newLabels)
+      .select(col("node").as("doc_id"), col("label").as("component_id"))
+  }
+
+  private def qDedupCcIncremental(s: SparkSession, dir: String): DataFrame = {
+    val pairs = candidatePairs(s, dir)
+    incrementalLabels(
+      pairs.filter(col("doc_b") < IncrementalSplit),
+      pairs.filter(col("doc_b") >= IncrementalSplit),
+      IncrementalSplit).orderBy("doc_id")
+  }
+
   /** Canonical-copy selection — the curation form of fuzzy dedup. Instead
     * of keeping each near-dup cluster's minimum doc_id, keep its BEST
     * member: the doc maximizing the q_text_quality score, ties to the
@@ -815,6 +880,7 @@ object Dedup {
     "q_dedup_components" -> qDedupComponents,
     "q_dedup_components_star" -> qDedupComponentsStar,
     "q_dedup_canonical" -> qDedupCanonical,
+    "q_dedup_cc_incremental" -> qDedupCcIncremental,
     "q_split_leakfree" -> qSplitLeakfree,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh)
@@ -1125,6 +1191,9 @@ object Dedup {
     // for the oracle; the Spark side is the scalable iterative form)
     "q_dedup_components" -> ComponentsSql,
     "q_dedup_canonical" -> CanonicalSql,
+    // incremental maintenance must converge to the from-scratch answer —
+    // the full-recompute oracle IS the spec
+    "q_dedup_cc_incremental" -> ComponentsSql,
     // the star-contraction path must produce the IDENTICAL labels
     "q_dedup_components_star" -> ComponentsSql,
     // same component labels, aggregated to cluster sizes

@@ -19,6 +19,28 @@ class DedupSpec extends TestSpark {
     assert(canon === dupFree)
   }
 
+  test("incremental CC maintenance: merge, bridge, and all-new cases, exactly") {
+    import spark.implicits._
+    // standing components {1,2} and {3,4}; doc 5 an old singleton
+    val oldPairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // the batch: doc 10 BRIDGES the two standing components, doc 11
+    // attaches the old singleton, docs 12/13 form an all-new pair
+    val delta = Seq((1L, 10L), (3L, 10L), (5L, 11L), (12L, 13L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.incrementalLabels(oldPairs, delta, 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L,
+      5L -> 5L, 11L -> 5L, 12L -> 12L, 13L -> 12L)
+    assert(got === expected)
+  }
+
+  test("incremental CC labels equal the from-scratch labels on the corpus") {
+    val inc = graft.SparkEntry.queries("q_dedup_cc_incremental")(spark, Sf)
+    val full = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+
   test("text-column banding kernel == memoized batch banding, row for row") {
     // the streaming fuzzy dedup buckets with bandRowsFromText; the batch
     // queries bucket with the split-column signatures path — pin them
