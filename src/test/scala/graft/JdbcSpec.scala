@@ -158,4 +158,61 @@ class JdbcSpec extends TestSpark {
     }
     assert(rows === List((1L, 1.0), (2L, 20.0), (3L, 3.0)))
   }
+
+  test("streaming fuzzy dedup lands a standing index via staging MERGE, replay-safe") {
+    // the full production loop the fuzzyDedupStream Scaladoc defers to the
+    // sink: band hits → stateless per-doc fold (min owner over the 4
+    // bands) → set-based MERGE into the standing dedup index — the
+    // streaming continuation of q_dedup_incremental's standing-index shape
+    implicit val sqlCtx = spark.sqlContext
+    withConn(_.createStatement().execute(
+      "CREATE TABLE dedup_index (doc_id BIGINT NOT NULL PRIMARY KEY, " +
+        "owner BIGINT)"))
+    def mergeFold(folded: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val staging = s"fz_stage_$id"
+      Sources.jdbcAppend(folded, url, staging)
+      withConn { c =>
+        c.createStatement().execute(
+          s"""MERGE INTO dedup_index t USING $staging s
+             |ON t.doc_id = s."doc_id"
+             |WHEN MATCHED THEN UPDATE SET t.owner = s."owner"
+             |WHEN NOT MATCHED THEN INSERT (doc_id, owner)
+             |  VALUES (s."doc_id", s."owner")""".stripMargin)
+        c.createStatement().execute(s"DROP TABLE $staging")
+      }
+    }
+    val t1 = "the cat and the dog is in a tree by the old red barn"
+    val t2 = "a fish of the sea is in the net under a big blue wave"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = Streaming
+      .fuzzyDedupStream(spark, mem.toDF().toDF("doc_id", "text", "ts"))
+      .toDF()
+      .writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+          id: Long) =>
+        if (!batch.isEmpty)
+          mergeFold(batch.groupBy("doc_id")
+            .agg(min(col("owner")).as("owner")), id)
+      }.start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    try {
+      mem.addData((1L, t1, t(0)), (2L, t2, t(0)))
+      q.processAllAvailable()
+      mem.addData((3L, t1 + " now", t(1))) // near-dup of doc 1
+      q.processAllAvailable()
+    } finally q.stop()
+    def index(): List[(Long, Long)] = withConn { c =>
+      val rs = c.createStatement()
+        .executeQuery("SELECT doc_id, owner FROM dedup_index ORDER BY doc_id")
+      Iterator.continually(rs)
+        .takeWhile(_.next()).map(r => (r.getLong(1), r.getLong(2))).toList
+    }
+    val landed = index()
+    assert(landed === List((1L, 1L), (2L, 2L), (3L, 1L)),
+      s"standing index after two batches: $landed")
+    // replay batch 2's fold verbatim — the MERGE must leave the index
+    // unchanged (the retry/overlap case the staging upsert exists for)
+    import spark.implicits._
+    mergeFold(Seq((3L, 1L)).toDF("doc_id", "owner"), 99L)
+    assert(index() === landed, "replayed batch must not change the index")
+  }
 }
