@@ -200,6 +200,27 @@ object Dedup {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
 
+  /** Per-doc bucket OWNER — the batch twin of the streaming fuzzy dedup's
+    * fold ([[graft.stream.Streaming.fuzzyDedupStream]]): for every banded
+    * doc, the minimum doc_id sharing ANY of its LSH buckets, itself
+    * included (`owner == doc_id` ⇔ novel). When docs arrive in id order
+    * within the watermark horizon, the stream's per-bucket state fold
+    * produces EXACTLY this frame — StreamingSpec asserts that equivalence
+    * on the corpus, and the DuckDB oracle states it declaratively. Shape:
+    * bucket-keyed self-join on the memoized band rows (the candidate-pair
+    * exchange, `<=` instead of `<`), one doc-keyed min aggregate.
+    */
+  private def qDedupOwner(s: SparkSession, dir: String): DataFrame = {
+    val bands = cachedBands(s, dir)
+    bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bkey") === col("b.bkey") &&
+          col("b.doc_id") <= col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(min(col("b.doc_id")).as("owner"))
+      .orderBy("doc_id")
+  }
+
   /** LSH candidates verified by true shingle-set Jaccard — the full
     * shingle→minhash→band→bucket-join→verify pipeline. Jaccard runs only
     * on candidate pairs, so the expensive set intersection touches
@@ -874,6 +895,7 @@ object Dedup {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_events" -> qDedupEvents,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_owner" -> qDedupOwner,
     "q_dedup_fuzzy" -> qDedupFuzzy,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_cc_sizes" -> qDedupCcSizes,
@@ -1122,6 +1144,14 @@ object Dedup {
         |ORDER BY event_id""".stripMargin,
     "q_dedup_minhash" ->
       (MinhashCtes + "\nSELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"),
+    "q_dedup_owner" ->
+      (MinhashCtes +
+        """
+          |SELECT a.doc_id, min(b.doc_id) AS owner
+          |FROM bands a JOIN bands b
+          |ON a.band_id = b.band_id AND a.bkey = b.bkey
+          |  AND b.doc_id <= a.doc_id
+          |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin),
     // new-batch docs (id >= split) probed against every earlier doc via
     // the band index; duplicate = any candidate with true Jaccard >= 0.5
     "q_dedup_incremental" ->

@@ -138,6 +138,36 @@ class StreamingSpec extends TestSpark {
       "post-eviction repeat is novel — state horizon is bounded")
   }
 
+  test("streaming fuzzy dedup == the batch owner query when docs arrive in id order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // feed the WHOLE sf0.001 corpus through the stream in doc_id order
+    // within one watermark horizon: the per-bucket state fold must produce
+    // exactly the batch q_dedup_owner frame — the oracle-verified batch
+    // twin of the stream semantics
+    val docs = graft.io.Sources.table(spark, Sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+      .map { case (id, text) =>
+        (id, text, java.sql.Timestamp.valueOf("2024-01-01 00:00:01")) }
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streaming
+      .fuzzyDedupStream(spark, mem.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("fz_batch_eq")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("fz_batch_eq")
+      .groupBy("doc_id").agg(min($"owner").as("owner"))
+    val batch = graft.SparkEntry.queries("q_dedup_owner")(spark, Sf)
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("streaming corpus ingest == batch filter+dedup on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val keep1 = "the cat and the dog is in a tree"
