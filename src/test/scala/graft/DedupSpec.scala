@@ -34,6 +34,43 @@ class DedupSpec extends TestSpark {
     assert(got === expected)
   }
 
+  test("incremental CC equals union-find ground truth on seeded random graphs") {
+    import spark.implicits._
+    // an INDEPENDENT reference implementation (union-by-min union-find),
+    // not a second Spark propagation — the strongest cross-check the
+    // contraction argument can get on arbitrary topologies
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 40
+      val split = 20L
+      val edges = Seq.fill(50) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      // attaching the larger root under the smaller keeps every root the
+      // component MINIMUM — the label convention of the Spark side
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(d => d -> find(d.toInt).toLong).toMap
+      val got = graft.ops.Dedup.incrementalLabels(
+        edges.filter(_._2 < split).toDF("doc_a", "doc_b"),
+        edges.filter(_._2 >= split).toDF("doc_a", "doc_b"), split)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"trial $trial (seed 42)")
+    }
+  }
+
   test("incremental CC labels equal the from-scratch labels on the corpus") {
     val inc = graft.SparkEntry.queries("q_dedup_cc_incremental")(spark, Sf)
     val full = graft.SparkEntry.queries("q_dedup_components")(spark, Sf)
