@@ -719,6 +719,28 @@ object TextOps {
     packDocs(docs(s, dir).select(col("doc_id"), col("text")))
       .orderBy("doc_id")
 
+  /** Deterministic global training-order SHUFFLE — the step every training
+    * pipeline runs before sharding: crawl/id order correlates with domain
+    * and time, and a model fed correlated batches sees non-stationary
+    * gradients. Each doc gets a seeded md5 shuffle key (the portable
+    * random source — never `rand()`: a retried task must land every row at
+    * the same position); shard = doc_id mod 32 keeps shard sizes exact,
+    * and the within-shard read order is the key's hex order, so the
+    * trainer streaming (shard, pos) sees a reproducible pseudo-random
+    * permutation. The window is keyed by shard — parallel across shards,
+    * never a global sort of the corpus (at scale, shard count scales with
+    * the cluster and each shard's rank is a partition-local sort).
+    */
+  private def qCorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val key = md5(concat_ws(":", lit("s42"), col("doc_id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("key", "doc_id")
+    docs(s, dir)
+      .select(col("doc_id"), key.as("key"), (col("doc_id") % 32).as("shard"))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .orderBy("doc_id")
+  }
+
   /** THE composed end-to-end corpus pipeline — the single query a real
     * training-data pipeline user runs: quality filter → exact dedup →
     * fuzzy (near-dup-cluster) dedup → leakage-safe split → train-side
@@ -1122,6 +1144,7 @@ object TextOps {
     "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_cap" -> qCorpusCap,
+    "q_corpus_shuffle" -> qCorpusShuffle,
     "q_quality_nb" -> qQualityNb,
     "q_text_bigram_lp" -> qTextBigramLp,
     "q_text_fingerprint" -> qTextFingerprint)
@@ -1481,6 +1504,14 @@ object TextOps {
          |floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
          |  + en_hits / n_words * 0.5) * 10000 + 0.5) / 10000 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_corpus_shuffle" ->
+      """SELECT doc_id,
+        |  md5('s42:' || CAST(doc_id AS VARCHAR)) AS key,
+        |  doc_id % 32 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY doc_id % 32
+        |    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_boilerplate" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws

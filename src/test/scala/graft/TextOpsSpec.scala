@@ -41,6 +41,25 @@ class TextOpsSpec extends TestSpark {
     graft.ops.Dedup.clearCaches() // drop the micro-corpus BPE memo
   }
 
+  test("corpus shuffle is a reproducible permutation that breaks id order") {
+    val a = graft.SparkEntry.queries("q_corpus_shuffle")(spark, Sf).collect()
+    val b = graft.SparkEntry.queries("q_corpus_shuffle")(spark, Sf).collect()
+    // retry-determinism: the whole point of the seeded key over rand()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    val byShard = a.groupBy(_.getLong(2))
+    // every shard's read positions are exactly 1..n — a true permutation
+    byShard.foreach { case (sh, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq === (1L to rows.length),
+        s"shard $sh positions")
+    }
+    // and the read order actually de-correlates: following pos within a
+    // shard must not reproduce ascending doc_id order everywhere
+    assert(byShard.exists { case (_, rows) =>
+      val ids = rows.sortBy(_.getLong(3)).map(_.getLong(0)).toSeq
+      ids != ids.sorted
+    }, "shuffle left every shard in id order")
+  }
+
   test("boilerplate scoring flags a planted domain header, leaves unique text clean") {
     import spark.implicits._
     // spam domain: every doc opens with the same 6-token header, so its 4
