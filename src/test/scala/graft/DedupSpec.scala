@@ -34,6 +34,20 @@ class DedupSpec extends TestSpark {
     assert(got === expected)
   }
 
+  test("incremental CC: empty batch and empty standing table degenerate cleanly") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    // idle poll: an empty batch must return the standing labels unchanged
+    val idle = graft.ops.Dedup.incrementalLabels(pairs, none, 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idle === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // cold start: an empty standing table reduces to plain CC on the batch
+    val cold = graft.ops.Dedup.incrementalLabels(none, pairs, 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cold === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("incremental CC equals union-find ground truth on seeded random graphs") {
     import spark.implicits._
     // an INDEPENDENT reference implementation (union-by-min union-find),
