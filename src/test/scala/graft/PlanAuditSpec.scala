@@ -262,11 +262,12 @@ class PlanAuditSpec extends TestSpark {
       s"gram recount degenerated to a shuffled semi join:\n$s")
   }
 
-  test("q_sample_bottomk and q_stream_running_count window by their keys") {
-    // per-group windows keyed by a data column (source / user_id) are
-    // parallel across groups — assert nothing degenerated to a global
+  test("q_sample_bottomk, q_stream_running_count, q_corpus_shuffle window by their keys") {
+    // per-group windows keyed by a data column (source / user_id / shard)
+    // are parallel across groups — assert nothing degenerated to a global
     // (empty-partition-spec) window, which WindowExec warns about
-    Seq("q_sample_bottomk" -> "source", "q_stream_running_count" -> "user_id")
+    Seq("q_sample_bottomk" -> "source", "q_stream_running_count" -> "user_id",
+      "q_corpus_shuffle" -> "shard")
       .foreach { case (q, key) =>
         val s = staticPlan(q).toString
         val specs = "windowspecdefinition\\(([A-Za-z_0-9#]+)".r
@@ -275,5 +276,16 @@ class PlanAuditSpec extends TestSpark {
         specs.foreach(k =>
           assert(k.startsWith(key), s"$q window keyed by $k, not $key:\n$s"))
       }
+  }
+
+  test("q_dedup_owner: bucket self-join reuses ONE memoized band relation") {
+    val plan = staticPlan("q_dedup_owner")
+    val s = plan.toString
+    // both sides of the <= band join must scan the same InMemoryRelation —
+    // a cache miss here rebuilds the MinHash signature pipeline twice
+    val n = "InMemoryTableScan".r.findAllIn(s).length
+    assert(n >= 2, s"expected both join sides on the memoized bands:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
+      s"band join degenerated to an all-pairs compare:\n$s")
   }
 }
