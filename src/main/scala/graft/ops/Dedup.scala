@@ -170,7 +170,8 @@ object Dedup {
     // blocking: this is the batch-lifecycle boundary, and a non-blocking
     // release defers block deletion into whatever runs next (round-7 bench:
     // the deferred churn inflated the head of the following pass 2-4×)
-    Seq(bandCache, embedBandCache).foreach { cache =>
+    Seq(bandCache, repBandCache, dupPairCache, grpCache, embedBandCache)
+      .foreach { cache =>
       cache.keys.toList.foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = true))
       }
@@ -187,15 +188,110 @@ object Dedup {
     TextOps.clearMemos()
   }
 
-  private def candidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val bands = cachedBands(s, dir)
-    bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  /** Band rows of exact-dup group REPRESENTATIVES only (min doc_id per
+    * md5(text)), lazily persisted like [[cachedBands]]. Pre-collapsing
+    * exact duplicates before the band self-join is the mega-cluster
+    * guard: a crawl routinely carries 100 k byte-identical copies of one
+    * boilerplate page, and banding all of them puts 100 k rows behind ONE
+    * (band_id, bkey) key — a 5×10⁹-pair skewed join. Collapsed, the whole
+    * group contributes a single representative row; the member↔rep
+    * relation is re-attached linearly by [[dupPairs]] where cluster
+    * semantics need it.
+    */
+  private val repBandCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val dupPairCache = TrieMap.empty[(SparkSession, String), DataFrame]
+  private val grpCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** (doc_id, rep) exact-dup group map — ONE corpus scan + one shuffle on
+    * the 16-byte md5 (never the text), persisted at 16 bytes/row and
+    * shared by [[repBands]] and [[dupPairs]] so neither re-reads the
+    * corpus.
+    */
+  private def exactGroups(s: SparkSession, dir: String): DataFrame =
+    grpCache.getOrElseUpdate((s, dir), {
+      val w = Window.partitionBy(md5(col("text")))
+      docs(s, dir)
+        .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
+  private[graft] def repBands(s: SparkSession, dir: String): DataFrame =
+    repBandCache.getOrElseUpdate((s, dir),
+      cachedBands(s, dir)
+        .join(exactGroups(s, dir).filter(col("doc_id") === col("rep"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** (rep, member) pairs for BANDABLE exact-dup members (identical text ⇒
+    * identical signature, so a member is bandable iff its rep is): the
+    * linear re-attachment of collapsed exact duplicates — doc_a is always
+    * the group minimum, so pairs are canonically ordered like the LSH
+    * candidates. Output is one row per surplus copy (empty on a corpus
+    * with no byte-identical dups), never quadratic in group size.
+    */
+  private[graft] def dupPairs(s: SparkSession, dir: String): DataFrame =
+    dupPairCache.getOrElseUpdate((s, dir),
+      exactGroups(s, dir)
+        .filter(col("doc_id") =!= col("rep"))
+        .join(cachedBands(s, dir).select("doc_id").distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Per-bucket size cap for the LSH pair expansion. The in-bucket pair
+    * set is quadratic by nature; exact-dup pre-collapse removes the one
+    * LEGITIMATE source of huge buckets (byte-identical mega-clusters), so
+    * a post-collapse bucket past this cap means >[[MaxBandBucket]]
+    * DISTINCT texts agree on a whole band — a degenerate corpus or a
+    * broken hash worth failing LOUDLY on (like [[graft.ops.Linkage]]'s
+    * `MaxMaskGroup` and [[MaxCcRounds]]), not silently grinding a
+    * million-row skew key through the shuffle.
+    */
+  private[graft] val MaxBandBucket = 1024
+
+  /** Candidate pairs from arbitrary band rows via grouped expansion: one
+    * shuffle to the bucket key, each bucket collected (sorted, so pair
+    * order is deterministic), loudly capped, and expanded to its ordered
+    * pairs map-side — the same collect/assert/expand device as
+    * [[graft.ops.Linkage.linkPairs]]. `private[graft]` so the adversarial
+    * spec can trip the cap with a degenerate bucket.
+    */
+  private[graft] def bucketPairs(bands: DataFrame): DataFrame =
+    bands
+      .groupBy("band_id", "bkey")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      // assert_true returns NULL when the guard holds, so the `when`
+      // wrapper is an identity on healthy data — the cap rides the
+      // existing plan with no extra pass
+      .withColumn("ds",
+        when(assert_true(size(col("ds")) <= MaxBandBucket,
+          concat(lit(s"LSH band bucket exceeds $MaxBandBucket docs for key "),
+            col("bkey"))).isNull, col("ds")))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-  }
+
+  /** LSH candidate pairs over exact-dup representatives — rep-level by
+    * design (round-11 VERDICT #1): pairs BETWEEN identical copies are
+    * exact-dedup's output (`q_dedup_exact`), not LSH's, and emitting a
+    * 100 k-copy group's clique here would be quadratic in output alone.
+    * Consumers needing full cluster membership (components, incremental)
+    * take [[componentPairs]], which re-attaches members linearly.
+    */
+  private def candidatePairs(s: SparkSession, dir: String): DataFrame =
+    bucketPairs(repBands(s, dir))
+
+  /** The full dup-graph pair set: rep-level LSH candidates plus the
+    * linear (rep, member) exact-dup edges — connected components over
+    * THIS set equal components over the uncollapsed all-member band join
+    * (identical texts share every bucket, so a member's every neighbor is
+    * also its rep's neighbor; the rep↔member edge restores the rest).
+    */
+  private[graft] def componentPairs(s: SparkSession, dir: String): DataFrame =
+    candidatePairs(s, dir).unionByName(dupPairs(s, dir))
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     candidatePairs(s, dir).orderBy("doc_a", "doc_b")
@@ -433,27 +529,21 @@ object Dedup {
     labelsCache.getOrElseUpdate((s, dir), {
       // both edge directions via one explode — a union of two selects over
       // the pair pipeline would recompute the whole LSH join per branch
-      val edges = candidatePairs(s, dir)
+      val edges = componentPairs(s, dir)
         .select(explode(array(
           struct(col("doc_a").as("src"), col("doc_b").as("dst")),
           struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .cache()
-      // Bucket-min seeding: every LSH bucket is a clique, so initializing
-      // each member to the min over its buckets' minima IS the first
-      // propagation round, computed as two cheap aggregates over the cached
-      // band rows instead of an edge join — the loop below then only has to
-      // stitch overlapping buckets (usually 1 confirming round). Buckets of
-      // size 1 are dropped: their docs join no candidate pair, matching the
-      // edge formulation's node set exactly.
-      val bucketMin = cachedBands(s, dir)
-        .groupBy("band_id", "bkey")
-        .agg(min(col("doc_id")).as("bmin"), count(lit(1)).as("n"))
-        .filter(col("n") >= 2)
-      val init = cachedBands(s, dir).join(bucketMin, Seq("band_id", "bkey"))
-        .groupBy(col("doc_id"))
-        .agg(min(col("bmin")).as("label"))
-        .select(col("doc_id").as("node"), col("label"))
+      // Min-neighbor seeding IS the first propagation round, computed as
+      // one aggregate over the (cached) edge set — the loop below then
+      // only has to stitch overlapping buckets (usually 1 confirming
+      // round). Nodes = pair endpoints exactly, matching the recursive
+      // oracle's universe (docs in no pair stay unlabeled).
+      val init = edges
+        .groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("m"))
+        .select(col("node"), least(col("node"), col("m")).as("label"))
       val (labels, _) = propagateMinLabels(edges, init)
       edges.unpersist()
       labels.select(col("node").as("doc_id"), col("label").as("component_id"))
@@ -538,7 +628,7 @@ object Dedup {
   }
 
   private def qDedupCcIncremental(s: SparkSession, dir: String): DataFrame = {
-    val pairs = candidatePairs(s, dir)
+    val pairs = componentPairs(s, dir)
     incrementalLabels(
       pairs.filter(col("doc_b") < IncrementalSplit),
       pairs.filter(col("doc_b") >= IncrementalSplit),
@@ -593,7 +683,7 @@ object Dedup {
     * the propagation loop's; singletons are absent from both.
     */
   private def qDedupComponentsStar(s: SparkSession, dir: String): DataFrame = {
-    val edges = candidatePairs(s, dir)
+    val edges = componentPairs(s, dir)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
@@ -644,7 +734,11 @@ object Dedup {
     val sets = docs(s, dir)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
       .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
-    val verified = candidatePairs(s, dir)
+    // componentPairs, not candidatePairs: a new batch doc that is a
+    // byte-identical copy of a standing doc must be flagged too, and the
+    // collapse moved that relation from the band join to the linear
+    // (rep, member) edges — its Jaccard is trivially 1.0 ≥ 0.5
+    val verified = componentPairs(s, dir)
       .filter(col("doc_b") >= IncrementalSplit)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -928,10 +1022,20 @@ object Dedup {
       |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
       |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
       |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+      |grp AS (SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM documents),
+      |rb AS (SELECT b.* FROM bands b
+      |  JOIN grp ON b.doc_id = grp.doc_id AND grp.doc_id = grp.rep),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM rb a JOIN rb b
       |  ON a.band_id = b.band_id AND a.bkey = b.bkey
-      |  AND a.doc_id < b.doc_id)""".stripMargin
+      |  AND a.doc_id < b.doc_id),
+      |gpair AS (SELECT grp.rep AS doc_a, grp.doc_id AS doc_b FROM grp
+      |  JOIN (SELECT DISTINCT doc_id FROM bands) bd
+      |  ON grp.doc_id = bd.doc_id
+      |  WHERE grp.doc_id <> grp.rep),
+      |allpair AS (SELECT doc_a, doc_b FROM cand
+      |  UNION ALL SELECT doc_a, doc_b FROM gpair)""".stripMargin
 
   /** Component labels via transitive closure (DuckDB recursive CTE) —
     * shared verbatim by the propagation query and its star-contraction
@@ -940,8 +1044,8 @@ object Dedup {
   private val ComponentsSql =
     MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
       """,
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+        |  UNION ALL SELECT doc_b, doc_a FROM allpair),
         |reach AS (
         |  SELECT src AS node, dst AS peer FROM edges
         |  UNION
@@ -957,8 +1061,8 @@ object Dedup {
   private val CanonicalSql =
     MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
       s""",
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+        |  UNION ALL SELECT doc_b, doc_a FROM allpair),
         |reach AS (
         |  SELECT src AS node, dst AS peer FROM edges
         |  UNION
@@ -1009,8 +1113,8 @@ object Dedup {
   private val CorpusPipelineSql =
     MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
       s""",
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-        |  UNION ALL SELECT doc_b, doc_a FROM cand),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+        |  UNION ALL SELECT doc_b, doc_a FROM allpair),
         |reach AS (
         |  SELECT src AS node, dst AS peer FROM edges
         |  UNION
@@ -1096,8 +1200,8 @@ object Dedup {
   private val CorpusReportSql =
     MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
       s""",
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-         |  UNION ALL SELECT doc_b, doc_a FROM cand),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+         |  UNION ALL SELECT doc_b, doc_a FROM allpair),
          |reach AS (
          |  SELECT src AS node, dst AS peer FROM edges
          |  UNION
@@ -1161,7 +1265,7 @@ object Dedup {
            |  range(1, greatest(len(ws) - 1, 1)),
            |  i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w),
            |ver AS (SELECT doc_b AS doc_id, min(doc_a) AS first_dup
-           |  FROM cand JOIN sets sa ON doc_a = sa.doc_id
+           |  FROM allpair JOIN sets sa ON doc_a = sa.doc_id
            |  JOIN sets sb ON doc_b = sb.doc_id
            |  WHERE doc_b >= $IncrementalSplit
            |  AND CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
@@ -1230,8 +1334,8 @@ object Dedup {
     "q_dedup_cc_sizes" ->
       (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
         """,
-          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-          |  UNION ALL SELECT doc_b, doc_a FROM cand),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+          |  UNION ALL SELECT doc_b, doc_a FROM allpair),
           |reach AS (
           |  SELECT src AS node, dst AS peer FROM edges
           |  UNION
@@ -1245,8 +1349,8 @@ object Dedup {
     "q_split_leakfree" ->
       (MinhashCtes.replaceFirst("WITH w", "WITH RECURSIVE w") +
         s""",
-          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM cand
-          |  UNION ALL SELECT doc_b, doc_a FROM cand),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM allpair
+          |  UNION ALL SELECT doc_b, doc_a FROM allpair),
           |reach AS (
           |  SELECT src AS node, dst AS peer FROM edges
           |  UNION

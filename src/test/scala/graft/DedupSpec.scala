@@ -474,4 +474,59 @@ class DedupSpec extends TestSpark {
     assert(graft.SparkEntry.queries("q_dedup_minhash")(spark, Sf).count() > 0)
     graft.ops.Dedup.clearCaches()
   }
+
+  test("mega-dup cluster: exact-dup pre-collapse keeps LSH pairs linear") {
+    // 2000 byte-identical copies — the boilerplate-page degenerate case a
+    // real crawl produces. UNcollapsed, each of the 4 band buckets holds
+    // all 2000 copies: quadratic pair expansion AND past MaxBandBucket.
+    // Collapsed, the group contributes ONE representative band row; the
+    // near-dup pair (2000, 2001 — same token sequence, different bytes via
+    // a trailing space, so exact dedup does NOT merge them) still surfaces.
+    val copies = (0L until 2000L).map(i => (i, "dup page tokens alpha beta"))
+    val near = Seq(
+      (2000L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+      (2001L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 "))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mega").toString
+    (copies ++ near).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = SparkEntry.queries("q_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((2000L, 2001L)),
+      s"rep-level candidates expected exactly (2000,2001): ${pairs.toSeq}")
+    // full cluster membership is restored LINEARLY by the (rep, member)
+    // edges: all 2000 copies label as 0, the near-dup pair as 2000
+    val labels = SparkEntry.queries("q_dedup_components")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 2002)
+    assert((0L until 2000L).forall(labels(_) === 0L))
+    assert(labels(2000L) === 2000L && labels(2001L) === 2000L)
+    // the UNcollapsed banding of the same corpus is exactly what the
+    // bucket cap exists to refuse: 2000 > MaxBandBucket in one bucket
+    val e = intercept[Exception] {
+      graft.ops.Dedup.bucketPairs(
+        graft.ops.Dedup.cachedBands(spark, dir)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("band bucket exceeds")),
+      s"expected the cap's message in: ${messages(e).mkString(" | ")}")
+    graft.ops.Dedup.clearCaches()
+  }
+
+  test("LSH bucket at exactly the cap still expands (boundary)") {
+    // synthetic band rows: one bucket holding exactly MaxBandBucket docs
+    // must expand fine (the cap is > not >=), and the expansion emits the
+    // full ordered pair set of the bucket clique
+    val n = graft.ops.Dedup.MaxBandBucket
+    val bands = spark.range(n)
+      .select(lit(0).as("band_id"), lit("k").as("bkey"),
+        col("id").as("doc_id"))
+    val got = graft.ops.Dedup.bucketPairs(bands)
+    assert(got.count() === n.toLong * (n - 1) / 2)
+    // canonical ordering: doc_a < doc_b on every emitted pair
+    assert(got.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
 }
