@@ -102,19 +102,32 @@ object Dedup {
       .select(col("doc_id") +: cols: _*)
   }
 
-  /** Band rows: 4 bands × 2 rows (b=4, r=2 ⇒ s-curve threshold ≈ 0.5).
-    * Candidate pairs = equality join on (band_id, band_key): the join key
-    * IS the LSH bucket, so the shuffle partitions by bucket and no
-    * cross-corpus comparison ever happens.
+  /** Default banding: 4 bands × 2 rows over the 8-hash signature.
+    * P[candidate | Jaccard s] = 1 − (1 − s^r)^b, an s-curve whose
+    * threshold sits at ≈ (1/b)^(1/r) — 0.5 for the default. A caller
+    * needing a different dedup threshold picks another (b, r) with
+    * b·r ≤ 8: (8,1) ⇒ ≈0.125 (recall-heavy), (2,4) ⇒ ≈0.84
+    * (precision-heavy). The s-curve separation of the three configs is
+    * property-pinned in DedupSpec on planted-overlap corpora.
     */
-  private def bandRows(sig: DataFrame): DataFrame =
-    sig.select(col("doc_id"), explode(array(
-      struct(lit(0).as("band_id"), md5(concat(col("h0"), col("h1"))).as("bkey")),
-      struct(lit(1).as("band_id"), md5(concat(col("h2"), col("h3"))).as("bkey")),
-      struct(lit(2).as("band_id"), md5(concat(col("h4"), col("h5"))).as("bkey")),
-      struct(lit(3).as("band_id"), md5(concat(col("h6"), col("h7"))).as("bkey"))))
-      .as("b"))
+  private[graft] val DefaultBands = 4
+  private[graft] val DefaultRows = 2
+
+  /** Band rows at banding config (b, r): band i's key = md5 of hashes
+    * h(i·r)…h(i·r+r−1) concatenated. Candidate pairs = equality join on
+    * (band_id, band_key): the join key IS the LSH bucket, so the shuffle
+    * partitions by bucket and no cross-corpus comparison ever happens.
+    */
+  private[graft] def bandRows(sig: DataFrame,
+      b: Int = DefaultBands, r: Int = DefaultRows): DataFrame = {
+    require(b >= 1 && r >= 1 && b * r <= 8,
+      s"banding ($b bands x $r rows) needs ${b * r} minhashes; signature has 8")
+    sig.select(col("doc_id"), explode(array((0 until b).map(i =>
+      struct(lit(i).as("band_id"),
+        md5(concat((0 until r).map(j => col(s"h${i * r + j}")): _*))
+          .as("bkey"))): _*)).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.bkey"))
+  }
 
   /** Band rows straight from a `text` column, carrying `carry` columns
     * through — the SAME (band_id, bkey) derivation as [[signatures]] +
@@ -125,15 +138,19 @@ object Dedup {
     * row-equality between the two formulations.
     */
   private[graft] def bandRowsFromText(df: DataFrame,
-      carry: Seq[String]): DataFrame = {
+      carry: Seq[String],
+      b: Int = DefaultBands, r: Int = DefaultRows): DataFrame = {
+    require(b >= 1 && r >= 1 && b * r <= 8,
+      s"banding ($b bands x $r rows) needs ${b * r} minhashes; signature has 8")
     val lead = col("doc_id") +: carry.map(col)
     def h(i: Int) = element_at(col("sig"), i + 1)
     df.select(lead :+
         graft.functions.MinHashExprs.minhashSig(col("text")).as("sig"): _*)
       .filter(size(col("sig")) > 0)
-      .select(lead :+ explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band_id"),
-          md5(concat(h(2 * b), h(2 * b + 1))).as("bkey"))): _*)).as("b"): _*)
+      .select(lead :+ explode(array((0 until b).map(i =>
+        struct(lit(i).as("band_id"),
+          md5(concat((0 until r).map(j => h(i * r + j)): _*))
+            .as("bkey"))): _*)).as("b"): _*)
       .select(lead :+ col("b.band_id") :+ col("b.bkey"): _*)
   }
 

@@ -516,6 +516,55 @@ class DedupSpec extends TestSpark {
     graft.ops.Dedup.clearCaches()
   }
 
+  test("banding s-curve: P[candidate] rises with Jaccard; (b,r) sets the threshold") {
+    // Planted-overlap corpus: pair i = docs (2i, 2i+1), each 50 unique
+    // tokens sharing an m-token prefix, so the 3-gram shingle Jaccard is
+    // (m-2) / (2*48 - (m-2)) exactly — a controlled similarity dial with
+    // no randomness. For banding (b, r): P[candidate] = 1 - (1 - s^r)^b,
+    // threshold ~ (1/b)^(1/r): (8,1)=0.125, (4,2)=0.5, (2,4)=0.84.
+    val L = 50
+    def corpus(m: Int, tag: String) = {
+      val n = 200
+      (0 until n).flatMap { i =>
+        val shared = (0 until m).map(k => s"$tag${i}s$k")
+        val a = shared ++ (m until L).map(k => s"$tag${i}a$k")
+        val bb = shared ++ (m until L).map(k => s"$tag${i}b$k")
+        Seq((2L * i, a.mkString(" ")), (2L * i + 1, bb.mkString(" ")))
+      }.toDF("doc_id", "text")
+    }
+    // m=15 -> j~0.16, m=24 -> j~0.30, m=34 -> j=0.50, m=46 -> j~0.85
+    val levels = Seq(15, 24, 34, 46)
+    def rate(b: Int, r: Int, m: Int): Double = {
+      val bands = graft.ops.Dedup.bandRowsFromText(corpus(m, s"c${b}x$r"), Nil, b, r)
+      val hits = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.bkey") === col("y.bkey") &&
+            col("x.doc_id") + 1 === col("y.doc_id") &&
+            col("x.doc_id") % 2 === 0)
+        .select(col("x.doc_id")).distinct().count()
+      hits / 200.0
+    }
+    for ((b, r) <- Seq((8, 1), (4, 2), (2, 4))) {
+      val rates = levels.map(rate(b, r, _))
+      // monotone non-decreasing in similarity, strictly up across the span
+      assert(rates.zip(rates.tail).forall { case (lo, hi) => lo <= hi },
+        s"($b x $r) s-curve not monotone: $rates")
+      assert(rates.last > rates.head, s"($b x $r) flat s-curve: $rates")
+    }
+    // threshold placement: at j=0.5 the recall-heavy config is near 1
+    // (theory .996), the precision-heavy near 0 (theory .12), default in
+    // between (theory .68) — loose bounds so hash variance cannot flake
+    assert(rate(8, 1, 34) >= 0.8, "(8x1) should catch nearly all j=0.5 pairs")
+    assert(rate(2, 4, 34) <= 0.4, "(2x4) should reject most j=0.5 pairs")
+    assert(rate(4, 2, 46) >= 0.8, "(4x2) should catch nearly all j=0.85 pairs")
+    assert(rate(4, 2, 15) <= 0.35, "(4x2) should reject most j=0.16 pairs")
+    // default-config devices stay pinned: (4,2) via the default args is
+    // what every production path uses
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.bandRowsFromText(corpus(34, "bad"), Nil, 3, 3)
+    }
+  }
+
   test("LSH bucket at exactly the cap still expands (boundary)") {
     // synthetic band rows: one bucket holding exactly MaxBandBucket docs
     // must expand fine (the cap is > not >=), and the expansion emits the
