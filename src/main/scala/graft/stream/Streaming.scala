@@ -146,6 +146,16 @@ object Streaming {
   final case class BandOwner(owner: Long)
   /** One emitted row per (doc, band): the LSH bucket's owner when the doc
     * arrived — `owner == doc_id` on every band ⇔ the doc is novel.
+    *
+    * Arrival-order contract (round-11 ADVICE): equality with the batch
+    * `q_dedup_owner` holds when docs arrive in doc_id order within the
+    * watermark horizon (the crawl pipeline's monotone-id assignment). If a
+    * SMALLER doc_id arrives in a LATER micro-batch, the earlier-arriving
+    * larger doc was already emitted as novel and this row carries
+    * `owner > doc_id` — meaning "dup of a later-id doc". The condition is
+    * detectable row-locally (`owner > doc_id`), so downstream consumers
+    * that must re-canonicalize out-of-order feeds can filter on it; the
+    * stream itself never rewrites history (append mode).
     */
   final case class BandHit(doc_id: Long, ts_sec: Long, band_id: Int,
       owner: Long)
