@@ -100,8 +100,20 @@ object Bench {
             "layout/fixture cost will be paid INSIDE query timings")
     }
 
-    val keys = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Sorted order, with ONE documented exception (round-11 VERDICT #4):
+    // shared-build ownership is lexicographic (first consumer pays the
+    // memoized build), but `q_bpe_encode` sorts BEFORE `q_bpe_train` and
+    // so used to own 6 rounds of merge training it merely consumes.
+    // Hoist the trainer directly ahead of its consumer: train measures
+    // training, encode measures encoding.
+    val keys = {
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+      val (train, rest) = sorted.partition(_._1 == "q_bpe_train")
+      val i = rest.indexWhere(_._1 == "q_bpe_encode")
+      if (train.isEmpty || i < 0) sorted
+      else rest.take(i) ++ train ++ rest.drop(i)
+    }
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def runPass(): Seq[(String, Double)] = keys.map { case (name, fn) =>
