@@ -421,15 +421,19 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
-  /** Multi-probe trained IVF (nprobe = 2): each query searches its TWO
-    * nearest cells instead of one — the standard IVF recall knob. Corpus
+  /** Multi-probe trained IVF: each query searches its `nprobe` nearest
+    * cells instead of one — the standard IVF recall/latency knob. Corpus
     * cells stay disjoint (every vector lives in exactly one inverted
     * list), so probing fans out only the tiny query side (q × nprobe rows
     * into the cell join) and recall rises at O(nprobe) extra candidate
     * cost — nothing about the corpus layout changes. The query-side
-    * 2-nearest ranking windows over ≤ k rows per query.
+    * nprobe-nearest ranking windows over ≤ k rows per query.
+    * `private[graft]` so AnnRecallSpec can sweep the recall/latency curve
+    * at p ∈ {1, 2, 4} against brute-force truth.
     */
-  private def qSimIvfProbe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = trainedAssignment(s, dir)
     val cents = trainedCodebook(s, dir)
     val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
@@ -441,7 +445,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm2"),
         dist2.as("dist2"), col("cid"))
       .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= 2)
+      .filter(col("pr") <= nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         sqrt(col("nrm2")).as("q_nrm"), col("cid").as("cell"))
     val w = Window.partitionBy("q_id")
@@ -455,6 +459,18 @@ object Similarity {
       .filter(col("rn") <= 3)
       .orderBy("q_id", "rn")
   }
+
+  private def qSimIvfProbe(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, nprobe = 2)
+
+  /** The deeper point on the recall/latency curve (nprobe = 4): a quarter
+    * of the 16 cells searched per query. Registered as its own verified
+    * key so the curve's shape — recall strictly rising with nprobe at
+    * linearly growing candidate cost — is itself under oracle + recall
+    * regression cover, not just the single p=2 point.
+    */
+  private def qSimIvfMultiprobe(s: SparkSession, dir: String): DataFrame =
+    ivfSearch(s, dir, nprobe = 4)
 
   /** Product quantization with asymmetric-distance (ADC) scoring — the
     * memory-bound half of production vector search (IVF partitions the
@@ -515,6 +531,7 @@ object Similarity {
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
+    "q_sim_ivf_multiprobe" -> qSimIvfMultiprobe,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
     "q_sim_ivf" -> qSimIvf,
@@ -580,6 +597,45 @@ object Similarity {
        |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
        |    (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
 
+  /** The trained-IVF search oracle at a given nprobe: full 2-step Lloyd
+    * training replay, disjoint corpus assignment (rn = 1), query fan-out
+    * to its `nprobe` nearest cells — the declarative statement of
+    * [[ivfSearch]].
+    */
+  private def ivfProbeSql(nprobe: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
+       |  FROM embeddings),
+       |c0n AS (SELECT vec_id AS cid, embedding AS cemb, nrm2 AS cnrm2
+       |  FROM e WHERE vec_id < 16),
+       |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
+       |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
+       |af AS (SELECT e.vec_id, cid AS cell, e.embedding,
+       |    sqrt(e.nrm2) AS nrm
+       |  FROM e CROSS JOIN c2n
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    e.nrm2 - 2.0 * list_sum(list_transform(
+       |      list_zip(e.embedding, c2n.cemb),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      + c2n.cnrm2, cid) = 1),
+       |qp AS (SELECT e.vec_id, cid AS cell, e.embedding,
+       |    sqrt(e.nrm2) AS nrm
+       |  FROM e CROSS JOIN c2n
+       |  WHERE e.vec_id < 50
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    e.nrm2 - 2.0 * list_sum(list_transform(
+       |      list_zip(e.embedding, c2n.cemb),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |      + c2n.cnrm2, cid) <= $nprobe)
+       |SELECT q.vec_id AS q_id, c.vec_id, $TrainedCosSql AS score,
+       |CAST(row_number() OVER (PARTITION BY q.vec_id
+       |  ORDER BY $TrainedCosSql DESC, c.vec_id) AS BIGINT) AS rn
+       |FROM af c JOIN qp q ON c.cell = q.cell
+       |WHERE c.vec_id <> q.vec_id
+       |QUALIFY rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_sim_pq" ->
       s"""WITH sub AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sv
@@ -605,40 +661,9 @@ object Similarity {
          |  ORDER BY adist, vec_id) AS BIGINT) AS rn
          |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin,
     // same training replay as q_sim_ivf_trained; the query side QUALIFYs
-    // its TWO nearest cells (nprobe=2) while the corpus stays rn=1
-    "q_sim_ivf_probe" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  list_sum(list_transform(embedding,
-         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
-         |  FROM embeddings),
-         |c0n AS (SELECT vec_id AS cid, embedding AS cemb, nrm2 AS cnrm2
-         |  FROM e WHERE vec_id < 16),
-         |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
-         |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
-         |af AS (SELECT e.vec_id, cid AS cell, e.embedding,
-         |    sqrt(e.nrm2) AS nrm
-         |  FROM e CROSS JOIN c2n
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    e.nrm2 - 2.0 * list_sum(list_transform(
-         |      list_zip(e.embedding, c2n.cemb),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         |      + c2n.cnrm2, cid) = 1),
-         |qp AS (SELECT e.vec_id, cid AS cell, e.embedding,
-         |    sqrt(e.nrm2) AS nrm
-         |  FROM e CROSS JOIN c2n
-         |  WHERE e.vec_id < 50
-         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |    e.nrm2 - 2.0 * list_sum(list_transform(
-         |      list_zip(e.embedding, c2n.cemb),
-         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-         |      + c2n.cnrm2, cid) <= 2)
-         |SELECT q.vec_id AS q_id, c.vec_id, $TrainedCosSql AS score,
-         |CAST(row_number() OVER (PARTITION BY q.vec_id
-         |  ORDER BY $TrainedCosSql DESC, c.vec_id) AS BIGINT) AS rn
-         |FROM af c JOIN qp q ON c.cell = q.cell
-         |WHERE c.vec_id <> q.vec_id
-         |QUALIFY rn <= 3
-         |ORDER BY q_id, rn""".stripMargin,
+    // its nprobe nearest cells while the corpus stays rn=1
+    "q_sim_ivf_probe" -> ivfProbeSql(2),
+    "q_sim_ivf_multiprobe" -> ivfProbeSql(4),
     "q_sim_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  list_sum(list_transform(embedding,

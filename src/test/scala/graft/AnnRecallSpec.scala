@@ -74,10 +74,13 @@ class AnnRecallSpec extends TestSpark {
       .select("q_id", "vec_id")
   }
 
-  private def recallOf(query: String, truth: DataFrame): Double = {
+  private def recallOf(query: String, truth: DataFrame): Double =
+    recallOfDf(SparkEntry.queries(query)(spark, SfBig), truth)
+
+  private def recallOfDf(approx: DataFrame, truth: DataFrame): Double = {
     val t = truth.cache()
     val n = t.count().toDouble
-    val hits = SparkEntry.queries(query)(spark, SfBig)
+    val hits = approx
       .select("q_id", "vec_id")
       .join(t, Seq("q_id", "vec_id"))
       .count()
@@ -96,6 +99,34 @@ class AnnRecallSpec extends TestSpark {
     // the recall knob must actually buy recall
     assert(probe > single,
       f"nprobe=2 recall $probe%.3f not above nprobe=1 $single%.3f")
+  }
+
+  test("multi-probe IVF: recall rises monotonically along p in {1, 2, 4}") {
+    // the recall/latency curve itself, against brute-force truth: each
+    // probe level adds one more disjoint cell's candidates per query, so
+    // recall must be monotone in p and the p=4 key must clear the p=2
+    // floor — the shape regression the single-point floors cannot see
+    val truth = cosineTruth(50).cache()
+    val byP = Seq(1, 2, 4)
+      .map(p => p -> recallOfDf(Similarity.ivfSearch(spark, SfBig, p), truth))
+      .toMap
+    info(byP.toSeq.sorted.map { case (p, r) => f"p=$p recall@3 $r%.3f" }
+      .mkString(", "))
+    assert(byP(1) <= byP(2) && byP(2) <= byP(4),
+      s"recall not monotone in nprobe: $byP")
+    assert(byP(4) > byP(1),
+      s"the probe knob buys no recall across the span: $byP")
+    // measured 2026-08-13 at sf0.1: p=4 0.700 (uniform-random regime, 4 of
+    // 16 cells reachable) — floor is measured-minus-margin like the others
+    assert(byP(4) >= 0.60,
+      f"q_sim_ivf_multiprobe recall@3 collapsed to ${byP(4)}%.3f")
+    // p=1 IS the single-probe query: same argmin, same tie order
+    val p1 = Similarity.ivfSearch(spark, SfBig, 1)
+    val single = SparkEntry.queries("q_sim_ivf_trained")(spark, SfBig)
+    assert(p1.exceptAll(single).count() === 0 &&
+      single.exceptAll(p1).count() === 0,
+      "ivfSearch(nprobe=1) must equal q_sim_ivf_trained exactly")
+    truth.unpersist(blocking = false)
   }
 
   test("PQ/ADC recall@3 floor holds against exact-L2 truth") {
