@@ -69,6 +69,24 @@ object Layout {
       .parquet(path)
   }
 
+  /** Trainer-side reader for [[writePackedShards]] output — the missing
+    * half of the shard contract (round-11 VERDICT #6): recover each
+    * shard's training stream WITH its position. `pos` is the 1-based rank
+    * by (seq_id, doc_id) within the shard — exactly the in-file physical
+    * row order the writer laid down (`SourcesSpec` pins file order ==
+    * (seq_id, doc_id) order), so a raw-file streamer outside Spark reads
+    * the identical sequence this frame declares. The rank windows per
+    * SHARD — parallel across shards, never a global sort — mirroring the
+    * pack/shuffle writers' scale shape.
+    */
+  def readPackedShards(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val w = Window.partitionBy("shard").orderBy("seq_id", "doc_id")
+    spark.read.parquet(path)
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   /** The STREAMING form of [[writePackedShards]]: land one micro-batch of
     * packed rows (carrying a `batch_id` column) under
     * `batch_id=N/shard=M` hive partitions. Dynamic partition overwrite is

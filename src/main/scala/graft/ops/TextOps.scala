@@ -741,6 +741,41 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Landed shard dir per (session, dir) for [[qCorpusShuffleRead]] —
+    * write-once like the other memos (the landed files are immutable; a
+    * re-land would only churn the temp dir).
+    */
+  private val shuffleShardCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  /** The shuffle order ROUND-TRIPPED through the physical shard layout —
+    * the trainer-side read path closing the loop the writer alone left
+    * open (round-11 VERDICT #6): [[qCorpusShuffle]]'s frame lands via
+    * [[graft.io.Layout.writePackedShards]] (pos as the in-shard seq_id),
+    * then [[graft.io.Layout.readPackedShards]] re-derives each row's
+    * stream position from the landed layout. The oracle is
+    * q_corpus_shuffle's own SQL, so a green row proves write → read
+    * reproduces the exact deterministic training order end-to-end —
+    * values from storage, positions from the reader's stream order.
+    */
+  private def qCorpusShuffleRead(s: SparkSession, dir: String): DataFrame = {
+    val path = shuffleShardCache.synchronized {
+      shuffleShardCache.getOrElseUpdate((s, dir), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_shuffle_shards").toString
+        graft.io.Layout.writePackedShards(
+          qCorpusShuffle(s, dir)
+            .select(col("doc_id"), col("key"), col("shard"),
+              col("pos").as("seq_id")), out)
+        out
+      })
+    }
+    graft.io.Layout.readPackedShards(s, path)
+      .select(col("doc_id"), col("key"),
+        col("shard").cast(LongType).as("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
   /** THE composed end-to-end corpus pipeline — the single query a real
     * training-data pipeline user runs: quality filter → exact dedup →
     * fuzzy (near-dup-cluster) dedup → leakage-safe split → train-side
@@ -962,6 +997,10 @@ object TextOps {
     // boundary; this drops the memo references so the next invocation
     // rebuilds instead of reading an unpersisted (or stale-dir) frame
     survivorsCache.clear()
+    // landed shard dirs stay valid on disk; dropping the memo only means
+    // the next q_corpus_shuffle_read call re-lands them (write-once per
+    // memo lifetime, temp-dir scoped)
+    shuffleShardCache.clear()
   }
 
   // the lock makes the expensive thunk once-only: TrieMap.getOrElseUpdate
@@ -1145,9 +1184,20 @@ object TextOps {
     "q_corpus_mix" -> qCorpusMix,
     "q_corpus_cap" -> qCorpusCap,
     "q_corpus_shuffle" -> qCorpusShuffle,
+    "q_corpus_shuffle_read" -> qCorpusShuffleRead,
     "q_quality_nb" -> qQualityNb,
     "q_text_bigram_lp" -> qTextBigramLp,
     "q_text_fingerprint" -> qTextFingerprint)
+
+  /** Shared by q_corpus_shuffle and its shard round-trip twin. */
+  private val CorpusShuffleSql =
+    """SELECT doc_id,
+      |  md5('s42:' || CAST(doc_id AS VARCHAR)) AS key,
+      |  doc_id % 32 AS shard,
+      |  CAST(row_number() OVER (PARTITION BY doc_id % 32
+      |    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id)
+      |    AS BIGINT) AS pos
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   private[graft] val EnStopList = EnStop.map(w => s"'$w'").mkString("[", ", ", "]")
   private[graft] val EsStopList = EsStop.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -1504,14 +1554,10 @@ object TextOps {
          |floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
          |  + en_hits / n_words * 0.5) * 10000 + 0.5) / 10000 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
-    "q_corpus_shuffle" ->
-      """SELECT doc_id,
-        |  md5('s42:' || CAST(doc_id AS VARCHAR)) AS key,
-        |  doc_id % 32 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY doc_id % 32
-        |    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id)
-        |    AS BIGINT) AS pos
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_shuffle" -> CorpusShuffleSql,
+    // the round-trip through the packed-shard layout must land on the
+    // identical frame: same declarative statement, zero storage terms
+    "q_corpus_shuffle_read" -> CorpusShuffleSql,
     "q_text_boilerplate" ->
       """WITH w AS (SELECT doc_id, source,
         |  list_filter(string_split(text, ' '), x -> x <> '') AS ws

@@ -119,6 +119,33 @@ class SourcesSpec extends TestSpark {
     }
   }
 
+  test("shard reader pos == landed physical file order (trainer round-trip)") {
+    import org.apache.spark.sql.functions.col
+    // land the deterministic training order, then prove the READER's
+    // declared positions match the raw in-file row order a non-Spark
+    // trainer streaming the file bytes would see
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shuffle_rt").toString
+    val order = SparkEntry.queries("q_corpus_shuffle")(spark, Sf)
+      .select(col("doc_id"), col("key"), col("shard"),
+        col("pos").as("seq_id"))
+    graft.io.Layout.writePackedShards(order, out)
+    val reader = graft.io.Layout.readPackedShards(spark, out)
+    new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .take(4).foreach { d =>
+        val shard = d.getName.stripPrefix("shard=").toInt
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"${d.getName}: expected one file")
+        val physical = spark.read.parquet(files.head.getPath)
+          .select("doc_id").coalesce(1).collect().map(_.getLong(0))
+        val declared = reader.filter(col("shard") === shard)
+          .orderBy("pos").select("doc_id").collect().map(_.getLong(0))
+        assert(declared.sameElements(physical),
+          s"shard $shard: reader order diverges from file order")
+      }
+  }
+
   test("orc round-trips real table data with predicate pushdown intact") {
     val dir = Files.createTempDirectory("graft_orc").toString
     val src = Sources.table(spark, Sf, "events")
