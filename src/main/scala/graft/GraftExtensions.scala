@@ -16,16 +16,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** Arity guard: a builder indexing `children(1)` on a 1-argument call
     * dies with IndexOutOfBounds deep in resolution; this raises the
     * standard wrong-number-of-arguments AnalysisException instead
-    * (round-10 ADVICE). Input TYPES are validated by each expression's
-    * own `ExpectsInputTypes` declaration.
+    * (round-10 ADVICE) — Spark's own `WRONG_NUM_ARGS` error class with
+    * its SQLSTATE, via the graftbridge (round-11 ADVICE: the earlier
+    * IllegalArgumentException propagated without error class and the
+    * scaladoc overclaimed). Input TYPES are validated by each
+    * expression's own `ExpectsInputTypes` declaration.
     */
   private def arity[E](name: String, n: Int)(
       build: Seq[org.apache.spark.sql.catalyst.expressions.Expression] => E)
       : Seq[org.apache.spark.sql.catalyst.expressions.Expression] => E =
     children =>
       if (children.length == n) build(children)
-      else throw new IllegalArgumentException(
-        s"Function `$name` requires $n argument(s) but got ${children.length}")
+      else throw org.apache.spark.sql.graftbridge.ColumnBridge
+        .wrongNumArgs(name, n, children.length)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

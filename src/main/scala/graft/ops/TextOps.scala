@@ -203,7 +203,13 @@ object TextOps {
     * (doc_id, count) rows exchange. Factored off the dir so specs can
     * plant a degenerate boilerplate domain.
     */
-  private[graft] def boilerplateScores(d: DataFrame): DataFrame = {
+  /** The domain-boilerplate shingle set (source, g) — a word 3-gram in
+    * ≥ max(2 docs, 5% of its domain's docs). Factored from
+    * [[boilerplateScores]] so decontamination can SUPPRESS these shingles
+    * before its probe join ([[qDecontaminateClean]]): tiny by the ≥5%
+    * construction, broadcastable.
+    */
+  private[graft] def boilerplateFlagged(d: DataFrame): DataFrame = {
     val base = d
       .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("source"),
@@ -211,12 +217,22 @@ object TextOps {
     val gramRows = base.select(col("doc_id"), col("source"),
       explode(col("grams")).as("g"))
     val domSizes = base.groupBy("source").agg(count(lit(1)).as("nd"))
-    val flagged = gramRows.groupBy("source", "g")
+    gramRows.groupBy("source", "g")
       .agg(count(lit(1)).as("df"))
       .join(broadcast(domSizes), Seq("source"))
       .filter(col("df").cast(DoubleType) >=
         greatest(lit(2.0), col("nd").cast(DoubleType) * 0.05))
       .select(col("source"), col("g"))
+  }
+
+  private[graft] def boilerplateScores(d: DataFrame): DataFrame = {
+    val base = d
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        Dedup.rawShinglesWs(col("ws")).as("grams"))
+    val gramRows = base.select(col("doc_id"), col("source"),
+      explode(col("grams")).as("g"))
+    val flagged = boilerplateFlagged(d)
     val perDoc = gramRows
       .join(broadcast(flagged), Seq("source", "g"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
@@ -648,11 +664,29 @@ object TextOps {
       .select(col("doc_id"), col("bucket"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("bucket"),
         explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
-    val trainSh = Bloom.prune(
-        sh.filter(col("bucket") < 90).select("sh"),
-        "sh", sh.filter(col("bucket") >= 95).select("sh"), "sh")
-      .distinct()
-      .withColumn("hit", lit(1L))
+    decontaminationScores(sh)
+  }
+
+  /** The probe tail shared by [[qDecontaminate]] and its
+    * boilerplate-suppressed variant: per TEST doc, how many of its
+    * shingles occur anywhere in the train split. The Bloom prune on the
+    * train side is GATED on [[Bloom.worthPruning]] exactly like the
+    * pipeline's stage 5 (round-11 ADVICE: this query used to prune
+    * unconditionally and so paid the measured ~2× small-scale regression
+    * the Bloom docstring itself documents; the gate is the same
+    * statistics-driven decision Spark's InjectRuntimeFilter makes, and
+    * both formulations produce identical rows so the oracle is
+    * formulation-independent).
+    */
+  private def decontaminationScores(sh: DataFrame): DataFrame = {
+    val trainRaw = sh.filter(col("bucket") < 90).select("sh")
+    val trainSh =
+      (if (Bloom.worthPruning(trainRaw))
+        Bloom.prune(trainRaw, "sh",
+          sh.filter(col("bucket") >= 95).select("sh"), "sh")
+      else trainRaw)
+        .distinct()
+        .withColumn("hit", lit(1L))
     sh.filter(col("bucket") >= 95)
       .select(col("doc_id"), col("sh"))
       .join(trainSh, Seq("sh"), "left")
@@ -663,6 +697,38 @@ object TextOps {
         Num.r4(col("n_contaminated").cast(DoubleType) / col("n_shingles")))
       .orderBy("doc_id")
   }
+
+  /** Decontamination with domain-boilerplate shingles SUPPRESSED before
+    * the probe (round-11 VERDICT #8): a domain's navigation chrome /
+    * legal footer occurs on most of its pages, so when one such page
+    * lands in test, every train page of the domain lights up as
+    * "contaminated" — false hits — and the boilerplate shingles are the
+    * highest-frequency rows in the probe join's exchange. Anti-joining
+    * the [[boilerplateFlagged]] set (tiny by its ≥5%-of-domain
+    * construction, broadcast) out of the shingle stream BEFORE the
+    * train/test split shrinks the dominant shuffle and scores
+    * contamination on content shingles only. TextOpsSpec A/Bs the
+    * shuffle-row drop; total contamination hits can only decrease (both
+    * probe sides shrink).
+    */
+  private def qDecontaminateClean(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir)
+      .select(col("doc_id"), col("source"),
+        splitBucket(col("doc_id")).as("bucket"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
+    decontaminationScores(cleanShingles(s, dir, sh))
+  }
+
+  /** The boilerplate-suppressed shingle stream: `sh` minus each doc's own
+    * domain's flagged set — a broadcast LEFT ANTI join, map-side on the
+    * corpus-sized stream.
+    */
+  private[graft] def cleanShingles(s: SparkSession, dir: String,
+      sh: DataFrame): DataFrame =
+    sh.join(
+      broadcast(boilerplateFlagged(docs(s, dir)).withColumnRenamed("g", "sh")),
+      Seq("source", "sh"), "left_anti")
 
   /** PII redaction: scrub email addresses and phone-shaped tokens before a
     * corpus ships to training. The testdata carries no PII, so a
@@ -1167,6 +1233,7 @@ object TextOps {
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
     "q_decontaminate" -> qDecontaminate,
+    "q_decontaminate_clean" -> qDecontaminateClean,
     "q_text_redact" -> qTextRedact,
     "q_corpus_split" -> qCorpusSplit,
     "q_text_tokens" -> qTextTokens,
@@ -1429,6 +1496,35 @@ object TextOps {
         |  i -> array_to_string(ws[i:i+2], ' ')))) AS s FROM w),
         |tr AS (SELECT DISTINCT s FROM sh WHERE bucket < 90),
         |te AS (SELECT doc_id, s FROM sh WHERE bucket >= 95)
+        |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_contaminated,
+        |floor((CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS DOUBLE) / count(*)) * 10000 + 0.5) / 10000 AS contamination
+        |FROM te LEFT JOIN tr ON te.s = tr.s
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    // same probe with each doc's own domain's boilerplate shingles
+    // suppressed first (the ≥ max(2, 5% of domain) rule, verbatim from
+    // q_text_boilerplate's flagged set)
+    "q_decontaminate_clean" ->
+      s"""WITH w AS (SELECT doc_id, source,
+        |  ${splitBucketSql("doc_id")} AS bucket,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, bucket,
+        |  unnest(list_distinct(list_transform(
+        |  range(1, greatest(len(ws) - 1, 1)),
+        |  i -> array_to_string(ws[i:i+2], ' ')))) AS s FROM w),
+        |nd AS (SELECT source, count(*) AS nd FROM w GROUP BY source),
+        |df AS (SELECT source, s, count(*) AS df FROM sh GROUP BY source, s),
+        |fl AS (SELECT d.source, d.s FROM df d JOIN nd ON d.source = nd.source
+        |  WHERE CAST(d.df AS DOUBLE) >=
+        |    greatest(2.0, CAST(nd.nd AS DOUBLE) * 0.05)),
+        |cl AS (SELECT sh.doc_id, sh.bucket, sh.s FROM sh
+        |  WHERE NOT EXISTS (SELECT 1 FROM fl
+        |    WHERE fl.source = sh.source AND fl.s = sh.s)),
+        |tr AS (SELECT DISTINCT s FROM cl WHERE bucket < 90),
+        |te AS (SELECT doc_id, s FROM cl WHERE bucket >= 95)
         |SELECT te.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
         |CAST(sum(CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_contaminated,

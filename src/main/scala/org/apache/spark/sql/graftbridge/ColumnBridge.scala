@@ -15,4 +15,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Spark's own wrong-number-of-arguments AnalysisException
+    * (`WRONG_NUM_ARGS.WITHOUT_SUGGESTION`, with error class and SQLSTATE),
+    * for SQL-registered functions' arity guards — the error-factory
+    * object is `private[sql]`, hence surfaced through this bridge.
+    */
+  def wrongNumArgs(name: String, expected: Int,
+      actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
+      name, Seq(expected), actual)
 }

@@ -165,23 +165,34 @@ class PlanAuditSpec extends TestSpark {
     } finally spark.conf.unset(graft.ops.Bloom.ThresholdKey)
   }
 
-  test("q_decontaminate: native bloom probe filters ahead of the train-shingle exchange") {
+  test("q_decontaminate: bloom prune gated like the pipeline's stage 5") {
+    // round-11 ADVICE: this query used to prune UNCONDITIONALLY and so
+    // paid the measured ~2× small-scale regression; the gate must now
+    // pick the lean form at test scale and the probe form when forced
     val plan = staticPlan("q_decontaminate")
     val s = plan.toString
-    // the filter binary is a scalar subquery (Spark's own runtime-filter
-    // shape), and the might_contain probe evaluates as a plain Filter
-    // BEFORE the distinct's hashpartitioning exchange — map-side prune,
-    // no join, no per-row broadcast state
-    assert(s.contains("might_contain"),
-      s"q_decontaminate lost the bloom probe:\n$s")
-    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("Cartesian"),
-      s"bloom probe must be a Filter, not a join:\n$s")
+    val shingleProbe = "might_contain\\([^\\n]{0,160}xxhash64\\(sh#".r
+    assert(shingleProbe.findFirstIn(s).isEmpty,
+      "shingle bloom prune fired below its size threshold — " +
+        s"the gate regressed:\n${s.take(3000)}")
     val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
     // distinct (partial+final share one exchange), contamination join's
-    // two sides, per-doc agg, presentation sort (the bloom build lives in
-    // the subquery plan, not this tree)
+    // two sides, per-doc agg, presentation sort
     assert(shuffles.length <= 6,
       s"q_decontaminate grew to ${shuffles.length} exchanges:\n$plan")
+    // forced over the threshold: the might_contain probe evaluates as a
+    // plain Filter ahead of the train-shingle exchange (the filter binary
+    // is a scalar subquery — Spark's own runtime-filter shape), never a
+    // join or per-row broadcast state
+    spark.conf.set(graft.ops.Bloom.ThresholdKey, "0")
+    try {
+      val fs = staticPlan("q_decontaminate").toString
+      assert(shingleProbe.findFirstIn(fs).isDefined,
+        s"forced threshold 0 but no shingle bloom probe:\n${fs.take(3000)}")
+      assert(!fs.contains("BroadcastNestedLoopJoin") &&
+        !fs.contains("Cartesian"),
+        s"bloom probe must be a Filter, not a join:\n${fs.take(3000)}")
+    } finally spark.conf.unset(graft.ops.Bloom.ThresholdKey)
   }
 
   test("q_dedup_substring_run: gram-keyed pair join, diagonal-keyed windows, never doc×doc") {

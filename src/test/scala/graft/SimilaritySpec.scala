@@ -153,9 +153,12 @@ class SimilaritySpec extends TestSpark {
     for (bad <- Seq("SELECT hamming('a')", "SELECT hamming('a','b','c')",
         "SELECT luhn_mod30()", "SELECT luhn_mod30('1','2')",
         "SELECT vec_dot(array(CAST(1 AS FLOAT)))")) {
-      val e = intercept[Exception](spark.sql(bad).collect())
-      assert(e.getMessage.contains("argument"),
-        s"$bad failed with the wrong error: ${e.getMessage.take(200)}")
+      // the guard must raise Spark's own error class, not a bare runtime
+      // exception (round-11 ADVICE) — intercept the intended type
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(bad).collect())
+      assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        s"$bad raised ${e.getCondition}: ${e.getMessage.take(200)}")
     }
     // wrong types: ExpectsInputTypes turns them into AnalysisException
     // (ints implicit-cast to string is fine; an ARRAY argument is not)

@@ -176,6 +176,34 @@ class TextOpsSpec extends TestSpark {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("boilerplate suppression shrinks the decontamination probe and its hits") {
+    import org.apache.spark.sql.functions.{col, explode, sum}
+    // the A/B the clean variant exists for: anti-joining the flagged
+    // domain-boilerplate set out of the shingle stream must (a) shrink
+    // the train-side rows feeding the probe join's exchange and (b) only
+    // ever REMOVE contamination hits (both probe sides shrink)
+    val d = graft.io.Sources.table(spark, Sf, "documents")
+    val sh = d
+      .select(col("doc_id"), col("source"),
+        graft.ops.TextOps.splitBucket(col("doc_id")).as("bucket"),
+        graft.ops.TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), col("bucket"),
+        explode(graft.ops.Dedup.rawShinglesWs(col("ws"))).as("sh"))
+    val clean = graft.ops.TextOps.cleanShingles(spark, Sf, sh)
+    val rawTrain = sh.filter(col("bucket") < 90).count()
+    val cleanTrain = clean.filter(col("bucket") < 90).count()
+    assert(cleanTrain < rawTrain,
+      s"suppression dropped no probe rows ($cleanTrain vs $rawTrain) — " +
+        "flagged set empty?")
+    def hits(q: String): Long =
+      SparkEntry.queries(q)(spark, Sf)
+        .agg(sum(col("n_contaminated"))).collect()(0).getLong(0)
+    val (raw, cleaned) = (hits("q_decontaminate"), hits("q_decontaminate_clean"))
+    assert(cleaned <= raw,
+      s"clean variant INVENTED contamination hits ($cleaned > $raw)")
+    assert(SparkEntry.queries("q_decontaminate_clean")(spark, Sf).count() > 0)
+  }
+
   test("corpus pipeline output lands through the packed-shard writer") {
     // the full chain: filter→dedup→split→decontaminate→pack → SHARDS ON
     // DISK — proves the composed pipeline's schema feeds the physical
