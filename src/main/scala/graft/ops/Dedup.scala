@@ -616,9 +616,16 @@ object Dedup {
         .agg(min(col("dst")).as("m"))
         .select(col("node"), least(col("node"), col("m")).as("label"))
     // the standing label table — production reads this from storage; here
-    // it is built once from the old half's pairs
-    val oldEdges = bothDirs(oldPairs)
+    // it is built once from the old half's pairs. Persisted around the
+    // propagation loop exactly like [[componentLabels]]: every round joins
+    // the edge frame, and since the rep-collapse the uncached re-evaluation
+    // is the full grouped bucket expansion + distinct per round, not a
+    // cached-bands self-join (round-12 isolated A/B: 1.85x on
+    // q_dedup_cc_incremental before this persist). Safe to release after
+    // the loop — the returned labels are checkpoint-truncated per round.
+    val oldEdges = bothDirs(oldPairs).persist(StorageLevel.MEMORY_AND_DISK)
     val oldLabels = propagateMinLabels(oldEdges, seeded(oldEdges))._1
+    oldEdges.unpersist()
     // contract: every old endpoint of a delta pair becomes its component's
     // supernode (an old singleton keeps its own id)
     val contracted = deltaPairs
@@ -626,8 +633,9 @@ object Dedup {
         Seq("doc_a"), "left")
       .select(coalesce(col("la"), col("doc_a")).as("doc_a"), col("doc_b"))
       .distinct()
-    val deltaEdges = bothDirs(contracted)
+    val deltaEdges = bothDirs(contracted).persist(StorageLevel.MEMORY_AND_DISK)
     val deltaLabels = propagateMinLabels(deltaEdges, seeded(deltaEdges))._1
+    deltaEdges.unpersist()
     val newLabels = deltaLabels.filter(col("node") >= split)
     // an old component whose supernode was relabeled (merged) carries the
     // new label to every member
