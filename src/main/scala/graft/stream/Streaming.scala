@@ -377,6 +377,13 @@ object Streaming {
     * (q_join_range). Both sides carry watermarks so the join state for
     * expired time ranges is evicted; the time-interval condition bounds how
     * long an error row waits for matching purchases.
+    *
+    * Mode-agnostic like every transform here: under `readStream` Spark
+    * plans StreamingSymmetricHashJoin keyed on user (state co-partitioned
+    * with the exchange, rows evicted once the watermark passes the
+    * interval bound); in batch the SAME function is an equi join on user
+    * with the interval as a residual predicate — hash/merge, never a
+    * nested loop — and is oracle-verified as `q_stream_join`.
     */
   def errorPurchaseJoin(stream: DataFrame): DataFrame = {
     val errors = stream.filter(col("event_type") === "error")
@@ -384,7 +391,8 @@ object Streaming {
         col("ts").as("err_ts"))
       .withWatermark("err_ts", "1 hour")
     val purchases = stream.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
     errors.join(purchases,
       col("err_user") === col("p_user") &&
@@ -434,13 +442,37 @@ object Streaming {
       .orderBy("event_id")
   }
 
+  /** R9 batch twin: [[errorPurchaseJoin]] applied to the static events
+    * table (`withWatermark` is eliminated on batch plans, so the function
+    * body is IDENTICAL in both modes — the same guarantee the other twins
+    * carry). Epoch-second timestamps in the output only; total order on
+    * the unique (err_id, p_id) pair.
+    */
+  private def qStreamJoin(s: SparkSession, dir: String): DataFrame =
+    errorPurchaseJoin(events(s, dir))
+      .select(col("err_id"), col("err_user"),
+        unix_timestamp(col("err_ts")).as("err_sec"),
+        col("p_id"), unix_timestamp(col("p_ts")).as("p_sec"))
+      .orderBy("err_id", "p_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumble" -> qStreamTumble,
     "q_stream_slide" -> qStreamSlide,
     "q_stream_running_count" -> qStreamRunningCount,
-    "q_stream_session" -> qStreamSession)
+    "q_stream_session" -> qStreamSession,
+    "q_stream_join" -> qStreamJoin)
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_join" ->
+      """SELECT e.event_id AS err_id, e.user_id AS err_user,
+        |CAST(epoch(date_trunc('second', e.ts)) AS BIGINT) AS err_sec,
+        |p.event_id AS p_id,
+        |CAST(epoch(date_trunc('second', p.ts)) AS BIGINT) AS p_sec
+        |FROM events e JOIN events p
+        |ON e.event_type = 'error' AND p.event_type = 'purchase'
+        |AND p.user_id = e.user_id
+        |AND p.ts >= e.ts AND p.ts < e.ts + INTERVAL 30 MINUTE
+        |ORDER BY err_id, p_id""".stripMargin,
     "q_stream_running_count" ->
       """SELECT event_id, user_id,
         |CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -474,6 +474,15 @@ class StreamingSpec extends TestSpark {
     } yield (e.event_id, p.ts)
     assert(got === expected.toSet)
     assert(got.size === 3)
+    // mode-agnostic twin: the SAME function in batch lands the same pairs
+    val batchPairs = Streaming
+      .errorPurchaseJoin(withErrors.toDF())
+      .select("err_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamPairs = spark.table("join_out")
+      .select("err_id", "p_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamPairs === batchPairs)
   }
 
   test("foreachBatch upsert sink dedups within the batch") {
