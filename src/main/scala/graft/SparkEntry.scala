@@ -32,6 +32,7 @@ object SparkEntry {
     graft.io.Sources.queries ++
       graft.etl.Migration.queries ++
       graft.ops.Relational.queries ++
+      graft.ops.Analytics.queries ++
       graft.ops.Functions.queries ++
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     graft.io.Sources.oracleSql ++
       graft.etl.Migration.oracleSql ++
       graft.ops.Relational.oracleSql ++
+      graft.ops.Analytics.oracleSql ++
       graft.ops.Functions.oracleSql ++
       graft.ops.TextOps.oracleSql ++
       graft.ops.Dedup.oracleSql ++

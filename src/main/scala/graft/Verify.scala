@@ -20,7 +20,10 @@ object Verify {
       org.apache.logging.log4j.Level.ERROR)
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional args 3+: run only these query keys (dev loop with
+    // dev/oracle_check.py); the driver's two-arg invocation is unchanged
+    val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +52,9 @@ object Verify {
       System.err.println(s"[verify] WARN GraftExtensions missing: $e")
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

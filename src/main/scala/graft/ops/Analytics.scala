@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.io.Sources
+
+/** Composite multi-join analytic queries — the TPC-H-shaped workloads a
+  * warehouse user actually runs, as opposed to the single-operator rows of
+  * SURVEY.md §2.3 (J1-J9 each isolate one join kind). These exist to prove
+  * the *composition* story: with the whole pipeline declared as one
+  * DataFrame plan, Catalyst gets to reorder the joins, broadcast every
+  * dimension, push every filter into the parquet scan, and leave exactly
+  * one shuffle join (the fact-fact `lineitem ⋈ orders` edge) — which is
+  * the plan you want at 100 TB, where the dims still fit in memory but the
+  * facts never do. `AnalyticsSpec` pins that shape (dims broadcast, no
+  * cartesian, bounded exchange count) so a refactor can't silently turn a
+  * dimension join into a second fact shuffle.
+  *
+  * Reference anchor: the reference README describes a one-shot relational
+  * migration (`/root/reference/README.md:5-19`) with no analytic tier; this
+  * module is part of the beyond-reference warehouse surface, kept
+  * hash-verifiable against DuckDB like every other tier.
+  *
+  * Scale conventions follow [[Relational]]: DECIMAL(12,2) before any money
+  * aggregation (partition-count-independent sums), explicit `broadcast()`
+  * on dimension sides, a total ORDER BY, and LIMIT ties broken by a unique
+  * key so top-k is deterministic in both engines.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Sources.table(s, dir, n)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  private def rnd(c: Column): Column = round(c.cast(DoubleType), 4)
+
+  /** Revenue expression shared by all three composites (TPC-H's
+    * `l_extendedprice * (1 - l_discount)`), decimal-exact.
+    */
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+
+  // ---------------------------------------------------------------- Q3
+
+  /** Shipping-priority (TPC-H Q3 shape): top 10 unshipped orders by
+    * revenue for one market segment. Three-way join where the only
+    * fact-fact edge is lineitem ⋈ orders; the segment-filtered customer
+    * side is a broadcast dim. Filters sit directly on the scans so
+    * parquet gets `PushedFilters` on segment and both date bounds.
+    */
+  private def qTpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-07-01").cast(TimestampType)
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate").cast(DateType).as("orderdate"))
+      .agg(rnd(revenue).as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- Q5
+
+  /** Local-supplier volume (TPC-H Q5 shape): revenue per nation from
+    * orders where the customer and the line's supplier share a nation,
+    * restricted to one region and one order-date year. Six tables; four
+    * of them (region, nation, customer, supplier) are broadcast dims, so
+    * the plan's only shuffle join is again lineitem ⋈ orders. The
+    * same-nation constraint (`c_nationkey = s_nationkey`) rides the
+    * supplier broadcast join as a second equi-key — no extra exchange.
+    */
+  private def qTpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1997-01-01").cast(TimestampType)
+    val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(s, dir, "nation")
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = t(s, dir, "customer")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val sup = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val l = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(rnd(revenue).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // --------------------------------------------------------------- Q10
+
+  /** Returned-item reporting (TPC-H Q10 shape): top 20 customers by
+    * revenue lost to returns in one quarter-year window. lineitem ⋈
+    * orders is the shuffle edge; customer and nation broadcast. The
+    * group-by carries the customer attributes through the aggregate
+    * (they are functionally dependent on c_custkey) so no second join
+    * is needed after the aggregation.
+    */
+  private def qTpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1996-07-01").cast(TimestampType)
+    val c = t(s, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = t(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(rnd(revenue).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q3" -> qTpchQ3,
+    "q_tpch_q5" -> qTpchQ5,
+    "q_tpch_q10" -> qTpchQ10)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |CAST(o_orderdate AS DATE) AS orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |c_acctbal, n_name
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Plan-shape pins for the composite analytic queries ([[graft.ops.Analytics]]).
+  *
+  * The whole point of declaring a multi-join pipeline as one DataFrame plan
+  * is that Catalyst broadcasts every dimension and leaves exactly one
+  * shuffle join — the fact-fact `lineitem ⋈ orders` edge. These tests pin
+  * that shape so a refactor (a dropped `broadcast()` hint, a filter that
+  * stops reaching the scan) can't silently turn a dimension join into a
+  * second fact-sized exchange. Value correctness is owned by the DuckDB
+  * oracle rows (`q_tpch_q3/q5/q10` in CORRECTNESS); this suite owns the
+  * 100 TB plan shape.
+  */
+class AnalyticsSpec extends TestSpark {
+
+  private def staticPlan(name: String) = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try graft.SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** The composite invariant: ≤1 shuffle join (the fact-fact edge), every
+    * other join broadcast, no cartesian anywhere.
+    */
+  private def assertOneFactEdge(name: String, minBroadcast: Int): Unit = {
+    val plan = staticPlan(name)
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"$name: cartesian product in plan:\n$plan")
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.length <= 1,
+      s"$name: ${smj.length} shuffle joins — a dimension lost its broadcast:\n$plan")
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.length >= minBroadcast,
+      s"$name: expected >= $minBroadcast broadcast joins, got ${bhj.length}:\n$plan")
+  }
+
+  test("q_tpch_q3: one fact edge, customer broadcast, filters pushed") {
+    assertOneFactEdge("q_tpch_q3", minBroadcast = 1)
+    // both date bounds and the segment filter must reach the parquet scans
+    val s = staticPlan("q_tpch_q3").toString
+    assert(s.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || s.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"q_tpch_q3: segment filter not pushed to the customer scan:\n$s")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r.findFirstIn(s).nonEmpty,
+      s"q_tpch_q3: shipdate bound not pushed to the lineitem scan:\n$s")
+  }
+
+  test("q_tpch_q5: one fact edge among five joins, region/nation/customer/supplier broadcast") {
+    // 5 joins total; >= 4 broadcast means the only possible shuffle join is
+    // lineitem ⋈ orders (nation⋈region collapses inside a broadcast build)
+    assertOneFactEdge("q_tpch_q5", minBroadcast = 4)
+  }
+
+  test("q_tpch_q10: one fact edge, returnflag filter pushed") {
+    assertOneFactEdge("q_tpch_q10", minBroadcast = 2)
+    val s = staticPlan("q_tpch_q10").toString
+    assert(s.contains("EqualTo(l_returnflag,R)"),
+      s"q_tpch_q10: returnflag filter not pushed to the lineitem scan:\n$s")
+  }
+
+  test("composites: shuffle count stays fact-bounded") {
+    // each composite needs at most: 2 exchanges feeding the fact SMJ +
+    // 1 aggregate exchange + 1 presentation sort/limit exchange
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+      val shuffles = staticPlan(name).collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.length <= 4,
+        s"$name: ${shuffles.length} exchanges — more than the fact edge + agg + sort need")
+    }
+  }
+
+  test("composites return rows at sf0.001") {
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+      val n = graft.SparkEntry.queries(name)(spark, Sf).count()
+      assert(n > 0, s"$name returned no rows at sf0.001")
+    }
+  }
+}
