@@ -138,10 +138,46 @@ object Analytics {
       .limit(20)
   }
 
+  // --------------------------------------------------------------- Q18
+
+  /** Large-volume customers (TPC-H Q18 shape): orders whose total line
+    * quantity exceeds a threshold, with their customer. The classic
+    * HAVING-subquery becomes a first-class aggregate → filter → join
+    * chain, and because the per-order sum IS the output column, the
+    * second lineitem scan TPC-H's literal SQL implies is gone entirely.
+    *
+    * Scale shape: the lineitem aggregate is the one fact-sized shuffle;
+    * its output comes out hash-partitioned by `l_orderkey`, so the join
+    * with orders adds an exchange on the ORDERS side only (the aggregate
+    * side reuses its partitioning — pinned in `AnalyticsSpec`). The
+    * filtered big-order set is NOT broadcast on purpose: at a 1 %
+    * survivor rate and 100 TB it is still fact-sized, and the co-
+    * partitioned SMJ is the plan that survives the scale-up. Customer
+    * broadcasts as usual.
+    */
+  private def qTpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast(LongType).as("total_qty"))
+      .filter(col("total_qty") > 270)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val c = t(s, dir, "customer").select("c_custkey", "c_name")
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast(DateType).as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"),
+        col("total_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
-    "q_tpch_q10" -> qTpchQ10)
+    "q_tpch_q10" -> qTpchQ10,
+    "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
     "q_tpch_q3" ->
@@ -187,5 +223,17 @@ object Analytics {
         |  AND o_orderdate < TIMESTAMP '1996-07-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin,
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |CAST(o_orderdate AS DATE) AS orderdate,
+        |round(o_totalprice, 2) AS totalprice,
+        |CAST(total_qty AS BIGINT) AS total_qty
+        |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 270) big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
 }

@@ -61,10 +61,27 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q10: returnflag filter not pushed to the lineitem scan:\n$s")
   }
 
+  test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
+    val plan = staticPlan("q_tpch_q18")
+    val s = plan.toString
+    // one lineitem scan only — the HAVING sum IS the output column
+    val liScans = "lineitem\\.parquet".r.findAllIn(s).length
+    assert(liScans == 1, s"q_tpch_q18: expected 1 lineitem scan, got $liScans:\n$s")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    // exchanges: lineitem aggregate + orders join side + top-k. The
+    // aggregate's own hash partitioning feeds the SMJ directly — a 4th
+    // exchange means the big-order side got needlessly re-shuffled.
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.length <= 3,
+      s"q_tpch_q18: ${shuffles.length} exchanges — aggregate partitioning not reused:\n$plan")
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"q_tpch_q18: customer should broadcast:\n$plan")
+  }
+
   test("composites: shuffle count stays fact-bounded") {
     // each composite needs at most: 2 exchanges feeding the fact SMJ +
     // 1 aggregate exchange + 1 presentation sort/limit exchange
-    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18")) {
       val shuffles = staticPlan(name).collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.length <= 4,
         s"$name: ${shuffles.length} exchanges — more than the fact edge + agg + sort need")
@@ -72,7 +89,7 @@ class AnalyticsSpec extends TestSpark {
   }
 
   test("composites return rows at sf0.001") {
-    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10")) {
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18")) {
       val n = graft.SparkEntry.queries(name)(spark, Sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
