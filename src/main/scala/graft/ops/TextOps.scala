@@ -130,6 +130,17 @@ object TextOps {
   }
 
   // quality scoring: length/stopword-ratio features -> [0,1] score
+  /** The length/stopword quality score shared by [[qTextQuality]] (which
+    * reports it) and [[qQualityAdaptive]] (which thresholds on it) —
+    * r4-rounded so every consumer sees bit-identical values.
+    */
+  private def qualityScore: Column = {
+    val ws = tokens(col("text"))
+    val stopRatio = hits(ws, EnStop).cast(DoubleType) / size(ws).cast(DoubleType)
+    Num.r4(least(col("n_chars").cast(DoubleType), lit(500.0)) / 500.0 * 0.5
+      + stopRatio * 0.5)
+  }
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val ws = tokens(col("text"))
     val nWords = size(ws).cast(DoubleType)
@@ -141,8 +152,35 @@ object TextOps {
         nWords.cast(LongType).as("n_words"),
         Num.r4(avgWordLen).as("avg_word_len"),
         Num.r4(stopRatio).as("stop_ratio"),
-        Num.r4(least(col("n_chars").cast(DoubleType), lit(500.0)) / 500.0 * 0.5
-          + stopRatio * 0.5).as("quality"))
+        qualityScore.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain ADAPTIVE quality filtering — the calibrated form of the
+    * fixed-threshold [[qCorpusFilter]]: a single global cutoff
+    * over-prunes terse domains and under-prunes verbose ones, so serious
+    * pipelines threshold each document against its own source's quality
+    * distribution (here: keep ≥ the source median). Two passes over the
+    * scored corpus: pass 1 aggregates one median per source (|sources|
+    * rows — broadcast back), pass 2 filters map-side against the
+    * broadcast thresholds, so the corpus itself is never shuffled.
+    *
+    * At 100 TB the per-source EXACT median (which buffers a source's
+    * values in the percentile aggregate) is the one piece that doesn't
+    * survive a skewed mega-source; the production knob is swapping
+    * `median` for `percentile_approx` (KLL-bounded memory, same plan) —
+    * kept exact here because the driver's oracle hash-compares the
+    * threshold values themselves, and [[graft.ops.Relational]] already
+    * pins the approx-vs-exact error envelope in its sketch tier.
+    */
+  private def qQualityAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir)
+      .select(col("doc_id"), col("source"), qualityScore.as("quality"))
+    val thresholds = scored.groupBy("source")
+      .agg(Num.r4(median(col("quality"))).as("src_median"))
+    scored.join(broadcast(thresholds), Seq("source"))
+      .filter(col("quality") >= col("src_median"))
+      .select("doc_id", "source", "quality", "src_median")
       .orderBy("doc_id")
   }
 
@@ -802,6 +840,45 @@ object TextOps {
     packDocs(docs(s, dir).select(col("doc_id"), col("text")))
       .orderBy("doc_id")
 
+  /** Sliding token-window CHUNKING with overlap — the other half of
+    * sequence prep ([[packDocs]] concatenates short docs up to a budget;
+    * this splits long docs down to one): every RAG indexer and
+    * long-context training pipeline cuts documents into fixed windows
+    * with an overlap so no span is ever split across a boundary without
+    * also appearing whole in some chunk. Window = 64 tokens, stride = 48
+    * (16-token overlap); chunk starts are `0, 48, 96, …` while they fall
+    * inside the doc, the tail chunk is short rather than padded, and
+    * `(doc_id, chunk_id, start)` makes provenance exact for citation /
+    * leak tracing.
+    *
+    * Scale shape: pure per-row array arithmetic — tokenize once,
+    * `explode` the start offsets, `slice` the token array — at scan
+    * speed with NO shuffle (the presentation sort is harness-only). The
+    * token array is materialized a select below the explode, the same
+    * InferFiltersFromGenerate-defeating layering every other Generate
+    * consumer here uses ([[graft.ops.Dedup.rawShinglesWs]] memory).
+    */
+  private def qChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val C = 64L // window (tokens)
+    val S = 48L // stride (tokens)
+    docs(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        size(col("ws")).cast(LongType).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(S))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / S).cast(LongType).as("chunk_id"),
+        col("start"),
+        least(lit(C), col("n") - col("start")).as("n_tok"),
+        array_join(
+          slice(col("ws"), (col("start") + 1).cast(IntegerType),
+            least(lit(C), col("n") - col("start")).cast(IntegerType)),
+          " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Deterministic global training-order SHUFFLE — the step every training
     * pipeline runs before sharding: crawl/id order correlates with domain
     * and time, and a model fed correlated batches sees non-stationary
@@ -1249,6 +1326,8 @@ object TextOps {
     "q_corpus_report" -> qCorpusReport,
     "q_corpus_pipeline" -> qCorpusPipeline,
     "q_pack_sequences" -> qPackSequences,
+    "q_chunk_docs" -> qChunkDocs,
+    "q_quality_adaptive" -> qQualityAdaptive,
     "q_decontaminate" -> qDecontaminate,
     "q_decontaminate_clean" -> qDecontaminateClean,
     "q_text_redact" -> qTextRedact,
@@ -1667,6 +1746,35 @@ object TextOps {
          |floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
          |  + en_hits / n_words * 0.5) * 10000 + 0.5) / 10000 AS quality
          |FROM f ORDER BY doc_id""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), w -> w <> '') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id, ws, len(ws) AS n,
+        |    unnest(range(0, len(ws), 48)) AS start
+        |  FROM t WHERE len(ws) > 0)
+        |SELECT doc_id,
+        |CAST(start // 48 AS BIGINT) AS chunk_id,
+        |CAST(start AS BIGINT) AS start,
+        |CAST(least(64, n - start) AS BIGINT) AS n_tok,
+        |array_to_string(list_slice(ws, start + 1, least(start + 64, n)), ' ')
+        |  AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_quality_adaptive" ->
+      s"""WITH scored AS (SELECT doc_id, source,
+         |  floor((least(CAST(n_chars AS DOUBLE), 500.0) / 500.0 * 0.5
+         |    + CAST(len(list_filter(string_split(text, ' '),
+         |        w -> list_contains($EnStopList, w))) AS DOUBLE)
+         |      / CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+         |        AS DOUBLE) * 0.5) * 10000 + 0.5) / 10000 AS quality
+         |  FROM documents),
+         |th AS (SELECT source,
+         |  floor((median(quality)) * 10000 + 0.5) / 10000 AS src_median
+         |  FROM scored GROUP BY source)
+         |SELECT doc_id, scored.source, quality, src_median
+         |FROM scored JOIN th ON scored.source = th.source
+         |WHERE quality >= src_median
+         |ORDER BY doc_id""".stripMargin,
     "q_corpus_shuffle" -> CorpusShuffleSql,
     // the round-trip through the packed-shard layout must land on the
     // identical frame: same declarative statement, zero storage terms

@@ -296,6 +296,69 @@ class TextOpsSpec extends TestSpark {
     }
   }
 
+  test("chunking covers every token, overlaps by exactly window-stride, no shuffle") {
+    val chunks = graft.SparkEntry.queries("q_chunk_docs")(spark, Sf).collect()
+    val docs = graft.io.Sources.table(spark, Sf, "documents")
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= "")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_.getLong(0)).foreach { case (docId, cs) =>
+      val n = docs(docId)
+      val sorted = cs.sortBy(_.getLong(1))
+      // chunk ids dense from 0; starts at stride spacing
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) === i && r.getLong(2) === i * 48L)
+      }
+      // full coverage: last chunk reaches the final token, none overshoots
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) === n.toLong,
+        s"doc $docId: coverage ends before token $n")
+      assert(sorted.forall(r => r.getLong(3) > 0 && r.getLong(3) <= 64))
+      // the chunk text really is the window: token count matches n_tok
+      sorted.foreach { r =>
+        assert(r.getString(4).split(" ").count(_.nonEmpty) === r.getLong(3))
+      }
+    }
+    // scale shape: chunking is scan-side — no exchange except the
+    // harness presentation sort
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_chunk_docs")(spark, Sf)
+        .queryExecution.executedPlan
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.length <= 1,
+        s"chunking must not shuffle the corpus:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("adaptive quality filter keeps >= half of each source, thresholds broadcast") {
+    val kept = graft.SparkEntry.queries("q_quality_adaptive")(spark, Sf)
+    val total = graft.io.Sources.table(spark, Sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptBySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (src, n) =>
+      val k = keptBySrc.getOrElse(src, 0L)
+      // >= median keeps at least half (ties can keep more, interpolated
+      // medians between distinct values can keep exactly half)
+      assert(k * 2 >= n, s"source $src kept $k of $n — below the median half")
+      assert(k < n || n == 1,
+        s"source $src kept everything — threshold did not bite")
+    }
+    // the per-source thresholds reach the corpus by broadcast, not SMJ
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = graft.SparkEntry.queries("q_quality_adaptive")(spark, Sf)
+        .queryExecution.executedPlan
+      assert(plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.isEmpty, s"thresholds must broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("redaction removes every planted email and phone") {
     val r = graft.SparkEntry.queries("q_text_redact")(spark, Sf)
     assert(r.filter(!col("clean")).count() === 0,
