@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Physical-layout utilities — the at-rest half of the 100 TB design.
   *
@@ -40,6 +40,60 @@ object Layout {
 
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
+
+  /** Rank a long dimension into `[0, 2^bits)` given its inclusive min/max
+    * — the per-dimension half of a z-order key. Double arithmetic on
+    * purpose: `floor((v − min) · 2^bits / (range + 1))` is the same IEEE
+    * expression DuckDB evaluates, so ranks (and the keys built from
+    * them) hash-match across engines; the `+ 1` keeps `v = max` inside
+    * the top cell.
+    */
+  def zRank(v: Column, vMin: Column, vMax: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.{floor, lit}
+    floor((v - vMin).cast("double") * lit((1L << bits).toDouble)
+      / (vMax - vMin + lit(1L)).cast("double")).cast("long")
+  }
+
+  /** Morton (z-order) interleave of two `bits`-bit ranks: bit `i` of `rx`
+    * lands at position `2i+1`, of `ry` at `2i`, so sorting by the result
+    * orders rows along the space-filling Z curve — rows close in BOTH
+    * dimensions land close in the file order. That is the whole
+    * data-skipping story at 100 TB: a file of z-contiguous rows covers a
+    * small rectangle of (x, y), so its parquet min/max footer prunes it
+    * for any box predicate that misses the rectangle — a single-column
+    * sort gives tight stats on one dimension and useless full-range
+    * stats on every other. Pure codegen'd shift/mask arithmetic
+    * (2·bits or-terms), no UDF.
+    */
+  def mortonKey(rx: Column, ry: Column, bits: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright}
+    (0 until bits).map { i =>
+      shiftleft(shiftright(rx, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(ry, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The DuckDB form of [[mortonKey]] over pre-ranked columns — builder-
+    * authored like every other oracle fragment. */
+  def mortonKeySql(rx: String, ry: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($rx >> $i) & 1) << ${2 * i + 1}) | ((($ry >> $i) & 1) << ${2 * i}))"
+    }.mkString("(", " | ", ")")
+
+  /** Land `df` z-order-clustered into `files` range-partitioned files:
+    * range partitioning by the z key gives each file a contiguous z
+    * interval (⇒ a bounded (x, y) rectangle ⇒ prunable min/max stats),
+    * and the within-file sort keeps row groups just as tight.
+    * `ZOrderSpec` proves the skipping effect against an id-clustered
+    * twin of the same rows.
+    */
+  def writeZOrdered(df: DataFrame, path: String, zkey: String,
+                    files: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(files, col(zkey))
+      .sortWithinPartitions(col(zkey))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 
   /** Write packed training shards — the physical tail of the corpus
     * pipeline: rows already carrying (shard, seq_id) land hive-partitioned

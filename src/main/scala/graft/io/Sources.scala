@@ -214,12 +214,58 @@ object Sources {
         col("rec._corrupt_record").isNotNull.as("is_bad"))
       .orderBy("event_id")
 
+  /** Z-order key computation over orders — the value half of the
+    * clustered-layout story ([[Layout.mortonKey]] has the why; `ZOrderSpec`
+    * lands the layout and proves the skipping effect). Dimensions:
+    * customer key × order day — the "who × when" box every account-
+    * activity query carves. One tiny min/max aggregate broadcasts back
+    * as the ranking frame; the key itself is scan-side shift/mask
+    * arithmetic. Verified hash-for-hash against DuckDB evaluating the
+    * identical interleave, so the layout tier's sort key is engine-
+    * portable, not a Spark implementation detail.
+    */
+  private def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
+    val dims = table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast(org.apache.spark.sql.types.DateType),
+          to_date(lit("1970-01-01"))).cast("long").as("y"))
+    val stats = dims.agg(
+      min("x").as("xmin"), max("x").as("xmax"),
+      min("y").as("ymin"), max("y").as("ymax"))
+    dims.crossJoin(broadcast(stats))
+      .select(col("o_orderkey"),
+        Layout.mortonKey(
+          Layout.zRank(col("x"), col("xmin"), col("xmax"), 16),
+          Layout.zRank(col("y"), col("ymin"), col("ymax"), 16),
+          16).as("zkey"))
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_src_json" -> qSrcJson, "q_src_csv" -> qSrcCsv,
       "q_src_partitioned" -> qSrcPartitioned,
-      "q_src_badrecords" -> qSrcBadRecords)
+      "q_src_badrecords" -> qSrcBadRecords,
+      "q_layout_zorder" -> qLayoutZorder)
 
   val oracleSql: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      s"""WITH dims AS (SELECT o_orderkey,
+         |    CAST(o_custkey AS BIGINT) AS x,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+         |  FROM orders),
+         |st AS (SELECT min(x) AS xmin, max(x) AS xmax,
+         |    min(y) AS ymin, max(y) AS ymax FROM dims),
+         |r AS (SELECT o_orderkey,
+         |    CAST(floor((x - xmin) * 65536.0 / (xmax - xmin + 1)) AS BIGINT)
+         |      AS rx,
+         |    CAST(floor((y - ymin) * 65536.0 / (ymax - ymin + 1)) AS BIGINT)
+         |      AS ry
+         |  FROM dims, st)
+         |SELECT o_orderkey,
+         |CAST(${graft.io.Layout.mortonKeySql("rx", "ry", 16)} AS BIGINT)
+         |  AS zkey
+         |FROM r ORDER BY o_orderkey""".stripMargin,
     "q_src_json" ->
       """SELECT event_id,
         |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
