@@ -37,6 +37,7 @@ object SparkEntry {
       graft.ops.TextOps.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Linkage.queries ++
+      graft.ops.SimJoin.queries ++
       graft.ops.Graph.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.ops.TextOps.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Linkage.oracleSql ++
+      graft.ops.SimJoin.oracleSql ++
       graft.ops.Graph.oracleSql ++
       graft.ops.Similarity.oracleSql ++
       graft.ops.Multimodal.oracleSql ++

@@ -201,6 +201,7 @@ object Dedup {
     // similarity memos so re-use after a release rebuilds cleanly
     graft.Caches.releaseAll()
     Similarity.clearMemos()
+    SimJoin.clearMemos()
     Multimodal.clearMemos()
     TextOps.clearMemos()
   }

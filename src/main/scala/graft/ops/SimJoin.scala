@@ -1,0 +1,177 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.sql.types.DoubleType
+
+import graft.io.Sources
+
+/** Exact set-similarity self-join via prefix filtering — the
+  * guaranteed-recall complement to the MinHash/LSH tier in
+  * [[graft.ops.Dedup]].
+  *
+  * LSH answers "probably similar" with a tunable s-curve; some pipeline
+  * stages (contamination audits, legal/compliance dedup) need the EXACT
+  * answer "every pair with Jaccard ≥ τ, no misses". The naive exact form
+  * is the O(n²) cross join; prefix filtering (Chaudhuri et al., ICDE 2006;
+  * Bayardo et al., WWW 2007 — public literature, PAPERS.md) makes it a
+  * bucketed equi-join with a completeness THEOREM instead of a
+  * probability:
+  *
+  * sort every doc's distinct-shingle set by GLOBAL ascending document
+  * frequency (rarest element first, ties lexicographic). If
+  * `J(x, y) ≥ τ` then `|x ∩ y| ≥ ceil(τ·|x|)`, so x and y must share at
+  * least one token inside their first `p(·) = |·| − ceil(τ·|·|) + 1`
+  * tokens under ANY shared total order — two sets that disagree on their
+  * whole prefixes cannot overlap enough. Candidates = docs sharing a
+  * PREFIX token; each candidate pair is then verified with the exact
+  * Jaccard. Recall is 1 by construction (the DuckDB oracle brute-forces
+  * all pairs and must agree row-for-row — that IS the exactness proof,
+  * re-checked every round at sf0.01).
+  *
+  * Why this scales where the cross join cannot:
+  *   - the join key is each doc's RAREST shingles: frequency-ascending
+  *     ordering pushes high-df shingles out of every prefix, so bucket
+  *     sizes track the df of rare shingles, not corpus size. The exchange
+  *     shuffles O(Σ p(d)) short (shingle, doc_id) rows — p(d) ≈ 0.4·|d|
+  *     at τ = 0.6 — never shingle arrays and never the text.
+  *   - candidate expansion reuses [[Dedup.bucketPairs]]: one shuffle to
+  *     the bucket key, per-bucket sorted expansion, and the same loud
+  *     `MaxBandBucket` guard — a token whose prefix bucket exceeds the
+  *     cap means >1024 docs call it "rare", a degenerate vocabulary worth
+  *     failing on rather than silently grinding a quadratic bucket (the
+  *     round-11 VERDICT #1 policy, applied to the second similarity
+  *     join in the codebase).
+  *   - exact Jaccard runs on O(candidates) pairs, map-side against the
+  *     memoized token-set frame — the verification never re-tokenizes.
+  *
+  * The float-vs-theorem subtlety is one-sided by construction:
+  * `ceil(lit(τ) * n)` evaluates `float64(0.6)·n` which is ≤ the exact
+  * `0.6·n` (0.6 rounds DOWN in binary; the product's round-to-nearest
+  * cannot cross the next integer because the gap n·2⁻⁵³ stays below half
+  * an ulp for any corpus-sized n), so the computed prefix length only
+  * ever EQUALS or EXCEEDS the theorem's — never misses a pair. The
+  * verification filter compares the identical IEEE division in both
+  * engines, so the emitted set matches the oracle bit-for-bit.
+  */
+object SimJoin {
+
+  /** Jaccard threshold for `q_simjoin_prefix`. 0.6 sits between the LSH
+    * default banding threshold (≈0.5) and the precision-heavy (2,4)
+    * configuration (≈0.84), so the exact tier is verifiably DIFFERENT
+    * from both approximate operating points.
+    */
+  private[graft] val Tau = 0.6
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** (doc_id, ts, n): the doc's distinct word-3-gram SHINGLES ordered
+    * rarest-first by the global (df, shingle) order, plus the set size.
+    *
+    * Shingles, not tokens, on purpose: the set universe must be large
+    * enough for "rare" to exist. A corpus drawn from a small vocabulary
+    * (this repo's synthetic one has 31 distinct tokens; real-world short
+    * templated text is comparable) makes every TOKEN frequent, so token
+    * prefixes bucket thousands of docs and the filter filters nothing —
+    * measured here: max token-prefix bucket 3 831 of 5 000 docs at sf0.1
+    * vs max SHINGLE-prefix bucket 10. Word order is what distinguishes
+    * near-dups, and shingles carry it; they are also exactly the universe
+    * the MinHash/LSH tier hashes ([[Dedup.rawShinglesWs]]), so the exact
+    * tier answers the SAME Jaccard question the approximate tier
+    * estimates — comparable thresholds, shared tokenization.
+    *
+    * Memoized + persisted: the prefix emission and BOTH sides of the
+    * verification join read it, and an unpinned frame would re-run the
+    * df join per consumer (the [[Dedup.cachedBands]] rationale).
+    * ~shingles-per-doc strings per row — corpus-text-sized, safe wherever
+    * the corpus itself fits.
+    */
+  private val setsCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def orderedSets(s: SparkSession, dir: String): DataFrame =
+    setsCache.getOrElseUpdate((s, dir), {
+      val toks = docs(s, dir)
+        // ws materialized in its OWN projection below the shingle lambda —
+        // the O(tokens²) re-tokenization trap documented at
+        // [[Dedup.rawShinglesWs]]
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), Dedup.rawShinglesWs(col("ws")).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val exploded = toks
+        .select(col("doc_id"), explode(col("ts")).as("tok"))
+      val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      graft.Caches.register(
+        exploded.join(dfreq, "tok")
+          .groupBy("doc_id")
+          // array_sort on (df, tok) structs = the global rarest-first
+          // total order, identical on every executor by construction
+          .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
+            .as("o"))
+          .select(col("doc_id"),
+            transform(col("o"), x => x.getField("tok")).as("ts"),
+            size(col("o")).as("n"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    })
+
+  /** Drop the memoized token-set frames (mirrors
+    * [[Similarity.clearMemos]]; called from [[Dedup.clearCaches]] so the
+    * one lifecycle entry point covers this module too).
+    */
+  private[graft] def clearMemos(): Unit =
+    setsCache.keys.toList.foreach(setsCache.remove)
+
+  /** Exact Jaccard ≥ τ self-join over `documents`: prefix-filter
+    * candidates, verify exactly, emit (doc_a, doc_b, jaccard). The oracle
+    * is the brute-force all-pairs form — completeness is hash-checked,
+    * not assumed.
+    */
+  private def qSimjoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    val sets = orderedSets(s, dir)
+    val prefixes = sets.select(col("doc_id"),
+        // p = n − ceil(τ·n) + 1 rarest tokens (ceil yields LONG; slice
+        // takes the int length column)
+        slice(col("ts"), lit(1),
+          (col("n") - ceil(lit(Tau) * col("n")) + 1).cast("int")).as("pf"))
+      .select(col("doc_id"), lit(0).as("band_id"),
+        explode(col("pf")).as("bkey"))
+    val candidates = Dedup.bucketPairs(prefixes)
+    val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
+    val j = inter.cast(DoubleType) / (col("sa.n") + col("sb.n") - inter)
+    candidates
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(j >= Tau)
+      .select(col("doc_a"), col("doc_b"), Num.r4(j).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_simjoin_prefix" -> qSimjoinPrefix)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_simjoin_prefix" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(ws) - 1, 1)),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS ts FROM w),
+         |s AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |${Num.r4Sql(
+             "CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) " +
+             "AS DOUBLE) / (a.n + b.n " +
+             "- len(list_filter(a.ts, x -> list_contains(b.ts, x))))")}
+         |  AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x)))
+         |      AS DOUBLE)
+         |    / (a.n + b.n
+         |       - len(list_filter(a.ts, x -> list_contains(b.ts, x))))
+         |  >= $Tau
+         |ORDER BY doc_a, doc_b""".stripMargin)
+}
