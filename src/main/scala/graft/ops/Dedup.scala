@@ -64,6 +64,38 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Intra-document dedup: remove repeated units WITHIN each document,
+    * keeping first occurrences in order (the "dedup repeated lines inside
+    * a doc" pass of LLM corpus curation — Lee et al. 2022 report it
+    * removes boilerplate navigation/footer repeats that whole-doc and
+    * near-dup passes both miss). The unit here is the token, because the
+    * testdata corpus is single-line; on a real crawl the same operator
+    * runs with a line/paragraph splitter — only the delimiter changes.
+    *
+    * Scale shape: entirely map-side — split, indexed higher-order filter,
+    * re-join — NO shuffle at any size, which beats the explode →
+    * groupBy(doc, unit) → min(pos) → re-collect formulation (two corpus
+    * shuffles carrying every unit). The filter's first-occurrence check
+    * (`array_position(ws, w) == i+1`) is O(units²) per doc, fine because
+    * per-doc unit counts are bounded (lines per page, not bytes) — while
+    * the shuffle the relational form pays grows with the CORPUS. Both
+    * engines evaluate the identical lambda (Spark 0-based index + 1-based
+    * array_position; DuckDB 1-based both), so order preservation is by
+    * construction, not by trusting list_distinct's unspecified order.
+    */
+  private def qDedupIntradoc(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast(LongType).as("n_units"),
+        expr("filter(ws, (w, i) -> array_position(ws, w) = i + 1)")
+          .as("uq"))
+      .select(col("doc_id"), col("n_units"),
+        size(col("uq")).cast(LongType).as("n_kept"),
+        array_join(col("uq"), " ").as("dedup_text"))
+      .orderBy("doc_id")
+
   // exact dedup of the event stream: earliest event per (user, type);
   // batch twin of streaming dropDuplicatesWithinWatermark (SURVEY.md R5)
   private def qDedupEvents(s: SparkSession, dir: String): DataFrame = {
@@ -1009,6 +1041,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> qDedupExact,
+    "q_dedup_intradoc" -> qDedupIntradoc,
     "q_dedup_substring" -> qDedupSubstring,
     "q_dedup_substring_run" -> qDedupSubstringRun,
     "q_dedup_embed_components" -> qDedupEmbedComponents,
@@ -1267,6 +1300,19 @@ object Dedup {
         |min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // DuckDB's lambda index parameter is 1-based where Spark's is 0-based;
+    // list_position/array_position are 1-based in both — the two
+    // formulations below are the same first-occurrence predicate
+    "q_dedup_intradoc" ->
+      """SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_units,
+        |  CAST(len(uq) AS BIGINT) AS n_kept,
+        |  array_to_string(uq, ' ') AS dedup_text
+        |FROM (SELECT doc_id, ws,
+        |        list_filter(ws, (w, i) -> list_position(ws, w) = i) AS uq
+        |      FROM (SELECT doc_id,
+        |              list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |            FROM documents))
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_events" ->
       """SELECT event_id, user_id, event_type FROM events
         |QUALIFY row_number() OVER (PARTITION BY user_id, event_type

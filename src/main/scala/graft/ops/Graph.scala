@@ -167,8 +167,68 @@ object Graph {
     }
   }
 
+  /** Triangle counting by degree orientation (compact-forward; Schank &
+    * Wagner 2005, Latapy 2008) plus the global clustering coefficient.
+    * Each undirected edge is oriented from its lower-(degree, id) endpoint
+    * to the higher one, which makes the wedge self-join's fan-out per node
+    * C(out-degree, 2) with out-degree ≤ O(√m) — THE device that keeps
+    * triangle enumeration shuffle-bounded on power-law graphs, where the
+    * naive wedge join explodes quadratically on hub vertices. Every step
+    * is an equi-join or hash aggregate; the total order is materialized as
+    * the collision-free integer key `deg·100000 + id` (ids < 997), so no
+    * global ranking window is needed to orient.
+    *
+    * A denser 5-generator edge set (local to this query — [[edges]] keeps
+    * its 2-generator shape for q_pagerank's anchored timings): the
+    * circulant triple (+1, +2, +3) guarantees real triangles — x→x+1,
+    * x+1→x+3 (its +2), x→x+3 close one for every pair of consecutive live
+    * residues, and custkeys are consecutive — while the two multiplicative
+    * maps (7x+1, 13x+3) break the regularity so degrees actually vary
+    * (the 2-generator graph is triangle-free at sf0.001: GraphSpec's
+    * brute force found 0). Wedges = Σ C(deg, 2) over the undirected
+    * degrees; cc = 3·triangles / wedges (transitivity), rounded portably
+    * via [[Num.r4]].
+    */
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val srcs = Sources.table(s, dir, "customer")
+      .select((col("c_custkey") % N).as("x")).distinct()
+    val raw = srcs.select(col("x").as("a"), explode(array(
+      (col("x") + 1) % N, (col("x") + 2) % N, (col("x") + 3) % N,
+      (col("x") * 7 + 1) % N, (col("x") * 13 + 3) % N)).as("b"))
+    val und = raw.filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("x"))
+      .unionAll(und.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("d"))
+    val pk = deg.select(col("x"), (col("d") * 100000L + col("x")).as("pk"))
+    // node-keyed frame is ≤997 rows — broadcast both pk attachments
+    val o = und
+      .join(broadcast(pk.select(col("x").as("u"), col("pk").as("pku"))), "u")
+      .join(broadcast(pk.select(col("x").as("v"), col("pk").as("pkv"))), "v")
+      .select(
+        when(col("pku") < col("pkv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("pku") < col("pkv"), col("v")).otherwise(col("u")).as("t"),
+        greatest(col("pku"), col("pkv")).as("pkt"))
+    val wedge = o.select(col("s"), col("t").as("b"), col("pkt").as("pkb"))
+      .join(o.select(col("s"), col("t").as("c"), col("pkt").as("pkc")), "s")
+      .filter(col("pkb") < col("pkc"))
+    // a wedge b←a→c closes iff edge {b,c} exists; pk(b) < pk(c) means it
+    // can only be stored oriented b→c, so one equi-join probes it
+    val tri = wedge
+      .join(o.select(col("s").as("b"), col("t").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val wed = deg.agg(expr("sum((d * (d - 1)) div 2)").as("n_wedges"))
+    wed.crossJoin(broadcast(tri))
+      .select(col("n_wedges"), col("n_triangles"),
+        Num.r4(lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .as("global_cc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pagerank" -> qPagerank)
+    "q_pagerank" -> qPagerank,
+    "q_graph_triangles" -> qGraphTriangles)
 
   /** The identical 10 iterations unrolled as CTEs (recursive CTEs cannot
     * aggregate in the recursive member, so fixed iteration count = plain
@@ -185,7 +245,35 @@ object Graph {
 
   private val BaseSql = s"(15 * ($Scale // $N)) // 100"
 
+  private val TrianglesSql =
+    s"""WITH srcs AS (SELECT DISTINCT c_custkey % $N AS x FROM customer),
+       |raw AS (
+       |  SELECT x AS a, (x + 1) % $N AS b FROM srcs
+       |  UNION ALL SELECT x, (x + 2) % $N FROM srcs
+       |  UNION ALL SELECT x, (x + 3) % $N FROM srcs
+       |  UNION ALL SELECT x, (x * 7 + 1) % $N FROM srcs
+       |  UNION ALL SELECT x, (x * 13 + 3) % $N FROM srcs),
+       |und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+       |  FROM raw WHERE a <> b),
+       |deg AS (SELECT x, count(*) AS d FROM (
+       |  SELECT u AS x FROM und UNION ALL SELECT v FROM und) GROUP BY x),
+       |pk AS (SELECT x, d * 100000 + x AS pk FROM deg),
+       |o AS (SELECT
+       |    CASE WHEN pu.pk < pv.pk THEN u ELSE v END AS s,
+       |    CASE WHEN pu.pk < pv.pk THEN v ELSE u END AS t,
+       |    greatest(pu.pk, pv.pk) AS pkt
+       |  FROM und JOIN pk pu ON und.u = pu.x JOIN pk pv ON und.v = pv.x),
+       |tri AS (SELECT count(*) AS n_triangles
+       |  FROM o e1 JOIN o e2 ON e1.s = e2.s AND e1.pkt < e2.pkt
+       |  JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+       |wed AS (SELECT sum((d * (d - 1)) // 2) AS n_wedges FROM deg)
+       |SELECT CAST(n_wedges AS BIGINT) AS n_wedges,
+       |  CAST(n_triangles AS BIGINT) AS n_triangles,
+       |  ${graft.ops.Num.r4Sql("3.0 * n_triangles / n_wedges")} AS global_cc
+       |FROM wed CROSS JOIN tri""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_graph_triangles" -> TrianglesSql,
     "q_pagerank" -> {
       val chain = (1 to Iters)
         .map(i => iterSql(s"pr${i - 1}", s"pr$i")).mkString(",\n")

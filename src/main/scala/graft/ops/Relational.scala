@@ -475,6 +475,41 @@ object Relational {
       .orderBy("source", "rn")
   }
 
+  /** O-sample-w: deterministic weighted sampling without replacement —
+    * Efraimidis–Spirakis A-ES (IPL 2006): each row draws uniform u and
+    * keeps key u^(1/w); the global top-k by key IS a weighted sample
+    * without replacement. Ranked here by the monotone-equivalent
+    * ln(u)/w (descending) so big-weight keys don't all crowd into the
+    * float neighborhood of 1.0.
+    *
+    * u must be reproducible across engines AND exactly uniform, so it is
+    * built from md5 digits: conditional on a hex char being a decimal
+    * digit it is uniform on 0–9, so stripping the letters from
+    * md5(id)‖md5(id‖'w') leaves iid uniform digits — the first 9 form an
+    * exactly-uniform 0..1e9-1 integer (64 hex chars ⇒ P[<9 digits
+    * survive] ≈ 1e-28). `rand()` would be seed/split-dependent; Spark's
+    * `hash()` has no DuckDB twin.
+    *
+    * Scale shape: map-side key computation + TakeOrderedAndProject — the
+    * k-sized heap merges per partition, no global sort, no shuffle of the
+    * corpus. The float exposure is one ln+divide per row; selection flips
+    * only if two keys collide within an ulp (row gaps here are ≥1e-7).
+    */
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val idStr = col("doc_id").cast(StringType)
+    val digits = regexp_replace(
+      concat(md5(idStr), md5(concat(idStr, lit("w")))), "[a-f]", "")
+    val u = (substring(digits, 1, 9).cast(LongType) + lit(0.5)) / lit(1.0e9)
+    t(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (log(u) / col("n_chars")).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ windows
 
   // W1 ranking trio within a partition
@@ -1013,6 +1048,7 @@ object Relational {
     "q_agg_grouping_sets" -> qAggGroupingSets,
     "q_sample_stratified" -> qSampleStratified,
     "q_sample_bottomk" -> qSampleBottomK,
+    "q_sample_weighted" -> qSampleWeighted,
     "q_agg_reaggregate" -> qAggReaggregate,
     "q_win_range_frame" -> qWinRangeFrame,
     "q_scd2" -> qScd2,
@@ -1317,6 +1353,20 @@ object Relational {
         |  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
         |FROM documents QUALIFY rn <= 2
         |ORDER BY source, rn""".stripMargin,
+    // A-ES weighted sample — DuckDB regexp_replace needs the 'g' flag
+    // (first-match-only by default) where Spark's replaces all; ln() is
+    // natural log in both (DuckDB's log() is log10)
+    "q_sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((CAST(substring(regexp_replace(
+        |          md5(CAST(doc_id AS VARCHAR)) ||
+        |          md5(CAST(doc_id AS VARCHAR) || 'w'),
+        |          '[a-f]', '', 'g'), 1, 9) AS BIGINT) + 0.5) / 1e9)
+        |      / n_chars AS k
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY k DESC, doc_id LIMIT 50)
+        |ORDER BY doc_id""".stripMargin,
     "q_win_range_frame" ->
       """SELECT o_orderkey, o_custkey,
         |CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS day,

@@ -457,6 +457,48 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-reweighted domain sampling — the mixture knob between
+    * [[qCorpusMix]]'s proportional downsampling and [[qCorpusCap]]'s hard
+    * cap: target share of domain i ∝ cntᵢ^α (α = 0.5 here), the
+    * "temperature" reweighting used to up-sample small high-value domains
+    * without flattening the mixture entirely (α=1 keeps natural
+    * proportions, α=0 is uniform). Each domain keeps its quotaᵢ =
+    * max(1, ⌊K·√cntᵢ/Σ√cntⱼ + 0.5⌋) lowest-md5 docs — the same
+    * deterministic bottom-k-by-hash selection as `q_sample_bottomk`, so
+    * the kept set is a uniform sample of the domain at exactly the
+    * reweighted rate, reproducible by any engine.
+    *
+    * Scale shape: the domain model (counts → shares → quotas) is one
+    * tiny aggregate with a global window (domains-sized frame, same rule
+    * as qCorpusMix's quota) broadcast back onto the corpus; the in-domain
+    * ranking is a window over the domain key — with few domains the 100 TB
+    * form swaps it for the mergeable per-partition bottom-k heap
+    * (`q_topk_group_heap`), identical output by construction since the
+    * hash order is total. ⌊x+0.5⌋ instead of round() for the quota: both
+    * engines execute the float multiply/add/floor identically (Num.r4's
+    * rationale), where round()'s half-case semantics differ.
+    */
+  private def qCorpusTemperature(s: SparkSession, dir: String): DataFrame = {
+    val K = 200L
+    val domain = concat(lit("dom"),
+      floor(sqrt((col("doc_id") % 100).cast(DoubleType)))
+        .cast(LongType).cast(StringType))
+    val d = docs(s, dir).select(col("doc_id"), domain.as("domain"))
+    val quotas = d.groupBy("domain").agg(count(lit(1)).as("cnt"))
+      .withColumn("stot", sum(sqrt(col("cnt"))).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col("domain"),
+        greatest(lit(1L), floor(lit(K.toDouble) * sqrt(col("cnt")) /
+          col("stot") + lit(0.5)).cast(LongType)).as("quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("domain")
+      .orderBy(md5(col("doc_id").cast(StringType)), col("doc_id"))
+    d.withColumn("rn", row_number().over(w).cast(LongType))
+      .join(broadcast(quotas), "domain")
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("domain"), col("rn"), col("quota"))
+      .orderBy("doc_id")
+  }
+
   /** Model-based quality scoring — the "quality classifier" slot of a
     * modern pretraining pipeline (GPT-3/LLaMA-style pipelines train a
     * linear classifier against a trusted corpus and keep documents it
@@ -1345,6 +1387,7 @@ object TextOps {
     "q_text_unigram_lp" -> qTextUnigramLp,
     "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
+    "q_corpus_temperature" -> qCorpusTemperature,
     "q_corpus_cap" -> qCorpusCap,
     "q_corpus_shuffle" -> qCorpusShuffle,
     "q_corpus_shuffle_read" -> qCorpusShuffleRead,
@@ -1489,6 +1532,21 @@ object TextOps {
         |  < least(10000, (quota * 10000) // cnt) AS kept
         |FROM d JOIN bys USING (domain) CROSS JOIN q
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_temperature" ->
+      """WITH d AS (SELECT doc_id,
+        |  'dom' || CAST(CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE)))
+        |    AS BIGINT) AS VARCHAR) AS domain FROM documents),
+        |bys AS (SELECT domain, count(*) AS cnt FROM d GROUP BY domain),
+        |qt AS (SELECT domain,
+        |  greatest(1, CAST(floor(200.0 * sqrt(cnt)
+        |    / sum(sqrt(cnt)) OVER () + 0.5) AS BIGINT)) AS quota FROM bys),
+        |rk AS (SELECT doc_id, domain,
+        |  CAST(row_number() OVER (PARTITION BY domain
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+        |  FROM d)
+        |SELECT doc_id, domain, rn, quota
+        |FROM rk JOIN qt USING (domain)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     // bigram LM: identical counts, smoothing, and DECIMAL(20,10) terms;
     // range(1, len(ws)) yields i in [1, len-1], so ws[i+1] always exists
     "q_text_bigram_lp" ->

@@ -578,4 +578,25 @@ class DedupSpec extends TestSpark {
     // canonical ordering: doc_a < doc_b on every emitted pair
     assert(got.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
+
+  test("intra-doc dedup keeps exactly the first occurrence of every unit, in order") {
+    val raw = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.SparkEntry.queries("q_dedup_intradoc")(spark, Sf)
+      .collect()
+    assert(got.length === raw.size)
+    got.foreach { r =>
+      val toks = raw(r.getLong(0)).split(' ').filter(_.nonEmpty).toSeq
+      // Scala's Seq.distinct is specified first-occurrence-order — the
+      // independent model of the indexed-lambda formulation
+      val expect = toks.distinct
+      assert(r.getLong(r.fieldIndex("n_units")) === toks.length.toLong)
+      assert(r.getLong(r.fieldIndex("n_kept")) === expect.length.toLong)
+      assert(r.getString(r.fieldIndex("dedup_text")) === expect.mkString(" "))
+    }
+    // the pass actually removes something on this corpus
+    assert(got.exists(r =>
+      r.getLong(r.fieldIndex("n_kept")) < r.getLong(r.fieldIndex("n_units"))))
+  }
 }

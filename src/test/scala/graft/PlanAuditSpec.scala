@@ -299,4 +299,37 @@ class PlanAuditSpec extends TestSpark {
     assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoop"),
       s"band join degenerated to an all-pairs compare:\n$s")
   }
+
+  test("q_sample_weighted: top-k heap, no global sort of the corpus") {
+    // A-ES selection must plan as TakeOrderedAndProject (per-partition
+    // k-heaps merged on the driver), never a full Sort+Limit — that is
+    // the entire scale argument of the weighted sample
+    val s = staticPlan("q_sample_weighted").toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"weighted sample lost its k-heap (global sort?):\n$s")
+  }
+
+  test("q_dedup_intradoc: map-side only — no shuffle beyond the presentation sort") {
+    // the indexed-lambda formulation exists to beat the explode+groupBy
+    // form's two corpus shuffles; a hashpartitioning exchange or an
+    // aggregate in this plan means it regressed to exactly that
+    val s = staticPlan("q_dedup_intradoc").toString
+    assert(!s.contains("hashpartitioning"),
+      s"intra-doc dedup gained a data shuffle:\n$s")
+    assert(!s.contains("HashAggregate") && !s.contains("SortAggregate"),
+      s"intra-doc dedup gained an aggregate:\n$s")
+  }
+
+  test("q_graph_triangles: orientation keys broadcast, wedge join never nested-loop") {
+    val s = staticPlan("q_graph_triangles").toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"node-keyed pk attachment should broadcast (<=997 rows):\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"triangle join degenerated to an all-pairs compare:\n$s")
+    // the one tolerated nested-loop is the final wedges×triangles scalar
+    // combine (two 1-row aggregates); a second one means a data-sized
+    // join lost its equi-keys
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(bnlj <= 1, s"unexpected nested-loop join beyond the scalar combine:\n$s")
+  }
 }

@@ -156,4 +156,25 @@ class RelationalSpec extends TestSpark {
       assertOnlyPidWindows(plan, key)
     }
   }
+
+  test("weighted sample equals brute-force A-ES and skews toward heavy docs") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).filter(_._2 > 0)
+    def u(id: Long): Double = {
+      val s = id.toString
+      val hex = graft.functions.MinHash.md5HexOf(s) +
+        graft.functions.MinHash.md5HexOf(s + "w")
+      (hex.filter(_.isDigit).take(9).toLong + 0.5) / 1e9
+    }
+    val expect = docs.map { case (id, w) => (math.log(u(id)) / w, id) }
+      .sortBy { case (k, id) => (-k, id) }.take(50).map(_._2).toSet
+    val got = graft.SparkEntry.queries("q_sample_weighted")(spark, Sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect)
+    // w = n_chars: the sample's mean length must exceed the corpus mean
+    val all = docs.map(_._2.toDouble)
+    val in = docs.filter(d => got(d._1)).map(_._2.toDouble)
+    assert(in.sum / in.length > all.sum / all.length)
+  }
 }

@@ -369,4 +369,29 @@ class TextOpsSpec extends TestSpark {
     assert(red.contains("<EMAIL>") && red.contains("<PHONE>"))
     assert(!red.contains("@example.com") && !red.contains("555-"))
   }
+
+  test("temperature sampling keeps min(cnt, quota) bottom-hash docs per domain") {
+    val ids = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val byDom = ids.groupBy(id =>
+      math.floor(math.sqrt((id % 100).toDouble)).toLong)
+    val stot = byDom.values.map(v => math.sqrt(v.length.toDouble)).sum
+    def quota(cnt: Int): Long =
+      math.max(1L, math.floor(200.0 * math.sqrt(cnt.toDouble) / stot + 0.5).toLong)
+    val got = graft.SparkEntry.queries("q_corpus_temperature")(spark, Sf)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    byDom.foreach { case (k, dom) =>
+      val expect = dom
+        .sortBy(id => (graft.functions.MinHash.md5HexOf(id.toString), id))
+        .take(math.min(quota(dom.length), dom.length.toLong).toInt).toSet
+      assert(got(s"dom$k") === expect, s"dom$k")
+    }
+    // α = 0.5 up-samples the tail: the smallest domain's keep-rate must
+    // beat the largest domain's (that is the point of temperature < 1)
+    val small = byDom.minBy(_._2.length)
+    val large = byDom.maxBy(_._2.length)
+    val rate = (k: Long, n: Int) => got(s"dom$k").size.toDouble / n
+    assert(rate(small._1, small._2.length) > rate(large._1, large._2.length))
+  }
 }
