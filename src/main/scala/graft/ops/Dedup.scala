@@ -386,6 +386,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Asymmetric CONTAINMENT over the LSH candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| per pair. Jaccard under-reports subset relationships — a
+    * paragraph quoted whole inside a 10× larger page scores J ≈ 0.1 and
+    * survives Jaccard dedup, yet its containment in the page is ≈ 1.0;
+    * containment is the measure quote/subset detection and
+    * contamination-direction analysis actually need (Broder's original
+    * resemblance/containment pair, 1997). Same candidate generation and
+    * the same O(candidates) verification cost as [[qDedupFuzzy]] — only
+    * the denominators differ.
+    */
+  private def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val sets = docs(s, dir)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    candidatePairs(s, dir)
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        Num.r4(inter.cast(DoubleType) / size(col("sa.sh"))).as("cont_a"),
+        Num.r4(inter.cast(DoubleType) / size(col("sb.sh"))).as("cont_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** 32-bit SimHash, engine-portable: bit b of token t = MSB of the b-th
@@ -1050,6 +1074,7 @@ object Dedup {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_owner" -> qDedupOwner,
     "q_dedup_fuzzy" -> qDedupFuzzy,
+    "q_dedup_containment" -> qDedupContainment,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_cc_sizes" -> qDedupCcSizes,
     "q_dedup_components" -> qDedupComponents,
@@ -1448,6 +1473,20 @@ object Dedup {
           |  / (len(sa.sh) + len(sb.sh)
           |     - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))))
           |  * 10000 + 0.5) / 10000 AS jaccard
+          |FROM cand JOIN sets sa ON doc_a = sa.doc_id
+          |JOIN sets sb ON doc_b = sb.doc_id
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_containment" ->
+      (MinhashCtes +
+        """,
+          |sets AS (SELECT doc_id, list_distinct(list_transform(
+          |  range(1, greatest(len(ws) - 1, 1)),
+          |  i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)
+          |SELECT doc_a, doc_b,
+          |floor((CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+          |    AS DOUBLE) / len(sa.sh)) * 10000 + 0.5) / 10000 AS cont_a,
+          |floor((CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))
+          |    AS DOUBLE) / len(sb.sh)) * 10000 + 0.5) / 10000 AS cont_b
           |FROM cand JOIN sets sa ON doc_a = sa.doc_id
           |JOIN sets sb ON doc_b = sb.doc_id
           |ORDER BY doc_a, doc_b""".stripMargin),

@@ -579,6 +579,35 @@ class DedupSpec extends TestSpark {
     assert(got.filter(col("doc_a") >= col("doc_b")).count() === 0)
   }
 
+  test("containment matches a brute-force recompute and dominates jaccard") {
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(' ').filter(_.nonEmpty)
+      if (ws.length < 3) Set.empty
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def r4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000
+    val rows = graft.SparkEntry.queries("q_dedup_containment")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val jac = graft.SparkEntry.queries("q_dedup_fuzzy")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (sa, sb) = (shingles(texts(a)), shingles(texts(b)))
+      val i = (sa & sb).size.toDouble
+      assert(r.getDouble(2) === r4(i / sa.size), s"cont_a of ($a,$b)")
+      assert(r.getDouble(3) === r4(i / sb.size), s"cont_b of ($a,$b)")
+      // containment's denominator is one side, jaccard's the union —
+      // both containments bound jaccard from above on every pair
+      assert(r.getDouble(2) >= jac((a, b)) - 1e-4)
+      assert(r.getDouble(3) >= jac((a, b)) - 1e-4)
+    }
+  }
+
   test("intra-doc dedup keeps exactly the first occurrence of every unit, in order") {
     val raw = spark.read.parquet(s"$Sf/documents.parquet")
       .select("doc_id", "text").collect()
