@@ -20,31 +20,47 @@ object Sources {
     * Columnar scan: Catalyst pushes projections and predicates into the
     * vectorized parquet reader, so downstream `select`/`filter` prune I/O.
     *
-    * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright (PARQUET_TYPE_ILLEGAL). We read it as a raw nanosecond long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to microseconds
-    * — the same truncation DuckDB applies — so both engines see identical
-    * TimestampType values (FIXTURES.md §3).
+    * `events.ts` arrives in whatever physical form the generator used, and
+    * the contract here is ONE logical type downstream: session-zone
+    * `TimestampType` truncated to microseconds, bit-identical to what
+    * DuckDB sees on the same file (FIXTURES.md §3). Observed generator
+    * layouts, all normalized here by inspecting the resolved read schema:
+    *   - TIMESTAMP(NANOS) → Spark 4 rejects it outright
+    *     (PARQUET_TYPE_ILLEGAL), so we read it as a raw nanosecond long
+    *     (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs;
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+    *     TIMESTAMP_NTZ (`inferTimestampNTZ` default); cast to
+    *     TimestampType — the session runs UTC, so the wall-clock values
+    *     match DuckDB's naive read exactly;
+    *   - TIMESTAMP(MICROS, adjusted) → already TimestampType, pass through.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // ns→µs with INTEGER division (`div`): `/ 1000` is double division in
-      // Spark, and epoch-nanos (~1.8e18) exceed double's 2^53 exact range,
-      // so the round-trip could land ±1 µs off DuckDB's exact truncation
-      // near µs boundaries (round-1 ADVICE, medium).
-      //
       // The legacy flag is session-global, so the set/read/unset must not
       // interleave with a concurrent `table()` call on the same session —
       // synchronize on the session. (The flag only affects schema
       // resolution, which happens inside this block; executing the
-      // returned plan later needs no flag.)
+      // returned plan later needs no flag. On a non-NANOS file it is
+      // inert, so setting it before looking at the schema is safe.)
       spark.synchronized {
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try {
-          spark.read.parquet(s"$dir/$name.parquet")
-            .withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
+          val raw = spark.read.parquet(s"$dir/$name.parquet")
+          raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              // ns→µs with INTEGER division (`div`): `/ 1000` is double
+              // division in Spark, and epoch-nanos (~1.8e18) exceed
+              // double's 2^53 exact range, so the round-trip could land
+              // ±1 µs off DuckDB's exact truncation near µs boundaries
+              // (round-1 ADVICE, medium).
+              raw.withColumn("ts",
+                org.apache.spark.sql.functions.timestamp_micros(
+                  org.apache.spark.sql.functions.expr("ts div 1000")))
+            case org.apache.spark.sql.types.TimestampNTZType =>
+              raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+                .cast(org.apache.spark.sql.types.TimestampType))
+            case _ => raw
+          }
         } finally {
           // scope the legacy flag to this read: later TIMESTAMP(NANOS)
           // reads elsewhere should fail loudly, not silently come back as
