@@ -2,7 +2,7 @@ package graft.ops
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.types.DoubleType
@@ -88,41 +88,57 @@ object SimJoin {
     * verification join read it, and an unpinned frame would re-run the
     * df join per consumer (the [[Dedup.cachedBands]] rationale).
     *
-    * The sets are INTERNED to 64-bit xxhash64 values after the
-    * (df, shingle) ordering is computed: every downstream step — the
-    * prefix shuffle key, the bucket arrays, and above all the exact
-    * verification's `array_intersect` — runs on fixed-width longs instead
-    * of shingle strings. Cardinalities (and therefore Jaccard) survive
-    * any injective renaming; a 64-bit collision merging two of the
-    * corpus's distinct shingles has probability ~d²/2⁶⁵ (≈5e-10 at
-    * d = 10⁵) — far below the engine's md5-based determinism assumptions
-    * elsewhere. Measured at sf0.1: the string-array intersect owned 6.9 s
-    * of the 13 s query; interning cut the verification ~5× with byte-wise
-    * identical output.
+    * The sets are INTERNED to 64-bit xxhash64 values at shingle-creation
+    * time (round-13; round-12 interned after the df ordering): every
+    * step — df counting, the (df, tok) global order, the prefix shuffle
+    * key, the bucket arrays, and above all the exact verification's
+    * `array_intersect` — runs on fixed-width longs, never shingle
+    * strings. Cardinalities (and therefore Jaccard) survive any injective
+    * renaming; the ordering tie-break switches from lexicographic shingle
+    * to hash value, which is just as valid — the prefix theorem needs
+    * only SOME shared total order, and the verified output is
+    * order-invariant. A 64-bit collision merging two of the corpus's
+    * distinct shingles has probability ~d²/2⁶⁵ (≈5e-10 at d = 10⁵) — far
+    * below the engine's md5-based determinism assumptions elsewhere.
+    * Measured at sf0.1: round-12's post-hoc interning cut the string
+    * intersect ~5×; creation-time interning additionally cuts the BUILD
+    * (no per-position string slice/concat/hash), 1.9 s → 0.3 s.
     */
   private val setsCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
   private[graft] def orderedSets(s: SparkSession, dir: String): DataFrame =
     setsCache.getOrElseUpdate((s, dir), {
+      // Shingling + interning in ONE native codegen'd pass
+      // ([[graft.functions.ShingleHashes]], round-13): the composed
+      // tokenize → shingle-lambda → distinct → hash pipeline was
+      // quadratic-prone under CollapseProject/PushDownPredicates (any
+      // rewrite that inlines the token array into a per-element consumer
+      // re-tokenizes once per SHINGLE — measured 2-6 s of this build at
+      // sf0.1 depending on which rewrite fired) and paid per-position
+      // string slice/concat/hash even when the optimizer behaved. The
+      // native expression has no optimizer seams and runs the whole
+      // corpus in ~0.3 s.
       val toks = docs(s, dir)
-        // ws materialized in its OWN projection below the shingle lambda —
-        // the O(tokens²) re-tokenization trap documented at
-        // [[Dedup.rawShinglesWs]]
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), Dedup.rawShinglesWs(col("ws")).as("ts"))
+        .select(col("doc_id"),
+          graft.functions.ShingleExprs.shingleHashes(col("text")).as("ts"))
         .filter(size(col("ts")) > 0)
-      val exploded = toks
-        .select(col("doc_id"), explode(col("ts")).as("tok"))
-      val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+      // df via a window over ONE exploded frame — the round-12
+      // groupBy + self-join form executed the shingle subplan once per
+      // join branch and shuffled the exploded rows twice; the window
+      // computes shingles once and shuffles once (partition-wide count,
+      // no ordering → single full-partition aggregate per tok)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
       graft.Caches.register(
-        exploded.join(dfreq, "tok")
+        toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+          .select(col("doc_id"), col("tok"),
+            count(lit(1)).over(w).as("df"))
           .groupBy("doc_id")
           // array_sort on (df, tok) structs = the global rarest-first
           // total order, identical on every executor by construction
           .agg(array_sort(collect_list(struct(col("df"), col("tok"))))
             .as("o"))
           .select(col("doc_id"),
-            transform(col("o"), x => xxhash64(x.getField("tok"))).as("ts"),
+            transform(col("o"), x => x.getField("tok")).as("ts"),
             size(col("o")).as("n"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
@@ -134,26 +150,105 @@ object SimJoin {
   private[graft] def clearMemos(): Unit =
     setsCache.keys.toList.foreach(setsCache.remove)
 
-  /** Exact Jaccard ≥ τ self-join over `documents`: prefix-filter
-    * candidates, verify exactly, emit (doc_a, doc_b, jaccard). The oracle
-    * is the brute-force all-pairs form — completeness is hash-checked,
-    * not assumed.
+  /** One-sided float slack for the PPJoin pruning bounds: subtracted from
+    * every computed threshold so IEEE rounding can only LOOSEN a filter
+    * (admit a spare candidate the exact verification discards for free),
+    * never tighten it past the theorem and drop a true pair. 1e-9 is ~10⁷
+    * ulps at these magnitudes — astronomically above any accumulated
+    * rounding, astronomically below the 1-integer granularity the bounds
+    * compare against.
+    */
+  private val Eps = 1e-9
+
+  /** Candidate pairs with the PPJoin length + positional filters (Xiao
+    * et al., WWW 2008 — public literature) applied INSIDE the bucket
+    * expansion, before any pair row exists:
+    *
+    *   - length filter: `J(x,y) = i/(nx+ny−i) ≥ τ` and `i ≤ min(nx,ny)`
+    *     force `min(nx,ny) ≥ τ·max(nx,ny)` — pairs of incompatible sizes
+    *     never expand.
+    *   - positional filter: the prefix order is one GLOBAL total order,
+    *     so the elements of x ∩ y sort identically inside both sets. For
+    *     a shared token at 0-based positions (px, py), common elements
+    *     strictly before it number ≤ min(px, py) and strictly after it
+    *     ≤ min(nx−px−1, ny−py−1), giving the true per-bucket bound
+    *     `|x∩y| ≤ min(px,py) + 1 + min(nx−px−1, ny−py−1)`. Pairs whose
+    *     bound falls below the required overlap α = ⌈τ/(1+τ)·(nx+ny)⌉
+    *     never expand. Because the bound holds in EVERY shared bucket
+    *     (not just the first match, unlike the index-probe formulation),
+    *     a true pair — whose actual overlap is ≥ α — survives in every
+    *     bucket it shares; per-bucket pruning + the distinct union cannot
+    *     lose it.
+    *
+    * Both thresholds carry [[Eps]] slack so float rounding stays
+    * one-sided. Measured at sf0.1: candidates 300k → 191k (−36%; the
+    * corpus's docs are near-uniform in length, which blunts the length
+    * filter — the filters matter most under length skew), the
+    * verification's `array_intersect` cost dropping with them.
+    *
+    * Same loud [[Dedup.MaxBandBucket]] cap as every other bucketed
+    * expansion — the filters cut PAIRS, the cap still guards the
+    * quadratic in-bucket expansion itself.
+    */
+  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame = {
+    val alphaCoef = Tau / (1.0 + Tau)
+    val pfx = sets.select(col("doc_id"), col("n"),
+      // p = n − ceil(τ·n) + 1 rarest tokens (ceil yields LONG; slice
+      // takes the int length column); posexplode keeps each prefix
+      // token's 0-based position for the positional bound
+      posexplode(slice(col("ts"), lit(1),
+        (col("n") - ceil(lit(Tau) * col("n")) + 1).cast("int")))
+        .as(Seq("pos", "bkey")))
+    def pairOk(x: Column, y: Column): Column = {
+      val (nx, ny) = (x.getField("n"), y.getField("n"))
+      val (px, py) = (x.getField("pos"), y.getField("pos"))
+      val lengthOk =
+        least(nx, ny).cast(DoubleType) >= lit(Tau) * greatest(nx, ny) - Eps
+      val alpha = ceil(lit(alphaCoef) * (nx + ny) - Eps)
+      val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
+      lengthOk && ubound >= alpha
+    }
+    pfx
+      .groupBy("bkey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"),
+        col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .withColumn("ds",
+        when(assert_true(size(col("ds")) <= Dedup.MaxBandBucket,
+          concat(lit(s"prefix band bucket exceeds ${Dedup.MaxBandBucket} " +
+            "docs for key "), col("bkey").cast("string"))).isNull,
+          col("ds")))
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(
+          filter(slice(col("ds"), i + 2, size(col("ds"))),
+            y => pairOk(x, y)),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard ≥ τ self-join over `documents`: prefix-filter +
+    * PPJoin-pruned candidates, verify exactly, emit
+    * (doc_a, doc_b, jaccard). The oracle is the brute-force all-pairs
+    * form — completeness is hash-checked, not assumed.
     */
   private def qSimjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     val sets = orderedSets(s, dir)
-    val prefixes = sets.select(col("doc_id"),
-        // p = n − ceil(τ·n) + 1 rarest tokens (ceil yields LONG; slice
-        // takes the int length column)
-        slice(col("ts"), lit(1),
-          (col("n") - ceil(lit(Tau) * col("n")) + 1).cast("int")).as("pf"))
-      .select(col("doc_id"), lit(0).as("band_id"),
-        explode(col("pf")).as("bkey"))
-    val candidates = Dedup.bucketPairs(prefixes)
+    val candidates = ppjoinCandidates(sets)
     val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
     val j = inter.cast(DoubleType) / (col("sa.n") + col("sb.n") - inter)
+    // the sets side is one row per DOCUMENT with the text reduced to
+    // ~52 longs (≈ 2 MB at sf0.1 — far under any broadcast threshold),
+    // so both verification lookups broadcast instead of shuffling the
+    // candidate-pair frame twice. The hint is a bench-scale pin: on a
+    // corpus whose interned-set frame outgrows the executor heap the
+    // right plan is the plain shuffle join (drop the hint and Spark's
+    // size stats choose SMJ) — candidates, not sets, are the big side
+    // HERE because the filters collapse 12.5 M possible pairs to 190 k.
     candidates
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
       .filter(j >= Tau)
       .select(col("doc_a"), col("doc_b"), Num.r4(j).as("jaccard"))
       .orderBy("doc_a", "doc_b")

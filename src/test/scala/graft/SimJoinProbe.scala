@@ -1,6 +1,5 @@
 package graft
 
-/** Dev probe: where do q_simjoin_prefix's seconds go at sf0.1? */
 object SimJoinProbe {
   import org.apache.spark.sql.functions._
   def main(args: Array[String]): Unit = {
@@ -9,33 +8,33 @@ object SimJoinProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
+    spark.range(1000).selectExpr("sum(id)").count()
     def time(l: String)(f: => Long): Unit = {
-      val t = (1 to 2).map { _ =>
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime; val n = f
         ((System.nanoTime - t0) / 1e9, n)
       }
-      println(f"$l%-32s min=${t.map(_._1).min}%.3f n=${t.head._2}")
+      println(f"$l%-30s min=${t.map(_._1).min}%.3f runs=${t.map(x => f"${x._1}%.2f").mkString(",")} n=${t.head._2}")
     }
-    val sets = graft.ops.SimJoin.orderedSets(spark, dir)
-    time("orderedSets build+count")(sets.count())
-    val prefixes = sets.select(col("doc_id"),
-        slice(col("ts"), lit(1),
-          (col("n") - ceil(lit(0.6) * col("n")) + 1).cast("int")).as("pf"))
-      .select(col("doc_id"), lit(0).as("band_id"),
-        explode(col("pf")).as("bkey"))
-    time("prefix rows")(prefixes.count())
-    val cand = graft.ops.Dedup.bucketPairs(prefixes)
-    time("candidates")(cand.count())
-    val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
-    val j = inter.cast("double") / (col("sa.n") + col("sb.n") - inter)
-    time("verified") {
-      cand.join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .filter(j >= 0.6).count()
-    }
-    time("full query") {
-      graft.SparkEntry.queries("q_simjoin_prefix")(spark, dir).count()
-    }
+    val docs = graft.io.Sources.table(spark, dir, "documents")
+    val base = docs
+      .select(col("doc_id"), graft.ops.TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    time("tokens sum")(base.select(sum(size(col("ws")))).collect()(0).getLong(0))
+    val hashed = base.select(col("doc_id"),
+      transform(col("ws"), w => xxhash64(w)).as("hs"))
+    time("token-hash sum")(hashed.select(sum(size(col("hs")))).collect()(0).getLong(0))
+    val toks = hashed.select(col("doc_id"), array_distinct(
+      transform(graft.ops.TextOps.shingleIdx(col("hs")), i =>
+        xxhash64(element_at(col("hs"), i),
+          element_at(col("hs"), i + 1),
+          element_at(col("hs"), i + 2)))).as("ts"))
+    time("hashed shingles explode")(toks.select(col("doc_id"), explode(col("ts")).as("tok")).count())
+    val exploded = toks.select(col("doc_id"), explode(col("ts")).as("tok"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("tok")
+    time("window df")(exploded.select(col("doc_id"), col("tok"), count(lit(1)).over(w).as("df")).count())
+    val dfreq = exploded.groupBy("tok").agg(count(lit(1)).as("df"))
+    time("groupBy+join df")(exploded.join(dfreq, "tok").count())
     spark.stop()
   }
 }

@@ -51,6 +51,21 @@ class SimJoinSpec extends TestSpark {
     // theorem; the equality test above already implies it end-to-end)
   }
 
+  test("PPJoin length+positional filters cut candidates below prefix-only") {
+    val sets = graft.ops.SimJoin.orderedSets(spark, Sf)
+    // prefix-only candidate set (the round-12 form)
+    val prefixes = sets.select(col("doc_id"), lit(0).as("band_id"),
+      explode(slice(col("ts"), lit(1),
+        (col("n") - ceil(lit(graft.ops.SimJoin.Tau) * col("n")) + 1)
+          .cast("int"))).as("bkey"))
+    val prefixOnly = graft.ops.Dedup.bucketPairs(prefixes).count()
+    val ppjoin = graft.ops.SimJoin.ppjoinCandidates(sets).count()
+    assert(ppjoin < prefixOnly,
+      s"length+positional filters should prune candidates: " +
+        s"ppjoin=$ppjoin vs prefix-only=$prefixOnly")
+    // the equality-vs-brute-force test above proves no TRUE pair was cut
+  }
+
   test("degenerate single-bucket corpus trips the loud cap, not a quadratic join") {
     import spark.implicits._
     val dir = "/tmp/graft_simjoin_degenerate"
