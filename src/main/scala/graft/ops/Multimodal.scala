@@ -41,6 +41,15 @@ object Multimodal {
     */
   object ImageCodec {
 
+    // ImageIO's default stream cache is DISK-backed: every read/write
+    // spills the stream through a temp FILE, so per-image cost rides the
+    // state of the local filesystem — measured here as the mm bench tier
+    // drifting 0.7 → 2.4 s between otherwise identical runs. These
+    // payloads are KB-sized in-memory byte arrays; cache them in memory.
+    // (Executor-side: the flag is static per JVM, set when the codec
+    // class loads on each executor — one line, no per-task cost.)
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Deterministic image dimensions for a doc with `n` payload bytes. */
     def dims(n: Long): (Int, Int) =
       ((n % 16 + 1).toInt, ((n * 7) % 12 + 1).toInt)
