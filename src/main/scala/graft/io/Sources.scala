@@ -36,36 +36,69 @@ object Sources {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // The legacy flag is session-global, so the set/read/unset must not
-      // interleave with a concurrent `table()` call on the same session —
-      // synchronize on the session. (The flag only affects schema
-      // resolution, which happens inside this block; executing the
-      // returned plan later needs no flag. On a non-NANOS file it is
-      // inert, so setting it before looking at the schema is safe.)
-      spark.synchronized {
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Resolve the schema WITHOUT the legacy flag first (round-12 ADVICE):
+      // only a genuine TIMESTAMP(NANOS) file fails that resolution, so the
+      // nanos→µs division is gated on the one layout it is correct for. A
+      // generator writing plain un-annotated INT64 (epoch-micros, millis,
+      // who knows) also resolves to LongType UNDER the flag — the round-12
+      // code would have silently divided those by 1000; now any resolved
+      // type outside the three documented layouts fails loudly at read
+      // time instead of producing subtly shifted timestamps.
+      val path = s"$dir/$name.parquet"
+      val noFlag =
         try {
-          val raw = spark.read.parquet(s"$dir/$name.parquet")
+          val raw = spark.read.parquet(path)
           raw.schema("ts").dataType match {
-            case org.apache.spark.sql.types.LongType =>
-              // ns→µs with INTEGER division (`div`): `/ 1000` is double
-              // division in Spark, and epoch-nanos (~1.8e18) exceed
-              // double's 2^53 exact range, so the round-trip could land
-              // ±1 µs off DuckDB's exact truncation near µs boundaries
-              // (round-1 ADVICE, medium).
-              raw.withColumn("ts",
-                org.apache.spark.sql.functions.timestamp_micros(
-                  org.apache.spark.sql.functions.expr("ts div 1000")))
             case org.apache.spark.sql.types.TimestampNTZType =>
-              raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
-                .cast(org.apache.spark.sql.types.TimestampType))
-            case _ => raw
+              Some(raw.withColumn("ts",
+                org.apache.spark.sql.functions.col("ts")
+                  .cast(org.apache.spark.sql.types.TimestampType)))
+            case org.apache.spark.sql.types.TimestampType => Some(raw)
+            case other => throw new IllegalStateException(
+              s"events.ts resolved to unexpected type $other: not one of " +
+                "the documented generator layouts (TIMESTAMP NANOS / " +
+                "MICROS-NTZ / MICROS-adjusted) — refusing to guess its " +
+                "unit; extend Sources.table with the new layout explicitly")
           }
-        } finally {
-          // scope the legacy flag to this read: later TIMESTAMP(NANOS)
-          // reads elsewhere should fail loudly, not silently come back as
-          // longs
-          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        } catch {
+          // Spark 4 rejects TIMESTAMP(NANOS) at schema resolution
+          // (PARQUET_TYPE_ILLEGAL / "Illegal Parquet type"); that specific
+          // failure routes to the flagged nanos read below — anything else
+          // propagates
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("Parquet type") ||
+                String.valueOf(e.getMessage)
+                  .contains("PARQUET_TYPE_ILLEGAL") =>
+            None
+        }
+      noFlag.getOrElse {
+        // The legacy flag is session-global, so the set/read/unset must
+        // not interleave with a concurrent `table()` call on the same
+        // session — synchronize on the session. (The flag only affects
+        // schema resolution, which happens inside this block; executing
+        // the returned plan later needs no flag.)
+        spark.synchronized {
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          try {
+            val raw = spark.read.parquet(path)
+            require(raw.schema("ts").dataType ==
+              org.apache.spark.sql.types.LongType,
+              s"events.ts: no-flag read failed as NANOS but flagged read " +
+                s"resolved ${raw.schema("ts").dataType}, not LongType")
+            // ns→µs with INTEGER division (`div`): `/ 1000` is double
+            // division in Spark, and epoch-nanos (~1.8e18) exceed
+            // double's 2^53 exact range, so the round-trip could land
+            // ±1 µs off DuckDB's exact truncation near µs boundaries
+            // (round-1 ADVICE, medium).
+            raw.withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_micros(
+                org.apache.spark.sql.functions.expr("ts div 1000")))
+          } finally {
+            // scope the legacy flag to this read: later TIMESTAMP(NANOS)
+            // reads elsewhere should fail loudly, not silently come back
+            // as longs
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+          }
         }
       }
     } else {
