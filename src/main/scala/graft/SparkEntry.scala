@@ -30,6 +30,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.io.Sources.queries ++
+      graft.io.TableFormat.queries ++
       graft.etl.Migration.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Analytics.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     graft.io.Sources.oracleSql ++
+      graft.io.TableFormat.oracleSql ++
       graft.etl.Migration.oracleSql ++
       graft.ops.Relational.oracleSql ++
       graft.ops.Analytics.oracleSql ++

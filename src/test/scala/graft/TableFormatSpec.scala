@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+/** Snapshot-table format ([[graft.io.TableFormat]]): append atomicity,
+  * time travel, and the reader's no-directory-listing contract. The
+  * `q_table_snapshot` DuckDB oracle verifies the VALUES; this suite owns
+  * the format semantics SQL can't state.
+  */
+class TableFormatSpec extends TestSpark {
+
+  import graft.io.TableFormat
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tf_spec").toString
+
+  test("append commits versions 0..n and time travel reads each exactly") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(TableFormat.latestVersion(root) === -1)
+    val v0 = TableFormat.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    val v1 = TableFormat.append(Seq((3L, "c")).toDF("k", "s"), root)
+    val v2 = TableFormat.append(Seq((4L, "d"), (5L, "e")).toDF("k", "s"), root)
+    assert((v0, v1, v2) === ((0, 1, 2)))
+    assert(TableFormat.latestVersion(root) === 2)
+    def keys(v: Int): Set[Long] =
+      TableFormat.readSnapshot(spark, root, v)
+        .select("k").collect().map(_.getLong(0)).toSet
+    // old snapshots stay byte-stable AFTER later appends — time travel
+    assert(keys(0) === Set(1L, 2L))
+    assert(keys(1) === Set(1L, 2L, 3L))
+    assert(keys(2) === Set(1L, 2L, 3L, 4L, 5L))
+    // default read = latest
+    assert(TableFormat.readSnapshot(spark, root).count() === 5)
+  }
+
+  test("an orphan data dir (crashed writer) is invisible to every snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    // simulate a writer that died between data write and manifest commit
+    Seq((99L, "orphan")).toDF("k", "s")
+      .write.parquet(s"$root/data/orphan-never-committed")
+    assert(TableFormat.readSnapshot(spark, root).count() === 1,
+      "reader must follow the manifest, never list data/")
+  }
+
+  test("a manifest version is never overwritten by a later commit") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    // another writer committed v1 concurrently (here: by hand); the next
+    // append must observe it and commit v2 — ATOMIC_MOVE onto an existing
+    // version throws rather than clobbering, so v1 stays byte-identical
+    Files.write(Paths.get(root, "manifest", "v1.json"),
+      "[]".getBytes("UTF-8"))
+    val v = TableFormat.append(Seq((2L, "b")).toDF("k", "s"), root)
+    assert(v === 2)
+    val v1 = new String(Files.readAllBytes(
+      Paths.get(root, "manifest", "v1.json")), "UTF-8")
+    assert(v1 === "[]", "a later commit must never rewrite an older version")
+  }
+
+  test("q_table_snapshot joins v1 vs v0 status counts") {
+    val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // v0 ⊂ v1 per status
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"v0 count exceeds v1 for status ${r.getString(0)}")
+    }
+    // totals reconcile against the source table
+    val totalV1 = rows.map(_.getLong(2)).sum
+    assert(totalV1 === graft.io.Sources.table(spark, Sf, "orders").count())
+  }
+}
