@@ -277,6 +277,36 @@ class TextOpsSpec extends TestSpark {
     assert(d.exists(_.getLong(2) > 0), "no contamination found at all")
   }
 
+  test("pack shard count derives from corpus token total, pin stays 32") {
+    import spark.implicits._
+    val docs = graft.io.Sources.table(spark, Sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    // a tiny target forces a multi-shard derivation whose value is
+    // checkable by hand: ceil(totalTokens / target)
+    val total = docs.select(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextOps.tokens(
+            org.apache.spark.sql.functions.col("text")))
+          .cast("long")))
+      .collect()(0).getLong(0)
+    val target = 1000L
+    val derived = graft.ops.TextOps.deriveShards(docs, target)
+    assert(derived === ((total + target - 1) / target).toInt)
+    assert(derived > 1, s"sf corpus should derive multiple shards: $derived")
+    // the derived count drives packDocs exactly like the pinned one:
+    // same invariants (every doc assigned, shard ids dense-bounded)
+    val packed = graft.ops.TextOps.packDocs(docs, 256L, derived).collect()
+    assert(packed.length === docs.count())
+    val shards = packed.map(r => r.getLong(r.fieldIndex("shard"))).distinct
+    assert(shards.forall(s => s >= 0 && s < derived))
+    // and a NON-default explicit count works end-to-end too
+    val five = graft.ops.TextOps
+      .packDocs(Seq((0L, "a b c"), (7L, "d e f g"), (12L, "h i"))
+        .toDF("doc_id", "text"), 4L, 5).collect()
+    assert(five.map(_.getLong(2)).toSet === Set(0L, 2L, 7L % 5))
+  }
+
   test("sequence packing fills budgets contiguously per shard") {
     val p = graft.SparkEntry.queries("q_pack_sequences")(spark, Sf).collect()
     assert(p.length ===
