@@ -190,8 +190,84 @@ object SimJoin {
     * expansion — the filters cut PAIRS, the cap still guards the
     * quadratic in-bucket expansion itself.
     */
-  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame = {
+  /** Session flag for the over-cap salt-split fallback (default off):
+    * `spark.conf.set(SaltFlag, "true")` switches [[ppjoinCandidates]]
+    * from the loud [[Dedup.MaxBandBucket]] refusal to the blocked
+    * expansion of [[saltedPairs]]. Off by default on purpose — a bucket
+    * past the cap usually means a degenerate vocabulary the pipeline
+    * OWNER should look at, and the answer set itself may be quadratic;
+    * the flag is the documented escape hatch for corpora where the hub
+    * buckets are legitimate (boilerplate-heavy crawls) and the quadratic
+    * output is accepted.
+    */
+  private[graft] val SaltFlag = "spark.graft.simjoin.saltOvercapBuckets"
+
+  private def pairOk(x: Column, y: Column): Column = {
     val alphaCoef = Tau / (1.0 + Tau)
+    val (nx, ny) = (x.getField("n"), y.getField("n"))
+    val (px, py) = (x.getField("pos"), y.getField("pos"))
+    val lengthOk =
+      least(nx, ny).cast(DoubleType) >= lit(Tau) * greatest(nx, ny) - Eps
+    val alpha = ceil(lit(alphaCoef) * (nx + ny) - Eps)
+    val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
+    lengthOk && ubound >= alpha
+  }
+
+  /** Ordered-pair expansion of a sorted struct array with the PPJoin
+    * filters applied per pair — shared by the capped and salted paths.
+    */
+  private def expandPairs(ds: Column, extraOk: (Column, Column) => Column)
+      : Column =
+    explode(flatten(transform(ds, (x, i) =>
+      transform(
+        filter(slice(ds, i + 2, size(ds)),
+          y => pairOk(x, y) && extraOk(x, y)),
+        y => struct(x.getField("doc_id").as("doc_a"),
+          y.getField("doc_id").as("doc_b"))))))
+
+  /** Completeness-preserving SALTED expansion for over-cap buckets — the
+    * [[graft.ops.Skew]] salted-join device applied to in-bucket pair
+    * generation. Never collects a whole bucket: each (bkey, doc) row
+    * learns its bucket size m from one count aggregate, derives
+    * g = ⌈m / cap⌉ salt blocks, salts itself by hash(doc_id) % g, and
+    * replicates to the g block-pair groups `(min(s,o), max(s,o))` for
+    * o ∈ [0, g). A pair with salts (sx ≤ sy) is expanded in EXACTLY the
+    * group (sx, sy) — asserted by the salt-match predicate during
+    * expansion — so the union over groups is the exact pair set, no
+    * dedup-across-groups required beyond the existing distinct(). Group
+    * sizes are ~2m/g ≈ 2·cap regardless of how degenerate the bucket is;
+    * replication cost is g copies of each (bkey, doc) row — linear in
+    * the over-cap factor, against the quadratic it tames. Healthy
+    * buckets take g = 1 and reduce to the plain expansion (one replica,
+    * one group).
+    */
+  private def saltedPairs(pfx: DataFrame): DataFrame = {
+    val cap = Dedup.MaxBandBucket
+    val sizes = pfx.groupBy("bkey").agg(count(lit(1)).as("m"))
+    val g = ceil(col("m").cast(DoubleType) / cap).cast("int").as("g")
+    pfx.join(sizes, "bkey")
+      .select(col("bkey"), col("doc_id"), col("pos"), col("n"), g)
+      .withColumn("s", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
+      .select(col("bkey"), col("g"), col("s"),
+        struct(col("doc_id"), col("pos"), col("n"), col("s")).as("d"),
+        explode(sequence(lit(0), col("g") - 1)).as("o"))
+      .select(col("bkey"),
+        least(col("s"), col("o")).as("bi"),
+        greatest(col("s"), col("o")).as("bj"), col("d"))
+      .groupBy("bkey", "bi", "bj")
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      // the pair's own salts must equal THIS group's (bi, bj): exact-once
+      // ownership across groups
+      .select(expandPairs(col("ds"), (x, y) =>
+        least(x.getField("s"), y.getField("s")) === col("bi") &&
+          greatest(x.getField("s"), y.getField("s")) === col("bj"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame = {
     val pfx = sets.select(col("doc_id"), col("n"),
       // p = n − ceil(τ·n) + 1 rarest tokens (ceil yields LONG; slice
       // takes the int length column); posexplode keeps each prefix
@@ -199,16 +275,10 @@ object SimJoin {
       posexplode(slice(col("ts"), lit(1),
         (col("n") - ceil(lit(Tau) * col("n")) + 1).cast("int")))
         .as(Seq("pos", "bkey")))
-    def pairOk(x: Column, y: Column): Column = {
-      val (nx, ny) = (x.getField("n"), y.getField("n"))
-      val (px, py) = (x.getField("pos"), y.getField("pos"))
-      val lengthOk =
-        least(nx, ny).cast(DoubleType) >= lit(Tau) * greatest(nx, ny) - Eps
-      val alpha = ceil(lit(alphaCoef) * (nx + ny) - Eps)
-      val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
-      lengthOk && ubound >= alpha
-    }
-    pfx
+    val salted = sets.sparkSession.conf
+      .getOption(SaltFlag).exists(_.toBoolean)
+    if (salted) saltedPairs(pfx)
+    else pfx
       .groupBy("bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"),
         col("n")))).as("ds"))
@@ -216,14 +286,10 @@ object SimJoin {
       .withColumn("ds",
         when(assert_true(size(col("ds")) <= Dedup.MaxBandBucket,
           concat(lit(s"prefix band bucket exceeds ${Dedup.MaxBandBucket} " +
-            "docs for key "), col("bkey").cast("string"))).isNull,
-          col("ds")))
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(
-          filter(slice(col("ds"), i + 2, size(col("ds"))),
-            y => pairOk(x, y)),
-          y => struct(x.getField("doc_id").as("doc_a"),
-            y.getField("doc_id").as("doc_b")))))).as("p"))
+            s"docs for key "), col("bkey").cast("string"),
+            lit(s"; set $SaltFlag=true to expand it with salt blocks")))
+          .isNull, col("ds")))
+      .select(expandPairs(col("ds"), (_, _) => lit(true)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }

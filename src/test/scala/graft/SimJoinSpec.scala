@@ -66,6 +66,45 @@ class SimJoinSpec extends TestSpark {
     // the equality-vs-brute-force test above proves no TRUE pair was cut
   }
 
+  test("salt flag expands an over-cap hub bucket to the exact pair set") {
+    import spark.implicits._
+    val dir = "/tmp/graft_simjoin_salted"
+    // 1100 identical docs: one shared shingle → ONE bucket of 1100 docs,
+    // past MaxBandBucket (1024). With the flag on, the salted expansion
+    // must produce exactly the C(1100,2) identical-pair clique at J = 1.0
+    // — the completeness proof for the blocked (bi, bj) ownership.
+    (0L until 1100L).map(i => (i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.conf.set(graft.ops.SimJoin.SaltFlag, "true")
+    try {
+      graft.ops.SimJoin.clearMemos()
+      val out = graft.ops.SimJoin.queries("q_simjoin_prefix")(spark, dir)
+      assert(out.count() === 1100L * 1099L / 2)
+      assert(out.filter(col("jaccard") =!= 1.0).count() === 0)
+    } finally {
+      spark.conf.unset(graft.ops.SimJoin.SaltFlag)
+      graft.ops.SimJoin.clearMemos()
+    }
+  }
+
+  test("salt flag leaves healthy-corpus results identical (g = 1 path)") {
+    spark.conf.set(graft.ops.SimJoin.SaltFlag, "true")
+    try {
+      graft.ops.SimJoin.clearMemos()
+      val flagged = graft.ops.SimJoin.queries("q_simjoin_prefix")(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      spark.conf.unset(graft.ops.SimJoin.SaltFlag)
+      graft.ops.SimJoin.clearMemos()
+      val plain = graft.ops.SimJoin.queries("q_simjoin_prefix")(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(flagged.toSeq === plain.toSeq)
+    } finally {
+      spark.conf.unset(graft.ops.SimJoin.SaltFlag)
+      graft.ops.SimJoin.clearMemos()
+    }
+  }
+
   test("degenerate single-bucket corpus trips the loud cap, not a quadratic join") {
     import spark.implicits._
     val dir = "/tmp/graft_simjoin_degenerate"
