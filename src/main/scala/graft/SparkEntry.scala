@@ -36,6 +36,7 @@ object SparkEntry {
       graft.ops.Analytics.queries ++
       graft.ops.Functions.queries ++
       graft.ops.TextOps.queries ++
+      graft.ops.Frequency.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Linkage.queries ++
       graft.ops.SimJoin.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.ops.Analytics.oracleSql ++
       graft.ops.Functions.oracleSql ++
       graft.ops.TextOps.oracleSql ++
+      graft.ops.Frequency.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Linkage.oracleSql ++
       graft.ops.SimJoin.oracleSql ++

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Frequent-item (heavy-hitter) detection with an EXACT, oracle-matchable
+  * answer — the "what tokens dominate this corpus" profile every curation
+  * run wants before filtering boilerplate.
+  *
+  * The naive form is a full `groupBy(token)` — a corpus-wide shuffle of
+  * every token occurrence just to find ~dozens of heavy items. The
+  * scale formulation is the classic two-phase sketch-then-verify:
+  *
+  *   1. a MERGEABLE Misra-Gries summary (k counters) runs as one
+  *      map-side typed aggregate: each partition keeps at most k
+  *      (token, count) slots, partials merge by count-sum + subtracting
+  *      the (k+1)-th largest value (Agarwal et al., PODS 2012 — the
+  *      mergeable-summaries result; public literature). Bytes shuffled:
+  *      O(partitions × k), independent of corpus size.
+  *   2. the THEOREM: any token with true frequency > n/(k+1) survives
+  *      with a positive counter. So the k surviving keys are a complete
+  *      candidate set for every token above that threshold — recall 1,
+  *      proved, not sampled.
+  *   3. an exact counting pass over ONLY the candidates (a broadcast-able
+  *      ≤k-token filter pushed to the scan) re-establishes exact counts,
+  *      and the output keeps exactly the tokens with
+  *      `cnt · (k+1) > n` — an INTEGER comparison, so both engines agree
+  *      bit-for-bit and the emitted set is the provably-complete one,
+  *      never "whatever happened to survive the sketch".
+  *
+  * The result is deterministic and exact (the sketch only routes work;
+  * it never appears in the answer), which is what lets a DuckDB oracle
+  * hash-match it — same device as the IVF recall assertion and the
+  * LSH-candidates-then-verify joins elsewhere in this engine.
+  */
+object Frequency {
+
+  /** Counter budget. 64 slots ⇒ completeness threshold n/65 ≈ 1.5% of
+    * corpus tokens — profile-grade. The sf corpora have ~31 distinct
+    * tokens (no eviction ever fires); the spec drives eviction with a
+    * 200-distinct synthetic corpus.
+    */
+  private[graft] val K = 64
+
+  /** Mergeable Misra-Gries over a token stream: buffer = at most
+    * [[K]]+headroom (token → counter) entries. `reduce` is the textbook
+    * step (increment present key, open a slot if free, else decrement
+    * all); `merge` sums and subtracts the (k+1)-th largest — each
+    * operation preserves the ≤ n/(k+1) undercount bound.
+    */
+  private[graft] class MisraGries(k: Int)
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+
+    override def zero: Map[String, Long] = Map.empty
+
+    override def reduce(b: Map[String, Long],
+                        tok: String): Map[String, Long] =
+      b.get(tok) match {
+        case Some(c) => b.updated(tok, c + 1)
+        case None if b.size < k => b.updated(tok, 1L)
+        case None =>
+          // decrement-all, drop zeros — the slot-pressure step that
+          // charges one occurrence of EVERY tracked token against the
+          // untracked one (k+1 decrements per miss ⇒ ≤ n/(k+1) total)
+          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+
+    override def merge(b1: Map[String, Long],
+                       b2: Map[String, Long]): Map[String, Long] = {
+      val sum = b2.foldLeft(b1) { case (m, (t, c)) =>
+        m.updated(t, m.getOrElse(t, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
+      }
+    }
+
+    override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+    override def bufferEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder()
+    override def outputEncoder: Encoder[Map[String, Long]] =
+      ExpressionEncoder()
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+
+  /** Sketch → candidates → exact verify for a token frame; exposed for
+    * the spec's synthetic-corpus drive. Output: tokens with
+    * `cnt · (k+1) > n` by (cnt desc, token asc), capped at `top`.
+    */
+  private[graft] def heavyHitters(toks: DataFrame, k: Int,
+                                  top: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    val n = toks.count()
+    // the sketch pass: one map-side aggregate, O(partitions·k) merged
+    val summary = toks.as[String]
+      .select(new MisraGries(k).toColumn).head()
+    val cand = summary.keys.toSeq
+    // the exact pass: scan-level candidate filter (≤k literals), then a
+    // k-key aggregate — the only shuffle, and it carries ≤k groups
+    toks.filter(col(toks.columns.head).isin(cand: _*))
+      .groupBy(col(toks.columns.head).as("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > n)
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(top)
+  }
+
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHitters(
+      docs(s, dir).select(explode(TextOps.tokens(col("text"))).as("tok")),
+      K, 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_heavy_hitters" -> qHeavyHitters)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest(list_filter(string_split(text, ' '),
+         |    x -> x <> '')) AS tok FROM documents),
+         |n AS (SELECT count(*) AS n FROM t),
+         |c AS (SELECT tok AS token, count(*) AS cnt FROM t GROUP BY tok)
+         |SELECT token, cnt FROM c, n WHERE cnt * ${K + 1} > n
+         |ORDER BY cnt DESC, token LIMIT 10""".stripMargin)
+}
