@@ -32,11 +32,13 @@ import org.apache.spark.sql.functions._
   *
   * Scale: a 100 TB table is ~10⁵-10⁶ data files; the manifest stays a
   * file LIST (KB-MB of metadata per commit, written once, never
-  * rewritten per-file like hive-style rename commits). Snapshot reads
-  * pass the explicit file list to the parquet reader, so partition
-  * pruning and pushdown work unchanged. What this slice deliberately
-  * omits from the full formats: column stats per file (data skipping),
-  * compaction, and deletes — SURVEY §4 documents those as design-scoped.
+  * rewritten per-file like hive-style rename commits), and each entry
+  * carries optional min/max ZONE-MAP stats of a key column so range
+  * reads prune dirs before any parquet footer is opened
+  * ([[readSnapshot]]'s `range`). Snapshot reads pass the explicit file
+  * list to the parquet reader, so partition pruning and pushdown work
+  * unchanged. What this slice deliberately omits from the full formats:
+  * compaction and deletes — SURVEY §4 documents those as design-scoped.
   */
 object TableFormat {
 
@@ -53,22 +55,39 @@ object TableFormat {
       .foldLeft(-1)(math.max)
   }
 
-  private def readManifest(root: String, v: Int): Seq[String] = {
+  /** One manifest entry: a data dir plus optional min/max stats of the
+    * table's stats column — the per-file zone map that makes range
+    * predicates prune I/O at the METADATA level (the Delta/Iceberg
+    * `stats`/`lower_bounds` idea, one long column's worth).
+    */
+  private[graft] case class Entry(dir: String, lo: Option[Long],
+                                  hi: Option[Long])
+
+  private def readManifest(root: String, v: Int): Seq[Entry] = {
     val f = manifestDir(root).resolve(s"v$v.json")
     require(Files.exists(f), s"no snapshot v$v at $root")
-    // one JSON array of data-dir strings per line-less file; parsed
-    // without a JSON library (none in the dependency set) — the writer
-    // below is the only producer, so the quoting is under our control
-    val s = new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
-    s.split("\"").zipWithIndex.collect {
-      case (p, i) if i % 2 == 1 => p
-    }.toSeq
+    // JSON-lines, one entry per line: dir<TAB>lo<TAB>hi (lo/hi empty when
+    // the append carried no stats). Deliberately not JSON-parsed — no
+    // JSON library in the dependency set, and the writer below is the
+    // only producer.
+    new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .map { line =>
+        line.split("\t", -1) match {
+          case Array(d, "", "") => Entry(d, None, None)
+          case Array(d, lo, hi) => Entry(d, Some(lo.toLong), Some(hi.toLong))
+          case other => throw new IllegalStateException(
+            s"torn manifest line in v$v: '$line'")
+        }
+      }
   }
 
   private def writeManifest(root: String, v: Int,
-                            dirs: Seq[String]): Unit = {
+                            entries: Seq[Entry]): Unit = {
     Files.createDirectories(manifestDir(root))
-    val body = dirs.map(d => "\"" + d + "\"").mkString("[", ",", "]")
+    val body = entries.map(e =>
+        s"${e.dir}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}")
+      .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     // ATOMIC_MOVE is the commit: it either installs v<N> whole or throws
@@ -78,29 +97,57 @@ object TableFormat {
   }
 
   /** Append `df` as a new snapshot: new immutable data dir + manifest
-    * v(latest+1) = previous dirs ++ the new one. Returns the committed
-    * version.
+    * v(latest+1) = previous entries ++ the new one. `statsCol` (a long
+    * column) records the dir's min/max in the manifest — one tiny
+    * aggregate at write time buys metadata-level pruning on every
+    * future range read. Returns the committed version.
     */
-  def append(df: DataFrame, root: String): Int = {
+  def append(df: DataFrame, root: String,
+             statsCol: Option[String] = None): Int = {
     val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
     df.write.parquet(dataDir)
+    val stats = statsCol.flatMap { c =>
+      val r = df.sparkSession.read.parquet(dataDir)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
     val prev = latestVersion(root)
-    val dirs =
-      (if (prev < 0) Seq.empty else readManifest(root, prev)) :+ dataDir
+    val entry = Entry(dataDir, stats.map(_._1), stats.map(_._2))
+    val entries =
+      (if (prev < 0) Seq.empty else readManifest(root, prev)) :+ entry
     val v = prev + 1
-    writeManifest(root, v, dirs)
+    writeManifest(root, v, entries)
     v
   }
 
   /** Read snapshot `version` (default: latest). Time travel = pick an
     * older manifest; the data dirs are immutable so the old snapshot is
     * byte-identical to when it was committed.
+    *
+    * `range = (lo, hi)` prunes data dirs whose recorded [min, max] does
+    * not intersect the inclusive predicate range BEFORE any parquet
+    * footer is opened — manifest-level skipping; dirs without stats are
+    * conservatively kept. The caller still applies its own row filter:
+    * skipping is an I/O optimization, never a row-level guarantee.
     */
   def readSnapshot(spark: SparkSession, root: String,
-                   version: Int = -1): DataFrame = {
+                   version: Int = -1,
+                   range: Option[(Long, Long)] = None): DataFrame = {
     val v = if (version < 0) latestVersion(root) else version
-    val dirs = readManifest(root, v)
-    spark.read.parquet(dirs: _*)
+    val entries = readManifest(root, v)
+    val kept = range match {
+      case None => entries
+      case Some((lo, hi)) => entries.filter(e =>
+        (e.lo, e.hi) match {
+          case (Some(l), Some(h)) => h >= lo && l <= hi
+          case _ => true
+        })
+    }
+    require(kept.nonEmpty,
+      s"snapshot v$v has no data dirs in range $range — empty-frame " +
+        "schemas are unknowable from a manifest; handle upstream")
+    spark.read.parquet(kept.map(_.dir): _*)
   }
 
   // ------------------------------------------------------------ query
@@ -143,13 +190,60 @@ object TableFormat {
       .orderBy("o_orderstatus")
   }
 
-  private[graft] def clearMemos(): Unit =
+  /** Landed RANGE-split snapshot table: orders appended as two key
+    * ranges (≤ mid, > mid) with o_orderkey stats in the manifest —
+    * the layout where manifest-level skipping has something to skip.
+    */
+  private val rangeCache = TrieMap.empty[(SparkSession, String), (String, Long)]
+
+  private def landedRangeTable(s: SparkSession,
+                               dir: String): (String, Long) =
+    rangeCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_range").toString
+      val orders = Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val r = orders.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).collect()(0)
+      // integer midpoint — exact in both engines, so the oracle can
+      // recompute the same split from `orders` alone
+      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      append(orders.filter(col("o_orderkey") <= mid), root,
+        statsCol = Some("o_orderkey"))
+      append(orders.filter(col("o_orderkey") > mid), root,
+        statsCol = Some("o_orderkey"))
+      (root, mid)
+    })
+
+  /** Range read through the manifest zone maps: status counts of the
+    * lower key half, read with `range` pruning so the upper dir is
+    * skipped at the METADATA level (the spec asserts `inputFiles`
+    * shrinks — the I/O proof). The row filter stays on top: skipping
+    * is an optimization, the predicate is the contract.
+    */
+  private def qTableSkipping(s: SparkSession, dir: String): DataFrame = {
+    val (root, mid) = landedRangeTable(s, dir)
+    readSnapshot(s, root, range = Some((Long.MinValue, mid)))
+      .filter(col("o_orderkey") <= mid)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
+    rangeCache.keys.toList.foreach(rangeCache.remove)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_table_snapshot" -> qTableSnapshot)
+    Map("q_table_snapshot" -> qTableSnapshot,
+      "q_table_skipping" -> qTableSkipping)
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_skipping" ->
+      """WITH m AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS mid
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n
+        |FROM orders, m WHERE o_orderkey <= mid
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_snapshot" ->
       """WITH v0 AS (SELECT * FROM orders WHERE o_orderkey % 3 <> 0),
         |v1 AS (SELECT * FROM orders)

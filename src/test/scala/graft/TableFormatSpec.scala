@@ -54,13 +54,41 @@ class TableFormatSpec extends TestSpark {
     // another writer committed v1 concurrently (here: by hand); the next
     // append must observe it and commit v2 — ATOMIC_MOVE onto an existing
     // version throws rather than clobbering, so v1 stays byte-identical
+    val foreign = "/elsewhere/data/other-writer\t\t\n"
     Files.write(Paths.get(root, "manifest", "v1.json"),
-      "[]".getBytes("UTF-8"))
+      foreign.getBytes("UTF-8"))
     val v = TableFormat.append(Seq((2L, "b")).toDF("k", "s"), root)
     assert(v === 2)
     val v1 = new String(Files.readAllBytes(
       Paths.get(root, "manifest", "v1.json")), "UTF-8")
-    assert(v1 === "[]", "a later commit must never rewrite an older version")
+    assert(v1 === foreign,
+      "a later commit must never rewrite an older version")
+  }
+
+  test("manifest zone maps skip non-intersecting data dirs at read time") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 100L).map(k => (k, s"s$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((101L to 200L).map(k => (k, s"s$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((201L to 300L).map(k => (k, s"s$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    val full = TableFormat.readSnapshot(spark, root)
+    val pruned = TableFormat.readSnapshot(spark, root,
+      range = Some((150L, 160L)))
+    // the I/O proof: the pruned read plans strictly fewer input files,
+    // and they are a subset of the full snapshot's
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    assert(pruned.inputFiles.toSet.subsetOf(full.inputFiles.toSet))
+    // skipping never changes results once the row filter applies
+    assert(pruned.filter(col("k").between(150, 160)).count() === 11)
+    // a dir WITHOUT stats is conservatively kept
+    TableFormat.append(Seq((999L, "x")).toDF("k", "s"), root)
+    val mixed = TableFormat.readSnapshot(spark, root,
+      range = Some((150L, 160L)))
+    assert(mixed.filter(col("k") === 999L).count() === 1,
+      "stat-less dirs must survive pruning")
   }
 
   test("q_table_snapshot joins v1 vs v0 status counts") {
