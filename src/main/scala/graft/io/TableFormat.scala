@@ -150,6 +150,68 @@ object TableFormat {
     spark.read.parquet(kept.map(_.dir): _*)
   }
 
+  /** Bin-pack the LATEST snapshot into one fresh data dir and commit it
+    * as the next version. Compaction is just another commit: readers of
+    * older versions keep their original dirs (time travel intact,
+    * nothing is deleted — physical GC of unreferenced dirs is a separate
+    * janitor concern), and the new manifest has ONE entry whose stats
+    * are recomputed from the rewritten files. At 100 TB this runs
+    * per-partition-range rather than whole-table, but the commit
+    * protocol — rewrite, then one manifest move — is identical.
+    */
+  def compact(spark: SparkSession, root: String,
+              statsCol: Option[String] = None): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to compact at $root")
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    readSnapshot(spark, root, prev).write.parquet(dataDir)
+    val stats = statsCol.flatMap { c =>
+      val r = spark.read.parquet(dataDir)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+    val v = prev + 1
+    writeManifest(root, v,
+      Seq(Entry(dataDir, stats.map(_._1), stats.map(_._2))))
+    v
+  }
+
+  /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
+    * the version CAS is the idempotence mechanism. A replayed batch
+    * (restart, retry) sees its version already committed — or loses the
+    * ATOMIC_MOVE — and skips; a crashed attempt leaves only an orphan
+    * data dir. Returns true iff THIS call committed. Use from
+    * `foreachBatch((df, id) => TableFormat.appendBatch(df, root, id))`;
+    * batch ids from a checkpointed query are contiguous from 0, which is
+    * exactly the manifest's version sequence.
+    */
+  def appendBatch(df: DataFrame, root: String, batchId: Long,
+                  statsCol: Option[String] = None): Boolean = {
+    val prev = latestVersion(root)
+    if (prev >= batchId) return false // replay of an already-committed batch
+    require(prev == batchId - 1,
+      s"batch $batchId arrived over a gap (latest manifest v$prev) — a " +
+        "skipped batch would silently vanish from every future snapshot")
+    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    df.write.parquet(dataDir)
+    val stats = statsCol.flatMap { c =>
+      val r = df.sparkSession.read.parquet(dataDir)
+        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+        .collect()(0)
+      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+    }
+    val entries =
+      (if (prev < 0) Seq.empty else readManifest(root, prev)) :+
+        Entry(dataDir, stats.map(_._1), stats.map(_._2))
+    try { writeManifest(root, batchId.toInt, entries); true }
+    catch {
+      // lost the CAS to a concurrent attempt of the SAME batch — its
+      // commit stands, ours is the orphan
+      case _: java.nio.file.FileAlreadyExistsException => false
+    }
+  }
+
   // ------------------------------------------------------------ query
 
   /** Landed two-snapshot table per (session, sfDir) — write-once like

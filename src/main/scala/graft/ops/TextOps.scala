@@ -75,6 +75,26 @@ object TextOps {
       .orderBy(col("cnt").desc, col("word"))
       .limit(100)
 
+  /** Inverted index construction — the retrieval-side artifact every RAG
+    * / search pipeline builds from a curated corpus: per token, its
+    * document frequency, total term frequency, and the SORTED posting
+    * list of doc ids. One shuffle on the token (map-side partial
+    * counts; `collect_set` keeps postings distinct), postings sorted so
+    * the output is deterministic and delta-encodable at rest. At 100 TB
+    * a heavy token's posting list is sharded (`token, shard` key with
+    * doc_id range splits) — same plan shape, the key just widens; the
+    * sf form keeps the whole list per token because max df = corpus doc
+    * count here.
+    */
+  private def qTextPostings(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .orderBy("token")
+
   // language ID via stopword-hit heuristic (n-gram-free, per-row)
   private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
     val ws = tokens(col("text"))
@@ -1418,6 +1438,7 @@ object TextOps {
     "q_corpus_split" -> qCorpusSplit,
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
+    "q_text_postings" -> qTextPostings,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangid,
     "q_text_langid_ngram" -> qTextLangidNgram,
@@ -1670,6 +1691,14 @@ object TextOps {
         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |WHERE word <> ''
         |GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q_text_postings" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS token FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  list_sort(list(DISTINCT doc_id)) AS postings
+        |FROM t GROUP BY token ORDER BY token""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -91,6 +91,79 @@ class TableFormatSpec extends TestSpark {
       "stat-less dirs must survive pruning")
   }
 
+  test("compaction rewrites the head snapshot, older versions untouched") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      TableFormat.append(
+        Seq((i.toLong * 2, "a"), (i.toLong * 2 + 1, "b")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+    }
+    val before = TableFormat.readSnapshot(spark, root)
+    val v = TableFormat.compact(spark, root, statsCol = Some("k"))
+    assert(v === 4)
+    val after = TableFormat.readSnapshot(spark, root)
+    // same rows, fewer input dirs
+    assert(after.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      before.select("k").collect().map(_.getLong(0)).sorted.toSeq)
+    assert(after.inputFiles.length < before.inputFiles.length)
+    // time travel to a pre-compaction version still works
+    assert(TableFormat.readSnapshot(spark, root, 1).count() === 4)
+    // and the compacted entry carries usable zone-map stats: an
+    // intersecting range keeps the (single) dir, a disjoint one prunes
+    // everything and the empty-snapshot guard fires
+    assert(TableFormat.readSnapshot(spark, root,
+      range = Some((0L, 3L))).count() === 8)
+    intercept[IllegalArgumentException] {
+      TableFormat.readSnapshot(spark, root, range = Some((100L, 200L)))
+    }
+  }
+
+  test("appendBatch is exactly-once under batch replay") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(TableFormat.appendBatch(
+      Seq((1L, "a")).toDF("k", "s"), root, batchId = 0L))
+    assert(TableFormat.appendBatch(
+      Seq((2L, "b")).toDF("k", "s"), root, batchId = 1L))
+    // a restarted query replays batch 1 — must skip, not duplicate
+    assert(!TableFormat.appendBatch(
+      Seq((2L, "b")).toDF("k", "s"), root, batchId = 1L))
+    assert(TableFormat.readSnapshot(spark, root).count() === 2)
+    // a gapped batch id is refused loudly, not silently dropped later
+    intercept[IllegalArgumentException] {
+      TableFormat.appendBatch(Seq((9L, "z")).toDF("k", "s"), root,
+        batchId = 5L)
+    }
+  }
+
+  test("a streaming query lands micro-batches as snapshot commits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val root = freshRoot()
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("k")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        TableFormat.appendBatch(df, root, id, statsCol = Some("k")); ()
+      }
+      .start()
+    try {
+      mem.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      mem.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    // two micro-batches → manifest v0, v1; latest sees all rows exactly
+    // once, and time travel to the first batch works like any commit
+    assert(TableFormat.latestVersion(root) === 1)
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(TableFormat.readSnapshot(spark, root, 0).count() === 3)
+  }
+
   test("q_table_snapshot joins v1 vs v0 status counts") {
     val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
     val rows = out.collect()
