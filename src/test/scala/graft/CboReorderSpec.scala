@@ -16,6 +16,16 @@ class CboReorderSpec extends TestSpark {
   test("join reorder restructures a bad syntactic order under table stats") {
     val s = spark
     Seq("region", "nation", "customer", "orders").foreach { t =>
+      // a previous JVM's dropped table leaves its warehouse dir behind,
+      // and CREATE TABLE AS refuses the stale location — clear both
+      s.sql(s"DROP TABLE IF EXISTS cbo_$t")
+      val loc = new java.io.File(s"spark-warehouse/cbo_$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
       graft.io.Sources.table(s, Sf, t)
         .write.mode("overwrite").saveAsTable(s"cbo_$t")
       // rowCount + per-column NDV/min/max — what the reorder's join
