@@ -320,6 +320,43 @@ class PlanAuditSpec extends TestSpark {
       s"intra-doc dedup gained an aggregate:\n$s")
   }
 
+  test("q_text_postings: one token-keyed exchange, map-side partials first") {
+    val plan = staticPlan("q_text_postings")
+    val s = plan.toString
+    // tf + df + posting collection ride ONE shuffle on the token; the
+    // regression shape is a second data exchange (e.g. a distinct pass
+    // for countDistinct planned as its own aggregate chain over the
+    // corpus). The presentation sort's range exchange is expected.
+    val hashEx = "hashpartitioning".r.findAllIn(s).length
+    assert(hashEx <= 2,
+      s"postings build should shuffle token rows once (+distinct expand), " +
+        s"got $hashEx hash exchanges:\n$s")
+    assert(s.contains("partial"),
+      s"postings aggregate lost its map-side partial phase:\n$s")
+  }
+
+  test("q_simjoin_prefix: verification joins broadcast, candidates never re-shuffled") {
+    val s = staticPlan("q_simjoin_prefix").toString
+    val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+    assert(bhj >= 2,
+      s"both set lookups of the verify stage should broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"candidate frame regressed to a shuffle join:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"simjoin must never go all-pairs:\n$s")
+  }
+
+  test("q_heavy_hitters: exact pass is a candidate-filtered scan, k-bounded agg") {
+    val s = staticPlan("q_heavy_hitters").toString
+    // the exact pass filters to ≤k candidate literals BEFORE the
+    // aggregate: the scan-level In() filter is what keeps the shuffle at
+    // k groups instead of the full vocabulary
+    assert(s.contains("INSET") || s.contains(" IN "),
+      s"candidate filter missing from the exact pass:\n$s")
+    assert(s.contains("partial"),
+      s"exact count lost its map-side partial phase:\n$s")
+  }
+
   test("q_graph_triangles: orientation keys broadcast, wedge join never nested-loop") {
     val s = staticPlan("q_graph_triangles").toString
     assert(s.contains("BroadcastHashJoin"),
