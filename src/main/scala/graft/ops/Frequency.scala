@@ -98,12 +98,16 @@ object Frequency {
     */
   private[graft] def heavyHitters(toks: DataFrame, k: Int,
                                   top: Int): DataFrame = {
-    val s = toks.sparkSession
-    import s.implicits._
-    val n = toks.count()
-    // the sketch pass: one map-side aggregate, O(partitions·k) merged
-    val summary = toks.as[String]
-      .select(new MisraGries(k).toColumn).head()
+    // the sketch pass: ONE map-side aggregate job carrying both the MG
+    // summary and the corpus token total (n rides the same partials, so
+    // the corpus is scanned exactly twice overall: sketch, then verify)
+    val mgUdaf = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val head = toks
+      .agg(mgUdaf(col(toks.columns.head)).as("mg"),
+        count(lit(1)).as("n"))
+      .collect()(0)
+    val summary = head.getMap[String, Long](0)
+    val n = head.getLong(1)
     val cand = summary.keys.toSeq
     // the exact pass: scan-level candidate filter (≤k literals), then a
     // k-key aggregate — the only shuffle, and it carries ≤k groups
