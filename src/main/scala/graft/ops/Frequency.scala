@@ -1,8 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Sources
@@ -42,52 +40,14 @@ object Frequency {
   /** Counter budget. 64 slots ⇒ completeness threshold n/65 ≈ 1.5% of
     * corpus tokens — profile-grade. The sf corpora have ~31 distinct
     * tokens (no eviction ever fires); the spec drives eviction with a
-    * 200-distinct synthetic corpus.
+    * 405-distinct synthetic corpus. The aggregator itself is
+    * [[Sketches.MisraGries]] — the sketch tier's mergeable summary,
+    * reused here as the candidate generator (its merge-order-dependent
+    * COUNTS never reach the output; only its proven-complete KEY SET
+    * does, which is what makes this query exact where the raw sketch is
+    * not).
     */
   private[graft] val K = 64
-
-  /** Mergeable Misra-Gries over a token stream: buffer = at most
-    * [[K]]+headroom (token → counter) entries. `reduce` is the textbook
-    * step (increment present key, open a slot if free, else decrement
-    * all); `merge` sums and subtracts the (k+1)-th largest — each
-    * operation preserves the ≤ n/(k+1) undercount bound.
-    */
-  private[graft] class MisraGries(k: Int)
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-
-    override def zero: Map[String, Long] = Map.empty
-
-    override def reduce(b: Map[String, Long],
-                        tok: String): Map[String, Long] =
-      b.get(tok) match {
-        case Some(c) => b.updated(tok, c + 1)
-        case None if b.size < k => b.updated(tok, 1L)
-        case None =>
-          // decrement-all, drop zeros — the slot-pressure step that
-          // charges one occurrence of EVERY tracked token against the
-          // untracked one (k+1 decrements per miss ⇒ ≤ n/(k+1) total)
-          b.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-      }
-
-    override def merge(b1: Map[String, Long],
-                       b2: Map[String, Long]): Map[String, Long] = {
-      val sum = b2.foldLeft(b1) { case (m, (t, c)) =>
-        m.updated(t, m.getOrElse(t, 0L) + c)
-      }
-      if (sum.size <= k) sum
-      else {
-        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
-        sum.view.mapValues(_ - cut).filter(_._2 > 0).toMap
-      }
-    }
-
-    override def finish(b: Map[String, Long]): Map[String, Long] = b
-
-    override def bufferEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder()
-    override def outputEncoder: Encoder[Map[String, Long]] =
-      ExpressionEncoder()
-  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
@@ -101,14 +61,14 @@ object Frequency {
     // the sketch pass: ONE map-side aggregate job carrying both the MG
     // summary and the corpus token total (n rides the same partials, so
     // the corpus is scanned exactly twice overall: sketch, then verify)
-    val mgUdaf = udaf(new MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    val mgUdaf = udaf(new Sketches.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
     val head = toks
       .agg(mgUdaf(col(toks.columns.head)).as("mg"),
         count(lit(1)).as("n"))
       .collect()(0)
-    val summary = head.getMap[String, Long](0)
+    val cand = head.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
     val n = head.getLong(1)
-    val cand = summary.keys.toSeq
     // the exact pass: scan-level candidate filter (≤k literals), then a
     // k-key aggregate — the only shuffle, and it carries ≤k groups
     toks.filter(col(toks.columns.head).isin(cand: _*))
