@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{FloatVecDot, LuhnMod30Expr, MinHashSig, SimHashSig, StringHamming}
+import graft.functions.{FloatVecDot, LuhnMod30Expr, MinHashSig, ShingleHashes, SimHashSig, StringHamming}
 
 /** Session extensions: registers the library's native expressions for SQL
   * callers, so `SELECT vec_dot(a.embedding, b.embedding)` and
@@ -51,5 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new org.apache.spark.sql.catalyst.FunctionIdentifier("luhn_mod30"),
       new ExpressionInfo(classOf[LuhnMod30Expr].getName, "luhn_mod30"),
       arity("luhn_mod30", 1)(c => LuhnMod30Expr(c.head))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      arity("shingle_hashes", 1)(c => ShingleHashes(c.head))))
   }
 }

@@ -145,6 +145,16 @@ class SimilaritySpec extends TestSpark {
     val luhn = spark.sql("SELECT luhn_mod30('1') AS c")
       .collect().head.getString(0)
     assert(luhn === "X")
+    // distinct + sorted + interned: "a b c" and "b c d" overlap in zero
+    // 3-gram shingles, identical text in all of them
+    val shi = spark.sql(
+        "SELECT shingle_hashes('a b c a b c') AS s," +
+          " shingle_hashes('a b c') AS t, shingle_hashes('x y') AS e")
+      .collect().head
+    assert(shi.getSeq[Long](0).length === 3) // abc, bca, cab — distinct
+    assert(shi.getSeq[Long](1) === shi.getSeq[Long](0).intersect(
+      shi.getSeq[Long](1)), "sub-text shingles must be a subset")
+    assert(shi.getSeq[Long](2).isEmpty, "sub-3-token text has no shingles")
   }
 
   test("SQL surface rejects wrong arity and wrong types with analysis-time errors") {
