@@ -95,6 +95,31 @@ object TextOps {
         sort_array(collect_set(col("doc_id"))).as("postings"))
       .orderBy("token")
 
+  /** Phrase search via POSITIONAL postings — the retrieval-side
+    * completion of [[qTextPostings]]: a phrase query never rescans text;
+    * it intersects the per-term position lists with a shifted join
+    * (`pos_b − 1 = pos_a` ⇔ adjacency). Here the phrase is the fixed
+    * bigram "table hash" (a frequent testdata collocation) so the oracle
+    * can recompute it; the operator shape is query-independent: filter
+    * each term's postings (scan-level predicate on the exploded token),
+    * equi-join on (doc_id, shifted pos), count hits per doc. At 100 TB
+    * the postings live at rest (the [[qTextPostings]] artifact with
+    * positions) and this plan touches only the two queried terms'
+    * lists — the point of an inverted index.
+    */
+  private def qTextPhrase(s: SparkSession, dir: String): DataFrame = {
+    val pos = docs(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text")))
+        .as(Seq("pos", "tok")))
+    val a = pos.filter(col("tok") === "table")
+      .select(col("doc_id"), col("pos"))
+    val b = pos.filter(col("tok") === "hash")
+      .select(col("doc_id"), (col("pos") - 1).as("pos"))
+    a.join(b, Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
   // language ID via stopword-hit heuristic (n-gram-free, per-row)
   private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
     val ws = tokens(col("text"))
@@ -1439,6 +1464,7 @@ object TextOps {
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
     "q_text_postings" -> qTextPostings,
+    "q_text_phrase" -> qTextPhrase,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangid,
     "q_text_langid_ngram" -> qTextLangidNgram,
@@ -1699,6 +1725,16 @@ object TextOps {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
         |  list_sort(list(DISTINCT doc_id)) AS postings
         |FROM t GROUP BY token ORDER BY token""".stripMargin,
+    "q_text_phrase" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents),
+        |hits AS (SELECT doc_id, unnest(list_transform(
+        |  range(1, greatest(len(ws), 1)),
+        |  i -> CASE WHEN ws[i] = 'table' AND ws[i+1] = 'hash'
+        |       THEN 1 ELSE 0 END)) AS h FROM w)
+        |SELECT doc_id, CAST(sum(h) AS BIGINT) AS n_hits FROM hits
+        |GROUP BY doc_id HAVING sum(h) > 0 ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
