@@ -226,8 +226,51 @@ object Graph {
           .as("global_cc"))
   }
 
+  /** k-core peel parameters: k = 3, 6 peel rounds. Both engines compute
+    * EXACTLY "6 rounds of peeling" — round count is part of the
+    * operator's spec (like the 10 PageRank iterations), so convergence
+    * is not assumed anywhere; `GraphSpec` separately asserts the sf
+    * graph actually reaches its fixpoint inside the budget.
+    */
+  private[graft] val CoreK = 3
+  private[graft] val CoreRounds = 6
+
+  /** k-core decomposition (bounded peel): repeatedly drop nodes of
+    * undirected degree < k, [[CoreRounds]] times, and emit the surviving
+    * nodes with their residual degrees. The classic "dense seed subgraph"
+    * primitive (Seidman 1983; distributed peeling per Montresor et al. —
+    * public literature).
+    *
+    * Scale shape per round: one degree aggregate + two semi joins that
+    * restrict the edge list to surviving endpoints — all keyed on the
+    * node, no all-pairs anything; the edge frame is checkpointed per
+    * round so plan growth stays O(1) like the PageRank/CC loops. At
+    * 100 TB the peel is the standard iterative-dataflow formulation
+    * (each round strictly shrinks the edge list).
+    */
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    var alive = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    (1 to CoreRounds).foreach { _ =>
+      val keep = alive.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= CoreK)
+        .select("src")
+      alive = checkpoint(
+        alive.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
+            "left_semi"))
+    }
+    alive.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> qPagerank,
+    "q_graph_kcore" -> qGraphKcore,
     "q_graph_triangles" -> qGraphTriangles)
 
   /** The identical 10 iterations unrolled as CTEs (recursive CTEs cannot
@@ -272,7 +315,34 @@ object Graph {
        |  ${graft.ops.Num.r4Sql("3.0 * n_triangles / n_wedges")} AS global_cc
        |FROM wed CROSS JOIN tri""".stripMargin
 
+  /** One peel round as SQL: survivors of `prev` with degree ≥ k, edges
+    * restricted to both-surviving endpoints.
+    */
+  private def peelSql(prev: String, cur: String): String =
+    s"""k_$cur AS (SELECT src FROM $prev GROUP BY src
+       |  HAVING count(*) >= $CoreK),
+       |$cur AS (SELECT u.src, u.dst FROM $prev u
+       |  JOIN k_$cur a ON u.src = a.src
+       |  JOIN k_$cur b ON u.dst = b.src)""".stripMargin
+
+  private val KcoreSql: String = {
+    val rounds = (1 to CoreRounds)
+      .map(i => peelSql(s"u${i - 1}", s"u$i")).mkString(",\n")
+    s"""WITH nodes AS (SELECT DISTINCT c_custkey % $N AS src FROM customer),
+       |e0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, (src * 7 + 1) % $N AS dst FROM nodes
+       |  UNION ALL SELECT src, (src * 13 + 3) % $N FROM nodes)),
+       |u0 AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0
+       |  UNION ALL SELECT dst AS src, src AS dst FROM e0)
+       |  WHERE src <> dst),
+       |$rounds
+       |SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+       |FROM u$CoreRounds GROUP BY src ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_graph_kcore" -> KcoreSql,
     "q_graph_triangles" -> TrianglesSql,
     "q_pagerank" -> {
       val chain = (1 to Iters)

@@ -34,4 +34,38 @@ class GraphSpec extends TestSpark {
     // vacuously matching an empty join
     assert(tri3 > 0)
   }
+
+  test("k-core peel reaches its fixpoint inside the round budget") {
+    val n = 997L
+    // sf0.01: the sf0.001 graph (150 of 997 nodes, 2 generators) peels
+    // to an EMPTY 3-core — correct but vacuous; the denser graph keeps a
+    // ~995-node core so the equality below actually exercises the peel
+    val sf = "/root/testdata/sf0.01"
+    val xs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0) % n).distinct
+    // brute-force peel to convergence on the same derived graph
+    var und = (for {
+      x <- xs.toSet[Long]
+      b <- Seq((x * 7 + 1) % n, (x * 13 + 3) % n)
+      if b != x
+      e <- Seq((x, b), (b, x))
+    } yield e)
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).view.mapValues(_.size).toMap
+      val keep = deg.filter(_._2 >= graft.ops.Graph.CoreK).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    val expect = und.groupBy(_._1).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val got = graft.SparkEntry.queries("q_graph_kcore")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // the bounded 6-round peel equals the run-to-convergence core — i.e.
+    // the budget is sufficient on this graph, and every residual degree
+    // is >= k by the fixpoint property
+    assert(got === expect)
+    assert(got.nonEmpty && got.forall(_._2 >= graft.ops.Graph.CoreK))
+  }
 }
