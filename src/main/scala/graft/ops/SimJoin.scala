@@ -66,6 +66,13 @@ object SimJoin {
     */
   private[graft] val Tau = 0.6
 
+  /** Cosine threshold for `q_simjoin_cosine`. 0.8 because cosine strictly
+    * dominates Jaccard on the same pair (`i/√(na·nb) ≥ i/(na+nb−i)`), so
+    * the cosine tier at 0.6 would mostly restate the Jaccard result; 0.8
+    * is a genuinely different, tighter operating point.
+    */
+  private[graft] val TauCos = 0.8
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
@@ -202,26 +209,64 @@ object SimJoin {
     */
   private[graft] val SaltFlag = "spark.graft.simjoin.saltOvercapBuckets"
 
-  private def pairOk(x: Column, y: Column): Column = {
-    val alphaCoef = Tau / (1.0 + Tau)
-    val (nx, ny) = (x.getField("n"), y.getField("n"))
-    val (px, py) = (x.getField("pos"), y.getField("pos"))
-    val lengthOk =
-      least(nx, ny).cast(DoubleType) >= lit(Tau) * greatest(nx, ny) - Eps
-    val alpha = ceil(lit(alphaCoef) * (nx + ny) - Eps)
-    val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
-    lengthOk && ubound >= alpha
-  }
+  /** The threshold-function-specific halves of the filter machinery: the
+    * prefix length and the (length, positional) pair bounds. Two
+    * instances — Jaccard and cosine — share every other moving part
+    * (bucket grouping, the loud cap, the salted fallback, verification
+    * plumbing). Bounds per Bayardo et al., WWW 2007 (all-pairs) and Xiao
+    * et al., WWW 2008 (PPJoin) — public literature.
+    */
+  private final case class Bounds(
+      prefixLen: Column => Column,
+      pairOk: (Column, Column) => Column)
+
+  /** Jaccard ≥ τ: prefix p = n − ⌈τ·n⌉ + 1; length min ≥ τ·max;
+    * required overlap α = ⌈τ/(1+τ)·(nx+ny)⌉.
+    */
+  private val JaccardBounds = Bounds(
+    prefixLen = n => n - ceil(lit(Tau) * n) + 1,
+    pairOk = (x, y) => {
+      val alphaCoef = Tau / (1.0 + Tau)
+      val (nx, ny) = (x.getField("n"), y.getField("n"))
+      val (px, py) = (x.getField("pos"), y.getField("pos"))
+      val lengthOk =
+        least(nx, ny).cast(DoubleType) >= lit(Tau) * greatest(nx, ny) - Eps
+      val alpha = ceil(lit(alphaCoef) * (nx + ny) - Eps)
+      val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
+      lengthOk && ubound >= alpha
+    })
+
+  /** Binary-set cosine ≥ τ (`i/√(nx·ny)`): `i ≤ min(nx,ny)` forces
+    * min ≥ τ²·max (square `min ≥ τ√(nx·ny)` on the min side); prefix
+    * p = n − ⌈τ²·n⌉ + 1 — a qualifying pair has overlap
+    * i ≥ τ√(n·ny) ≥ τ²·n under the length filter, and two sets sharing
+    * nothing in the first p tokens overlap at most ⌈τ²·n⌉ − 1 < i (the
+    * standard all-pairs cosine prefix); required overlap
+    * α = ⌈τ·√(nx·ny)⌉. All three bounds carry [[Eps]] slack, keeping
+    * every rounding one-sided-loose.
+    */
+  private val CosineBounds = Bounds(
+    prefixLen = n => n - ceil(lit(TauCos * TauCos) * n - Eps) + 1,
+    pairOk = (x, y) => {
+      val (nx, ny) = (x.getField("n"), y.getField("n"))
+      val (px, py) = (x.getField("pos"), y.getField("pos"))
+      val lengthOk = least(nx, ny).cast(DoubleType) >=
+        lit(TauCos * TauCos) * greatest(nx, ny) - Eps
+      val alpha = ceil(lit(TauCos) *
+        sqrt((nx * ny).cast(DoubleType)) - Eps)
+      val ubound = least(px, py) + 1 + least(nx - px - 1, ny - py - 1)
+      lengthOk && ubound >= alpha
+    })
 
   /** Ordered-pair expansion of a sorted struct array with the PPJoin
     * filters applied per pair — shared by the capped and salted paths.
     */
-  private def expandPairs(ds: Column, extraOk: (Column, Column) => Column)
-      : Column =
+  private def expandPairs(ds: Column, bounds: Bounds,
+      extraOk: (Column, Column) => Column): Column =
     explode(flatten(transform(ds, (x, i) =>
       transform(
         filter(slice(ds, i + 2, size(ds)),
-          y => pairOk(x, y) && extraOk(x, y)),
+          y => bounds.pairOk(x, y) && extraOk(x, y)),
         y => struct(x.getField("doc_id").as("doc_a"),
           y.getField("doc_id").as("doc_b"))))))
 
@@ -241,7 +286,7 @@ object SimJoin {
     * buckets take g = 1 and reduce to the plain expansion (one replica,
     * one group).
     */
-  private def saltedPairs(pfx: DataFrame): DataFrame = {
+  private def saltedPairs(pfx: DataFrame, bounds: Bounds): DataFrame = {
     val cap = Dedup.MaxBandBucket
     val sizes = pfx.groupBy("bkey").agg(count(lit(1)).as("m"))
     val g = ceil(col("m").cast(DoubleType) / cap).cast("int").as("g")
@@ -259,7 +304,7 @@ object SimJoin {
       .filter(size(col("ds")) >= 2)
       // the pair's own salts must equal THIS group's (bi, bj): exact-once
       // ownership across groups
-      .select(expandPairs(col("ds"), (x, y) =>
+      .select(expandPairs(col("ds"), bounds, (x, y) =>
         least(x.getField("s"), y.getField("s")) === col("bi") &&
           greatest(x.getField("s"), y.getField("s")) === col("bj"))
         .as("p"))
@@ -267,17 +312,20 @@ object SimJoin {
       .distinct()
   }
 
-  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame = {
+  private[graft] def ppjoinCandidates(sets: DataFrame): DataFrame =
+    candidatesFor(sets, JaccardBounds)
+
+  private def candidatesFor(sets: DataFrame, bounds: Bounds): DataFrame = {
     val pfx = sets.select(col("doc_id"), col("n"),
-      // p = n − ceil(τ·n) + 1 rarest tokens (ceil yields LONG; slice
+      // prefix = the bounds' p(n) rarest tokens (ceil yields LONG; slice
       // takes the int length column); posexplode keeps each prefix
       // token's 0-based position for the positional bound
       posexplode(slice(col("ts"), lit(1),
-        (col("n") - ceil(lit(Tau) * col("n")) + 1).cast("int")))
+        bounds.prefixLen(col("n")).cast("int")))
         .as(Seq("pos", "bkey")))
     val salted = sets.sparkSession.conf
       .getOption(SaltFlag).exists(_.toBoolean)
-    if (salted) saltedPairs(pfx)
+    if (salted) saltedPairs(pfx, bounds)
     else pfx
       .groupBy("bkey")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("pos"),
@@ -289,7 +337,7 @@ object SimJoin {
             s"docs for key "), col("bkey").cast("string"),
             lit(s"; set $SaltFlag=true to expand it with salt blocks")))
           .isNull, col("ds")))
-      .select(expandPairs(col("ds"), (_, _) => lit(true)).as("p"))
+      .select(expandPairs(col("ds"), bounds, (_, _) => lit(true)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
@@ -320,10 +368,50 @@ object SimJoin {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Exact binary-cosine ≥ [[TauCos]] self-join — same interned sets,
+    * same bucket/cap/salt machinery, [[CosineBounds]] pruning, cosine
+    * verification. `√(nx·ny)` and the division are correctly-rounded
+    * IEEE ops in both engines, so the emitted values hash-match the
+    * brute-force oracle exactly like the Jaccard tier's.
+    */
+  private def qSimjoinCosine(s: SparkSession, dir: String): DataFrame = {
+    val sets = orderedSets(s, dir)
+    val candidates = candidatesFor(sets, CosineBounds)
+    val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
+    val c = inter.cast(DoubleType) /
+      sqrt((col("sa.n") * col("sb.n")).cast(DoubleType))
+    candidates
+      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .filter(c >= TauCos)
+      .select(col("doc_a"), col("doc_b"), Num.r4(c).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q_simjoin_prefix" -> qSimjoinPrefix)
+    Map("q_simjoin_prefix" -> qSimjoinPrefix,
+      "q_simjoin_cosine" -> qSimjoinCosine)
 
   val oracleSql: Map[String, String] = Map(
+    "q_simjoin_cosine" ->
+      s"""WITH w AS (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+         |  FROM documents),
+         |t AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(ws) - 1, 1)),
+         |    i -> array_to_string(ws[i:i+2], ' '))) AS ts FROM w),
+         |s AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |${Num.r4Sql(
+             "CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) " +
+             "AS DOUBLE) / sqrt(CAST(a.n * b.n AS DOUBLE))")}
+         |  AS cosine
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x)))
+         |      AS DOUBLE)
+         |    / sqrt(CAST(a.n * b.n AS DOUBLE))
+         |  >= $TauCos
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_simjoin_prefix" ->
       s"""WITH w AS (SELECT doc_id,
          |    list_filter(string_split(text, ' '), x -> x <> '') AS ws

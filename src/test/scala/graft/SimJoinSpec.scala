@@ -51,6 +51,25 @@ class SimJoinSpec extends TestSpark {
     // theorem; the equality test above already implies it end-to-end)
   }
 
+  test("cosine join equals an all-pairs brute force on the corpus") {
+    val got = graft.ops.SimJoin.queries("q_simjoin_cosine")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val sets = graft.ops.SimJoin.orderedSets(spark, Sf)
+    val inter = size(array_intersect(col("a.ts"), col("b.ts")))
+    val c = inter.cast(DoubleType) /
+      sqrt((col("a.n") * col("b.n")).cast(DoubleType))
+    val bf = sets.as("a")
+      .join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(c >= graft.ops.SimJoin.TauCos)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        graft.ops.Num.r4(c).as("cosine"))
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty,
+      "corpus should contain at least one cosine-similar pair")
+    assert(got.toSeq === bf.toSeq)
+  }
+
   test("PPJoin length+positional filters cut candidates below prefix-only") {
     val sets = graft.ops.SimJoin.orderedSets(spark, Sf)
     // prefix-only candidate set (the round-12 form)
