@@ -48,11 +48,13 @@ object TableFormat {
   def latestVersion(root: String): Int = {
     val dir = manifestDir(root)
     if (!Files.isDirectory(dir)) return -1
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toInt }
       .foldLeft(-1)(math.max)
+    finally stream.close() // Files.list holds a directory handle open
   }
 
   /** One manifest entry: a data dir plus optional min/max stats of the

@@ -12,9 +12,10 @@ class EdgeCasesSpec extends TestSpark {
 
   import spark.implicits._
 
-  private val keys = Seq("q_simjoin_prefix", "q_heavy_hitters",
-    "q_text_postings", "q_text_tf", "q_dedup_minhash", "q_dedup_exact",
-    "q_pack_sequences", "q_chunk_docs", "q_dedup_intradoc")
+  private val keys = Seq("q_simjoin_prefix", "q_simjoin_cosine",
+    "q_heavy_hitters", "q_text_postings", "q_text_phrase", "q_text_tf",
+    "q_dedup_minhash", "q_dedup_exact", "q_pack_sequences",
+    "q_chunk_docs", "q_dedup_intradoc")
 
   private def land(dir: String, rows: Seq[(Long, String)]): Unit = {
     rows.toDF("doc_id", "text")

@@ -336,14 +336,16 @@ class PlanAuditSpec extends TestSpark {
   }
 
   test("q_simjoin_prefix: verification joins broadcast, candidates never re-shuffled") {
-    val s = staticPlan("q_simjoin_prefix").toString
-    val bhj = "BroadcastHashJoin".r.findAllIn(s).length
-    assert(bhj >= 2,
-      s"both set lookups of the verify stage should broadcast:\n$s")
-    assert(!s.contains("SortMergeJoin"),
-      s"candidate frame regressed to a shuffle join:\n$s")
-    assert(!s.contains("CartesianProduct"),
-      s"simjoin must never go all-pairs:\n$s")
+    for (key <- Seq("q_simjoin_prefix", "q_simjoin_cosine")) {
+      val s = staticPlan(key).toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(s).length
+      assert(bhj >= 2,
+        s"$key: both set lookups of the verify stage should broadcast:\n$s")
+      assert(!s.contains("SortMergeJoin"),
+        s"$key: candidate frame regressed to a shuffle join:\n$s")
+      assert(!s.contains("CartesianProduct"),
+        s"$key: simjoin must never go all-pairs:\n$s")
+    }
   }
 
   test("q_heavy_hitters: exact pass is a candidate-filtered scan, k-bounded agg") {
