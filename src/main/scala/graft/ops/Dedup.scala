@@ -373,9 +373,14 @@ object Dedup {
     * O(candidates), not O(n²).
     */
   private def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    // interned long shingle sets (round-13): Jaccard survives the
+    // injective renaming — same ~d²/2⁶⁵ collision acceptance as
+    // [[SimJoin.orderedSets]] — and the native one-pass expression
+    // dodges both the string-intersect cost and the lambda re-inlining
+    // hazard documented at [[rawShinglesWs]]
     val sets = docs(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashes(col("text")).as("sh"))
     candidatePairs(s, dir)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -397,9 +402,12 @@ object Dedup {
     * the denominators differ.
     */
   private def qDedupContainment(s: SparkSession, dir: String): DataFrame = {
+    // interned long shingle sets — the [[qDedupFuzzy]] rationale; both
+    // containment denominators are set CARDINALITIES, invariant under
+    // the renaming
     val sets = docs(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashes(col("text")).as("sh"))
     val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
     candidatePairs(s, dir)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
