@@ -214,6 +214,63 @@ object TableFormat {
     }
   }
 
+  /** Drop all manifest versions except the newest `keepLast` — the
+    * retention half of the GC story. Time travel to an expired version
+    * fails loudly afterwards ([[readSnapshot]]'s missing-manifest
+    * require); the data dirs it referenced become [[vacuum]] fodder
+    * unless a surviving version still lists them. Returns the expired
+    * version numbers.
+    */
+  def expire(root: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the head snapshot")
+    val head = latestVersion(root)
+    val expired = (0 to head - keepLast)
+    expired.foreach(v =>
+      Files.deleteIfExists(manifestDir(root).resolve(s"v$v.json")))
+    expired
+  }
+
+  /** Delete every data dir no surviving manifest references — crashed
+    * writers' orphans and [[expire]]d snapshots' exclusive dirs. Safe by
+    * the commit protocol: a dir becomes VISIBLE only by being listed in
+    * a manifest, so "referenced by no manifest" is exactly "invisible to
+    * every reader" (modulo a writer mid-commit — production runs this
+    * with an age guard; the slice keeps the logic exact and the guard
+    * out of scope). Returns the deleted dirs.
+    */
+  def vacuum(root: String): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val referenced = {
+      val dir = manifestDir(root)
+      if (!Files.isDirectory(dir)) Set.empty[String]
+      else {
+        val stream = Files.list(dir)
+        try stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+            s.stripPrefix("v").stripSuffix(".json").toInt }
+          .flatMap(v => readManifest(root, v).map(_.dir)).toSet
+        finally stream.close()
+      }
+    }
+    val stream = Files.list(dataRoot)
+    val all = try stream.iterator().asScala.map(_.toString).toList
+      finally stream.close()
+    val garbage = all.filterNot(referenced)
+    garbage.foreach { d =>
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) {
+          val s = Files.list(p)
+          try s.iterator().asScala.toList.foreach(rm) finally s.close()
+        }
+        Files.deleteIfExists(p); ()
+      }
+      rm(Paths.get(d))
+    }
+    garbage
+  }
+
   // ------------------------------------------------------------ query
 
   /** Landed two-snapshot table per (session, sfDir) — write-once like

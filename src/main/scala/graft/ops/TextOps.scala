@@ -107,18 +107,29 @@ object TextOps {
     * positions) and this plan touches only the two queried terms'
     * lists — the point of an inverted index.
     */
-  private def qTextPhrase(s: SparkSession, dir: String): DataFrame = {
-    val pos = docs(s, dir)
+  /** General n-term phrase search over a documents frame: term i's
+    * postings shifted by −i all equi-join on (doc_id, pos), so a row
+    * survives exactly where the full phrase starts. n−1 node-keyed
+    * joins, each touching only one term's (filtered, scan-level)
+    * posting rows.
+    */
+  private[graft] def phraseHits(in: DataFrame,
+                                terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val pos = in
       .select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("pos", "tok")))
-    val a = pos.filter(col("tok") === "table")
-      .select(col("doc_id"), col("pos"))
-    val b = pos.filter(col("tok") === "hash")
-      .select(col("doc_id"), (col("pos") - 1).as("pos"))
-    a.join(b, Seq("doc_id", "pos"))
+    terms.zipWithIndex.map { case (t, i) =>
+        pos.filter(col("tok") === t)
+          .select(col("doc_id"), (col("pos") - i).as("pos"))
+      }
+      .reduce(_.join(_, Seq("doc_id", "pos")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }
+
+  private def qTextPhrase(s: SparkSession, dir: String): DataFrame =
+    phraseHits(docs(s, dir), Seq("table", "hash"))
 
   // language ID via stopword-hit heuristic (n-gram-free, per-row)
   private def qTextLangid(s: SparkSession, dir: String): DataFrame = {

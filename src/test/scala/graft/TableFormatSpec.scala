@@ -164,6 +164,33 @@ class TableFormatSpec extends TestSpark {
     assert(TableFormat.readSnapshot(spark, root, 0).count() === 3)
   }
 
+  test("expire + vacuum reclaim exactly the unreferenced data dirs") {
+    import spark.implicits._
+    val root = freshRoot()
+    (1 to 3).foreach(i =>
+      TableFormat.append(Seq((i.toLong, s"s$i")).toDF("k", "s"), root))
+    // compaction rewrites the head into one dir; v0-v2 still reference
+    // the originals, so nothing is garbage yet
+    TableFormat.compact(spark, root)
+    Seq((99L, "orphan")).toDF("k", "s")
+      .write.parquet(s"$root/data/crashed-writer-orphan")
+    // vacuum with all manifests alive: ONLY the orphan goes
+    val g1 = TableFormat.vacuum(root)
+    assert(g1.exists(_.contains("crashed-writer-orphan")) && g1.size === 1)
+    assert(TableFormat.readSnapshot(spark, root, 0).count() === 1)
+    // expire everything but the compacted head; the three original dirs
+    // become unreferenced and vacuum reclaims exactly them
+    assert(TableFormat.expire(root, keepLast = 1) === Seq(0, 1, 2))
+    val g2 = TableFormat.vacuum(root)
+    assert(g2.size === 3)
+    // the head still reads whole; expired time travel fails loudly
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    intercept[IllegalArgumentException] {
+      TableFormat.readSnapshot(spark, root, 0)
+    }
+  }
+
   test("q_table_snapshot joins v1 vs v0 status counts") {
     val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
     val rows = out.collect()

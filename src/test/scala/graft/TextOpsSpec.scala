@@ -277,6 +277,23 @@ class TextOpsSpec extends TestSpark {
     assert(d.exists(_.getLong(2) > 0), "no contamination found at all")
   }
 
+  test("n-term phrase search finds exact starts, counts overlaps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c a"),   // "a b c" at 0 and 3
+      (2L, "a b x b c a"),     // never the full trigram
+      (3L, "c b a"),           // right tokens, wrong order
+      (4L, "a a b c")          // one hit at 1
+    ).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.phraseHits(docs, Seq("a", "b", "c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 2L, 4L -> 1L))
+    // single-term phrase degenerates to term frequency per doc
+    val one = graft.ops.TextOps.phraseHits(docs, Seq("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+  }
+
   test("pack shard count derives from corpus token total, pin stays 32") {
     import spark.implicits._
     val docs = graft.io.Sources.table(spark, Sf, "documents")
