@@ -381,13 +381,17 @@ object Dedup {
     val sets = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.ShingleExprs.shingleHashes(col("text")).as("sh"))
+    // ShingleHashes output is sorted ascending, so the count-only
+    // merge-scan applies; |A∪B| = |A|+|B|−|A∩B| exactly (distinct sets)
+    val inter = graft.functions.SetExprs
+      .sortedIntersectCount(col("sa.sh"), col("sb.sh"))
     candidatePairs(s, dir)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        Num.r4(
-          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
-            / size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+        Num.r4(inter.cast(DoubleType)
+          / (size(col("sa.sh")) + size(col("sb.sh")) - inter))
+          .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -408,7 +412,8 @@ object Dedup {
     val sets = docs(s, dir)
       .select(col("doc_id"),
         graft.functions.ShingleExprs.shingleHashes(col("text")).as("sh"))
-    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    val inter = graft.functions.SetExprs
+      .sortedIntersectCount(col("sa.sh"), col("sb.sh"))
     candidatePairs(s, dir)
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))

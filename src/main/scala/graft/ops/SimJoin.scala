@@ -146,6 +146,11 @@ object SimJoin {
             .as("o"))
           .select(col("doc_id"),
             transform(col("o"), x => x.getField("tok")).as("ts"),
+            // numeric-sorted twin of ts for the verification's zero-alloc
+            // merge-scan intersect ([[graft.functions.SortedIntersectCount]])
+            // — ts itself must stay df-ordered for the prefix theorem
+            array_sort(transform(col("o"), x => x.getField("tok")))
+              .as("tss"),
             size(col("o")).as("n"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
@@ -350,7 +355,10 @@ object SimJoin {
   private def qSimjoinPrefix(s: SparkSession, dir: String): DataFrame = {
     val sets = orderedSets(s, dir)
     val candidates = ppjoinCandidates(sets)
-    val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
+    // count-only merge-scan over the numeric-sorted twins: no hash set,
+    // no materialized intersection array per pair
+    val inter = graft.functions.SetExprs
+      .sortedIntersectCount(col("sa.tss"), col("sb.tss"))
     val j = inter.cast(DoubleType) / (col("sa.n") + col("sb.n") - inter)
     // the sets side is one row per DOCUMENT with the text reduced to
     // ~52 longs (≈ 2 MB at sf0.1 — far under any broadcast threshold),
@@ -377,7 +385,8 @@ object SimJoin {
   private def qSimjoinCosine(s: SparkSession, dir: String): DataFrame = {
     val sets = orderedSets(s, dir)
     val candidates = candidatesFor(sets, CosineBounds)
-    val inter = size(array_intersect(col("sa.ts"), col("sb.ts")))
+    val inter = graft.functions.SetExprs
+      .sortedIntersectCount(col("sa.tss"), col("sb.tss"))
     val c = inter.cast(DoubleType) /
       sqrt((col("sa.n") * col("sb.n")).cast(DoubleType))
     candidates
