@@ -826,9 +826,13 @@ object Dedup {
   private[graft] val IncrementalSplit = 250L
 
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    // interned + sorted shingle sets and the count-only merge-scan — the
+    // [[qDedupFuzzy]] verification kernel
     val sets = docs(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), rawShinglesWs(col("ws")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.ShingleExprs.shingleHashes(col("text")).as("sh"))
+    val inter = graft.functions.SetExprs
+      .sortedIntersectCount(col("sa.sh"), col("sb.sh"))
     // componentPairs, not candidatePairs: a new batch doc that is a
     // byte-identical copy of a standing doc must be flagged too, and the
     // collapse moved that relation from the band join to the linear
@@ -838,8 +842,8 @@ object Dedup {
       .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType)
-          / size(array_union(col("sa.sh"), col("sb.sh")))).as("j"))
+        (inter.cast(DoubleType)
+          / (size(col("sa.sh")) + size(col("sb.sh")) - inter)).as("j"))
       .filter(col("j") >= 0.5)
       .groupBy(col("doc_b").as("doc_id"))
       .agg(min(col("doc_a")).as("first_dup"))
