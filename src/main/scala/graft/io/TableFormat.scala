@@ -1,7 +1,7 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
@@ -20,15 +20,17 @@ import org.apache.spark.sql.functions._
   *   manifest/v<N>.json             — snapshot N = the data dirs listed
   * }}}
   *
-  * Commit protocol: write the new data dir, then write `v<N>.json` via
-  * temp-file + ATOMIC_MOVE. The manifest move is the commit point — a
-  * reader either sees v<N> complete or not at all; a crashed writer
-  * leaves an orphan data dir that no manifest references (invisible, GC
-  * fodder), never a torn snapshot. Readers NEVER list `data/`: snapshot N
-  * is exactly the files `v<N>.json` names, which is what makes time
-  * travel O(1) metadata and makes concurrent writers serializable by
-  * manifest-version CAS (ATOMIC_MOVE fails if v<N> exists — the loser
-  * retries at N+1).
+  * Commit protocol: write the new data dir, then install `v<N>.json` via
+  * temp-file + atomic HARD LINK (not rename: POSIX rename replaces an
+  * existing target, which would let a racing committer silently clobber
+  * a committed version — link() fails with EEXIST instead). The link is
+  * the commit point — a reader either sees v<N> complete or not at all;
+  * a crashed writer leaves an orphan data dir that no manifest
+  * references (invisible, GC fodder), never a torn snapshot. Readers
+  * NEVER list `data/`: snapshot N is exactly the files `v<N>.json`
+  * names, which is what makes time travel O(1) metadata and makes
+  * concurrent writers serializable by manifest-version CAS (the link
+  * fails if v<N> exists — the loser retries at N+1).
   *
   * Scale: a 100 TB table is ~10⁵-10⁶ data files; the manifest stays a
   * file LIST (KB-MB of metadata per commit, written once, never
@@ -45,17 +47,8 @@ object TableFormat {
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
 
   /** Latest committed version, or -1 for an empty/absent table. */
-  def latestVersion(root: String): Int = {
-    val dir = manifestDir(root)
-    if (!Files.isDirectory(dir)) return -1
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toInt }
-      .foldLeft(-1)(math.max)
-    finally stream.close() // Files.list holds a directory handle open
-  }
+  def latestVersion(root: String): Int =
+    listVersions(root).foldLeft(-1)(math.max)
 
   /** One manifest entry: a data dir plus optional min/max stats of the
     * table's stats column — the per-file zone map that makes range
@@ -84,19 +77,58 @@ object TableFormat {
       }
   }
 
-  private def writeManifest(root: String, v: Int,
-                            entries: Seq[Entry]): Unit = {
+  private[graft] def writeManifest(root: String, v: Int,
+                                   entries: Seq[Entry]): Unit = {
     Files.createDirectories(manifestDir(root))
     val body = entries.map(e =>
         s"${e.dir}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}")
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
-    // ATOMIC_MOVE is the commit: it either installs v<N> whole or throws
-    // (FileAlreadyExistsException = lost the CAS race — caller retries)
-    Files.move(tmp, manifestDir(root).resolve(s"v$v.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // HARD-LINK creation is the commit, not a rename: POSIX rename
+    // REPLACES an existing target (ATOMIC_MOVE onto an occupied version
+    // silently clobbers it — measured on this platform), while link()
+    // fails with EEXIST atomically. The link shares the fully-written
+    // tmp file's inode, so a reader sees v<N> whole or not at all, and a
+    // concurrent committer of the same version loses with
+    // FileAlreadyExistsException — the CAS the protocol needs.
+    try Files.createLink(manifestDir(root).resolve(s"v$v.json"), tmp)
+    finally Files.deleteIfExists(tmp)
   }
+
+  /** min/max of `c` over a landed data dir — the zone-map stats shared
+    * by every committing entry point (read back from the written files,
+    * so the stats describe exactly what landed).
+    */
+  private def dirStats(spark: SparkSession, dataDir: String,
+                       c: String): Option[(Long, Long)] = {
+    val r = spark.read.parquet(dataDir)
+      .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
+      .collect()(0)
+    if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
+  }
+
+  /** All committed version numbers at `root` (unordered). */
+  private def listVersions(root: String): Seq[Int] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt }
+      .toList
+    finally stream.close() // Files.list holds a directory handle open
+  }
+
+  /** Normalized-absolute data-dir path: the SAME spelling at append time
+    * and at [[vacuum]] listing time, whatever the caller's root spelling
+    * (trailing slash, relative, "." segments) — a mismatch here would
+    * make vacuum classify live dirs as garbage.
+    */
+  private def newDataDir(root: String): String =
+    Paths.get(root, "data", java.util.UUID.randomUUID().toString)
+      .toAbsolutePath.normalize.toString
 
   /** Append `df` as a new snapshot: new immutable data dir + manifest
     * v(latest+1) = previous entries ++ the new one. `statsCol` (a long
@@ -106,14 +138,9 @@ object TableFormat {
     */
   def append(df: DataFrame, root: String,
              statsCol: Option[String] = None): Int = {
-    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
-    val stats = statsCol.flatMap { c =>
-      val r = df.sparkSession.read.parquet(dataDir)
-        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-        .collect()(0)
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    val stats = statsCol.flatMap(dirStats(df.sparkSession, dataDir, _))
     val prev = latestVersion(root)
     val entry = Entry(dataDir, stats.map(_._1), stats.map(_._2))
     val entries =
@@ -165,14 +192,9 @@ object TableFormat {
               statsCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to compact at $root")
-    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    val dataDir = newDataDir(root)
     readSnapshot(spark, root, prev).write.parquet(dataDir)
-    val stats = statsCol.flatMap { c =>
-      val r = spark.read.parquet(dataDir)
-        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-        .collect()(0)
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
     val v = prev + 1
     writeManifest(root, v,
       Seq(Entry(dataDir, stats.map(_._1), stats.map(_._2))))
@@ -182,7 +204,7 @@ object TableFormat {
   /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
     * the version CAS is the idempotence mechanism. A replayed batch
     * (restart, retry) sees its version already committed — or loses the
-    * ATOMIC_MOVE — and skips; a crashed attempt leaves only an orphan
+    * link-commit CAS — and skips; a crashed attempt leaves only an orphan
     * data dir. Returns true iff THIS call committed. Use from
     * `foreachBatch((df, id) => TableFormat.appendBatch(df, root, id))`;
     * batch ids from a checkpointed query are contiguous from 0, which is
@@ -195,14 +217,11 @@ object TableFormat {
     require(prev == batchId - 1,
       s"batch $batchId arrived over a gap (latest manifest v$prev) — a " +
         "skipped batch would silently vanish from every future snapshot")
-    val dataDir = s"$root/data/${java.util.UUID.randomUUID()}"
+    require(batchId <= Int.MaxValue,
+      s"batch id $batchId exceeds the manifest version range")
+    val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
-    val stats = statsCol.flatMap { c =>
-      val r = df.sparkSession.read.parquet(dataDir)
-        .agg(min(col(c)).cast("long"), max(col(c)).cast("long"))
-        .collect()(0)
-      if (r.isNullAt(0)) None else Some((r.getLong(0), r.getLong(1)))
-    }
+    val stats = statsCol.flatMap(dirStats(df.sparkSession, dataDir, _))
     val entries =
       (if (prev < 0) Seq.empty else readManifest(root, prev)) :+
         Entry(dataDir, stats.map(_._1), stats.map(_._2))
@@ -241,23 +260,18 @@ object TableFormat {
   def vacuum(root: String): Seq[String] = {
     val dataRoot = Paths.get(root, "data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
-    val referenced = {
-      val dir = manifestDir(root)
-      if (!Files.isDirectory(dir)) Set.empty[String]
-      else {
-        val stream = Files.list(dir)
-        try stream.iterator().asScala
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-            s.stripPrefix("v").stripSuffix(".json").toInt }
-          .flatMap(v => readManifest(root, v).map(_.dir)).toSet
-        finally stream.close()
-      }
-    }
+    // normalize BOTH sides to absolute paths: manifest entries are
+    // recorded normalized by [[newDataDir]], but an older manifest (or a
+    // caller spelling root differently) must never make a live dir look
+    // like garbage
+    def norm(p: String): String =
+      Paths.get(p).toAbsolutePath.normalize.toString
+    val referenced = listVersions(root)
+      .flatMap(v => readManifest(root, v).map(e => norm(e.dir))).toSet
     val stream = Files.list(dataRoot)
     val all = try stream.iterator().asScala.map(_.toString).toList
       finally stream.close()
-    val garbage = all.filterNot(referenced)
+    val garbage = all.filterNot(d => referenced(norm(d)))
     garbage.foreach { d =>
       def rm(p: Path): Unit = {
         if (Files.isDirectory(p)) {

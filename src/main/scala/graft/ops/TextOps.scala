@@ -107,23 +107,35 @@ object TextOps {
     * positions) and this plan touches only the two queried terms'
     * lists — the point of an inverted index.
     */
-  /** General n-term phrase search over a documents frame: term i's
-    * postings shifted by −i all equi-join on (doc_id, pos), so a row
-    * survives exactly where the full phrase starts. n−1 node-keyed
-    * joins, each touching only one term's (filtered, scan-level)
-    * posting rows.
+  /** General n-term phrase search over a documents frame in ONE corpus
+    * scan: each queried-term occurrence emits (doc, start = pos − i) for
+    * every phrase slot i its token fills (repeated terms fill several),
+    * and a start where all n DISTINCT slots are present is a full-phrase
+    * match — the shifted-postings intersection expressed as one grouped
+    * count instead of n−1 joins (the join form re-ran the tokenize +
+    * posexplode subplan once per term branch; round-13 review).
     */
   private[graft] def phraseHits(in: DataFrame,
                                 terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty phrase")
-    val pos = in
-      .select(col("doc_id"), posexplode(tokens(col("text")))
+    val n = terms.length
+    // per-occurrence slot list: indices i with terms(i) == tok — built
+    // as a literal when-chain per slot, nulls filtered out
+    val slots = filter(
+      array(terms.zipWithIndex.map { case (t, i) =>
+        when(col("tok") === t, lit(i)).otherwise(lit(null).cast("int"))
+      }: _*),
+      x => x.isNotNull)
+    in.select(col("doc_id"), posexplode(tokens(col("text")))
         .as(Seq("pos", "tok")))
-    terms.zipWithIndex.map { case (t, i) =>
-        pos.filter(col("tok") === t)
-          .select(col("doc_id"), (col("pos") - i).as("pos"))
-      }
-      .reduce(_.join(_, Seq("doc_id", "pos")))
+      .filter(col("tok").isin(terms.distinct.map(x => x: Any): _*))
+      .select(col("doc_id"), col("pos"), explode(slots).as("slot"))
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
+        col("slot"))
+      .filter(col("start") >= 0)
+      .groupBy("doc_id", "start")
+      .agg(countDistinct(col("slot")).as("k"))
+      .filter(col("k") === n)
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")
   }

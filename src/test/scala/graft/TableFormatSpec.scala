@@ -52,8 +52,7 @@ class TableFormatSpec extends TestSpark {
     val root = freshRoot()
     TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
     // another writer committed v1 concurrently (here: by hand); the next
-    // append must observe it and commit v2 — ATOMIC_MOVE onto an existing
-    // version throws rather than clobbering, so v1 stays byte-identical
+    // append must observe it and commit v2, leaving v1 byte-identical
     val foreign = "/elsewhere/data/other-writer\t\t\n"
     Files.write(Paths.get(root, "manifest", "v1.json"),
       foreign.getBytes("UTF-8"))
@@ -63,6 +62,40 @@ class TableFormatSpec extends TestSpark {
       Paths.get(root, "manifest", "v1.json")), "UTF-8")
     assert(v1 === foreign,
       "a later commit must never rewrite an older version")
+  }
+
+  test("committing onto an occupied version loses the CAS, content intact") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    val v0 = new String(Files.readAllBytes(
+      Paths.get(root, "manifest", "v0.json")), "UTF-8")
+    // the exact race the commit protocol exists for: two writers both
+    // derived version 0; the second install must THROW (POSIX rename
+    // would silently replace — the link-based commit must not)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      TableFormat.writeManifest(root, 0,
+        Seq(TableFormat.Entry("/racing/writer", None, None)))
+    }
+    val after = new String(Files.readAllBytes(
+      Paths.get(root, "manifest", "v0.json")), "UTF-8")
+    assert(after === v0, "the losing commit must not alter v0")
+    // and the loser's tmp file was cleaned up — no litter in manifest/
+    val stray = Files.list(Paths.get(root, "manifest"))
+    try assert(stray.iterator().asScala
+      .forall(_.getFileName.toString.endsWith(".json")))
+    finally stray.close()
+  }
+
+  test("vacuum with a differently-spelled root never deletes live dirs") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    // trailing slash + redundant "." segment: same table, new spelling
+    val garbage = TableFormat.vacuum(root + "/./")
+    assert(garbage.isEmpty, s"live dirs misclassified: $garbage")
+    assert(TableFormat.readSnapshot(spark, root).count() === 1)
   }
 
   test("manifest zone maps skip non-intersecting data dirs at read time") {

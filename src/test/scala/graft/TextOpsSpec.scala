@@ -292,6 +292,13 @@ class TextOpsSpec extends TestSpark {
     val one = graft.ops.TextOps.phraseHits(docs, Seq("a"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(one === Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 2L))
+    // REPEATED terms: each occurrence fills several phrase slots and the
+    // distinct-slot count must still demand all of them at one start
+    val rep = graft.ops.TextOps.phraseHits(
+        Seq((1L, "a b a b a"), (2L, "a b b a")).toDF("doc_id", "text"),
+        Seq("a", "b", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rep === Map(1L -> 2L), s"got $rep")
   }
 
   test("pack shard count derives from corpus token total, pin stays 32") {
