@@ -19,6 +19,34 @@ object Verify {
       "org.apache.spark.sql.execution.window",
       org.apache.logging.log4j.Level.ERROR)
 
+  /** Refuse result schemas the driver's compare harness cannot process:
+    * pandas sorts every result column before hashing, and an array/map/
+    * struct cell raises `TypeError: unhashable type` there — which
+    * surfaces as a red CORRECTNESS row, not a build failure. This bit us
+    * in round 1 (`q_agg_collect`) and again in round 13
+    * (`q_text_postings`); the rule lived in a comment
+    * (ops/Relational.scala, "hash can't sort array cells") both times.
+    * Serialization (`array_join`, `to_json`) is the registered query's
+    * job; this guard makes the rule mechanical: every registered query —
+    * oracle-eligible or rows-only — must emit flat, hashable columns.
+    */
+  private[graft] def assertHashableSchema(
+      name: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val bad = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+                f.dataType.isInstanceOf[MapType]   ||
+                f.dataType.isInstanceOf[StructType] =>
+        s"`${f.name}` ${f.dataType.simpleString}"
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"query '$name' emits non-hashable result column(s) " +
+        s"${bad.mkString(", ")} — the oracle compare sorts cells in " +
+        "pandas and dies on array/map/struct; serialize with " +
+        "array_join/to_json before registering")
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional args 3+: run only these query keys (dev loop with
@@ -55,8 +83,11 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        assertHashableSchema(name, df.schema)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -80,7 +80,9 @@ object TextOps {
     * document frequency, total term frequency, and the SORTED posting
     * list of doc ids. One shuffle on the token (map-side partial
     * counts; `collect_set` keeps postings distinct), postings sorted so
-    * the output is deterministic and delta-encodable at rest. At 100 TB
+    * the output is deterministic and delta-encodable at rest, and
+    * comma-joined because the oracle compare can't hash array cells
+    * (same rule as `q_agg_collect`, ops/Relational.scala). At 100 TB
     * a heavy token's posting list is sharded (`token, shard` key with
     * doc_id range splits) — same plan shape, the key just widens; the
     * sf form keeps the whole list per token because max df = corpus doc
@@ -92,7 +94,8 @@ object TextOps {
       .groupBy("token")
       .agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"),
-        sort_array(collect_set(col("doc_id"))).as("postings"))
+        array_join(sort_array(collect_set(col("doc_id"))), ",")
+          .as("postings"))
       .orderBy("token")
 
   /** Phrase search via POSITIONAL postings — the retrieval-side
@@ -1746,7 +1749,8 @@ object TextOps {
         |    AS token FROM documents)
         |SELECT token, CAST(count(*) AS BIGINT) AS tf,
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
-        |  list_sort(list(DISTINCT doc_id)) AS postings
+        |  array_to_string(list_sort(list(DISTINCT doc_id)), ',')
+        |    AS postings
         |FROM t GROUP BY token ORDER BY token""".stripMargin,
     "q_text_phrase" ->
       """WITH w AS (SELECT doc_id,
