@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass DISTINCT word-3-gram shingle hashes as a native expression —
@@ -32,7 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * produce byte-equal arrays). Docs with fewer than 3 tokens yield an
   * EMPTY array, mirroring [[MinHashSig]]; callers filter on `size > 0`.
   */
-case class ShingleHashes(child: Expression) extends UnaryExpression {
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  // analysis-time rejection of wrong argument types for the SQL-registered
+  // shingle_hashes, consistent with the other injected functions (the
+  // inference device of SortedIntersectCount handles the private supertype)
+  override def inputTypes = Seq(StringType)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

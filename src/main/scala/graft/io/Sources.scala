@@ -45,6 +45,13 @@ object Sources {
       // type outside the three documented layouts fails loudly at read
       // time instead of producing subtly shifted timestamps.
       val path = s"$dir/$name.parquet"
+      // The legacy nanosAsLong flag is session-global and set by the
+      // flagged read below, so the no-flag probe must not interleave with
+      // a concurrent flagged read on the same session (the probe would
+      // observe the flag, resolve ts as LongType, and take the loud-fail
+      // branch). The whole resolve-then-read sequence holds the session
+      // lock, not just the flagged half.
+      spark.synchronized {
       val noFlag =
         try {
           val raw = spark.read.parquet(path)
@@ -72,34 +79,30 @@ object Sources {
             None
         }
       noFlag.getOrElse {
-        // The legacy flag is session-global, so the set/read/unset must
-        // not interleave with a concurrent `table()` call on the same
-        // session — synchronize on the session. (The flag only affects
-        // schema resolution, which happens inside this block; executing
-        // the returned plan later needs no flag.)
-        spark.synchronized {
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          try {
-            val raw = spark.read.parquet(path)
-            require(raw.schema("ts").dataType ==
-              org.apache.spark.sql.types.LongType,
-              s"events.ts: no-flag read failed as NANOS but flagged read " +
-                s"resolved ${raw.schema("ts").dataType}, not LongType")
-            // ns→µs with INTEGER division (`div`): `/ 1000` is double
-            // division in Spark, and epoch-nanos (~1.8e18) exceed
-            // double's 2^53 exact range, so the round-trip could land
-            // ±1 µs off DuckDB's exact truncation near µs boundaries
-            // (round-1 ADVICE, medium).
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
-          } finally {
-            // scope the legacy flag to this read: later TIMESTAMP(NANOS)
-            // reads elsewhere should fail loudly, not silently come back
-            // as longs
-            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-          }
+        // The flag only affects schema resolution, which happens inside
+        // this block; executing the returned plan later needs no flag.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try {
+          val raw = spark.read.parquet(path)
+          require(raw.schema("ts").dataType ==
+            org.apache.spark.sql.types.LongType,
+            s"events.ts: no-flag read failed as NANOS but flagged read " +
+              s"resolved ${raw.schema("ts").dataType}, not LongType")
+          // ns→µs with INTEGER division (`div`): `/ 1000` is double
+          // division in Spark, and epoch-nanos (~1.8e18) exceed
+          // double's 2^53 exact range, so the round-trip could land
+          // ±1 µs off DuckDB's exact truncation near µs boundaries
+          // (round-1 ADVICE, medium).
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        } finally {
+          // scope the legacy flag to this read: later TIMESTAMP(NANOS)
+          // reads elsewhere should fail loudly, not silently come back
+          // as longs
+          spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         }
+      }
       }
     } else {
       spark.read.parquet(s"$dir/$name.parquet")

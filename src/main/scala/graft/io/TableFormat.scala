@@ -30,7 +30,11 @@ import org.apache.spark.sql.functions._
   * NEVER list `data/`: snapshot N is exactly the files `v<N>.json`
   * names, which is what makes time travel O(1) metadata and makes
   * concurrent writers serializable by manifest-version CAS (the link
-  * fails if v<N> exists — the loser retries at N+1).
+  * fails if v<N> exists): [[append]] retries at N+1 itself (bounded —
+  * its entry is version-independent), [[appendBatch]] treats a loss as
+  * "this batch already committed", and [[compact]] RAISES on a loss —
+  * its rewritten dir snapshots a version that is no longer latest, so
+  * only the caller can decide to re-run against the new head.
   *
   * Scale: a 100 TB table is ~10⁵-10⁶ data files; the manifest stays a
   * file LIST (KB-MB of metadata per commit, written once, never
@@ -141,14 +145,36 @@ object TableFormat {
     val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
     val stats = statsCol.flatMap(dirStats(df.sparkSession, dataDir, _))
-    val prev = latestVersion(root)
     val entry = Entry(dataDir, stats.map(_._1), stats.map(_._2))
-    val entries =
-      (if (prev < 0) Seq.empty else readManifest(root, prev)) :+ entry
-    val v = prev + 1
-    writeManifest(root, v, entries)
-    v
+    // Bounded CAS retry: an append's entry is version-independent (new
+    // data dir + whatever the latest manifest lists), so a loser can
+    // always re-read latest and re-attempt at latest+1 — the data dir is
+    // written exactly once, only the manifest install repeats. Bounded so
+    // a manifest-dir pathology (e.g. permissions flapping) surfaces as an
+    // error, not a livelock.
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(root)
+      val entries =
+        (if (prev < 0) Seq.empty else readManifest(root, prev)) :+ entry
+      val v = prev + 1
+      try { writeManifest(root, v, entries); return v }
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"append at $root lost the manifest CAS $MaxCommitRetries " +
+              "times in a row — giving up rather than livelock", e)
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
   }
+
+  /** CAS-retry bound for [[append]] — generous against real contention
+    * (each loss means another writer COMMITTED, so the table is making
+    * progress), small enough to fail fast on a stuck manifest dir.
+    */
+  private val MaxCommitRetries = 64
 
   /** Read snapshot `version` (default: latest). Time travel = pick an
     * older manifest; the data dirs are immutable so the old snapshot is
@@ -187,6 +213,13 @@ object TableFormat {
     * are recomputed from the rewritten files. At 100 TB this runs
     * per-partition-range rather than whole-table, but the commit
     * protocol — rewrite, then one manifest move — is identical.
+    *
+    * A lost commit CAS RAISES [[java.nio.file.FileAlreadyExistsException]]
+    * here (no auto-retry, unlike [[append]]): the rewritten dir is a
+    * snapshot of a version that is no longer latest, so blindly
+    * committing it at N+1 would silently DROP the concurrent append's
+    * rows. The caller re-runs compact against the new head; the stale
+    * dir is unreferenced and [[vacuum]] reclaims it.
     */
   def compact(spark: SparkSession, root: String,
               statsCol: Option[String] = None): Int = {

@@ -226,10 +226,14 @@ object SimJoin {
       pairOk: (Column, Column) => Column)
 
   /** Jaccard ≥ τ: prefix p = n − ⌈τ·n⌉ + 1; length min ≥ τ·max;
-    * required overlap α = ⌈τ/(1+τ)·(nx+ny)⌉.
+    * required overlap α = ⌈τ/(1+τ)·(nx+ny)⌉. The prefix ceil carries the
+    * same [[Eps]] slack as [[CosineBounds]]: τ = 0.6 happens to be safe
+    * because its double underestimates, but a retuned τ whose product
+    * rounds a hair ABOVE an exact integer would shorten the prefix
+    * one-sided-tight and silently drop true pairs.
     */
   private val JaccardBounds = Bounds(
-    prefixLen = n => n - ceil(lit(Tau) * n) + 1,
+    prefixLen = n => n - ceil(lit(Tau) * n - Eps) + 1,
     pairOk = (x, y) => {
       val alphaCoef = Tau / (1.0 + Tau)
       val (nx, ny) = (x.getField("n"), y.getField("n"))
