@@ -59,7 +59,12 @@ object ShingleHash {
     */
   private val Seed = 42L
 
-  private def hashToken(t: String): Long = {
+  /** xxhash64(seed 42) of one token's UTF-8 bytes — shared with the
+    * postings bucket router ([[graft.ops.TextOps.tokenBucket]]), which
+    * must compute ON THE DRIVER the same bucket the artifact writer
+    * computed with the `xxhash64` column function.
+    */
+  private[graft] def hashToken(t: String): Long = {
     val u = UTF8String.fromString(t)
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, Seed)
   }

@@ -88,38 +88,85 @@ object TextOps {
     * sf form keeps the whole list per token because max df = corpus doc
     * count here.
     */
-  private def qTextPostings(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .groupBy("token")
+  /** The postings aggregate over flat `(doc_id, token)` occurrence rows —
+    * shared by the batch build ([[qTextPostings]]) and the streaming
+    * maintenance path (whose at-rest delta rows are ALREADY exploded, so
+    * the equivalence spec feeds both forms through this one aggregate).
+    */
+  private[graft] def postingsFromPairs(p: DataFrame): DataFrame =
+    p.groupBy("token")
       .agg(count(lit(1)).as("tf"),
         countDistinct(col("doc_id")).as("df"),
         array_join(sort_array(collect_set(col("doc_id"))), ",")
           .as("postings"))
       .orderBy("token")
 
-  /** Phrase search via POSITIONAL postings — the retrieval-side
-    * completion of [[qTextPostings]]: a phrase query never rescans text;
-    * it intersects the per-term position lists with a shifted join
-    * (`pos_b − 1 = pos_a` ⇔ adjacency). Here the phrase is the fixed
-    * bigram "table hash" (a frequent testdata collocation) so the oracle
-    * can recompute it; the operator shape is query-independent: filter
-    * each term's postings (scan-level predicate on the exploded token),
-    * equi-join on (doc_id, shifted pos), count hits per doc. At 100 TB
-    * the postings live at rest (the [[qTextPostings]] artifact with
-    * positions) and this plan touches only the two queried terms'
-    * lists — the point of an inverted index.
+  private def qTextPostings(s: SparkSession, dir: String): DataFrame =
+    postingsFromPairs(docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
+
+  /** df threshold above which a token's posting list is sharded: a group
+    * under this bound is a bounded `collect_set`, over it the list would
+    * scale with the corpus (a stop word's df at 100 TB is the doc count).
     */
-  /** General n-term phrase search over a documents frame in ONE corpus
-    * scan: each queried-term occurrence emits (doc, start = pos − i) for
-    * every phrase slot i its token fills (repeated terms fill several),
-    * and a start where all n DISTINCT slots are present is a full-phrase
+  private[graft] val PostingShardDfCap = 256L
+
+  /** Doc-id range width of one heavy-token shard. RANGE sharding (not
+    * hash): `shard = doc_id div R` keeps each shard's list a contiguous,
+    * already-sorted slice, so concatenating shards in shard order
+    * reassembles the exact global sorted list — delta-encodability and
+    * merge-scans survive the split.
+    */
+  private[graft] val PostingShardRange = 128L
+
+  /** [[qTextPostings]] with the heavy-token escape hatch the design note
+    * promised: tokens whose df exceeds [[PostingShardDfCap]] split their
+    * posting list over `(token, shard)` keys by doc-id range, so NO group
+    * anywhere in the plan scales with corpus size — light tokens are one
+    * group of ≤ cap entries, heavy shards hold ≤ [[PostingShardRange]].
+    * Plan: one (token, doc_id) pre-aggregate (map-side combine collapses
+    * repeats; its exchange is reused by both consumers), a token-keyed df
+    * count — safe for stop words, counting shuffles scalars, not lists —
+    * whose over-cap slice broadcasts back as the routing set, then the
+    * (token, shard) list aggregate.
+    */
+  private[graft] def shardedPostings(in: DataFrame): DataFrame = {
+    val pairs = in
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf_pair"))
+    val heavy = broadcast(
+      pairs.groupBy("token").agg(count(lit(1)).as("df"))
+        .filter(col("df") > PostingShardDfCap)
+        .select(col("token"), lit(true).as("heavy")))
+    pairs.join(heavy, Seq("token"), "left")
+      .withColumn("shard",
+        when(col("heavy"), expr(s"doc_id div $PostingShardRange"))
+          .otherwise(lit(0L)))
+      .groupBy("token", "shard")
+      .agg(count(lit(1)).as("df_shard"),
+        sum(col("tf_pair")).as("tf_shard"),
+        array_join(sort_array(collect_set(col("doc_id"))), ",")
+          .as("postings"))
+      .orderBy("token", "shard")
+  }
+
+  private def qTextPostingsSharded(s: SparkSession, dir: String): DataFrame =
+    shardedPostings(docs(s, dir))
+
+  /** The n-term phrase-match kernel over a POSITIONAL POSTINGS frame
+    * `(doc_id, pos, tok)` — shared verbatim by the corpus-scan form
+    * ([[phraseHits]]) and the at-rest indexed form
+    * ([[indexedPhraseHits]]), so the two can only ever disagree about
+    * WHERE the postings came from, never what a match is. Each
+    * queried-term occurrence emits (doc, start = pos − i) for every
+    * phrase slot i its token fills (repeated terms fill several), and a
+    * start where all n DISTINCT slots are present is a full-phrase
     * match — the shifted-postings intersection expressed as one grouped
-    * count instead of n−1 joins (the join form re-ran the tokenize +
-    * posexplode subplan once per term branch; round-13 review).
+    * count instead of n−1 joins (the join form re-ran the upstream
+    * subplan once per term branch; round-13 review).
     */
-  private[graft] def phraseHits(in: DataFrame,
-                                terms: Seq[String]): DataFrame = {
+  private[graft] def phraseHitsFromPostings(p: DataFrame,
+                                            terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "empty phrase")
     val n = terms.length
     // per-occurrence slot list: indices i with terms(i) == tok — built
@@ -129,9 +176,7 @@ object TextOps {
         when(col("tok") === t, lit(i)).otherwise(lit(null).cast("int"))
       }: _*),
       x => x.isNotNull)
-    in.select(col("doc_id"), posexplode(tokens(col("text")))
-        .as(Seq("pos", "tok")))
-      .filter(col("tok").isin(terms.distinct.map(x => x: Any): _*))
+    p.filter(col("tok").isin(terms.distinct.map(x => x: Any): _*))
       .select(col("doc_id"), col("pos"), explode(slots).as("slot"))
       .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
         col("slot"))
@@ -143,8 +188,94 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Phrase search in ONE corpus scan — tokenize + posexplode feeding
+    * [[phraseHitsFromPostings]]. The form to run when no postings
+    * artifact exists yet (or for a one-off query that would not amortize
+    * an index build); the standing-index form is [[indexedPhraseHits]].
+    */
+  private[graft] def phraseHits(in: DataFrame,
+                                terms: Seq[String]): DataFrame =
+    phraseHitsFromPostings(
+      in.select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok"))),
+      terms)
+
   private def qTextPhrase(s: SparkSession, dir: String): DataFrame =
     phraseHits(docs(s, dir), Seq("table", "hash"))
+
+  /** Hash buckets the positional-postings artifact is directory-
+    * partitioned by. Sized so a phrase query prunes to `terms.length`
+    * directories out of 64 at the METADATA level before any file is
+    * listed; at 100 TB the bucket count rises with the corpus but the
+    * pruning arithmetic — touch ⌈q/B⌉ of the data for a q-term query —
+    * is scale-free.
+    */
+  private[graft] val PostingBuckets = 64
+
+  /** The artifact writer's `pmod(xxhash64(tok), B)` recomputed on the
+    * driver for a query-time term literal — same XXH64 kernel, seed 42,
+    * via [[graft.functions.ShingleHash.hashToken]].
+    */
+  private[graft] def tokenBucket(t: String): Int =
+    math.floorMod(graft.functions.ShingleHash.hashToken(t),
+      PostingBuckets.toLong).toInt
+
+  /** Landed POSITIONAL postings artifact per (session, dir) — write-once
+    * like the shard memos. Layout is the 100 TB retrieval story:
+    * flat `(doc_id, pos, tok)` rows, directory-partitioned by
+    * `bucket = hash(tok) % B` (partition pruning: a q-term query lists
+    * only q directories) and SORTED by tok within each file (parquet
+    * row-group min/max prune the non-queried tokens' row groups inside a
+    * bucket; the token In-filter reaches the scan as a pushed predicate).
+    * Flat rows rather than grouped lists so incremental maintenance is a
+    * plain append — new docs' rows land beside the old, no read-modify-
+    * write of a list cell ([[graft.io.TableFormat]]'s appendBatch drives
+    * the streaming form).
+    */
+  private val postingsPathCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), String]
+
+  private[graft] def positionalPostingsPath(s: SparkSession,
+                                            dir: String): String =
+    postingsPathCache.synchronized {
+      postingsPathCache.getOrElseUpdate((s, dir), {
+        // a SUBDIR of the temp dir: createTempDirectory pre-creates its
+        // path and the parquet writer (correctly) refuses to write into
+        // an existing directory without overwrite semantics
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_postings").toString + "/idx"
+        docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+          .withColumn("bucket",
+            pmod(xxhash64(col("tok")), lit(PostingBuckets.toLong))
+              .cast("int"))
+          .repartition(col("bucket"))
+          .sortWithinPartitions("tok", "doc_id", "pos")
+          .write.partitionBy("bucket").parquet(out)
+        out
+      })
+    }
+
+  /** Phrase search over the AT-REST postings artifact — the index-reuse
+    * half [[phraseHits]] deliberately skips: no documents scan, no
+    * re-tokenize; the plan reads only the queried terms' bucket
+    * directories and row groups, then runs the shared
+    * [[phraseHitsFromPostings]] kernel. `TextOpsSpec` pins both the
+    * hash-equality with the scan form and the plan shape (documents
+    * absent, bucket partition filter + token pushed filter present).
+    */
+  private[graft] def indexedPhraseHits(s: SparkSession, dir: String,
+                                       terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read.parquet(positionalPostingsPath(s, dir))
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*))
+      .select(col("doc_id"), col("pos"), col("tok"))
+    phraseHitsFromPostings(p, terms)
+  }
+
+  private def qTextPhraseIndexed(s: SparkSession, dir: String): DataFrame =
+    indexedPhraseHits(s, dir, Seq("table", "hash"))
 
   // language ID via stopword-hit heuristic (n-gram-free, per-row)
   private def qTextLangid(s: SparkSession, dir: String): DataFrame = {
@@ -1316,6 +1447,7 @@ object TextOps {
     // the next q_corpus_shuffle_read call re-lands them (write-once per
     // memo lifetime, temp-dir scoped)
     shuffleShardCache.clear()
+    postingsPathCache.clear()
   }
 
   // the lock makes the expensive thunk once-only: TrieMap.getOrElseUpdate
@@ -1490,7 +1622,9 @@ object TextOps {
     "q_text_tokens" -> qTextTokens,
     "q_text_tf" -> qTextTf,
     "q_text_postings" -> qTextPostings,
+    "q_text_postings_sharded" -> qTextPostingsSharded,
     "q_text_phrase" -> qTextPhrase,
+    "q_text_phrase_indexed" -> qTextPhraseIndexed,
     "q_text_tfidf" -> qTextTfidf,
     "q_text_langid" -> qTextLangid,
     "q_text_langid_ngram" -> qTextLangidNgram,
@@ -1577,6 +1711,17 @@ object TextOps {
               " / count(*)")} AS sym_per_word
          |FROM toks JOIN s$BpeMerges USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val PhraseSql =
+    """WITH w AS (SELECT doc_id,
+      |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |hits AS (SELECT doc_id, unnest(list_transform(
+      |  range(1, greatest(len(ws), 1)),
+      |  i -> CASE WHEN ws[i] = 'table' AND ws[i+1] = 'hash'
+      |       THEN 1 ELSE 0 END)) AS h FROM w)
+      |SELECT doc_id, CAST(sum(h) AS BIGINT) AS n_hits FROM hits
+      |GROUP BY doc_id HAVING sum(h) > 0 ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_bpe_train" -> BpeTrainSql,
@@ -1752,16 +1897,29 @@ object TextOps {
         |  array_to_string(list_sort(list(DISTINCT doc_id)), ',')
         |    AS postings
         |FROM t GROUP BY token ORDER BY token""".stripMargin,
-    "q_text_phrase" ->
-      """WITH w AS (SELECT doc_id,
-        |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents),
-        |hits AS (SELECT doc_id, unnest(list_transform(
-        |  range(1, greatest(len(ws), 1)),
-        |  i -> CASE WHEN ws[i] = 'table' AND ws[i+1] = 'hash'
-        |       THEN 1 ELSE 0 END)) AS h FROM w)
-        |SELECT doc_id, CAST(sum(h) AS BIGINT) AS n_hits FROM hits
-        |GROUP BY doc_id HAVING sum(h) > 0 ORDER BY doc_id""".stripMargin,
+    "q_text_postings_sharded" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    AS token FROM documents),
+        |p AS (SELECT token, doc_id, count(*) AS tf_pair FROM t
+        |  GROUP BY token, doc_id),
+        |f AS (SELECT token, count(*) AS df FROM p GROUP BY token),
+        |s AS (SELECT p.token,
+        |  CASE WHEN f.df > ${TextOps.PostingShardDfCap}
+        |    THEN p.doc_id // ${TextOps.PostingShardRange}
+        |    ELSE 0 END AS shard,
+        |  p.doc_id, p.tf_pair FROM p JOIN f USING (token))
+        |SELECT token, CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS df_shard,
+        |  CAST(sum(tf_pair) AS BIGINT) AS tf_shard,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM s GROUP BY token, shard
+        |ORDER BY token, shard""".stripMargin,
+    "q_text_phrase" -> PhraseSql,
+    // the indexed form must produce the SAME rows from the at-rest
+    // artifact that the scan form produces from the corpus — one oracle,
+    // two plans
+    "q_text_phrase_indexed" -> PhraseSql,
     "q_pack_sequences" ->
       """WITH d AS (SELECT doc_id,
         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -253,6 +253,37 @@ object Streaming {
       .foreachBatch(shardBatchWriter(path))
       .start()
 
+  /** INCREMENTAL inverted-index maintenance — the streaming completion of
+    * the retrieval tier (the dedup tier's batch/incremental/streaming
+    * triple, applied to postings). Each micro-batch of `(doc_id, text)`
+    * docs explodes to flat positional postings rows `(doc_id, pos, tok)`
+    * and lands them through [[graft.io.TableFormat.appendBatch]] —
+    * exactly-once by the manifest-version CAS, so an at-least-once replay
+    * of a batch cannot double-count a token. The standing artifact is the
+    * UNION of delta snapshots: flat rows make the merge a plain append
+    * (no read-modify-write of any list cell), and
+    * [[graft.ops.TextOps.postingsFromPairs]] over the latest snapshot
+    * equals the batch-built index over the same docs — the equivalence
+    * `StreamingSpec` pins. At 100 TB, [[graft.io.TableFormat.compact]]
+    * periodically re-sorts the accumulated deltas into the bucketed
+    * token-sorted layout the phrase reader wants; the commit protocol is
+    * unchanged.
+    */
+  def postingsIngest(stream: DataFrame, root: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .select(col("doc_id"),
+        posexplode(graft.ops.TextOps.tokens(col("text")))
+          .as(Seq("pos", "tok")))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.TableFormat.appendBatch(batch, root, batchId)
+        ()
+      }
+      .start()
+
   /** R6 custom keyed state: running event count + last-seen second per
     * user via mapGroupsWithState. State is one small struct per key,
     * partitioned with the shuffle; production deployments add an

@@ -326,6 +326,47 @@ class StreamingSpec extends TestSpark {
     assert(after === before, s"replay duplicated rows: $before -> $after")
   }
 
+  test("streamed postings deltas == the batch-built index, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_postings_inc")
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val allDocs = Seq(
+      (1L, "the cat sat"), (2L, "the dog sat down"),
+      (3L, "a cat and a dog"), (4L, "down the hill"), (5L, "the end"))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.stream.Streaming.postingsIngest(
+      mem.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      mem.addData(allDocs(0), allDocs(1))
+      q.processAllAvailable()
+      mem.addData(allDocs(2))
+      q.processAllAvailable()
+      mem.addData(allDocs(3), allDocs(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    // one snapshot commit per micro-batch
+    assert(graft.io.TableFormat.latestVersion(root) === 2)
+    def agg(p: org.apache.spark.sql.DataFrame) =
+      graft.ops.TextOps.postingsFromPairs(p).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val streamed = agg(graft.io.TableFormat.readSnapshot(spark, root)
+      .select(col("doc_id"), col("tok").as("token")))
+    val batch = agg(allDocs.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(
+        graft.ops.TextOps.tokens(col("text"))).as("token")))
+    assert(streamed === batch,
+      "incrementally maintained postings drifted from the batch build")
+    // at-least-once replay of an already-committed batch is a no-op:
+    // the manifest CAS refuses the duplicate version
+    assert(!graft.io.TableFormat.appendBatch(
+      Seq((9L, 0, "ghost")).toDF("doc_id", "pos", "tok"), root, 1L))
+    assert(agg(graft.io.TableFormat.readSnapshot(spark, root)
+      .select(col("doc_id"), col("tok").as("token"))) === batch)
+  }
+
   test("mapGroupsWithState accumulates running per-user counts") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

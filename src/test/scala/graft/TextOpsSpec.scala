@@ -301,6 +301,73 @@ class TextOpsSpec extends TestSpark {
     assert(rep === Map(1L -> 2L), s"got $rep")
   }
 
+  test("indexed phrase search equals the scan form, never touches documents") {
+    val scan = graft.SparkEntry.queries("q_text_phrase")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val indexed = graft.SparkEntry.queries("q_text_phrase_indexed")(spark, Sf)
+    assert(indexed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === scan)
+    // the at-rest plan reads the postings artifact, not the corpus: no
+    // documents scan, no tokenize — the index-reuse contract
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"indexed phrase plan rescans the corpus:\n$plan")
+    assert(!plan.toLowerCase.contains("split("),
+      s"indexed phrase plan re-tokenizes:\n$plan")
+    // bucket partition pruning + token pushdown both reach the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partition filter missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("tok"),
+      s"token pushdown missing:\n$plan")
+  }
+
+  test("sharded postings bound every group, reassemble to the exact list") {
+    import spark.implicits._
+    val cap = graft.ops.TextOps.PostingShardDfCap
+    val range = graft.ops.TextOps.PostingShardRange
+    val nDocs = 600 // > cap, so the stop word MUST shard
+    val corpus = (0 until nDocs).map { i =>
+      (i.toLong, if (i < 10) "the rare" else "the the common")
+    }.toDF("doc_id", "text")
+    val rows = graft.ops.TextOps.shardedPostings(corpus)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // no group anywhere holds more than max(cap, range) entries — the
+    // bound that keeps a stop word's collect_set corpus-size-independent
+    rows.foreach { case (tok, shard, dfShard, _, postings) =>
+      assert(dfShard <= math.max(cap, range),
+        s"$tok shard $shard holds $dfShard entries")
+      assert(postings.split(",").length === dfShard)
+    }
+    // the stop word split into ceil(600/range) doc-range shards whose
+    // in-order concatenation is exactly the full sorted posting list
+    val the = rows.filter(_._1 == "the").sortBy(_._2)
+    assert(the.map(_._2).toSeq ===
+      (0 until ((nDocs + range.toInt - 1) / range.toInt)).map(_.toLong))
+    assert(the.flatMap(_._5.split(",")).map(_.toLong).toSeq ===
+      (0 until nDocs).map(_.toLong),
+      "shard-order concat must reassemble the global sorted list")
+    // tf carries through the split: "the" appears twice in 590 docs
+    assert(the.map(_._4).sum === 10L + 2L * (nDocs - 10))
+    // a light token stays one unsharded group
+    val rare = rows.filter(_._1 == "rare")
+    assert(rare.map(_._2).toSeq === Seq(0L) &&
+      rare.head._5 === (0 until 10).mkString(","))
+  }
+
+  test("token bucket router matches the artifact writer's xxhash64 bucketing") {
+    import spark.implicits._
+    val terms = Seq("table", "hash", "the", "zebra", "42")
+    val viaSpark = terms.toDF("tok")
+      .select(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"tok"),
+        org.apache.spark.sql.functions.lit(
+          graft.ops.TextOps.PostingBuckets.toLong)).cast("int"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(terms.map(graft.ops.TextOps.tokenBucket) === viaSpark)
+  }
+
   test("pack shard count derives from corpus token total, pin stays 32") {
     import spark.implicits._
     val docs = graft.io.Sources.table(spark, Sf, "documents")
