@@ -139,6 +139,30 @@ object Bench {
       Thread.sleep(2000)
     }
 
+    // UNTIMED warmup pass (round-13 VERDICT #6): the cold first pass ran
+    // 2.2× the steady state — JIT + codegen compilation of every query's
+    // generated class plus classloading, not data cost. Run the whole
+    // selected key set once at sf0.001 BEFORE the timed passes: Janino
+    // caches generated code by source text and the plan shapes are
+    // SF-independent, so the tiny pass pre-compiles what the first timed
+    // pass used to compile cold, at near-zero data cost. Disable with
+    // SPARK_GRAFT_WARMUP=0 (or point SPARK_GRAFT_WARMUP_SF_DIR elsewhere).
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
+      Paths.get(sfDir).resolveSibling("sf0.001").toString)
+    val warmupOn = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
+      Files.isDirectory(Paths.get(warmupDir))
+    val warmupSecs =
+      if (!warmupOn) -1.0
+      else {
+        val t0 = System.nanoTime()
+        keys.foreach { case (_, fn) =>
+          try fn(spark, warmupDir).count()
+          catch { case _: Throwable => () }
+        }
+        settle()
+        (System.nanoTime() - t0) / 1e9
+      }
+
     val allPasses = (1 to passes).map { _ =>
       val p = runPass()
       settle()
@@ -185,6 +209,7 @@ object Bench {
     // could not anchor against the local[32] baseline).
     val line =
       s"""{"queries_median":$qsMed,"queries":$qs,"sf":"$sfDir",""" +
+        s""""warmup_s":${fmt(warmupSecs)},""" +
         s""""cpus":"$cpus","passes":$passes,"pass_totals":$passTotals,$prepJson""" +
         s""""errors":$errJson,"error_count":${errors.size},""" +
         s""""unit":"sec","metric":"total","value":$total}"""

@@ -235,27 +235,48 @@ object TextOps {
   private val postingsPathCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), String]
 
-  private[graft] def positionalPostingsPath(s: SparkSession,
-                                            dir: String): String =
+  /** Root of the landed index: `idx/` (positional postings), `dl/`
+    * (per-doc token counts) and `stats/` (one-row n_docs + avgdl) — the
+    * sidecars every ranked-retrieval scorer needs at query time without
+    * touching the corpus. They are written in the same build because at
+    * 100 TB the corpus scan is the cost; the sidecars are a groupBy of
+    * rows the tokenizer already produced.
+    */
+  private[graft] def indexRoot(s: SparkSession, dir: String): String =
     postingsPathCache.synchronized {
       postingsPathCache.getOrElseUpdate((s, dir), {
-        // a SUBDIR of the temp dir: createTempDirectory pre-creates its
+        // SUBDIRS of the temp dir: createTempDirectory pre-creates its
         // path and the parquet writer (correctly) refuses to write into
         // an existing directory without overwrite semantics
-        val out = java.nio.file.Files
-          .createTempDirectory("graft_postings").toString + "/idx"
-        docs(s, dir)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_postings").toString
+        val toks = docs(s, dir)
           .select(col("doc_id"),
             posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+        toks
           .withColumn("bucket",
             pmod(xxhash64(col("tok")), lit(PostingBuckets.toLong))
               .cast("int"))
           .repartition(col("bucket"))
           .sortWithinPartitions("tok", "doc_id", "pos")
-          .write.partitionBy("bucket").parquet(out)
-        out
+          .write.partitionBy("bucket").parquet(root + "/idx")
+        toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          .write.parquet(root + "/dl")
+        // avgdl as bigint/bigint IEEE division — bit-identical to the
+        // corpus-scan BM25 form and the DuckDB oracle
+        s.read.parquet(root + "/dl")
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_toks"))
+          .select(col("n_docs"),
+            (col("total_toks").cast(DoubleType) / col("n_docs"))
+              .as("avgdl"))
+          .write.parquet(root + "/stats")
+        root
       })
     }
+
+  private[graft] def positionalPostingsPath(s: SparkSession,
+                                            dir: String): String =
+    indexRoot(s, dir) + "/idx"
 
   /** Phrase search over the AT-REST postings artifact — the index-reuse
     * half [[phraseHits]] deliberately skips: no documents scan, no
@@ -569,18 +590,18 @@ object TextOps {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
-  private def qTextBm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // scalar corpus stats: N docs, average doc length (bigint/bigint IEEE
-    // division — bit-identical in both engines)
-    val corpus = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_toks"))
-      .select(col("n_docs"),
-        (col("total_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
-    val tf = toks.filter(col("w").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+  /** The BM25 scoring kernel over prepared inputs — shared verbatim by
+    * the corpus-scan form ([[qTextBm25]]) and the at-rest indexed form
+    * ([[indexedBm25]]), so the two can only ever disagree about WHERE
+    * `tf`/`dl`/`corpus` came from, never what a score is (the same
+    * kernel-sharing contract the phrase forms use). `tf` = (doc_id, w,
+    * tf) for the query terms only; `dl` = (doc_id, dl); `corpus` = one
+    * row (n_docs, avgdl). df is derived from tf (doc count per query
+    * term) and broadcast; the dl join shuffles only |query-term
+    * postings| rows, never the corpus.
+    */
+  private[graft] def bm25Scores(tf: DataFrame, dl: DataFrame,
+                                corpus: DataFrame): DataFrame = {
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs").cast(DoubleType) - col("df") + 0.5)
       / (col("df").cast(DoubleType) + 0.5) + 1.0)
@@ -595,8 +616,57 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"),
         Num.r4(sum(col("c")).cast(DoubleType)).as("bm25"))
-      .orderBy("doc_id")
   }
+
+  private def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // scalar corpus stats: N docs, average doc length (bigint/bigint IEEE
+    // division — bit-identical in both engines)
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_toks"))
+      .select(col("n_docs"),
+        (col("total_toks").cast(DoubleType) / col("n_docs")).as("avgdl"))
+    val tf = toks.filter(col("w").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    bm25Scores(tf, dl, corpus).orderBy("doc_id")
+  }
+
+  /** BM25 over the AT-REST index: tf from the queried terms' bucket
+    * directories of the positional postings (partition-pruned, token
+    * filter pushed), dl/avgdl/N from the sidecars the index build landed
+    * — no documents scan, no re-tokenize, no corpus-wide aggregate at
+    * query time. This is the ranked-retrieval shape at 100 TB: query
+    * cost ∝ the queried terms' posting lists, not the corpus.
+    */
+  private[graft] def indexedBm25(s: SparkSession, dir: String,
+                                 terms: Seq[String]): DataFrame = {
+    val buckets = terms.map(tokenBucket).distinct
+    val root = indexRoot(s, dir)
+    val tf = s.read.parquet(root + "/idx")
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
+        col("tok").isin(terms.map(x => x: Any): _*))
+      .select(col("doc_id"), col("tok").as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    bm25Scores(tf, s.read.parquet(root + "/dl"),
+      s.read.parquet(root + "/stats"))
+  }
+
+  private def qTextBm25Indexed(s: SparkSession, dir: String): DataFrame =
+    indexedBm25(s, dir, Bm25Terms).orderBy("doc_id")
+
+  /** The user-facing retrieval query: top-k docs by BM25 from the
+    * standing index, deterministic under ties (score desc, doc_id asc)
+    * so the emitted SET is engine-portable. orderBy+limit plans as
+    * TakeOrderedAndProject — per-partition heaps, k rows to the driver,
+    * never a global sort.
+    */
+  private[graft] val SearchTopK = 10
+
+  private def qTextSearchTopk(s: SparkSession, dir: String): DataFrame =
+    indexedBm25(s, dir, Bm25Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(SearchTopK)
 
   /** Unigram language-model quality score: mean per-token log-probability
     * under the corpus's own unigram distribution — the cheapest useful
@@ -1633,6 +1703,8 @@ object TextOps {
     "q_text_boilerplate" -> qTextBoilerplate,
     "q_corpus_filter" -> qCorpusFilter,
     "q_text_bm25" -> qTextBm25,
+    "q_text_bm25_indexed" -> qTextBm25Indexed,
+    "q_text_search_topk" -> qTextSearchTopk,
     "q_text_unigram_lp" -> qTextUnigramLp,
     "q_text_entropy" -> qTextEntropy,
     "q_corpus_mix" -> qCorpusMix,
@@ -1712,6 +1784,29 @@ object TextOps {
          |FROM toks JOIN s$BpeMerges USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def bm25Sql(orderLimit: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       |  FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |corpus AS (SELECT count(*) AS n_docs,
+       |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+       |  WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
+       |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+       |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       |${Num.r4Sql(
+          "CAST(sum(CAST(" +
+            "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / " +
+            "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+            "(CAST(tf AS DOUBLE) * (1.2 + 1.0) / " +
+            "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
+            "(CAST(dl AS DOUBLE) / avgdl)))) " +
+            "AS DECIMAL(20,10))) AS DOUBLE)")} AS bm25
+       |FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+       |CROSS JOIN corpus
+       |GROUP BY tf.doc_id $orderLimit""".stripMargin
+
   private val PhraseSql =
     """WITH w AS (SELECT doc_id,
       |  list_filter(string_split(text, ' '), x -> x <> '') AS ws
@@ -1728,29 +1823,14 @@ object TextOps {
     "q_bpe_encode" -> BpeEncodeSql,
     // BM25 against the fixed 3-term query; contribution expression mirrors
     // the Spark tree EXACTLY (same literal sub-expressions, left-to-right),
-    // and the cross-term sum goes through DECIMAL(20,10) in both engines
-    "q_text_bm25" ->
-      s"""WITH toks AS (SELECT doc_id,
-         |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-         |  FROM documents),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |corpus AS (SELECT count(*) AS n_docs,
-         |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
-         |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
-         |  WHERE w IN ('spark', 'merge', 'window') GROUP BY doc_id, w),
-         |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
-         |SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
-         |${Num.r4Sql(
-            "CAST(sum(CAST(" +
-              "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / " +
-              "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
-              "(CAST(tf AS DOUBLE) * (1.2 + 1.0) / " +
-              "(CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * " +
-              "(CAST(dl AS DOUBLE) / avgdl)))) " +
-              "AS DECIMAL(20,10))) AS DOUBLE)")} AS bm25
-         |FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
-         |CROSS JOIN corpus
-         |GROUP BY tf.doc_id ORDER BY doc_id""".stripMargin,
+    // and the cross-term sum goes through DECIMAL(20,10) in both engines.
+    // The indexed form and the top-k retrieval share the same corpus-scan
+    // oracle (identical result, different plan) — only the final
+    // order/limit differs.
+    "q_text_bm25" -> bm25Sql("ORDER BY doc_id"),
+    "q_text_bm25_indexed" -> bm25Sql("ORDER BY doc_id"),
+    "q_text_search_topk" ->
+      bm25Sql(s"ORDER BY bm25 DESC, doc_id LIMIT $SearchTopK"),
     "q_text_unigram_lp" ->
       s"""WITH toks AS (SELECT doc_id,
          |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w

@@ -321,6 +321,41 @@ class TextOpsSpec extends TestSpark {
       s"token pushdown missing:\n$plan")
   }
 
+  test("indexed bm25 equals the scan form, never touches documents") {
+    val scan = graft.SparkEntry.queries("q_text_bm25")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val indexed = graft.SparkEntry.queries("q_text_bm25_indexed")(spark, Sf)
+    assert(indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === scan)
+    // the at-rest plan reads the postings artifact + sidecars, not the
+    // corpus: no documents scan, no tokenize, no corpus-wide aggregate
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"indexed bm25 plan rescans the corpus:\n$plan")
+    assert(!plan.toLowerCase.contains("split("),
+      s"indexed bm25 plan re-tokenizes:\n$plan")
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket partition filter missing:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("tok"),
+      s"token pushdown missing:\n$plan")
+  }
+
+  test("search top-k is the k best scan-form scores, ties broken by doc_id") {
+    val all = graft.SparkEntry.queries("q_text_bm25")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val want = all.sortBy { case (id, _, s) => (-s, id) }
+      .take(graft.ops.TextOps.SearchTopK).toSeq
+    val topk = graft.SparkEntry.queries("q_text_search_topk")(spark, Sf)
+    assert(topk.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === want)
+    // orderBy+limit must plan the per-partition-heap operator, not a
+    // global sort of every scoring doc
+    assert(topk.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-k retrieval lost its TakeOrderedAndProject plan")
+  }
+
   test("sharded postings bound every group, reassemble to the exact list") {
     import spark.implicits._
     val cap = graft.ops.TextOps.PostingShardDfCap
