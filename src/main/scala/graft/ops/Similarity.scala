@@ -401,8 +401,79 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cell"),
         first(col("embedding")).as("embedding"),
-        sqrt(first(col("nrm2"))).as("nrm"))
+        sqrt(first(col("nrm2"))).as("nrm"),
+        // raw ||v||² carried alongside its sqrt so the AT-REST index can
+        // re-run the probe argmin on the exact same doubles (sqrt-then-
+        // square would not round-trip)
+        first(col("nrm2")).as("nrm2"))
   }
+
+  /** Landed IVF index per (session, dir) — write-once like the postings
+    * artifact. `cells/` holds every assigned vector (embedding, ||v||,
+    * ||v||²) DIRECTORY-PARTITIONED by its inverted-list id, `cents/` the
+    * 16-row trained codebook. This is the vector-retrieval at-rest story:
+    * at 100 TB the corpus is coded once, and a search touches only the
+    * probed cells' directories — the Spark plan prunes them via dynamic
+    * partition pruning against the (broadcast) probed-query frame, so
+    * 14/16ths of the index is never listed, let alone read.
+    */
+  private val ivfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def ivfIndexRoot(s: SparkSession, dir: String): String =
+    ivfIndexCache.synchronized {
+      ivfIndexCache.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ivf").toString
+        trainedAssignment(s, dir)
+          .write.partitionBy("cell").parquet(root + "/cells")
+        trainedCodebook(s, dir).write.parquet(root + "/cents")
+        root
+      })
+    }
+
+  /** Multi-probe IVF search over the AT-REST index — the same semantics
+    * as [[ivfSearch]] (spec-pinned equal), but no embeddings scan, no
+    * training, no assignment at query time: queries probe their `nprobe`
+    * nearest cells against the 16-row codebook sidecar, and the cell
+    * join reads only the probed inverted-list directories (DPP prunes
+    * the rest). Score/probe expression trees are shared with the
+    * in-session form, so the two can only disagree about WHERE vectors
+    * came from.
+    */
+  private[graft] def ivfIndexedSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val root = ivfIndexRoot(s, dir)
+    val idx = s.read.parquet(root + "/cells")
+    val cents = s.read.parquet(root + "/cents")
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val q = idx.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cid").as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    idx.join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  private def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame =
+    ivfIndexedSearch(s, dir, nprobe = 2)
 
   private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val assigned = trainedAssignment(s, dir)
@@ -531,6 +602,7 @@ object Similarity {
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
+    "q_sim_ivf_indexed" -> qSimIvfIndexed,
     "q_sim_ivf_multiprobe" -> qSimIvfMultiprobe,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
@@ -663,6 +735,10 @@ object Similarity {
     // same training replay as q_sim_ivf_trained; the query side QUALIFYs
     // its nprobe nearest cells while the corpus stays rn=1
     "q_sim_ivf_probe" -> ivfProbeSql(2),
+    // the at-rest indexed form answers the SAME question as the p=2
+    // in-session search (identical result, different plan), so it shares
+    // that oracle verbatim
+    "q_sim_ivf_indexed" -> ivfProbeSql(2),
     "q_sim_ivf_multiprobe" -> ivfProbeSql(4),
     "q_sim_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding,

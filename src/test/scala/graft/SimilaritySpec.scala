@@ -239,6 +239,26 @@ class SimilaritySpec extends TestSpark {
       "expected the second probe to improve some rank")
   }
 
+  test("indexed IVF search equals the in-session form, never scans embeddings") {
+    val inSession = graft.SparkEntry.queries("q_sim_ivf_probe")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val indexed = graft.SparkEntry.queries("q_sim_ivf_indexed")(spark, Sf)
+    assert(indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq === inSession)
+    // the at-rest plan reads the landed cells + codebook sidecar, not the
+    // corpus — no training, no assignment, no embeddings scan at query time
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"indexed IVF search rescans the embeddings corpus:\n$plan")
+    // the cell join prunes the inverted-list directories dynamically: the
+    // probed-cells frame is the DPP filter on the partition column
+    assert(plan.contains("dynamicpruning"),
+      s"cell-directory dynamic partition pruning missing:\n$plan")
+  }
+
   test("ivf training step partitions the corpus across seed clusters") {
     val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
     // clusters are seed ids (0..15) and every vector lands in exactly one
