@@ -234,6 +234,93 @@ object TableFormat {
     v
   }
 
+  /** File-pruned COPY-ON-WRITE upsert (the Delta/Iceberg MERGE pattern
+    * reduced): rows of `updates` REPLACE same-key rows of the latest
+    * snapshot; keys present nowhere are inserted. Only data dirs whose
+    * zone-map key range contains at least one update key are rewritten —
+    * at 100 TB that is the whole point: a trickle of updates rewrites a
+    * handful of dirs, not the table. Untouched dirs carry into the new
+    * manifest VERBATIM (same path, same stats), which the spec pins.
+    *
+    * Touched-dir detection never collects data: update keys join the
+    * broadcast manifest bounds and only ≤ |manifest| matched indices
+    * come back to the driver. Dirs without recorded stats are
+    * conservatively rewritten (soundness over pruning), so the manifest
+    * contract is: commit with `statsCol = keyCol` to earn pruning.
+    * Caller contract: `updates` has unique keys. A lost commit CAS
+    * RAISES like [[compact]] — the rewrite snapshots a head that is no
+    * longer latest, so only the caller can re-run against the new one.
+    */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+            keyCol: String, statsCol: Option[String] = None): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to merge into at $root")
+    val entries = readManifest(root, prev)
+    val (touched, untouched) = touchedSplit(spark, entries, updates, keyCol)
+    val dataDir = newDataDir(root)
+    val merged =
+      if (touched.isEmpty) updates
+      else spark.read.parquet(touched.map(_.dir): _*)
+        .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    merged.write.parquet(dataDir)
+    val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
+    val v = prev + 1
+    writeManifest(root, v,
+      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2)))
+    v
+  }
+
+  /** Split `entries` into (touched, untouched) by whether any key of
+    * `keyed`'s `keyCol` falls inside the entry's zone-map range. One
+    * scan of the key frame against the broadcast manifest bounds; only
+    * ≤ |manifest| matched indices reach the driver. Entries without
+    * stats are conservatively touched.
+    */
+  private def touchedSplit(spark: SparkSession, entries: Seq[Entry],
+      keyed: DataFrame, keyCol: String): (Seq[Entry], Seq[Entry]) = {
+    val statted = entries.zipWithIndex.collect {
+      case (Entry(_, Some(l), Some(h)), i) => (i, l, h)
+    }
+    val touchedIdx: Set[Int] =
+      entries.indices.filterNot(i => statted.exists(_._1 == i)).toSet ++ {
+        if (statted.isEmpty) Set.empty[Int]
+        else {
+          import spark.implicits._
+          val bounds = statted.toDF("i", "lo", "hi")
+          keyed.select(col(keyCol).cast("long").as("k"))
+            .join(broadcast(bounds),
+              col("k") >= col("lo") && col("k") <= col("hi"))
+            .select("i").distinct().collect().map(_.getInt(0)).toSet
+        }
+      }
+    val (t, u) = entries.zipWithIndex.partition { case (_, i) => touchedIdx(i) }
+    (t.map(_._1), u.map(_._1))
+  }
+
+  /** Row-level DELETE by key — the same prune-rewrite-commit core as
+    * [[merge]] with an empty insert set: touched dirs are rewritten
+    * minus the deleted keys, untouched dirs carry verbatim. `keys` is a
+    * one-column frame of `keyCol` values (unique not required).
+    */
+  def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCol: String, statsCol: Option[String] = None): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to delete from at $root")
+    val entries = readManifest(root, prev)
+    val (touched, untouched) = touchedSplit(spark, entries, keys, keyCol)
+    if (touched.isEmpty) return prev // nothing referenced: no-op, no commit
+    val dataDir = newDataDir(root)
+    spark.read.parquet(touched.map(_.dir): _*)
+      .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .write.parquet(dataDir)
+    val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
+    val v = prev + 1
+    writeManifest(root, v,
+      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2)))
+    v
+  }
+
   /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
     * the version CAS is the idempotence mechanism. A replayed batch
     * (restart, retry) sees its version already committed — or loses the
@@ -396,16 +483,83 @@ object TableFormat {
       .orderBy("o_orderstatus")
   }
 
+  /** Data-dir paths of snapshot `v` — spec window into the manifest
+    * (asserting an untouched dir carried VERBATIM through a merge).
+    */
+  private[graft] def snapshotDirs(root: String, v: Int): Seq[String] =
+    readManifest(root, v).map(_.dir)
+
+  /** Landed MERGE fixture: the two-range layout of [[landedRangeTable]]
+    * (own root — a merge here must never move the skipping fixture's
+    * head), then one copy-on-write upsert: every 7th key of the lower
+    * half flips to status 'U' (prunes the rewrite to the LOWER dir) and
+    * every 97th key re-lands shifted past the max key as an insert with
+    * status 'N' (matches no dir). Key arithmetic only, so the oracle
+    * recomputes the merged table from `orders` alone.
+    */
+  private val mergeCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedMergedTable(s: SparkSession, dir: String): String =
+    mergeCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_merge").toString
+      val orders = Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"))
+      val r = orders.agg(min(col("o_orderkey")).cast("long"),
+        max(col("o_orderkey")).cast("long")).collect()(0)
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      val mid = (lo + hi) / 2
+      append(orders.filter(col("o_orderkey") <= mid), root,
+        statsCol = Some("o_orderkey"))
+      append(orders.filter(col("o_orderkey") > mid), root,
+        statsCol = Some("o_orderkey"))
+      val updates = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= mid)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+        // hi + 1: keys start at 0, so a bare +hi shift would land key 0's
+        // insert ON the existing max key (replace, not insert — caught by
+        // the oracle compare at first land)
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + hi + 1).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      merge(s, root, updates, "o_orderkey", statsCol = Some("o_orderkey"))
+      root
+    })
+
+  /** Status counts of the head snapshot AFTER the copy-on-write upsert —
+    * proves matched-replace + not-matched-insert end-to-end through the
+    * manifest log (the untouched-dir and time-travel halves are
+    * spec-pinned, which a content aggregate cannot see).
+    */
+  private def qTableMerge(s: SparkSession, dir: String): DataFrame =
+    readSnapshot(s, landedMergedTable(s, dir))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
+    mergeCache.keys.toList.foreach(mergeCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_table_snapshot" -> qTableSnapshot,
-      "q_table_skipping" -> qTableSkipping)
+      "q_table_skipping" -> qTableSkipping,
+      "q_table_merge" -> qTableMerge)
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_merge" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= mid THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n FROM merged
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_skipping" ->
       """WITH m AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS mid
         |  FROM orders)

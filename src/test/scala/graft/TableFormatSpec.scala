@@ -317,6 +317,62 @@ class TableFormatSpec extends TestSpark {
     assert(TableFormat.readSnapshot(spark, root).count() === 2)
   }
 
+  test("merge rewrites only the touched dirs; time travel sees pre-merge") {
+    import spark.implicits._
+    val root = freshRoot()
+    // two statted range dirs: A = keys 1-10, B = keys 100-110
+    TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((100L to 110L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    val dirsBefore = TableFormat.snapshotDirs(root, 1)
+    // upsert: replace key 3 (inside A only) and insert key 500 (nowhere)
+    val v = TableFormat.merge(spark,
+      root, Seq((3L, "NEW"), (500L, "INS")).toDF("k", "s"), "k",
+      statsCol = Some("k"))
+    assert(v === 2)
+    val got = TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(3L) === "NEW" && got(500L) === "INS" && got(7L) === "a7" &&
+      got(105L) === "b105" && got.size === 22)
+    // B's key range never intersected an update key: its dir must carry
+    // into the merged manifest VERBATIM — the copy-on-write prune proof
+    val dirsAfter = TableFormat.snapshotDirs(root, 2)
+    assert(dirsAfter.contains(dirsBefore(1)),
+      s"untouched dir rewritten: $dirsBefore -> $dirsAfter")
+    assert(!dirsAfter.contains(dirsBefore.head), "touched dir not rewritten")
+    // pre-merge snapshot unchanged — merge is a commit, not a mutation
+    assert(TableFormat.readSnapshot(spark, root, 1)
+      .filter($"k" === 3L).head.getString(1) === "a3")
+    // a dir committed WITHOUT stats is conservatively rewritten
+    val root2 = freshRoot()
+    TableFormat.append(Seq((1L, "x")).toDF("k", "s"), root2) // no stats
+    TableFormat.merge(spark, root2, Seq((9L, "y")).toDF("k", "s"), "k")
+    assert(TableFormat.readSnapshot(spark, root2).count() === 2)
+  }
+
+  test("deleteKeys prunes to touched dirs and no-ops on absent ranges") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((100L to 110L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    val dirsBefore = TableFormat.snapshotDirs(root, 1)
+    val v = TableFormat.deleteKeys(spark, root,
+      Seq(105L, 106L).toDF("k"), "k", statsCol = Some("k"))
+    assert(v === 2)
+    val keys = TableFormat.readSnapshot(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys === ((1L to 10L) ++ (100L to 110L)).toSet -- Set(105L, 106L))
+    assert(TableFormat.snapshotDirs(root, 2).contains(dirsBefore.head),
+      "untouched dir must carry verbatim through a delete")
+    // keys outside every zone map: no rewrite, no commit — version stands
+    assert(TableFormat.deleteKeys(spark, root,
+      Seq(9999L).toDF("k"), "k") === 2)
+    assert(TableFormat.latestVersion(root) === 2)
+  }
+
   test("q_table_snapshot joins v1 vs v0 status counts") {
     val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
     val rows = out.collect()
