@@ -321,6 +321,58 @@ object TableFormat {
     v
   }
 
+  /** Row-level CHANGE FEED between two snapshots `fromVersion` →
+    * `toVersion` — what an incremental downstream consumer replays
+    * instead of re-reading the table (the Delta CDF idea, derived rather
+    * than stored). Because every commit is copy-on-write at dir
+    * granularity, the manifest diff bounds the work: rows in dirs ADDED
+    * since `fromVersion` are candidate inserts/updates, rows in dirs
+    * DROPPED are candidate deletes, and dirs carried verbatim cannot
+    * contain changes — CDC cost ∝ changed files, never table size. The
+    * key joins then classify: `insert` (key only in added), `delete`
+    * (key only in dropped), `update` (key in both, content differs —
+    * null-safe full-row compare, so a compaction that rewrites every dir
+    * byte-identically yields an EMPTY feed). Returns (keyCol,
+    * change_type) rows.
+    */
+  def readChanges(spark: SparkSession, root: String, fromVersion: Int,
+                  toVersion: Int, keyCol: String): DataFrame = {
+    require(fromVersion < toVersion,
+      s"change feed needs fromVersion < toVersion, got $fromVersion/$toVersion")
+    val from = readManifest(root, fromVersion)
+    val to = readManifest(root, toVersion)
+    val fromDirs = from.map(_.dir).toSet
+    val toDirs = to.map(_.dir).toSet
+    val added = to.filterNot(e => fromDirs(e.dir))
+    val dropped = from.filterNot(e => toDirs(e.dir))
+    val ct = lit("insert")
+    def rows(dirs: Seq[Entry]): DataFrame =
+      spark.read.parquet(dirs.map(_.dir): _*)
+    (added.nonEmpty, dropped.nonEmpty) match {
+      case (false, false) => // nothing moved: provably empty feed
+        spark.range(0).select(col("id").as(keyCol),
+          ct.as("change_type")).filter(lit(false))
+      case (true, false) => // append-only delta: every row is an insert
+        rows(added).select(col(keyCol), ct.as("change_type"))
+      case (false, true) => // pure retraction
+        rows(dropped).select(col(keyCol), lit("delete").as("change_type"))
+      case (true, true) =>
+        val cols = rows(added).columns.filterNot(_ == keyCol).toSeq
+        def keyed(df: DataFrame): DataFrame =
+          df.select(col(keyCol), struct(cols.map(col): _*).as("v"))
+        val n = keyed(rows(added))
+        val o = keyed(rows(dropped))
+        n.join(o.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .select(col(keyCol), ct.as("change_type"))
+          .unionByName(o.join(n.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .select(col(keyCol), lit("delete").as("change_type")))
+          .unionByName(n.withColumnRenamed("v", "nv")
+            .join(o.withColumnRenamed("v", "ov"), Seq(keyCol))
+            .filter(!(col("nv") <=> col("ov")))
+            .select(col(keyCol), lit("update").as("change_type")))
+    }
+  }
+
   /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
     * the version CAS is the idempotence mechanism. A replayed batch
     * (restart, retry) sees its version already committed — or loses the
@@ -535,6 +587,20 @@ object TableFormat {
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** The change feed across the fixture's merge commit: exactly the
+    * upsert's update/insert keys, nothing from the carried dir. The
+    * oracle restates the fixture's key arithmetic declaratively.
+    */
+  private def qTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val root = landedMergedTable(s, dir)
+    val head = latestVersion(root)
+    readChanges(s, root, head - 1, head, "o_orderkey")
+      .groupBy("change_type").agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy("change_type")
+  }
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
@@ -544,9 +610,23 @@ object TableFormat {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_table_snapshot" -> qTableSnapshot,
       "q_table_skipping" -> qTableSkipping,
-      "q_table_merge" -> qTableMerge)
+      "q_table_merge" -> qTableMerge,
+      "q_table_changes" -> qTableChanges)
 
   val oracleSql: Map[String, String] = Map(
+    "q_table_changes" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
+        |ch AS (
+        |  SELECT o_orderkey, 'update' AS change_type FROM orders, b
+        |  WHERE o_orderkey % 7 = 0 AND o_orderkey <= mid
+        |    AND o_orderstatus <> 'U'
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'insert' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT change_type, count(*) AS n, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
     "q_table_merge" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
         |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),

@@ -373,6 +373,36 @@ class TableFormatSpec extends TestSpark {
     assert(TableFormat.latestVersion(root) === 2)
   }
 
+  test("change feed classifies insert/update/delete; compaction feeds empty") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((100L to 110L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.merge(spark,
+      root, Seq((3L, "NEW"), (500L, "INS")).toDF("k", "s"), "k",
+      statsCol = Some("k"))
+    def feed(u: Int, v: Int): Set[(Long, String)] =
+      TableFormat.readChanges(spark, root, u, v, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // append-only delta: v0 -> v1 is B's rows, all inserts
+    assert(feed(0, 1) === (100L to 110L).map((_, "insert")).toSet)
+    // across the merge: one update, one insert; untouched keys silent
+    assert(feed(1, 2) === Set((3L, "update"), (500L, "insert")))
+    // across a delete: pure retraction rows
+    TableFormat.deleteKeys(spark, root, Seq(105L).toDF("k"), "k",
+      statsCol = Some("k"))
+    assert(feed(2, 3) === Set((105L, "delete")))
+    // spanning versions composes transitively against v1's content
+    assert(feed(1, 3) === Set((3L, "update"), (500L, "insert"),
+      (105L, "delete")))
+    // compaction rewrites every dir byte-identically: EMPTY feed — the
+    // null-safe full-row compare is what keeps rewrites out of CDC
+    TableFormat.compact(spark, root)
+    assert(feed(3, 4) === Set.empty)
+  }
+
   test("q_table_snapshot joins v1 vs v0 status counts") {
     val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
     val rows = out.collect()
