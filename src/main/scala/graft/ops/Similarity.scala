@@ -390,9 +390,15 @@ object Similarity {
     * file): broadcast argmin, partial agg collapses the k-way fan-out
     * map-side.
     */
-  private def trainedAssignment(s: SparkSession, dir: String): DataFrame = {
-    val e = featurizedCorpus(s, dir)
-    val cents = trainedCodebook(s, dir)
+  /** Nearest-centroid assignment of featurized `(vec_id, embedding,
+    * nrm2)` rows to a FROZEN codebook — shared by the full-corpus
+    * assignment below and the per-micro-batch streaming index
+    * maintenance ([[graft.stream.Streaming.ivfIngest]]), so batch and
+    * streamed index content can only agree. Broadcast argmin; the k-way
+    * fan-out collapses map-side in the partial aggregate.
+    */
+  private[graft] def assignFeaturized(e: DataFrame,
+                                      cents: DataFrame): DataFrame = {
     val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
       col("cnrm2")
     e.crossJoin(broadcast(cents))
@@ -407,6 +413,19 @@ object Similarity {
         // square would not round-trip)
         first(col("nrm2")).as("nrm2"))
   }
+
+  /** [[assignFeaturized]] over raw `(vec_id, embedding)` rows — the
+    * entry point a streaming micro-batch uses (featurization inline).
+    */
+  private[graft] def assignVectors(vecs: DataFrame,
+                                   cents: DataFrame): DataFrame =
+    assignFeaturized(
+      vecs.select(col("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("nrm2")),
+      cents)
+
+  private def trainedAssignment(s: SparkSession, dir: String): DataFrame =
+    assignFeaturized(featurizedCorpus(s, dir), trainedCodebook(s, dir))
 
   /** Landed IVF index per (session, dir) — write-once like the postings
     * artifact. `cells/` holds every assigned vector (embedding, ||v||,

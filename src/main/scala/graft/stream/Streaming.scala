@@ -269,6 +269,30 @@ object Streaming {
     * token-sorted layout the phrase reader wants; the commit protocol is
     * unchanged.
     */
+  /** Streaming IVF-index maintenance — the vector twin of
+    * [[postingsIngest]]: each micro-batch of `(vec_id, embedding)` rows
+    * is assigned to the FROZEN broadcast codebook (the shared
+    * [[graft.ops.Similarity.assignVectors]] kernel, so streamed and
+    * batch index content cannot drift) and lands exactly-once through
+    * the manifest CAS. At 100 TB this is how a live corpus keeps its
+    * ANN index current without retraining: assignment is per-row
+    * against k centroids; a periodic compaction re-sorts accumulated
+    * deltas into the cell-partitioned layout the probed search reads.
+    */
+  def ivfIngest(stream: DataFrame, cents: DataFrame, root: String,
+                checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.TableFormat.appendBatch(
+          graft.ops.Similarity.assignVectors(batch, cents), root, batchId)
+        ()
+      }
+      .start()
+
   def postingsIngest(stream: DataFrame, root: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream

@@ -326,6 +326,51 @@ class StreamingSpec extends TestSpark {
     assert(after === before, s"replay duplicated rows: $before -> $after")
   }
 
+  test("streamed IVF index deltas == the batch assignment, replay-safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_inc")
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    // frozen 2-centroid codebook; vectors split across 3 micro-batches
+    val cents = Seq((0L, Seq(0f, 0f), 0.0), (1L, Seq(10f, 10f), 200.0))
+      .toDF("cid", "cemb", "cnrm2")
+    // (i, i): nearer (0,0) iff i < 5; i = 5 is an exact distance tie,
+    // resolved to the LOWER cid by the min_by (dist2, cid) struct order
+    val vecs = (1L to 8L).map(i => (i, Seq(i.toFloat, i.toFloat)))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = graft.stream.Streaming.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), cents, root, ckpt)
+    try {
+      mem.addData(vecs(0), vecs(1), vecs(2))
+      q.processAllAvailable()
+      mem.addData(vecs(3))
+      q.processAllAvailable()
+      mem.addData(vecs(4), vecs(5), vecs(6), vecs(7))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.io.TableFormat.latestVersion(root) === 2)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.select("vec_id", "cell", "nrm").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val streamed = rows(graft.io.TableFormat.readSnapshot(spark, root))
+    val batch = rows(graft.ops.Similarity.assignVectors(
+      vecs.toDF("vec_id", "embedding"), cents))
+    assert(streamed === batch,
+      "incrementally maintained IVF index drifted from the batch build")
+    // every vector landed in its true nearest cell; the i = 5 tie went
+    // to the lower cid
+    assert(streamed.map(v => v._1 -> v._2).toMap ===
+      (1L to 8L).map(i => i -> (if (i <= 5) 0L else 1L)).toMap)
+    // replay of a committed batch loses the manifest CAS — no duplicates
+    assert(!graft.io.TableFormat.appendBatch(
+      graft.ops.Similarity.assignVectors(
+        Seq((99L, Seq(1f, 1f))).toDF("vec_id", "embedding"), cents),
+      root, 1L))
+    assert(rows(graft.io.TableFormat.readSnapshot(spark, root)) === batch)
+  }
+
   test("streamed postings deltas == the batch-built index, replay-safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
