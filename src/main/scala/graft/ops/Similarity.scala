@@ -576,32 +576,48 @@ object Similarity {
     * dot products. Per-subspace distances fold sequentially (zip_with +
     * aggregate), so the DuckDB oracle reproduces every double exactly.
     */
-  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
-    val d2 = (a: Column, b: Column) =>
-      aggregate(
-        zip_with(a, b, (x, y) =>
-          (x.cast(DoubleType) - y.cast(DoubleType))
-            * (x.cast(DoubleType) - y.cast(DoubleType))),
-        lit(0.0), (acc, v) => acc + v)
-    val sub = emb(s, dir).select(col("vec_id"),
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType))
+          * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** `(vec_id, s, sv)` subvector rows — 4 subspaces × 16 dims. */
+  private def pqSubvectors(v: DataFrame): DataFrame =
+    v.select(col("vec_id"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("s"),
           slice(col("embedding"), i * 16 + 1, 16).as("sv"))): _*)).as("p"))
       .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
-    val cb = sub.filter(col("vec_id") < 4)
+
+  /** Per-subspace codebook (the first 4 vectors' subvectors). */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 4)
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cemb"))
-    // inverted-file side: each (vector, subspace) encoded as its nearest
-    // centroid id — ties to the lowest cid, the portable min_by pattern
-    val codes = sub.join(broadcast(cb), "s")
+
+  /** Inverted-file side: each (vector, subspace) encoded as its nearest
+    * centroid id — ties to the lowest cid, the portable min_by pattern.
+    */
+  private def pqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), "s")
       .select(col("vec_id"), col("s"), col("cid"),
-        d2(col("sv"), col("cemb")).as("dist2"))
+        pqD2(col("sv"), col("cemb")).as("dist2"))
       .groupBy("vec_id", "s")
       .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
-    // query side: the per-query ADC table (4 subspaces × 4 centroids)
-    val qd = sub.filter(col("vec_id") < 8)
+
+  /** Query side: the per-query ADC table (4 subspaces × 4 centroids). */
+  private def pqAdcTable(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 8)
       .join(broadcast(cb), "s")
       .select(col("vec_id").as("q_id"), col("s"), col("cid"),
-        d2(col("sv"), col("cemb")).cast(DecimalType(20, 10)).as("d"))
+        pqD2(col("sv"), col("cemb")).cast(DecimalType(20, 10)).as("d"))
+
+  private def qSimPq(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSubvectors(emb(s, dir))
+    val cb = pqCodebook(sub)
+    val codes = pqCodes(sub, cb)
+    val qd = pqAdcTable(sub, cb)
     val w = Window.partitionBy("q_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
     // the ADC table is #queries × (4 subspaces × 4 centroids) rows — by
@@ -616,8 +632,54 @@ object Similarity {
       .orderBy("q_id", "rn")
   }
 
+  /** IVF-PQ — the full production ANN composition: IVF partitions the
+    * corpus (which inverted lists to SEARCH), PQ compresses what each
+    * list stores (HOW candidates are scored). The inverted file holds 4
+    * small codes per vector, never raw floats; a query probes its 2
+    * nearest trained cells and scores ONLY those cells' codes against
+    * its broadcast ADC table — at 100 TB both knobs matter: nprobe/k of
+    * the corpus is read, and what is read is ~64× smaller than the
+    * vectors. Cell probing shares [[ivfSearch]]'s expression trees, the
+    * PQ kernel shares [[qSimPq]]'s, so the composition is oracle-exact
+    * by construction.
+    */
+  private def qSimIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val sub = pqSubvectors(emb(s, dir))
+    val cb = pqCodebook(sub)
+    // corpus inverted file: (cell, vec_id, s, code) — codes tagged with
+    // their trained IVF cell
+    val celled = pqCodes(sub, cb)
+      .join(trainedAssignment(s, dir).select(col("vec_id"), col("cell")),
+        "vec_id")
+    // query side: probe the 2 nearest trained cells (same argmin tree as
+    // ivfSearch) + the per-query ADC table
+    val cents = trainedCodebook(s, dir)
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val probed = featurizedCorpus(s, dir).filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val qd = pqAdcTable(sub, cb)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    celled.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qd), Seq("q_id", "s", "cid"))
+      .groupBy("q_id", "vec_id")
+      .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> qSimPq,
+    "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
@@ -747,6 +809,56 @@ object Similarity {
          |  FROM codes c JOIN qd ON c.s = qd.s AND c.cid = qd.cid
          |  WHERE c.vec_id <> qd.q_id
          |  GROUP BY q_id, c.vec_id)
+         |SELECT q_id, vec_id, adist,
+         |CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY adist, vec_id) AS BIGINT) AS rn
+         |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // IVF-PQ: the full Lloyd replay supplies cells, the PQ CTEs supply
+    // codes + per-query ADC tables; candidates = probed cells' codes only
+    "q_sim_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  list_sum(list_transform(embedding,
+         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
+         |  FROM embeddings),
+         |c0n AS (SELECT vec_id AS cid, embedding AS cemb, nrm2 AS cnrm2
+         |  FROM e WHERE vec_id < 16),
+         |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
+         |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
+         |af AS (SELECT e.vec_id, cid AS cell
+         |  FROM e CROSS JOIN c2n
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c2n.cemb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + c2n.cnrm2, cid) = 1),
+         |qp AS (SELECT e.vec_id AS q_id, cid AS cell
+         |  FROM e CROSS JOIN c2n
+         |  WHERE e.vec_id < 8
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    e.nrm2 - 2.0 * list_sum(list_transform(
+         |      list_zip(e.embedding, c2n.cemb),
+         |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         |      + c2n.cnrm2, cid) <= 2),
+         |sub AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sv
+         |  FROM embeddings, unnest(range(0, 4)) AS t(s)),
+         |cb AS (SELECT s, vec_id AS cid, sv AS cemb FROM sub
+         |  WHERE vec_id < 4),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |  SELECT sub.vec_id, sub.s, cb.cid,
+         |    ${D2Sql("sub.sv", "cb.cemb")} AS dist2
+         |  FROM sub JOIN cb ON sub.s = cb.s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+         |    ORDER BY dist2, cid) = 1),
+         |qd AS (SELECT sub.vec_id AS q_id, sub.s, cb.cid,
+         |    CAST(${D2Sql("sub.sv", "cb.cemb")} AS DECIMAL(20,10)) AS d
+         |  FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
+         |scored AS (SELECT qp.q_id, c.vec_id,
+         |  ${Num.r4Sql("CAST(sum(d) AS DOUBLE)")} AS adist
+         |  FROM codes c JOIN af ON c.vec_id = af.vec_id
+         |  JOIN qp ON af.cell = qp.cell
+         |  JOIN qd ON qd.q_id = qp.q_id AND qd.s = c.s AND qd.cid = c.cid
+         |  WHERE c.vec_id <> qp.q_id
+         |  GROUP BY qp.q_id, c.vec_id)
          |SELECT q_id, vec_id, adist,
          |CAST(row_number() OVER (PARTITION BY q_id
          |  ORDER BY adist, vec_id) AS BIGINT) AS rn

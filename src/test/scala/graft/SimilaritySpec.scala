@@ -239,6 +239,30 @@ class SimilaritySpec extends TestSpark {
       "expected the second probe to improve some rank")
   }
 
+  test("ivf-pq subset search never beats exhaustive pq at any rank") {
+    val pq = graft.SparkEntry.queries("q_sim_pq")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2))
+      .toMap
+    val ivfpq = graft.SparkEntry.queries("q_sim_ivfpq")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(ivfpq.nonEmpty)
+    // IVF-PQ scores candidates from the 2 probed cells only — a SUBSET of
+    // exhaustive PQ's pool — so at every (query, rank) its approximate
+    // distance is >= the exhaustive one (and ranks stay 1..n, <= 3)
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+      rows.foreach { case (_, _, adist, rn) =>
+        pq.get((q, rn)).foreach(exh =>
+          assert(adist >= exh - 1e-9,
+            s"query $q rank $rn: ivf-pq $adist beats exhaustive $exh"))
+      }
+    }
+    // candidates never include the query itself
+    assert(ivfpq.forall(r => r._2 != r._1))
+  }
+
   test("indexed IVF search equals the in-session form, never scans embeddings") {
     val inSession = graft.SparkEntry.queries("q_sim_ivf_probe")(spark, Sf)
       .collect()
