@@ -201,6 +201,29 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Shuffled HASH join — the third strategy in Spark's equi-join matrix
+    * (broadcast / sort-merge / shuffled-hash): both sides shuffle on the
+    * key, but the smaller side builds an in-memory hash map per
+    * partition instead of both sides sorting. The right trade when one
+    * side is much smaller than the other yet too big to broadcast —
+    * orders vs lineitem here — saving the sort of the large side at the
+    * cost of a build-side-must-fit-per-partition memory bound (which is
+    * why Spark does not pick it by default; the hint is the contract).
+    * `RelationalSpec` plan-asserts ShuffledHashJoin; the oracle is the
+    * same join as q_join_smj (identical result, different physical op).
+    */
+  private def qJoinShj(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders").hint("SHUFFLE_HASH")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        rnd(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
   /** J7 range (equi+inequality) join: purchases within 30 minutes after an
     * error by the same user. The user_id equi-key keeps this a sort-merge
     * join with the range as a join-side filter — never a broadcast nested
@@ -1034,6 +1057,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_broadcast" -> qJoinBroadcast,
     "q_join_smj" -> qJoinSmj,
+    "q_join_shj" -> qJoinShj,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
     "q_agg_basic" -> qAggBasic,
@@ -1113,6 +1137,15 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |ORDER BY c_custkey""".stripMargin,
     "q_join_smj" ->
+      """SELECT o_orderpriority,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,
+        |CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    // identical relation to q_join_smj — only the physical strategy
+    // (hint-forced shuffled-hash build) differs, which SQL cannot state
+    "q_join_shj" ->
       """SELECT o_orderpriority,
         |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue,

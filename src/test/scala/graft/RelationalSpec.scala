@@ -133,6 +133,22 @@ class RelationalSpec extends TestSpark {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("shuffled-hash join takes the hinted strategy, matches the SMJ result") {
+    // string-matched: the AdaptiveSparkPlan wrapper hides the join from
+    // tree-collect pre-execution (same caveat as the bucketed test)
+    val plan = graft.SparkEntry.queries("q_join_shj")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"SHUFFLE_HASH hint not honored:\n$plan")
+    // same relation as the sort-merge form — only the physical op differs
+    val smj = graft.SparkEntry.queries("q_join_smj")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSeq
+    assert(graft.SparkEntry.queries("q_join_shj")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSeq === smj)
+  }
+
   test("except_all plans as pre-aggregated join, not a bag-replication window") {
     // the arithmetic formulation must shuffle distinct keys only: no
     // Window operator (exceptAll's union+replicate+sum-window shape) and
