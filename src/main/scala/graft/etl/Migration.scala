@@ -385,7 +385,43 @@ object Migration {
       .orderBy("tbl", "key", "row_digest")
   }
 
+  /** Pre-migration data-quality audit — the constraint checks a real
+    * migration runs BEFORE writing anything (the dbt-test / Deequ
+    * pattern): primary-key uniqueness, referential integrity, null
+    * checks, and domain bounds, each as one line of (constraint,
+    * n_violations). Every check is a single aggregate or anti-join —
+    * nothing here shuffles more than the checked keys — and the fixed
+    * output shape means a scheduler can gate a 100 TB load on
+    * `max(n_violations) == 0` without parsing anything. The counts are
+    * data-derived on the clean TPC-H tables (mostly 0), which is itself
+    * the assertion: the oracle recomputes each violation count
+    * independently.
+    */
+  private def qQualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    val c = Sources.table(s, dir, "customer")
+    val o = Sources.table(s, dir, "orders")
+    val l = Sources.table(s, dir, "lineitem")
+    def line(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("constraint"), col("n").cast(LongType).as("n_violations"))
+    val pkDup = c.groupBy("c_custkey").agg(count(lit(1)).as("k"))
+      .filter(col("k") > 1).agg(count(lit(1)).as("n"))
+    val fkOrphan = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+    val nullName = c.filter(col("c_name").isNull).agg(count(lit(1)).as("n"))
+    val qtyDomain = l.filter(col("l_quantity") <= 0)
+      .agg(count(lit(1)).as("n"))
+    val discDomain = l.filter(col("l_discount") < 0 || col("l_discount") > 1)
+      .agg(count(lit(1)).as("n"))
+    line("customer_pk_unique", pkDup)
+      .unionByName(line("orders_custkey_fk", fkOrphan))
+      .unionByName(line("customer_name_not_null", nullName))
+      .unionByName(line("lineitem_quantity_positive", qtyDomain))
+      .unionByName(line("lineitem_discount_in_0_1", discDomain))
+      .orderBy("constraint")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_constraints" -> qQualityConstraints,
     "q_migrate_bundle" -> qMigrateBundle,
     "q_project" -> qProject,
     "q_filter" -> qFilter,
@@ -404,6 +440,28 @@ object Migration {
     qPerson(spark, "/root/testdata/sf0.001")
 
   val oracleSql: Map[String, String] = Map(
+    "q_quality_constraints" ->
+      """SELECT * FROM (
+        |SELECT 'customer_pk_unique' AS constraint, CAST(
+        |  (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |    GROUP BY c_custkey HAVING count(*) > 1)) AS BIGINT)
+        |  AS n_violations
+        |UNION ALL
+        |SELECT 'orders_custkey_fk', CAST(
+        |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |  AS BIGINT)
+        |UNION ALL
+        |SELECT 'customer_name_not_null', CAST(
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_quantity_positive', CAST(
+        |  (SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+        |UNION ALL
+        |SELECT 'lineitem_discount_in_0_1', CAST(
+        |  (SELECT count(*) FROM lineitem WHERE l_discount < 0
+        |    OR l_discount > 1) AS BIGINT)
+        |) ORDER BY "constraint"""".stripMargin,
     // the full 7-table bundle, reduced to per-row digests: each arm
     // recomputes one table's columns and md5-joins them in the same
     // declaration order as the Spark side's concat_ws("|", ...)

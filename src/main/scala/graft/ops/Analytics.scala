@@ -43,6 +43,42 @@ object Analytics {
   private def revenue: Column =
     sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
 
+  // ---------------------------------------------------------------- Q1
+
+  /** Pricing summary (TPC-H Q1 shape) — THE canonical scan-heavy
+    * aggregate: one pass over lineitem, four decimal-exact sums, three
+    * derived averages, grouped by the 2×2 flag/status cells. No joins;
+    * the whole query is a partial+final hash aggregate over a pushed
+    * date filter — at 100 TB this is a pure scan-bandwidth benchmark,
+    * which is exactly why TPC-H leads with it. Averages divide the
+    * exact decimal sums in DOUBLE through [[Num.r4]] (division-derived
+    * → portable rounding); scale-6 sum_charge also goes through r4
+    * (beyond the scale-4 exactness bound plain `round` relies on).
+    */
+  private def qTpchQ1(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-09-02").cast(TimestampType)
+    val cnt = count(lit(1))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= cutoff)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        rnd(sum(dec(col("l_quantity")))).as("sum_qty"),
+        rnd(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+        rnd(revenue).as("sum_disc_price"),
+        Num.r4(sum(dec(col("l_extendedprice"))
+            * (lit(1) - dec(col("l_discount")))
+            * (lit(1) + dec(col("l_tax")))).cast(DoubleType))
+          .as("sum_charge"),
+        Num.r4(sum(dec(col("l_quantity"))).cast(DoubleType) / cnt)
+          .as("avg_qty"),
+        Num.r4(sum(dec(col("l_extendedprice"))).cast(DoubleType) / cnt)
+          .as("avg_price"),
+        Num.r4(sum(dec(col("l_discount"))).cast(DoubleType) / cnt)
+          .as("avg_disc"),
+        cnt.as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   // ---------------------------------------------------------------- Q3
 
   /** Shipping-priority (TPC-H Q3 shape): top 10 unshipped orders by
@@ -174,12 +210,36 @@ object Analytics {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
     "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_qty,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |  AS sum_base_price,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |  AS sum_disc_price,
+        |floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2))) *
+        |  (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE)) * 10000 + 0.5)
+        |  / 10000 AS sum_charge,
+        |floor((CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |  / count(*)) * 10000 + 0.5) / 10000 AS avg_qty,
+        |floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |  / count(*)) * 10000 + 0.5) / 10000 AS avg_price,
+        |floor((CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+        |  / count(*)) * 10000 + 0.5) / 10000 AS avg_disc,
+        |CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey,
         |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *

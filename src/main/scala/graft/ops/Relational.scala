@@ -851,6 +851,32 @@ object Relational {
       .orderBy("m")
   }
 
+  /** Time-series anomaly flags: minutes whose event volume sits more
+    * than 2 population-σ from the mean minute volume — the monitoring
+    * primitive over any metric stream. Shape at scale: one per-minute
+    * count aggregate, one scalar moments aggregate broadcast back, one
+    * map-side filter; σ² = E[n²] − E[n]² from EXACT integer sums with a
+    * fixed double expression tree, so both engines select the identical
+    * minute set and z-scores.
+    */
+  private def qTsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .select((floor(unix_timestamp(col("ts")) / 60) * 60)
+        .cast(LongType).as("m"))
+      .groupBy("m").agg(count(lit(1)).as("n"))
+    val mu = col("s1").cast(DoubleType) / col("k")
+    val stats = counts
+      .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(mu.as("mu"),
+        sqrt(col("s2").cast(DoubleType) / col("k") - mu * mu).as("sigma"))
+    counts.crossJoin(broadcast(stats))
+      .filter(abs(col("n") - col("mu")) > lit(2.0) * col("sigma"))
+      .select(col("m"), col("n"),
+        Num.r4((col("n") - col("mu")) / col("sigma")).as("z"))
+      .orderBy("m")
+  }
+
   /** Analytics: weekly cohort retention — users grouped by first-seen week,
     * counted per week offset they return in. Two hash aggregates and one
     * equi join; `count(DISTINCT user)` stays shuffle-partitioned by the
@@ -1087,6 +1113,7 @@ object Relational {
     "q_retention_cohort" -> qRetentionCohort,
     "q_skew_salted" -> qSkewSalted,
     "q_ts_resample" -> qTsResample,
+    "q_ts_anomaly" -> qTsAnomaly,
     "q_win_rank" -> qWinRank,
     "q_win_first_last" -> qWinFirstLast,
     "q_win_lag" -> qWinLag,
@@ -1221,6 +1248,18 @@ object Relational {
         |  FROM b)
         |SELECT g.m, coalesce(c.n_events, 0) AS n_events
         |FROM g LEFT JOIN c ON g.m = c.m ORDER BY g.m""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH c AS (SELECT CAST(floor(epoch(date_trunc('second', ts)) / 60)
+        |  * 60 AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n FROM events
+        |  GROUP BY 1),
+        |s AS (SELECT count(*) AS k, sum(n) AS s1, sum(n * n) AS s2 FROM c),
+        |st AS (SELECT CAST(s1 AS DOUBLE) / k AS mu,
+        |  sqrt(CAST(s2 AS DOUBLE) / k
+        |    - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)) AS sigma
+        |  FROM s)
+        |SELECT m, n,
+        |floor(((n - mu) / sigma) * 10000 + 0.5) / 10000 AS z
+        |FROM c, st WHERE abs(n - mu) > 2.0 * sigma ORDER BY m""".stripMargin,
     // the oracle is the UNSALTED join: salting must be invisible
     "q_skew_salted" ->
       """SELECT s_nationkey,
