@@ -149,8 +149,14 @@ object Bench {
     // SPARK_GRAFT_WARMUP=0 (or point SPARK_GRAFT_WARMUP_SF_DIR elsewhere).
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR",
       Paths.get(sfDir).resolveSibling("sf0.001").toString)
+    // never warm up ON the benched dir: the warmup would populate the
+    // exact (session, sfDir) memo/fixture keys the timed passes use,
+    // silently moving first-consumer build costs out of the measurement
+    // (e.g. benching sf0.001 itself, where resolveSibling aliases)
     val warmupOn = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
-      Files.isDirectory(Paths.get(warmupDir))
+      Files.isDirectory(Paths.get(warmupDir)) &&
+      Paths.get(warmupDir).toAbsolutePath.normalize !=
+        Paths.get(sfDir).toAbsolutePath.normalize
     val warmupSecs =
       if (!warmupOn) -1.0
       else {

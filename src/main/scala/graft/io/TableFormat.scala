@@ -57,24 +57,35 @@ object TableFormat {
   /** One manifest entry: a data dir plus optional min/max stats of the
     * table's stats column — the per-file zone map that makes range
     * predicates prune I/O at the METADATA level (the Delta/Iceberg
-    * `stats`/`lower_bounds` idea, one long column's worth).
+    * `stats`/`lower_bounds` idea, one long column's worth). `statsOf`
+    * names the column the bounds describe (r14): a consumer pruning by
+    * key — [[merge]]/[[deleteKeys]] — must check it matches ITS key, or
+    * bounds recorded for some other column would silently misclassify
+    * dirs as untouched (carry a stale row AND union its replacement).
     */
   private[graft] case class Entry(dir: String, lo: Option[Long],
-                                  hi: Option[Long])
+                                  hi: Option[Long],
+                                  statsOf: Option[String] = None)
 
   private def readManifest(root: String, v: Int): Seq[Entry] = {
     val f = manifestDir(root).resolve(s"v$v.json")
     require(Files.exists(f), s"no snapshot v$v at $root")
-    // JSON-lines, one entry per line: dir<TAB>lo<TAB>hi (lo/hi empty when
-    // the append carried no stats). Deliberately not JSON-parsed — no
-    // JSON library in the dependency set, and the writer below is the
-    // only producer.
+    // JSON-lines, one entry per line: dir<TAB>lo<TAB>hi<TAB>statsCol
+    // (lo/hi/col empty when the append carried no stats; the 3-field
+    // pre-r14 form still parses as stats of an unknown column, which
+    // every consumer treats conservatively). Deliberately not
+    // JSON-parsed — no JSON library in the dependency set, and the
+    // writer below is the only producer.
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
       .map { line =>
         line.split("\t", -1) match {
           case Array(d, "", "") => Entry(d, None, None)
           case Array(d, lo, hi) => Entry(d, Some(lo.toLong), Some(hi.toLong))
+          case Array(d, "", "", _) => Entry(d, None, None)
+          case Array(d, lo, hi, sc) =>
+            Entry(d, Some(lo.toLong), Some(hi.toLong),
+              Some(sc).filter(_.nonEmpty))
           case other => throw new IllegalStateException(
             s"torn manifest line in v$v: '$line'")
         }
@@ -85,7 +96,8 @@ object TableFormat {
                                    entries: Seq[Entry]): Unit = {
     Files.createDirectories(manifestDir(root))
     val body = entries.map(e =>
-        s"${e.dir}\t${e.lo.fold("")(_.toString)}\t${e.hi.fold("")(_.toString)}")
+        s"${e.dir}\t${e.lo.fold("")(_.toString)}\t" +
+          s"${e.hi.fold("")(_.toString)}\t${e.statsOf.getOrElse("")}")
       .mkString("", "\n", "\n")
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
@@ -145,7 +157,8 @@ object TableFormat {
     val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
     val stats = statsCol.flatMap(dirStats(df.sparkSession, dataDir, _))
-    val entry = Entry(dataDir, stats.map(_._1), stats.map(_._2))
+    val entry = Entry(dataDir, stats.map(_._1), stats.map(_._2),
+      statsCol.filter(_ => stats.nonEmpty))
     // Bounded CAS retry: an append's entry is version-independent (new
     // data dir + whatever the latest manifest lists), so a loser can
     // always re-read latest and re-attempt at latest+1 — the data dir is
@@ -230,7 +243,8 @@ object TableFormat {
     val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
     val v = prev + 1
     writeManifest(root, v,
-      Seq(Entry(dataDir, stats.map(_._1), stats.map(_._2))))
+      Seq(Entry(dataDir, stats.map(_._1), stats.map(_._2),
+      statsCol.filter(_ => stats.nonEmpty))))
     v
   }
 
@@ -255,6 +269,10 @@ object TableFormat {
             keyCol: String, statsCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to merge into at $root")
+    // an empty delta must not land an empty dir + a new version every
+    // idle cycle (nor wholesale-rewrite stats-less dirs); mirror
+    // deleteKeys' no-op
+    if (updates.isEmpty) return prev
     val entries = readManifest(root, prev)
     val (touched, untouched) = touchedSplit(spark, entries, updates, keyCol)
     val dataDir = newDataDir(root)
@@ -267,21 +285,40 @@ object TableFormat {
     val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
     val v = prev + 1
     writeManifest(root, v,
-      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2)))
+      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2),
+      statsCol.filter(_ => stats.nonEmpty)))
     v
   }
 
   /** Split `entries` into (touched, untouched) by whether any key of
     * `keyed`'s `keyCol` falls inside the entry's zone-map range. One
     * scan of the key frame against the broadcast manifest bounds; only
-    * ≤ |manifest| matched indices reach the driver. Entries without
-    * stats are conservatively touched.
+    * ≤ |manifest| matched indices reach the driver.
+    *
+    * Pruning is SOUND-FIRST: an entry earns "untouched" only when its
+    * recorded bounds provably exclude every key, which requires (a) the
+    * entry's `statsOf` to name THIS key column — bounds of some other
+    * column say nothing about key containment — and (b) an integral key
+    * type, because the bounds are longs and a lossy cast (string key →
+    * null) would exclude rows it never tested. Anything else is
+    * conservatively touched: correctness costs a rewrite, never a
+    * carried stale row.
     */
   private def touchedSplit(spark: SparkSession, entries: Seq[Entry],
       keyed: DataFrame, keyCol: String): (Seq[Entry], Seq[Entry]) = {
-    val statted = entries.zipWithIndex.collect {
-      case (Entry(_, Some(l), Some(h)), i) => (i, l, h)
+    val keyIsIntegral = {
+      import org.apache.spark.sql.types._
+      keyed.schema(keyCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
     }
+    val statted =
+      if (!keyIsIntegral) Seq.empty
+      else entries.zipWithIndex.collect {
+        case (Entry(_, Some(l), Some(h), Some(sc)), i) if sc == keyCol =>
+          (i, l, h)
+      }
     val touchedIdx: Set[Int] =
       entries.indices.filterNot(i => statted.exists(_._1 == i)).toSet ++ {
         if (statted.isEmpty) Set.empty[Int]
@@ -317,7 +354,8 @@ object TableFormat {
     val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
     val v = prev + 1
     writeManifest(root, v,
-      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2)))
+      untouched :+ Entry(dataDir, stats.map(_._1), stats.map(_._2),
+      statsCol.filter(_ => stats.nonEmpty)))
     v
   }
 
@@ -349,9 +387,11 @@ object TableFormat {
     def rows(dirs: Seq[Entry]): DataFrame =
       spark.read.parquet(dirs.map(_.dir): _*)
     (added.nonEmpty, dropped.nonEmpty) match {
-      case (false, false) => // nothing moved: provably empty feed
-        spark.range(0).select(col("id").as(keyCol),
-          ct.as("change_type")).filter(lit(false))
+      case (false, false) => // nothing moved: provably empty feed — with
+        // the table's REAL key type (schema-only read of the head dirs;
+        // a fabricated long column would break unions across windows)
+        rows(to).select(col(keyCol), ct.as("change_type"))
+          .filter(lit(false))
       case (true, false) => // append-only delta: every row is an insert
         rows(added).select(col(keyCol), ct.as("change_type"))
       case (false, true) => // pure retraction
@@ -396,7 +436,8 @@ object TableFormat {
     val stats = statsCol.flatMap(dirStats(df.sparkSession, dataDir, _))
     val entries =
       (if (prev < 0) Seq.empty else readManifest(root, prev)) :+
-        Entry(dataDir, stats.map(_._1), stats.map(_._2))
+        Entry(dataDir, stats.map(_._1), stats.map(_._2),
+      statsCol.filter(_ => stats.nonEmpty))
     try { writeManifest(root, batchId.toInt, entries); true }
     catch {
       // lost the CAS to a concurrent attempt of the SAME batch — its
@@ -503,17 +544,26 @@ object TableFormat {
     */
   private val rangeCache = TrieMap.empty[(SparkSession, String), (String, Long)]
 
+  /** (orders frame, lo, hi, mid) shared by the range/merge fixtures —
+    * integer midpoint, exact in both engines, so every oracle recomputes
+    * the same split from `orders` alone. One derivation site: the
+    * fixtures and their oracles must not drift on the split rule.
+    */
+  private def orderKeySplit(s: SparkSession,
+      dir: String): (DataFrame, Long, Long, Long) = {
+    val orders = Sources.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val r = orders.agg(min(col("o_orderkey")).cast("long"),
+      max(col("o_orderkey")).cast("long")).collect()(0)
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    (orders, lo, hi, (lo + hi) / 2)
+  }
+
   private def landedRangeTable(s: SparkSession,
                                dir: String): (String, Long) =
     rangeCache.getOrElseUpdate((s, dir), {
       val root = Files.createTempDirectory("graft_table_range").toString
-      val orders = Sources.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
-      val r = orders.agg(min(col("o_orderkey")).cast("long"),
-        max(col("o_orderkey")).cast("long")).collect()(0)
-      // integer midpoint — exact in both engines, so the oracle can
-      // recompute the same split from `orders` alone
-      val mid = (r.getLong(0) + r.getLong(1)) / 2
+      val (orders, _, _, mid) = orderKeySplit(s, dir)
       append(orders.filter(col("o_orderkey") <= mid), root,
         statsCol = Some("o_orderkey"))
       append(orders.filter(col("o_orderkey") > mid), root,
@@ -554,12 +604,7 @@ object TableFormat {
   private def landedMergedTable(s: SparkSession, dir: String): String =
     mergeCache.getOrElseUpdate((s, dir), {
       val root = Files.createTempDirectory("graft_table_merge").toString
-      val orders = Sources.table(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"))
-      val r = orders.agg(min(col("o_orderkey")).cast("long"),
-        max(col("o_orderkey")).cast("long")).collect()(0)
-      val (lo, hi) = (r.getLong(0), r.getLong(1))
-      val mid = (lo + hi) / 2
+      val (orders, _, hi, mid) = orderKeySplit(s, dir)
       append(orders.filter(col("o_orderkey") <= mid), root,
         statsCol = Some("o_orderkey"))
       append(orders.filter(col("o_orderkey") > mid), root,

@@ -260,7 +260,11 @@ object TextOps {
           .repartition(col("bucket"))
           .sortWithinPartitions("tok", "doc_id", "pos")
           .write.partitionBy("bucket").parquet(root + "/idx")
-        toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        // dl derived from the LANDED idx, not the toks lineage — a
+        // second action on the unpersisted plan would re-scan and
+        // re-tokenize the whole corpus (two corpus scans per build)
+        s.read.parquet(root + "/idx")
+          .groupBy("doc_id").agg(count(lit(1)).as("dl"))
           .write.parquet(root + "/dl")
         // avgdl as bigint/bigint IEEE division — bit-identical to the
         // corpus-scan BM25 form and the DuckDB oracle

@@ -253,22 +253,6 @@ object Streaming {
       .foreachBatch(shardBatchWriter(path))
       .start()
 
-  /** INCREMENTAL inverted-index maintenance — the streaming completion of
-    * the retrieval tier (the dedup tier's batch/incremental/streaming
-    * triple, applied to postings). Each micro-batch of `(doc_id, text)`
-    * docs explodes to flat positional postings rows `(doc_id, pos, tok)`
-    * and lands them through [[graft.io.TableFormat.appendBatch]] —
-    * exactly-once by the manifest-version CAS, so an at-least-once replay
-    * of a batch cannot double-count a token. The standing artifact is the
-    * UNION of delta snapshots: flat rows make the merge a plain append
-    * (no read-modify-write of any list cell), and
-    * [[graft.ops.TextOps.postingsFromPairs]] over the latest snapshot
-    * equals the batch-built index over the same docs — the equivalence
-    * `StreamingSpec` pins. At 100 TB, [[graft.io.TableFormat.compact]]
-    * periodically re-sorts the accumulated deltas into the bucketed
-    * token-sorted layout the phrase reader wants; the commit protocol is
-    * unchanged.
-    */
   /** Streaming IVF-index maintenance — the vector twin of
     * [[postingsIngest]]: each micro-batch of `(vec_id, embedding)` rows
     * is assigned to the FROZEN broadcast codebook (the shared
@@ -293,6 +277,22 @@ object Streaming {
       }
       .start()
 
+  /** INCREMENTAL inverted-index maintenance — the streaming completion of
+    * the retrieval tier (the dedup tier's batch/incremental/streaming
+    * triple, applied to postings). Each micro-batch of `(doc_id, text)`
+    * docs explodes to flat positional postings rows `(doc_id, pos, tok)`
+    * and lands them through [[graft.io.TableFormat.appendBatch]] —
+    * exactly-once by the manifest-version CAS, so an at-least-once replay
+    * of a batch cannot double-count a token. The standing artifact is the
+    * UNION of delta snapshots: flat rows make the merge a plain append
+    * (no read-modify-write of any list cell), and
+    * [[graft.ops.TextOps.postingsFromPairs]] over the latest snapshot
+    * equals the batch-built index over the same docs — the equivalence
+    * `StreamingSpec` pins. At 100 TB, [[graft.io.TableFormat.compact]]
+    * periodically re-sorts the accumulated deltas into the bucketed
+    * token-sorted layout the phrase reader wants; the commit protocol is
+    * unchanged.
+    */
   def postingsIngest(stream: DataFrame, root: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     stream

@@ -349,6 +349,33 @@ class TableFormatSpec extends TestSpark {
     TableFormat.append(Seq((1L, "x")).toDF("k", "s"), root2) // no stats
     TableFormat.merge(spark, root2, Seq((9L, "y")).toDF("k", "s"), "k")
     assert(TableFormat.readSnapshot(spark, root2).count() === 2)
+    // an EMPTY delta is a version-preserving no-op, not an empty commit
+    assert(TableFormat.merge(spark, root2,
+      Seq.empty[(Long, String)].toDF("k", "s"), "k") ===
+      TableFormat.latestVersion(root2))
+  }
+
+  test("pruning is earned only by stats OF the merge key, integral-typed") {
+    import spark.implicits._
+    // stats recorded for a DIFFERENT column must never prune: v's bounds
+    // [100, 200] say nothing about key containment, and a naive bounds
+    // check against key 1 would carry the old row AND union its
+    // replacement — a duplicated key
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, 100L), (2L, 200L)).toDF("k", "v"),
+      root, statsCol = Some("v"))
+    TableFormat.merge(spark, root, Seq((1L, 999L)).toDF("k", "v"), "k")
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 999L, 2L -> 200L))
+    // a non-integral key casts lossily to the long bounds (null) — it
+    // must disable pruning, not silently no-op the delete
+    val root2 = freshRoot()
+    TableFormat.append(Seq(("a", 1L), ("b", 2L)).toDF("k", "n"),
+      root2, statsCol = Some("n"))
+    TableFormat.deleteKeys(spark, root2, Seq("a").toDF("k"), "k")
+    assert(TableFormat.readSnapshot(spark, root2)
+      .select("k").collect().map(_.getString(0)).toSeq === Seq("b"))
   }
 
   test("deleteKeys prunes to touched dirs and no-ops on absent ranges") {
