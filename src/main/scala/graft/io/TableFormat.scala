@@ -368,10 +368,14 @@ object TableFormat {
     * DROPPED are candidate deletes, and dirs carried verbatim cannot
     * contain changes — CDC cost ∝ changed files, never table size. The
     * key joins then classify: `insert` (key only in added), `delete`
-    * (key only in dropped), `update` (key in both, content differs —
-    * null-safe full-row compare, so a compaction that rewrites every dir
-    * byte-identically yields an EMPTY feed). Returns (keyCol,
-    * change_type) rows.
+    * (key only in dropped), and for a key in both with differing
+    * content (null-safe full-row compare, so a compaction that rewrites
+    * every dir byte-identically yields an EMPTY feed) BOTH sides are
+    * emitted — `update_preimage` (old row) and `update_postimage` (new
+    * row), the Delta-CDF shape that lets a downstream aggregate retract
+    * the old contribution and apply the new one without re-reading the
+    * table ([[qTableMv]] is exactly that consumer). Returns full table
+    * rows plus a `change_type` column.
     */
   def readChanges(spark: SparkSession, root: String, fromVersion: Int,
                   toVersion: Int, keyCol: String): DataFrame = {
@@ -388,28 +392,34 @@ object TableFormat {
       spark.read.parquet(dirs.map(_.dir): _*)
     (added.nonEmpty, dropped.nonEmpty) match {
       case (false, false) => // nothing moved: provably empty feed — with
-        // the table's REAL key type (schema-only read of the head dirs;
-        // a fabricated long column would break unions across windows)
-        rows(to).select(col(keyCol), ct.as("change_type"))
-          .filter(lit(false))
+        // the table's REAL schema (schema-only read of the head dirs;
+        // fabricated columns would break unions across windows)
+        rows(to).withColumn("change_type", ct).filter(lit(false))
       case (true, false) => // append-only delta: every row is an insert
-        rows(added).select(col(keyCol), ct.as("change_type"))
+        rows(added).withColumn("change_type", ct)
       case (false, true) => // pure retraction
-        rows(dropped).select(col(keyCol), lit("delete").as("change_type"))
+        rows(dropped).withColumn("change_type", lit("delete"))
       case (true, true) =>
         val cols = rows(added).columns.filterNot(_ == keyCol).toSeq
         def keyed(df: DataFrame): DataFrame =
           df.select(col(keyCol), struct(cols.map(col): _*).as("v"))
         val n = keyed(rows(added))
         val o = keyed(rows(dropped))
-        n.join(o.select(col(keyCol)), Seq(keyCol), "left_anti")
-          .select(col(keyCol), ct.as("change_type"))
-          .unionByName(o.join(n.select(col(keyCol)), Seq(keyCol), "left_anti")
-            .select(col(keyCol), lit("delete").as("change_type")))
-          .unionByName(n.withColumnRenamed("v", "nv")
-            .join(o.withColumnRenamed("v", "ov"), Seq(keyCol))
-            .filter(!(col("nv") <=> col("ov")))
-            .select(col(keyCol), lit("update").as("change_type")))
+        def unpack(df: DataFrame, tpe: String): DataFrame =
+          df.select(col(keyCol) +: cols.map(c => col(s"v.$c").as(c)) :+
+            lit(tpe).as("change_type"): _*)
+        val changedKeys = n.withColumnRenamed("v", "nv")
+          .join(o.withColumnRenamed("v", "ov"), Seq(keyCol))
+          .filter(!(col("nv") <=> col("ov")))
+        unpack(n.join(o.select(col(keyCol)), Seq(keyCol), "left_anti"),
+            "insert")
+          .unionByName(unpack(
+            o.join(n.select(col(keyCol)), Seq(keyCol), "left_anti"),
+            "delete"))
+          .unionByName(unpack(changedKeys
+            .select(col(keyCol), col("ov").as("v")), "update_preimage"))
+          .unionByName(unpack(changedKeys
+            .select(col(keyCol), col("nv").as("v")), "update_postimage"))
     }
   }
 
@@ -633,8 +643,9 @@ object TableFormat {
       .orderBy("o_orderstatus")
 
   /** The change feed across the fixture's merge commit: exactly the
-    * upsert's update/insert keys, nothing from the carried dir. The
-    * oracle restates the fixture's key arithmetic declaratively.
+    * upsert's update pre/post pairs and insert rows, nothing from the
+    * carried dir. The oracle restates the fixture's key arithmetic
+    * declaratively.
     */
   private def qTableChanges(s: SparkSession, dir: String): DataFrame = {
     val root = landedMergedTable(s, dir)
@@ -644,6 +655,31 @@ object TableFormat {
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy("change_type")
+  }
+
+  /** Materialized-view maintenance driven by the change feed — the CDF
+    * consumer the pre/post images exist for: the head's status counts
+    * are derived as (pre-merge counts) + (feed delta: +1 for
+    * insert/update_postimage, −1 for delete/update_preimage), never
+    * re-reading the merged table. The oracle recomputes the same counts
+    * directly from the merged head ([[qTableMerge]]'s SQL), so a hash
+    * match proves incremental == recompute.
+    */
+  private def qTableMv(s: SparkSession, dir: String): DataFrame = {
+    val root = landedMergedTable(s, dir)
+    val head = latestVersion(root)
+    val base = readSnapshot(s, root, head - 1)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n0"))
+    val delta = readChanges(s, root, head - 1, head, "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(sum(
+        when(col("change_type").isin("insert", "update_postimage"), 1L)
+          .otherwise(-1L)).as("d"))
+    base.join(delta, Seq("o_orderstatus"), "full")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("d"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .orderBy("o_orderstatus")
   }
 
   private[graft] def clearMemos(): Unit = {
@@ -656,16 +692,35 @@ object TableFormat {
     Map("q_table_snapshot" -> qTableSnapshot,
       "q_table_skipping" -> qTableSkipping,
       "q_table_merge" -> qTableMerge,
-      "q_table_changes" -> qTableChanges)
+      "q_table_changes" -> qTableChanges,
+      "q_table_mv" -> qTableMv)
 
   val oracleSql: Map[String, String] = Map(
+    // incremental == recompute: the MV query derives these counts from
+    // base + change feed; the oracle recomputes them from the head
+    "q_table_mv" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= mid THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n FROM merged
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_changes" ->
       """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
         |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
-        |ch AS (
-        |  SELECT o_orderkey, 'update' AS change_type FROM orders, b
+        |upd AS (SELECT o_orderkey FROM orders, b
         |  WHERE o_orderkey % 7 = 0 AND o_orderkey <= mid
-        |    AND o_orderstatus <> 'U'
+        |    AND o_orderstatus <> 'U'),
+        |ch AS (
+        |  SELECT o_orderkey, 'update_preimage' AS change_type FROM upd
+        |  UNION ALL
+        |  SELECT o_orderkey, 'update_postimage' FROM upd
         |  UNION ALL
         |  SELECT o_orderkey + hi + 1, 'insert' FROM orders, b
         |  WHERE o_orderkey % 97 = 0)

@@ -410,20 +410,26 @@ class TableFormatSpec extends TestSpark {
     TableFormat.merge(spark,
       root, Seq((3L, "NEW"), (500L, "INS")).toDF("k", "s"), "k",
       statsCol = Some("k"))
-    def feed(u: Int, v: Int): Set[(Long, String)] =
+    def feed(u: Int, v: Int): Set[(Long, String, String)] =
       TableFormat.readChanges(spark, root, u, v, "k")
-        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+        .select("k", "s", "change_type")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
     // append-only delta: v0 -> v1 is B's rows, all inserts
-    assert(feed(0, 1) === (100L to 110L).map((_, "insert")).toSet)
-    // across the merge: one update, one insert; untouched keys silent
-    assert(feed(1, 2) === Set((3L, "update"), (500L, "insert")))
-    // across a delete: pure retraction rows
+    assert(feed(0, 1) === (100L to 110L).map(k => (k, s"b$k", "insert")).toSet)
+    // across the merge: the update emits BOTH images (retract old, apply
+    // new — what a downstream aggregate needs), the insert one row;
+    // untouched keys stay silent
+    assert(feed(1, 2) === Set((3L, "a3", "update_preimage"),
+      (3L, "NEW", "update_postimage"), (500L, "INS", "insert")))
+    // across a delete: pure retraction rows with their old content
     TableFormat.deleteKeys(spark, root, Seq(105L).toDF("k"), "k",
       statsCol = Some("k"))
-    assert(feed(2, 3) === Set((105L, "delete")))
+    assert(feed(2, 3) === Set((105L, "b105", "delete")))
     // spanning versions composes transitively against v1's content
-    assert(feed(1, 3) === Set((3L, "update"), (500L, "insert"),
-      (105L, "delete")))
+    assert(feed(1, 3) === Set((3L, "a3", "update_preimage"),
+      (3L, "NEW", "update_postimage"), (500L, "INS", "insert"),
+      (105L, "b105", "delete")))
     // compaction rewrites every dir byte-identically: EMPTY feed — the
     // null-safe full-row compare is what keeps rewrites out of CDC
     TableFormat.compact(spark, root)
