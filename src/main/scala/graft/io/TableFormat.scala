@@ -423,6 +423,46 @@ object TableFormat {
     }
   }
 
+  /** Range-aware compaction — the OPTIMIZE half [[compact]] lacks: the
+    * head snapshot is RANGE-REPARTITIONED on `statsCol` into `nBuckets`
+    * data dirs, each committed with its own tight zone map, so
+    * manifest-level skipping works AFTER compaction too ([[compact]]'s
+    * single dir has one all-covering range — every range read touches
+    * it). This is how accumulated streaming deltas (each spanning the
+    * whole key range) are periodically re-sorted into a skippable
+    * layout; at 100 TB it runs per partition-range, same commit
+    * protocol. Same CAS-loss semantics as [[compact]]: a lost commit
+    * RAISES, because the rewrite snapshots a stale head.
+    */
+  def compactRanged(spark: SparkSession, root: String, statsCol: String,
+                    nBuckets: Int): Int = {
+    require(nBuckets >= 1, s"need at least one bucket, got $nBuckets")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to compact at $root")
+    val head = readSnapshot(spark, root, prev)
+    // range-repartition orders rows by statsCol across nBuckets
+    // partitions (sampled range bounds — disjoint, covering), then land
+    // each partition as its own data dir via the partition-id
+    val parted = head.repartitionByRange(nBuckets, col(statsCol))
+      .withColumn("__bucket", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val buckets = parted.select("__bucket").distinct()
+        .collect().map(_.getInt(0)).sorted // ≤ nBuckets driver-side ints
+      val entries = buckets.toSeq.map { b =>
+        val dataDir = newDataDir(root)
+        parted.filter(col("__bucket") === b).drop("__bucket")
+          .write.parquet(dataDir)
+        val stats = dirStats(spark, dataDir, statsCol)
+        Entry(dataDir, stats.map(_._1), stats.map(_._2),
+          Some(statsCol).filter(_ => stats.nonEmpty))
+      }
+      val v = prev + 1
+      writeManifest(root, v, entries)
+      v
+    } finally { parted.unpersist(); () }
+  }
+
   /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
     * the version CAS is the idempotence mechanism. A replayed batch
     * (restart, retry) sees its version already committed — or loses the

@@ -436,6 +436,36 @@ class TableFormatSpec extends TestSpark {
     assert(feed(3, 4) === Set.empty)
   }
 
+  test("ranged compaction restores zone-map skipping over streamed deltas") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three "micro-batch" deltas, EACH spanning the whole key range —
+    // the worst case for skipping: every dir's zone map covers every key
+    (0 until 3).foreach { i =>
+      TableFormat.append(
+        (0L until 30L).filter(_ % 3 == i).map(k => (k, s"v$k"))
+          .toDF("k", "s"),
+        root, statsCol = Some("k"))
+    }
+    // pre-compaction: a narrow range read cannot skip anything
+    val before = TableFormat.readSnapshot(spark, root,
+      range = Some((0L, 4L))).inputFiles.length
+    val v = TableFormat.compactRanged(spark, root, "k", nBuckets = 3)
+    assert(v === 3)
+    // content identical, total order preserved by key
+    assert(TableFormat.readSnapshot(spark, root)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      (0L until 30L).toSeq)
+    // post-compaction: disjoint tight ranges — the same narrow read now
+    // touches a strict subset of the files
+    val after = TableFormat.readSnapshot(spark, root,
+      range = Some((0L, 4L))).inputFiles.length
+    assert(after < before,
+      s"ranged compaction did not improve skipping: $after !< $before")
+    // time travel to the delta layout is intact
+    assert(TableFormat.readSnapshot(spark, root, 2).count() === 30)
+  }
+
   test("q_table_snapshot joins v1 vs v0 status counts") {
     val out = SparkEntry.queries("q_table_snapshot")(spark, Sf)
     val rows = out.collect()
