@@ -97,6 +97,25 @@ class PlanAuditSpec extends TestSpark {
     assert(smj.isEmpty, s"expected broadcast-only joins in PQ/ADC:\n$plan")
   }
 
+  test("q_sim_ivfpq: search-path joins broadcast; only the build tags via SMJ") {
+    val plan = staticPlan("q_sim_ivfpq")
+    // the composition's scale contract: the SEARCH path (cell join, ADC
+    // join) broadcasts query-derived frames (≤ q·nprobe and q×16 rows)
+    // — an SMJ keyed on cell or (q_id, s, cid) would mean the
+    // corpus-sized code table started shuffling for a query-sized one.
+    // The one allowed SMJ is the INDEX-BUILD tagging join (codes ⋈ cell
+    // assignment, two corpus-sized frames co-partitioned on vec_id),
+    // which an at-rest deployment pays once at build time.
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    smj.foreach { j =>
+      assert(j.leftKeys.map(_.sql.toLowerCase).forall(_.contains("vec_id")),
+        s"SMJ on a search-path key (expected only the vec_id build " +
+          s"tagging join):\n$j")
+    }
+    assert(plan.toString.contains("BroadcastHashJoin"),
+      s"search-path broadcast joins missing:\n$plan")
+  }
+
   test("q_migrate_bundle: all seven tables reuse ONE materialized roster scan") {
     val plan = staticPlan("q_migrate_bundle")
     // the keyed roster (surrogateKeysScaled over customer) is persisted;
