@@ -436,6 +436,49 @@ class TableFormatSpec extends TestSpark {
     assert(feed(3, 4) === Set.empty)
   }
 
+  test("merge/delete agree with a model over randomized histories") {
+    import spark.implicits._
+    // model check: a Map[k, s] replays append/merge/delete alongside the
+    // table; after every commit the head snapshot must equal the model.
+    // Seeded, bounded — the property layer for a mutation API whose
+    // example specs can't cover dir-split × key-overlap combinations.
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val root = freshRoot()
+      var model = Map.empty[Long, String]
+      def check(): Unit =
+        assert(TableFormat.readSnapshot(spark, root)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ===
+          model)
+      // 2-3 initial range appends with overlapping-or-not key windows
+      (0 until 2 + rnd.nextInt(2)).foreach { _ =>
+        val base = rnd.nextInt(40).toLong
+        val rows = (base until base + 5 + rnd.nextInt(10))
+          .filterNot(model.contains).map(k => k -> s"v$k")
+        if (rows.nonEmpty) {
+          TableFormat.append(rows.toDF("k", "s"), root, statsCol = Some("k"))
+          model ++= rows
+          check()
+        }
+      }
+      // interleaved merges (replace ∪ insert) and deletes
+      (0 until 3).foreach { _ =>
+        val ups = (0 until 1 + rnd.nextInt(6))
+          .map(_ => rnd.nextInt(60).toLong).distinct
+          .map(k => k -> s"u$k${rnd.nextInt(9)}")
+        TableFormat.merge(spark, root, ups.toDF("k", "s"), "k",
+          statsCol = Some("k"))
+        model ++= ups
+        check()
+        val dels = (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(60).toLong)
+        TableFormat.deleteKeys(spark, root, dels.toDF("k"), "k",
+          statsCol = Some("k"))
+        model --= dels
+        check()
+      }
+    }
+  }
+
   test("ranged compaction restores zone-map skipping over streamed deltas") {
     import spark.implicits._
     val root = freshRoot()
