@@ -447,6 +447,18 @@ object Similarity {
         trainedAssignment(s, dir)
           .write.partitionBy("cell").parquet(root + "/cells")
         trainedCodebook(s, dir).write.parquet(root + "/cents")
+        // the PQ half of the at-rest index: per-(vector, subspace) codes
+        // tagged with their IVF cell and partitioned the same way, plus
+        // the 16-row per-subspace codebook sidecar — what each inverted
+        // list STORES at 100 TB (4 small ints per vector, not floats)
+        val sub = pqSubvectors(emb(s, dir))
+        val cb = pqCodebook(sub)
+        pqCodes(sub, cb)
+          .join(s.read.parquet(root + "/cells")
+            .select(col("vec_id"), col("cell")), "vec_id")
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(root + "/codes")
+        cb.write.parquet(root + "/pqcb")
         root
       })
     }
@@ -493,6 +505,50 @@ object Similarity {
 
   private def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame =
     ivfIndexedSearch(s, dir, nprobe = 2)
+
+  /** IVF-PQ over the AT-REST index — the fully-landed production search
+    * path: queries probe their 2 nearest cells against the codebook
+    * sidecar, build their broadcast ADC tables from the PQ-codebook
+    * sidecar, and score ONLY the probed cells' code directories (DPP
+    * prunes the rest). Raw corpus vectors are touched NOWHERE at query
+    * time — candidates are 4 small codes each; the raw-vector cells/
+    * exist for the exact-rerank tier ([[ivfIndexedSearch]]). Shares
+    * every expression tree with [[qSimIvfPq]], so the at-rest form is
+    * oracle-exact by construction.
+    */
+  private[graft] def ivfPqIndexedSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val root = ivfIndexRoot(s, dir)
+    val cents = s.read.parquet(root + "/cents")
+    val cb = s.read.parquet(root + "/pqcb")
+    val q = s.read.parquet(root + "/cells").filter(col("vec_id") < 8)
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val probed = q
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+    val qd = pqAdcTable(
+      pqSubvectors(q.select(col("vec_id"), col("embedding"))), cb)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    s.read.parquet(root + "/codes")
+      .join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qd), Seq("q_id", "s", "cid"))
+      .groupBy("q_id", "vec_id")
+      .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  private def qSimIvfPqIndexed(s: SparkSession, dir: String): DataFrame =
+    ivfPqIndexedSearch(s, dir, nprobe = 2)
 
   private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val assigned = trainedAssignment(s, dir)
@@ -680,6 +736,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sim_pq" -> qSimPq,
     "q_sim_ivfpq" -> qSimIvfPq,
+    "q_sim_ivfpq_indexed" -> qSimIvfPqIndexed,
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
@@ -789,33 +846,7 @@ object Similarity {
        |QUALIFY rn <= 3
        |ORDER BY q_id, rn""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "q_sim_pq" ->
-      s"""WITH sub AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sv
-         |  FROM embeddings, unnest(range(0, 4)) AS t(s)),
-         |cb AS (SELECT s, vec_id AS cid, sv AS cemb FROM sub
-         |  WHERE vec_id < 4),
-         |codes AS (SELECT vec_id, s, cid FROM (
-         |  SELECT sub.vec_id, sub.s, cb.cid,
-         |    ${D2Sql("sub.sv", "cb.cemb")} AS dist2
-         |  FROM sub JOIN cb ON sub.s = cb.s)
-         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
-         |    ORDER BY dist2, cid) = 1),
-         |qd AS (SELECT sub.vec_id AS q_id, sub.s, cb.cid,
-         |    CAST(${D2Sql("sub.sv", "cb.cemb")} AS DECIMAL(20,10)) AS d
-         |  FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
-         |scored AS (SELECT q_id, c.vec_id,
-         |  ${Num.r4Sql("CAST(sum(d) AS DOUBLE)")} AS adist
-         |  FROM codes c JOIN qd ON c.s = qd.s AND c.cid = qd.cid
-         |  WHERE c.vec_id <> qd.q_id
-         |  GROUP BY q_id, c.vec_id)
-         |SELECT q_id, vec_id, adist,
-         |CAST(row_number() OVER (PARTITION BY q_id
-         |  ORDER BY adist, vec_id) AS BIGINT) AS rn
-         |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin,
-    // IVF-PQ: the full Lloyd replay supplies cells, the PQ CTEs supply
-    // codes + per-query ADC tables; candidates = probed cells' codes only
-    "q_sim_ivfpq" ->
+  private val IvfPqSql: String =
       s"""WITH e AS (SELECT vec_id, embedding,
          |  list_sum(list_transform(embedding,
          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
@@ -862,7 +893,38 @@ object Similarity {
          |SELECT q_id, vec_id, adist,
          |CAST(row_number() OVER (PARTITION BY q_id
          |  ORDER BY adist, vec_id) AS BIGINT) AS rn
+         |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sim_pq" ->
+      s"""WITH sub AS (SELECT vec_id, s, embedding[s*16+1 : s*16+16] AS sv
+         |  FROM embeddings, unnest(range(0, 4)) AS t(s)),
+         |cb AS (SELECT s, vec_id AS cid, sv AS cemb FROM sub
+         |  WHERE vec_id < 4),
+         |codes AS (SELECT vec_id, s, cid FROM (
+         |  SELECT sub.vec_id, sub.s, cb.cid,
+         |    ${D2Sql("sub.sv", "cb.cemb")} AS dist2
+         |  FROM sub JOIN cb ON sub.s = cb.s)
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id, s
+         |    ORDER BY dist2, cid) = 1),
+         |qd AS (SELECT sub.vec_id AS q_id, sub.s, cb.cid,
+         |    CAST(${D2Sql("sub.sv", "cb.cemb")} AS DECIMAL(20,10)) AS d
+         |  FROM sub JOIN cb ON sub.s = cb.s WHERE sub.vec_id < 8),
+         |scored AS (SELECT q_id, c.vec_id,
+         |  ${Num.r4Sql("CAST(sum(d) AS DOUBLE)")} AS adist
+         |  FROM codes c JOIN qd ON c.s = qd.s AND c.cid = qd.cid
+         |  WHERE c.vec_id <> qd.q_id
+         |  GROUP BY q_id, c.vec_id)
+         |SELECT q_id, vec_id, adist,
+         |CAST(row_number() OVER (PARTITION BY q_id
+         |  ORDER BY adist, vec_id) AS BIGINT) AS rn
          |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin,
+    // IVF-PQ: the full Lloyd replay supplies cells, the PQ CTEs supply
+    // codes + per-query ADC tables; candidates = probed cells' codes only
+    // the at-rest IVF-PQ form answers the SAME question (identical
+    // result, fully-landed plan), so it shares this oracle verbatim
+    "q_sim_ivfpq_indexed" -> IvfPqSql,
+    "q_sim_ivfpq" -> IvfPqSql,
     // same training replay as q_sim_ivf_trained; the query side QUALIFYs
     // its nprobe nearest cells while the corpus stays rn=1
     "q_sim_ivf_probe" -> ivfProbeSql(2),

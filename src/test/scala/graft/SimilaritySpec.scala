@@ -263,6 +263,25 @@ class SimilaritySpec extends TestSpark {
     assert(ivfpq.forall(r => r._2 != r._1))
   }
 
+  test("at-rest IVF-PQ equals the in-session composition, fully landed plan") {
+    val inSession = graft.SparkEntry.queries("q_sim_ivfpq")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq
+    val indexed = graft.SparkEntry.queries("q_sim_ivfpq_indexed")(spark, Sf)
+    assert(indexed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSeq === inSession)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // fully landed: no embeddings scan, no training, no per-query encode
+    // of the corpus — candidates come from the codes/ directories of the
+    // probed cells only (DPP prunes the rest)
+    assert(!plan.contains("embeddings.parquet"),
+      s"at-rest IVF-PQ rescans the embeddings corpus:\n$plan")
+    assert(plan.contains("dynamicpruning"),
+      s"code-directory dynamic partition pruning missing:\n$plan")
+  }
+
   test("indexed IVF search equals the in-session form, never scans embeddings") {
     val inSession = graft.SparkEntry.queries("q_sim_ivf_probe")(spark, Sf)
       .collect()
