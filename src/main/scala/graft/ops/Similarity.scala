@@ -517,7 +517,7 @@ object Similarity {
     * oracle-exact by construction.
     */
   private[graft] def ivfPqIndexedSearch(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, k: Int = 3): DataFrame = {
     val root = ivfIndexRoot(s, dir)
     val cents = s.read.parquet(root + "/cents")
     val cb = s.read.parquet(root + "/pqcb")
@@ -543,12 +543,45 @@ object Similarity {
       .groupBy("q_id", "vec_id")
       .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))
       .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
   }
 
   private def qSimIvfPqIndexed(s: SparkSession, dir: String): DataFrame =
     ivfPqIndexedSearch(s, dir, nprobe = 2)
+
+  /** Two-stage retrieval — the full production pipeline: the at-rest
+    * ADC search shortlists `ShortlistK` candidates per query from codes
+    * alone, then ONLY those shortlist rows fetch their raw vectors from
+    * `cells/` for an exact cosine rerank. At 100 TB the asymmetry is
+    * the point: the corpus-wide stage touches 4 ints/vector; the
+    * float-vector stage touches q×`ShortlistK` rows. The shortlist
+    * fetch joins on (cell, vec_id) so the probed cells' directories are
+    * the only raw-vector I/O, and the broadcast shortlist keeps the
+    * cells scan from shuffling.
+    */
+  private[graft] val ShortlistK = 10
+
+  private def qSimIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val root = ivfIndexRoot(s, dir)
+    val shortlist = ivfPqIndexedSearch(s, dir, nprobe = 2, k = ShortlistK)
+      .select(col("q_id"), col("vec_id"))
+    val cells = s.read.parquet(root + "/cells")
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val q = cells.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    cells.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
 
   private def qSimIvfTrained(s: SparkSession, dir: String): DataFrame = {
     val assigned = trainedAssignment(s, dir)
@@ -737,6 +770,7 @@ object Similarity {
     "q_sim_pq" -> qSimPq,
     "q_sim_ivfpq" -> qSimIvfPq,
     "q_sim_ivfpq_indexed" -> qSimIvfPqIndexed,
+    "q_sim_ivfpq_rerank" -> qSimIvfPqRerank,
     "q_sim_topk" -> qSimTopk,
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
@@ -846,7 +880,11 @@ object Similarity {
        |QUALIFY rn <= 3
        |ORDER BY q_id, rn""".stripMargin
 
-  private val IvfPqSql: String =
+  /** Shared CTE prefix of the IVF-PQ oracles: training replay, cell
+    * assignment, probe sets, PQ codes, ADC tables, and the `scored`
+    * frame of per-candidate approximate distances.
+    */
+  private val IvfPqCtes: String =
       s"""WITH e AS (SELECT vec_id, embedding,
          |  list_sum(list_transform(embedding,
          |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
@@ -889,11 +927,34 @@ object Similarity {
          |  JOIN qp ON af.cell = qp.cell
          |  JOIN qd ON qd.q_id = qp.q_id AND qd.s = c.s AND qd.cid = c.cid
          |  WHERE c.vec_id <> qp.q_id
-         |  GROUP BY qp.q_id, c.vec_id)
-         |SELECT q_id, vec_id, adist,
-         |CAST(row_number() OVER (PARTITION BY q_id
-         |  ORDER BY adist, vec_id) AS BIGINT) AS rn
-         |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin
+         |  GROUP BY qp.q_id, c.vec_id)""".stripMargin
+
+  private val IvfPqSql: String =
+    s"""$IvfPqCtes
+       |SELECT q_id, vec_id, adist,
+       |CAST(row_number() OVER (PARTITION BY q_id
+       |  ORDER BY adist, vec_id) AS BIGINT) AS rn
+       |FROM scored QUALIFY rn <= 3 ORDER BY q_id, rn""".stripMargin
+
+  /** Two-stage rerank oracle: the ADC shortlist (top-`ShortlistK` per
+    * query by approximate distance) re-scored by EXACT cosine over the
+    * raw vectors, top 3 kept — the declarative statement of
+    * [[qSimIvfPqRerank]].
+    */
+  private val IvfPqRerankSql: String =
+    s"""$IvfPqCtes,
+       |short AS (SELECT q_id, vec_id FROM (
+       |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist, vec_id) AS srn FROM scored)
+       |  WHERE srn <= $ShortlistK),
+       |ev AS (SELECT vec_id, embedding, sqrt(nrm2) AS nrm FROM e)
+       |SELECT s.q_id, s.vec_id, $TrainedCosSql AS score,
+       |CAST(row_number() OVER (PARTITION BY s.q_id
+       |  ORDER BY $TrainedCosSql DESC, s.vec_id) AS BIGINT) AS rn
+       |FROM short s JOIN ev c ON c.vec_id = s.vec_id
+       |JOIN ev q ON q.vec_id = s.q_id
+       |QUALIFY rn <= 3
+       |ORDER BY q_id, rn""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_sim_pq" ->
@@ -924,6 +985,7 @@ object Similarity {
     // the at-rest IVF-PQ form answers the SAME question (identical
     // result, fully-landed plan), so it shares this oracle verbatim
     "q_sim_ivfpq_indexed" -> IvfPqSql,
+    "q_sim_ivfpq_rerank" -> IvfPqRerankSql,
     "q_sim_ivfpq" -> IvfPqSql,
     // same training replay as q_sim_ivf_trained; the query side QUALIFYs
     // its nprobe nearest cells while the corpus stays rn=1

@@ -263,6 +263,38 @@ class SimilaritySpec extends TestSpark {
     assert(ivfpq.forall(r => r._2 != r._1))
   }
 
+  test("rerank never degrades exact quality vs trusting the ADC order") {
+    val vecs = graft.io.Sources.table(spark, Sf, "embeddings")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val adc = graft.SparkEntry.queries("q_sim_ivfpq_indexed")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rr = graft.SparkEntry.queries("q_sim_ivfpq_rerank")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rr.nonEmpty)
+    // per (query, rank): the reranked candidate's TRUE cosine must be >=
+    // the true cosine of what blind ADC order would have returned there —
+    // reranking a superset (shortlist ⊇ adc top-3) can only improve
+    rr.groupBy(_._1).foreach { case (q, rows) =>
+      val adcExact = adc.filter(_._1 == q)
+        .map(p => cos(vecs(q), vecs(p._2))).sorted.reverse
+      val rrExact = rows.sortBy(_._3)
+        .map(p => cos(vecs(q), vecs(p._2)))
+      rrExact.zip(adcExact).zipWithIndex.foreach { case ((r, a), i) =>
+        assert(r >= a - 1e-9,
+          s"query $q rank ${i + 1}: rerank $r worse than ADC-order $a")
+      }
+    }
+  }
+
   test("at-rest IVF-PQ equals the in-session composition, fully landed plan") {
     val inSession = graft.SparkEntry.queries("q_sim_ivfpq")(spark, Sf)
       .collect()
