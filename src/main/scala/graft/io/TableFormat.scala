@@ -400,26 +400,37 @@ object TableFormat {
       case (false, true) => // pure retraction
         rows(dropped).withColumn("change_type", lit("delete"))
       case (true, true) =>
-        val cols = rows(added).columns.filterNot(_ == keyCol).toSeq
+        val allCols = rows(added).columns.toSeq
+        val cols = allCols.filterNot(_ == keyCol)
         def keyed(df: DataFrame): DataFrame =
           df.select(col(keyCol), struct(cols.map(col): _*).as("v"))
         val n = keyed(rows(added))
         val o = keyed(rows(dropped))
-        def unpack(df: DataFrame, tpe: String): DataFrame =
-          df.select(col(keyCol) +: cols.map(c => col(s"v.$c").as(c)) :+
-            lit(tpe).as("change_type"): _*)
-        val changedKeys = n.withColumnRenamed("v", "nv")
+        // restore the table's NATURAL column order (+ change_type last)
+        // — every other branch preserves it, and a positional union of
+        // per-window feeds must never misalign columns
+        def restore(df: DataFrame): DataFrame =
+          df.select(allCols.map(c =>
+            if (c == keyCol) col(c) else col(s"v.$c").as(c)) :+
+            col("change_type"): _*)
+        // both update images come from ONE pass over the joined frame
+        // (an explode of the two structs), so the join + null-safe
+        // content compare run once, not once per image branch
+        val updates = n.withColumnRenamed("v", "nv")
           .join(o.withColumnRenamed("v", "ov"), Seq(keyCol))
           .filter(!(col("nv") <=> col("ov")))
-        unpack(n.join(o.select(col(keyCol)), Seq(keyCol), "left_anti"),
-            "insert")
-          .unionByName(unpack(
-            o.join(n.select(col(keyCol)), Seq(keyCol), "left_anti"),
-            "delete"))
-          .unionByName(unpack(changedKeys
-            .select(col(keyCol), col("ov").as("v")), "update_preimage"))
-          .unionByName(unpack(changedKeys
-            .select(col(keyCol), col("nv").as("v")), "update_postimage"))
+          .select(col(keyCol), explode(array(
+            struct(lit("update_preimage").as("t"), col("ov").as("v")),
+            struct(lit("update_postimage").as("t"), col("nv").as("v"))))
+            .as("p"))
+          .select(col(keyCol), col("p.v").as("v"),
+            col("p.t").as("change_type"))
+        restore(n.join(o.select(col(keyCol)), Seq(keyCol), "left_anti")
+            .withColumn("change_type", ct))
+          .unionByName(restore(
+            o.join(n.select(col(keyCol)), Seq(keyCol), "left_anti")
+              .withColumn("change_type", lit("delete"))))
+          .unionByName(restore(updates))
     }
   }
 
@@ -449,6 +460,10 @@ object TableFormat {
     try {
       val buckets = parted.select("__bucket").distinct()
         .collect().map(_.getInt(0)).sorted // ≤ nBuckets driver-side ints
+      // a zero-row head has nothing to lay out; committing an EMPTY
+      // manifest would make every later readSnapshot throw — no-op like
+      // an empty merge instead
+      if (buckets.isEmpty) return prev
       val entries = buckets.toSeq.map { b =>
         val dataDir = newDataDir(root)
         parted.filter(col("__bucket") === b).drop("__bucket")

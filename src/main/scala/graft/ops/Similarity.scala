@@ -453,9 +453,12 @@ object Similarity {
         // list STORES at 100 TB (4 small ints per vector, not floats)
         val sub = pqSubvectors(emb(s, dir))
         val cb = pqCodebook(sub)
+        // tag codes with cells from the MEMOIZED assignment frame (just
+        // written above) — re-reading cells/ would pay a directory
+        // listing + scan for data already persisted in memory
         pqCodes(sub, cb)
-          .join(s.read.parquet(root + "/cells")
-            .select(col("vec_id"), col("cell")), "vec_id")
+          .join(trainedAssignment(s, dir).select(col("vec_id"), col("cell")),
+            "vec_id")
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(root + "/codes")
         cb.write.parquet(root + "/pqcb")
@@ -541,7 +544,11 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .join(broadcast(qd), Seq("q_id", "s", "cid"))
       .groupBy("q_id", "vec_id")
-      .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"))
+      // cell is functionally determined by vec_id (one inverted list per
+      // vector); carried so the rerank's raw-vector fetch can join on
+      // (cell, vec_id) and DPP-prune the cell directories
+      .agg(Num.r4(sum(col("d")).cast(DoubleType)).as("adist"),
+        min(col("cell")).as("cell"))
       .withColumn("rn", row_number().over(w).cast(LongType))
       .filter(col("rn") <= k)
       .orderBy("q_id", "rn")
@@ -549,6 +556,7 @@ object Similarity {
 
   private def qSimIvfPqIndexed(s: SparkSession, dir: String): DataFrame =
     ivfPqIndexedSearch(s, dir, nprobe = 2)
+      .select("q_id", "vec_id", "adist", "rn")
 
   /** Two-stage retrieval — the full production pipeline: the at-rest
     * ADC search shortlists `ShortlistK` candidates per query from codes
@@ -564,16 +572,19 @@ object Similarity {
 
   private def qSimIvfPqRerank(s: SparkSession, dir: String): DataFrame = {
     val root = ivfIndexRoot(s, dir)
+    // shortlist carries each candidate's cell so the raw-vector fetch
+    // joins on (cell, vec_id): DPP prunes the cells/ directories to the
+    // probed lists — the rerank stage must not become a raw-corpus scan
     val shortlist = ivfPqIndexedSearch(s, dir, nprobe = 2, k = ShortlistK)
-      .select(col("q_id"), col("vec_id"))
+      .select(col("q_id"), col("vec_id"), col("cell"))
     val cells = s.read.parquet(root + "/cells")
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .select(col("cell"), col("vec_id"), col("embedding"), col("nrm"))
     val q = cells.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("vec_id"))
-    cells.join(broadcast(shortlist), "vec_id")
+    cells.join(broadcast(shortlist), Seq("cell", "vec_id"))
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))

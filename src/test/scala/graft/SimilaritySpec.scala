@@ -289,10 +289,21 @@ class SimilaritySpec extends TestSpark {
       val rrExact = rows.sortBy(_._3)
         .map(p => cos(vecs(q), vecs(p._2)))
       rrExact.zip(adcExact).zipWithIndex.foreach { case ((r, a), i) =>
-        assert(r >= a - 1e-9,
+        // tolerance = the r4 rounding quantum: rerank ORDERS by scores
+        // rounded to 1e-4, so two true cosines within a quantum can
+        // legitimately swap ranks — dominance holds up to 1e-4, not ulp
+        assert(r >= a - 1e-4,
           s"query $q rank ${i + 1}: rerank $r worse than ADC-order $a")
       }
     }
+    // the raw-vector fetch must stay pruned to the probed cell
+    // directories — the whole point of the two-stage split
+    val plan = graft.SparkEntry.queries("q_sim_ivfpq_rerank")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"rerank raw-vector fetch lost its cell-directory DPP:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"rerank rescans the embeddings corpus:\n$plan")
   }
 
   test("at-rest IVF-PQ equals the in-session composition, fully landed plan") {
