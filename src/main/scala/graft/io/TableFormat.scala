@@ -199,6 +199,16 @@ object TableFormat {
     * conservatively kept. The caller still applies its own row filter:
     * skipping is an I/O optimization, never a row-level guarantee.
     */
+  /** Evolved read of a set of data dirs: mergeSchema resolves the union
+    * schema across dirs appended before/after a widening evolution, so
+    * every consumer (snapshot reads, merge/delete rewrites, the change
+    * feed) sees ONE deterministic schema — a bare parquet read would
+    * take whichever file lists first, making rewrite schemas
+    * listing-order-dependent on an evolved table.
+    */
+  private def readDirs(spark: SparkSession, dirs: Seq[Entry]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dirs.map(_.dir): _*)
+
   def readSnapshot(spark: SparkSession, root: String,
                    version: Int = -1,
                    range: Option[(Long, Long)] = None): DataFrame = {
@@ -215,7 +225,14 @@ object TableFormat {
     require(kept.nonEmpty,
       s"snapshot v$v has no data dirs in range $range — empty-frame " +
         "schemas are unknowable from a manifest; handle upstream")
-    spark.read.parquet(kept.map(_.dir): _*)
+    // mergeSchema = SCHEMA EVOLUTION on append: a later dir may carry
+    // columns earlier dirs lack (widening adds, never drops/renames);
+    // the union schema resolves them and old rows read as null — while
+    // TIME TRAVEL to a pre-evolution version still shows the narrow
+    // schema, because only the dirs the old manifest lists are read.
+    // Cost at 100 TB: one footer per DIR at planning (the manifest keeps
+    // dirs coarse), not per file of the table.
+    readDirs(spark, kept)
   }
 
   /** Bin-pack the LATEST snapshot into one fresh data dir and commit it
@@ -278,9 +295,11 @@ object TableFormat {
     val dataDir = newDataDir(root)
     val merged =
       if (touched.isEmpty) updates
-      else spark.read.parquet(touched.map(_.dir): _*)
+      else readDirs(spark, touched)
         .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
-        .unionByName(updates)
+        // allowMissingColumns: on an evolved table the carried rows and
+        // the updates may straddle a widening — absent side reads null
+        .unionByName(updates, allowMissingColumns = true)
     merged.write.parquet(dataDir)
     val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
     val v = prev + 1
@@ -348,7 +367,7 @@ object TableFormat {
     val (touched, untouched) = touchedSplit(spark, entries, keys, keyCol)
     if (touched.isEmpty) return prev // nothing referenced: no-op, no commit
     val dataDir = newDataDir(root)
-    spark.read.parquet(touched.map(_.dir): _*)
+    readDirs(spark, touched)
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
       .write.parquet(dataDir)
     val stats = statsCol.flatMap(dirStats(spark, dataDir, _))
@@ -388,8 +407,7 @@ object TableFormat {
     val added = to.filterNot(e => fromDirs(e.dir))
     val dropped = from.filterNot(e => toDirs(e.dir))
     val ct = lit("insert")
-    def rows(dirs: Seq[Entry]): DataFrame =
-      spark.read.parquet(dirs.map(_.dir): _*)
+    def rows(dirs: Seq[Entry]): DataFrame = readDirs(spark, dirs)
     (added.nonEmpty, dropped.nonEmpty) match {
       case (false, false) => // nothing moved: provably empty feed — with
         // the table's REAL schema (schema-only read of the head dirs;

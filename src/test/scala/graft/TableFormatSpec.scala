@@ -479,6 +479,30 @@ class TableFormatSpec extends TestSpark {
     }
   }
 
+  test("appends may widen the schema; old rows null-backfill, time travel narrow") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    // a later producer adds a column (widening evolution)
+    TableFormat.append(Seq((2L, "b", 9L)).toDF("k", "s", "extra"), root)
+    val head = TableFormat.readSnapshot(spark, root)
+    assert(head.columns.toSeq === Seq("k", "s", "extra"))
+    val byK = head.collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byK === Map(1L -> ("a", None), 2L -> ("b", Some(9L))),
+      "pre-evolution rows must read the new column as null")
+    // time travel to the pre-evolution snapshot shows the NARROW schema
+    assert(TableFormat.readSnapshot(spark, root, 0).columns.toSeq ===
+      Seq("k", "s"))
+    // the evolved table still merges/deletes correctly
+    TableFormat.merge(spark, root,
+      Seq((1L, "A", 7L)).toDF("k", "s", "extra"), "k")
+    assert(TableFormat.readSnapshot(spark, root)
+      .filter($"k" === 1L).collect().map(r => (r.getString(1), r.getLong(2)))
+      .toSeq === Seq(("A", 7L)))
+  }
+
   test("ranged compaction restores zone-map skipping over streamed deltas") {
     import spark.implicits._
     val root = freshRoot()
