@@ -436,6 +436,57 @@ class TableFormatSpec extends TestSpark {
     assert(feed(3, 4) === Set.empty)
   }
 
+  test("racing merges: exactly one commits, the loser raises, data intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 6L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    // two writers race a merge against the same head: like compact, the
+    // rewrite snapshots a specific head, so the CAS loser must RAISE
+    // (blind retry at v+1 would drop the winner's rows) — exactly one
+    // new version exists afterward and it is exactly one writer's upsert
+    val outcomes = (0 until 2).map(i =>
+      (i, Seq((2L, s"w$i"), (100L + i, s"n$i"))))
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val threads = outcomes.map { case (i, ups) =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          TableFormat.merge(spark, root, ups.toDF("k", "s"), "k",
+            statsCol = Some("k"))
+          results.put(i, "committed"); ()
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            results.put(i, "lost-cas"); ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rs = results.values().toArray.map(_.toString).sorted.toSeq
+    val got = TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rs match {
+      case Seq("committed", "committed") =>
+        // the merges happened to serialize (second read the first's
+        // head): both upserts applied, key 2 owned by the later writer
+        assert(TableFormat.latestVersion(root) === 2)
+        assert(got(100L) === "n0" && got(101L) === "n1" &&
+          Set("w0", "w1")(got(2L)) && got.size === 8)
+      case Seq("committed", "lost-cas") =>
+        // true race: one CAS winner; the head is EXACTLY its upsert —
+        // no mixing, no loss — and the loser raised instead of blindly
+        // re-committing a stale rewrite
+        assert(TableFormat.latestVersion(root) === 1)
+        val winner = results.entrySet().iterator().asScala
+          .collectFirst { case e if e.getValue == "committed" => e.getKey }
+          .get
+        assert(got(2L) === s"w$winner" &&
+          got(100L + winner) === s"n$winner" && got.size === 7)
+      case other => fail(s"unexpected outcome pair: $other")
+    }
+  }
+
   test("merge/delete agree with a model over randomized histories") {
     import spark.implicits._
     // model check: a Map[k, s] replays append/merge/delete alongside the
