@@ -755,10 +755,45 @@ object TableFormat {
       .orderBy("o_orderstatus")
   }
 
+  /** Landed SCHEMA-EVOLUTION fixture: v0 appends the odd-key orders as
+    * (o_orderkey, o_orderstatus); v1 appends the even-key rows WITH the
+    * o_orderpriority column the first producer didn't know about. Key
+    * arithmetic only, so the oracle recomputes the evolved head from
+    * `orders` alone.
+    */
+  private val evoCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedEvolvedTable(s: SparkSession, dir: String): String =
+    evoCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_evo").toString
+      val orders = Sources.table(s, dir, "orders")
+      append(orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus")), root)
+      append(orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority")), root)
+      root
+    })
+
+  /** Aggregate over the EVOLVED head: per-status row counts plus how
+    * many rows carry the late-added column (exactly the even-key half —
+    * the odd half null-backfills) and its distinct values among them.
+    * Proves union-schema resolution + null backfill end-to-end through
+    * the manifest log, hash-checked against the recompute.
+    */
+  private def qTableEvolution(s: SparkSession, dir: String): DataFrame =
+    readSnapshot(s, landedEvolvedTable(s, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_with_priority"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"))
+      .orderBy("o_orderstatus")
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
     mergeCache.keys.toList.foreach(mergeCache.remove)
+    evoCache.keys.toList.foreach(evoCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -766,9 +801,23 @@ object TableFormat {
       "q_table_skipping" -> qTableSkipping,
       "q_table_merge" -> qTableMerge,
       "q_table_changes" -> qTableChanges,
-      "q_table_mv" -> qTableMv)
+      "q_table_mv" -> qTableMv,
+      "q_table_evolution" -> qTableEvolution)
 
   val oracleSql: Map[String, String] = Map(
+    // evolved head = odd half without the late column (NULL backfill) ∪
+    // even half with it — the CASE reproduces the union-schema read
+    "q_table_evolution" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END
+        |      AS o_orderpriority
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(count(o_orderpriority) AS BIGINT) AS n_with_priority,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities
+        |FROM evolved GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // incremental == recompute: the MV query derives these counts from
     // base + change feed; the oracle recomputes them from the head
     "q_table_mv" ->
