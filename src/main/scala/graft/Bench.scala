@@ -82,7 +82,14 @@ object Bench {
       val vec = array((0 until 8).map(i => lit(i.toFloat)): _*)
       txt.select(graft.functions.VectorExprs.vecDot(vec, vec)).count()
       txt.as[(Long, String)].mapPartitions(it => it.map(_._1)).count()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only (round-15 ADVICE): a dying JVM (OOM, interrupt) must
+      // crash here, not proceed silently into timed passes with degraded
+      // state; a recoverable warmup failure is logged, not swallowed
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] WARNING: JVM warmup failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+    }
     // One-time layout/fixture preparation OUTSIDE the timed loop: bucketed
     // tables, media fixtures, partitioned events (round-5 VERDICT bench
     // hygiene — these are at-rest inputs at scale, not per-query work). A
@@ -161,9 +168,18 @@ object Bench {
       if (!warmupOn) -1.0
       else {
         val t0 = System.nanoTime()
-        keys.foreach { case (_, fn) =>
-          try fn(spark, warmupDir).count()
-          catch { case _: Throwable => () }
+        keys.foreach { case (name, fn) =>
+          try { fn(spark, warmupDir).count(); () }
+          catch {
+            // NonFatal only, and LOGGED: `warmup_s` is the box-speed
+            // canary the sibling-run analysis reads, so a warmup that
+            // silently measured error paths would corrupt the one number
+            // regressions are judged through (round-15 ADVICE)
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] WARNING: warmup of $name " +
+                s"failed: ${e.getClass.getSimpleName}: " +
+                String.valueOf(e.getMessage))
+          }
         }
         settle()
         (System.nanoTime() - t0) / 1e9
@@ -230,9 +246,12 @@ object Bench {
     val outs = if (only.isEmpty) Seq("/tmp/bench.json", "BENCH_full.json")
       else Seq("/tmp/bench.json")
     outs.foreach { p =>
-      try Files.write(Paths.get(p),
-        (line + "\n").getBytes(StandardCharsets.UTF_8))
-      catch { case _: Throwable => () }
+      try { Files.write(Paths.get(p),
+        (line + "\n").getBytes(StandardCharsets.UTF_8)); () }
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[bench] WARNING: could not write $p: ${e.getMessage}")
+      }
     }
     println(line)
     spark.stop()

@@ -209,14 +209,87 @@ object Analytics {
       .limit(100)
   }
 
+  // --------------------------------------------------------------- Q21
+
+  /** Suppliers-who-kept-orders-waiting (TPC-H Q21 shape): the
+    * correlated-subquery stress test — a quadruple join plus a
+    * correlated EXISTS (another supplier contributed to the same order)
+    * and a correlated NOT EXISTS (no OTHER supplier was also at fault).
+    * The synthetic lineitem has no receipt/commit dates, so
+    * `l_returnflag = 'R'` stands in for the late-delivery fault
+    * predicate; the subquery structure — self-correlation on
+    * `l_orderkey` with a `<>` anti-correlation on `l_suppkey` — is
+    * q21's, verbatim.
+    *
+    * Deliberately written as SQL, not DataFrame joins: the point of this
+    * tier row (round-14 VERDICT #7) is asserting CATALYST'S DECORRELATION
+    * at benchmark scale — RewriteCorrelatedScalarSubquery/
+    * RewritePredicateSubquery turn the EXISTS into a left-semi and the
+    * NOT EXISTS into a left-anti hash/merge join on `l_orderkey` (the
+    * `<>` rides as a join-side condition), never a per-row nested-loop
+    * re-scan of lineitem. `AnalyticsSpec` pins exactly that: semi + anti
+    * joins present, zero nested-loop/cartesian operators. At 100 TB the
+    * decorrelated shape is three lineitem instances co-shuffled on
+    * `l_orderkey` — Spark reuses one exchange for identically-scanned
+    * instances — versus the nested form's unboundable O(rows × probes).
+    */
+  private def qTpchQ21(s: SparkSession, dir: String): DataFrame = {
+    // per-query view names: temp views are session-global, so plain
+    // `lineitem` would leak across registry keys sharing the session
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q21_lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q21_orders")
+    t(s, dir, "supplier").createOrReplaceTempView("graft_q21_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("graft_q21_nation")
+    s.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM graft_q21_supplier, graft_q21_lineitem l1,
+        |     graft_q21_orders, graft_q21_nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name LIKE 'NATION_1%'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
     "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name LIKE 'NATION_1%'
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4)

@@ -444,7 +444,14 @@ object Similarity {
       ivfIndexCache.getOrElseUpdate((s, dir), {
         val root = java.nio.file.Files
           .createTempDirectory("graft_ivf").toString
+        // the inverted lists carry the vectors' ATTRIBUTE columns
+        // (label) alongside the embeddings: filtered ANN — the most
+        // common production vector-search shape (`lang = 'en' AND
+        // cosine top-k`) — needs the predicate evaluable INSIDE the
+        // probed cells' scan, not via a corpus-wide attribute join at
+        // query time (round-14 VERDICT #6)
         trainedAssignment(s, dir)
+          .join(emb(s, dir).select(col("vec_id"), col("label")), "vec_id")
           .write.partitionBy("cell").parquet(root + "/cells")
         trainedCodebook(s, dir).write.parquet(root + "/cents")
         // the PQ half of the at-rest index: per-(vector, subspace) codes
@@ -508,6 +515,52 @@ object Similarity {
 
   private def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame =
     ivfIndexedSearch(s, dir, nprobe = 2)
+
+  /** FILTERED ANN over the at-rest index — `label < 5 AND cosine top-k`:
+    * the attribute predicate lands directly on the cells scan, so Spark
+    * pushes it into the parquet reader of the PROBED cell directories
+    * (`PushedFilters: [LessThan(label,5)]`, plan-pinned) and candidates
+    * failing it are dropped BEFORE any scoring — never a corpus-wide
+    * attribute join, never post-filtering a top-k (which under-fills k
+    * when the predicate is selective; filtering first keeps k exact
+    * within the probed cells). Queries themselves are NOT filtered —
+    * the predicate constrains what is retrieved, not who asks. Same
+    * probe/score expression trees as [[ivfIndexedSearch]].
+    */
+  private[graft] def ivfFilteredSearch(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    val root = ivfIndexRoot(s, dir)
+    val idx = s.read.parquet(root + "/cells")
+    val cents = s.read.parquet(root + "/cents")
+    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
+      col("cnrm2")
+    val wq = Window.partitionBy("vec_id")
+      .orderBy(col("dist2").asc, col("cid").asc)
+    val q = idx.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        dist2.as("dist2"), col("cid"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cid").as("cell"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    idx.filter(col("label") < 5) // the pushed attribute predicate
+      .join(q, "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
+          .as("score"))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= 3)
+      .orderBy("q_id", "rn")
+  }
+
+  private def qSimFiltered(s: SparkSession, dir: String): DataFrame =
+    ivfFilteredSearch(s, dir, nprobe = 2)
 
   /** IVF-PQ over the AT-REST index — the fully-landed production search
     * path: queries probe their 2 nearest cells against the codebook
@@ -786,6 +839,7 @@ object Similarity {
     "q_sim_ivf_trained" -> qSimIvfTrained,
     "q_sim_ivf_probe" -> qSimIvfProbe,
     "q_sim_ivf_indexed" -> qSimIvfIndexed,
+    "q_sim_filtered" -> qSimFiltered,
     "q_sim_ivf_multiprobe" -> qSimIvfMultiprobe,
     "q_sim_topk_agg" -> qSimTopkAgg,
     "q_sim_knn" -> qSimKnn,
@@ -857,8 +911,8 @@ object Similarity {
     * to its `nprobe` nearest cells — the declarative statement of
     * [[ivfSearch]].
     */
-  private def ivfProbeSql(nprobe: Int): String =
-    s"""WITH e AS (SELECT vec_id, embedding,
+  private def ivfProbeSql(nprobe: Int, candWhere: String = "TRUE"): String =
+    s"""WITH e AS (SELECT vec_id, embedding, label,
        |  list_sum(list_transform(embedding,
        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm2
        |  FROM embeddings),
@@ -866,7 +920,7 @@ object Similarity {
        |  FROM e WHERE vec_id < 16),
        |${lloydStepSql("c0n", "a1", "m1", "c1", "c1n")},
        |${lloydStepSql("c1n", "a2", "m2", "c2", "c2n")},
-       |af AS (SELECT e.vec_id, cid AS cell, e.embedding,
+       |af AS (SELECT e.vec_id, cid AS cell, e.embedding, e.label,
        |    sqrt(e.nrm2) AS nrm
        |  FROM e CROSS JOIN c2n
        |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
@@ -887,7 +941,7 @@ object Similarity {
        |CAST(row_number() OVER (PARTITION BY q.vec_id
        |  ORDER BY $TrainedCosSql DESC, c.vec_id) AS BIGINT) AS rn
        |FROM af c JOIN qp q ON c.cell = q.cell
-       |WHERE c.vec_id <> q.vec_id
+       |WHERE c.vec_id <> q.vec_id AND ($candWhere)
        |QUALIFY rn <= 3
        |ORDER BY q_id, rn""".stripMargin
 
@@ -1005,6 +1059,7 @@ object Similarity {
     // in-session search (identical result, different plan), so it shares
     // that oracle verbatim
     "q_sim_ivf_indexed" -> ivfProbeSql(2),
+    "q_sim_filtered" -> ivfProbeSql(2, candWhere = "c.label < 5"),
     "q_sim_ivf_multiprobe" -> ivfProbeSql(4),
     "q_sim_ivf_trained" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -61,6 +61,33 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q10: returnflag filter not pushed to the lineitem scan:\n$s")
   }
 
+  test("q_tpch_q21: correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val plan = staticPlan("q_tpch_q21")
+    // the whole point: RewritePredicateSubquery must have rewritten both
+    // correlated subqueries into joins — a nested-loop (or cartesian)
+    // operator means a per-row lineitem re-scan, the O(rows × probes)
+    // plan that dies at 100 TB
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q21: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q21: nested-loop join — subquery not decorrelated:\n$plan")
+    val joinTypes = (plan.collect { case j: SortMergeJoinExec => j.joinType } ++
+      plan.collect { case j: ShuffledHashJoinExec => j.joinType } ++
+      plan.collect { case j: BroadcastHashJoinExec => j.joinType })
+    assert(joinTypes.contains(LeftSemi),
+      s"q_tpch_q21: EXISTS did not become a semi join: $joinTypes\n$plan")
+    assert(joinTypes.contains(LeftAnti),
+      s"q_tpch_q21: NOT EXISTS did not become an anti join: $joinTypes\n$plan")
+    // the orderstatus and returnflag filters still reach the scans
+    val s = plan.toString
+    assert(s.contains("EqualTo(o_orderstatus,F)"),
+      s"q_tpch_q21: orderstatus filter not pushed:\n$s")
+    assert(s.contains("EqualTo(l_returnflag,R)"),
+      s"q_tpch_q21: returnflag filter not pushed:\n$s")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString

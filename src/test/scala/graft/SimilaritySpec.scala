@@ -345,6 +345,31 @@ class SimilaritySpec extends TestSpark {
       s"cell-directory dynamic partition pruning missing:\n$plan")
   }
 
+  test("filtered ANN pushes the attribute predicate into the cells scan") {
+    val out = graft.SparkEntry.queries("q_sim_filtered")(spark, Sf)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every retrieved candidate satisfies the predicate (values are
+    // oracle-owned; the spec owns the filter contract + plan shape)
+    val labels = graft.io.Sources.table(spark, Sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall { case (_, v, _) => labels(v) < 5 },
+      "a candidate violating the attribute predicate was retrieved")
+    val plan = out.queryExecution.executedPlan.toString
+    // the predicate reaches the PARQUET READER of the cells directories —
+    // filter-before-score, never a corpus-wide attribute join or a
+    // post-filtered (under-filled) top-k
+    assert(plan.contains("LessThan(label,5)"),
+      s"label predicate not pushed into the cells scan:\n$plan")
+    assert(!plan.contains("embeddings.parquet"),
+      s"filtered search rescans the embeddings corpus:\n$plan")
+    // and the probed-cell DPP survives alongside the pushed filter
+    assert(plan.contains("dynamicpruning"),
+      s"cell-directory dynamic partition pruning missing:\n$plan")
+  }
+
   test("ivf training step partitions the corpus across seed clusters") {
     val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
     // clusters are seed ids (0..15) and every vector lands in exactly one

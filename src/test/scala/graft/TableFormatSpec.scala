@@ -78,7 +78,7 @@ class TableFormatSpec extends TestSpark {
     // would silently replace — the link-based commit must not)
     intercept[java.nio.file.FileAlreadyExistsException] {
       TableFormat.writeManifest(root, 0,
-        Seq(TableFormat.Entry("/racing/writer", None, None)))
+        Seq(TableFormat.Entry("/racing/writer")))
     }
     val after = new String(Files.readAllBytes(
       Paths.get(root, "manifest", "v0.json")), "UTF-8")
@@ -146,12 +146,14 @@ class TableFormatSpec extends TestSpark {
     assert(TableFormat.readSnapshot(spark, root, 1).count() === 4)
     // and the compacted entry carries usable zone-map stats: an
     // intersecting range keeps the (single) dir, a disjoint one prunes
-    // everything and the empty-snapshot guard fires
+    // everything — which now reads as an EMPTY frame with the RECORDED
+    // schema (r15 schema-in-manifest; pre-r15 this had to throw because
+    // an empty snapshot's schema was unknowable from footers)
     assert(TableFormat.readSnapshot(spark, root,
       range = Some((0L, 3L))).count() === 8)
-    intercept[IllegalArgumentException] {
-      TableFormat.readSnapshot(spark, root, range = Some((100L, 200L)))
-    }
+    val empty = TableFormat.readSnapshot(spark, root,
+      range = Some((100L, 200L)))
+    assert(empty.columns.toSeq === Seq("k", "s") && empty.count() === 0)
   }
 
   test("appendBatch is exactly-once under batch replay") {
@@ -441,10 +443,12 @@ class TableFormatSpec extends TestSpark {
     val root = freshRoot()
     TableFormat.append((1L to 6L).map(k => (k, s"a$k")).toDF("k", "s"),
       root, statsCol = Some("k"))
-    // two writers race a merge against the same head: like compact, the
-    // rewrite snapshots a specific head, so the CAS loser must RAISE
-    // (blind retry at v+1 would drop the winner's rows) — exactly one
-    // new version exists afterward and it is exactly one writer's upsert
+    // two writers race a merge against the same head with OVERLAPPING
+    // footprints (both rewrite the single dir): the commit loop's
+    // conflict check must make the loser RAISE — a blind retry at v+1
+    // would drop the winner's rows — so exactly one new version exists
+    // afterward and it is exactly one writer's upsert (the disjoint-
+    // footprint rebase case is its own spec below)
     val outcomes = (0 until 2).map(i =>
       (i, Seq((2L, s"w$i"), (100L + i, s"n$i"))))
     val barrier = new java.util.concurrent.CyclicBarrier(2)
@@ -457,7 +461,7 @@ class TableFormatSpec extends TestSpark {
             statsCol = Some("k"))
           results.put(i, "committed"); ()
         } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
+          case _: graft.io.CommitConflictException =>
             results.put(i, "lost-cas"); ()
         }
       })
@@ -512,8 +516,10 @@ class TableFormatSpec extends TestSpark {
           check()
         }
       }
-      // interleaved merges (replace ∪ insert) and deletes
-      (0 until 3).foreach { _ =>
+      // interleaved merges (replace ∪ insert) and deletes, alternating
+      // the copy-on-write and merge-on-read (deletion vector) forms —
+      // the model can't tell them apart, which is exactly the contract
+      (0 until 3).foreach { round =>
         val ups = (0 until 1 + rnd.nextInt(6))
           .map(_ => rnd.nextInt(60).toLong).distinct
           .map(k => k -> s"u$k${rnd.nextInt(9)}")
@@ -522,8 +528,11 @@ class TableFormatSpec extends TestSpark {
         model ++= ups
         check()
         val dels = (0 until rnd.nextInt(4)).map(_ => rnd.nextInt(60).toLong)
-        TableFormat.deleteKeys(spark, root, dels.toDF("k"), "k",
-          statsCol = Some("k"))
+        if (round % 2 == 0)
+          TableFormat.deleteKeys(spark, root, dels.toDF("k"), "k",
+            statsCol = Some("k"))
+        else
+          TableFormat.deleteKeysMor(spark, root, dels.toDF("k"), "k")
         model --= dels
         check()
       }
@@ -582,6 +591,280 @@ class TableFormatSpec extends TestSpark {
       s"ranged compaction did not improve skipping: $after !< $before")
     // time travel to the delta layout is intact
     assert(TableFormat.readSnapshot(spark, root, 2).count() === 30)
+  }
+
+  // ------------------------------------------------- round-15 semantics
+
+  /** Spark jobs started by `body` — listener-counted, with a drain pause
+    * because the listener bus is asynchronous. Used to prove the
+    * metadata paths (snapshot planning, footer-stats commits) issue NO
+    * distributed work.
+    */
+  private def countJobs(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        n.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(1500); n.get() }
+    finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("commit stats come from footers: zero extra Spark jobs vs no stats") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = (1L to 50L).map(k => (k, s"s$k"))
+    val plain = countJobs {
+      TableFormat.append(rows.toDF("k", "s"), root); ()
+    }
+    val statted = countJobs {
+      TableFormat.append(rows.toDF("k", "s"), root,
+        statsCol = Some("k"), statsCols = Seq("s")); ()
+    }
+    // pre-r15 the statted append ran a distributed min/max aggregate
+    // RE-READING the dir it just wrote; footer stats must cost zero jobs
+    assert(statted === plain,
+      s"stats collection ran $statted jobs vs $plain for the bare write")
+    // and the footer-derived bounds are the true typed min/max
+    TableFormat.merge(spark, root, Seq((25L, "mid")).toDF("k", "s"), "k",
+      statsCol = Some("k"))
+    assert(TableFormat.readSnapshot(spark, root)
+      .filter($"k" === 25L).count() === 1)
+  }
+
+  test("snapshot reads pin the manifest schema: no inference job, no files") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    TableFormat.append(Seq((2L, "b", 9L)).toDF("k", "s", "extra"), root)
+    // planning an evolved snapshot must NOT run the pre-r15 distributed
+    // footer-schema merge — the manifest carries the committed schema
+    var df: org.apache.spark.sql.DataFrame = null
+    val jobs = countJobs { df = TableFormat.readSnapshot(spark, root) }
+    assert(jobs === 0,
+      s"snapshot planning ran $jobs Spark jobs — schema must come from " +
+        "the manifest, not a footer-inference job")
+    assert(df.columns.toSeq === Seq("k", "s", "extra"))
+  }
+
+  test("a zero-dir snapshot reads as an empty frame with the recorded schema") {
+    val root = freshRoot()
+    TableFormat.writeManifest(root, 0, Seq.empty,
+      Some("k BIGINT,s STRING"))
+    val df = TableFormat.readSnapshot(spark, root)
+    assert(df.columns.toSeq === Seq("k", "s"))
+    assert(df.count() === 0)
+  }
+
+  test("a merge-on-read point delete writes O(keys) sidecar, not O(dir)") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((100L to 110L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    val dirs0 = TableFormat.snapshotDirs(root, 1)
+    val v = TableFormat.deleteKeysMor(spark, root, Seq(3L).toDF("k"), "k")
+    assert(v === 2)
+    // NO data dir rewritten — both carry verbatim; that is the whole
+    // point vs copy-on-write (one touched row used to rewrite the dir)
+    assert(TableFormat.snapshotDirs(root, 2).toSet === dirs0.toSet)
+    // only the zone-map-touched LOWER dir gets a sidecar, of EXACTLY the
+    // deleted key — the O(keys) write bound
+    val dvs = TableFormat.snapshotDvs(root, 2)
+    assert(dvs(dirs0(1)) === None, "upper dir must stay sidecar-free")
+    val dv1 = dvs(dirs0.head)
+    assert(dv1.nonEmpty)
+    assert(spark.read.parquet(dv1.get).count() === 1)
+    // the read applies the mask; everything else intact
+    def keys(ver: Int): Set[Long] =
+      TableFormat.readSnapshot(spark, root, ver)
+        .select("k").collect().map(_.getLong(0)).toSet
+    assert(keys(2) === ((1L to 10L) ++ (100L to 110L)).toSet - 3L)
+    // time travel to the pre-delete snapshot still sees the row
+    assert(keys(1).contains(3L))
+    // a second MOR delete ACCUMULATES: one pointer, both keys
+    TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
+    val dv2 = TableFormat.snapshotDvs(root, 3)(dirs0.head)
+    assert(dv2.nonEmpty && dv2 != dv1)
+    assert(spark.read.parquet(dv2.get).count() === 2)
+    assert(keys(3) === ((1L to 10L) ++ (100L to 110L)).toSet -- Set(3L, 5L))
+    // a copy-on-write rewrite of the dv'd dir FOLDS the sidecar away and
+    // must never resurrect a masked row
+    TableFormat.merge(spark, root, Seq((4L, "NEW")).toDF("k", "s"), "k",
+      statsCol = Some("k"))
+    val head = TableFormat.latestVersion(root)
+    assert(TableFormat.snapshotDvs(root, head).values.forall(_.isEmpty),
+      "rewrite must fold deletion vectors into data")
+    val got = TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!got.contains(3L) && !got.contains(5L) && got(4L) === "NEW" &&
+      got(7L) === "a7" && got.size === 19)
+    // superseded sidecars (dv1/dv2 after expire) are vacuum fodder
+    TableFormat.expire(root, keepLast = 1)
+    assert(TableFormat.vacuum(root).nonEmpty)
+    assert(TableFormat.readSnapshot(spark, root).count() === 19)
+  }
+
+  test("merge-on-read delete ≡ copy-on-write delete, content and change feed") {
+    import spark.implicits._
+    def build(): String = {
+      val root = freshRoot()
+      TableFormat.append((1L to 30L).map(k => (k, s"a$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.append((100L to 130L).map(k => (k, s"b$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      root
+    }
+    val dels = Seq(3L, 9L, 105L, 111L).toDF("k")
+    val mor = build(); val cow = build()
+    TableFormat.deleteKeysMor(spark, mor, dels, "k")
+    TableFormat.deleteKeys(spark, cow, dels, "k", statsCol = Some("k"))
+    def rows(root: String): Seq[(Long, String)] =
+      TableFormat.readSnapshot(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows(mor) === rows(cow),
+      "MOR and COW deletes must produce identical effective tables")
+    // and the derived change feed agrees: the dv-pointer diff yields the
+    // same delete rows the dir-rewrite diff does
+    def feed(root: String): Set[(Long, String, String)] =
+      TableFormat.readChanges(spark, root, 1, 2, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    val expected = Set((3L, "a3", "delete"), (9L, "a9", "delete"),
+      (105L, "b105", "delete"), (111L, "b111", "delete"))
+    assert(feed(mor) === expected)
+    assert(feed(cow) === expected)
+  }
+
+  test("racing merges with disjoint footprints BOTH land, rebased in series") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    (1 to 3).foreach { _ => // repeat: the race needs a few shots to bite
+      val root = freshRoot()
+      TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.append((100L to 110L).map(k => (k, s"b$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ups = Seq(
+        Seq((3L, "w0"), (50L, "n0")),   // lower dir + insert below 100
+        Seq((105L, "w1"), (500L, "n1"))) // upper dir + insert above 110
+      val threads = ups.map { u =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            TableFormat.merge(spark, root, u.toDF("k", "s"), "k",
+              statsCol = Some("k")); ()
+          } catch { case e: Throwable => failures.add(e); () }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // DISJOINT footprints: the CAS loser must REBASE onto the winner's
+      // head, not raise — both merges land, serialized
+      assert(failures.isEmpty,
+        s"disjoint-footprint merge raised: ${failures.peek()}")
+      assert(TableFormat.latestVersion(root) === 3)
+      val got = TableFormat.readSnapshot(spark, root)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // content == sequential application in either order
+      assert(got(3L) === "w0" && got(50L) === "n0" &&
+        got(105L) === "w1" && got(500L) === "n1" &&
+        got(7L) === "a7" && got(108L) === "b108" && got.size === 23)
+    }
+  }
+
+  test("change feed spans a widening schema evolution") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append(Seq((100L, "b100", 7L)).toDF("k", "s", "extra"),
+      root, statsCol = Some("k"))
+    // the merge touches the PRE-evolution dir, so a feed window from v0
+    // has a dropped side that predates `extra` — pre-r15 this raised
+    // AnalysisException resolving the new column on the dropped side
+    // (round-15 ADVICE); the recorded TO-schema read null-backfills it
+    TableFormat.merge(spark, root,
+      Seq((3L, "NEW", 9L)).toDF("k", "s", "extra"), "k",
+      statsCol = Some("k"))
+    val feed = TableFormat.readChanges(spark, root, 0, 2, "k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))
+      .toSet
+    val inserts = feed.filter(_._4 == "insert")
+    assert(inserts === Set((100L, "b100", 7L, "insert")))
+    assert(feed.filter(_._4 == "update_preimage") ===
+      Set((3L, "a3", -1L, "update_preimage")))
+    assert(feed.filter(_._4 == "update_postimage") ===
+      Set((3L, "NEW", 9L, "update_postimage")))
+    // carried keys (identical content, null extra on both sides under
+    // the union schema) stay SILENT — the null-safe compare holds
+    assert(feed.size === 3)
+  }
+
+  test("string keys earn zone-map pruning in unsigned UTF-8 order") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq(("apple", 1L), ("fig", 2L)).toDF("k", "n"),
+      root, statsCol = Some("k"))
+    TableFormat.append(Seq(("tomato", 3L), ("zucchini", 4L)).toDF("k", "n"),
+      root, statsCol = Some("k"))
+    val dirsBefore = TableFormat.snapshotDirs(root, 1)
+    TableFormat.merge(spark, root, Seq(("tomato", 99L)).toDF("k", "n"), "k",
+      statsCol = Some("k"))
+    val dirsAfter = TableFormat.snapshotDirs(root, 2)
+    // the a-f dir's string bounds exclude "tomato": carried VERBATIM —
+    // pre-r15 only integral keys could prune
+    assert(dirsAfter.contains(dirsBefore.head),
+      "string-bounded untouched dir was rewritten")
+    assert(!dirsAfter.contains(dirsBefore(1)))
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("apple" -> 1L, "fig" -> 2L, "tomato" -> 99L, "zucchini" -> 4L))
+  }
+
+  test("z-order compaction prunes 2-predicate boxes beyond range layout") {
+    import spark.implicits._
+    val grid = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, x * 64 + y)
+    def land(): String = {
+      val root = freshRoot()
+      TableFormat.append(grid.toDF("x", "y", "v"), root)
+      root
+    }
+    val ranged = land(); val zed = land()
+    TableFormat.compactRanged(spark, ranged, "x", nBuckets = 16,
+      extraStatsCols = Seq("y"))
+    TableFormat.compactZOrder(spark, zed, "x", "y", nBuckets = 16)
+    val box = Seq[(String, Any, Any)](("x", 0L, 31L), ("y", 0L, 31L))
+    val nRanged = TableFormat.prunedDirs(ranged, 1, box).size
+    val nZ = TableFormat.prunedDirs(zed, 1, box).size
+    // the x-sorted layout records tight x bounds but full-range y bounds
+    // (every x-slice spans all y): the box keeps ~half its dirs. The
+    // z-ordered layout bounds BOTH dims per dir — the quarter-plane box
+    // keeps ~a quarter. Strictly fewer is the contract.
+    assert(nZ < nRanged,
+      s"z-order pruned $nZ dirs, range layout $nRanged — no win")
+    // and pruning never loses rows: the box content is exact
+    val boxed = TableFormat.readSnapshotPruned(spark, zed, box)
+      .filter($"x".between(0, 31) && $"y".between(0, 31))
+    assert(boxed.count() === 32L * 32L)
+  }
+
+  test("q_table_dv masks every 13th key through the sidecar read") {
+    val out = SparkEntry.queries("q_table_dv")(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val orders = graft.io.Sources.table(spark, Sf, "orders")
+    assert(total === orders.filter(
+      org.apache.spark.sql.functions.col("o_orderkey") % 13 =!= 0).count())
   }
 
   test("q_table_snapshot joins v1 vs v0 status counts") {
