@@ -1,0 +1,324 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.io.{Sources, TableFormat}
+
+/** CDC-driven maintenance of the at-rest retrieval indexes — the bridge
+  * round-14's VERDICT flagged as missing: the table format had a change
+  * feed and the text/ANN tiers had landed indexes, but an index over a
+  * [[TableFormat]]-backed corpus had no `readChanges`-driven refresh and
+  * no story for what compaction does to it. Here the index artifacts are
+  * THEMSELVES TableFormat tables, so every maintenance verb is a table
+  * commit the format already proves:
+  *
+  *   - postings index = table of flat `(doc_id, pos, tok, bucket)` rows
+  *     with footer zone maps on (bucket, doc_id); the `dl` sidecar = a
+  *     `(doc_id, dl)` table. IVF index = a table of assigned
+  *     `(vec_id, cell, embedding, …)` rows against a FROZEN codebook.
+  *   - refresh = read the corpus change feed since the last indexed
+  *     version, then: deleted/update-preimage keys → [[TableFormat
+  *     .deleteKeysMor]] (deletion-vector sidecars — O(changed docs)
+  *     writes, NO posting-bucket rewrite), inserted/update-postimage
+  *     rows → tokenize/assign ONLY the delta and append. Cost ∝ changed
+  *     rows, never corpus or index size — at 100 TB that is the entire
+  *     point of maintaining instead of rebuilding.
+  *   - a corpus compaction whose effective rows are unchanged feeds an
+  *     EMPTY change set (the CDC is dv-aware and full-row-compares), so
+  *     the refresh only advances the high-water marker — the index is
+  *     provably untouched ([[graft.IndexSyncSpec]] pins it).
+  *   - index OPTIMIZE = [[TableFormat.compactRanged]] on `bucket`: folds
+  *     the accumulated deletion vectors into data and restores the
+  *     bucket-range layout term lookups prune on — the same verb, same
+  *     commit protocol, as any other table.
+  *
+  * Single-maintainer contract: the `indexed_version` high-water marker
+  * is a plain file advanced after each refresh commit (concurrent
+  * REFRESHERS would need the marker inside the commit; concurrent
+  * corpus writers are already safe — the feed window is closed over
+  * committed versions). Corpus retention must keep the last-indexed
+  * manifest alive until the next refresh ([[TableFormat.expire]]).
+  */
+object IndexSync {
+
+  // ------------------------------------------------------------ marker
+
+  private def markerPath(idxRoot: String) =
+    Paths.get(idxRoot, "indexed_version")
+
+  /** Corpus version the index at `idxRoot` reflects, -1 if never built. */
+  private[graft] def indexedVersion(idxRoot: String): Int = {
+    val p = markerPath(idxRoot)
+    if (!Files.exists(p)) -1
+    else new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      .trim.toInt
+  }
+
+  private def writeMarker(idxRoot: String, v: Int): Unit = {
+    Files.createDirectories(Paths.get(idxRoot))
+    val tmp = Files.createTempFile(Paths.get(idxRoot), "ver", ".tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, markerPath(idxRoot),
+      StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  // --------------------------------------------------- postings index
+
+  private def postingsRoot(idxRoot: String) = idxRoot + "/postings"
+  private def dlRoot(idxRoot: String) = idxRoot + "/dl"
+
+  /** Flat positional postings of a `(doc_id, text)` frame, bucket-tagged
+    * — the same tokenize/bucket kernel as the static index build
+    * ([[TextOps.indexRoot]]) and the streaming ingest, so maintained and
+    * rebuilt indexes can only agree.
+    */
+  private def postingsOf(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("bucket",
+        pmod(xxhash64(col("tok")), lit(TextOps.PostingBuckets.toLong))
+          .cast("int"))
+
+  /** Land postings + dl rows for `delta` docs as one append each. The
+    * delta is persisted by the caller — two consumers (postings, dl)
+    * over one tokenize pass.
+    */
+  private def appendDocs(s: SparkSession, idxRoot: String,
+                         posts: DataFrame): Unit = {
+    if (posts.isEmpty) return // zero-token delta: nothing to land
+    TableFormat.append(posts, postingsRoot(idxRoot),
+      statsCols = Seq("bucket", "doc_id"))
+    TableFormat.append(
+      posts.groupBy("doc_id").agg(count(lit(1)).as("dl")),
+      dlRoot(idxRoot), statsCol = Some("doc_id"))
+    ()
+  }
+
+  /** Build the postings index over the LATEST corpus snapshot and set
+    * the high-water marker. Returns the indexed corpus version.
+    */
+  def buildPostings(s: SparkSession, corpusRoot: String,
+                    idxRoot: String): Int = {
+    val v = TableFormat.latestVersion(corpusRoot)
+    require(v >= 0, s"no corpus to index at $corpusRoot")
+    val posts = postingsOf(TableFormat.readSnapshot(s, corpusRoot))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendDocs(s, idxRoot, posts)
+    finally { posts.unpersist(); () }
+    writeMarker(idxRoot, v)
+    v
+  }
+
+  /** Apply the corpus change feed since the last indexed version to the
+    * landed postings + dl tables — never a rebuild: deletes (and update
+    * preimages) become deletion-vector commits on both tables; inserts
+    * (and update postimages) tokenize ONLY the delta and append. Delete
+    * before append, so an updated doc's old rows are masked before its
+    * new rows land. An empty feed (nothing changed, or a byte-identical
+    * compaction) only advances the marker. Returns the newly indexed
+    * corpus version.
+    */
+  def refreshPostings(s: SparkSession, corpusRoot: String,
+                      idxRoot: String): Int = {
+    val head = TableFormat.latestVersion(corpusRoot)
+    val last = indexedVersion(idxRoot)
+    require(last >= 0, s"index at $idxRoot was never built — " +
+      "call buildPostings first")
+    if (head <= last) return last
+    val feed = TableFormat.readChanges(s, corpusRoot, last, head, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val gone = feed
+        .filter(col("change_type").isin("delete", "update_preimage"))
+        .select("doc_id")
+      TableFormat.deleteKeysMor(s, postingsRoot(idxRoot), gone, "doc_id")
+      TableFormat.deleteKeysMor(s, dlRoot(idxRoot), gone, "doc_id")
+      val fresh = feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select("doc_id", "text")
+      val posts = postingsOf(fresh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try appendDocs(s, idxRoot, posts)
+      finally { posts.unpersist(); () }
+    } finally { feed.unpersist(); () }
+    writeMarker(idxRoot, head)
+    head
+  }
+
+  /** OPTIMIZE the postings index: fold its accumulated deletion vectors
+    * into data and restore the bucket-range dir layout term lookups
+    * prune on (refresh appends span every bucket — the worst case for
+    * skipping, exactly the streamed-delta story `compactRanged` exists
+    * for). The dl table compacts to one statted dir alongside.
+    */
+  def optimizePostings(s: SparkSession, idxRoot: String,
+                       nBuckets: Int = 8): Unit = {
+    TableFormat.compactRanged(s, postingsRoot(idxRoot), "bucket", nBuckets,
+      extraStatsCols = Seq("doc_id"))
+    TableFormat.compact(s, dlRoot(idxRoot), statsCol = Some("doc_id"))
+    ()
+  }
+
+  /** BM25 top-k over the MAINTAINED index — the [[TextOps]] search-topk
+    * twin over a TableFormat-backed corpus: term lookups prune the
+    * postings table's dirs through the manifest bucket bounds (tight
+    * after OPTIMIZE; delta appends are conservatively kept), deletion
+    * vectors mask dead docs inside the snapshot read, and the dl table
+    * supplies per-doc lengths plus the n_docs/avgdl scalars. The scorer
+    * is the shared [[TextOps.bm25Scores]] kernel.
+    */
+  def bm25TopK(s: SparkSession, idxRoot: String, terms: Seq[String],
+               k: Int): DataFrame = {
+    val buckets = terms.map(TextOps.tokenBucket).distinct
+    val tf = TableFormat.readSnapshot(s, postingsRoot(idxRoot),
+        range = Some((buckets.min.toLong, buckets.max.toLong)),
+        rangeCol = Some("bucket"))
+      .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
+        col("tok").isin(terms.map(x => x: Any): _*))
+      .select(col("doc_id"), col("tok").as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dl = TableFormat.readSnapshot(s, dlRoot(idxRoot))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
+    TextOps.bm25Scores(tf, dl, corpus)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+  }
+
+  // -------------------------------------------------------- IVF index
+
+  private def cellsRoot(idxRoot: String) = idxRoot + "/cells"
+
+  /** Build the IVF inverted file over the LATEST vector-corpus snapshot
+    * against a FROZEN broadcast codebook — the shared
+    * [[Similarity.assignVectors]] kernel, like the streaming ingest, so
+    * maintained, streamed, and batch-built cells cannot drift.
+    */
+  def buildIvf(s: SparkSession, vecRoot: String, idxRoot: String,
+               cents: DataFrame): Int = {
+    val v = TableFormat.latestVersion(vecRoot)
+    require(v >= 0, s"no vector corpus to index at $vecRoot")
+    TableFormat.append(
+      Similarity.assignVectors(
+        TableFormat.readSnapshot(s, vecRoot)
+          .select("vec_id", "embedding"), cents),
+      cellsRoot(idxRoot), statsCols = Seq("cell", "vec_id"))
+    writeMarker(idxRoot, v)
+    v
+  }
+
+  /** Apply the vector corpus's change feed to the landed IVF cells:
+    * dead/update-preimage vectors → deletion-vector commit; fresh
+    * vectors → assign against the SAME frozen codebook and append
+    * (standard IVF maintenance — centroids stay put between retrains,
+    * so assignment is delta-only). Cost ∝ changed vectors.
+    */
+  def refreshIvf(s: SparkSession, vecRoot: String, idxRoot: String,
+                 cents: DataFrame): Int = {
+    val head = TableFormat.latestVersion(vecRoot)
+    val last = indexedVersion(idxRoot)
+    require(last >= 0, s"IVF index at $idxRoot was never built")
+    if (head <= last) return last
+    val feed = TableFormat.readChanges(s, vecRoot, last, head, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      TableFormat.deleteKeysMor(s, cellsRoot(idxRoot),
+        feed.filter(col("change_type").isin("delete", "update_preimage"))
+          .select("vec_id"),
+        "vec_id")
+      val fresh = feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select("vec_id", "embedding")
+      if (!fresh.isEmpty)
+        TableFormat.append(Similarity.assignVectors(fresh, cents),
+          cellsRoot(idxRoot), statsCols = Seq("cell", "vec_id"))
+    } finally { feed.unpersist(); () }
+    writeMarker(idxRoot, head)
+    head
+  }
+
+  /** The maintained IVF cells, deletion vectors applied — what a probed
+    * search reads; spec-compared against a fresh batch assignment.
+    */
+  private[graft] def ivfCells(s: SparkSession, idxRoot: String): DataFrame =
+    TableFormat.readSnapshot(s, cellsRoot(idxRoot))
+
+  // ------------------------------------------------------------ query
+
+  /** Landed CDC-maintained index fixture: the documents corpus lands as
+    * a two-append TableFormat table, the postings index builds once, and
+    * then a merge+delete history drives refreshes — every 10th doc
+    * ending in 3 is REWRITTEN to a fixed query-term text (its old
+    * postings must vanish, its new ones land), every 10th ending in 7 is
+    * DELETED (a deletion-vector corpus commit). A corpus compaction then
+    * proves the empty-feed no-op, and an index OPTIMIZE folds the index
+    * tables' own deletion vectors away. Key arithmetic only, so the
+    * oracle recomputes the effective corpus from `documents` alone.
+    */
+  private val cdcCache = TrieMap.empty[(SparkSession, String), String]
+
+  /** Replacement text for the update wave — contains every query term,
+    * so maintained postings visibly re-rank the updated docs.
+    */
+  private[graft] val CdcUpdateText = "spark merge window spark"
+
+  private[graft] def landedCdcIndex(s: SparkSession, dir: String): String =
+    cdcCache.synchronized {
+      cdcCache.getOrElseUpdate((s, dir), {
+        val base = Files.createTempDirectory("graft_idx_sync").toString
+        val corpusRoot = base + "/corpus"
+        val idxRoot = base + "/index"
+        val d = Sources.table(s, dir, "documents").select("doc_id", "text")
+        TableFormat.append(d.filter(col("doc_id") % 2 === 0), corpusRoot,
+          statsCol = Some("doc_id"))
+        TableFormat.append(d.filter(col("doc_id") % 2 === 1), corpusRoot,
+          statsCol = Some("doc_id"))
+        buildPostings(s, corpusRoot, idxRoot)
+        TableFormat.merge(s, corpusRoot,
+          d.filter(col("doc_id") % 10 === 3)
+            .select(col("doc_id"), lit(CdcUpdateText).as("text")),
+          "doc_id", statsCol = Some("doc_id"))
+        refreshPostings(s, corpusRoot, idxRoot)
+        TableFormat.deleteKeysMor(s, corpusRoot,
+          d.filter(col("doc_id") % 10 === 7).select("doc_id"), "doc_id")
+        refreshPostings(s, corpusRoot, idxRoot)
+        // byte-identical-effective corpus compaction: EMPTY feed, the
+        // refresh below must not touch the index (spec-pinned)
+        TableFormat.compact(s, corpusRoot, statsCol = Some("doc_id"))
+        refreshPostings(s, corpusRoot, idxRoot)
+        optimizePostings(s, idxRoot)
+        base
+      })
+    }
+
+  /** BM25 top-10 over the CDC-MAINTAINED index — [[TextOps]]'
+    * `q_text_search_topk` twin with the corpus behind the table format
+    * and the index kept current by the change feed instead of rebuilt.
+    * The oracle recomputes BM25 over the effective corpus (updates
+    * applied, deletes removed) directly from `documents`.
+    */
+  private def qTextSearchTopkCdc(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(s, landedCdcIndex(s, dir) + "/index",
+      Seq("spark", "merge", "window"), 10)
+
+  private[graft] def clearMemos(): Unit =
+    cdcCache.keys.toList.foreach(cdcCache.remove)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_text_search_topk_cdc" -> qTextSearchTopkCdc)
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_search_topk_cdc" -> TextOps.bm25Sql(
+      "ORDER BY bm25 DESC, doc_id LIMIT 10",
+      source = s"""(SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 3 THEN '$CdcUpdateText' ELSE text END
+         |      AS text
+         |  FROM documents WHERE doc_id % 10 <> 7) documents""".stripMargin))
+}

@@ -1792,10 +1792,11 @@ object TextOps {
          |FROM toks JOIN s$BpeMerges USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private def bm25Sql(orderLimit: String): String =
+  private[graft] def bm25Sql(orderLimit: String,
+                             source: String = "documents"): String =
     s"""WITH toks AS (SELECT doc_id,
        |  unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-       |  FROM documents),
+       |  FROM $source),
        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
        |corpus AS (SELECT count(*) AS n_docs,
        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),

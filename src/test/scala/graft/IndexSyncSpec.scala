@@ -1,0 +1,185 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-driven index maintenance ([[graft.ops.IndexSync]]): the landed
+  * postings/IVF artifacts kept current from the table format's change
+  * feed. The DuckDB oracle owns `q_text_search_topk_cdc`'s VALUES; this
+  * suite owns the maintenance contract SQL can't state — maintained ==
+  * rebuilt over any merge+delete history, a byte-identical compaction
+  * leaves the index untouched, and OPTIMIZE folds the index's own
+  * deletion vectors while restoring the bucket-range layout.
+  */
+class IndexSyncSpec extends TestSpark {
+
+  import graft.io.TableFormat
+  import graft.ops.IndexSync
+
+  private def freshBase(): String =
+    Files.createTempDirectory("graft_idx_sync_spec").toString
+
+  private def docsDf(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** (doc_id, pos, tok) content of a maintained postings table —
+    * deletion vectors applied, order-free compare form.
+    */
+  private def postingRows(idxRoot: String): Set[(Long, Int, String)] =
+    TableFormat.readSnapshot(spark, idxRoot + "/postings")
+      .select("doc_id", "pos", "tok").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+
+  private def dlRows(idxRoot: String): Map[Long, Long] =
+    TableFormat.readSnapshot(spark, idxRoot + "/dl")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("maintained postings == fresh build over a merge+delete history") {
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    TableFormat.append(docsDf(
+      1L -> "spark shuffles data", 2L -> "merge sorts runs",
+      3L -> "window frames slide", 4L -> "hash joins probe"), corpus,
+      statsCol = Some("doc_id"))
+    TableFormat.append(docsDf(
+      5L -> "spark plans queries", 6L -> "tokens split on space"), corpus,
+      statsCol = Some("doc_id"))
+    IndexSync.buildPostings(spark, corpus, idx)
+    // history: update doc 2 (old postings must vanish, new ones land),
+    // insert doc 7, delete docs 3 and 5 (one per original dir)
+    TableFormat.merge(spark, corpus,
+      docsDf(2L -> "merge rewrites merge", 7L -> "spark merge window"),
+      "doc_id", statsCol = Some("doc_id"))
+    IndexSync.refreshPostings(spark, corpus, idx)
+    import spark.implicits._
+    TableFormat.deleteKeysMor(spark, corpus,
+      Seq(3L, 5L).toDF("doc_id"), "doc_id")
+    IndexSync.refreshPostings(spark, corpus, idx)
+    // the contract: maintained index content == a FRESH build over the
+    // effective head — for postings and the dl sidecar both
+    val rebuilt = s"$base/rebuilt"
+    TableFormat.append(TableFormat.readSnapshot(spark, corpus), s"$base/head")
+    IndexSync.buildPostings(spark, s"$base/head", rebuilt)
+    assert(postingRows(idx) === postingRows(rebuilt),
+      "maintained postings drifted from the fresh build")
+    assert(dlRows(idx) === dlRows(rebuilt),
+      "maintained dl sidecar drifted from the fresh build")
+    // spot the semantics: doc 2 has ONLY its new text's postings
+    assert(postingRows(idx).filter(_._1 == 2L).map(_._3) ===
+      Set("merge", "rewrites"))
+    assert(!postingRows(idx).exists(p => p._1 == 3L || p._1 == 5L))
+    // and the refresh wrote deletion vectors, not rewritten dirs: the
+    // postings table's data dirs survived both refreshes untouched
+    assert(TableFormat
+      .snapshotDvs(idx + "/postings",
+        TableFormat.latestVersion(idx + "/postings"))
+      .values.exists(_.nonEmpty),
+      "refresh should mask via deletion vectors, not rewrite dirs")
+  }
+
+  test("a byte-identical corpus compaction leaves the index untouched") {
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    TableFormat.append(docsDf(1L -> "spark merge", 2L -> "window frames"),
+      corpus, statsCol = Some("doc_id"))
+    TableFormat.append(docsDf(3L -> "hash probes"), corpus,
+      statsCol = Some("doc_id"))
+    IndexSync.buildPostings(spark, corpus, idx)
+    val pv = TableFormat.latestVersion(idx + "/postings")
+    val dv = TableFormat.latestVersion(idx + "/dl")
+    // compaction changes the corpus's FILES, not its effective rows:
+    // the change feed is provably empty, so the refresh must only
+    // advance the marker — zero index commits
+    TableFormat.compact(spark, corpus, statsCol = Some("doc_id"))
+    val indexed = IndexSync.refreshPostings(spark, corpus, idx)
+    assert(indexed === TableFormat.latestVersion(corpus))
+    assert(TableFormat.latestVersion(idx + "/postings") === pv,
+      "empty feed must not commit to the postings table")
+    assert(TableFormat.latestVersion(idx + "/dl") === dv,
+      "empty feed must not commit to the dl table")
+    // idempotence: a second refresh with nothing new is a no-op too
+    assert(IndexSync.refreshPostings(spark, corpus, idx) === indexed)
+  }
+
+  test("OPTIMIZE folds index deletion vectors and restores bucket skipping") {
+    import spark.implicits._
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    TableFormat.append(docsDf((1L to 40L).map(i =>
+      i -> s"tok$i spark common filler$i"): _*), corpus,
+      statsCol = Some("doc_id"))
+    IndexSync.buildPostings(spark, corpus, idx)
+    TableFormat.deleteKeysMor(spark, corpus,
+      (1L to 40L by 4L).toDF("doc_id"), "doc_id")
+    IndexSync.refreshPostings(spark, corpus, idx)
+    val before = postingRows(idx)
+    IndexSync.optimizePostings(spark, idx, nBuckets = 8)
+    // content identical; the index's own deletion vectors folded away
+    assert(postingRows(idx) === before)
+    val head = TableFormat.latestVersion(idx + "/postings")
+    assert(TableFormat.snapshotDvs(idx + "/postings", head)
+      .values.forall(_.isEmpty),
+      "OPTIMIZE must fold the index's deletion vectors into data")
+    // and the re-ranged layout prunes a term lookup's bucket range: the
+    // single delta dir spanned every bucket; post-OPTIMIZE a one-bucket
+    // probe keeps a strict subset of the dirs
+    val b = graft.ops.TextOps.tokenBucket("spark").toLong
+    val pruned = TableFormat.prunedDirs(idx + "/postings", head,
+      Seq(("bucket", Long.box(b), Long.box(b))))
+    assert(pruned.size < TableFormat.snapshotDirs(idx + "/postings", head)
+      .size,
+      "bucket-range OPTIMIZE bought no manifest-level skipping")
+  }
+
+  test("maintained IVF cells == batch assignment over the effective corpus") {
+    import spark.implicits._
+    val base = freshBase()
+    val vecs = s"$base/vecs"; val idx = s"$base/ivf"
+    // frozen 2-centroid codebook, vectors (i, i): cell 0 iff i <= 5
+    val cents = Seq((0L, Seq(0f, 0f), 0.0), (1L, Seq(10f, 10f), 200.0))
+      .toDF("cid", "cemb", "cnrm2")
+    def vdf(rows: (Long, Seq[Float])*): DataFrame =
+      rows.toDF("vec_id", "embedding")
+    TableFormat.append(
+      vdf((1L to 6L).map(i => i -> Seq(i.toFloat, i.toFloat)): _*),
+      vecs, statsCol = Some("vec_id"))
+    IndexSync.buildIvf(spark, vecs, idx, cents)
+    // history: vector 2 moves across the cell boundary (update), vector
+    // 9 arrives (insert), vector 4 is deleted
+    TableFormat.merge(spark, vecs,
+      vdf(2L -> Seq(9f, 9f), 9L -> Seq(1f, 1f)), "vec_id",
+      statsCol = Some("vec_id"))
+    IndexSync.refreshIvf(spark, vecs, idx, cents)
+    TableFormat.deleteKeysMor(spark, vecs, Seq(4L).toDF("vec_id"),
+      "vec_id")
+    IndexSync.refreshIvf(spark, vecs, idx, cents)
+    def cells(df: DataFrame): Set[(Long, Long)] =
+      df.select("vec_id", "cell").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintained = cells(IndexSync.ivfCells(spark, idx))
+    val batch = cells(graft.ops.Similarity.assignVectors(
+      TableFormat.readSnapshot(spark, vecs)
+        .select("vec_id", "embedding"), cents))
+    assert(maintained === batch,
+      "maintained IVF cells drifted from the batch assignment")
+    // the moved vector really switched inverted lists
+    assert(maintained.contains((2L, 1L)) && !maintained.contains((2L, 0L)))
+    assert(!maintained.exists(_._1 == 4L))
+  }
+
+  test("q_text_search_topk_cdc returns docs surviving the edit history") {
+    val out = SparkEntry.queries("q_text_search_topk_cdc")(spark, Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // no deleted doc can be retrieved, and the rewritten docs carry the
+    // query terms — so the top hits are exactly update-wave docs
+    assert(rows.forall(_.getLong(0) % 10 != 7),
+      "a deleted doc surfaced from the maintained index")
+    assert(rows.exists(_.getLong(0) % 10 == 3),
+      "no rewritten doc surfaced despite carrying every query term")
+  }
+}
