@@ -740,6 +740,79 @@ class TableFormatSpec extends TestSpark {
     assert(feed(cow) === expected)
   }
 
+  test("merge-on-read upsert ≡ copy-on-write merge, one O(rows) commit") {
+    import spark.implicits._
+    def build(): String = {
+      val root = freshRoot()
+      TableFormat.append((1L to 20L).map(k => (k, s"a$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.append((100L to 120L).map(k => (k, s"b$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      root
+    }
+    val ups = Seq((3L, "U3"), (105L, "U105"), (500L, "INS")).toDF("k", "s")
+    val mor = build(); val cow = build()
+    val dirsBefore = TableFormat.snapshotDirs(mor, 1)
+    TableFormat.mergeMor(spark, mor, ups, "k", statsCol = Some("k"))
+    TableFormat.merge(spark, cow, ups, "k", statsCol = Some("k"))
+    def rows(root: String): Seq[(Long, String)] =
+      TableFormat.readSnapshot(spark, root)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(rows(mor) === rows(cow),
+      "MOR and COW upserts must produce identical effective tables")
+    // the MOR form rewrote NOTHING: both original dirs carry verbatim,
+    // one new dir holds exactly the 3 update rows, and the sidecar
+    // masks the 2 matched keys (the insert key masks nothing but is a
+    // harmless sidecar row — it matches no existing row)
+    val dirsAfter = TableFormat.snapshotDirs(mor, 2)
+    assert(dirsBefore.forall(dirsAfter.contains),
+      "merge-on-read must not rewrite data dirs")
+    assert((dirsAfter.toSet -- dirsBefore.toSet).size === 1)
+    val newDir = (dirsAfter.toSet -- dirsBefore.toSet).head
+    assert(spark.read.parquet(newDir).count() === 3)
+    // the change feed agrees across forms: same updates, same insert
+    def feed(root: String): Set[(Long, String, String)] =
+      TableFormat.readChanges(spark, root, 1, 2, "k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    assert(feed(mor) === feed(cow))
+    assert(feed(mor) === Set((3L, "a3", "update_preimage"),
+      (3L, "U3", "update_postimage"), (105L, "b105", "update_preimage"),
+      (105L, "U105", "update_postimage"), (500L, "INS", "insert")))
+    // time travel to the pre-upsert snapshot is intact
+    assert(TableFormat.readSnapshot(spark, mor, 1)
+      .filter($"k" === 3L).head.getString(1) === "a3")
+  }
+
+  test("date keys earn zone-map pruning as epoch days") {
+    import spark.implicits._
+    val root = freshRoot()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    TableFormat.append(
+      Seq((d("2024-01-05"), 1L), (d("2024-02-20"), 2L)).toDF("day", "n"),
+      root, statsCol = Some("day"))
+    TableFormat.append(
+      Seq((d("2025-06-01"), 3L), (d("2025-07-04"), 4L)).toDF("day", "n"),
+      root, statsCol = Some("day"))
+    val dirsBefore = TableFormat.snapshotDirs(root, 1)
+    TableFormat.merge(spark, root,
+      Seq((d("2025-06-01"), 99L)).toDF("day", "n"), "day",
+      statsCol = Some("day"))
+    val dirsAfter = TableFormat.snapshotDirs(root, 2)
+    // the 2024 dir's date bounds exclude the 2025 key: carried verbatim
+    assert(dirsAfter.contains(dirsBefore.head),
+      "date-bounded untouched dir was rewritten")
+    assert(!dirsAfter.contains(dirsBefore(1)))
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap ===
+      Map("2024-01-05" -> 1L, "2024-02-20" -> 2L, "2025-06-01" -> 99L,
+        "2025-07-04" -> 4L))
+    // and the typed pruned read consults the date bounds directly
+    assert(TableFormat.prunedDirs(root, 2, Seq(("day",
+      java.time.LocalDate.parse("2024-01-01"),
+      java.time.LocalDate.parse("2024-12-31")))).size === 1)
+  }
+
   test("racing merges with disjoint footprints BOTH land, rebased in series") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
