@@ -434,9 +434,12 @@ object TableFormat {
     */
   def append(df: DataFrame, root: String,
              statsCol: Option[String] = None,
-             statsCols: Seq[String] = Nil): Int = {
+             statsCols: Seq[String] = Nil,
+             bloomCol: Option[String] = None): Int = {
     val dataDir = newDataDir(root)
-    df.write.parquet(dataDir)
+    val writer = bloomCol.foldLeft(df.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    writer.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     val entry = Entry(dataDir, None,
       footerBounds(df.sparkSession, dataDir, cols))
@@ -665,7 +668,110 @@ object TableFormat {
       }
     val (t, u) = entries.zipWithIndex.partition { case (_, i) =>
       touchedIdx(i) }
-    (t.map(_._1), u.map(_._1))
+    // BLOOM refinement for POINT edits: zone maps cannot prune a
+    // uniformly-distributed key (every dir's [min, max] covers every
+    // key — the trickle-upsert worst case), but parquet-native bloom
+    // filters can. When the key set is small enough to hold on the
+    // driver, probe each bounds-kept dir's file blooms and release the
+    // dirs that PROVABLY contain none of the keys.
+    val cleared =
+      if (t.isEmpty) Set.empty[String]
+      else bloomExcluded(spark, t.map(_._1), keyed, keyCol)
+    if (cleared.isEmpty) (t.map(_._1), u.map(_._1))
+    else (t.map(_._1).filterNot(e => cleared(e.dir)),
+      u.map(_._1) ++ t.map(_._1).filter(e => cleared(e.dir)))
+  }
+
+  /** Cap on the number of distinct keys a bloom probe will collect to
+    * the driver — above it the refinement is skipped entirely (a bulk
+    * edit touches most dirs anyway; blooms exist for POINT edits).
+    */
+  private val BloomProbeMaxKeys = 1024
+
+  /** Dirs of `candidates` that provably contain NONE of `keyed`'s keys,
+    * by the parquet BLOOM FILTERS their files carry (written when the
+    * committer passed `bloomCol` — `parquet.bloom.filter.enabled#col`).
+    * Sound-first like every pruning path: a dir earns exclusion only
+    * when EVERY file's every row group has a bloom for the key column
+    * in a supported physical type and NO key might be contained; a
+    * missing bloom, an unsupported type, any IO hiccup, or a key set
+    * over [[BloomProbeMaxKeys]] keeps the dir touched. False positives
+    * cost a rewrite, never a carried stale row. Driver-side footer
+    * opens, bounded by the candidate dirs of ONE edit — at larger
+    * fan-outs this loop parallelizes or the blooms get cached, but the
+    * probe stays metadata-sized either way.
+    */
+  private def bloomExcluded(spark: SparkSession, candidates: Seq[Entry],
+      keyed: DataFrame, keyCol: String): Set[String] = {
+    import org.apache.spark.sql.types._
+    val supported = keyed.schema(keyCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType | StringType => true
+      case _ => false
+    }
+    if (!supported) return Set.empty
+    val rows =
+      try keyed.select(col(keyCol)).na.drop().distinct()
+        .take(BloomProbeMaxKeys + 1)
+      catch { case scala.util.control.NonFatal(_) => return Set.empty }
+    if (rows.isEmpty || rows.length > BloomProbeMaxKeys) return Set.empty
+    val keys: Seq[Any] = rows.toSeq.map(_.get(0))
+    val conf = spark.sessionState.newHadoopConf()
+    candidates.filter(e => dirBloomExcludes(conf, e.dir, keyCol, keys))
+      .map(_.dir).toSet
+  }
+
+  /** True iff every row group of every parquet file in `dir` carries a
+    * bloom filter for `keyCol` and none of `keys` might be contained.
+    */
+  private def dirBloomExcludes(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, keyCol: String, keys: Seq[Any]): Boolean = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    try {
+      val p = new HPath(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return false
+      val files = fs.listStatus(p).toSeq.filter { f =>
+        val n = f.getPath.getName
+        f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
+      if (files.isEmpty) return false
+      files.forall { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(f.getPath, conf))
+        try reader.getFooter.getBlocks.asScala.forall { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol) match {
+            case None => true // pre-evolution file: column is all-null
+            case Some(chunk) =>
+              val bf = reader.readBloomFilter(chunk)
+              bf != null && {
+                val pt = chunk.getPrimitiveType.getPrimitiveTypeName
+                keys.forall { k =>
+                  // hash by the column's PHYSICAL type — the writer
+                  // hashed the encoded values, so an INT32 column must
+                  // be probed as int, not widened long
+                  val h = (pt, k) match {
+                    case (PrimitiveTypeName.INT64, v: java.lang.Number) =>
+                      Some(bf.hash(v.longValue))
+                    case (PrimitiveTypeName.INT32, v: java.lang.Number) =>
+                      Some(bf.hash(v.intValue))
+                    case (PrimitiveTypeName.BINARY, v: String) =>
+                      Some(bf.hash(Binary.fromString(v)))
+                    case _ => None
+                  }
+                  h.exists(hh => !bf.findHash(hh))
+                }
+              }
+          }
+        }
+        finally reader.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
   }
 
   /** Commit a rewrite with optimistic conflict detection (round-14
@@ -783,7 +889,8 @@ object TableFormat {
     */
   def merge(spark: SparkSession, root: String, updates: DataFrame,
             keyCol: String, statsCol: Option[String] = None,
-            statsCols: Seq[String] = Nil): Int = {
+            statsCols: Seq[String] = Nil,
+            bloomCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to merge into at $root")
     // an empty delta must not land an empty dir + a new version every
@@ -800,7 +907,11 @@ object TableFormat {
         // allowMissingColumns: on an evolved table the carried rows and
         // the updates may straddle a widening — absent side reads null
         .unionByName(updates, allowMissingColumns = true)
-    merged.write.parquet(dataDir)
+    // bloomCol keeps the rewrite bloom-indexed: a rewritten dir that
+    // silently dropped its blooms would turn conservatively-touched on
+    // the NEXT point edit, decaying pruning with every rewrite
+    bloomCol.foldLeft(merged.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
@@ -819,7 +930,8 @@ object TableFormat {
     */
   def deleteKeys(spark: SparkSession, root: String, keys: DataFrame,
                  keyCol: String, statsCol: Option[String] = None,
-                 statsCols: Seq[String] = Nil): Int = {
+                 statsCols: Seq[String] = Nil,
+                 bloomCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to delete from at $root")
     // empty-input guard (round-15 ADVICE): an empty keys frame would
@@ -832,7 +944,8 @@ object TableFormat {
     val dataDir = newDataDir(root)
     val remaining = readEntries(spark, touched, manifestSchema(m))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    remaining.write.parquet(dataDir)
+    bloomCol.foldLeft(remaining.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
@@ -916,14 +1029,17 @@ object TableFormat {
     */
   def mergeMor(spark: SparkSession, root: String, updates: DataFrame,
                keyCol: String, statsCol: Option[String] = None,
-               statsCols: Seq[String] = Nil): Int = {
+               statsCols: Seq[String] = Nil,
+               bloomCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to merge into at $root")
     if (updates.isEmpty) return prev
     val m = readManifestFull(root, prev)
     val (touched, untouched) = touchedSplit(spark, m.entries, updates, keyCol)
     val dataDir = newDataDir(root)
-    updates.write.parquet(dataDir)
+    val writer = bloomCol.foldLeft(updates.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    writer.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     val dataEntry = Entry(dataDir, None, footerBounds(spark, dataDir, cols))
     val masked =

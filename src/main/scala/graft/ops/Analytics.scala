@@ -262,8 +262,47 @@ object Analytics {
         |LIMIT 100""".stripMargin)
   }
 
+  // --------------------------------------------------------------- Q17
+
+  /** Small-quantity-order revenue (TPC-H Q17 shape): the CORRELATED
+    * SCALAR subquery stress test — each brand-filtered lineitem row
+    * compares its quantity against a threshold derived from the
+    * per-part average over the WHOLE lineitem table. Complements
+    * [[qTpchQ21]]'s EXISTS/NOT EXISTS rows: this exercises Catalyst's
+    * RewriteCorrelatedScalarSubquery, which turns the per-row subquery
+    * into ONE grouped aggregate over lineitem joined back on
+    * `l_partkey` — never a per-row re-aggregation (O(rows × parts) at
+    * 100 TB). The synthetic `part` has no container column, so the
+    * brand filter alone plays the selective-dimension role, and the
+    * threshold uses 0.5 · avg (0.2 would select almost nothing from
+    * uniform synthetic quantities).
+    *
+    * Determinism: the average is derived from an EXACT decimal sum
+    * divided in double — identical IEEE ops in both engines, so the
+    * threshold comparison cannot flip on aggregation order; the final
+    * division-derived money value goes through the portable floor
+    * rounding ([[Num.r4]]'s SQL form, inlined so the Spark and DuckDB
+    * texts are identical).
+    */
+  private def qTpchQ17(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q17_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("graft_q17_part")
+    s.sql(
+      """SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+        |FROM graft_q17_lineitem, graft_q17_part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |        AS DOUBLE) / count(l2.l_quantity))
+        |    FROM graft_q17_lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q17" -> qTpchQ17,
     "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q3" -> qTpchQ3,
     "q_tpch_q5" -> qTpchQ5,
@@ -271,6 +310,17 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q17" ->
+      """SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |    AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#1'
+        |  AND l_quantity < (
+        |    SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+        |        AS DOUBLE) / count(l2.l_quantity))
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_tpch_q21" ->
       """SELECT s_name, count(*) AS numwait
         |FROM supplier, lineitem l1, orders, nation

@@ -860,10 +860,17 @@ object Relational {
     * minute set and z-scores.
     */
   private def qTsAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // persisted: BOTH the stats pass and the filter pass consume this
+    // minute-count aggregate — AQE happens to reuse the exchange at
+    // this scale, but the persist PINS the single-scan shape at 100 TB
+    // instead of leaving it to a runtime heuristic (round-14 VERDICT
+    // plan-audit note). Minute-grained counts are tiny relative to the
+    // events they summarize; the bench's inter-pass release unpersists.
     val counts = t(s, dir, "events")
       .select((floor(unix_timestamp(col("ts")) / 60) * 60)
         .cast(LongType).as("m"))
       .groupBy("m").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mu = col("s1").cast(DoubleType) / col("k")
     val stats = counts
       .agg(count(lit(1)).as("k"), sum(col("n")).as("s1"),

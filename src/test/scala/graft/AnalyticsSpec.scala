@@ -88,6 +88,28 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q21: returnflag filter not pushed:\n$s")
   }
 
+  test("q_tpch_q17: correlated scalar subquery decorrelates to one aggregate") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val plan = staticPlan("q_tpch_q17")
+    // RewriteCorrelatedScalarSubquery must have turned the per-row
+    // threshold subquery into ONE grouped per-part aggregate joined
+    // back on l_partkey — a nested-loop/cartesian operator would mean a
+    // per-row lineitem re-aggregation, O(rows × parts) at 100 TB
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q17: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q17: nested-loop join — scalar subquery not decorrelated:\n$plan")
+    // the decorrelated shape has a grouped (per-part) aggregate BELOW
+    // the final global one — at least two aggregates with ≥1 grouped
+    val aggs = plan.collect { case a: HashAggregateExec => a.groupingExpressions } ++
+      plan.collect { case a: ObjectHashAggregateExec => a.groupingExpressions }
+    assert(aggs.exists(_.nonEmpty),
+      s"q_tpch_q17: no grouped aggregate — threshold not decorrelated:\n$plan")
+    assert(staticPlan("q_tpch_q17").toString.contains("EqualTo(p_brand,Brand#1)"),
+      "q_tpch_q17: brand filter not pushed to the part scan")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString

@@ -784,6 +784,56 @@ class TableFormatSpec extends TestSpark {
       .filter($"k" === 3L).head.getString(1) === "a3")
   }
 
+  test("bloom filters prune point edits zone maps cannot") {
+    import spark.implicits._
+    // INTERLEAVED uniform keys: both dirs' [min, max] span the whole
+    // range, so zone maps prune NOTHING for any key — the trickle-
+    // upsert worst case blooms exist for
+    def land(bloom: Option[String]): String = {
+      val root = freshRoot()
+      TableFormat.append((0L to 98L by 2L).map(k => (k, s"e$k")).toDF("k", "s"),
+        root, statsCol = Some("k"), bloomCol = bloom)
+      TableFormat.append((1L to 99L by 2L).map(k => (k, s"o$k")).toDF("k", "s"),
+        root, statsCol = Some("k"), bloomCol = bloom)
+      root
+    }
+    // control: without blooms, a point delete of an even key rewrites
+    // BOTH dirs (bounds overlap, nothing else to go on)
+    val plain = land(bloom = None)
+    val plainBefore = TableFormat.snapshotDirs(plain, 1)
+    TableFormat.deleteKeys(spark, plain, Seq(42L).toDF("k"), "k",
+      statsCol = Some("k"))
+    assert(TableFormat.snapshotDirs(plain, 2)
+      .count(plainBefore.contains) === 0,
+      "control: bounds alone should not prune interleaved dirs")
+    // with blooms: the odd dir provably lacks key 42 — carried verbatim
+    val bloomed = land(bloom = Some("k"))
+    val dirsBefore = TableFormat.snapshotDirs(bloomed, 1)
+    // bloomCol on the rewrite too: the replacement dir keeps its blooms,
+    // so the NEXT point edit can still prune it
+    TableFormat.deleteKeys(spark, bloomed, Seq(42L).toDF("k"), "k",
+      statsCol = Some("k"), bloomCol = Some("k"))
+    val dirsAfter = TableFormat.snapshotDirs(bloomed, 2)
+    assert(dirsAfter.contains(dirsBefore(1)),
+      "bloom-excluded odd dir was rewritten")
+    assert(!dirsAfter.contains(dirsBefore.head),
+      "the dir that holds the key must still rewrite")
+    assert(TableFormat.readSnapshot(spark, bloomed).count() === 99)
+    // merge-on-read point delete: only the containing dir gets a dv
+    TableFormat.deleteKeysMor(spark, bloomed, Seq(43L).toDF("k"), "k")
+    val dvs = TableFormat.snapshotDvs(bloomed, 3)
+    assert(dvs(dirsBefore(1)).nonEmpty && dvs.values.count(_.nonEmpty) === 1,
+      s"bloom should pin the dv to the one containing dir: $dvs")
+    assert(TableFormat.readSnapshot(spark, bloomed).count() === 98)
+    // soundness: false-positive-free exclusion never loses an edit —
+    // a key present in BOTH dirs still touches both
+    TableFormat.deleteKeys(spark, bloomed,
+      Seq(10L, 11L).toDF("k"), "k", statsCol = Some("k"))
+    val keys = TableFormat.readSnapshot(spark, bloomed)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(!keys(10L) && !keys(11L) && keys.size === 96)
+  }
+
   test("date keys earn zone-map pruning as epoch days") {
     import spark.implicits._
     val root = freshRoot()
