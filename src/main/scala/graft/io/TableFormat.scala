@@ -1144,6 +1144,50 @@ object TableFormat {
     }
   }
 
+  /** Rows ADDED between two snapshots — the appends-mode streaming
+    * batch ([[TableFormatSourceProvider]]): the data dirs of
+    * `toVersion` absent from `fromVersion`, read under the TO schema.
+    * Append-only consumption REFUSES a window containing a rewrite or
+    * deletion-vector commit (dropped dir / moved dv pointer) unless
+    * `ignoreChanges` — silently replaying rewritten rows as fresh
+    * appends is the classic streaming-correctness trap (the Delta
+    * source's contract); a consumer that wants row-level semantics
+    * uses the cdc mode ([[readChanges]]) instead. `fromVersion = -1`
+    * means everything up to `toVersion` (the initial batch).
+    */
+  private[graft] def readAppends(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int,
+      ignoreChanges: Boolean): DataFrame = {
+    val mTo = readManifestFull(root, toVersion)
+    if (fromVersion < 0) return readEntries(spark, mTo.entries,
+      manifestSchema(mTo))
+    val mFrom = readManifestFull(root, fromVersion)
+    val fromBy = mFrom.entries.map(e => e.dir -> e).toMap
+    val toDirs = mTo.entries.map(_.dir).toSet
+    if (!ignoreChanges) {
+      val dropped = mFrom.entries.filterNot(e => toDirs(e.dir))
+      val dvMoved = mTo.entries.filter(e =>
+        fromBy.get(e.dir).exists(_.dv != e.dv))
+      require(dropped.isEmpty && dvMoved.isEmpty,
+        s"append-only stream over $root hit a rewrite/delete commit in " +
+          s"v$fromVersion..v$toVersion (${dropped.size} dirs dropped, " +
+          s"${dvMoved.size} deletion vectors moved) — consume mode=cdc, " +
+          "or set ignoreChanges=true to accept replayed rewritten rows")
+    }
+    readEntries(spark,
+      mTo.entries.filterNot(e => fromBy.contains(e.dir)),
+      manifestSchema(mTo))
+  }
+
+  /** The recorded schema of the latest snapshot (None on a legacy
+    * manifest or an absent table) — what the streaming source plans
+    * against before any batch exists.
+    */
+  private[graft] def latestSchema(root: String): Option[StructType] = {
+    val v = latestVersion(root)
+    if (v < 0) None else manifestSchema(readManifestFull(root, v))
+  }
+
   // ----------------------------------------------------- layout commits
 
   /** Land `parted` (carrying a `__bucket` column) as one data dir per

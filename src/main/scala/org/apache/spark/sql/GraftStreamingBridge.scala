@@ -1,0 +1,19 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Bridge into the `private[sql]` streaming-frame constructor a v1
+  * streaming [[org.apache.spark.sql.execution.streaming.Source]] must
+  * use for its batches (`isStreaming = true` frames are constructible
+  * nowhere else; Spark's own file stream source calls the same method).
+  * Placing the one-line forwarder in `org.apache.spark.sql` is the
+  * established pattern third-party v1 connectors use for exactly this
+  * call — nothing else from the private surface is touched.
+  */
+object GraftStreamingBridge {
+  def streamingFrame(spark: classic.SparkSession, rdd: RDD[InternalRow],
+                     schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+}
