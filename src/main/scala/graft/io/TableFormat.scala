@@ -1330,17 +1330,75 @@ object TableFormat {
     }
   }
 
+  // ------------------------------------------------------- named refs
+
+  /** TAG snapshot `version` (default: latest) as `name` — an immutable
+    * named ref (the Iceberg tag idea): readers address it by name, and
+    * [[expire]] keeps tagged versions alive past the retention window,
+    * which is what makes "the snapshot we trained run X on" durable
+    * while ordinary history ages out. Installed via the same tmp+link
+    * CAS as a manifest commit, so tags are write-once — re-pointing a
+    * name is a [[dropTag]] + retag, never a silent move. Returns the
+    * tagged version.
+    */
+  def tag(root: String, name: String, version: Int = -1): Int = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    val v = if (version < 0) latestVersion(root) else version
+    require(Files.exists(manifestDir(root).resolve(s"v$v.json")),
+      s"cannot tag absent snapshot v$v at $root")
+    val tmp = Files.createTempFile(manifestDir(root), s"tag-$name", ".tmp")
+    Files.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifestDir(root).resolve(s"tag-$name.ref"), tmp)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists at $root (tags are immutable — " +
+            "dropTag first to re-point)", e)
+    }
+    finally Files.deleteIfExists(tmp)
+    v
+  }
+
+  /** All tags at `root` as (name → version). */
+  def tags(root: String): Map[String, Int] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("tag-") && s.endsWith(".ref") =>
+        s.stripPrefix("tag-").stripSuffix(".ref") }
+      .toList.map { n =>
+        n -> new String(Files.readAllBytes(dir.resolve(s"tag-$n.ref")),
+          StandardCharsets.UTF_8).trim.toInt
+      }.toMap
+    finally stream.close()
+  }
+
+  /** Remove tag `name`; its version re-enters ordinary retention. */
+  def dropTag(root: String, name: String): Boolean =
+    Files.deleteIfExists(manifestDir(root).resolve(s"tag-$name.ref"))
+
+  /** Read the snapshot a tag names. */
+  def readSnapshotTagged(spark: SparkSession, root: String,
+                         name: String): DataFrame =
+    readSnapshot(spark, root, tags(root).getOrElse(name,
+      throw new IllegalArgumentException(s"no tag '$name' at $root")))
+
   /** Drop all manifest versions except the newest `keepLast` — the
-    * retention half of the GC story. Time travel to an expired version
-    * fails loudly afterwards ([[readSnapshot]]'s missing-manifest
-    * require); the data dirs it referenced become [[vacuum]] fodder
-    * unless a surviving version still lists them. Returns the expired
-    * version numbers.
+    * retention half of the GC story. TAGGED versions survive regardless
+    * ([[tag]]): retention ages out ordinary history, never a named
+    * snapshot. Time travel to an expired version fails loudly
+    * afterwards ([[readSnapshot]]'s missing-manifest require); the data
+    * dirs it referenced become [[vacuum]] fodder unless a surviving
+    * version still lists them. Returns the expired version numbers.
     */
   def expire(root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the head snapshot")
     val head = latestVersion(root)
-    val expired = (0 to head - keepLast)
+    val pinned = tags(root).values.toSet
+    val expired = (0 to head - keepLast).filterNot(pinned)
     expired.foreach(v =>
       Files.deleteIfExists(manifestDir(root).resolve(s"v$v.json")))
     expired
@@ -1352,13 +1410,17 @@ object TableFormat {
     * commits or folded away by rewrites. Safe by the commit protocol: a
     * dir becomes VISIBLE only by being listed in a manifest, so
     * "referenced by no manifest" is exactly "invisible to every reader"
-    * (modulo a writer mid-commit — production runs this with an age
-    * guard; the slice keeps the logic exact and the guard out of scope).
+    * — modulo a writer MID-COMMIT, whose freshly-written dir is not yet
+    * listed anywhere: `minAgeMs` is that guard (the Delta
+    * retention-check idea) — only unreferenced dirs older than the
+    * threshold are reclaimed, so a writer gets `minAgeMs` to land its
+    * manifest before its data is collectible. The default 0 keeps the
+    * exact-logic behavior for single-writer maintenance windows.
     * A referenced path keeps its whole subtree alive (bucketed layout
     * commits reference per-bucket SUBDIRS of one written dir). Returns
     * the deleted dirs.
     */
-  def vacuum(root: String): Seq[String] = {
+  def vacuum(root: String, minAgeMs: Long = 0L): Seq[String] = {
     def norm(p: String): String =
       Paths.get(p).toAbsolutePath.normalize.toString
     val referenced = listVersions(root)
@@ -1370,9 +1432,14 @@ object TableFormat {
       val stream = Files.list(kindRoot)
       val all = try stream.iterator().asScala.map(_.toString).toList
         finally stream.close()
+      val cutoff = System.currentTimeMillis() - minAgeMs
       all.filterNot { d =>
         val nd = norm(d)
-        referenced.exists(r => r == nd || r.startsWith(nd + "/"))
+        referenced.exists(r => r == nd || r.startsWith(nd + "/")) || {
+          minAgeMs > 0 && (try Files.getLastModifiedTime(Paths.get(d))
+            .toMillis > cutoff
+          catch { case _: java.io.IOException => true }) // racing rm: keep
+        }
       }
     }
     val garbage = sweep("data") ++ sweep("dv")

@@ -135,20 +135,8 @@ object IndexSync {
     if (head <= last) return last
     val feed = TableFormat.readChanges(s, corpusRoot, last, head, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val gone = feed
-        .filter(col("change_type").isin("delete", "update_preimage"))
-        .select("doc_id")
-      TableFormat.deleteKeysMor(s, postingsRoot(idxRoot), gone, "doc_id")
-      TableFormat.deleteKeysMor(s, dlRoot(idxRoot), gone, "doc_id")
-      val fresh = feed
-        .filter(col("change_type").isin("insert", "update_postimage"))
-        .select("doc_id", "text")
-      val posts = postingsOf(fresh)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try appendDocs(s, idxRoot, posts)
-      finally { posts.unpersist(); () }
-    } finally { feed.unpersist(); () }
+    try applyFeed(s, idxRoot, feed)
+    finally { feed.unpersist(); () }
     writeMarker(idxRoot, head)
     head
   }
@@ -191,6 +179,74 @@ object IndexSync {
     TextOps.bm25Scores(tf, dl, corpus)
       .orderBy(col("bm25").desc, col("doc_id")).limit(k)
   }
+
+  // ------------------------------------------- continuous maintenance
+
+  /** Apply ONE cdc feed frame (rows + `change_type`) to the landed
+    * postings/dl tables — the shared kernel of the pull-based
+    * [[refreshPostings]] and the streaming [[followPostings]]: deletes
+    * and update preimages become deletion-vector commits, inserts and
+    * update postimages tokenize the delta and append.
+    */
+  private def applyFeed(s: SparkSession, idxRoot: String,
+                        feed: DataFrame): Unit = {
+    // an index being seeded by its FIRST feed batch (the cdc source's
+    // snapshot-as-inserts) has no tables yet — nothing to delete from;
+    // the append below creates them
+    if (TableFormat.latestVersion(postingsRoot(idxRoot)) >= 0) {
+      val gone = feed
+        .filter(col("change_type").isin("delete", "update_preimage"))
+        .select("doc_id")
+      TableFormat.deleteKeysMor(s, postingsRoot(idxRoot), gone, "doc_id")
+      TableFormat.deleteKeysMor(s, dlRoot(idxRoot), gone, "doc_id")
+    }
+    val posts = postingsOf(feed
+        .filter(col("change_type").isin("insert", "update_postimage"))
+        .select("doc_id", "text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try appendDocs(s, idxRoot, posts)
+    finally { posts.unpersist(); () }
+  }
+
+  /** CONTINUOUSLY maintain the postings index from a live corpus: the
+    * table format's cdc streaming source
+    * ([[graft.io.TableFormatSourceProvider]]) feeds each micro-batch of
+    * change rows into [[applyFeed]] — the composition the streaming
+    * source exists for: corpus commits land on one side, the index
+    * follows on the other, no queue and no rebuild in between.
+    * foreachBatch delivers at-least-once, so a replayed batch is
+    * IDEMPOTENT via the applied-batch high-water marker (re-applying a
+    * feed would double its appends — the same guard
+    * [[TableFormat.appendBatch]] builds from its version CAS). The
+    * initial batch is the snapshot-as-inserts, so following a fresh
+    * index from an existing corpus is just `start from scratch`.
+    */
+  def followPostings(s: SparkSession, corpusRoot: String, idxRoot: String,
+                     checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    s.readStream
+      .format(classOf[graft.io.TableFormatSourceProvider].getName)
+      .option("mode", "cdc").option("keyCol", "doc_id")
+      .load(corpusRoot)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (feed: DataFrame, batchId: Long) =>
+        val marker = Paths.get(idxRoot, "applied_batch")
+        val last =
+          if (!Files.exists(marker)) -1L
+          else new String(Files.readAllBytes(marker),
+            StandardCharsets.UTF_8).trim.toLong
+        if (batchId > last) {
+          applyFeed(s, idxRoot, feed)
+          Files.createDirectories(Paths.get(idxRoot))
+          val tmp = Files.createTempFile(Paths.get(idxRoot), "ab", ".tmp")
+          Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
+          Files.move(tmp, marker, StandardCopyOption.REPLACE_EXISTING)
+        }
+        ()
+      }
+      .start()
 
   // -------------------------------------------------------- IVF index
 

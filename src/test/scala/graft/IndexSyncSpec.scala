@@ -171,6 +171,48 @@ class IndexSyncSpec extends TestSpark {
     assert(!maintained.exists(_._1 == 4L))
   }
 
+  test("a followed index tracks live corpus commits, replay-safe") {
+    import spark.implicits._
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    // corpus exists BEFORE the follower starts: the cdc source's
+    // initial snapshot-as-inserts batch must seed the index
+    TableFormat.append(docsDf(1L -> "spark shuffles", 2L -> "merge runs"),
+      corpus, statsCol = Some("doc_id"))
+    val q = IndexSync.followPostings(spark, corpus, idx, s"$base/ckpt")
+    try {
+      q.processAllAvailable()
+      assert(postingRows(idx).map(_._1) === Set(1L, 2L))
+      // live history: append, update, dv-delete — the follower applies
+      // each commit's cdc rows without ever rebuilding
+      TableFormat.append(docsDf(3L -> "window frames"), corpus,
+        statsCol = Some("doc_id"))
+      q.processAllAvailable()
+      TableFormat.merge(spark, corpus, docsDf(2L -> "merge rewrites"),
+        "doc_id", statsCol = Some("doc_id"))
+      q.processAllAvailable()
+      TableFormat.deleteKeysMor(spark, corpus, Seq(1L).toDF("doc_id"),
+        "doc_id")
+      q.processAllAvailable()
+      // followed == fresh build over the effective head
+      TableFormat.append(TableFormat.readSnapshot(spark, corpus),
+        s"$base/head")
+      IndexSync.buildPostings(spark, s"$base/head", s"$base/rebuilt")
+      assert(postingRows(idx) === postingRows(s"$base/rebuilt"),
+        "followed index drifted from the fresh build")
+      assert(dlRows(idx) === dlRows(s"$base/rebuilt"))
+    } finally q.stop()
+    // at-least-once replay protection: re-applying the LAST batch's
+    // feed must be a no-op (the applied-batch marker), so a restart
+    // from an old checkpoint cannot double postings
+    val before = postingRows(idx)
+    val restarted = IndexSync.followPostings(spark, corpus, idx,
+      s"$base/ckpt")
+    try restarted.processAllAvailable() finally restarted.stop()
+    assert(postingRows(idx) === before,
+      "restart replayed a batch into duplicate postings")
+  }
+
   test("q_text_search_topk_cdc returns docs surviving the edit history") {
     val out = SparkEntry.queries("q_text_search_topk_cdc")(spark, Sf)
     val rows = out.collect()

@@ -784,6 +784,59 @@ class TableFormatSpec extends TestSpark {
       .filter($"k" === 3L).head.getString(1) === "a3")
   }
 
+  test("tags pin snapshots by name and survive retention") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    TableFormat.append(Seq((2L, "b")).toDF("k", "s"), root)
+    // name the training snapshot; ordinary history keeps moving
+    assert(TableFormat.tag(root, "train-v0", version = 0) === 0)
+    TableFormat.compact(spark, root)
+    // tags are IMMUTABLE: re-pointing is dropTag + retag, never a move
+    intercept[IllegalStateException] {
+      TableFormat.tag(root, "train-v0", version = 2)
+    }
+    assert(TableFormat.tags(root) === Map("train-v0" -> 0))
+    // retention ages out ordinary history but NEVER a tagged version
+    assert(TableFormat.expire(root, keepLast = 1) === Seq(1))
+    assert(TableFormat.readSnapshotTagged(spark, root, "train-v0")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // vacuum reclaims exactly v1's exclusive increment; the TAGGED
+    // snapshot's dir stays referenced through its surviving manifest
+    assert(TableFormat.vacuum(root).size === 1)
+    assert(TableFormat.readSnapshotTagged(spark, root, "train-v0")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // dropping the tag releases the version to ordinary retention
+    // (expire reports its candidate range — v1 is already gone)
+    assert(TableFormat.dropTag(root, "train-v0"))
+    assert(TableFormat.expire(root, keepLast = 1) === Seq(0, 1))
+    intercept[IllegalArgumentException] {
+      TableFormat.readSnapshotTagged(spark, root, "train-v0")
+    }
+    assert(TableFormat.vacuum(root).nonEmpty) // v0's exclusive dir goes
+    assert(TableFormat.readSnapshot(spark, root).count() === 2)
+  }
+
+  test("vacuum's age guard spares a mid-commit writer's fresh dirs") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)
+    // a writer that has landed data but not yet its manifest: with the
+    // age guard the dir is NOT collectible inside the grace window
+    Seq((99L, "midflight")).toDF("k", "s")
+      .write.parquet(s"$root/data/landing-not-yet-committed")
+    assert(TableFormat.vacuum(root, minAgeMs = 60_000L).isEmpty,
+      "age guard must spare a fresh unreferenced dir")
+    // outside the window (simulated by back-dating) it is garbage again
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$root/data/landing-not-yet-committed"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 120_000L))
+    assert(TableFormat.vacuum(root, minAgeMs = 60_000L)
+      .exists(_.contains("landing-not-yet-committed")))
+    assert(TableFormat.readSnapshot(spark, root).count() === 1)
+  }
+
   test("bloom filters prune point edits zone maps cannot") {
     import spark.implicits._
     // INTERLEAVED uniform keys: both dirs' [min, max] span the whole
