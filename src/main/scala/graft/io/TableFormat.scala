@@ -97,12 +97,17 @@ object TableFormat {
                                   dv: Option[String] = None,
                                   bounds: Map[String, ColBounds] = Map.empty)
 
-  /** One committed snapshot: its entries plus the recorded schema DDL
+  /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
-    * to a footer-merge, the pre-r15 behavior).
+    * to a footer-merge, the pre-r15 behavior), and the per-app
+    * streaming TRANSACTION markers (appId → last committed batch id,
+    * the Delta txn-action idea): [[appendBatch]]'s idempotence rides
+    * these instead of the version number, so compaction/merge commits
+    * interleaving with a stream no longer break the batch sequence.
     */
   private[graft] case class Manifest(entries: Seq[Entry],
-                                     schemaDdl: Option[String])
+                                     schemaDdl: Option[String],
+                                     txns: Map[String, Long] = Map.empty)
 
   /** The deletion-vector sidecar's dir-association column. Reserved name
     * — user tables must not carry it (loudly rejected at DV-write time).
@@ -135,12 +140,15 @@ object TableFormat {
     val f = manifestDir(root).resolve(s"v$v.json")
     require(Files.exists(f), s"no snapshot v$v at $root")
     var schema: Option[String] = None
+    var txns = Map.empty[String, Long]
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
       .foreach { line =>
         val parts = line.split("\t", -1)
         if (line.startsWith("#schema\t")) schema = Some(dec(parts(1)))
+        else if (line.startsWith("#txn\t"))
+          txns += dec(parts(1)) -> parts(2).toLong
         else if (line.startsWith("#")) () // forward-compat: skip
         else if (line.startsWith("E\t")) {
           require(parts.length >= 3 && (parts.length - 3) % 4 == 0,
@@ -162,16 +170,20 @@ object TableFormat {
             s"torn manifest line in v$v: '$line'")
         }
       }
-    Manifest(entries.result(), schema)
+    Manifest(entries.result(), schema, txns)
   }
 
   private def readManifest(root: String, v: Int): Seq[Entry] =
     readManifestFull(root, v).entries
 
   private[graft] def writeManifest(root: String, v: Int, entries: Seq[Entry],
-                                   schemaDdl: Option[String] = None): Unit = {
+                                   schemaDdl: Option[String] = None,
+                                   txns: Map[String, Long] = Map.empty)
+      : Unit = {
     Files.createDirectories(manifestDir(root))
-    val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("")
+    val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
+      txns.toSeq.sortBy(_._1)
+        .map { case (a, b) => s"#txn\t${enc(a)}\t$b\n" }.mkString
     val body = entries.map { e =>
       val b = e.bounds.toSeq.sortBy(_._1).map { case (c, cb) =>
         s"\t${enc(c)}\t${cb.typ}\t${enc(cb.lo)}\t${enc(cb.hi)}"
@@ -456,7 +468,8 @@ object TableFormat {
       val entries = prevM.map(_.entries).getOrElse(Seq.empty) :+ entry
       val v = prev + 1
       try {
-        writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema))
+        writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema),
+          prevM.map(_.txns).getOrElse(Map.empty))
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -827,7 +840,8 @@ object TableFormat {
         case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
         case (a, b) => a.orElse(b).map(_.toDDL)
       }
-      try { writeManifest(root, head + 1, next, ddl); return head + 1 }
+      try { writeManifest(root, head + 1, next, ddl, m.txns)
+        return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
           attempt += 1
@@ -1294,40 +1308,66 @@ object TableFormat {
       ourSchema = Some(head.schema), conflictKeys = None)
   }
 
-  /** EXACTLY-ONCE streaming sink: manifest version == micro-batch id, so
-    * the version CAS is the idempotence mechanism. A replayed batch
-    * (restart, retry) sees its version already committed — or loses the
-    * link-commit CAS — and skips; a crashed attempt leaves only an orphan
-    * data dir. Returns true iff THIS call committed. Use from
+  /** EXACTLY-ONCE streaming sink: each commit records `(appId →
+    * batchId)` as a TRANSACTION MARKER in the manifest (the Delta
+    * txn-action idea, round 15 — pre-r15 the manifest VERSION was the
+    * batch id, which broke the stream the moment a compaction or merge
+    * interleaved and moved the version sequence). A replayed batch
+    * (restart, retry) sees its marker already at-or-past its id — or
+    * loses the link-commit CAS to a concurrent attempt of the SAME
+    * batch — and skips; a CAS loss to an UNRELATED commit (a racing
+    * compaction) retries against the new head, because "false" must
+    * mean "this batch is durably committed", never "someone else was
+    * busy". A crashed attempt leaves only an orphan data dir. Returns
+    * true iff THIS call committed. Use from
     * `foreachBatch((df, id) => TableFormat.appendBatch(df, root, id))`;
-    * batch ids from a checkpointed query are contiguous from 0, which is
-    * exactly the manifest's version sequence.
+    * batch ids from a checkpointed query are contiguous from 0, which
+    * is what the per-app gap check enforces. Distinct `appId`s let
+    * several independent streams land into one table.
     */
   def appendBatch(df: DataFrame, root: String, batchId: Long,
                   statsCol: Option[String] = None,
-                  statsCols: Seq[String] = Nil): Boolean = {
-    val prev = latestVersion(root)
-    if (prev >= batchId) return false // replay of an already-committed batch
-    require(prev == batchId - 1,
-      s"batch $batchId arrived over a gap (latest manifest v$prev) — a " +
-        "skipped batch would silently vanish from every future snapshot")
-    require(batchId <= Int.MaxValue,
-      s"batch id $batchId exceeds the manifest version range")
+                  statsCols: Seq[String] = Nil,
+                  appId: String = "stream"): Boolean = {
+    def lastCommitted(prevM: Option[Manifest]): Long =
+      prevM.flatMap(_.txns.get(appId)).getOrElse(-1L)
+    val prev0 = latestVersion(root)
+    val prevM0 = if (prev0 < 0) None else Some(readManifestFull(root, prev0))
+    if (lastCommitted(prevM0) >= batchId) return false // replayed batch
+    require(batchId == lastCommitted(prevM0) + 1,
+      s"batch $batchId of '$appId' arrived over a gap (last committed " +
+        s"batch ${lastCommitted(prevM0)}) — a skipped batch would " +
+        "silently vanish from every future snapshot")
     val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val prevM = if (prev < 0) None else Some(readManifestFull(root, prev))
-    val entries = prevM.map(_.entries).getOrElse(Seq.empty) :+
-      Entry(dataDir, None, footerBounds(df.sparkSession, dataDir, cols))
-    try {
-      writeManifest(root, batchId.toInt, entries,
-        nextSchemaDdl(prevM, df.schema))
-      true
-    } catch {
-      // lost the CAS to a concurrent attempt of the SAME batch — its
-      // commit stands, ours is the orphan
-      case _: java.nio.file.FileAlreadyExistsException => false
+    val entry = Entry(dataDir, None,
+      footerBounds(df.sparkSession, dataDir, cols))
+    var attempt = 0
+    while (true) {
+      val prev = latestVersion(root)
+      val prevM = if (prev < 0) None else Some(readManifestFull(root, prev))
+      if (lastCommitted(prevM) >= batchId) return false // raced replay won
+      val entries = prevM.map(_.entries).getOrElse(Seq.empty) :+ entry
+      val txns = prevM.map(_.txns).getOrElse(Map.empty) +
+        (appId -> batchId)
+      try {
+        writeManifest(root, prev + 1, entries,
+          nextSchemaDdl(prevM, df.schema), txns)
+        return true
+      } catch {
+        // CAS lost: re-read — if the winner was a replay of THIS batch
+        // its commit stands (the loop's marker check returns false);
+        // any other winner (append, compaction) just moved the head
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"appendBatch at $root lost the manifest CAS " +
+              s"$MaxCommitRetries times in a row — giving up rather " +
+              "than livelock", e)
+      }
     }
+    false // unreachable
   }
 
   // ------------------------------------------------------- named refs

@@ -174,6 +174,38 @@ class TableFormatSpec extends TestSpark {
     }
   }
 
+  test("appendBatch idempotence survives interleaved compaction") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(TableFormat.appendBatch(Seq((1L, "a")).toDF("k", "s"), root, 0L))
+    assert(TableFormat.appendBatch(Seq((2L, "b")).toDF("k", "s"), root, 1L))
+    // a maintenance commit moves the version sequence past the batch
+    // ids — pre-r15 (version == batchId idempotence) this bricked the
+    // stream; the txn marker decouples them
+    TableFormat.compact(spark, root)
+    assert(TableFormat.latestVersion(root) === 2)
+    assert(TableFormat.appendBatch(Seq((3L, "c")).toDF("k", "s"), root, 2L),
+      "the stream must keep landing after a compaction")
+    assert(TableFormat.latestVersion(root) === 3)
+    // replays of committed batches skip regardless of version drift
+    assert(!TableFormat.appendBatch(Seq((3L, "x")).toDF("k", "s"), root, 2L))
+    assert(!TableFormat.appendBatch(Seq((2L, "x")).toDF("k", "s"), root, 1L))
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the per-app gap check still fires on a skipped batch
+    intercept[IllegalArgumentException] {
+      TableFormat.appendBatch(Seq((9L, "z")).toDF("k", "s"), root, 5L)
+    }
+    // a SECOND stream (own appId) lands into the same table from its
+    // own batch-0 sequence
+    assert(TableFormat.appendBatch(Seq((10L, "j")).toDF("k", "s"), root,
+      0L, appId = "other"))
+    assert(!TableFormat.appendBatch(Seq((10L, "j")).toDF("k", "s"), root,
+      0L, appId = "other"))
+    assert(TableFormat.readSnapshot(spark, root).count() === 4)
+  }
+
   test("a streaming query lands micro-batches as snapshot commits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
