@@ -300,8 +300,109 @@ object Analytics {
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q4
+
+  /** Order-priority checking (TPC-H Q4 shape): the EXISTS-only row of
+    * the subquery matrix — a quarter of orders counted by priority when
+    * at least one of their lines is at fault (the synthetic lineitem has
+    * no commit/receipt dates, so `l_returnflag = 'R'` stands in for the
+    * late-line predicate, as in [[qTpchQ21]]). Catalyst's
+    * RewritePredicateSubquery must turn the EXISTS into ONE left-semi
+    * join on `l_orderkey` (plan-pinned) — the nested form re-scans
+    * lineitem per order row, O(orders × probe) at 100 TB; the
+    * decorrelated form is one co-shuffled semi edge whose lineitem side
+    * carries the pushed returnflag filter.
+    */
+  private def qTpchQ4(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q4_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q4_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_q4_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM graft_q4_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q20
+
+  /** Potential-part-promotion (TPC-H Q20 shape): the NESTED-IN row —
+    * suppliers whose shipped volume of a part class crosses a threshold,
+    * as `s_suppkey IN (grouped-HAVING subquery over lineitem whose
+    * l_partkey IN (filtered part subquery))`. The synthetic schema has
+    * no partsupp, so the availqty comparison becomes the HAVING sum —
+    * the structure under test (IN containing an aggregate containing
+    * another IN) is q20's. Both INs must decorrelate to semi joins
+    * (plan-pinned): the inner one rides the lineitem scan as a
+    * broadcast semi against the filtered part keys, the outer one
+    * semi-joins supplier against the HAVING survivors — never a per-row
+    * re-aggregation. The quantity sum is decimal-exact so the HAVING
+    * threshold cannot flip on aggregation order.
+    */
+  private def qTpchQ20(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "supplier").createOrReplaceTempView("graft_q20_supplier")
+    t(s, dir, "nation").createOrReplaceTempView("graft_q20_nation")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q20_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("graft_q20_part")
+    s.sql(
+      """SELECT s_name, s_suppkey
+        |FROM graft_q20_supplier, graft_q20_nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM graft_q20_lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM graft_q20_part
+        |                        WHERE p_type = 'PROMO')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name LIKE 'NATION_1%'
+        |ORDER BY s_name, s_suppkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q22
+
+  /** Global-sales-opportunity (TPC-H Q22 shape): the NOT-EXISTS +
+    * uncorrelated-scalar row — above-average-balance customers with no
+    * urgent order, counted per nation (the synthetic customer has no
+    * phone, so `c_nationkey` plays the country-code role; every
+    * customer has SOME order, so the anti probe filters on priority to
+    * keep the anti join non-degenerate). The average is derived from an
+    * exact decimal sum divided in double — identical IEEE ops in both
+    * engines, so the balance comparison cannot flip on aggregation
+    * order — and the scalar subquery must plan as ONE aggregate whose
+    * result broadcasts into the filter, while the NOT EXISTS
+    * decorrelates to a left-anti join on `c_custkey` (plan-pinned).
+    */
+  private def qTpchQ22(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q22_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q22_orders")
+    s.sql(
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |    AS totacctbal
+        |FROM graft_q22_customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*)
+        |    FROM graft_q22_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q4" -> qTpchQ4,
+    "q_tpch_q20" -> qTpchQ20,
+    "q_tpch_q22" -> qTpchQ22,
     "q_tpch_q17" -> qTpchQ17,
     "q_tpch_q21" -> qTpchQ21,
     "q_tpch_q3" -> qTpchQ3,
@@ -310,6 +411,45 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q20" ->
+      """SELECT s_name, s_suppkey
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_type = 'PROMO')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY l_suppkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+        |  AND s_nationkey = n_nationkey
+        |  AND n_name LIKE 'NATION_1%'
+        |ORDER BY s_name, s_suppkey""".stripMargin,
+    "q_tpch_q22" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  count(*) AS numcust,
+        |  round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 4)
+        |    AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey
+        |ORDER BY cntrycode""".stripMargin,
     "q_tpch_q17" ->
       """SELECT floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
         |    AS DOUBLE) / 7.0) * 10000 + 0.5) / 10000 AS avg_yearly

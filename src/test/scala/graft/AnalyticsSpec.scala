@@ -110,6 +110,63 @@ class AnalyticsSpec extends TestSpark {
       "q_tpch_q17: brand filter not pushed to the part scan")
   }
 
+  test("q_tpch_q4: EXISTS decorrelates to one semi join, filters pushed") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val plan = staticPlan("q_tpch_q4")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q4: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q4: nested-loop join — EXISTS not decorrelated:\n$plan")
+    val joinTypes = plan.collect { case j: SortMergeJoinExec => j.joinType } ++
+      plan.collect { case j: ShuffledHashJoinExec => j.joinType } ++
+      plan.collect { case j: BroadcastHashJoinExec => j.joinType }
+    assert(joinTypes.contains(LeftSemi),
+      s"q_tpch_q4: EXISTS did not become a semi join: $joinTypes\n$plan")
+    val s = plan.toString
+    assert(s.contains("EqualTo(l_returnflag,R)"),
+      s"q_tpch_q4: returnflag filter not pushed to the lineitem scan:\n$s")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderdate".r
+        .findFirstIn(s).nonEmpty,
+      s"q_tpch_q4: orderdate bound not pushed to the orders scan:\n$s")
+  }
+
+  test("q_tpch_q20: both INs decorrelate to semi joins, no re-aggregation loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val plan = staticPlan("q_tpch_q20")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q20: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q20: nested-loop join — an IN not decorrelated:\n$plan")
+    val joinTypes = plan.collect { case j: SortMergeJoinExec => j.joinType } ++
+      plan.collect { case j: ShuffledHashJoinExec => j.joinType } ++
+      plan.collect { case j: BroadcastHashJoinExec => j.joinType }
+    assert(joinTypes.count(_ == LeftSemi) >= 2,
+      s"q_tpch_q20: expected 2 semi joins (nested INs): $joinTypes\n$plan")
+    val s = plan.toString
+    assert(s.contains("EqualTo(p_type,PROMO)"),
+      s"q_tpch_q20: part-type filter not pushed:\n$s")
+  }
+
+  test("q_tpch_q22: NOT EXISTS decorrelates to an anti join, scalar avg stays one aggregate") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val plan = staticPlan("q_tpch_q22")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q22: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q22: nested-loop join — NOT EXISTS not decorrelated:\n$plan")
+    val joinTypes = plan.collect { case j: SortMergeJoinExec => j.joinType } ++
+      plan.collect { case j: ShuffledHashJoinExec => j.joinType } ++
+      plan.collect { case j: BroadcastHashJoinExec => j.joinType }
+    assert(joinTypes.contains(LeftAnti),
+      s"q_tpch_q22: NOT EXISTS did not become an anti join: $joinTypes\n$plan")
+    val s = plan.toString
+    assert(s.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"q_tpch_q22: priority filter not pushed to the orders scan:\n$s")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString
@@ -138,7 +195,8 @@ class AnalyticsSpec extends TestSpark {
   }
 
   test("composites return rows at sf0.001") {
-    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18")) {
+    for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
+        "q_tpch_q4", "q_tpch_q20", "q_tpch_q22")) {
       val n = graft.SparkEntry.queries(name)(spark, Sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
