@@ -1420,6 +1420,59 @@ object TableFormat {
   def dropTag(root: String, name: String): Boolean =
     Files.deleteIfExists(manifestDir(root).resolve(s"tag-$name.ref"))
 
+  /** Does manifest v exist (committed and not yet expired)? */
+  private[graft] def versionExists(root: String, v: Int): Boolean =
+    Files.exists(manifestDir(root).resolve(s"v$v.json"))
+
+  // ------------------------------------------------------- follower refs
+
+  /** Record that streaming consumer `name` has COMMITTED everything up
+    * to `version` — the retention floor contract (round-15 VERDICT #5):
+    * [[expire]] refuses to drop a manifest a registered follower still
+    * needs to resume from, so a paused consumer can't silently lose its
+    * resume point. Unlike a tag, a follower ref ADVANCES (atomic
+    * replace, monotone — a late replayed commit can't move it
+    * backwards): the consumer's progress is the protection, not a fixed
+    * snapshot. The streaming source maintains this automatically when
+    * given `followerId` ([[TableFormatSourceProvider]]); a consumer
+    * that opts out instead fails LOUDLY on resume-after-expiry with the
+    * re-seed recovery named (`getBatch`'s stranded check).
+    */
+  def registerFollower(root: String, name: String, version: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"follower name must be [A-Za-z0-9._-]+, got '$name'")
+    val dir = manifestDir(root)
+    Files.createDirectories(dir)
+    val ref = dir.resolve(s"follower-$name.ref")
+    if (followers(root).get(name).exists(_ >= version)) return // monotone
+    val tmp = Files.createTempFile(dir, s"follower-$name", ".tmp")
+    Files.write(tmp, version.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, ref, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** All registered followers at `root` as (name → committed version). */
+  def followers(root: String): Map[String, Int] = {
+    val dir = manifestDir(root)
+    if (!Files.isDirectory(dir)) return Map.empty
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("follower-") && s.endsWith(".ref") =>
+        s.stripPrefix("follower-").stripSuffix(".ref") }
+      .toList.map { n =>
+        n -> new String(
+          Files.readAllBytes(dir.resolve(s"follower-$n.ref")),
+          StandardCharsets.UTF_8).trim.toInt
+      }.toMap
+    finally stream.close()
+  }
+
+  /** Deregister a finished consumer; its floor stops pinning history. */
+  def dropFollower(root: String, name: String): Boolean =
+    Files.deleteIfExists(manifestDir(root).resolve(s"follower-$name.ref"))
+
   /** Read the snapshot a tag names. */
   def readSnapshotTagged(spark: SparkSession, root: String,
                          name: String): DataFrame =
@@ -1429,16 +1482,27 @@ object TableFormat {
   /** Drop all manifest versions except the newest `keepLast` — the
     * retention half of the GC story. TAGGED versions survive regardless
     * ([[tag]]): retention ages out ordinary history, never a named
-    * snapshot. Time travel to an expired version fails loudly
-    * afterwards ([[readSnapshot]]'s missing-manifest require); the data
-    * dirs it referenced become [[vacuum]] fodder unless a surviving
-    * version still lists them. Returns the expired version numbers.
+    * snapshot. Registered FOLLOWERS ([[registerFollower]]) are a
+    * retention FLOOR: every version at or above the slowest follower's
+    * committed version survives too — that version is the manifest a
+    * resuming consumer diffs FROM, so dropping it (or anything after
+    * it) would strand the stream mid-history (round-15 VERDICT #5; the
+    * Delta analogue is the checkpoint-retention interplay its
+    * ignoreDeletes/startingVersion options paper over). A consumer that
+    * never registers gets the loud stranded-resume error instead
+    * ([[TableFormatStreamSource]]). Time travel to an expired version
+    * fails loudly afterwards ([[readSnapshot]]'s missing-manifest
+    * require); the data dirs it referenced become [[vacuum]] fodder
+    * unless a surviving version still lists them. Returns the expired
+    * version numbers.
     */
   def expire(root: String, keepLast: Int): Seq[Int] = {
     require(keepLast >= 1, "must keep at least the head snapshot")
     val head = latestVersion(root)
     val pinned = tags(root).values.toSet
-    val expired = (0 to head - keepLast).filterNot(pinned)
+    val floor = followers(root).values.minOption.getOrElse(Int.MaxValue)
+    val expired = (0 to head - keepLast)
+      .filterNot(pinned).filter(_ < floor)
     expired.foreach(v =>
       Files.deleteIfExists(manifestDir(root).resolve(s"v$v.json")))
     expired

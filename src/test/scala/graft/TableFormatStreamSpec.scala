@@ -87,6 +87,142 @@ class TableFormatStreamSpec extends TestSpark {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backlog in bounded batches, exactly once") {
+    import spark.implicits._
+    val root = freshRoot()
+    // a paused consumer's backlog: 6 committed versions before any trigger
+    for (i <- 0L to 5L)
+      TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val base = Files.createTempDirectory("graft_tf_cap")
+    def start() = spark.readStream.format(Provider)
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.collect().map(_.getLong(0)).toSet)) }; ()
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // admission math: baseline -1 → offsets 1, 3, 5 → ceil(6/2) = 3
+      // batches, and every row exactly once across them
+      assert(batches.map(_._1).toSeq === Seq(0L, 1L, 2L),
+        s"6-version backlog at cap 2 must drain in 3 batches: $batches")
+      assert(batches.flatMap(_._2).toSet === (0L to 5L).toSet &&
+        batches.map(_._2.size).sum === 6,
+        s"capped drain lost or duplicated rows: $batches")
+    } finally q.stop()
+    // restart mid-history: 3 more versions land while stopped; the
+    // resumed stream re-seeds its admission baseline from the checkpoint
+    // and drains the new backlog in ceil(3/2) = 2 batches, no replay
+    for (i <- 6L to 8L)
+      TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
+    val n0 = batches.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val fresh = batches.drop(n0)
+      assert(fresh.map(_._1).toSeq === Seq(3L, 4L),
+        s"restarted drain must continue the batch sequence capped: $fresh")
+      assert(fresh.flatMap(_._2).toSet === (6L to 8L).toSet &&
+        fresh.map(_._2.size).sum === 3,
+        s"restarted capped drain lost or duplicated rows: $fresh")
+    } finally q2.stop()
+  }
+
+  test("the rewrite guard still refuses inside a capped window") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root,
+      statsCol = Some("k"))
+    TableFormat.append(Seq((2L, "b")).toDF("k", "s"), root,
+      statsCol = Some("k"))
+    // v2 is a rewrite: the capped second window (v1, v2] contains it
+    TableFormat.merge(spark, root, Seq((1L, "A")).toDF("k", "s"), "k",
+      statsCol = Some("k"))
+    val q = spark.readStream.format(Provider)
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.format("memory").queryName("tfs_cap_guard")
+      .outputMode("append").start()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(String.valueOf(e.getMessage).contains("append-only") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("append-only")),
+        s"capped window over a rewrite must refuse with the contract error: $e")
+    } finally q.stop()
+  }
+
+  test("follower refs floor retention; an unregistered consumer strands loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    for (i <- 0L to 4L)
+      TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
+    val base = Files.createTempDirectory("graft_tf_follow")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def start() = spark.readStream.format(Provider)
+      .option("followerId", "mv-refresher").load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen ++= df.collect().map(_.getLong(0)) }; ()
+      }.start()
+    // a follower that consumed through v4 and registered itself; the
+    // floor publishes on the NEXT batch (plan-time `from` / lazy engine
+    // commit), so land one more version and trigger again
+    val q = start()
+    try {
+      q.processAllAvailable()
+      TableFormat.append(Seq(5L).toDF("k"), root, statsCol = Some("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val floor = TableFormat.followers(root)
+      .getOrElse("mv-refresher", fail("follower floor never published"))
+    assert(floor >= 4, s"floor must cover the committed batch, got $floor")
+    // retention with keepLast=1 would drop everything below the head —
+    // the follower floor protects its resume point and everything after
+    TableFormat.append(Seq(9L).toDF("k"), root, statsCol = Some("k"))
+    assert(TableFormat.expire(root, keepLast = 1) === (0 until floor),
+      "expire must refuse to cross the slowest follower's floor")
+    // the protected follower resumes across the expiry without error and
+    // sees exactly the not-yet-consumed rows
+    val n0 = seen.size
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.drop(n0).toSet === Set(9L),
+      "resumed follower must see exactly the post-floor rows")
+    // the STRANDED path: an unregistered consumer whose offset aged out
+    // fails with the recovery named, never a silent gap
+    val root2 = freshRoot()
+    for (i <- 0L to 3L)
+      TableFormat.append(Seq(i).toDF("k"), root2, statsCol = Some("k"))
+    val base2 = Files.createTempDirectory("graft_tf_strand")
+    def startUnregistered() = spark.readStream.format(Provider).load(root2)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base2/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect(); ()
+      }.start()
+    val q3 = startUnregistered()
+    try q3.processAllAvailable() finally q3.stop()
+    TableFormat.append(Seq(9L).toDF("k"), root2, statsCol = Some("k"))
+    TableFormat.expire(root2, keepLast = 1) // drops v0..v3: offset gone
+    val q4 = startUnregistered()
+    try {
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q4.processAllAvailable()
+      }
+      def m(t: Throwable) = String.valueOf(t.getMessage)
+      assert(m(e).contains("STRANDED") ||
+        Option(e.getCause).exists(c => m(c).contains("STRANDED")),
+        s"expired-offset resume must fail with the stranded contract error: $e")
+    } finally q4.stop()
+  }
+
   test("a stream composes sink-to-source: follow a table another stream lands") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
