@@ -516,6 +516,11 @@ object Similarity {
   private def qSimIvfIndexed(s: SparkSession, dir: String): DataFrame =
     ivfIndexedSearch(s, dir, nprobe = 2)
 
+  /** The trained codebook size — every IVF tier here partitions into
+    * 16 inverted lists (seeds = the first 16 vectors).
+    */
+  private[graft] val IvfNumCells = 16
+
   /** FILTERED ANN over the at-rest index — `label < 5 AND cosine top-k`:
     * the attribute predicate lands directly on the cells scan, so Spark
     * pushes it into the parquet reader of the PROBED cell directories
@@ -526,9 +531,28 @@ object Similarity {
     * within the probed cells). Queries themselves are NOT filtered —
     * the predicate constrains what is retrieved, not who asks. Same
     * probe/score expression trees as [[ivfIndexedSearch]].
+    *
+    * ADAPTIVE nprobe (round-15 VERDICT #7): a fixed probe width
+    * under-fills k when the predicate is selective — the probed cells
+    * may hold fewer than k qualifying vectors even though the corpus
+    * holds plenty. When any query comes back under-filled the probe
+    * width DOUBLES (bounded by the cell count) and the search re-runs;
+    * the under-fill check is one tiny aggregate over the k-truncated
+    * result, so the common case (first probe fills) pays a single
+    * count job, and the worst case degrades gracefully to an
+    * all-cells filtered scan — still partition-pruned per query, never
+    * a corpus-wide attribute join.
     */
   private[graft] def ivfFilteredSearch(s: SparkSession, dir: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int): DataFrame =
+    ivfFilteredSearchAdaptive(s, dir, nprobe, col("label") < 5, k = 3)._1
+
+  /** [[ivfFilteredSearch]] with the predicate/k explicit, returning the
+    * probe width the search settled on (the spec window for "escalated
+    * but stayed cell-pruned").
+    */
+  private[graft] def ivfFilteredSearchAdaptive(s: SparkSession, dir: String,
+      nprobe: Int, pred: Column, k: Int): (DataFrame, Int) = {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val root = ivfIndexRoot(s, dir)
     val idx = s.read.parquet(root + "/cells")
@@ -537,26 +561,43 @@ object Similarity {
       col("cnrm2")
     val wq = Window.partitionBy("vec_id")
       .orderBy(col("dist2").asc, col("cid").asc)
-    val q = idx.filter(col("vec_id") < 50)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        dist2.as("dist2"), col("cid"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cid").as("cell"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("score").desc, col("vec_id"))
-    idx.filter(col("label") < 5) // the pushed attribute predicate
-      .join(q, "cell")
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        Num.r4(cosine(col("embedding"), col("q_emb"), col("nrm"), col("q_nrm")))
-          .as("score"))
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .filter(col("rn") <= 3)
-      .orderBy("q_id", "rn")
+    def search(np: Int): DataFrame = {
+      val q = idx.filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
+        .crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          dist2.as("dist2"), col("cid"))
+        .withColumn("pr", row_number().over(wq))
+        .filter(col("pr") <= np)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("nrm").as("q_nrm"), col("cid").as("cell"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("score").desc, col("vec_id"))
+      idx.filter(pred) // the pushed attribute predicate
+        .join(q, "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          Num.r4(cosine(col("embedding"), col("q_emb"),
+            col("nrm"), col("q_nrm"))).as("score"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= k)
+        .orderBy("q_id", "rn")
+    }
+    // one scalar per escalation check: how many queries exist (computed
+    // once), and how many came back with a full k
+    lazy val nQueries = idx.filter(col("vec_id") < 50)
+      .select("vec_id").distinct().count()
+    var np = math.min(nprobe, IvfNumCells)
+    var res = search(np)
+    while (np < IvfNumCells && {
+      val filled = res.groupBy("q_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= k).count()
+      filled < nQueries
+    }) {
+      np = math.min(np * 2, IvfNumCells)
+      res = search(np)
+    }
+    (res, np)
   }
 
   private def qSimFiltered(s: SparkSession, dir: String): DataFrame =

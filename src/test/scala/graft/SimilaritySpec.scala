@@ -370,6 +370,44 @@ class SimilaritySpec extends TestSpark {
       s"cell-directory dynamic partition pruning missing:\n$plan")
   }
 
+  test("filtered ANN escalates nprobe under a selective predicate until k fills") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Similarity
+    // ~11% selective: the 2 probed cells rarely hold 3 qualifying
+    // vectors per query, so a FIXED nprobe under-fills k (the round-15
+    // gap); the adaptive search must escalate, fill k exactly, and stop
+    // BEFORE the all-cells fallback — still cell-pruned
+    val (res, np) = Similarity.ivfFilteredSearchAdaptive(spark, Sf,
+      nprobe = 1, pred = col("label") === 0, k = 3)
+    val rows = res.collect()
+    val nQueries = graft.io.Sources.table(spark, Sf, "embeddings")
+      .filter(col("vec_id") < 50).count()
+    assert(rows.length === nQueries * 3,
+      s"selective predicate must still fill k for every query: " +
+        s"${rows.length} rows for $nQueries queries at nprobe=$np")
+    assert(np > 1, "a 1-cell probe cannot fill k at 11% selectivity — " +
+      "escalation never fired")
+    assert(np < Similarity.IvfNumCells,
+      s"escalation overshot to the all-cells scan (np=$np) — the probe " +
+        "must stay cell-pruned at this selectivity")
+    val labels = graft.io.Sources.table(spark, Sf, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => labels(r.getLong(1)) === 0),
+      "an escalated probe retrieved a candidate violating the predicate")
+    // brutal selectivity (~2%): graceful degradation — the probe may
+    // reach every cell but k still fills exactly, never under-filled
+    val (res2, np2) = Similarity.ivfFilteredSearchAdaptive(spark, Sf,
+      nprobe = 1, pred = col("label") === 0 && col("vec_id") % 5 === 0,
+      k = 3)
+    val rows2 = res2.collect()
+    assert(rows2.length === nQueries * 3,
+      s"2%-selective predicate must still fill k (np=$np2): ${rows2.length}")
+    assert(rows2.forall { r =>
+      labels(r.getLong(1)) === 0 && r.getLong(1) % 5 === 0 },
+      "degraded probe retrieved a candidate violating the predicate")
+  }
+
   test("ivf training step partitions the corpus across seed clusters") {
     val t = graft.SparkEntry.queries("q_ivf_train")(spark, Sf).collect()
     // clusters are seed ids (0..15) and every vector lands in exactly one
