@@ -979,10 +979,15 @@ object TableFormat {
     * delete rows from the sidecar diff. Each commit writes ONE new
     * sidecar carrying the touched dirs' accumulated keys (old sidecar
     * rows folded forward), so a dir always has at most one dv pointer
-    * and superseded sidecars become vacuum fodder.
+    * and superseded sidecars become vacuum fodder — and a dir whose
+    * accumulated dv would reach `foldRatio` of its rows AUTO-FOLDS
+    * instead: that dir alone rewrites effective (no dv), resetting its
+    * delete cost to O(new keys) without waiting for a manual
+    * whole-table compaction ([[morMaskOrFold]]).
     */
   def deleteKeysMor(spark: SparkSession, root: String, keys: DataFrame,
-                    keyCol: String): Int = {
+                    keyCol: String,
+                    foldRatio: Double = DvFoldRatio): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to delete from at $root")
     if (keys.isEmpty) return prev
@@ -991,9 +996,102 @@ object TableFormat {
     if (touched.isEmpty) return prev
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = writeDvSidecar(spark, root, touched, keys, keyCol),
+      produced = morMaskOrFold(spark, root, touched, keys, keyCol,
+        manifestSchema(m), foldRatio),
       ourSchema = None,
       conflictKeys = Some((keys.select(keyCol), keyCol)))
+  }
+
+  /** Auto-fold threshold: a dir whose accumulated deletion-vector rows
+    * would reach this fraction of its data rows is rewritten EFFECTIVE
+    * (single-dir copy-on-write) instead of growing the sidecar — the
+    * round-15 VERDICT #3 wall: fold-forward rewrites O(all accumulated
+    * keys) per commit, so the k-th point delete against a hot dir paid
+    * O(k²) total and nothing bounded the live DV set between manual
+    * compactions. Past the ratio the rewrite is at most 2× the sidecar
+    * write anyway, and it resets the dir to O(new keys) deletes.
+    */
+  private[graft] val DvFoldRatio = 0.5
+
+  /** The produced half of a merge-on-read commit, per-dir adaptive:
+    * touched dirs whose accumulated dv stays under `foldRatio` get the
+    * shared sidecar ([[writeDvSidecar]]); dirs crossing it FOLD — their
+    * effective rows minus `keys` rewrite into one fresh data dir that
+    * carries no dv and re-records footer bounds for whatever columns
+    * the folded entries had statted (pruning must not decay across a
+    * fold). The accumulated-count probe is one tiny aggregate over the
+    * would-be sidecar (rows ∝ touched dirs × keys, the write's own
+    * size); dir row counts come from parquet footers, zero Spark jobs.
+    */
+  private def morMaskOrFold(spark: SparkSession, root: String,
+      touched: Seq[Entry], keys: DataFrame, keyCol: String,
+      schema: Option[StructType], foldRatio: Double): Seq[Entry] = {
+    require(foldRatio > 0, s"foldRatio must be positive, got $foldRatio")
+    val accumulated = dvAccumulatedCounts(spark, touched, keys, keyCol)
+    val (fold, mask) = touched.partition { e =>
+      val rows = footerRowCount(spark, e.dir)
+      rows > 0 && accumulated.getOrElse(e.dir, 0L) >= foldRatio * rows
+    }
+    val masked =
+      if (mask.isEmpty) Seq.empty
+      else writeDvSidecar(spark, root, mask, keys, keyCol)
+    val folded =
+      if (fold.isEmpty) Seq.empty
+      else {
+        val dataDir = newDataDir(root)
+        val remaining = readEntries(spark, fold, schema)
+          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+            "left_anti")
+        remaining.write.parquet(dataDir)
+        val cols = fold.flatMap(_.bounds.keys).distinct
+        Seq(Entry(dataDir, None, footerBounds(spark, dataDir, cols)))
+      }
+    masked ++ folded
+  }
+
+  /** |existing sidecar rows ∪ fresh keys| per touched dir — what each
+    * dir's sidecar WOULD hold after this commit (fresh keys count
+    * against every touched dir, matching the sidecar the mask path
+    * writes; a key absent from the dir inflates the count toward an
+    * earlier fold, which costs a rewrite, never correctness).
+    */
+  private def dvAccumulatedCounts(spark: SparkSession, touched: Seq[Entry],
+      keys: DataFrame, keyCol: String): Map[String, Long] = {
+    val fresh = keys.select(col(keyCol)).distinct()
+    touched.map { e =>
+      val mine = fresh.withColumn(DvDirCol, lit(e.dir))
+      e.dv match {
+        case Some(p) => spark.read.parquet(p)
+          .filter(col(DvDirCol) === e.dir).unionByName(mine)
+        case None => mine
+      }
+    }.reduce(_ unionByName _).dropDuplicates(keyCol, DvDirCol)
+      .groupBy(DvDirCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Total row count of a landed data dir from its parquet footers —
+    * driver-side metadata reads bounded by one dir's files, no Spark
+    * job (the [[footerBounds]] discipline).
+    */
+  private def footerRowCount(spark: SparkSession, dataDir: String): Long = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new HPath(dataDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }.map { f =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(f.getPath, conf))
+      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally reader.close()
+    }.sum
   }
 
   /** Write ONE new deletion-vector sidecar masking `keys` in every
@@ -1044,7 +1142,8 @@ object TableFormat {
   def mergeMor(spark: SparkSession, root: String, updates: DataFrame,
                keyCol: String, statsCol: Option[String] = None,
                statsCols: Seq[String] = Nil,
-               bloomCol: Option[String] = None): Int = {
+               bloomCol: Option[String] = None,
+               foldRatio: Double = DvFoldRatio): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to merge into at $root")
     if (updates.isEmpty) return prev
@@ -1058,8 +1157,8 @@ object TableFormat {
     val dataEntry = Entry(dataDir, None, footerBounds(spark, dataDir, cols))
     val masked =
       if (touched.isEmpty) Seq.empty // pure insert: no dirs to mask
-      else writeDvSidecar(spark, root, touched, updates.select(keyCol),
-        keyCol)
+      else morMaskOrFold(spark, root, touched, updates.select(keyCol),
+        keyCol, manifestSchema(m), foldRatio)
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
       produced = masked :+ dataEntry,

@@ -741,6 +741,44 @@ class TableFormatSpec extends TestSpark {
     assert(TableFormat.readSnapshot(spark, root).count() === 19)
   }
 
+  test("a hot dir's deletion vector auto-folds past the ratio") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((1L to 20L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    val dir0 = TableFormat.snapshotDirs(root, 0).head
+    // wave 1: 4 of 20 rows (20%) — stays merge-on-read, sidecar only
+    TableFormat.deleteKeysMor(spark, root, (1L to 4L).toDF("k"), "k")
+    assert(TableFormat.snapshotDirs(root, 1) === Seq(dir0) &&
+      TableFormat.snapshotDvs(root, 1)(dir0).nonEmpty,
+      "under the ratio a point delete must write a sidecar, not a dir")
+    // wave 2: accumulated dv would hit 10/20 = the fold ratio — the dir
+    // rewrites EFFECTIVE instead of growing the sidecar
+    TableFormat.deleteKeysMor(spark, root, (5L to 10L).toDF("k"), "k")
+    val dvs2 = TableFormat.snapshotDvs(root, 2)
+    assert(dvs2.size === 1 && !dvs2.contains(dir0) &&
+      dvs2.values.forall(_.isEmpty),
+      s"past the ratio the dir must fold to a fresh dv-free dir: $dvs2")
+    assert(TableFormat.readSnapshot(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet === (11L to 20L).toSet)
+    // the change feed across the FOLDING commit is exactly the new
+    // deletes — a fold must look like any other dv commit downstream
+    assert(TableFormat.readChanges(spark, root, 1, 2, "k")
+      .select("k", "change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      (5L to 10L).map(k => (k, "delete")).toSet,
+      "folding must not leak rewrite noise into the change feed")
+    // the folded entry re-records its key bounds: metadata pruning must
+    // not decay across a fold
+    assert(TableFormat.prunedDirs(root, 2, Seq(("k", 100L, 200L))).isEmpty,
+      "folded dir lost its zone map — out-of-range read stopped pruning")
+    // and the NEXT point delete is O(new keys) again
+    TableFormat.deleteKeysMor(spark, root, Seq(11L, 12L).toDF("k"), "k")
+    val dv3 = TableFormat.snapshotDvs(root, 3).values.flatten.toSeq
+    assert(dv3.size === 1 && spark.read.parquet(dv3.head).count() === 2,
+      "post-fold delete must write O(new keys) sidecar rows")
+  }
+
   test("merge-on-read delete ≡ copy-on-write delete, content and change feed") {
     import spark.implicits._
     def build(): String = {
