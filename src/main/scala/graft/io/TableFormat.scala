@@ -447,7 +447,8 @@ object TableFormat {
   def append(df: DataFrame, root: String,
              statsCol: Option[String] = None,
              statsCols: Seq[String] = Nil,
-             bloomCol: Option[String] = None): Int = {
+             bloomCol: Option[String] = None,
+             txn: Option[(String, Long)] = None): Int = {
     val dataDir = newDataDir(root)
     val writer = bloomCol.foldLeft(df.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -465,11 +466,17 @@ object TableFormat {
     while (true) {
       val prev = latestVersion(root)
       val prevM = if (prev < 0) None else Some(readManifestFull(root, prev))
+      // txn idempotence: a replayed delta whose marker already landed
+      // (this attempt raced an identical one, or the caller re-runs
+      // after a crash) must NOT append its rows twice
+      txn.foreach { case (a, v) =>
+        if (prevM.exists(_.txns.get(a).exists(_ >= v))) return prev
+      }
       val entries = prevM.map(_.entries).getOrElse(Seq.empty) :+ entry
       val v = prev + 1
       try {
         writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema),
-          prevM.map(_.txns).getOrElse(Map.empty))
+          prevM.map(_.txns).getOrElse(Map.empty) ++ txn)
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -480,6 +487,17 @@ object TableFormat {
       }
     }
     -1 // unreachable: the loop exits only by return or throw
+  }
+
+  /** Last value committed for transaction marker `appId` at `root`
+    * (-1 when the table or the marker is absent) — the generic read
+    * window over the per-app txn map [[appendBatch]] and [[applyDelta]]
+    * maintain.
+    */
+  private[graft] def lastTxn(root: String, appId: String): Long = {
+    val v = latestVersion(root)
+    if (v < 0) -1L
+    else readManifestFull(root, v).txns.getOrElse(appId, -1L)
   }
 
   /** CAS-retry bound for commits — generous against real contention
@@ -811,13 +829,20 @@ object TableFormat {
   private def commitRewrite(spark: SparkSession, root: String,
       baseVersion: Int, readSet: Seq[Entry], baseUntouched: Seq[Entry],
       produced: Seq[Entry], ourSchema: Option[StructType],
-      conflictKeys: Option[(DataFrame, String)]): Int = {
+      conflictKeys: Option[(DataFrame, String)],
+      txn: Option[(String, Long)] = None): Int = {
     val readDirs = readSet.map(_.dir).toSet
     val baseDirs = readDirs ++ baseUntouched.map(_.dir)
     var attempt = 0
     while (true) {
       val head = latestVersion(root)
       val m = readManifestFull(root, head)
+      // txn idempotence FIRST — before conflict validation: a concurrent
+      // attempt of the SAME delta that won the CAS must read as "already
+      // durably applied" (skip), never as a conflict to re-run
+      txn.foreach { case (a, v) =>
+        if (m.txns.get(a).exists(_ >= v)) return head
+      }
       val byDir = m.entries.map(e => e.dir -> e).toMap
       readSet.foreach { e =>
         if (!byDir.get(e.dir).exists(_.dv == e.dv))
@@ -840,7 +865,7 @@ object TableFormat {
         case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
         case (a, b) => a.orElse(b).map(_.toDDL)
       }
-      try { writeManifest(root, head + 1, next, ddl, m.txns)
+      try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1164,6 +1189,71 @@ object TableFormat {
       produced = masked :+ dataEntry,
       ourSchema = Some(updates.schema),
       conflictKeys = Some((updates.select(keyCol), keyCol)))
+  }
+
+  /** Apply one CHANGE-FEED DELTA — mask `deletes` keys (merge-on-read,
+    * auto-fold per [[morMaskOrFold]]) AND land `appends` as a fresh dir
+    * — in ONE commit, optionally carrying a transaction marker. This is
+    * the verb incremental index maintenance needs (round-15 VERDICT #4):
+    * pre-r16 a refresh was a deleteKeysMor commit followed by an append
+    * commit with a plain-file high-water marker moved after both — a
+    * crash between any two of the three re-applied the whole feed on
+    * restart (doubled postings), and two refreshers could interleave.
+    * With the marker INSIDE the single commit (`txn = (appId, version)`,
+    * the [[appendBatch]] machinery generalized), a replay sees its
+    * marker at-or-past the target and skips, a crash leaves either
+    * nothing or everything, and concurrent refreshers serialize through
+    * the manifest CAS — the loser's retry reads the winner's marker and
+    * skips instead of double-applying.
+    *
+    * Degenerate shapes compose: no deletes → append-with-marker; no
+    * appends → mask-with-marker; neither but a txn → a MARKER-ONLY
+    * commit (entries verbatim — how an empty feed durably advances the
+    * high-water mark); neither and no txn → no-op. An empty delta on an
+    * ABSENT table is a no-op returning -1 (nothing to anchor a marker
+    * to). Returns the resulting latest version.
+    */
+  def applyDelta(spark: SparkSession, root: String, deletes: DataFrame,
+                 keyCol: String, appends: DataFrame,
+                 statsCol: Option[String] = None,
+                 statsCols: Seq[String] = Nil,
+                 txn: Option[(String, Long)] = None,
+                 foldRatio: Double = DvFoldRatio): Int = {
+    val prev = latestVersion(root)
+    txn.foreach { case (a, v) =>
+      if (prev >= 0 && lastTxn(root, a) >= v) return prev // replayed delta
+    }
+    val hasDeletes = prev >= 0 && !deletes.isEmpty
+    val hasAppends = !appends.isEmpty
+    if (!hasDeletes && !hasAppends && (txn.isEmpty || prev < 0)) return prev
+    if (!hasDeletes && hasAppends)
+      return append(appends, root, statsCol, statsCols, txn = txn)
+    val m = readManifestFull(root, prev)
+    if (!hasDeletes) // marker-only: entries carry verbatim
+      return commitRewrite(spark, root, prev, readSet = Seq.empty,
+        baseUntouched = m.entries, produced = Seq.empty,
+        ourSchema = None, conflictKeys = None, txn = txn)
+    val (touched, untouched) = touchedSplit(spark, m.entries, deletes, keyCol)
+    val masked =
+      if (touched.isEmpty) Seq.empty
+      else morMaskOrFold(spark, root, touched, deletes, keyCol,
+        manifestSchema(m), foldRatio)
+    val cols = (statsCol.toSeq ++ statsCols).distinct
+    val appended =
+      if (!hasAppends) Seq.empty
+      else {
+        val dataDir = newDataDir(root)
+        appends.write.parquet(dataDir)
+        Seq(Entry(dataDir, None, footerBounds(spark, dataDir, cols)))
+      }
+    val conflict =
+      if (hasAppends && appends.columns.contains(keyCol))
+        deletes.select(col(keyCol)).unionByName(appends.select(col(keyCol)))
+      else deletes.select(col(keyCol))
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched, produced = masked ++ appended,
+      ourSchema = if (hasAppends) Some(appends.schema) else None,
+      conflictKeys = Some((conflict, keyCol)), txn = txn)
   }
 
   // ---------------------------------------------------------- change feed

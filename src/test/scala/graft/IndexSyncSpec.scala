@@ -90,19 +90,29 @@ class IndexSyncSpec extends TestSpark {
       statsCol = Some("doc_id"))
     IndexSync.buildPostings(spark, corpus, idx)
     val pv = TableFormat.latestVersion(idx + "/postings")
+    val pDirs = TableFormat.snapshotDirs(idx + "/postings", pv)
     val dv = TableFormat.latestVersion(idx + "/dl")
+    val dDirs = TableFormat.snapshotDirs(idx + "/dl", dv)
     // compaction changes the corpus's FILES, not its effective rows:
-    // the change feed is provably empty, so the refresh must only
-    // advance the marker — zero index commits
+    // the change feed is provably empty, so the refresh commits ONLY
+    // the advanced marker — entries carried verbatim, no data motion
     TableFormat.compact(spark, corpus, statsCol = Some("doc_id"))
     val indexed = IndexSync.refreshPostings(spark, corpus, idx)
     assert(indexed === TableFormat.latestVersion(corpus))
-    assert(TableFormat.latestVersion(idx + "/postings") === pv,
-      "empty feed must not commit to the postings table")
-    assert(TableFormat.latestVersion(idx + "/dl") === dv,
-      "empty feed must not commit to the dl table")
-    // idempotence: a second refresh with nothing new is a no-op too
+    val pv2 = TableFormat.latestVersion(idx + "/postings")
+    assert(TableFormat.snapshotDirs(idx + "/postings", pv2) === pDirs,
+      "empty feed must not move any postings data dir")
+    val dv2 = TableFormat.latestVersion(idx + "/dl")
+    assert(TableFormat.snapshotDirs(idx + "/dl", dv2) === dDirs,
+      "empty feed must not move any dl data dir")
+    assert(IndexSync.indexedVersion(idx, corpus) === indexed,
+      "marker-only commit must advance the in-manifest high-water mark")
+    // idempotence: a second refresh with nothing new is a TRUE no-op —
+    // not even a marker commit
     assert(IndexSync.refreshPostings(spark, corpus, idx) === indexed)
+    assert(TableFormat.latestVersion(idx + "/postings") === pv2 &&
+      TableFormat.latestVersion(idx + "/dl") === dv2,
+      "an already-current refresh must not commit at all")
   }
 
   test("OPTIMIZE folds index deletion vectors and restores bucket skipping") {
@@ -133,6 +143,59 @@ class IndexSyncSpec extends TestSpark {
     assert(pruned.size < TableFormat.snapshotDirs(idx + "/postings", head)
       .size,
       "bucket-range OPTIMIZE bought no manifest-level skipping")
+  }
+
+  test("refresh markers ride the index commits: replay- and crash-idempotent") {
+    import spark.implicits._
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    TableFormat.append(docsDf(
+      1L -> "spark shuffles data", 2L -> "merge sorts runs",
+      3L -> "window frames slide"), corpus, statsCol = Some("doc_id"))
+    IndexSync.buildPostings(spark, corpus, idx)
+    // a REPLAYED build (crash after commit, restart re-runs) must not
+    // double the postings — the marker rides the table's own manifest
+    val rowsAfterBuild = postingRows(idx)
+    IndexSync.buildPostings(spark, corpus, idx)
+    assert(postingRows(idx) === rowsAfterBuild,
+      "replayed build double-applied the corpus snapshot")
+    // history: one merge wave
+    TableFormat.merge(spark, corpus,
+      docsDf(2L -> "merge rewrites merge", 7L -> "spark merge window"),
+      "doc_id", statsCol = Some("doc_id"))
+    // CRASH SIMULATION: the refresh lands the postings table's commit,
+    // then dies before the dl table's — exactly the window the old
+    // plain-file marker could not survive
+    IndexSync.refreshPostingsTables(spark, corpus, idx, Set("postings"))
+    val postingsAfterHalf = postingRows(idx)
+    assert(IndexSync.indexedVersion(idx, corpus) <
+      TableFormat.latestVersion(corpus),
+      "a half-applied refresh must read as not-yet-indexed")
+    // the restarted refresh catches up ONLY the lagging dl table: the
+    // postings content must not change (no double-apply)
+    IndexSync.refreshPostings(spark, corpus, idx)
+    assert(postingRows(idx) === postingsAfterHalf,
+      "restarted refresh double-applied the feed to postings")
+    assert(IndexSync.indexedVersion(idx, corpus) ===
+      TableFormat.latestVersion(corpus))
+    // and the whole thing equals a fresh build over the effective head
+    TableFormat.append(TableFormat.readSnapshot(spark, corpus),
+      s"$base/head")
+    IndexSync.buildPostings(spark, s"$base/head", s"$base/rebuilt")
+    assert(postingRows(idx) === postingRows(s"$base/rebuilt"))
+    assert(dlRows(idx) === dlRows(s"$base/rebuilt"))
+    // CONCURRENT refreshers: a second identical delta with the same
+    // marker must skip through the CAS, not double-apply — simulate the
+    // loser's retry by re-applying the same per-table delta directly
+    TableFormat.deleteKeysMor(spark, corpus, Seq(3L).toDF("doc_id"),
+      "doc_id")
+    IndexSync.refreshPostings(spark, corpus, idx)
+    val afterDelete = postingRows(idx)
+    val pv = TableFormat.latestVersion(idx + "/postings")
+    IndexSync.refreshPostingsTables(spark, corpus, idx, Set("postings"))
+    assert(postingRows(idx) === afterDelete &&
+      TableFormat.latestVersion(idx + "/postings") === pv,
+      "racing refresher's replay must skip on the marker, not re-commit")
   }
 
   test("maintained IVF cells == batch assignment over the effective corpus") {
