@@ -69,13 +69,34 @@ object IndexSync {
     */
   private[graft] def indexedVersion(idxRoot: String,
                                     corpusRoot: String): Int =
-    math.min(tableIndexedVersion(postingsRoot(idxRoot), corpusRoot),
-      tableIndexedVersion(dlRoot(idxRoot), corpusRoot))
+    IndexTables.map(t =>
+      tableIndexedVersion(tableRoot(idxRoot, t), corpusRoot)).min
+
+  private def tableRoot(idxRoot: String, table: String): String =
+    table match {
+      case "postings" => postingsRoot(idxRoot)
+      case "dl" => dlRoot(idxRoot)
+      case "impacts" => impactsRoot(idxRoot)
+      case other => throw new IllegalArgumentException(
+        s"unknown index table '$other'")
+    }
 
   // --------------------------------------------------- postings index
 
   private def postingsRoot(idxRoot: String) = idxRoot + "/postings"
   private def dlRoot(idxRoot: String) = idxRoot + "/dl"
+  private def impactsRoot(idxRoot: String) = idxRoot + "/impacts"
+
+  /** The index's tables, in land order. `impacts` is the max-score
+    * sidecar (round-15 VERDICT #6): per-token maximum term frequency,
+    * maintained APPEND-ONLY — a delete can only lower a token's true
+    * maximum, so the stale bound stays a sound UPPER bound and
+    * [[optimizePostings]] re-tightens it to exact on the maintenance
+    * cadence. [[bm25TopK]] uses it to order query terms by maximum
+    * possible contribution and stop scoring docs that provably cannot
+    * reach the running kth score.
+    */
+  private val IndexTables = Seq("postings", "dl", "impacts")
 
   /** Flat positional postings of a `(doc_id, text)` frame, bucket-tagged
     * — the same tokenize/bucket kernel as the static index build
@@ -106,6 +127,15 @@ object IndexSync {
         TableFormat.applyDelta(s, dlRoot(idxRoot), gone, "doc_id",
           posts.groupBy("doc_id").agg(count(lit(1)).as("dl")),
           statsCol = Some("doc_id"), txn = txn)
+      case "impacts" =>
+        // append-only sound upper bounds: the delta's per-token max tf
+        // lands; a doc deletion never deletes here (a stale maximum is
+        // still an upper bound — optimizePostings re-tightens)
+        val delta = posts.groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("tf"))
+          .groupBy("tok").agg(max(col("tf")).as("max_tf"))
+        TableFormat.applyDelta(s, impactsRoot(idxRoot), delta.limit(0),
+          "tok", delta, statsCol = Some("tok"), txn = txn)
       case other => throw new IllegalArgumentException(
         s"unknown index table '$other'")
     }
@@ -126,7 +156,7 @@ object IndexSync {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val noDel = posts.select("doc_id").limit(0)
-      for (t <- Seq("postings", "dl"))
+      for (t <- IndexTables)
         landDelta(s, idxRoot, t, noDel, posts,
           txn = Some(corpusRoot -> v.toLong))
     } finally { posts.unpersist(); () }
@@ -144,7 +174,7 @@ object IndexSync {
     */
   def refreshPostings(s: SparkSession, corpusRoot: String,
                       idxRoot: String): Int =
-    refreshPostingsTables(s, corpusRoot, idxRoot, Set("postings", "dl"))
+    refreshPostingsTables(s, corpusRoot, idxRoot, IndexTables.toSet)
 
   /** [[refreshPostings]] restricted to a subset of the index tables —
     * the spec window simulating a crash between the two table commits.
@@ -152,9 +182,8 @@ object IndexSync {
   private[graft] def refreshPostingsTables(s: SparkSession,
       corpusRoot: String, idxRoot: String, only: Set[String]): Int = {
     val head = TableFormat.latestVersion(corpusRoot)
-    val lasts = Seq(
-      "postings" -> tableIndexedVersion(postingsRoot(idxRoot), corpusRoot),
-      "dl" -> tableIndexedVersion(dlRoot(idxRoot), corpusRoot))
+    val lasts = IndexTables
+      .map(t => t -> tableIndexedVersion(tableRoot(idxRoot, t), corpusRoot))
       .filter { case (t, _) => only(t) }
     require(lasts.forall(_._2 >= 0), s"index at $idxRoot was never " +
       "built — call buildPostings first")
@@ -197,6 +226,18 @@ object IndexSync {
     TableFormat.compactRanged(s, postingsRoot(idxRoot), "bucket", nBuckets,
       extraStatsCols = Seq("doc_id"))
     TableFormat.compact(s, dlRoot(idxRoot), statsCol = Some("doc_id"))
+    // re-tighten the max-score bounds to EXACT maxima over the effective
+    // postings (between OPTIMIZEs, deletes leave stale-high — sound but
+    // loose — bounds); a merge (not a rebuild) so the verb stays an
+    // ordinary table commit, then fold the sidecar's own history
+    if (TableFormat.latestVersion(impactsRoot(idxRoot)) >= 0) {
+      val exact = TableFormat.readSnapshot(s, postingsRoot(idxRoot))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .groupBy("tok").agg(max(col("tf")).as("max_tf"))
+      TableFormat.merge(s, impactsRoot(idxRoot), exact, "tok",
+        statsCol = Some("tok"))
+      TableFormat.compact(s, impactsRoot(idxRoot), statsCol = Some("tok"))
+    }
     ()
   }
 
@@ -206,23 +247,104 @@ object IndexSync {
     * after OPTIMIZE; delta appends are conservatively kept), deletion
     * vectors mask dead docs inside the snapshot read, and the dl table
     * supplies per-doc lengths plus the n_docs/avgdl scalars. The scorer
-    * is the shared [[TextOps.bm25Scores]] kernel.
+    * is the shared [[TextOps.bm25ScoresWithDf]] kernel.
+    *
+    * MAX-SCORE early termination (round-15 VERDICT #6, the WAND-family
+    * idea re-expressed for a distributed plan): without it, a common
+    * query term costs its FULL posting list through the scoring join at
+    * 100 TB. With the `impacts` sidecar, terms order by their maximum
+    * possible contribution (exact idf × a dl-independent tf bound) and
+    * the search scores only docs matching an ESSENTIAL term prefix —
+    * docs matching nothing but the tail provably cannot reach the
+    * running kth score (tail bound + a rounding quantum below θ), so
+    * the common term's list contributes tf rows ONLY for candidate
+    * docs (a semi-join against the candidate set), never a full-list
+    * scoring pass. The prefix grows (driver loop, ≤ |terms| rounds,
+    * each check collecting ≤ k rows) until the tail bound clears — on
+    * a skewed corpus the first round usually suffices.
     */
   def bm25TopK(s: SparkSession, idxRoot: String, terms: Seq[String],
-               k: Int): DataFrame = {
+               k: Int): DataFrame =
+    bm25TopKDetail(s, idxRoot, terms, k)._1
+
+  /** θ safety margin: scores round to 4 decimals ([[graft.ops.Num.r4]]),
+    * so "tail bound strictly under the kth score" must clear a full
+    * rounding quantum for the excluded docs' ROUNDED scores to stay
+    * strictly below every kept one.
+    */
+  private val Bm25ScoreMargin = 1e-4
+
+  /** [[bm25TopK]] plus its pruning account: (result, essential-prefix
+    * length, docs actually scored) — the spec window proving fewer docs
+    * were scored than matched the query terms.
+    */
+  private[graft] def bm25TopKDetail(s: SparkSession, idxRoot: String,
+      terms: Seq[String], k: Int): (DataFrame, Int, Long) = {
+    import s.implicits._
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val buckets = terms.map(TextOps.tokenBucket).distinct
-    val tf = TableFormat.readSnapshot(s, postingsRoot(idxRoot),
+    val tp = TableFormat.readSnapshot(s, postingsRoot(idxRoot),
         range = Some((buckets.min.toLong, buckets.max.toLong)),
         rangeCol = Some("bucket"))
       .filter(col("bucket").isin(buckets.map(x => x: Any): _*) &&
         col("tok").isin(terms.map(x => x: Any): _*))
       .select(col("doc_id"), col("tok").as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val dl = TableFormat.readSnapshot(s, dlRoot(idxRoot))
     val corpus = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
-    TextOps.bm25Scores(tf, dl, corpus)
-      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    def ranked(scored: DataFrame): DataFrame =
+      scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    // exact document frequencies: one count-only pass over the term
+    // lists (doc_id column, no dl join, no scoring) — df must cover the
+    // FULL lists whatever subset gets scored
+    val dfMap: Map[String, Long] = tp
+      .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfFrame = terms.distinct
+      .map(t => (t, dfMap.getOrElse(t, 0L))).toDF("w", "df")
+    def fullTf: DataFrame =
+      tp.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    // legacy index without the sidecar: full scoring, account as such
+    if (TableFormat.latestVersion(impactsRoot(idxRoot)) < 0) {
+      val res = ranked(TextOps.bm25ScoresWithDf(fullTf, dfFrame, dl, corpus))
+      val matched = tp.select("doc_id").distinct().count()
+      return (res, terms.length, matched)
+    }
+    val nDocs = corpus.collect()(0).getLong(0)
+    def idf(d: Long): Double =
+      math.log((nDocs - d + 0.5) / (d + 0.5) + 1.0)
+    val maxTf: Map[String, Long] = TableFormat
+      .readSnapshot(s, impactsRoot(idxRoot))
+      .filter(col("tok").isin(terms.map(x => x: Any): _*))
+      .groupBy("tok").agg(max(col("max_tf")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // dl-independent upper bound per term: the tf factor is increasing
+    // in tf and maximal as dl → 0, so idf·maxtf(k1+1)/(maxtf+k1(1−b))
+    // dominates every real contribution of the term
+    val ub: Seq[(String, Double)] = terms.distinct.map { t =>
+      val mt = maxTf.getOrElse(t, 0L).toDouble
+      val bound =
+        if (dfMap.getOrElse(t, 0L) == 0L || mt == 0d) 0d
+        else idf(dfMap(t)) * (mt * (TextOps.Bm25K1 + 1.0)) /
+          (mt + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B))
+      t -> bound
+    }.sortBy { case (t, b) => (-b, t) }
+    var p = 1
+    while (true) {
+      val essential = ub.take(p).map(_._1)
+      val cand = tp.filter(col("w").isin(essential.map(x => x: Any): _*))
+        .select("doc_id").distinct()
+      val tf = tp.join(cand, "doc_id")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val res = ranked(TextOps.bm25ScoresWithDf(tf, dfFrame, dl, corpus))
+      val tailUb = ub.drop(p).map(_._2).sum
+      val top = res.collect() // ≤ k rows to the driver
+      if (p == ub.length || (top.length >= k &&
+          tailUb + Bm25ScoreMargin < top.last.getAs[Double]("bm25")))
+        return (res, p, cand.count())
+      p += 1
+    }
+    throw new IllegalStateException("unreachable") // loop exits by return
   }
 
   // ------------------------------------------- continuous maintenance
@@ -243,7 +365,7 @@ object IndexSync {
         .filter(col("change_type").isin("insert", "update_postimage"))
         .select("doc_id", "text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try for (t <- Seq("postings", "dl"))
+    try for (t <- IndexTables)
       landDelta(s, idxRoot, t, gone, posts, txn = None)
     finally { posts.unpersist(); () }
   }

@@ -591,8 +591,8 @@ object TextOps {
     * order-independent — before the final rounded cast.
     */
   private val Bm25Terms = Seq("spark", "merge", "window")
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
+  private[graft] val Bm25K1 = 1.2
+  private[graft] val Bm25B = 0.75
 
   /** The BM25 scoring kernel over prepared inputs — shared verbatim by
     * the corpus-scan form ([[qTextBm25]]) and the at-rest indexed form
@@ -605,8 +605,18 @@ object TextOps {
     * postings| rows, never the corpus.
     */
   private[graft] def bm25Scores(tf: DataFrame, dl: DataFrame,
-                                corpus: DataFrame): DataFrame = {
-    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+                                corpus: DataFrame): DataFrame =
+    bm25ScoresWithDf(tf, tf.groupBy("w").agg(count(lit(1)).as("df")),
+      dl, corpus)
+
+  /** [[bm25Scores]] with the document frequencies supplied EXPLICITLY —
+    * the max-score path scores only candidate docs, so its tf frame is
+    * a SUBSET of each term's postings and the internal df-from-tf
+    * derivation would under-count; the caller passes df computed over
+    * the full lists (one count-only pass, no scoring).
+    */
+  private[graft] def bm25ScoresWithDf(tf: DataFrame, df: DataFrame,
+      dl: DataFrame, corpus: DataFrame): DataFrame = {
     val idf = log((col("n_docs").cast(DoubleType) - col("df") + 0.5)
       / (col("df").cast(DoubleType) + 0.5) + 1.0)
     val contrib = idf * (col("tf").cast(DoubleType) * lit(Bm25K1 + 1.0)

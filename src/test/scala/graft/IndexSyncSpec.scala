@@ -198,6 +198,58 @@ class IndexSyncSpec extends TestSpark {
       "racing refresher's replay must skip on the marker, not re-commit")
   }
 
+  test("BM25 max-score stops scoring docs the impact bounds exclude") {
+    import spark.implicits._
+    import graft.ops.TextOps
+    val base = freshBase()
+    val corpus = s"$base/corpus"; val idx = s"$base/index"
+    // skewed corpus: 'rare' in 3 docs, 'common' in all 200 — the
+    // common list is two orders larger than the set that can win
+    val docs = docsDf((1L to 200L).map(i =>
+      i -> (if (i <= 3L) "rare rare rare common text"
+            else s"common filler$i text$i")): _*)
+    TableFormat.append(docs, corpus, statsCol = Some("doc_id"))
+    IndexSync.buildPostings(spark, corpus, idx)
+    val (res, prefix, scoredDocs) =
+      IndexSync.bm25TopKDetail(spark, idx, Seq("rare", "common"), 2)
+    val got = res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // pruning account: only the rare list was essential; the common
+    // term contributed tf rows for the 3 candidates, never 200 scores
+    assert(prefix === 1,
+      s"common term became essential — no early termination (p=$prefix)")
+    assert(scoredDocs === 3,
+      s"expected 3 scored candidates, got $scoredDocs of 200 matched")
+    // values: identical to full scoring over the same corpus
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("w"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val cstats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = toks.filter(col("w").isin("rare", "common"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val naive = TextOps.bm25Scores(tf, dl, cstats)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(2)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got === naive,
+      "max-score result drifted from full scoring")
+    // deletes leave the bounds stale-HIGH (sound): results stay exact,
+    // and OPTIMIZE re-tightens the sidecar to the live maxima
+    TableFormat.deleteKeysMor(spark, corpus, Seq(1L, 2L).toDF("doc_id"),
+      "doc_id")
+    IndexSync.refreshPostings(spark, corpus, idx)
+    val (res2, _, _) =
+      IndexSync.bm25TopKDetail(spark, idx, Seq("rare", "common"), 2)
+    val got2 = res2.collect().map(_.getLong(0)).toSeq
+    assert(got2.contains(3L) && !got2.exists(Seq(1L, 2L).contains),
+      s"post-delete search returned dead or wrong docs: $got2")
+    IndexSync.optimizePostings(spark, idx)
+    val tightened = TableFormat
+      .readSnapshot(spark, idx + "/impacts")
+      .filter(col("tok") === "rare").collect()
+    assert(tightened.forall(_.getLong(1) === 3L),
+      "OPTIMIZE did not keep the exact live maximum for the rare term")
+  }
+
   test("maintained IVF cells == batch assignment over the effective corpus") {
     import spark.implicits._
     val base = freshBase()
