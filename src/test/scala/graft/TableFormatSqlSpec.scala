@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The SQL/DataFrame read doorway over the table format
+  * ([[graft.io.ManifestFileIndex]]): Catalyst-driven manifest pruning —
+  * a plain `.filter` or SQL WHERE must skip data dirs through the
+  * manifest zone maps with no hand-passed predicate list (pre-r16 only
+  * `readSnapshotPruned` pruned, and a `.filter` after `readSnapshot`
+  * scanned every live dir). The DuckDB oracle owns `q_table_sql` /
+  * `q_table_sql_dv` VALUES; this suite owns the I/O proof (the scan's
+  * numFiles metric against `prunedDirs`) and the provider contracts.
+  */
+class TableFormatSqlSpec extends TestSpark {
+
+  import graft.io.TableFormat
+
+  private val Provider = classOf[graft.io.TableFormatSourceProvider].getName
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_tf_sql").toString
+
+  /** Execute `df` ONCE and return (rows, files read by its
+    * ManifestFileIndex-backed parquet scans). One action only: Spark
+    * resets plan metrics per action but caches the scan's selected
+    * partitions, so a second action on the same Dataset reads zeros —
+    * rows and the I/O account must come from the same execution.
+    */
+  private def runAndFiles(df: DataFrame): (Array[Row], Long) = {
+    val rows = df.collect()
+    val files = df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f }
+      .filter(_.relation.location.isInstanceOf[graft.io.ManifestFileIndex])
+      .map(_.metrics("numFiles").value).sum
+    (rows, files)
+  }
+
+  /** On-disk parquet data-file count under the given data dirs. */
+  private def filesUnder(dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val s = Files.list(Paths.get(d))
+      try s.iterator().asScala.count { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".parquet") && !n.startsWith(".") && !n.startsWith("_")
+      }
+      finally s.close()
+    }.sum.toLong
+
+  private def withStaticPlans[T](body: => T): T = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  /** Three key-range dirs with zone-map stats on k. */
+  private def landRanges(): String = {
+    import spark.implicits._
+    val root = freshRoot()
+    for (lo <- Seq(0L, 100L, 200L))
+      TableFormat.append(
+        (lo until lo + 100L).map(k => (k, s"s$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+    root
+  }
+
+  test("a .filter after a format load prunes files through the manifest") {
+    withStaticPlans {
+      val root = landRanges()
+      def load() = spark.read.format(Provider).load(root)
+      val v = TableFormat.latestVersion(root)
+      val (allRows, allFiles) = runAndFiles(load())
+      assert(allRows.length === 300)
+      assert(allFiles === filesUnder(TableFormat.snapshotDirs(root, v)),
+        "unfiltered scan should read every live dir")
+      val (rows, files) = runAndFiles(load().filter(col("k") <= 50))
+      assert(rows.length === 51)
+      val kept = TableFormat.prunedDirs(root, v,
+        Seq(("k", Long.box(Long.MinValue), Long.box(50L))))
+      assert(kept.size === 1, s"fixture should keep 1 of 3 dirs: $kept")
+      // the I/O proof: the filtered scan reads exactly the kept dirs'
+      // files — Catalyst handed the predicate to the manifest index
+      assert(files === filesUnder(kept),
+        s"filtered scan read $files files, kept dirs hold " +
+          s"${filesUnder(kept)} — manifest pruning did not engage")
+      assert(files < allFiles)
+    }
+  }
+
+  test("plain SQL over a registered view prunes and pushes row-group filters") {
+    withStaticPlans {
+      val root = landRanges()
+      // the no-Scala doorway: CREATE TEMPORARY VIEW ... USING <provider>
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_spec
+        USING `$Provider` OPTIONS (path '$root')""")
+      val q = spark.sql(
+        "SELECT count(*) FROM graft_sql_spec WHERE k BETWEEN 210 AND 250")
+      val (rows, files) = runAndFiles(q)
+      assert(rows(0).getLong(0) === 41)
+      val kept = TableFormat.prunedDirs(root,
+        TableFormat.latestVersion(root),
+        Seq(("k", Long.box(210L), Long.box(250L))))
+      assert(kept.size === 1)
+      assert(files === filesUnder(kept),
+        "SQL WHERE did not reach the manifest index")
+      // below the manifest level the ordinary parquet pushdown remains
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("GreaterThanOrEqual(k,210)"),
+        s"row-group filter not pushed to the parquet reader:\n$plan")
+    }
+  }
+
+  test("readSnapshotSql masks deletion vectors and still prunes") {
+    withStaticPlans {
+      import spark.implicits._
+      val root = freshRoot()
+      TableFormat.append((0L until 100L).map(k => (k, s"a$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.append((100L until 200L).map(k => (k, s"b$k")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.deleteKeysMor(spark, root,
+        Seq(3L, 7L, 11L).toDF("k"), "k")
+      TableFormat.registerSql(spark, root, "graft_sql_dv_spec")
+      // the view sees the MASKED table
+      assert(spark.sql("SELECT count(*) AS n FROM graft_sql_dv_spec")
+        .collect()(0).getLong(0) === 197)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_dv_spec WHERE k IN (3, 7, 11)")
+        .collect()(0).getLong(0) === 0,
+        "a dv-deleted row leaked through the SQL view")
+      // a WHERE on the untouched upper range prunes the dv-bearing
+      // lower dir even through the masked composition (the tiny dv
+      // sidecar scan is not a ManifestFileIndex relation and is not
+      // counted)
+      val (rows, files) = runAndFiles(spark.sql(
+        "SELECT count(*) FROM graft_sql_dv_spec WHERE k >= 150"))
+      assert(rows(0).getLong(0) === 50)
+      val kept = TableFormat.prunedDirs(root,
+        TableFormat.latestVersion(root),
+        Seq(("k", Long.box(150L), Long.box(Long.MaxValue))))
+      assert(kept.size === 1)
+      assert(files === filesUnder(kept),
+        "masked SQL read did not prune the dv-bearing dir")
+    }
+  }
+
+  test("the one-relation provider refuses a dv-bearing snapshot loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 50L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format(Provider).load(root).collect()
+    }
+    assert(e.getMessage.contains("deletion vectors") &&
+      e.getMessage.contains("readSnapshotSql"),
+      s"dv refusal must name the escape hatches: ${e.getMessage}")
+  }
+
+  test("versionAsOf time-travels the format load") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 10L).toDF("k"), root, statsCol = Some("k"))
+    TableFormat.append((10L until 30L).toDF("k"), root, statsCol = Some("k"))
+    assert(spark.read.format(Provider).option("versionAsOf", "0")
+      .load(root).count() === 10)
+    assert(spark.read.format(Provider).load(root).count() === 30)
+  }
+
+  test("string zone maps prune through the SQL doorway too") {
+    withStaticPlans {
+      import spark.implicits._
+      val root = freshRoot()
+      TableFormat.append(Seq(("apple", 1L), ("banana", 2L)).toDF("s", "k"),
+        root, statsCol = Some("s"))
+      TableFormat.append(Seq(("melon", 3L), ("peach", 4L)).toDF("s", "k"),
+        root, statsCol = Some("s"))
+      TableFormat.registerSql(spark, root, "graft_sql_str")
+      val (rows, files) = runAndFiles(spark.sql(
+        "SELECT k FROM graft_sql_str WHERE s = 'banana'"))
+      assert(rows.map(_.getLong(0)).toSeq === Seq(2L))
+      val kept = TableFormat.prunedDirs(root,
+        TableFormat.latestVersion(root),
+        Seq(("s", "banana", "banana")))
+      assert(kept.size === 1)
+      assert(files === filesUnder(kept),
+        "string equality did not prune through the manifest index")
+    }
+  }
+}
