@@ -33,22 +33,18 @@ private[graft] final class ManifestFileIndex(
     spark: SparkSession, root: String,
     entries: Seq[TableFormat.Entry]) extends FileIndex {
 
-  /** One listing per immutable dir, at index construction. */
-  private val filesByEntry: Seq[(TableFormat.Entry, Seq[FileStatus])] = {
-    val conf = spark.sessionState.newHadoopConf()
-    entries.map { e =>
-      val p = new HPath(e.dir)
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (!fs.exists(p)) Seq.empty[FileStatus]
-        else fs.listStatus(p).toSeq.filter { f =>
-          val n = f.getPath.getName
-          f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
-            !n.startsWith(".") && !n.startsWith("_")
-        }
-      (e, files)
-    }
-  }
+  /** LAZY per-dir listing memo: a pruned query lists ONLY its surviving
+    * dirs (entries are immutable, so a listing never staleles) — at
+    * 10⁵-10⁶ dirs an eager all-dirs listing would put the full-table
+    * metadata cost on every plan, exactly what the manifest exists to
+    * avoid.
+    */
+  private val listed =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[FileStatus]]
+
+  private def filesOf(e: TableFormat.Entry): Seq[FileStatus] =
+    listed.getOrElseUpdate(e.dir,
+      TableFormat.listDataFiles(spark.sessionState.newHadoopConf(), e.dir))
 
   override def rootPaths: Seq[HPath] = Seq(new HPath(root))
 
@@ -57,21 +53,28 @@ private[graft] final class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val preds = dataFilters.flatMap(ManifestFileIndex.translate)
-    val kept = filesByEntry.filter { case (e, _) =>
+    val kept = entries.filter { e =>
       preds.forall { case (c, lo, hi) =>
         e.bounds.get(c).forall(b => ManifestFileIndex.survives(b, lo, hi))
       }
     }
-    Seq(PartitionDirectory(InternalRow.empty, kept.flatMap(_._2).toArray))
+    Seq(PartitionDirectory(InternalRow.empty,
+      kept.flatMap(filesOf).toArray))
   }
 
   override def inputFiles: Array[String] =
-    filesByEntry.flatMap(_._2.map(_.getPath.toString)).toArray
+    entries.flatMap(e => filesOf(e).map(_.getPath.toString)).toArray
 
   override def refresh(): Unit = () // snapshots are immutable
 
-  override def sizeInBytes: Long =
-    filesByEntry.flatMap(_._2).map(_.getLen).sum
+  /** Planner statistics from the MANIFEST's size account when every
+    * entry carries one (commits record it since r16) — zero listing;
+    * legacy entries fall back to listing only themselves.
+    */
+  override lazy val sizeInBytes: Long =
+    entries.map { e =>
+      if (e.bytes >= 0) e.bytes else filesOf(e).map(_.getLen).sum
+    }.sum
 }
 
 private[graft] object ManifestFileIndex {

@@ -88,14 +88,22 @@ object TableFormat {
 
   /** One manifest entry: a data dir, an optional deletion-vector sidecar
     * (parquet of (key, __graft_dv_dir) rows naming THIS dir's deleted
-    * keys), and per-column typed zone-map bounds. Pruning consumers
-    * ([[merge]]/[[deleteKeys]]/range reads) look bounds up BY COLUMN —
-    * bounds recorded for some other column never misclassify a dir as
-    * untouched (which would carry a stale row AND union its replacement).
+    * keys), per-column typed zone-map bounds, and the dir's SIZE
+    * ACCOUNT (`bytes`/`nFiles`, recorded from the commit's own listing;
+    * -1 on legacy entries). The account is what lets the SQL read
+    * path's planner statistics ([[ManifestFileIndex.sizeInBytes]]) come
+    * from the manifest alone — a 100 TB table must never pay a
+    * full-table file listing to answer "how big is this relation".
+    * Pruning consumers ([[merge]]/[[deleteKeys]]/range reads) look
+    * bounds up BY COLUMN — bounds recorded for some other column never
+    * misclassify a dir as untouched (which would carry a stale row AND
+    * union its replacement).
     */
   private[graft] case class Entry(dir: String,
                                   dv: Option[String] = None,
-                                  bounds: Map[String, ColBounds] = Map.empty)
+                                  bounds: Map[String, ColBounds] = Map.empty,
+                                  bytes: Long = -1L,
+                                  nFiles: Int = -1)
 
   /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
@@ -127,7 +135,8 @@ object TableFormat {
     * encoding. Three line shapes:
     * {{{
     *   #schema\t<enc ddl>                      — committed schema
-    *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
+    *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
+    *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*  — pre-r16 (no size account)
     *   <dir>\t<lo|''>\t<hi|''>[\t<statsCol|''>] — legacy pre-r15 entry
     * }}}
     * Legacy single-column long stats parse into the typed-bounds model
@@ -150,7 +159,16 @@ object TableFormat {
         else if (line.startsWith("#txn\t"))
           txns += dec(parts(1)) -> parts(2).toLong
         else if (line.startsWith("#")) () // forward-compat: skip
-        else if (line.startsWith("E\t")) {
+        else if (line.startsWith("F\t")) {
+          require(parts.length >= 5 && (parts.length - 5) % 4 == 0,
+            s"torn manifest line in v$v: '$line'")
+          val bounds = parts.drop(5).grouped(4).map { g =>
+            dec(g(0)) -> ColBounds(g(1), dec(g(2)), dec(g(3)))
+          }.toMap
+          entries += Entry(dec(parts(1)),
+            Some(parts(2)).filter(_.nonEmpty).map(dec), bounds,
+            parts(3).toLong, parts(4).toInt)
+        } else if (line.startsWith("E\t")) {
           require(parts.length >= 3 && (parts.length - 3) % 4 == 0,
             s"torn manifest line in v$v: '$line'")
           val bounds = parts.drop(3).grouped(4).map { g =>
@@ -188,7 +206,8 @@ object TableFormat {
       val b = e.bounds.toSeq.sortBy(_._1).map { case (c, cb) =>
         s"\t${enc(c)}\t${cb.typ}\t${enc(cb.lo)}\t${enc(cb.hi)}"
       }.mkString
-      s"E\t${enc(e.dir)}\t${e.dv.map(enc).getOrElse("")}$b"
+      s"F\t${enc(e.dir)}\t${e.dv.map(enc).getOrElse("")}" +
+        s"\t${e.bytes}\t${e.nFiles}$b"
     }.mkString("", "\n", "\n")
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, (header + body).getBytes(StandardCharsets.UTF_8))
@@ -307,7 +326,44 @@ object TableFormat {
     x.length - y.length
   }
 
-  /** min/max of `cols` over a landed data dir, read from the parquet
+  /** The parquet data files of one landed dir — the ONE listing-filter
+    * rule every metadata consumer shares (footer stats, bloom probes,
+    * row counts, size accounts, the SQL scan's file index).
+    */
+  private[graft] def listDataFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    fs.listStatus(p).toSeq.filter { f =>
+      val n = f.getPath.getName
+      f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
+        !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
+
+  /** New-dir manifest entry: ONE listing pass supplies the zone-map
+    * bounds source files AND the size account ([[Entry.bytes]]/
+    * [[Entry.nFiles]] — what lets SQL planner stats come from the
+    * manifest instead of a 100 TB listing).
+    */
+  private def mkEntry(spark: SparkSession, dir: String,
+                      cols: Seq[String]): Entry = {
+    val conf = spark.sessionState.newHadoopConf()
+    val files = listDataFiles(conf, dir)
+    Entry(dir, None, footerBoundsFiles(conf, files, cols),
+      files.map(_.getLen).sum, files.size)
+  }
+
+  private def footerBounds(spark: SparkSession, dataDir: String,
+                           cols: Seq[String]): Map[String, ColBounds] = {
+    val conf = spark.sessionState.newHadoopConf()
+    footerBoundsFiles(conf, listDataFiles(conf, dataDir), cols)
+  }
+
+  /** min/max of `cols` over a landed dir's files, read from the parquet
     * FOOTER statistics the write already produced — zero Spark jobs
     * (pre-r15 this was a distributed aggregate re-reading everything just
     * written; at a 10k-dir streaming backlog that was a second full read
@@ -322,24 +378,16 @@ object TableFormat {
     * predates the column (widening evolution), contribute nothing and
     * are fine: null rows never satisfy a range predicate.
     */
-  private def footerBounds(spark: SparkSession, dataDir: String,
-                           cols: Seq[String]): Map[String, ColBounds] = {
+  private def footerBoundsFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      cols: Seq[String]): Map[String, ColBounds] = {
     if (cols.isEmpty) return Map.empty
-    import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new HPath(dataDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return Map.empty
-    val files = fs.listStatus(p).toSeq.filter { f =>
-      val n = f.getPath.getName
-      f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
-        !n.startsWith(".") && !n.startsWith("_")
-    }
     // (kind, lo, hi) per column; `dead` = bounds no longer trustworthy
     val acc = scala.collection.mutable.Map.empty[String, (String, Any, Any)]
     var dead = Set.empty[String]
@@ -454,8 +502,7 @@ object TableFormat {
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val entry = Entry(dataDir, None,
-      footerBounds(df.sparkSession, dataDir, cols))
+    val entry = mkEntry(df.sparkSession, dataDir, cols)
     // Bounded CAS retry: an append's entry is version-independent (new
     // data dir + whatever the latest manifest lists), so a loser can
     // always re-read latest and re-attempt at latest+1 — the data dir is
@@ -851,14 +898,7 @@ object TableFormat {
     import org.apache.parquet.io.api.Binary
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     try {
-      val p = new HPath(dir)
-      val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) return false
-      val files = fs.listStatus(p).toSeq.filter { f =>
-        val n = f.getPath.getName
-        f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
-          !n.startsWith(".") && !n.startsWith("_")
-      }
+      val files = listDataFiles(conf, dir)
       if (files.isEmpty) return false
       files.forall { f =>
         val reader = ParquetFileReader.open(
@@ -995,8 +1035,7 @@ object TableFormat {
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
-      produced = Seq(Entry(dataDir, None,
-        footerBounds(spark, dataDir, cols))),
+      produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(head.schema), conflictKeys = None)
   }
 
@@ -1043,8 +1082,7 @@ object TableFormat {
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(Entry(dataDir, None,
-        footerBounds(spark, dataDir, cols))),
+      produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(merged.schema),
       conflictKeys = Some((updates.select(keyCol), keyCol)))
   }
@@ -1077,8 +1115,7 @@ object TableFormat {
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(Entry(dataDir, None,
-        footerBounds(spark, dataDir, cols))),
+      produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(remaining.schema),
       conflictKeys = Some((keys.select(keyCol), keyCol)))
   }
@@ -1158,7 +1195,7 @@ object TableFormat {
             "left_anti")
         remaining.write.parquet(dataDir)
         val cols = fold.flatMap(_.bounds.keys).distinct
-        Seq(Entry(dataDir, None, footerBounds(spark, dataDir, cols)))
+        Seq(mkEntry(spark, dataDir, cols))
       }
     masked ++ folded
   }
@@ -1189,18 +1226,10 @@ object TableFormat {
     * job (the [[footerBounds]] discipline).
     */
   private def footerRowCount(spark: SparkSession, dataDir: String): Long = {
-    import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val p = new HPath(dataDir)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) return 0L
-    fs.listStatus(p).toSeq.filter { f =>
-      val n = f.getPath.getName
-      f.isFile && f.getLen > 0 && n.endsWith(".parquet") &&
-        !n.startsWith(".") && !n.startsWith("_")
-    }.map { f =>
+    listDataFiles(conf, dataDir).map { f =>
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(f.getPath, conf))
       try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
@@ -1268,7 +1297,7 @@ object TableFormat {
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val dataEntry = Entry(dataDir, None, footerBounds(spark, dataDir, cols))
+    val dataEntry = mkEntry(spark, dataDir, cols)
     val masked =
       if (touched.isEmpty) Seq.empty // pure insert: no dirs to mask
       else morMaskOrFold(spark, root, touched, updates.select(keyCol),
@@ -1333,7 +1362,7 @@ object TableFormat {
       else {
         val dataDir = newDataDir(root)
         appends.write.parquet(dataDir)
-        Seq(Entry(dataDir, None, footerBounds(spark, dataDir, cols)))
+        Seq(mkEntry(spark, dataDir, cols))
       }
     val conflict =
       if (hasAppends && appends.columns.contains(keyCol))
@@ -1505,7 +1534,7 @@ object TableFormat {
       val plain = base.resolve("b" + b.stripPrefix("__bucket="))
       Files.move(base.resolve(b), plain)
       val d = plain.toAbsolutePath.normalize.toString
-      Entry(d, None, footerBounds(spark, d, statsCols))
+      mkEntry(spark, d, statsCols)
     }
   }
 
@@ -1619,8 +1648,7 @@ object TableFormat {
     val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val entry = Entry(dataDir, None,
-      footerBounds(df.sparkSession, dataDir, cols))
+    val entry = mkEntry(df.sparkSession, dataDir, cols)
     var attempt = 0
     while (true) {
       val prev = latestVersion(root)

@@ -173,6 +173,28 @@ class TableFormatSqlSpec extends TestSpark {
     assert(spark.read.format(Provider).load(root).count() === 30)
   }
 
+  test("planner stats come from the manifest's size account, not a listing") {
+    import spark.implicits._
+    val root = landRanges()
+    val v = TableFormat.latestVersion(root)
+    val m = TableFormat.readManifestFull(root, v)
+    // every commit records its dir's bytes/files at write time
+    assert(m.entries.forall(e => e.bytes > 0 && e.nFiles > 0),
+      s"size account missing from committed entries: ${m.entries}")
+    val onDisk = m.entries.map(e => filesUnder(Seq(e.dir))).sum
+    assert(m.entries.map(_.nFiles.toLong).sum === onDisk,
+      "recorded file counts drifted from the dirs' contents")
+    // the relation's planner statistic is exactly the manifest sum —
+    // at 100 TB this is the difference between answering sizeInBytes
+    // from KBs of metadata and paying a full-table listing per plan
+    val rels = spark.read.format(Provider).load(root)
+      .queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.sizeInBytes
+      }
+    assert(rels === Seq(m.entries.map(_.bytes).sum))
+  }
+
   test("string zone maps prune through the SQL doorway too") {
     withStaticPlans {
       import spark.implicits._
