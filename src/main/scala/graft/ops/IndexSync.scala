@@ -1,7 +1,6 @@
 package graft.ops
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.Files
 
 import scala.collection.concurrent.TrieMap
 
@@ -357,7 +356,8 @@ object IndexSync {
     * creates the table).
     */
   private def applyFeed(s: SparkSession, idxRoot: String,
-                        feed: DataFrame): Unit = {
+                        feed: DataFrame,
+                        txn: Option[(String, Long)]): Unit = {
     val gone = feed
       .filter(col("change_type").isin("delete", "update_preimage"))
       .select("doc_id")
@@ -366,7 +366,7 @@ object IndexSync {
         .select("doc_id", "text"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try for (t <- IndexTables)
-      landDelta(s, idxRoot, t, gone, posts, txn = None)
+      landDelta(s, idxRoot, t, gone, posts, txn = txn)
     finally { posts.unpersist(); () }
   }
 
@@ -377,11 +377,13 @@ object IndexSync {
     * source exists for: corpus commits land on one side, the index
     * follows on the other, no queue and no rebuild in between.
     * foreachBatch delivers at-least-once, so a replayed batch is
-    * IDEMPOTENT via the applied-batch high-water marker (re-applying a
-    * feed would double its appends — the same guard
-    * [[TableFormat.appendBatch]] builds from its version CAS). The
-    * initial batch is the snapshot-as-inserts, so following a fresh
-    * index from an existing corpus is just `start from scratch`.
+    * IDEMPOTENT via a per-table TRANSACTION MARKER (appId "follow",
+    * value = batch id — the [[TableFormat.applyDelta]] slot, r16: the
+    * former applied-batch FILE was moved after the table commits, so a
+    * crash in between re-applied the feed; with the marker inside each
+    * table's commit the replay skips per table). The initial batch is
+    * the snapshot-as-inserts, so following a fresh index from an
+    * existing corpus is just `start from scratch`.
     */
   def followPostings(s: SparkSession, corpusRoot: String, idxRoot: String,
                      checkpoint: String)
@@ -394,19 +396,7 @@ object IndexSync {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (feed: DataFrame, batchId: Long) =>
-        val marker = Paths.get(idxRoot, "applied_batch")
-        val last =
-          if (!Files.exists(marker)) -1L
-          else new String(Files.readAllBytes(marker),
-            StandardCharsets.UTF_8).trim.toLong
-        if (batchId > last) {
-          applyFeed(s, idxRoot, feed)
-          Files.createDirectories(Paths.get(idxRoot))
-          val tmp = Files.createTempFile(Paths.get(idxRoot), "ab", ".tmp")
-          Files.write(tmp, batchId.toString.getBytes(StandardCharsets.UTF_8))
-          Files.move(tmp, marker, StandardCopyOption.REPLACE_EXISTING)
-        }
-        ()
+        applyFeed(s, idxRoot, feed, txn = Some("follow" -> batchId))
       }
       .start()
 

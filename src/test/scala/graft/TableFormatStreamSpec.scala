@@ -132,6 +132,33 @@ class TableFormatStreamSpec extends TestSpark {
     } finally q2.stop()
   }
 
+  test("maxBytesPerTrigger prices admission from the manifest size accounts") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 5 committed versions, each a few KB — a 1-byte budget admits
+    // exactly one version per trigger (the progress guarantee), so the
+    // backlog drains version-by-version with no file listing involved
+    for (i <- 0L to 4L)
+      TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val base = Files.createTempDirectory("graft_tf_bytes")
+    val q = spark.readStream.format(Provider)
+      .option("maxBytesPerTrigger", "1").load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.synchronized {
+          batches += ((id, df.collect().map(_.getLong(0)).toSet)) }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(batches.map(_._1).toSeq === (0L to 4L),
+        s"a 1-byte budget must admit one version per trigger: $batches")
+      assert(batches.map(_._2).toSeq === (0L to 4L).map(Set(_)),
+        s"byte-capped drain delivered wrong rows: $batches")
+    } finally q.stop()
+  }
+
   test("the rewrite guard still refuses inside a capped window") {
     import spark.implicits._
     val root = freshRoot()
