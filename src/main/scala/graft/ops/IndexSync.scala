@@ -128,11 +128,15 @@ object IndexSync {
           statsCol = Some("doc_id"), txn = txn)
       case "impacts" =>
         // append-only sound upper bounds: the delta's per-token max tf
-        // lands; a doc deletion never deletes here (a stale maximum is
-        // still an upper bound — optimizePostings re-tightens)
+        // and delta doc count land; a doc deletion never deletes here
+        // (a stale maximum / over-count is still an upper bound —
+        // optimizePostings re-tightens). `df_ub` exists for the
+        // max-score COST DISPATCH only (sum over deltas ≥ true df);
+        // the scoring path always derives exact df itself.
         val delta = posts.groupBy("doc_id", "tok")
           .agg(count(lit(1)).as("tf"))
-          .groupBy("tok").agg(max(col("tf")).as("max_tf"))
+          .groupBy("tok").agg(max(col("tf")).as("max_tf"),
+            count(lit(1)).as("df_ub"))
         TableFormat.applyDelta(s, impactsRoot(idxRoot), delta.limit(0),
           "tok", delta, statsCol = Some("tok"), txn = txn)
       case other => throw new IllegalArgumentException(
@@ -225,14 +229,16 @@ object IndexSync {
     TableFormat.compactRanged(s, postingsRoot(idxRoot), "bucket", nBuckets,
       extraStatsCols = Seq("doc_id"))
     TableFormat.compact(s, dlRoot(idxRoot), statsCol = Some("doc_id"))
-    // re-tighten the max-score bounds to EXACT maxima over the effective
-    // postings (between OPTIMIZEs, deletes leave stale-high — sound but
-    // loose — bounds); a merge (not a rebuild) so the verb stays an
-    // ordinary table commit, then fold the sidecar's own history
+    // re-tighten the max-score bounds to EXACT maxima/doc-counts over
+    // the effective postings (between OPTIMIZEs, deletes leave
+    // stale-high — sound but loose — bounds); a merge (not a rebuild)
+    // so the verb stays an ordinary table commit, then fold the
+    // sidecar's own history
     if (TableFormat.latestVersion(impactsRoot(idxRoot)) >= 0) {
       val exact = TableFormat.readSnapshot(s, postingsRoot(idxRoot))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .groupBy("tok").agg(max(col("tf")).as("max_tf"))
+        .groupBy("tok").agg(max(col("tf")).as("max_tf"),
+          count(lit(1)).as("df_ub"))
       TableFormat.merge(s, impactsRoot(idxRoot), exact, "tok",
         statsCol = Some("tok"))
       TableFormat.compact(s, impactsRoot(idxRoot), statsCol = Some("tok"))
@@ -273,12 +279,25 @@ object IndexSync {
     */
   private val Bm25ScoreMargin = 1e-4
 
+  /** Below this many (upper-bounded) posting rows across the query
+    * terms, max-score cannot pay for its driver orchestration (the
+    * bound read, df pass, and candidate-restricted scoring round) and
+    * the search dispatches to the ONE-JOB full-scoring plan instead —
+    * the cost-based dispatch any engine puts in front of an index
+    * optimization. The bound comes from the `impacts` sidecar's
+    * `df_ub` sums (vocab-row read, no posting touched), so the
+    * small-query path pays one tiny scan, not a list pass.
+    */
+  private[graft] val MaxScoreMinRows = 100000L
+
   /** [[bm25TopK]] plus its pruning account: (result, essential-prefix
-    * length, docs actually scored) — the spec window proving fewer docs
-    * were scored than matched the query terms.
+    * length, docs actually scored; -1 = dispatched to single-pass
+    * full scoring) — the spec window proving fewer docs were scored
+    * than matched the query terms.
     */
   private[graft] def bm25TopKDetail(s: SparkSession, idxRoot: String,
-      terms: Seq[String], k: Int): (DataFrame, Int, Long) = {
+      terms: Seq[String], k: Int,
+      maxScoreMinRows: Long = MaxScoreMinRows): (DataFrame, Int, Long) = {
     import s.implicits._
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
     val buckets = terms.map(TextOps.tokenBucket).distinct
@@ -293,57 +312,63 @@ object IndexSync {
       (sum(col("dl")).cast(DoubleType) / count(lit(1))).as("avgdl"))
     def ranked(scored: DataFrame): DataFrame =
       scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+    def fullTf: DataFrame =
+      tp.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    def fullScoring: DataFrame =
+      ranked(TextOps.bm25Scores(fullTf, dl, corpus))
+    // legacy index without the sidecar: full scoring, account as such
+    if (TableFormat.latestVersion(impactsRoot(idxRoot)) < 0)
+      return (fullScoring, terms.length, -1L)
+    // bounds + dispatch stats from the sidecar: one vocab-sized read
+    val imp: Map[String, (Long, Long)] = TableFormat
+      .readSnapshot(s, impactsRoot(idxRoot))
+      .filter(col("tok").isin(terms.map(x => x: Any): _*))
+      .groupBy("tok").agg(max(col("max_tf")).as("m"),
+        sum(col("df_ub")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    if (imp.values.map(_._2).sum < maxScoreMinRows)
+      return (fullScoring, terms.length, -1L)
     // exact document frequencies: one count-only pass over the term
     // lists (doc_id column, no dl join, no scoring) — df must cover the
-    // FULL lists whatever subset gets scored
+    // FULL lists whatever subset gets scored (the sidecar's df_ub is an
+    // over-count, fine for dispatch, unsound for idf)
     val dfMap: Map[String, Long] = tp
       .groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val dfFrame = terms.distinct
       .map(t => (t, dfMap.getOrElse(t, 0L))).toDF("w", "df")
-    def fullTf: DataFrame =
-      tp.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    // legacy index without the sidecar: full scoring, account as such
-    if (TableFormat.latestVersion(impactsRoot(idxRoot)) < 0) {
-      val res = ranked(TextOps.bm25ScoresWithDf(fullTf, dfFrame, dl, corpus))
-      val matched = tp.select("doc_id").distinct().count()
-      return (res, terms.length, matched)
-    }
     val nDocs = corpus.collect()(0).getLong(0)
     def idf(d: Long): Double =
       math.log((nDocs - d + 0.5) / (d + 0.5) + 1.0)
-    val maxTf: Map[String, Long] = TableFormat
-      .readSnapshot(s, impactsRoot(idxRoot))
-      .filter(col("tok").isin(terms.map(x => x: Any): _*))
-      .groupBy("tok").agg(max(col("max_tf")).as("m"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // dl-independent upper bound per term: the tf factor is increasing
     // in tf and maximal as dl → 0, so idf·maxtf(k1+1)/(maxtf+k1(1−b))
     // dominates every real contribution of the term
     val ub: Seq[(String, Double)] = terms.distinct.map { t =>
-      val mt = maxTf.getOrElse(t, 0L).toDouble
+      val mt = imp.get(t).map(_._1.toDouble).getOrElse(0d)
       val bound =
         if (dfMap.getOrElse(t, 0L) == 0L || mt == 0d) 0d
         else idf(dfMap(t)) * (mt * (TextOps.Bm25K1 + 1.0)) /
           (mt + TextOps.Bm25K1 * (1.0 - TextOps.Bm25B))
       t -> bound
     }.sortBy { case (t, b) => (-b, t) }
-    var p = 1
-    while (true) {
-      val essential = ub.take(p).map(_._1)
-      val cand = tp.filter(col("w").isin(essential.map(x => x: Any): _*))
-        .select("doc_id").distinct()
-      val tf = tp.join(cand, "doc_id")
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      val res = ranked(TextOps.bm25ScoresWithDf(tf, dfFrame, dl, corpus))
-      val tailUb = ub.drop(p).map(_._2).sum
-      val top = res.collect() // ≤ k rows to the driver
-      if (p == ub.length || (top.length >= k &&
-          tailUb + Bm25ScoreMargin < top.last.getAs[Double]("bm25")))
-        return (res, p, cand.count())
-      p += 1
-    }
-    throw new IllegalStateException("unreachable") // loop exits by return
+    // ONE cheap round (essential term = the highest bound), then a
+    // straight jump to full scoring if the tail bound doesn't clear —
+    // incremental prefix growth would re-score per step and the bad
+    // case (uniform bounds) would cost |terms| full rounds for nothing
+    val essential = Seq(ub.head._1)
+    val cand = tp.filter(col("w").isin(essential.map(x => x: Any): _*))
+      .select("doc_id").distinct()
+    val tf = tp.join(cand, "doc_id")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val res = ranked(TextOps.bm25ScoresWithDf(tf, dfFrame, dl, corpus))
+    val tailUb = ub.drop(1).map(_._2).sum
+    val top = res.collect() // ≤ k rows to the driver
+    if (ub.length == 1 || (top.length >= k &&
+        tailUb + Bm25ScoreMargin < top.last.getAs[Double]("bm25")))
+      (res, 1, cand.count())
+    else (ranked(TextOps.bm25ScoresWithDf(fullTf, dfFrame, dl, corpus)),
+      ub.length, -1L)
   }
 
   // ------------------------------------------- continuous maintenance

@@ -561,8 +561,8 @@ object Similarity {
       col("cnrm2")
     val wq = Window.partitionBy("vec_id")
       .orderBy(col("dist2").asc, col("cid").asc)
-    def search(np: Int): DataFrame = {
-      val q = idx.filter(col("vec_id") < 50)
+    def probed(np: Int): DataFrame =
+      idx.filter(col("vec_id") < 50)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
         .crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("nrm"),
@@ -571,10 +571,11 @@ object Similarity {
         .filter(col("pr") <= np)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
           col("nrm").as("q_nrm"), col("cid").as("cell"))
+    def search(np: Int): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("vec_id"))
       idx.filter(pred) // the pushed attribute predicate
-        .join(q, "cell")
+        .join(probed(np), "cell")
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
           Num.r4(cosine(col("embedding"), col("q_emb"),
@@ -583,22 +584,56 @@ object Similarity {
         .filter(col("rn") <= k)
         .orderBy("q_id", "rn")
     }
-    // one scalar per escalation check: how many queries exist (computed
-    // once), and how many came back with a full k
-    lazy val nQueries = idx.filter(col("vec_id") < 50)
-      .select("vec_id").distinct().count()
-    var np = math.min(nprobe, IvfNumCells)
-    var res = search(np)
-    while (np < IvfNumCells && {
-      val filled = res.groupBy("q_id").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= k).count()
-      filled < nQueries
-    }) {
-      np = math.min(np * 2, IvfNumCells)
-      res = search(np)
+    // Under-fill check on the CANDIDATE frame (probe ⋈ probed cells,
+    // DPP-pruned like the search itself — at 100 TB the check touches
+    // only the probed lists): counts per query, no scoring expressions,
+    // no rank window, and the returned result plan is never executed
+    // here — a result-side check would silently run the whole search
+    // twice (measured 1.9× on the bench).
+    def filled(np: Int): Boolean = {
+      val q = probed(np)
+      val perQuery = idx.filter(pred)
+        .join(q.select(col("q_id"), col("cell")), "cell")
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("q_with_any"), min(col("n")).as("worst"))
+        .collect()(0)
+      // every query must appear (a query with ZERO candidates is absent
+      // from the grouped frame) and the worst-filled must reach k
+      !perQuery.isNullAt(1) && perQuery.getLong(0) == nQueriesOf(s, dir) &&
+        perQuery.getLong(1) >= k
     }
-    (res, np)
+    // the settled probe width is a property of the immutable at-rest
+    // index + the predicate — memoized like the index artifacts
+    // themselves, so steady-state searches skip the check entirely
+    // (re-probing an unchanged index per query would be statistics
+    // re-collection, not adaptivity)
+    val np = npCache.getOrElseUpdate((s, dir, nprobe, k, pred.toString), {
+      var w = math.min(nprobe, IvfNumCells)
+      while (w < IvfNumCells && !filled(w))
+        w = math.min(w * 2, IvfNumCells)
+      w
+    })
+    (search(np), np)
   }
+
+  /** Settled adaptive probe widths per (session, corpus, start width,
+    * k, predicate) — the fixture/index is immutable within a session,
+    * so the escalation decision is too.
+    */
+  private val npCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Int, String), Int]
+
+  /** Query-set size per (session, corpus) — one count, shared by every
+    * adaptive search's under-fill check.
+    */
+  private val nQueriesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+
+  private def nQueriesOf(s: SparkSession, dir: String): Long =
+    nQueriesCache.getOrElseUpdate((s, dir),
+      s.read.parquet(ivfIndexRoot(s, dir) + "/cells")
+        .filter(col("vec_id") < 50).select("vec_id").distinct().count())
 
   private def qSimFiltered(s: SparkSession, dir: String): DataFrame =
     ivfFilteredSearch(s, dir, nprobe = 2)

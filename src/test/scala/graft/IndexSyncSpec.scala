@@ -210,8 +210,8 @@ class IndexSyncSpec extends TestSpark {
             else s"common filler$i text$i")): _*)
     TableFormat.append(docs, corpus, statsCol = Some("doc_id"))
     IndexSync.buildPostings(spark, corpus, idx)
-    val (res, prefix, scoredDocs) =
-      IndexSync.bm25TopKDetail(spark, idx, Seq("rare", "common"), 2)
+    val (res, prefix, scoredDocs) = IndexSync.bm25TopKDetail(spark, idx,
+      Seq("rare", "common"), 2, maxScoreMinRows = 0)
     val got = res.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     // pruning account: only the rare list was essential; the common
     // term contributed tf rows for the 3 candidates, never 200 scores
@@ -237,8 +237,8 @@ class IndexSyncSpec extends TestSpark {
     TableFormat.deleteKeysMor(spark, corpus, Seq(1L, 2L).toDF("doc_id"),
       "doc_id")
     IndexSync.refreshPostings(spark, corpus, idx)
-    val (res2, _, _) =
-      IndexSync.bm25TopKDetail(spark, idx, Seq("rare", "common"), 2)
+    val (res2, _, _) = IndexSync.bm25TopKDetail(spark, idx,
+      Seq("rare", "common"), 2, maxScoreMinRows = 0)
     val got2 = res2.collect().map(_.getLong(0)).toSeq
     assert(got2.contains(3L) && !got2.exists(Seq(1L, 2L).contains),
       s"post-delete search returned dead or wrong docs: $got2")
