@@ -398,8 +398,69 @@ object Analytics {
         |ORDER BY cntrycode""".stripMargin)
   }
 
+  // --------------------------------------------------------------- Q15
+
+  /** Top-supplier-by-revenue (TPC-H Q15 shape): the AGGREGATE-VIEW +
+    * uncorrelated-scalar-max row — a revenue-per-supplier view consumed
+    * twice, once joined to supplier and once reduced to its max, with
+    * the equality filter selecting the winner(s). The revenue totals
+    * are decimal-exact then portably rounded, so the max-equality
+    * cannot flip on aggregation order. Plan: the scalar subquery runs
+    * the view's aggregate once and broadcasts one value into the
+    * filter — a nested-loop re-aggregation per row is the shape that
+    * dies at 100 TB (plan-pinned absent).
+    */
+  private def qTpchQ15(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q15_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("graft_q15_supplier")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |      AS total_revenue
+        |  FROM graft_q15_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM graft_q15_supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q16
+
+  /** Parts-supplier-relationship (TPC-H Q16 shape): the NOT-IN row —
+    * distinct supplier counts per part class, excluding suppliers from
+    * a filtered subquery. NOT IN is the null-aware case of anti-join
+    * decorrelation: `x NOT IN (subq)` is three-valued (any NULL in the
+    * subquery empties the result), so Catalyst must plan a NULL-AWARE
+    * anti join (broadcast NAAJ) — semantically distinct from q21's NOT
+    * EXISTS left-anti, which is why this row exists. The plan pin
+    * asserts an anti join is present and no cartesian/plain
+    * nested-loop probe of supplier per lineitem row.
+    */
+  private def qTpchQ16(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "part").createOrReplaceTempView("graft_q16_part")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q16_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("graft_q16_supplier")
+    s.sql(
+      """SELECT p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_q16_part, graft_q16_lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_type
+        |ORDER BY supplier_cnt DESC, p_type""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q15" -> qTpchQ15,
+    "q_tpch_q16" -> qTpchQ16,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q20" -> qTpchQ20,
     "q_tpch_q22" -> qTpchQ22,
@@ -411,6 +472,31 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT)
+        |  AS supplier_cnt
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_size IN (1, 4, 7)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_type
+        |ORDER BY supplier_cnt DESC, p_type""".stripMargin,
     "q_tpch_q4" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

@@ -167,6 +167,53 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q22: priority filter not pushed to the orders scan:\n$s")
   }
 
+  test("q_tpch_q15: scalar max runs the revenue aggregate once, no re-aggregation") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val plan = staticPlan("q_tpch_q15")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q15: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q15: nested-loop join — scalar subquery not planned as one aggregate:\n$plan")
+    val aggs = plan.collect { case a: HashAggregateExec => a.groupingExpressions } ++
+      plan.collect { case a: ObjectHashAggregateExec => a.groupingExpressions }
+    assert(aggs.exists(_.nonEmpty),
+      s"q_tpch_q15: no grouped revenue aggregate in plan:\n$plan")
+    val s = staticPlan("q_tpch_q15").toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(s).nonEmpty,
+      s"q_tpch_q15: shipdate bound not pushed to the lineitem scan:\n$s")
+  }
+
+  test("q_tpch_q16: NOT IN decorrelates to a null-aware anti join") {
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    val plan = staticPlan("q_tpch_q16")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q16: cartesian product in plan:\n$plan")
+    // NOT IN is three-valued: the planned join must be ANTI and
+    // null-aware (Spark's broadcast NAAJ) — never a per-row supplier
+    // re-scan. BroadcastHashJoinExec carries the isNullAwareAntiJoin
+    // flag for exactly this shape.
+    val naaj = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.joinType == LeftAnti && j.isNullAwareAntiJoin => j
+    }
+    val anyAnti = plan.collect { case j: BroadcastHashJoinExec
+        if j.joinType == LeftAnti => j } ++
+      plan.collect { case j: SortMergeJoinExec
+        if j.joinType == LeftAnti => j } ++
+      plan.collect { case j: ShuffledHashJoinExec
+        if j.joinType == LeftAnti => j }
+    assert(naaj.nonEmpty || anyAnti.nonEmpty,
+      s"q_tpch_q16: NOT IN did not become an anti join:\n$plan")
+    val s = plan.toString
+    assert(s.contains("LessThan(s_acctbal,0.0)"),
+      s"q_tpch_q16: acctbal filter not pushed to the supplier scan:\n$s")
+    assert("PushedFilters: \\[[^\\]]*In\\(p_size".r.findFirstIn(s).nonEmpty,
+      s"q_tpch_q16: size IN-list not pushed to the part scan:\n$s")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString
@@ -196,7 +243,8 @@ class AnalyticsSpec extends TestSpark {
 
   test("composites return rows at sf0.001") {
     for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
-        "q_tpch_q4", "q_tpch_q20", "q_tpch_q22")) {
+        "q_tpch_q4", "q_tpch_q15", "q_tpch_q16", "q_tpch_q20",
+        "q_tpch_q22")) {
       val n = graft.SparkEntry.queries(name)(spark, Sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
     }

@@ -195,6 +195,31 @@ class TableFormatSqlSpec extends TestSpark {
     assert(rels === Seq(m.entries.map(_.bytes).sum))
   }
 
+  test("a small format table auto-broadcasts off its manifest stats") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    withStaticPlans {
+      val root = freshRoot()
+      TableFormat.append((0L until 50L).map(k => (k, s"dim$k"))
+        .toDF("k", "name"), root, statsCol = Some("k"))
+      // a KB-sized dimension read through the provider joins a plain
+      // frame: the planner's broadcast decision runs off the manifest's
+      // size account (sizeInBytes ≪ the broadcast threshold), so the
+      // join plans as BroadcastHashJoin with NO hint — the wiring that
+      // matters at 100 TB, where mis-estimated stats flip dimension
+      // joins into fact-sized shuffles
+      val dim = spark.read.format(Provider).load(root)
+      val facts = spark.range(10000).toDF("k")
+      val joined = facts.join(dim, "k")
+      assert(joined.count() === 50)
+      val bhj = joined.queryExecution.executedPlan
+        .collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.nonEmpty,
+        s"manifest-sized dimension did not auto-broadcast:\n" +
+          joined.queryExecution.executedPlan)
+    }
+  }
+
   test("string zone maps prune through the SQL doorway too") {
     withStaticPlans {
       import spark.implicits._
