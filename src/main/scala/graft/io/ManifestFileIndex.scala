@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.BaseRelation
@@ -52,12 +52,8 @@ private[graft] final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val preds = dataFilters.flatMap(ManifestFileIndex.translate)
-    val kept = entries.filter { e =>
-      preds.forall { case (c, lo, hi) =>
-        e.bounds.get(c).forall(b => ManifestFileIndex.survives(b, lo, hi))
-      }
-    }
+    val kept = entries.filter(e =>
+      dataFilters.forall(f => ManifestFileIndex.keeps(e.bounds, f)))
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(filesOf).toArray))
   }
@@ -79,54 +75,63 @@ private[graft] final class ManifestFileIndex(
 
 private[graft] object ManifestFileIndex {
 
-  /** Inclusive-range conjuncts extracted from a scan's data filters:
-    * `(column, lo, hi)` with open ends as None. Comparisons against a
-    * CAST of the column are skipped (the cast may reorder values vs the
-    * recorded bounds domain) — sound-first, a skipped conjunct just
-    * prunes nothing.
+  /** Can an entry with these bounds possibly hold a row satisfying the
+    * filter? A sound Boolean EVALUATOR over the predicate tree — And
+    * intersects, Or unions (so `k <= 5 OR k >= 900` prunes the middle
+    * dirs, which a conjunct-flattening translation cannot express), IN
+    * lists probe exactly per value, leaf comparisons of the shape
+    * `col (=|<|<=|>|>=) literal` check the recorded range, and ANY
+    * unknown shape — casts, functions, Not, null predicates — answers
+    * "maybe" (true). Unstatted columns answer "maybe" too. Pruning is
+    * an I/O optimization, never a row-level guarantee: the filter still
+    * runs on every surviving row.
     */
-  private[graft] def translate(e: Expression)
-      : Seq[(String, Option[Any], Option[Any])] = e match {
-    case And(l, r) => translate(l) ++ translate(r)
-    case EqualTo(a: Attribute, Literal(v, t)) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
-    case EqualTo(Literal(v, t), a: Attribute) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), Some(x)))
-    case GreaterThan(a: Attribute, Literal(v, t)) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), None))
-    case GreaterThanOrEqual(a: Attribute, Literal(v, t)) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), None))
-    case LessThan(a: Attribute, Literal(v, t)) =>
-      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
-    case LessThanOrEqual(a: Attribute, Literal(v, t)) =>
-      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
-    case GreaterThan(Literal(v, t), a: Attribute) =>
-      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
-    case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
-      value(v, t).toSeq.map(x => (a.name, None, Some(x)))
-    case LessThan(Literal(v, t), a: Attribute) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), None))
-    case LessThanOrEqual(Literal(v, t), a: Attribute) =>
-      value(v, t).toSeq.map(x => (a.name, Some(x), None))
+  private[graft] def keeps(bounds: Map[String, TableFormat.ColBounds],
+      e: Expression): Boolean = e match {
+    case And(l, r) => keeps(bounds, l) && keeps(bounds, r)
+    case Or(l, r) => keeps(bounds, l) || keeps(bounds, r)
     case In(a: Attribute, vs) if vs.nonEmpty && vs.forall {
         case Literal(_, _) => true; case _ => false } =>
-      val xs = vs.collect { case Literal(v, t) => value(v, t) }.flatten
-      if (xs.size != vs.size) Seq.empty // a value we can't compare: skip
-      else {
-        // conservative envelope: [min, max] of the IN list in the
-        // column's comparison domain
-        def lt(x: Any, y: Any): Boolean = (x, y) match {
-          case (a: String, b: String) => TableFormat.utf8Cmp(a, b) < 0
-          case (a: java.time.LocalDate, b: java.time.LocalDate) =>
-            a.toEpochDay < b.toEpochDay
-          case (a: Number, b: Number) => a.longValue < b.longValue
-          case _ => false
-        }
-        Seq((a.name, Some(xs.reduce((x, y) => if (lt(x, y)) x else y)),
-          Some(xs.reduce((x, y) => if (lt(x, y)) y else x))))
+      val xs = vs.collect { case Literal(v, t) => value(v, t) }
+      if (xs.exists(_.isEmpty)) true // a value we can't compare: maybe
+      else bounds.get(a.name).forall(b =>
+        xs.flatten.exists(x => survives(b, Some(x), Some(x))))
+    case cmp =>
+      leafRange(cmp) match {
+        case Some((c, lo, hi)) =>
+          bounds.get(c).forall(b => survives(b, lo, hi))
+        case None => true // unknown shape: maybe (sound)
       }
-    case _: Cast => Seq.empty
-    case _ => Seq.empty // unknown shape: prune nothing (sound)
+  }
+
+  /** The inclusive range a single comparison constrains `col` to, open
+    * ends as None; None for shapes the evaluator cannot reason about
+    * (e.g. comparisons against a CAST of the column, whose ordering may
+    * differ from the recorded bounds domain).
+    */
+  private def leafRange(e: Expression)
+      : Option[(String, Option[Any], Option[Any])] = e match {
+    case EqualTo(a: Attribute, Literal(v, t)) =>
+      value(v, t).map(x => (a.name, Some(x), Some(x)))
+    case EqualTo(Literal(v, t), a: Attribute) =>
+      value(v, t).map(x => (a.name, Some(x), Some(x)))
+    case GreaterThan(a: Attribute, Literal(v, t)) =>
+      value(v, t).map(x => (a.name, Some(x), None))
+    case GreaterThanOrEqual(a: Attribute, Literal(v, t)) =>
+      value(v, t).map(x => (a.name, Some(x), None))
+    case LessThan(a: Attribute, Literal(v, t)) =>
+      value(v, t).map(x => (a.name, None, Some(x)))
+    case LessThanOrEqual(a: Attribute, Literal(v, t)) =>
+      value(v, t).map(x => (a.name, None, Some(x)))
+    case GreaterThan(Literal(v, t), a: Attribute) =>
+      value(v, t).map(x => (a.name, None, Some(x)))
+    case GreaterThanOrEqual(Literal(v, t), a: Attribute) =>
+      value(v, t).map(x => (a.name, None, Some(x)))
+    case LessThan(Literal(v, t), a: Attribute) =>
+      value(v, t).map(x => (a.name, Some(x), None))
+    case LessThanOrEqual(Literal(v, t), a: Attribute) =>
+      value(v, t).map(x => (a.name, Some(x), None))
+    case _ => None
   }
 
   /** Internal literal → the comparison-domain value [[TableFormat

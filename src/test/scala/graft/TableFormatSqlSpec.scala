@@ -195,6 +195,31 @@ class TableFormatSqlSpec extends TestSpark {
     assert(rels === Seq(m.entries.map(_.bytes).sum))
   }
 
+  test("OR predicates prune as a union of ranges") {
+    withStaticPlans {
+      val root = landRanges()
+      TableFormat.registerSql(spark, root, "graft_sql_or")
+      // k <= 50 OR k >= 250: keeps the outer dirs, prunes the middle —
+      // a conjunct-flattening translation cannot express this; the
+      // predicate-tree evaluator unions the two ranges per entry
+      val (rows, files) = runAndFiles(spark.sql(
+        "SELECT count(*) FROM graft_sql_or WHERE k <= 50 OR k >= 250"))
+      assert(rows(0).getLong(0) === 101)
+      val v = TableFormat.latestVersion(root)
+      val keptDirs = TableFormat.snapshotDirs(root, v)
+        .zip(Seq(true, false, true)).collect { case (d, true) => d }
+      assert(files === filesUnder(keptDirs),
+        "OR of two ranges did not prune the middle dir")
+      // IN lists probe per VALUE: values from two dirs keep exactly
+      // those two, not the min..max envelope (which would keep all 3)
+      val (rows2, files2) = runAndFiles(spark.sql(
+        "SELECT count(*) FROM graft_sql_or WHERE k IN (10, 290)"))
+      assert(rows2(0).getLong(0) === 2)
+      assert(files2 === filesUnder(keptDirs),
+        "IN-list pruning kept the envelope, not the per-value union")
+    }
+  }
+
   test("a small format table auto-broadcasts off its manifest stats") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
