@@ -553,6 +553,37 @@ object TableFormat {
     */
   private val MaxCommitRetries = 64
 
+  /** OVERWRITE the table: the next snapshot holds exactly `df` (one
+    * fresh dir), the previous entries dropping out of the head — the
+    * SaveMode.Overwrite verb of the DataFrame writer. History is
+    * intact (time travel still reads the pre-overwrite snapshots; the
+    * dropped dirs become vacuum fodder only after those versions
+    * expire), and the recorded schema is `df`'s VERBATIM — an
+    * overwrite replaces the table's contract, it does not union into
+    * it (the one commit kind where a retype is legitimate). Creates
+    * the table when absent. Conflict semantics: the overwrite's
+    * footprint is the WHOLE table, so ANY concurrent commit — append
+    * included — raises [[CommitConflictException]] (rebasing an
+    * overwrite would silently delete the concurrent rows).
+    */
+  def replace(spark: SparkSession, root: String, df: DataFrame,
+              statsCol: Option[String] = None,
+              statsCols: Seq[String] = Nil,
+              bloomCol: Option[String] = None): Int = {
+    val prev = latestVersion(root)
+    if (prev < 0) return append(df, root, statsCol, statsCols, bloomCol)
+    val m = readManifestFull(root, prev)
+    val dataDir = newDataDir(root)
+    bloomCol.foldLeft(df.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    val cols = (statsCol.toSeq ++ statsCols).distinct
+    commitRewrite(spark, root, prev, readSet = m.entries,
+      baseUntouched = Seq.empty,
+      produced = Seq(mkEntry(spark, dataDir, cols)),
+      ourSchema = Some(df.schema), conflictKeys = None,
+      replaceSchema = true)
+  }
+
   // ------------------------------------------------------------- reading
 
   /** Read a set of entries under `schema` (recorded manifest schema when
@@ -959,7 +990,8 @@ object TableFormat {
       baseVersion: Int, readSet: Seq[Entry], baseUntouched: Seq[Entry],
       produced: Seq[Entry], ourSchema: Option[StructType],
       conflictKeys: Option[(DataFrame, String)],
-      txn: Option[(String, Long)] = None): Int = {
+      txn: Option[(String, Long)] = None,
+      replaceSchema: Boolean = false): Int = {
     val readDirs = readSet.map(_.dir).toSet
     val baseDirs = readDirs ++ baseUntouched.map(_.dir)
     var attempt = 0
@@ -981,6 +1013,15 @@ object TableFormat {
               "by a concurrent commit — re-run against the new head")
       }
       val foreign = m.entries.filterNot(e => baseDirs(e.dir))
+      // an OVERWRITE's footprint is the whole table: any foreign entry
+      // is data the replacement never saw — rebasing would silently
+      // delete a concurrent append's rows, so it must conflict loudly
+      if (replaceSchema && foreign.nonEmpty)
+        throw new CommitConflictException(
+          s"overwrite of $root based on v$baseVersion conflicts with " +
+            s"v$head: a concurrent commit landed ${foreign.size} data " +
+            "dir(s) the replacement does not include — re-run against " +
+            "the new head")
       conflictKeys.foreach { case (keys, kc) =>
         if (foreign.nonEmpty &&
             touchedSplit(spark, foreign, keys, kc)._1.nonEmpty)
@@ -990,10 +1031,15 @@ object TableFormat {
               "intersects this rewrite's keys — re-run against the new head")
       }
       val next = m.entries.filterNot(e => readDirs(e.dir)) ++ produced
-      val ddl = (manifestSchema(m), ourSchema) match {
-        case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
-        case (a, b) => a.orElse(b).map(_.toDDL)
-      }
+      // an overwrite replaces the table's schema contract verbatim (the
+      // one commit kind where a retype is legitimate); every other
+      // rewrite widens by union
+      val ddl =
+        if (replaceSchema) ourSchema.map(_.toDDL)
+        else (manifestSchema(m), ourSchema) match {
+          case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
+          case (a, b) => a.orElse(b).map(_.toDDL)
+        }
       try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn)
         return head + 1 }
       catch {

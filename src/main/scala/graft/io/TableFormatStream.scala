@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Structured-Streaming SOURCE over a [[TableFormat]] table — the
@@ -62,7 +62,7 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 final class TableFormatSourceProvider
     extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -84,6 +84,46 @@ final class TableFormatSourceProvider
     val v = parameters.get("versionasof")
       .orElse(parameters.get("versionAsOf")).map(_.toInt).getOrElse(-1)
     TableFormat.manifestRelation(sqlContext.sparkSession, root, v)
+  }
+
+  /** BATCH write —
+    * `df.write.format(<this class>).mode(m).save(root)`: Append is a
+    * [[TableFormat.append]] commit, Overwrite a [[TableFormat.replace]]
+    * (history intact, schema replaced verbatim, concurrent commits
+    * conflict loudly), ErrorIfExists/Ignore follow the SaveMode
+    * contract against table existence. `statsCols=a,b` records those
+    * columns' zone maps in the manifest (the writer's half of the
+    * pruning story — a SQL-written table skips like a Scala-written
+    * one); `bloomCol=c` adds parquet blooms for point-edit pruning.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table batch write needs a table root: .save(<root>)"))
+    val statsCols = parameters.get("statscols")
+      .orElse(parameters.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val bloomCol = parameters.get("bloomcol")
+      .orElse(parameters.get("bloomCol"))
+    val exists = TableFormat.latestVersion(root) >= 0
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"graft-table at $root already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Overwrite =>
+        TableFormat.replace(sqlContext.sparkSession, root, data,
+          statsCols = statsCols, bloomCol = bloomCol)
+      case _ => // Append, or first write under any mode
+        TableFormat.append(data, root, statsCols = statsCols,
+          bloomCol = bloomCol)
+    }
+    createRelation(sqlContext, parameters)
   }
 
   private def tableSchema(parameters: Map[String, String],

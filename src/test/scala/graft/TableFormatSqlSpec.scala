@@ -220,6 +220,40 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("the DataFrame writer lands commits: append, overwrite, mode contracts") {
+    import spark.implicits._
+    val root = freshRoot()
+    def write(df: org.apache.spark.sql.DataFrame, mode: String) =
+      df.write.format(Provider).mode(mode)
+        .option("statsCols", "k").save(root)
+    // first write creates the table; a second append commits on top
+    write((0L until 10L).map(k => (k, s"a$k")).toDF("k", "s"), "append")
+    write((10L until 30L).map(k => (k, s"b$k")).toDF("k", "s"), "append")
+    val loaded = spark.read.format(Provider).load(root)
+    assert(loaded.count() === 30)
+    // the writer records zone maps: an out-of-range read prunes
+    assert(TableFormat.prunedDirs(root, TableFormat.latestVersion(root),
+      Seq(("k", Long.box(500L), Long.box(900L)))).isEmpty,
+      "writer-landed commits lost their zone maps")
+    // ErrorIfExists refuses an existing table; Ignore no-ops
+    intercept[IllegalStateException] {
+      write(Seq((99L, "x")).toDF("k", "s"), "errorifexists")
+    }
+    write(Seq((99L, "x")).toDF("k", "s"), "ignore")
+    assert(spark.read.format(Provider).load(root).count() === 30,
+      "SaveMode.Ignore must not write into an existing table")
+    // Overwrite replaces the head — with a RETYPED schema, legitimate
+    // only for overwrite — while time travel keeps the old snapshots
+    val preOverwrite = TableFormat.latestVersion(root)
+    write((0L until 5L).map(k => (k, k * 10)).toDF("k", "n"), "overwrite")
+    val head = spark.read.format(Provider).load(root)
+    assert(head.columns.toSeq === Seq("k", "n") && head.count() === 5)
+    assert(spark.read.format(Provider)
+      .option("versionAsOf", preOverwrite.toString).load(root)
+      .count() === 30,
+      "overwrite must not rewrite history")
+  }
+
   test("a small format table auto-broadcasts off its manifest stats") {
     import spark.implicits._
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
