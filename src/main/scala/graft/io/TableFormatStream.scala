@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Structured-Streaming SOURCE over a [[TableFormat]] table — the
@@ -30,6 +30,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     insert / delete / update_preimage / update_postimage — for
   *     consumers that maintain state through rewrites (requires
   *     `keyCol`). The initial batch is the full snapshot as inserts.
+  *
+  * The provider is the format's FULL Spark-surface doorway (r16): batch
+  * read ([[TableFormatSourceProvider.createRelation]] — manifest-pruned
+  * via [[ManifestFileIndex]]), batch write (`df.write.format(…)` —
+  * append/overwrite commits), streaming source (below), and streaming
+  * sink (`writeStream.format(…)` — exactly-once `appendBatch` commits),
+  * so both ends of a pipeline compose through the table with zero
+  * custom code.
   *
   * Usage:
   * {{{
@@ -61,8 +69,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * the re-seed recovery named, never with a silent gap.
   */
 final class TableFormatSourceProvider
-    extends StreamSourceProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    extends StreamSourceProvider with StreamSinkProvider
+    with RelationProvider with CreatableRelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
 
@@ -149,6 +158,67 @@ final class TableFormatSourceProvider
       parameters: Map[String, String]): Source =
     new TableFormatStreamSource(sqlContext,
       parameters("path"), parameters, tableSchema(parameters, schema))
+
+  /** STREAMING SINK —
+    * `df.writeStream.format(<this class>).option("path", root)
+    * .option("checkpointLocation", …).start()`: each micro-batch lands
+    * as one [[TableFormat.appendBatch]] commit, exactly-once via the
+    * per-app transaction marker (`appId` option, default "stream" —
+    * distinct ids let several independent streams land into one
+    * table), `statsCols` recording zone maps per landed dir. With the
+    * source half, two pipelines compose through the table with ZERO
+    * custom sink code — pre-r16 the landing side needed a hand-written
+    * `foreachBatch`. Only OutputMode.Append is meaningful for an
+    * append-commit sink; anything else refuses.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-table sink does not support partitionBy — the table's " +
+        "layout is the manifest's concern (compactRanged/compactZOrder)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink is append-only (each batch is a table " +
+        s"commit), got $outputMode")
+    val root = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table sink needs a table root: option(\"path\", ...)"))
+    val statsCols = parameters.get("statscols")
+      .orElse(parameters.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val appId = parameters.getOrElse("appid",
+      parameters.getOrElse("appId", "stream"))
+    new TableFormatStreamSink(root, statsCols, appId)
+  }
+}
+
+/** The sink half: one [[TableFormat.appendBatch]] commit per
+  * micro-batch — idempotent on replay through the manifest's per-app
+  * txn marker, so restarts and speculative re-attempts never double a
+  * batch (the exactly-once contract `appendBatch` already proves).
+  */
+private[io] final class TableFormatStreamSink(root: String,
+    statsCols: Seq[String], appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // a v1 sink receives a STREAMING frame; appendBatch writes through
+    // the batch writer, so rewrap the rows as a batch frame under the
+    // same schema (the standard v1-sink pattern, via the sql-package
+    // bridge — UnsafeRows must be copied out of their reused buffers)
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.GraftStreamingBridge.batchFrame(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      data.queryExecution.toRdd.map(_.copy()), data.schema)
+    TableFormat.appendBatch(batch, root, batchId,
+      statsCols = statsCols, appId = appId)
+    ()
+  }
+
+  override def toString: String = s"TableFormatStreamSink[$root, $appId]"
 }
 
 private[io] final class TableFormatStreamSource(sqlContext: SQLContext,

@@ -16,4 +16,13 @@ object GraftStreamingBridge {
   def streamingFrame(spark: classic.SparkSession, rdd: RDD[InternalRow],
                      schema: StructType): DataFrame =
     spark.internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The batch twin — what a v1 streaming SINK uses to rewrap its
+    * micro-batch rows for a batch write path (Spark's own v1 sinks do
+    * the same rewrap; the incoming frame is `isStreaming = true` and
+    * batch writers refuse it).
+    */
+  def batchFrame(spark: classic.SparkSession, rdd: RDD[InternalRow],
+                 schema: StructType): DataFrame =
+    spark.internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

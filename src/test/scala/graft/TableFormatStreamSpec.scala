@@ -250,6 +250,54 @@ class TableFormatStreamSpec extends TestSpark {
     } finally q4.stop()
   }
 
+  test("the provider sink lands exactly-once commits, zero custom code") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = Files.createTempDirectory("graft_tf_sink")
+    val root = s"$base/table"
+    val mem = MemoryStream[Long]
+    def start() = mem.toDS().toDF("k").writeStream
+      .format(Provider).outputMode("append")
+      .option("path", root).option("statsCols", "k")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    val q = start()
+    try {
+      mem.addData(1L, 2L)
+      q.processAllAvailable()
+      mem.addData(3L)
+      q.processAllAvailable()
+    } finally q.stop()
+    def keys: Set[Long] = TableFormat.readSnapshot(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(keys === Set(1L, 2L, 3L))
+    // the sink records zone maps like any hand-landed commit
+    assert(TableFormat.prunedDirs(root, TableFormat.latestVersion(root),
+      Seq(("k", Long.box(100L), Long.box(200L)))).isEmpty,
+      "sink-landed commits lost their zone maps")
+    // restart on the same checkpoint: replayed batches skip on the txn
+    // marker — no doubles (appendBatch's exactly-once, through the sink)
+    val q2 = start()
+    try {
+      mem.addData(4L)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(keys === Set(1L, 2L, 3L, 4L),
+      "restarted provider sink doubled or lost a batch")
+    // non-append output modes refuse: each batch is an append commit
+    val e = intercept[Exception] {
+      mem.toDS().toDF("k").groupBy().count().writeStream
+        .format(Provider).outputMode("complete")
+        .option("path", s"$base/t2")
+        .option("checkpointLocation", s"$base/ckpt2").start()
+    }
+    assert(String.valueOf(e.getMessage).contains("append-only") ||
+      Option(e.getCause).exists(c =>
+        String.valueOf(c.getMessage).contains("append-only")),
+      s"non-append mode must refuse with the contract error: $e")
+  }
+
   test("a stream composes sink-to-source: follow a table another stream lands") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
