@@ -55,4 +55,62 @@ object PropertiesSpec extends Properties("graft") {
       val exact = (BigInt(id) * BigInt(2654435761L)) % 100
       BigInt(decomposed) == exact
     }
+
+  // ------------------------------------------------- manifest pruning
+
+  // SOUNDNESS of the SQL read path's zone-map evaluator
+  // (io/ManifestFileIndex.keeps): for ANY predicate tree over
+  // =/</<=/>/>=/IN composed with And/Or, a dir whose [min, max] bounds
+  // hold at least one satisfying value must NEVER be pruned. (The
+  // other direction — pruning as much as possible — is a performance
+  // property, spec-owned; this one is the correctness invariant.)
+  import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal, Or => COr}
+  import org.apache.spark.sql.types.LongType
+
+  private val kAttr = AttributeReference("k", LongType)()
+  private def litL(v: Long) = Literal(v, LongType)
+
+  private val cmpLeaf: Gen[(Expression, Long => Boolean)] =
+    Gen.chooseNum(-120L, 120L).flatMap { v =>
+      Gen.oneOf[(Expression, Long => Boolean)](
+        (CEq(kAttr, litL(v)), (x: Long) => x == v),
+        (CLt(kAttr, litL(v)), (x: Long) => x < v),
+        (CLe(kAttr, litL(v)), (x: Long) => x <= v),
+        (CGt(kAttr, litL(v)), (x: Long) => x > v),
+        (CGe(kAttr, litL(v)), (x: Long) => x >= v),
+        (CEq(litL(v), kAttr), (x: Long) => v == x),
+        (CLt(litL(v), kAttr), (x: Long) => v < x))
+    }
+
+  private val inLeaf: Gen[(Expression, Long => Boolean)] =
+    Gen.nonEmptyListOf(Gen.chooseNum(-120L, 120L)).map(vs =>
+      (CIn(kAttr, vs.map(litL)), (x: Long) => vs.contains(x)))
+
+  private def predTree(d: Int): Gen[(Expression, Long => Boolean)] =
+    if (d <= 0) Gen.oneOf(cmpLeaf, inLeaf)
+    else Gen.frequency(
+      3 -> Gen.oneOf(cmpLeaf, inLeaf),
+      2 -> (for { (l, lf) <- predTree(d - 1); (r, rf) <- predTree(d - 1) }
+        yield (CAnd(l, r), (x: Long) => lf(x) && rf(x))),
+      2 -> (for { (l, lf) <- predTree(d - 1); (r, rf) <- predTree(d - 1) }
+        yield (COr(l, r), (x: Long) => lf(x) || rf(x))))
+
+  property("manifest pruning never drops a dir holding a satisfying row") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.chooseNum(-100L, 100L)),
+      predTree(3)) { (rows, ef) =>
+      val (expr, sat) = ef
+      val bounds = Map("k" ->
+        graft.io.TableFormat.ColBounds("long",
+          rows.min.toString, rows.max.toString))
+      // if any row in the dir satisfies the predicate, the dir survives
+      !rows.exists(sat) || graft.io.ManifestFileIndex.keeps(bounds, expr)
+    }
+
+  property("bounds for an unrelated column never prune") =
+    Prop.forAll(predTree(3), Gen.chooseNum(-100L, 100L),
+      Gen.chooseNum(-100L, 100L)) { (ef, a, b) =>
+      val bounds = Map("other" -> graft.io.TableFormat.ColBounds("long",
+        math.min(a, b).toString, math.max(a, b).toString))
+      graft.io.ManifestFileIndex.keeps(bounds, ef._1)
+    }
 }
