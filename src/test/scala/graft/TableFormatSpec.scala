@@ -986,6 +986,42 @@ class TableFormatSpec extends TestSpark {
       java.time.LocalDate.parse("2024-12-31")))).size === 1)
   }
 
+  test("racing identical deltas serialize through the txn CAS: one applies") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = freshRoot()
+    TableFormat.append((1L to 20L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    // four threads race the SAME delta under the SAME txn marker — the
+    // real concurrent form of the refresher race the serial replay
+    // specs simulate: exactly one must apply, the rest must skip via
+    // the marker precheck or the CAS-loser's in-loop marker read,
+    // never conflict, never double-apply
+    val attempts = (1 to 4).map { _ =>
+      Future {
+        TableFormat.applyDelta(spark, root,
+          Seq(3L).toDF("k"), "k",
+          Seq((100L, "x")).toDF("k", "s"),
+          statsCol = Some("k"), txn = Some("refresher" -> 1L))
+      }
+    }
+    val versions = attempts.map(Await.result(_, 120.seconds))
+    assert(versions.nonEmpty) // all four returned, none threw
+    val got = TableFormat.readSnapshot(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.count(_._1 == 100L) === 1,
+      s"racing identical deltas double-applied the append: $got")
+    assert(!got.exists(_._1 == 3L), "the delete half was lost")
+    assert(got.size === 20, s"expected 19 survivors + 1 insert: $got")
+    assert(TableFormat.lastTxn(root, "refresher") === 1L)
+    // losers' orphan data dirs (written but never committed) are
+    // invisible and reclaimable
+    TableFormat.vacuum(root)
+    assert(TableFormat.readSnapshot(spark, root).count() === 20)
+  }
+
   test("racing merges with disjoint footprints BOTH land, rebased in series") {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
