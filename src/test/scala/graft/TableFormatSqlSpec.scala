@@ -220,6 +220,37 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("a 2-predicate SQL box over a z-ordered table prunes both dimensions") {
+    withStaticPlans {
+      import spark.implicits._
+      val root = freshRoot()
+      // 32×32 grid, landed as one dir then z-order-compacted into 8
+      // dirs: each covers a contiguous Morton interval = a bounded
+      // (a, b) rectangle with tight manifest bounds on BOTH columns
+      val grid = for (a <- 0L until 32L; b <- 0L until 32L)
+        yield (a, b, a * 32 + b)
+      TableFormat.append(grid.toDF("a", "b", "v"), root)
+      TableFormat.compactZOrder(spark, root, "a", "b", nBuckets = 8)
+      TableFormat.registerSql(spark, root, "graft_sql_z")
+      val (rows, files) = runAndFiles(spark.sql(
+        """SELECT count(*) FROM graft_sql_z
+          |WHERE a BETWEEN 2 AND 6 AND b BETWEEN 2 AND 6""".stripMargin))
+      assert(rows(0).getLong(0) === 25)
+      val v = TableFormat.latestVersion(root)
+      val kept = TableFormat.prunedDirs(root, v,
+        Seq(("a", Long.box(2L), Long.box(6L)),
+          ("b", Long.box(2L), Long.box(6L))))
+      // the box must prune: strictly fewer dirs than the table holds,
+      // and the SQL scan reads exactly the kept dirs' files — BOTH
+      // predicates reached the manifest (a single-dim layout would
+      // give full-range b bounds and keep everything on that axis)
+      assert(kept.size < TableFormat.snapshotDirs(root, v).size,
+        "z-ordered box query pruned nothing at the manifest level")
+      assert(files === filesUnder(kept),
+        "SQL box query did not prune to the z-order-kept dirs")
+    }
+  }
+
   test("the DataFrame writer lands commits: append, overwrite, mode contracts") {
     import spark.implicits._
     val root = freshRoot()
