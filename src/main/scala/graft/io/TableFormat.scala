@@ -1914,6 +1914,25 @@ object TableFormat {
 
   // ------------------------------------------------------------ query
 
+  /** Table history as a frame — one row per live manifest version with
+    * its entry/byte/file/deletion-vector accounts and txn-marker count,
+    * derived ENTIRELY from the manifests (zero data I/O; bytes/files
+    * read -1-as-0 on legacy entries). The operator's first question
+    * ("how big, how fragmented, how much merge-on-read debt?") answered
+    * from KBs of metadata — at 100 TB the alternative is a listing job.
+    */
+  def describe(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    listVersions(root).sorted.map { v =>
+      val m = readManifestFull(root, v)
+      (v, m.entries.size,
+        m.entries.map(e => math.max(e.bytes, 0L)).sum,
+        m.entries.map(e => math.max(e.nFiles, 0)).sum.toLong,
+        m.entries.count(_.dv.nonEmpty).toLong,
+        m.txns.size.toLong)
+    }.toDF("version", "entries", "bytes", "files", "dv_entries", "txns")
+  }
+
   /** Data-dir paths of snapshot `v` — spec window into the manifest
     * (asserting an untouched dir carried VERBATIM through a merge).
     */

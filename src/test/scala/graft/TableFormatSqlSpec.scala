@@ -173,6 +173,27 @@ class TableFormatSqlSpec extends TestSpark {
     assert(spark.read.format(Provider).load(root).count() === 30)
   }
 
+  test("describe reports per-version accounts from metadata alone") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 40L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((40L until 80L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.deleteKeysMor(spark, root, Seq(3L).toDF("k"), "k")
+    val d = TableFormat.describe(spark, root).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(d.map(_._1).toSeq === Seq(0, 1, 2), s"versions: ${d.toSeq}")
+    assert(d.map(_._2).toSeq === Seq(1, 2, 2), s"entry counts: ${d.toSeq}")
+    // the size account grows with the second append and every commit
+    // records real bytes/files
+    assert(d.forall(r => r._3 > 0 && r._4 > 0), s"size accounts: ${d.toSeq}")
+    assert(d(1)._3 > d(0)._3, "bytes must grow across an append")
+    // merge-on-read debt surfaces: one dv-bearing entry at the head
+    assert(d.map(_._5).toSeq === Seq(0L, 0L, 1L), s"dv debt: ${d.toSeq}")
+  }
+
   test("planner stats come from the manifest's size account, not a listing") {
     import spark.implicits._
     val root = landRanges()
