@@ -300,6 +300,25 @@ object Analytics {
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q6
+
+  /** Forecasting-revenue-change (TPC-H Q6 shape): the pure
+    * scan-filter-aggregate — no joins, no groups, three pushable
+    * predicates and one decimal-exact product sum. The point of the
+    * row is the SCAN: all three filters must reach the parquet reader
+    * (`PushedFilters`, plan-pinned), so at 100 TB the query is bounded
+    * by row groups whose stats intersect the brackets, not by the
+    * table. The discount bracket compares double-to-double-literal —
+    * identical IEEE in both engines.
+    */
+  private def qTpchQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.02, 0.04) && col("l_quantity") < 24)
+      .agg(rnd(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+        .as("revenue"))
+
   // ---------------------------------------------------------------- Q4
 
   /** Order-priority checking (TPC-H Q4 shape): the EXISTS-only row of
@@ -326,6 +345,61 @@ object Analytics {
         |                AND l_returnflag = 'R')
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q14
+
+  /** Promotion-effect (TPC-H Q14 shape): the CASE-ratio aggregate — one
+    * month's promo revenue share, both sums decimal-exact over the same
+    * join, the division in double through the shared floor-rounding
+    * form (inlined so the Spark and DuckDB texts are identical — the
+    * [[Num.r4]] SQL device). Part broadcasts; one scan of the
+    * date-filtered lineitem feeds both CASE branches.
+    */
+  private def qTpchQ14(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q14_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("graft_q14_part")
+    s.sql(
+      """SELECT floor((100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS promo_revenue
+        |FROM graft_q14_lineitem, graft_q14_part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q19
+
+  /** Discounted-revenue (TPC-H Q19 shape): the DISJUNCTIVE-bracket
+    * predicate — three (brand, size-range, quantity-range) OR-arms over
+    * the part⋈lineitem join. The optimizer test: Catalyst must extract
+    * the COMMON `p_partkey = l_partkey` conjunct from the disjunction
+    * (one equi-join, the residual OR as a post-join filter), and push
+    * the derivable per-side envelopes into the scans — the naive plan
+    * is a cartesian with the whole disjunction as its condition, which
+    * is the plan-pinned forbidden shape.
+    */
+  private def qTpchQ19(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q19_lineitem")
+    t(s, dir, "part").createOrReplaceTempView("graft_q19_part")
+    s.sql(
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |  AS revenue
+        |FROM graft_q19_lineitem, graft_q19_part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+        .stripMargin)
   }
 
   // --------------------------------------------------------------- Q20
@@ -459,8 +533,11 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
+    "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q14" -> qTpchQ14,
     "q_tpch_q15" -> qTpchQ15,
     "q_tpch_q16" -> qTpchQ16,
+    "q_tpch_q19" -> qTpchQ19,
     "q_tpch_q4" -> qTpchQ4,
     "q_tpch_q20" -> qTpchQ20,
     "q_tpch_q22" -> qTpchQ22,
@@ -472,6 +549,39 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q6" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT floor((100.0 *
+        |    CAST(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |        (1 - CAST(l_discount AS DECIMAL(12,2))) ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE))
+        |    * 10000 + 0.5) / 10000 AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+        |  AS revenue
+        |FROM lineitem, part
+        |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+        |       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+        |       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+        |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"""
+        .stripMargin,
     "q_tpch_q15" ->
       """WITH revenue AS (
         |  SELECT l_suppkey AS supplier_no,

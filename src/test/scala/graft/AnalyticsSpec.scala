@@ -18,6 +18,10 @@ class AnalyticsSpec extends TestSpark {
 
   private def staticPlan(name: String) = {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // plan STRINGS truncate scan metadata at 100 chars by default —
+    // a 4-predicate PushedFilters list gets cut mid-name and the pins
+    // below would read false negatives
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
     try graft.SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
@@ -214,6 +218,45 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q16: size IN-list not pushed to the part scan:\n$s")
   }
 
+  test("q_tpch_q6: all three filters reach the parquet scan") {
+    val plan = staticPlan("q_tpch_q6")
+    val s = plan.toString
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty &&
+      plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty,
+      s"q_tpch_q6 is a pure scan-aggregate — no join belongs here:\n$plan")
+    for (p <- Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity,24",
+        "GreaterThanOrEqual(l_discount,0.02", "LessThanOrEqual(l_discount,0.04"))
+      assert(s.contains(p), s"q_tpch_q6: '$p' not pushed to the scan:\n$s")
+  }
+
+  test("q_tpch_q14: single lineitem scan feeds both CASE branches, part broadcast") {
+    val plan = staticPlan("q_tpch_q14")
+    val s = plan.toString
+    val liScans = "lineitem\\.parquet".r.findAllIn(s).length
+    assert(liScans == 1, s"q_tpch_q14: expected 1 lineitem scan, got $liScans:\n$s")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      s"q_tpch_q14: part should broadcast:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(s).nonEmpty,
+      s"q_tpch_q14: shipdate bound not pushed:\n$s")
+  }
+
+  test("q_tpch_q19: the common join key is extracted from the disjunction") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plan = staticPlan("q_tpch_q19")
+    // the naive plan is a cartesian (or nested-loop) carrying the whole
+    // OR as its condition — the optimizer must factor the shared
+    // p_partkey = l_partkey out into ONE equi-join
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q19: cartesian product — join key not factored out:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q19: nested-loop join — join key not factored out:\n$plan")
+    assert((plan.collect { case j: BroadcastHashJoinExec => j } ++
+      plan.collect { case j: SortMergeJoinExec => j }).nonEmpty,
+      s"q_tpch_q19: no equi-join in plan:\n$plan")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString
@@ -243,8 +286,8 @@ class AnalyticsSpec extends TestSpark {
 
   test("composites return rows at sf0.001") {
     for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
-        "q_tpch_q4", "q_tpch_q15", "q_tpch_q16", "q_tpch_q20",
-        "q_tpch_q22")) {
+        "q_tpch_q4", "q_tpch_q6", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q16", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22")) {
       val n = graft.SparkEntry.queries(name)(spark, Sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
     }
