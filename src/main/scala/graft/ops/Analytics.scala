@@ -347,6 +347,150 @@ object Analytics {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q7
+
+  /** Volume-shipping (TPC-H Q7 shape): revenue between two nations by
+    * year, the NATION DIM SELF-JOINED twice (supplier's n1, customer's
+    * n2) with the symmetric pair disjunction riding the broadcast
+    * sides. The fact-fact lineitem ⋈ orders edge stays the plan's only
+    * shuffle join; year() buckets the decimal-exact volume.
+    */
+  private def qTpchQ7(s: SparkSession, dir: String): DataFrame = {
+    for (t0 <- Seq("supplier", "lineitem", "orders", "customer", "nation"))
+      t(s, dir, t0).createOrReplaceTempView(s"graft_q7_$t0")
+    s.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        |      FROM graft_q7_supplier, graft_q7_lineitem, graft_q7_orders,
+        |           graft_q7_customer, graft_q7_nation n1, graft_q7_nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+        |          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |          AND TIMESTAMP '1997-12-31') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q8
+
+  /** National-market-share (TPC-H Q8 shape): the widest join in the
+    * suite — seven tables — reduced to a per-year CASE-ratio (one
+    * nation's volume share), the division through the portable floor
+    * form. Every dimension broadcasts; lineitem ⋈ orders stays the one
+    * shuffle edge.
+    */
+  private def qTpchQ8(s: SparkSession, dir: String): DataFrame = {
+    for (t0 <- Seq("part", "supplier", "lineitem", "orders", "customer",
+        "nation", "region"))
+      t(s, dir, t0).createOrReplaceTempView(s"graft_q8_$t0")
+    s.sql(
+      """SELECT o_year,
+        |  floor((CAST(sum(CASE WHEN nationkey = 1 THEN volume ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+        |        s_nationkey AS nationkey
+        |      FROM graft_q8_part, graft_q8_supplier, graft_q8_lineitem,
+        |           graft_q8_orders, graft_q8_customer, graft_q8_nation,
+        |           graft_q8_region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND p_type = 'PROMO'
+        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |          AND TIMESTAMP '1997-12-31') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q11
+
+  /** Important-stock (TPC-H Q11 shape): the HAVING-vs-global-scalar row
+    * — per-part value within one nation's suppliers, kept only when it
+    * exceeds a FRACTION of the total (a scalar subquery re-running the
+    * same join-aggregate globally). Both sides are EXACT decimal sums,
+    * and the threshold multiply stays decimal, so the HAVING comparison
+    * cannot flip on aggregation order; only the emitted value rounds.
+    * The synthetic schema has no partsupp, so lineitem plays the
+    * stock-holding relation — the q11 structure (group, global scalar,
+    * fraction threshold) is intact.
+    */
+  private def qTpchQ11(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q11_lineitem")
+    t(s, dir, "supplier").createOrReplaceTempView("graft_q11_supplier")
+    s.sql(
+      """SELECT l_partkey,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS value
+        |FROM graft_q11_lineitem, graft_q11_supplier
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = 12
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(12,2))) > (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2))) * 0.001
+        |  FROM graft_q11_lineitem, graft_q11_supplier
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = 12)
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q12
+
+  /** Shipping-mode priority (TPC-H Q12 shape): the dual-CASE count row
+    * — high/low-priority line counts per class over the fact-fact join
+    * (the synthetic lineitem has no shipmode, so `l_returnflag` plays
+    * the class column; the structure — join + two complementary CASE
+    * sums per group — is q12's).
+    */
+  private def qTpchQ12(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_q12_orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("graft_q12_lineitem")
+    s.sql(
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM graft_q12_orders, graft_q12_lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- Q13
+
+  /** Customer-order-distribution (TPC-H Q13 shape): the LEFT OUTER
+    * with an ON-CLAUSE filter (orders excluded by predicate must still
+    * leave their customer counted at zero — moving the filter to WHERE
+    * would silently drop those customers, the classic outer-join trap)
+    * followed by a histogram of the per-customer counts — a DOUBLE
+    * aggregation. The synthetic orders has no comment column, so the
+    * priority predicate plays the NOT-LIKE role.
+    */
+  private def qTpchQ13(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("graft_q13_customer")
+    t(s, dir, "orders").createOrReplaceTempView("graft_q13_orders")
+    s.sql(
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM graft_q13_customer LEFT OUTER JOIN graft_q13_orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+  }
+
   // --------------------------------------------------------------- Q14
 
   /** Promotion-effect (TPC-H Q14 shape): the CASE-ratio aggregate — one
@@ -534,6 +678,11 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q6" -> qTpchQ6,
+    "q_tpch_q7" -> qTpchQ7,
+    "q_tpch_q8" -> qTpchQ8,
+    "q_tpch_q11" -> qTpchQ11,
+    "q_tpch_q12" -> qTpchQ12,
+    "q_tpch_q13" -> qTpchQ13,
     "q_tpch_q14" -> qTpchQ14,
     "q_tpch_q15" -> qTpchQ15,
     "q_tpch_q16" -> qTpchQ16,
@@ -549,6 +698,77 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+        |      FROM supplier, lineitem, orders, customer,
+        |           nation n1, nation n2
+        |      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |        AND c_nationkey = n2.n_nationkey
+        |        AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+        |          OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
+        |        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+        |          AND TIMESTAMP '1997-12-31') shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT o_year,
+        |  floor((CAST(sum(CASE WHEN nationkey = 1 THEN volume ELSE 0 END)
+        |      AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE)) * 10000 + 0.5) / 10000
+        |    AS mkt_share
+        |FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+        |        s_nationkey AS nationkey
+        |      FROM part, supplier, lineitem, orders, customer,
+        |           nation, region
+        |      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |        AND r_name = 'ASIA' AND p_type = 'PROMO'
+        |        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+        |          AND TIMESTAMP '1997-12-31') all_nations
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q_tpch_q11" ->
+      """SELECT l_partkey,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 4) AS value
+        |FROM lineitem, supplier
+        |WHERE l_suppkey = s_suppkey AND s_nationkey = 12
+        |GROUP BY l_partkey
+        |HAVING sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |    CAST(l_quantity AS DECIMAL(12,2))) > (
+        |  SELECT sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |      CAST(l_quantity AS DECIMAL(12,2))) * 0.001
+        |  FROM lineitem, supplier
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = 12)
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey
+        |        AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_tpch_q6" ->
       """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
         |  CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE), 4) AS revenue

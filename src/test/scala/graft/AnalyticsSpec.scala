@@ -257,6 +257,65 @@ class AnalyticsSpec extends TestSpark {
       s"q_tpch_q19: no equi-join in plan:\n$plan")
   }
 
+  test("q_tpch_q7: twin nation dims broadcast around one fact edge") {
+    assertOneFactEdge("q_tpch_q7", minBroadcast = 3)
+  }
+
+  test("q_tpch_q8: seven tables, dims broadcast, one fact edge") {
+    assertOneFactEdge("q_tpch_q8", minBroadcast = 4)
+    val s = staticPlan("q_tpch_q8").toString
+    assert(s.contains("EqualTo(p_type,PROMO)"),
+      s"q_tpch_q8: part-type filter not pushed:\n$s")
+    assert(s.contains("EqualTo(r_name,ASIA)"),
+      s"q_tpch_q8: region filter not pushed:\n$s")
+  }
+
+  test("q_tpch_q11: HAVING's global scalar is one aggregate, not a per-group re-scan") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val plan = staticPlan("q_tpch_q11")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q11: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q11: nested-loop join — scalar threshold re-scans per group:\n$plan")
+    val aggs = plan.collect { case a: HashAggregateExec => a.groupingExpressions } ++
+      plan.collect { case a: ObjectHashAggregateExec => a.groupingExpressions }
+    assert(aggs.exists(_.nonEmpty),
+      s"q_tpch_q11: no grouped aggregate in plan:\n$plan")
+    assert(staticPlan("q_tpch_q11").toString.contains("EqualTo(s_nationkey,12)"),
+      "q_tpch_q11: nation filter not pushed to the supplier scan")
+  }
+
+  test("q_tpch_q12: one fact edge, shipdate window pushed") {
+    val plan = staticPlan("q_tpch_q12")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val s = plan.toString
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r
+        .findFirstIn(s).nonEmpty,
+      s"q_tpch_q12: shipdate bound not pushed:\n$s")
+  }
+
+  test("q_tpch_q13: ON-clause filter keeps the LEFT OUTER, zero-order customers counted") {
+    import org.apache.spark.sql.catalyst.plans.LeftOuter
+    import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+    val plan = staticPlan("q_tpch_q13")
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty)
+    val joinTypes = plan.collect { case j: SortMergeJoinExec => j.joinType } ++
+      plan.collect { case j: ShuffledHashJoinExec => j.joinType } ++
+      plan.collect { case j: BroadcastHashJoinExec => j.joinType }
+    assert(joinTypes.contains(LeftOuter),
+      s"q_tpch_q13: the outer join degraded (ON-filter pushed as WHERE?): $joinTypes\n$plan")
+    // the ON-vs-WHERE invariant: EVERY customer appears in the
+    // histogram (a WHERE-pushed filter would drop customers whose
+    // every order it excluded, shrinking the distribution's mass)
+    val rows = graft.SparkEntry.queries("q_tpch_q13")(spark, Sf).collect()
+    val mass = rows.map(_.getLong(1)).sum
+    val nCustomers = graft.io.Sources.table(spark, Sf, "customer").count()
+    assert(mass === nCustomers,
+      s"q_tpch_q13: histogram covers $mass of $nCustomers customers — " +
+        "the ON-clause filter leaked into the outer join's WHERE")
+  }
+
   test("q_tpch_q18: aggregate partitioning reused, no second lineitem scan") {
     val plan = staticPlan("q_tpch_q18")
     val s = plan.toString
@@ -286,7 +345,8 @@ class AnalyticsSpec extends TestSpark {
 
   test("composites return rows at sf0.001") {
     for (name <- Seq("q_tpch_q3", "q_tpch_q5", "q_tpch_q10", "q_tpch_q18",
-        "q_tpch_q4", "q_tpch_q6", "q_tpch_q14", "q_tpch_q15",
+        "q_tpch_q4", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q11",
+        "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
         "q_tpch_q16", "q_tpch_q19", "q_tpch_q20", "q_tpch_q22")) {
       val n = graft.SparkEntry.queries(name)(spark, Sf).count()
       assert(n > 0, s"$name returned no rows at sf0.001")
