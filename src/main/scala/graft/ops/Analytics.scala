@@ -675,7 +675,94 @@ object Analytics {
         |ORDER BY supplier_cnt DESC, p_type""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- Q2
+
+  /** Minimum-cost-supplier (TPC-H Q2 shape): the CORRELATED-MIN row —
+    * the last open cell of the subquery matrix (q17 covered correlated
+    * scalar AVG, q4/q21/q22 EXISTS forms, q16/q20 the IN forms). The
+    * outer five-way join keeps only (part, supplier, price) rows whose
+    * price equals a scalar subquery's MIN over the SAME region-filtered
+    * join re-anchored on the outer part — Catalyst must decorrelate
+    * that to one grouped min-aggregate joined back on
+    * `(p_partkey, price)`, never a per-row re-execution (plan-pinned:
+    * one aggregate, no nested-loop/cartesian). The synthetic schema has
+    * no partsupp, so lineitem plays the offer relation and
+    * `l_extendedprice` the supply cost — MIN is aggregation-order-exact
+    * over doubles, so the equality predicate cannot flip between
+    * engines. DISTINCT collapses repeat offers at the min price, and
+    * the sort key (acctbal, nation, supplier, part) is unique per
+    * surviving row, so the LIMIT boundary is deterministic.
+    *
+    * Scale: nation/region/part broadcast; the min-aggregate groups on
+    * `l_partkey` (the natural key, no skew beyond part popularity); the
+    * join-back is partkey-to-partkey — at 100 TB the only heavy edges
+    * are two lineitem scans, both filter-pushed on the region's
+    * suppliers.
+    */
+  private def qTpchQ2(s: SparkSession, dir: String): DataFrame = {
+    for (t0 <- Seq("part", "lineitem", "supplier", "nation", "region"))
+      t(s, dir, t0).createOrReplaceTempView(s"graft_q2_$t0")
+    s.sql(
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  round(CAST(l_extendedprice AS DOUBLE), 4) AS supply_cost
+        |FROM graft_q2_part, graft_q2_lineitem, graft_q2_supplier,
+        |     graft_q2_nation, graft_q2_region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        |  AND p_type LIKE '%O%'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM graft_q2_lineitem l2, graft_q2_supplier s2,
+        |         graft_q2_nation n2, graft_q2_region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- Q9
+
+  /** Product-type-profit (TPC-H Q9 shape): the MIXED-ARITHMETIC
+    * aggregate — profit per (supplier nation, order year) where each
+    * line's amount subtracts a DIMENSION-priced cost from the fact
+    * revenue, under a LIKE filter on the part name. The synthetic
+    * schema has no partsupp, so `p_retailprice` plays the supply cost;
+    * the structure under test — five-way join, substring part filter,
+    * per-line `revenue − cost·qty` in exact decimal, nation×year
+    * grouping — is q9's. All decimal arithmetic stays exact through the
+    * sum (scale-4 products, order-independent); only the emitted total
+    * rounds through the portable double form.
+    *
+    * Scale: part/supplier/nation broadcast after the LIKE prunes part;
+    * lineitem ⋈ orders is the one shuffle edge; the group cardinality
+    * is nations × years — tiny — so the final aggregate is all
+    * map-side partials.
+    */
+  private def qTpchQ9(s: SparkSession, dir: String): DataFrame = {
+    for (t0 <- Seq("part", "supplier", "lineitem", "orders", "nation"))
+      t(s, dir, t0).createOrReplaceTempView(s"graft_q9_$t0")
+    s.sql(
+      """SELECT n_name AS nation, o_year,
+        |  round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit
+        |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) -
+        |          CAST(p_retailprice AS DECIMAL(12,2)) *
+        |          CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |      FROM graft_q9_part, graft_q9_supplier, graft_q9_lineitem,
+        |           graft_q9_orders, graft_q9_nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q2" -> qTpchQ2,
+    "q_tpch_q9" -> qTpchQ9,
     "q_tpch_q1" -> qTpchQ1,
     "q_tpch_q6" -> qTpchQ6,
     "q_tpch_q7" -> qTpchQ7,
@@ -698,6 +785,36 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    "q_tpch_q2" ->
+      """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+        |  round(CAST(l_extendedprice AS DOUBLE), 4) AS supply_cost
+        |FROM part, lineitem, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE' AND p_size BETWEEN 10 AND 20
+        |  AND p_type LIKE '%O%'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, o_year,
+        |  round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit
+        |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) -
+        |          CAST(p_retailprice AS DECIMAL(12,2)) *
+        |          CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |      FROM part, supplier, lineitem, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "q_tpch_q7" ->
       """SELECT supp_nation, cust_nation, l_year,
         |  round(CAST(sum(volume) AS DOUBLE), 4) AS revenue

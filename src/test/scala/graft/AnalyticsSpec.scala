@@ -114,6 +114,37 @@ class AnalyticsSpec extends TestSpark {
       "q_tpch_q17: brand filter not pushed to the part scan")
   }
 
+  test("q_tpch_q2: correlated MIN decorrelates to one grouped aggregate, region filter pushed") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val plan = staticPlan("q_tpch_q2")
+    // the correlated `price = (SELECT min(...) WHERE l2.l_partkey =
+    // p_partkey)` must become ONE per-part min-aggregate joined back on
+    // (partkey, price) — a nested-loop/cartesian means re-running the
+    // region join once per outer row, O(rows × parts) at 100 TB
+    assert(plan.collect { case c: CartesianProductExec => c }.isEmpty,
+      s"q_tpch_q2: cartesian product in plan:\n$plan")
+    assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      s"q_tpch_q2: nested-loop join — correlated MIN not decorrelated:\n$plan")
+    val aggs = plan.collect { case a: HashAggregateExec => a.groupingExpressions } ++
+      plan.collect { case a: ObjectHashAggregateExec => a.groupingExpressions }
+    assert(aggs.exists(_.nonEmpty),
+      s"q_tpch_q2: no grouped aggregate — MIN subquery not decorrelated:\n$plan")
+    // both the outer and the subquery's region scans keep the EUROPE pin
+    val s = plan.toString
+    assert(s.contains("EqualTo(r_name,EUROPE)"),
+      s"q_tpch_q2: region filter not pushed:\n$s")
+    assert("GreaterThanOrEqual\\(p_size,10\\)".r.findFirstIn(s).nonEmpty,
+      s"q_tpch_q2: part size bound not pushed:\n$s")
+  }
+
+  test("q_tpch_q9: dims broadcast around one fact edge, part LIKE pushed") {
+    assertOneFactEdge("q_tpch_q9", minBroadcast = 3)
+    val s = staticPlan("q_tpch_q9").toString
+    assert(s.contains("StringContains(p_name,widget)"),
+      s"q_tpch_q9: p_name LIKE not pushed to the part scan:\n$s")
+  }
+
   test("q_tpch_q4: EXISTS decorrelates to one semi join, filters pushed") {
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, ShuffledHashJoinExec}
     import org.apache.spark.sql.catalyst.plans.LeftSemi
