@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .wrongNumArgs(name, n, children.length)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // metadata-only count(*)/min/max over manifest-backed relations —
+    // the row and bounds accounts live in the manifest, so an
+    // unfiltered stats query never schedules a scan
+    // (graft.io.ManifestAggFold has the soundness gates;
+    // TableFormatSqlSpec pins the zero-scan plan)
+    ext.injectOptimizerRule(_ => graft.io.ManifestAggFold)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

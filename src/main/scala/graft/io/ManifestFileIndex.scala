@@ -31,7 +31,7 @@ import org.apache.spark.sql.types._
   */
 private[graft] final class ManifestFileIndex(
     spark: SparkSession, root: String,
-    entries: Seq[TableFormat.Entry]) extends FileIndex {
+    private[graft] val entries: Seq[TableFormat.Entry]) extends FileIndex {
 
   /** LAZY per-dir listing memo: a pruned query lists ONLY its surviving
     * dirs (entries are immutable, so a listing never staleles) — at
@@ -71,6 +71,18 @@ private[graft] final class ManifestFileIndex(
     entries.map { e =>
       if (e.bytes >= 0) e.bytes else filesOf(e).map(_.getLen).sum
     }.sum
+
+  /** Exact row count of THIS relation from the manifest's row accounts,
+    * when every entry carries one and none is dv-masked (a dv entry's
+    * physical rows are still what this scan node produces, but the
+    * account's consumers reason about the user-visible table — decline
+    * and let the scan answer). Feeds the metadata-only `count(*)`
+    * rewrite in [[graft.GraftExtensions]]: zero listings, zero jobs.
+    */
+  private[graft] lazy val metadataRowCount: Option[Long] =
+    if (entries.forall(e => e.rows >= 0 && e.dv.isEmpty))
+      Some(entries.map(_.rows).sum)
+    else None
 }
 
 private[graft] object ManifestFileIndex {

@@ -103,7 +103,8 @@ object TableFormat {
                                   dv: Option[String] = None,
                                   bounds: Map[String, ColBounds] = Map.empty,
                                   bytes: Long = -1L,
-                                  nFiles: Int = -1)
+                                  nFiles: Int = -1,
+                                  rows: Long = -1L)
 
   /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
@@ -135,7 +136,8 @@ object TableFormat {
     * encoding. Three line shapes:
     * {{{
     *   #schema\t<enc ddl>                      — committed schema
-    *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
+    *   G\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>\t<rows>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
+    *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t…]*  — pre-rows (row count unknown)
     *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*  — pre-r16 (no size account)
     *   <dir>\t<lo|''>\t<hi|''>[\t<statsCol|''>] — legacy pre-r15 entry
     * }}}
@@ -159,7 +161,16 @@ object TableFormat {
         else if (line.startsWith("#txn\t"))
           txns += dec(parts(1)) -> parts(2).toLong
         else if (line.startsWith("#")) () // forward-compat: skip
-        else if (line.startsWith("F\t")) {
+        else if (line.startsWith("G\t")) {
+          require(parts.length >= 6 && (parts.length - 6) % 4 == 0,
+            s"torn manifest line in v$v: '$line'")
+          val bounds = parts.drop(6).grouped(4).map { g =>
+            dec(g(0)) -> ColBounds(g(1), dec(g(2)), dec(g(3)))
+          }.toMap
+          entries += Entry(dec(parts(1)),
+            Some(parts(2)).filter(_.nonEmpty).map(dec), bounds,
+            parts(3).toLong, parts(4).toInt, parts(5).toLong)
+        } else if (line.startsWith("F\t")) {
           require(parts.length >= 5 && (parts.length - 5) % 4 == 0,
             s"torn manifest line in v$v: '$line'")
           val bounds = parts.drop(5).grouped(4).map { g =>
@@ -206,8 +217,8 @@ object TableFormat {
       val b = e.bounds.toSeq.sortBy(_._1).map { case (c, cb) =>
         s"\t${enc(c)}\t${cb.typ}\t${enc(cb.lo)}\t${enc(cb.hi)}"
       }.mkString
-      s"F\t${enc(e.dir)}\t${e.dv.map(enc).getOrElse("")}" +
-        s"\t${e.bytes}\t${e.nFiles}$b"
+      s"G\t${enc(e.dir)}\t${e.dv.map(enc).getOrElse("")}" +
+        s"\t${e.bytes}\t${e.nFiles}\t${e.rows}$b"
     }.mkString("", "\n", "\n")
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, (header + body).getBytes(StandardCharsets.UTF_8))
@@ -353,8 +364,8 @@ object TableFormat {
                       cols: Seq[String]): Entry = {
     val conf = spark.sessionState.newHadoopConf()
     val files = listDataFiles(conf, dir)
-    Entry(dir, None, footerBoundsFiles(conf, files, cols),
-      files.map(_.getLen).sum, files.size)
+    val (bounds, rows) = footerStatsFiles(conf, files, cols)
+    Entry(dir, None, bounds, files.map(_.getLen).sum, files.size, rows)
   }
 
   private def footerBounds(spark: SparkSession, dataDir: String,
@@ -381,8 +392,21 @@ object TableFormat {
   private def footerBoundsFiles(
       conf: org.apache.hadoop.conf.Configuration,
       files: Seq[org.apache.hadoop.fs.FileStatus],
-      cols: Seq[String]): Map[String, ColBounds] = {
-    if (cols.isEmpty) return Map.empty
+      cols: Seq[String]): Map[String, ColBounds] =
+    footerStatsFiles(conf, files, cols)._1
+
+  /** Bounds AND total row count of a landed dir in ONE footer pass —
+    * the commit's single metadata read supplies the zone maps, the size
+    * account's row tally, and nothing touches the data pages. The row
+    * count is what [[countRows]] and the metadata-only count(*) rewrite
+    * ([[graft.GraftExtensions]]) answer from at query time with zero
+    * Spark jobs.
+    */
+  private def footerStatsFiles(
+      conf: org.apache.hadoop.conf.Configuration,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      cols: Seq[String]): (Map[String, ColBounds], Long) = {
+    var rowTally = 0L
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -403,6 +427,7 @@ object TableFormat {
       val reader = ParquetFileReader.open(
         HadoopInputFile.fromPath(f.getPath, conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
+        rowTally += block.getRowCount
         cols.filterNot(dead).foreach { c =>
           block.getColumns.asScala.find(_.getPath.toDotString == c) match {
             case None => () // pre-evolution file: column reads all-null
@@ -466,9 +491,9 @@ object TableFormat {
       }
       finally reader.close()
     }
-    cols.filterNot(dead).flatMap(c => acc.get(c).map { case (k, lo, hi) =>
+    (cols.filterNot(dead).flatMap(c => acc.get(c).map { case (k, lo, hi) =>
       c -> ColBounds(k, lo.toString, hi.toString)
-    }).toMap
+    }).toMap, rowTally)
   }
 
   /** Normalized-absolute data-dir path: the SAME spelling at append time
@@ -731,6 +756,23 @@ object TableFormat {
       e.bounds.get(c).forall(b => intersects(b, lo, hi))
     })
     readEntries(spark, kept, manifestSchema(m))
+  }
+
+  /** Row count of a snapshot from manifest metadata alone when the
+    * accounts allow it — every entry carries a recorded row tally and
+    * none carries a deletion vector (a dv sidecar may name keys that
+    * never existed in its dir, so `rows − dvRows` is NOT the effective
+    * count; soundness beats cleverness here) — else ONE counting scan
+    * of the snapshot. At 100 TB the metadata path answers `count(*)`
+    * from KBs of manifest with zero Spark jobs; the same account feeds
+    * the SQL rewrite in [[graft.GraftExtensions]].
+    */
+  def countRows(spark: SparkSession, root: String, version: Int = -1): Long = {
+    val v = if (version < 0) latestVersion(root) else version
+    val m = readManifestFull(root, v)
+    if (m.entries.forall(e => e.rows >= 0 && e.dv.isEmpty))
+      m.entries.map(_.rows).sum
+    else readSnapshot(spark, root, v).count()
   }
 
   // ------------------------------------------------------- SQL read path
@@ -1085,6 +1127,58 @@ object TableFormat {
       ourSchema = Some(head.schema), conflictKeys = None)
   }
 
+  /** Targeted SMALL-DIR compaction (the public Delta auto-compact /
+    * bin-packing OPTIMIZE idea): coalesce only the entries whose size
+    * account is under `minBytes` into one right-sized dir, leaving
+    * every adequately-sized dir — and its zone maps, blooms, and dv
+    * pointers — in the manifest VERBATIM. This is the maintenance verb
+    * a streaming ingest needs: a trigger-per-minute sink lands ~1440
+    * KB-sized dirs a day, and whole-table [[compact]] would pay the
+    * full table to fix them; this pays only the small tail. Small
+    * dv-bearing dirs fold their debt on the way through (readEntries
+    * reads effective rows). Output files bin-pack to `maxFileBytes`
+    * via coalesce — no shuffle, the rewrite is read-concat-write.
+    *
+    * No-ops (returns the head version, NO new commit) when fewer than
+    * `minDirs` qualify — calling this after every micro-batch must not
+    * mint a version per call. Unknown size accounts (legacy entries,
+    * bytes < 0) are never "small": soundness on accounts, like every
+    * metadata consumer here. Commits through [[commitRewrite]] with
+    * read-set = the small entries, so a concurrent append/merge of
+    * other dirs rebases cleanly and a concurrent rewrite of a small
+    * dir conflicts loudly.
+    */
+  def compactSmall(spark: SparkSession, root: String,
+                   minBytes: Long, minDirs: Int = 4,
+                   maxFileBytes: Long = 128L << 20,
+                   statsCol: Option[String] = None,
+                   statsCols: Seq[String] = Nil): Int = {
+    require(minBytes > 0 && minDirs >= 2 && maxFileBytes > 0,
+      s"compactSmall(minBytes=$minBytes, minDirs=$minDirs, " +
+        s"maxFileBytes=$maxFileBytes): thresholds must be positive " +
+        "and minDirs >= 2 (compacting one dir into one dir is a no-op " +
+        "that would still mint a commit)")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to compact at $root")
+    val m = readManifestFull(root, prev)
+    val (small, big) = m.entries.partition(e =>
+      e.bytes >= 0 && e.bytes < minBytes)
+    if (small.size < minDirs) return prev
+    val totalBytes = small.map(_.bytes).sum
+    val nFiles = math.max(1L, (totalBytes + maxFileBytes - 1) /
+      maxFileBytes).toInt
+    val dataDir = newDataDir(root)
+    val packed = readEntries(spark, small, manifestSchema(m))
+      .coalesce(nFiles)
+    packed.write.parquet(dataDir)
+    val cols = ((statsCol.toSeq ++ statsCols) ++
+      small.flatMap(_.bounds.keys)).distinct
+    commitRewrite(spark, root, prev, readSet = small,
+      baseUntouched = big,
+      produced = Seq(mkEntry(spark, dataDir, cols)),
+      ourSchema = Some(packed.schema), conflictKeys = None)
+  }
+
   /** File-pruned COPY-ON-WRITE upsert (the Delta/Iceberg MERGE pattern
     * reduced): rows of `updates` REPLACE same-key rows of the latest
     * snapshot; keys present nowhere are inserted. Only data dirs whose
@@ -1226,7 +1320,9 @@ object TableFormat {
     require(foldRatio > 0, s"foldRatio must be positive, got $foldRatio")
     val accumulated = dvAccumulatedCounts(spark, touched, keys, keyCol)
     val (fold, mask) = touched.partition { e =>
-      val rows = footerRowCount(spark, e.dir)
+      // manifest row account when the entry carries one (every commit
+      // since rows landed); footer pass only for legacy entries
+      val rows = if (e.rows >= 0) e.rows else footerRowCount(spark, e.dir)
       rows > 0 && accumulated.getOrElse(e.dir, 0L) >= foldRatio * rows
     }
     val masked =
@@ -1929,8 +2025,10 @@ object TableFormat {
         m.entries.map(e => math.max(e.bytes, 0L)).sum,
         m.entries.map(e => math.max(e.nFiles, 0)).sum.toLong,
         m.entries.count(_.dv.nonEmpty).toLong,
-        m.txns.size.toLong)
-    }.toDF("version", "entries", "bytes", "files", "dv_entries", "txns")
+        m.txns.size.toLong,
+        m.entries.map(e => math.max(e.rows, 0L)).sum)
+    }.toDF("version", "entries", "bytes", "files", "dv_entries", "txns",
+      "rows")
   }
 
   /** Data-dir paths of snapshot `v` — spec window into the manifest
@@ -2214,6 +2312,24 @@ object TableFormat {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Metadata-only counts through plain SQL: head and time-traveled
+    * snapshot counts both fold to the manifest row account
+    * ([[graft.io.ManifestAggFold]] — zero scan jobs, spec-pinned in
+    * `TableFormatSqlSpec`); the oracle recomputes both from `orders`
+    * via the shared key-split rule, so a wrong account — not just a
+    * wrong plan — turns this row red.
+    */
+  private def qTableSqlCount(s: SparkSession, dir: String): DataFrame = {
+    val (root, _) = landedRangeTable(s, dir)
+    registerSql(s, root, "graft_sql_cnt_head")
+    registerSql(s, root, "graft_sql_cnt_v0", version = 0)
+    s.sql(
+      """SELECT 'head' AS snap, count(*) AS n FROM graft_sql_cnt_head
+        |UNION ALL
+        |SELECT 'v0' AS snap, count(*) AS n FROM graft_sql_cnt_v0
+        |ORDER BY snap""".stripMargin)
+  }
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
@@ -2231,7 +2347,8 @@ object TableFormat {
       "q_table_evolution" -> qTableEvolution,
       "q_table_dv" -> qTableDv,
       "q_table_sql" -> qTableSql,
-      "q_table_sql_dv" -> qTableSqlDv)
+      "q_table_sql_dv" -> qTableSqlDv,
+      "q_table_sql_count" -> qTableSqlCount)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -2306,6 +2423,15 @@ object TableFormat {
         |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_v0 FROM v0
         |  GROUP BY 1) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // metadata-only counts: head = whole fixture, v0 = lower key half
+    "q_table_sql_count" ->
+      """WITH m AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS mid
+        |  FROM orders)
+        |SELECT 'head' AS snap, count(*) AS n FROM orders
+        |UNION ALL
+        |SELECT 'v0' AS snap, count(*) AS n
+        |FROM orders, m WHERE o_orderkey <= mid
+        |ORDER BY snap""".stripMargin,
     // the SQL doorway over the range fixture: same key-split recompute
     // as q_table_skipping, plus the range extrema
     "q_table_sql" ->

@@ -191,7 +191,13 @@ final class TableFormatSourceProvider
       .getOrElse(Seq.empty)
     val appId = parameters.getOrElse("appid",
       parameters.getOrElse("appId", "stream"))
-    new TableFormatStreamSink(root, statsCols, appId)
+    val autoCompactMinBytes = parameters.get("autocompactminbytes")
+      .orElse(parameters.get("autoCompactMinBytes")).map(_.toLong)
+    val autoCompactMinDirs = parameters.get("autocompactmindirs")
+      .orElse(parameters.get("autoCompactMinDirs")).map(_.toInt)
+      .getOrElse(4)
+    new TableFormatStreamSink(root, statsCols, appId,
+      autoCompactMinBytes, autoCompactMinDirs)
   }
 }
 
@@ -199,9 +205,18 @@ final class TableFormatSourceProvider
   * micro-batch — idempotent on replay through the manifest's per-app
   * txn marker, so restarts and speculative re-attempts never double a
   * batch (the exactly-once contract `appendBatch` already proves).
+  * With `autoCompactMinBytes` set, each landed batch is followed by a
+  * BEST-EFFORT [[TableFormat.compactSmall]] pass (Delta's
+  * auto-compact): once `autoCompactMinDirs` sub-threshold dirs have
+  * piled up they coalesce into one, so a trigger-per-minute ingest
+  * keeps a bounded manifest instead of a dir per minute forever.
+  * Best-effort = a lost compaction race never fails the batch — the
+  * data is already durably committed, and the next trigger retries.
   */
 private[io] final class TableFormatStreamSink(root: String,
-    statsCols: Seq[String], appId: String)
+    statsCols: Seq[String], appId: String,
+    autoCompactMinBytes: Option[Long] = None,
+    autoCompactMinDirs: Int = 4)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -215,6 +230,11 @@ private[io] final class TableFormatStreamSink(root: String,
       data.queryExecution.toRdd.map(_.copy()), data.schema)
     TableFormat.appendBatch(batch, root, batchId,
       statsCols = statsCols, appId = appId)
+    autoCompactMinBytes.foreach { minBytes =>
+      try TableFormat.compactSmall(spark, root, minBytes,
+        minDirs = autoCompactMinDirs, statsCols = statsCols)
+      catch { case _: CommitConflictException => () }
+    }
     ()
   }
 

@@ -156,6 +156,80 @@ class TableFormatSpec extends TestSpark {
     assert(empty.columns.toSeq === Seq("k", "s") && empty.count() === 0)
   }
 
+  test("compactSmall coalesces only the small tail; big dirs carry verbatim") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one adequately-sized dir (2k rows) + five KB-sized trickle dirs —
+    // the shape a per-trigger streaming sink leaves behind
+    TableFormat.append((0L until 2000L).map(k => (k, s"v$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    (0 until 5).foreach { i =>
+      val lo = 2000L + i * 10
+      TableFormat.append((lo until lo + 10).map(k => (k, s"v$k"))
+        .toDF("k", "s"), root, statsCol = Some("k"))
+    }
+    val vBefore = TableFormat.latestVersion(root)
+    val m0 = TableFormat.readManifestFull(root, vBefore)
+    val bigDir = m0.entries.maxBy(_.bytes)
+    val smallBytes = m0.entries.map(_.bytes).sorted.apply(4)
+    // every tiny dir qualifies, the big one doesn't
+    val v = TableFormat.compactSmall(spark, root,
+      minBytes = smallBytes + 1, minDirs = 4, statsCol = Some("k"))
+    assert(v === vBefore + 1)
+    val m1 = TableFormat.readManifestFull(root, v)
+    assert(m1.entries.size === 2,
+      s"5 small dirs should pack into 1 beside the big dir: ${m1.entries}")
+    // the big dir carried VERBATIM: same path, same account, same bounds
+    assert(m1.entries.contains(bigDir),
+      "an adequately-sized dir must never be rewritten by small-file " +
+        "compaction")
+    // the packed dir re-records bounds + accounts, so skipping and
+    // metadata counts keep working over it
+    val packed = m1.entries.filterNot(_ == bigDir).head
+    assert(packed.rows === 50 && packed.bytes > 0 &&
+      packed.bounds.get("k").exists(b =>
+        b.lo.toLong === 2000L && b.hi.toLong === 2049L),
+      s"packed entry lost its accounts: $packed")
+    assert(TableFormat.countRows(spark, root) === 2050)
+    // content unchanged, history intact
+    assert(TableFormat.readSnapshot(spark, root).count() === 2050)
+    assert(TableFormat.readSnapshot(spark, root, vBefore).count() === 2050)
+    // below minDirs → NO-OP, no version minted (a sink calls this per
+    // trigger; an over-eager commit-per-call would defeat the point)
+    assert(TableFormat.compactSmall(spark, root,
+      minBytes = smallBytes + 1, minDirs = 4) === v)
+    // unknown size accounts are never "small" — soundness on accounts
+    val mLegacy = TableFormat.readManifestFull(root, v)
+    TableFormat.writeManifest(root, v + 1,
+      mLegacy.entries.map(_.copy(bytes = -1L)), mLegacy.schemaDdl,
+      mLegacy.txns)
+    assert(TableFormat.compactSmall(spark, root,
+      minBytes = Long.MaxValue, minDirs = 2) === v + 1,
+      "legacy account-less entries must not be classified small")
+  }
+
+  test("compactSmall folds a small dir's dv debt on the way through") {
+    import spark.implicits._
+    val root = freshRoot()
+    (0 until 4).foreach { i =>
+      val lo = i * 10L
+      TableFormat.append((lo until lo + 10).map(k => (k, s"v$k"))
+        .toDF("k", "s"), root, statsCol = Some("k"))
+    }
+    TableFormat.deleteKeysMor(spark, root, Seq(5L, 15L).toDF("k"), "k")
+    val v = TableFormat.compactSmall(spark, root,
+      minBytes = Long.MaxValue, minDirs = 2, statsCol = Some("k"))
+    val m = TableFormat.readManifestFull(root, v)
+    assert(m.entries.size === 1 && m.entries.forall(_.dv.isEmpty),
+      s"small-file compaction must fold dv debt: ${m.entries}")
+    val ks = TableFormat.readSnapshot(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks.size === 38 && !ks(5L) && !ks(15L),
+      "a folded dv row resurfaced after small-file compaction")
+    // with the debt folded, the metadata count path is live again
+    assert(TableFormat.countRows(spark, root) === 38)
+  }
+
   test("appendBatch is exactly-once under batch replay") {
     import spark.implicits._
     val root = freshRoot()

@@ -331,6 +331,148 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("a bare count(*) folds to the manifest row account — no scan in the plan") {
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    withStaticPlans {
+      val root = landRanges()
+      TableFormat.registerSql(spark, root, "graft_sql_cnt")
+      val q = spark.sql("SELECT count(*) AS n FROM graft_sql_cnt")
+      val plan = q.queryExecution.executedPlan
+      // the 100 TB claim: counting never touches data, files, or even
+      // footers — the answer is a LocalTableScan of the manifest tally
+      assert(plan.collect { case f: FileSourceScanExec => f }.isEmpty,
+        s"metadata-only count still scans files:\n$plan")
+      assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"metadata-only count shuffles:\n$plan")
+      assert(plan.collect { case l: LocalTableScanExec => l }.nonEmpty,
+        s"count did not fold to a local relation:\n$plan")
+      assert(q.collect()(0).getLong(0) === 300)
+      // Dataset.count() resolves to the same Aggregate shape and folds
+      // too; a time-traveled load folds to ITS version's account
+      assert(spark.read.format(Provider).load(root).count() === 300)
+      assert(spark.read.format(Provider).option("versionAsOf", "0")
+        .load(root).count() === 100)
+    }
+  }
+
+  test("the count rewrite declines filters, count(col), grouping, and row-less accounts") {
+    withStaticPlans {
+      val root = landRanges()
+      TableFormat.registerSql(spark, root, "graft_sql_cnt2")
+      def scans(df: DataFrame): Int = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.size
+      // a WHERE may change cardinality — even one the manifest could
+      // prove empty — so any filter shape scans
+      val filtered = spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_cnt2 WHERE k <= 50")
+      assert(scans(filtered) > 0, "a filtered count must scan")
+      assert(filtered.collect()(0).getLong(0) === 51)
+      // count(col) counts NON-NULLS — the row account can't answer it
+      val colCnt = spark.sql("SELECT count(s) AS n FROM graft_sql_cnt2")
+      assert(scans(colCnt) > 0, "count(col) must scan (null semantics)")
+      assert(colCnt.collect()(0).getLong(0) === 300)
+      // grouping produces per-group counts
+      val grouped = spark.sql(
+        "SELECT k % 2 AS g, count(*) AS n FROM graft_sql_cnt2 GROUP BY 1")
+      assert(scans(grouped) > 0, "a grouped count must scan")
+      assert(grouped.collect().map(_.getLong(1)).sum === 300)
+      // a manifest whose entries carry no row account (pre-rows
+      // commits) declines soundly instead of answering -1s
+      val v = TableFormat.latestVersion(root)
+      val m = TableFormat.readManifestFull(root, v)
+      TableFormat.writeManifest(root, v + 1,
+        m.entries.map(_.copy(rows = -1L)), m.schemaDdl, m.txns)
+      TableFormat.registerSql(spark, root, "graft_sql_cnt_legacy")
+      val legacy = spark.sql(
+        "SELECT count(*) AS n FROM graft_sql_cnt_legacy")
+      assert(scans(legacy) > 0,
+        "a row-less account must decline the metadata fold")
+      assert(legacy.collect()(0).getLong(0) === 300)
+    }
+  }
+
+  test("min/max fold to the zone maps; strings, gaps, and dv debt decline") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    withStaticPlans {
+      val root = landRanges()
+      TableFormat.registerSql(spark, root, "graft_sql_mm")
+      def scans(df: DataFrame): Int = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.size
+      // the stats-only query a dashboard fires at a 100 TB table: all
+      // three answers come from the manifest in one LocalTableScan
+      val q = spark.sql(
+        """SELECT min(k) AS lo, max(k) AS hi, count(*) AS n
+          |FROM graft_sql_mm""".stripMargin)
+      assert(scans(q) === 0, s"stats query still scans:\n" +
+        q.queryExecution.executedPlan)
+      assert(q.queryExecution.executedPlan
+        .collect { case l: LocalTableScanExec => l }.nonEmpty)
+      assert(q.collect()(0).toSeq === Seq(0L, 299L, 300L))
+      // aliases resolve through the project chain to the bounds column
+      val aliased = spark.sql(
+        "SELECT max(x) AS hi FROM (SELECT k AS x FROM graft_sql_mm)")
+      assert(scans(aliased) === 0, "aliased max must still fold")
+      assert(aliased.collect()(0).getLong(0) === 299L)
+      // string extremes decline — parquet writers may truncate binary
+      // stats, so the recorded bounds need not be values of the data
+      val smin = spark.sql("SELECT min(s) AS lo FROM graft_sql_mm")
+      assert(scans(smin) > 0, "string min must scan (truncation risk)")
+      assert(smin.collect()(0).getString(0) === "s0")
+      // ONE unfoldable output keeps the whole query on the scan path —
+      // never a half-folded hybrid
+      val mixed = spark.sql(
+        "SELECT min(k) AS lo, min(s) AS slo FROM graft_sql_mm")
+      assert(scans(mixed) > 0)
+      assert(mixed.collect()(0).toSeq === Seq(0L, "s0"))
+      // an unstatted-column table declines: bounds absence is
+      // indistinguishable from an all-null dir
+      val bare = freshRoot()
+      TableFormat.append((5L until 25L).toDF("k"), bare) // no statsCol
+      TableFormat.registerSql(spark, bare, "graft_sql_mm_bare")
+      val noStats = spark.sql("SELECT min(k) AS lo FROM graft_sql_mm_bare")
+      assert(scans(noStats) > 0, "boundless entries must decline")
+      assert(noStats.collect()(0).getLong(0) === 5L)
+      // dv debt hides rows from the account: the head must scan and
+      // see the POST-delete extremes
+      TableFormat.deleteKeysMor(spark, root,
+        Seq(0L, 299L).toDF("k"), "k")
+      TableFormat.registerSql(spark, root, "graft_sql_mm_dv")
+      val afterDv = spark.sql(
+        "SELECT min(k) AS lo, max(k) AS hi FROM graft_sql_mm_dv")
+      assert(afterDv.collect()(0).toSeq === Seq(1L, 298L),
+        "dv-deleted extremes leaked out of the zone-map fold")
+    }
+  }
+
+  test("countRows: manifest account when complete, counting scan under dv debt") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 40L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.append((40L until 100L).map(k => (k, s"b$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    assert(TableFormat.countRows(spark, root) === 100)
+    assert(TableFormat.countRows(spark, root, version = 0) === 40)
+    // describe surfaces the same account per version, metadata-only
+    val d = TableFormat.describe(spark, root).collect()
+      .map(r => r.getInt(0) -> r.getLong(6)).toMap
+    assert(d === Map(0 -> 40L, 1 -> 100L), s"describe rows: $d")
+    // a dv sidecar may name keys that never existed in its dir, so the
+    // account goes unusable the moment debt appears: countRows answers
+    // by scanning the EFFECTIVE table, not by arithmetic on sidecars
+    TableFormat.deleteKeysMor(spark, root, Seq(3L, 7L).toDF("k"), "k")
+    assert(TableFormat.countRows(spark, root) === 98)
+    // folding the debt away (compaction) restores the metadata path
+    TableFormat.compact(spark, root)
+    val mHead = TableFormat.readManifestFull(root,
+      TableFormat.latestVersion(root))
+    assert(mHead.entries.forall(e => e.rows >= 0 && e.dv.isEmpty),
+      s"compaction should fold dv debt and re-record rows: $mHead")
+    assert(TableFormat.countRows(spark, root) === 98)
+  }
+
   test("string zone maps prune through the SQL doorway too") {
     withStaticPlans {
       import spark.implicits._

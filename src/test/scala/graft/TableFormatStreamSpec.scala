@@ -298,6 +298,40 @@ class TableFormatStreamSpec extends TestSpark {
       s"non-append mode must refuse with the contract error: $e")
   }
 
+  test("sink auto-compact bounds the manifest under a trickle of tiny batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = Files.createTempDirectory("graft_tf_autocompact")
+    val root = s"$base/table"
+    val mem = MemoryStream[Long]
+    val q = mem.toDS().toDF("k").writeStream
+      .format(Provider).outputMode("append")
+      .option("path", root).option("statsCols", "k")
+      .option("autoCompactMinBytes", (1L << 20).toString)
+      .option("autoCompactMinDirs", "4")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    try {
+      // 12 one-row triggers: without auto-compact the head would carry
+      // 12 KB-sized dirs; with it, each 4th landing folds the tail
+      (0L until 12L).foreach { k =>
+        mem.addData(k)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val head = TableFormat.latestVersion(root)
+    val m = TableFormat.readManifestFull(root, head)
+    assert(m.entries.size < 6,
+      s"auto-compact left ${m.entries.size} dirs after 12 tiny batches: " +
+        m.entries.map(_.dir))
+    // compaction must not cost rows, accounts, or exactly-once-ness
+    assert(TableFormat.readSnapshot(spark, root)
+      .collect().map(_.getLong(0)).toSet === (0L until 12L).toSet,
+      "auto-compact lost or doubled rows")
+    assert(TableFormat.countRows(spark, root) === 12)
+  }
+
   test("a stream composes sink-to-source: follow a table another stream lands") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
