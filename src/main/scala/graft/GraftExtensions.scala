@@ -37,6 +37,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.io.ManifestAggFold has the soundness gates;
     // TableFormatSqlSpec pins the zero-scan plan)
     ext.injectOptimizerRule(_ => graft.io.ManifestAggFold)
+    // INSERT INTO/OVERWRITE over a manifest-backed relation must become
+    // a table COMMIT — without this rule Spark's post-hoc
+    // DataSourceAnalysis would write raw parquet into the table root,
+    // outside any snapshot (graft.io.GraftInsertRule)
+    ext.injectResolutionRule(_ => new graft.io.GraftInsertRule)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -30,8 +30,10 @@ import org.apache.spark.sql.types._
   * prune nothing — sound-first, like every pruning path in the format.
   */
 private[graft] final class ManifestFileIndex(
-    spark: SparkSession, root: String,
-    private[graft] val entries: Seq[TableFormat.Entry]) extends FileIndex {
+    spark: SparkSession, private[graft] val root: String,
+    private[graft] val entries: Seq[TableFormat.Entry],
+    private[graft] val writeOpts: Map[String, String] = Map.empty)
+    extends FileIndex {
 
   /** LAZY per-dir listing memo: a pruned query lists ONLY its surviving
     * dirs (entries are immutable, so a listing never staleles) — at
@@ -190,12 +192,17 @@ private[graft] object ManifestFileIndex {
   }
 
   /** The [[HadoopFsRelation]] over one entry set — ordinary parquet
-    * `FileFormat` below, manifest pruning above.
+    * `FileFormat` below, manifest pruning above. `writeOpts` (the
+    * provider's statsCols/bloomCol parameters) ride on the index so an
+    * `INSERT INTO` resolved against this relation
+    * ([[graft.io.GraftInsertRule]]) lands commits with the same zone
+    * maps and blooms the table was declared with.
     */
   private[graft] def relation(spark: SparkSession, root: String,
-      entries: Seq[TableFormat.Entry], schema: StructType): BaseRelation =
+      entries: Seq[TableFormat.Entry], schema: StructType,
+      writeOpts: Map[String, String] = Map.empty): BaseRelation =
     HadoopFsRelation(
-      location = new ManifestFileIndex(spark, root, entries),
+      location = new ManifestFileIndex(spark, root, entries, writeOpts),
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,

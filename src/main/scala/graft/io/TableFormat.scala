@@ -496,6 +496,26 @@ object TableFormat {
     }).toMap, rowTally)
   }
 
+  /** Table root from a possibly URI-spelled path. The SQL catalog hands
+    * providers the table LOCATION as a `file:` URI (`CREATE TABLE …
+    * OPTIONS (path '/x')` comes back as `file:///x`), and java.nio
+    * would read that as a RELATIVE path named `file:` — silently
+    * planting a table under the working directory (found by the r16
+    * DDL spec). Strip the local scheme; refuse non-local schemes
+    * loudly — this format's manifest protocol is java.nio + hard-link
+    * CAS, a posix-filesystem contract.
+    */
+  private[graft] def posixRoot(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    Option(uri.getScheme) match {
+      case None => p
+      case Some("file") => uri.getPath
+      case Some(s) => throw new IllegalArgumentException(
+        s"graft-table root must be a local path, got scheme '$s' in $p " +
+          "— the manifest commit protocol (hard-link CAS) is posix")
+    }
+  }
+
   /** Normalized-absolute data-dir path: the SAME spelling at append time
     * and at [[vacuum]] listing time, whatever the caller's root spelling
     * (trailing slash, relative, "." segments) — a mismatch here would
@@ -829,11 +849,50 @@ object TableFormat {
     * escape hatches named; [[readSnapshotSql]] composes the masked plan
     * and stays the full-fidelity SQL entry point.
     */
+  /** `dt` with every nesting level forced nullable — the comparison
+    * (and declared-table) domain where catalog and manifest schema
+    * spellings can be equated (`DataType.asNullable` is private).
+    */
+  private def nullableType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableType(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableType(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableType(m.valueType), valueContainsNull = true)
+    case x => x
+  }
+
   private[graft] def manifestRelation(spark: SparkSession, root: String,
-      version: Int): org.apache.spark.sql.sources.BaseRelation = {
+      version: Int, writeOpts: Map[String, String] = Map.empty,
+      userSchema: Option[StructType] = None)
+      : org.apache.spark.sql.sources.BaseRelation = {
     val v = if (version < 0) latestVersion(root) else version
+    if (v < 0) userSchema match {
+      // a DECLARED table whose root holds no snapshot yet (CREATE TABLE
+      // with a schema, pre-first-insert): an empty relation under the
+      // declared schema — the first INSERT INTO commits v0
+      case Some(s) =>
+        return ManifestFileIndex.relation(spark, root, Seq.empty,
+          nullableType(s).asInstanceOf[StructType], writeOpts)
+      case None => ()
+    }
     require(v >= 0, s"no snapshot at $root")
     val m = readManifestFull(root, v)
+    // the catalog's schema spelling must agree on names and types;
+    // nullability may differ (a CTAS records NOT NULL where the
+    // manifest keeps nullable — widening evolution null-backfills)
+    userSchema.foreach { s =>
+      val declared = s.fields.map(f => f.name -> nullableType(f.dataType))
+      val actual = manifestSchema(m)
+        .map(_.fields.map(f => f.name -> nullableType(f.dataType)))
+        .getOrElse(Array.empty)
+      require(declared.sameElements(actual),
+        s"catalog schema for $root does not match the committed " +
+          s"manifest schema: declared ${s.simpleString}, committed " +
+          manifestSchema(m).map(_.simpleString).getOrElse("<none>"))
+    }
     val schema = manifestSchema(m).getOrElse(
       throw new IllegalArgumentException(
         s"snapshot v$v at $root has no recorded schema (legacy/foreign " +
@@ -843,7 +902,7 @@ object TableFormat {
         "single-relation read cannot mask — read it via " +
         "TableFormat.readSnapshotSql/registerSql (masked, still pruned), " +
         "or fold the vectors with compact()")
-    ManifestFileIndex.relation(spark, root, m.entries, schema)
+    ManifestFileIndex.relation(spark, root, m.entries, schema, writeOpts)
   }
 
   /** Data dirs of snapshot `v` whose bounds survive `preds` — the spec
@@ -2330,12 +2389,47 @@ object TableFormat {
         |ORDER BY snap""".stripMargin)
   }
 
+  /** Landed through PURE SQL: CTAS creates the table with the lower key
+    * half, INSERT INTO lands the upper half as a second commit — no
+    * Scala writer API anywhere in the fixture. `GraftInsertRule` owns
+    * the insert-as-commit semantics; the oracle recomputes from
+    * `orders`, so a dropped or doubled insert turns this row red.
+    */
+  private val dmlCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlDmlTable(s: SparkSession, dir: String): String =
+    dmlCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_dml").toString + "/t"
+      val (orders, _, _, mid) = orderKeySplit(s, dir)
+      orders.createOrReplaceTempView("graft_dml_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_dml_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_dml_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus FROM graft_dml_src
+           |WHERE o_orderkey <= $mid""".stripMargin)
+      s.sql(
+        s"""INSERT INTO graft_sql_dml_orders
+           |SELECT o_orderkey, o_orderstatus FROM graft_dml_src
+           |WHERE o_orderkey > $mid""".stripMargin)
+      root
+    })
+
+  private def qTableSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    landedSqlDmlTable(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM graft_sql_dml_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
     mergeCache.keys.toList.foreach(mergeCache.remove)
     evoCache.keys.toList.foreach(evoCache.remove)
     dvCache.keys.toList.foreach(dvCache.remove)
+    dmlCache.keys.toList.foreach(dmlCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2348,7 +2442,8 @@ object TableFormat {
       "q_table_dv" -> qTableDv,
       "q_table_sql" -> qTableSql,
       "q_table_sql_dv" -> qTableSqlDv,
-      "q_table_sql_count" -> qTableSqlCount)
+      "q_table_sql_count" -> qTableSqlCount,
+      "q_table_sql_insert" -> qTableSqlInsert)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -2423,6 +2518,11 @@ object TableFormat {
         |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_v0 FROM v0
         |  GROUP BY 1) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // CTAS + INSERT INTO landed the WHOLE orders key set: the oracle
+    // recomputes the status histogram from orders directly
+    "q_table_sql_insert" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // metadata-only counts: head = whole fixture, v0 = lower key half
     "q_table_sql_count" ->
       """WITH m AS (SELECT (min(o_orderkey) + max(o_orderkey)) // 2 AS mid

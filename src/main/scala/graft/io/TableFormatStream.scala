@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Structured-Streaming SOURCE over a [[TableFormat]] table — the
@@ -70,7 +70,8 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 final class TableFormatSourceProvider
     extends StreamSourceProvider with StreamSinkProvider
-    with RelationProvider with CreatableRelationProvider
+    with RelationProvider with SchemaRelationProvider
+    with CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-table"
@@ -87,12 +88,41 @@ final class TableFormatSourceProvider
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val root = parameters.getOrElse("path",
+    val root = TableFormat.posixRoot(parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-table batch read needs a table root: .load(<root>)"))
+        "graft-table batch read needs a table root: .load(<root>)")))
     val v = parameters.get("versionasof")
       .orElse(parameters.get("versionAsOf")).map(_.toInt).getOrElse(-1)
-    TableFormat.manifestRelation(sqlContext.sparkSession, root, v)
+    // the declared write options ride on the relation so INSERT INTO
+    // (GraftInsertRule) lands commits with the table's own zone
+    // maps/blooms
+    TableFormat.manifestRelation(sqlContext.sparkSession, root, v,
+      writeOpts = parameters)
+  }
+
+  /** The SCHEMA-CARRYING read — what the session catalog calls for a
+    * table it holds a schema for (every `CREATE TABLE … USING`, CTAS
+    * included). Two jobs: (1) tolerate the catalog's nullability
+    * spelling — a CTAS records NOT NULL where the manifest keeps
+    * nullable (widening evolution null-backfills), and the plain
+    * RelationProvider path would refuse the exact-equality check on
+    * that difference; names and types still validate loudly. (2) let
+    * `CREATE TABLE t (k BIGINT, …) USING …` declare a table whose root
+    * holds no snapshot yet: the relation serves the declared schema
+    * over zero entries, and the first `INSERT INTO`
+    * ([[GraftInsertRule]]) lands v0 — the full SQL DDL lifecycle with
+    * no Scala in sight.
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation = {
+    val root = TableFormat.posixRoot(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table batch read needs a table root: .load(<root>)")))
+    val v = parameters.get("versionasof")
+      .orElse(parameters.get("versionAsOf")).map(_.toInt).getOrElse(-1)
+    TableFormat.manifestRelation(sqlContext.sparkSession, root, v,
+      writeOpts = parameters, userSchema = Some(schema))
   }
 
   /** BATCH write —
@@ -110,9 +140,9 @@ final class TableFormatSourceProvider
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
     import org.apache.spark.sql.SaveMode
-    val root = parameters.getOrElse("path",
+    val root = TableFormat.posixRoot(parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-table batch write needs a table root: .save(<root>)"))
+        "graft-table batch write needs a table root: .save(<root>)")))
     val statsCols = parameters.get("statscols")
       .orElse(parameters.get("statsCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -137,8 +167,9 @@ final class TableFormatSourceProvider
 
   private def tableSchema(parameters: Map[String, String],
                           user: Option[StructType]): StructType = {
-    val root = parameters.getOrElse("path", throw new IllegalArgumentException(
-      "graft-table source needs a table root: .load(<root>)"))
+    val root = TableFormat.posixRoot(parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-table source needs a table root: .load(<root>)")))
     val base = user.orElse(TableFormat.latestSchema(root)).getOrElse(
       throw new IllegalArgumentException(
         s"no committed snapshot at $root and no user schema — create the " +
@@ -157,7 +188,8 @@ final class TableFormatSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new TableFormatStreamSource(sqlContext,
-      parameters("path"), parameters, tableSchema(parameters, schema))
+      TableFormat.posixRoot(parameters("path")), parameters,
+      tableSchema(parameters, schema))
 
   /** STREAMING SINK —
     * `df.writeStream.format(<this class>).option("path", root)
@@ -182,9 +214,9 @@ final class TableFormatSourceProvider
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"graft-table sink is append-only (each batch is a table " +
         s"commit), got $outputMode")
-    val root = parameters.getOrElse("path",
+    val root = TableFormat.posixRoot(parameters.getOrElse("path",
       throw new IllegalArgumentException(
-        "graft-table sink needs a table root: option(\"path\", ...)"))
+        "graft-table sink needs a table root: option(\"path\", ...)")))
     val statsCols = parameters.get("statscols")
       .orElse(parameters.get("statsCols"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -25,4 +25,15 @@ object ColumnBridge {
       actual: Int): Throwable =
     org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
       name, Seq(expected), actual)
+
+  /** A DataFrame over a resolved logical plan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — what a library's RunnableCommand
+    * needs to execute the query plan it carried through analysis
+    * (Spark's own v1 `InsertIntoDataSourceCommand` does exactly this).
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }

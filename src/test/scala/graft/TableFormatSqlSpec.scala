@@ -473,6 +473,98 @@ class TableFormatSqlSpec extends TestSpark {
     assert(TableFormat.countRows(spark, root) === 98)
   }
 
+  test("SQL lifecycle: CTAS creates, INSERT INTO/OVERWRITE commit through the manifest") {
+    val base = Files.createTempDirectory("graft_sql_ddl")
+    val root = s"$base/t"
+    spark.sql(s"""CREATE TABLE graft_ddl USING `$Provider`
+      OPTIONS (path '$root', statsCols 'k')
+      AS SELECT id AS k, concat('a', id) AS s FROM range(0, 100)""")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl")
+        .collect()(0).getLong(0) === 100)
+      val vCtas = TableFormat.latestVersion(root)
+      // INSERT INTO = an append COMMIT: a new manifest version, rows
+      // visible to the next SELECT, and NO stray files in the root
+      // (Spark's default HadoopFsRelation insert path would dump
+      // parquet beside the manifest — the failure the injected
+      // resolution rule exists to prevent)
+      spark.sql("""INSERT INTO graft_ddl
+        SELECT id, concat('b', id) FROM range(100, 130)""")
+      assert(TableFormat.latestVersion(root) === vCtas + 1,
+        "INSERT INTO must land as one manifest commit")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl")
+        .collect()(0).getLong(0) === 130)
+      val stray = Files.list(Paths.get(root)).iterator().asScala
+        .map(_.getFileName.toString).toSet -- Set("manifest", "data", "dv")
+      assert(stray.isEmpty, s"insert left files outside the format: $stray")
+      // the commit recorded the DECLARED zone maps: pruning works on
+      // SQL-inserted data
+      assert(TableFormat.prunedDirs(root, TableFormat.latestVersion(root),
+        Seq(("k", Long.box(500L), Long.box(900L)))).isEmpty,
+        "SQL-inserted commit lost the table's declared zone maps")
+      // a column list reorders; absent columns null-fill
+      spark.sql("INSERT INTO graft_ddl (s, k) VALUES ('x', 900)")
+      spark.sql("INSERT INTO graft_ddl (k) VALUES (901)")
+      val tail = spark.sql(
+        "SELECT k, s FROM graft_ddl WHERE k >= 900 ORDER BY k").collect()
+      assert(tail.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ===
+        Seq((900L, false), (901L, true)))
+      assert(tail(0).getString(1) === "x")
+      // position-mismatch arity refuses loudly instead of landing junk
+      val err = intercept[Exception] {
+        spark.sql("INSERT INTO graft_ddl VALUES (1)")
+      }
+      assert(String.valueOf(err.getMessage).contains("columns") ||
+        Option(err.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("columns")),
+        s"arity mismatch must name the contract: $err")
+      // INSERT OVERWRITE = replace: new head, history intact
+      val vPre = TableFormat.latestVersion(root)
+      spark.sql("""INSERT OVERWRITE graft_ddl
+        SELECT id, concat('c', id) FROM range(0, 7)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_ddl")
+        .collect()(0).getLong(0) === 7)
+      assert(TableFormat.readSnapshot(spark, root, vPre).count() === 132,
+        "INSERT OVERWRITE must keep history under time travel")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_ddl")
+  }
+
+  test("a declared table exists before its first commit; INSERT lands v0") {
+    val base = Files.createTempDirectory("graft_sql_decl")
+    val root = s"$base/t"
+    spark.sql(s"""CREATE TABLE graft_decl (k BIGINT, s STRING)
+      USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
+    try {
+      // pre-insert: no snapshot on disk, yet SQL sees an empty table
+      // under the declared schema — the catalog is the contract
+      assert(TableFormat.latestVersion(root) === -1)
+      assert(spark.sql("SELECT * FROM graft_decl").collect().isEmpty)
+      spark.sql("INSERT INTO graft_decl VALUES (1, 'a'), (2, 'b')")
+      assert(TableFormat.latestVersion(root) === 0,
+        "first INSERT INTO a declared table must commit v0")
+      assert(spark.sql("SELECT sum(k) AS s FROM graft_decl")
+        .collect()(0).getLong(0) === 3)
+      // the declared zone maps took effect on that first commit
+      assert(TableFormat.prunedDirs(root, 0,
+        Seq(("k", Long.box(50L), Long.box(90L)))).isEmpty,
+        "declared statsCols were not recorded by the first insert")
+      // a declared schema that contradicts the committed manifest
+      // refuses loudly at CREATE time (the catalog resolves the
+      // relation eagerly), never registers mislabeled columns
+      val e = intercept[Exception] {
+        spark.sql(s"""CREATE TABLE graft_decl_bad (k BIGINT, wrong DOUBLE)
+          USING `$Provider` OPTIONS (path '$root')""")
+      }
+      assert(String.valueOf(e.getMessage).contains("manifest schema") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("manifest schema")),
+        s"schema mismatch must name the contract: $e")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_decl")
+      spark.sql("DROP TABLE IF EXISTS graft_decl_bad")
+    }
+  }
+
   test("string zone maps prune through the SQL doorway too") {
     withStaticPlans {
       import spark.implicits._
