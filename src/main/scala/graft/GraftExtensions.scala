@@ -40,8 +40,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // INSERT INTO/OVERWRITE over a manifest-backed relation must become
     // a table COMMIT — without this rule Spark's post-hoc
     // DataSourceAnalysis would write raw parquet into the table root,
-    // outside any snapshot (graft.io.GraftInsertRule)
-    ext.injectResolutionRule(_ => new graft.io.GraftInsertRule)
+    // outside any snapshot (graft.io.GraftDmlRule)
+    ext.injectResolutionRule(_ => new graft.io.GraftDmlRule)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

@@ -1,0 +1,457 @@
+package graft.io
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** SQL DML over the table format: an `INSERT INTO` / `INSERT
+  * OVERWRITE` / `DELETE FROM` / `UPDATE` whose target resolves to a
+  * [[ManifestFileIndex]]-backed relation is rewritten into a manifest
+  * COMMIT ([[TableFormat.append]] / [[TableFormat.replace]] /
+  * [[TableFormat.deleteWhere]] / [[TableFormat.updateWhere]]) — the
+  * public Delta-lake pattern of intercepting row-level commands at
+  * resolution time. For the insert forms the rule is mandatory for
+  * correctness, not a convenience: without it Spark's own
+  * `DataSourceAnalysis` (a post-hoc rule — injected resolution rules
+  * run first) classifies the relation by its `HadoopFsRelation` shape
+  * and plans a raw file write into the table ROOT — parquet landing
+  * outside any commit, invisible to every snapshot, stranded from
+  * vacuum. With the rule, the full SQL lifecycle works against the
+  * registered provider:
+  * {{{
+  *   CREATE TABLE t USING `graft…Provider` OPTIONS (path '…')  -- register
+  *   CREATE TABLE t USING … AS SELECT …                        -- CTAS (writer path)
+  *   INSERT INTO t SELECT … / VALUES …                         -- append commit
+  *   INSERT INTO t (b, a) VALUES …         -- column list, absent → NULL
+  *   INSERT OVERWRITE t SELECT …                               -- replace commit
+  *   DELETE FROM t WHERE k BETWEEN 10 AND 20   -- zone-map-pruned rewrite
+  *   UPDATE t SET s = concat(s, '!') WHERE k = 7  -- simultaneous, typed
+  * }}}
+  * DELETE/UPDATE conditions prune at the manifest level through the
+  * SAME predicate-tree evaluator the read path uses, so a range
+  * delete rewrites the intersecting dirs and carries the rest
+  * verbatim; for v1 relations Spark would otherwise refuse both
+  * statements outright ("only supported with v2 tables").
+  * Rows align to the table schema by POSITION (the SQL default), by
+  * NAME under `byName`/an explicit column list (absent columns
+  * null-fill), with casts to the declared field types — resolved here,
+  * while the analyzer still owns the plan. The commit records the zone
+  * maps/blooms the table was DECLARED with (`statsCols`/`bloomCol`
+  * options ride on the relation's file index), so SQL-inserted data
+  * prunes like Scala-landed data. PARTITION specs refuse: layout is
+  * the manifest's concern (compactRanged/compactZOrder).
+  *
+  * A dv-bearing head refuses upstream (the one-relation read contract
+  * in [[TableFormat.manifestRelation]]), so an insert can never race
+  * its own target's masked rows. Registered by
+  * [[graft.GraftExtensions]]; spec'd in `TableFormatSqlSpec`.
+  */
+final class GraftDmlRule extends Rule[LogicalPlan] {
+
+  /** (relation, fsRelation, index) when `p` is a manifest-backed
+    * LogicalRelation — the target test for INSERT, which the analyzer
+    * resolves through the v1 path (`FindDataSourceTable`).
+    */
+  private def target(p: LogicalPlan)
+      : Option[(LogicalRelation, HadoopFsRelation, ManifestFileIndex)] =
+    p match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case m: ManifestFileIndex => Some((l, fs, m))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** (root, writeOpts, catalog ident) when `p` targets a graft table —
+    * DELETE/UPDATE resolve through the V2 path (a
+    * `DataSourceV2Relation` wrapping the session catalog's `V1Table`),
+    * never `FindDataSourceTable`, so the provider must be recognized
+    * from the catalog metadata; temp views over the provider still
+    * arrive as LogicalRelation and match through [[target]].
+    */
+  private def dmlTarget(p: LogicalPlan): Option[(String,
+      Map[String, String],
+      Option[org.apache.spark.sql.catalyst.TableIdentifier])] = p match {
+    case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+      dmlTarget(a.child) // row-level commands keep the name wrapper
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.v1Table(r.table)
+        .filter(_.provider.exists(pr =>
+          pr == classOf[TableFormatSourceProvider].getName ||
+            pr == "graft-table"))
+        .map { ct =>
+          val raw = ct.storage.properties.get("path")
+            .orElse(ct.storage.properties.get("Path"))
+            .orElse(ct.storage.locationUri.map(_.toString))
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft table ${ct.identifier} has no path/location"))
+          (TableFormat.posixRoot(raw), ct.storage.properties,
+            Some(ct.identifier))
+        }
+    case _ => target(p).map { case (l, _, m) =>
+      (m.root, m.writeOpts, l.catalogTable.map(_.identifier))
+    }
+  }
+
+  /** Guard + pass-through: the command carries the RESOLVED expression
+    * (CheckAnalysis walks command expression fields — an unresolved
+    * attribute there fails analysis), and re-anchors it on column
+    * names at RUN time ([[GraftDmlRule.rebind]]) against the fresh
+    * read. Subqueries refuse here, at resolution, where the error
+    * position is still the statement.
+    */
+  private def unbind(e: Expression): Expression = {
+    require(!e.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      "graft-table DML conditions cannot contain subqueries — stage " +
+        "the subquery into a frame and use deleteKeys/merge")
+    e
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case i: InsertIntoStatement if i.query.resolved =>
+        target(i.table) match {
+          case Some((l, fs, m)) => rewrite(i, l, fs, m)
+          case None => i
+        }
+      case d: DeleteFromTable if d.resolved =>
+        dmlTarget(d.table) match {
+          case Some((root, opts, ident)) =>
+            DeleteFromGraftTableCommand(root, opts,
+              unbind(d.condition), ident)
+          case None => d
+        }
+      case u: UpdateTable if u.resolved =>
+        dmlTarget(u.table) match {
+          case Some((root, opts, ident)) =>
+            UpdateGraftTableCommand(root, opts,
+              u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
+              u.assignments.map { a =>
+                val name = a.key match {
+                  case at: Attribute => at.name
+                  case other => throw new IllegalArgumentException(
+                    "graft-table UPDATE can only assign top-level " +
+                      s"columns, got ${other.sql}")
+                }
+                name -> unbind(a.value)
+              }, ident)
+          case None => u
+        }
+      case mt: MergeIntoTable
+          if mt.targetTable.resolved && mt.sourceTable.resolved &&
+            mt.mergeCondition.resolved =>
+        dmlTarget(mt.targetTable) match {
+          case Some((root, opts, ident)) => rewriteMerge(mt, root, opts, ident)
+          case None => mt
+        }
+    }
+
+  /** The three supported MERGE shapes → one command; everything else
+    * refuses with the staging escape hatch named. Star actions are
+    * accepted both raw and in the analyzer's identity expansion (the
+    * fixed point may hand us either).
+    */
+  private def rewriteMerge(mt: MergeIntoTable, root: String,
+      opts: Map[String, String],
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+      : LogicalPlan = {
+    def refuse(what: String): Nothing = throw new IllegalArgumentException(
+      s"graft-table MERGE supports UPDATE SET * / DELETE (matched) and " +
+        s"INSERT * (not matched) on one key equality; $what — stage the " +
+        "source into a frame and use TableFormat.merge/deleteKeys for " +
+        "other shapes")
+    require(mt.notMatchedBySourceActions.isEmpty,
+      "graft-table MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    val tOut = mt.targetTable.outputSet
+    val sOut = mt.sourceTable.outputSet
+    val (tk, sk) = mt.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: AttributeReference, b: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          b: AttributeReference, a: AttributeReference)
+          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+      case other => refuse(s"ON condition is not one target-key = " +
+        s"source-key equality: ${other.sql}")
+    }
+    val targetCols = mt.targetTable.output.map(_.name.toLowerCase)
+    // the analyzer's `SET *` expansion wraps values in nullability
+    // asserts and widening casts — those don't change WHICH source
+    // column feeds WHICH target column, which is all identity means
+    def bare(e: Expression): Expression = e match {
+      case c: Cast => bare(c.child)
+      case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+        bare(a.child)
+      case x => x
+    }
+    def isIdentity(assigns: Seq[Assignment]): Boolean = {
+      val pairs = assigns.flatMap { a => (a.key, bare(a.value)) match {
+        case (k: Attribute, v: AttributeReference)
+            if sOut.contains(v) && k.name.equalsIgnoreCase(v.name) =>
+          Some(k.name.toLowerCase)
+        case _ => None
+      }}
+      pairs.length == assigns.length && pairs.toSet == targetCols.toSet
+    }
+    val matched = mt.matchedActions match {
+      case Seq() => "none"
+      case Seq(UpdateStarAction(None)) => "update"
+      case Seq(UpdateAction(None, _, true)) => "update" // analyzer: SET *
+      case Seq(UpdateAction(None, as, _)) if isIdentity(as) => "update"
+      case Seq(DeleteAction(None)) => "delete"
+      case other => refuse(s"unsupported matched actions: $other")
+    }
+    val notMatched = mt.notMatchedActions match {
+      case Seq() => "none"
+      case Seq(InsertStarAction(None)) => "insert"
+      case Seq(InsertAction(None, as)) if isIdentity(as) => "insert"
+      case other => refuse(s"unsupported not-matched actions: $other")
+    }
+    val action = (matched, notMatched) match {
+      case ("update", "insert") => "upsert"
+      case ("delete", "none") => "delete"
+      case ("none", "insert") => "insert"
+      case other => refuse(s"unsupported action combination $other")
+    }
+    MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
+      action, ident)
+  }
+
+  private def rewrite(i: InsertIntoStatement, l: LogicalRelation,
+      fs: HadoopFsRelation, m: ManifestFileIndex): LogicalPlan = {
+    require(i.partitionSpec.isEmpty,
+      "graft-table insert does not take a PARTITION spec — the " +
+        "table's layout is the manifest's concern " +
+        "(compactRanged/compactZOrder)")
+    val fields = fs.dataSchema.fields.toSeq
+    val out = i.query.output
+    val tz = Option(conf.sessionLocalTimeZone)
+    def fit(e: NamedExpression,
+        f: org.apache.spark.sql.types.StructField): NamedExpression =
+      if (e.dataType == f.dataType && e.name == f.name) e
+      else if (e.dataType == f.dataType) Alias(e, f.name)()
+      else Alias(Cast(e, f.dataType, tz), f.name)()
+    val projected: Seq[NamedExpression] =
+      if (i.userSpecifiedCols.nonEmpty) {
+        require(i.userSpecifiedCols.length == out.length,
+          s"INSERT column list names ${i.userSpecifiedCols.length} " +
+            s"columns but the query produces ${out.length}")
+        val dup = i.userSpecifiedCols.groupBy(_.toLowerCase)
+          .collectFirst { case (n, vs) if vs.length > 1 => n }
+        require(dup.isEmpty, s"INSERT column list repeats '${dup.get}'")
+        val known = fields.map(_.name.toLowerCase).toSet
+        val unknown = i.userSpecifiedCols.filterNot(c =>
+          known(c.toLowerCase))
+        require(unknown.isEmpty,
+          s"INSERT column list names ${unknown.mkString(", ")} which " +
+            s"the table does not have (${fields.map(_.name).mkString(", ")})")
+        val byCol = i.userSpecifiedCols.map(_.toLowerCase).zip(out).toMap
+        fields.map { f =>
+          byCol.get(f.name.toLowerCase) match {
+            case Some(a) => fit(a, f)
+            case None => Alias(Literal(null, f.dataType), f.name)()
+          }
+        }
+      } else if (i.byName) {
+        val byCol = out.map(a => a.name.toLowerCase -> a).toMap
+        fields.map { f =>
+          byCol.get(f.name.toLowerCase) match {
+            case Some(a) => fit(a, f)
+            case None => throw new IllegalArgumentException(
+              s"INSERT BY NAME is missing table column '${f.name}'")
+          }
+        }
+      } else {
+        require(out.length == fields.length,
+          s"INSERT produces ${out.length} columns but the table has " +
+            s"${fields.length} (${fields.map(_.name).mkString(", ")})")
+        fields.zip(out).map { case (f, a) => fit(a, f) }
+      }
+    InsertIntoGraftTableCommand(m.root, m.writeOpts,
+      Project(projected, i.query), i.overwrite,
+      l.catalogTable.map(_.identifier))
+  }
+}
+
+/** The landed half: run the aligned query and commit it — one
+  * [[TableFormat.append]] (INSERT INTO) or [[TableFormat.replace]]
+  * (INSERT OVERWRITE — history intact under time travel, whole-table
+  * conflict footprint). Carries the query as a resolved plan and
+  * executes it through the bridge, the same shape as Spark's own v1
+  * `InsertIntoDataSourceCommand`.
+  */
+private[graft] case class InsertIntoGraftTableCommand(root: String,
+    writeOpts: Map[String, String], query: LogicalPlan,
+    overwrite: Boolean,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, query)
+    val statsCols = GraftDmlRule.statsColsOf(writeOpts)
+    val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    if (overwrite)
+      TableFormat.replace(spark, root, df, statsCols = statsCols,
+        bloomCol = bloomCol)
+    else
+      TableFormat.append(df, root, statsCols = statsCols,
+        bloomCol = bloomCol)
+    // a catalog table's resolved relation is CACHED per name
+    // (FindDataSourceTable); the commit moved the head, so the next
+    // SELECT must re-resolve against the new manifest — the same
+    // refresh InsertIntoHadoopFsRelationCommand performs. (A TEMP VIEW
+    // created via USING pins its analyzed snapshot by design — re-run
+    // registerSql/CREATE to follow the head, exactly like time travel.)
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE …` landed as a predicate-pruned copy-on-write
+  * commit ([[TableFormat.deleteWhere]]): dirs whose zone maps exclude
+  * the predicate carry verbatim, matching rows filter out of the rest
+  * under SQL null semantics (NULL condition keeps the row).
+  */
+private[graft] case class DeleteFromGraftTableCommand(root: String,
+    writeOpts: Map[String, String],
+    condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableFormat.deleteWhere(spark, root, GraftDmlRule.rebind(condition),
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE …` landed as a predicate-pruned copy-on-write
+  * commit ([[TableFormat.updateWhere]]): assignments apply
+  * simultaneously over the pre-update row, cast to the declared column
+  * types, untouched dirs carry verbatim.
+  */
+private[graft] case class UpdateGraftTableCommand(root: String,
+    writeOpts: Map[String, String],
+    condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableFormat.updateWhere(spark, root, GraftDmlRule.rebind(condition),
+      assignments.map { case (n, v) => n -> GraftDmlRule.rebind(v) },
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+private[graft] object GraftDmlRule {
+  /** Re-anchor a resolved condition/assignment on COLUMN NAMES: the
+    * statement's exprIds die with the statement, but the command
+    * re-reads the table at run time — names are the stable
+    * coordinates (flat schemas; the format has no nested columns).
+    */
+  def rebind(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+      })
+
+  /** The table's declared stats/bloom options (both option-case
+    * spellings), shared by every DML command so SQL edits keep the
+    * table's pruning metadata current.
+    */
+  def statsColsOf(writeOpts: Map[String, String]): Seq[String] =
+    writeOpts.get("statscols").orElse(writeOpts.get("statsCols"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  def bloomColOf(writeOpts: Map[String, String]): Option[String] =
+    writeOpts.get("bloomcol").orElse(writeOpts.get("bloomCol"))
+}
+
+/** `MERGE INTO t USING s ON t.k = s.k …` landed through the format's
+  * own upsert machinery. The supported shapes are the three standard
+  * row-level patterns (each refusing loudly outside them — staged
+  * frames + the Scala API cover the rest):
+  *
+  *   - WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *
+  *     → [[TableFormat.merge]] (file-pruned copy-on-write upsert)
+  *   - WHEN MATCHED THEN DELETE (alone) → [[TableFormat.deleteKeys]]
+  *   - WHEN NOT MATCHED THEN INSERT * (alone) → insert-only append of
+  *     the source rows whose key is absent from the target
+  *
+  * The ON condition must be ONE target-key = source-key equality (the
+  * key-anchored form every zone-map/bloom pruning path here keys on);
+  * action conditions, partial assignment lists that aren't the
+  * identity expansion of `*`, and NOT MATCHED BY SOURCE clauses
+  * refuse. Source rows align to the target schema by name with casts.
+  */
+private[graft] case class MergeIntoGraftTableCommand(root: String,
+    writeOpts: Map[String, String], source: LogicalPlan,
+    targetKey: String, sourceKey: String, action: String,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    val statsCols = GraftDmlRule.statsColsOf(writeOpts)
+    val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    action match {
+      case "delete" =>
+        TableFormat.deleteKeys(spark, root,
+          src.select(col(sourceKey).as(targetKey)).distinct(), targetKey,
+          statsCols = statsCols, bloomCol = bloomCol)
+      case _ =>
+        val target = TableFormat.latestSchema(root).getOrElse(
+          throw new IllegalArgumentException(
+            s"MERGE INTO needs an existing committed table at $root"))
+        val srcCols = src.columns.map(_.toLowerCase).toSet
+        val missing = target.fields.map(_.name)
+          .filterNot(f => srcCols(f.toLowerCase))
+        require(missing.isEmpty,
+          s"MERGE source is missing target column(s) " +
+            s"${missing.mkString(", ")}")
+        val aligned = src.select(target.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+        action match {
+          case "upsert" =>
+            TableFormat.merge(spark, root, aligned, targetKey,
+              statsCols = statsCols, bloomCol = bloomCol)
+          case "insert" =>
+            val existing = TableFormat.readSnapshot(spark, root)
+              .select(col(targetKey))
+            val fresh = aligned.join(existing, Seq(targetKey), "left_anti")
+            if (!fresh.isEmpty)
+              TableFormat.append(fresh, root, statsCols = statsCols,
+                bloomCol = bloomCol)
+          case other => throw new IllegalStateException(
+            s"unknown merge action '$other'")
+        }
+    }
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}

@@ -195,7 +195,7 @@ private[graft] object ManifestFileIndex {
     * `FileFormat` below, manifest pruning above. `writeOpts` (the
     * provider's statsCols/bloomCol parameters) ride on the index so an
     * `INSERT INTO` resolved against this relation
-    * ([[graft.io.GraftInsertRule]]) lands commits with the same zone
+    * ([[graft.io.GraftDmlRule]]) lands commits with the same zone
     * maps and blooms the table was declared with.
     */
   private[graft] def relation(spark: SparkSession, root: String,

@@ -6,7 +6,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -1238,6 +1238,88 @@ object TableFormat {
       ourSchema = Some(packed.schema), conflictKeys = None)
   }
 
+  /** Predicate-pruned copy-on-write core shared by [[deleteWhere]] and
+    * [[updateWhere]]: entries whose zone-map bounds PROVABLY exclude
+    * every row satisfying `cond` carry into the new manifest verbatim
+    * (the same sound predicate-tree evaluator the SQL read path prunes
+    * with — one semantics, every doorway); the rest read EFFECTIVE
+    * (dv masked, debt folds) and rewrite through `transform`. No
+    * matching-possible dir → no-op, no version minted.
+    */
+  private def rewriteWhere(spark: SparkSession, root: String,
+      cond: Column, transform: DataFrame => DataFrame,
+      statsCols: Seq[String], bloomCol: Option[String]): Int = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to rewrite at $root")
+    val condExpr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(cond)
+    require(!condExpr.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      "graft-table DELETE/UPDATE conditions cannot contain subqueries — " +
+        "stage the subquery into a frame and use deleteKeys/merge")
+    val m = readManifestFull(root, prev)
+    val (touched, untouched) = m.entries.partition(e =>
+      ManifestFileIndex.keeps(e.bounds, condExpr))
+    if (touched.isEmpty) return prev
+    val dataDir = newDataDir(root)
+    val out = transform(readEntries(spark, touched, manifestSchema(m)))
+    bloomCol.foldLeft(out.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    val cols = (statsCols ++ touched.flatMap(_.bounds.keys)).distinct
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched,
+      produced = Seq(mkEntry(spark, dataDir, cols)),
+      ourSchema = Some(out.schema), conflictKeys = None)
+  }
+
+  /** Row-level DELETE by PREDICATE — the general form [[deleteKeys]]'
+    * key-list contract can't express (`DELETE FROM t WHERE k BETWEEN …
+    * AND status = '…'`). SQL null semantics: a row whose condition
+    * evaluates NULL is KEPT (the keep-filter is `NOT coalesce(cond,
+    * false)`). Dirs whose bounds exclude the predicate carry verbatim
+    * — at 100 TB a range delete rewrites the intersecting dirs, not
+    * the table. The SQL doorway (`DELETE FROM t WHERE …` over a
+    * registered table) lands here via [[graft.io.GraftDmlRule]].
+    */
+  def deleteWhere(spark: SparkSession, root: String, cond: Column,
+                  statsCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil,
+                  bloomCol: Option[String] = None): Int =
+    rewriteWhere(spark, root, cond,
+      df => df.filter(!coalesce(cond, lit(false))),
+      (statsCol.toSeq ++ statsCols).distinct, bloomCol)
+
+  /** Row-level UPDATE by PREDICATE: rows satisfying `cond` take the
+    * assigned values (cast to the column's declared type — an UPDATE
+    * never retypes), all other rows — NULL-condition rows included —
+    * carry unchanged. Every assignment sees the PRE-update row (one
+    * simultaneous select, never sequential withColumn), matching SQL
+    * UPDATE semantics. Same pruning/commit story as [[deleteWhere]].
+    */
+  def updateWhere(spark: SparkSession, root: String, cond: Column,
+                  set: Seq[(String, Column)],
+                  statsCol: Option[String] = None,
+                  statsCols: Seq[String] = Nil,
+                  bloomCol: Option[String] = None): Int = {
+    require(set.nonEmpty, "updateWhere needs at least one assignment")
+    rewriteWhere(spark, root, cond, { df =>
+      val byName = set.toMap
+      require(set.size == byName.size, "duplicate assignment column")
+      val unknown = byName.keySet -- df.columns.toSet
+      require(unknown.isEmpty,
+        s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
+          s"does not have (${df.columns.mkString(", ")})")
+      df.select(df.schema.fields.toSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    }, (statsCol.toSeq ++ statsCols).distinct, bloomCol)
+  }
+
   /** File-pruned COPY-ON-WRITE upsert (the Delta/Iceberg MERGE pattern
     * reduced): rows of `updates` REPLACE same-key rows of the latest
     * snapshot; keys present nowhere are inserted. Only data dirs whose
@@ -2391,7 +2473,7 @@ object TableFormat {
 
   /** Landed through PURE SQL: CTAS creates the table with the lower key
     * half, INSERT INTO lands the upper half as a second commit — no
-    * Scala writer API anywhere in the fixture. `GraftInsertRule` owns
+    * Scala writer API anywhere in the fixture. `GraftDmlRule` owns
     * the insert-as-commit semantics; the oracle recomputes from
     * `orders`, so a dropped or doubled insert turns this row red.
     */
@@ -2423,6 +2505,46 @@ object TableFormat {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Row-level SQL DML end-to-end: DELETE every 19th key, then UPDATE
+    * every 23rd survivor's status — both landed by [[GraftDmlRule]] as
+    * predicate-pruned copy-on-write commits. Separate root from the
+    * insert fixture (DML mutates; the fixtures must not share state),
+    * and the oracle replays the same edits over `orders` in SQL, so a
+    * dropped, doubled, or mis-scoped edit turns the row red.
+    */
+  private val dml2Cache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlDml2Table(s: SparkSession, dir: String): String =
+    dml2Cache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_dml2")
+        .toString + "/t"
+      val (orders, _, _, mid) = orderKeySplit(s, dir)
+      orders.createOrReplaceTempView("graft_dml2_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_dml2_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_dml2_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus FROM graft_dml2_src
+           |WHERE o_orderkey <= $mid""".stripMargin)
+      s.sql(
+        s"""INSERT INTO graft_sql_dml2_orders
+           |SELECT o_orderkey, o_orderstatus FROM graft_dml2_src
+           |WHERE o_orderkey > $mid""".stripMargin)
+      s.sql("DELETE FROM graft_sql_dml2_orders WHERE o_orderkey % 19 = 0")
+      s.sql(
+        """UPDATE graft_sql_dml2_orders SET o_orderstatus = 'X'
+          |WHERE o_orderkey % 23 = 0""".stripMargin)
+      root
+    })
+
+  private def qTableSqlDelete(s: SparkSession, dir: String): DataFrame = {
+    landedSqlDml2Table(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM graft_sql_dml2_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private[graft] def clearMemos(): Unit = {
     tableCache.keys.toList.foreach(tableCache.remove)
     rangeCache.keys.toList.foreach(rangeCache.remove)
@@ -2430,6 +2552,7 @@ object TableFormat {
     evoCache.keys.toList.foreach(evoCache.remove)
     dvCache.keys.toList.foreach(dvCache.remove)
     dmlCache.keys.toList.foreach(dmlCache.remove)
+    dml2Cache.keys.toList.foreach(dml2Cache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2443,7 +2566,8 @@ object TableFormat {
       "q_table_sql" -> qTableSql,
       "q_table_sql_dv" -> qTableSqlDv,
       "q_table_sql_count" -> qTableSqlCount,
-      "q_table_sql_insert" -> qTableSqlInsert)
+      "q_table_sql_insert" -> qTableSqlInsert,
+      "q_table_sql_delete" -> qTableSqlDelete)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -2518,6 +2642,13 @@ object TableFormat {
         |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_v0 FROM v0
         |  GROUP BY 1) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // DELETE %19 then UPDATE %23 survivors to 'X', replayed in SQL
+    "q_table_sql_delete" ->
+      """SELECT o_orderstatus, count(*) AS n
+        |FROM (SELECT CASE WHEN o_orderkey % 23 = 0 THEN 'X'
+        |        ELSE o_orderstatus END AS o_orderstatus
+        |      FROM orders WHERE o_orderkey % 19 <> 0) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // CTAS + INSERT INTO landed the WHOLE orders key set: the oracle
     // recomputes the status histogram from orders directly
     "q_table_sql_insert" ->

@@ -94,7 +94,7 @@ final class TableFormatSourceProvider
     val v = parameters.get("versionasof")
       .orElse(parameters.get("versionAsOf")).map(_.toInt).getOrElse(-1)
     // the declared write options ride on the relation so INSERT INTO
-    // (GraftInsertRule) lands commits with the table's own zone
+    // (GraftDmlRule) lands commits with the table's own zone
     // maps/blooms
     TableFormat.manifestRelation(sqlContext.sparkSession, root, v,
       writeOpts = parameters)
@@ -110,7 +110,7 @@ final class TableFormatSourceProvider
     * `CREATE TABLE t (k BIGINT, …) USING …` declare a table whose root
     * holds no snapshot yet: the relation serves the declared schema
     * over zero entries, and the first `INSERT INTO`
-    * ([[GraftInsertRule]]) lands v0 — the full SQL DDL lifecycle with
+    * ([[GraftDmlRule]]) lands v0 — the full SQL DDL lifecycle with
     * no Scala in sight.
     */
   override def createRelation(sqlContext: SQLContext,

@@ -26,6 +26,19 @@ object ColumnBridge {
     org.apache.spark.sql.errors.QueryCompilationErrors.wrongNumArgsError(
       name, Seq(expected), actual)
 
+  /** The v1 catalog metadata behind a connector Table, when it is the
+    * session catalog's `V1Table` wrapper (`private[sql]`) — how a
+    * library's DML rule recognizes its own provider behind the v2
+    * resolution path Spark uses for DELETE/UPDATE/MERGE targets.
+    */
+  def v1Table(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    t match {
+      case v1: org.apache.spark.sql.connector.catalog.V1Table =>
+        Some(v1.v1Table)
+      case _ => None
+    }
+
   /** A DataFrame over a resolved logical plan (`Dataset.ofRows` is
     * `private[sql]` in Spark 4) — what a library's RunnableCommand
     * needs to execute the query plan it carried through analysis

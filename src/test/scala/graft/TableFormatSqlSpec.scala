@@ -565,6 +565,132 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("DELETE FROM / UPDATE land as zone-map-pruned copy-on-write commits") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sql_dml")
+    val root = s"$base/t"
+    // three key-range dirs, statsCols declared through the catalog
+    spark.sql(s"""CREATE TABLE graft_dml (k BIGINT, s STRING, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
+    try {
+      for (lo <- Seq(0L, 100L, 200L))
+        spark.sql(s"""INSERT INTO graft_dml
+          SELECT id, concat('s', id), id * 10 FROM range($lo, ${lo + 100})""")
+      val v0 = TableFormat.latestVersion(root)
+      val dirs0 = TableFormat.snapshotDirs(root, v0)
+      // a range DELETE rewrites ONLY the intersecting dir; the other
+      // two carry into the new manifest verbatim — at 100 TB this is
+      // the difference between a surgical commit and a table rewrite
+      spark.sql("DELETE FROM graft_dml WHERE k BETWEEN 110 AND 120")
+      val v1 = TableFormat.latestVersion(root)
+      assert(v1 === v0 + 1, "DELETE must land as one commit")
+      val dirs1 = TableFormat.snapshotDirs(root, v1)
+      assert((dirs0.toSet & dirs1.toSet).size === 2,
+        s"DELETE rewrote a non-intersecting dir: $dirs0 vs $dirs1")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_dml")
+        .collect()(0).getLong(0) === 289)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_dml WHERE k BETWEEN 110 AND 120")
+        .collect()(0).getLong(0) === 0)
+      // a provably-disjoint DELETE is a NO-OP: no commit minted
+      spark.sql("DELETE FROM graft_dml WHERE k > 5000")
+      assert(TableFormat.latestVersion(root) === v1,
+        "an out-of-range DELETE must not mint a version")
+      // UPDATE: assignments apply SIMULTANEOUSLY over the pre-update
+      // row — the classic swap would corrupt under sequential
+      // withColumn semantics
+      spark.sql("UPDATE graft_dml SET v = k, k = v WHERE k = 250")
+      val swapped = spark.sql(
+        "SELECT k, v, s FROM graft_dml WHERE k = 2500").collect()
+      assert(swapped.length === 1 && swapped(0).getLong(1) === 250 &&
+        swapped(0).getString(2) === "s250",
+        s"UPDATE swap must see pre-update values: ${swapped.toSeq}")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_dml WHERE k = 250")
+        .collect()(0).getLong(0) === 0,
+        "the swapped row kept its old key — assignments ran sequentially")
+      // history is intact under time travel
+      assert(TableFormat.readSnapshot(spark, root, v0).count() === 300)
+      // a subquery condition refuses loudly (stage it into a frame)
+      val e = intercept[Exception] {
+        spark.sql("""DELETE FROM graft_dml WHERE k IN
+          (SELECT k FROM graft_dml WHERE v > 100)""")
+      }
+      assert(String.valueOf(e.getMessage).contains("subquer") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("subquer")),
+        s"subquery DML must refuse with the staging hint: $e")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dml")
+  }
+
+  test("MERGE INTO upserts, deletes, and insert-onlys through the format verbs") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sql_merge")
+    val root = s"$base/t"
+    spark.sql(s"""CREATE TABLE graft_mrg USING `$Provider`
+      OPTIONS (path '$root', statsCols 'k')
+      AS SELECT id AS k, concat('a', id) AS s FROM range(0, 50)""")
+    try {
+      // upsert: 40-59 — updates 40-49 in place, inserts 50-59
+      Seq.tabulate(20)(i => (40L + i, s"u${40 + i}")).toDF("k", "s")
+        .createOrReplaceTempView("graft_mrg_src")
+      spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrg")
+        .collect()(0).getLong(0) === 60)
+      val r45 = spark.sql("SELECT s FROM graft_mrg WHERE k = 45").collect()
+      assert(r45.map(_.getString(0)).toSeq === Seq("u45"),
+        "MERGE matched row kept its pre-merge value")
+      assert(spark.sql("SELECT s FROM graft_mrg WHERE k = 55")
+        .collect()(0).getString(0) === "u55")
+      assert(spark.sql("SELECT s FROM graft_mrg WHERE k = 5")
+        .collect()(0).getString(0) === "a5",
+        "MERGE touched a row outside the source key set")
+      // matched DELETE alone = key-list delete
+      Seq(0L, 1L, 2L, 999L).toDF("k").createOrReplaceTempView("graft_mrg_del")
+      spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_del s
+        ON t.k = s.k WHEN MATCHED THEN DELETE""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrg")
+        .collect()(0).getLong(0) === 57)
+      // insert-only: existing keys skipped, fresh keys land
+      Seq((3L, "dup"), (100L, "new")).toDF("k", "s")
+        .createOrReplaceTempView("graft_mrg_ins")
+      spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
+        ON t.k = s.k WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.sql("SELECT s FROM graft_mrg WHERE k = 3")
+        .collect()(0).getString(0) === "a3",
+        "insert-only MERGE overwrote a matched row")
+      assert(spark.sql("SELECT s FROM graft_mrg WHERE k = 100")
+        .collect()(0).getString(0) === "new")
+      // outside the supported shapes → loud refusal with the escape
+      // hatch named, never a silently-wrong merge
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
+          ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'only'""")
+      }
+      assert(String.valueOf(e.getMessage).contains("MERGE supports") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("MERGE supports")),
+        s"unsupported merge shape must refuse loudly: $e")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
+  }
+
+  test("deleteWhere keeps NULL-condition rows (SQL null semantics)") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, Some(5L)), (2L, None), (3L, Some(20L)))
+      .toDF("k", "grade"), root, statsCol = Some("k"))
+    // DELETE WHERE grade < 10: row 1 matches (deleted), row 3 doesn't
+    // (kept), row 2's condition is NULL — SQL keeps it; a naive
+    // filter(!cond) would silently drop it
+    TableFormat.deleteWhere(spark, root, col("grade") < 10)
+    val kept = TableFormat.readSnapshot(spark, root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 3L),
+      s"NULL-condition row must survive a predicate delete: $kept")
+  }
+
   test("string zone maps prune through the SQL doorway too") {
     withStaticPlans {
       import spark.implicits._
