@@ -42,6 +42,52 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DataSourceAnalysis would write raw parquet into the table root,
     // outside any snapshot (graft.io.GraftDmlRule)
     ext.injectResolutionRule(_ => new graft.io.GraftDmlRule)
+    // VERSION AS OF / TIMESTAMP AS OF over format-backed catalog
+    // tables — Spark's analyzer only supports the syntax for v2
+    // catalogs, and its own ResolveRelations THROWS on a v1 table's
+    // time travel in the Resolution batch before extended resolution
+    // rules get a pass, so this rule rides the earlier HINT batch,
+    // where the parsed RelationTimeTravel is still intact
+    // (graft.io.GraftTimeTravelRule)
+    ext.injectHintResolutionRule(s => new graft.io.GraftTimeTravelRule(s))
+    // table-valued doorways needing no catalog entry at all:
+    //   SELECT * FROM graft_snapshot('/root', 3)   — pruned, dv-masked
+    //   SELECT * FROM graft_history('/root')       — per-version accounts
+    def tvfArg(e: org.apache.spark.sql.catalyst.expressions.Expression,
+        what: String): Any = {
+      require(e.foldable, s"$what must be a constant, got ${e.sql}")
+      e.eval()
+    }
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(graft.io.TableFormat.getClass.getName,
+        "graft_snapshot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => {
+        require(children.nonEmpty && children.length <= 2,
+          "graft_snapshot(path[, version])")
+        val root = graft.io.TableFormat.posixRoot(
+          String.valueOf(tvfArg(children.head, "graft_snapshot path")))
+        val v = if (children.length == 2)
+          String.valueOf(tvfArg(children(1), "graft_snapshot version")).toInt
+        else -1
+        graft.io.TableFormat
+          .readSnapshotSql(org.apache.spark.sql.SparkSession.active, root, v)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_history"),
+      new ExpressionInfo(graft.io.TableFormat.getClass.getName,
+        "graft_history"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => {
+        require(children.length == 1, "graft_history(path)")
+        val root = graft.io.TableFormat.posixRoot(
+          String.valueOf(tvfArg(children.head, "graft_history path")))
+        graft.io.TableFormat
+          .describe(org.apache.spark.sql.SparkSession.active, root)
+          .queryExecution.analyzed
+      }))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),

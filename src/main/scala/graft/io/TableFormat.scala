@@ -246,6 +246,26 @@ object TableFormat {
     finally stream.close() // Files.list holds a directory handle open
   }
 
+  /** The last version published at or before `millis` — what
+    * `TIMESTAMP AS OF` resolves to. Commit publish time IS the
+    * manifest file's mtime: the hard-link creation that wins the CAS
+    * stamps it, and manifests are never rewritten. Driver-side
+    * metadata only, one directory listing.
+    */
+  private[graft] def versionAt(root: String, millis: Long): Int = {
+    val dir = manifestDir(root)
+    val vs = listVersions(root).sorted
+    require(vs.nonEmpty, s"no snapshot at $root")
+    val at = vs.filter { v =>
+      Files.getLastModifiedTime(dir.resolve(s"v$v.json")).toMillis <= millis
+    }
+    require(at.nonEmpty,
+      s"no snapshot at $root existed at or before " +
+        s"${new java.sql.Timestamp(millis)} (earliest commit is " +
+        s"v${vs.head}) — travel to a later instant or VERSION AS OF")
+    at.max
+  }
+
   // ------------------------------------------------------- schema helpers
 
   /** Widening union of two schemas: `b`'s new fields append (nullable —

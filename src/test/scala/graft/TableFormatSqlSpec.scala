@@ -676,6 +676,54 @@ class TableFormatSqlSpec extends TestSpark {
     } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
   }
 
+  test("SQL time travel and the table-valued doorways") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sql_tt")
+    val root = s"$base/t"
+    spark.sql(s"""CREATE TABLE graft_tt USING `$Provider`
+      OPTIONS (path '$root', statsCols 'k')
+      AS SELECT id AS k FROM range(0, 10)""")
+    try {
+      Thread.sleep(30)
+      val tMid = System.currentTimeMillis()
+      Thread.sleep(30)
+      spark.sql("INSERT INTO graft_tt SELECT id FROM range(10, 30)")
+      // VERSION AS OF over the v1 catalog table (Spark alone supports
+      // the syntax only for v2 catalogs)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_tt VERSION AS OF 0")
+        .collect()(0).getLong(0) === 10)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_tt")
+        .collect()(0).getLong(0) === 30)
+      // TIMESTAMP AS OF resolves through manifest publish times: an
+      // instant between the commits sees only v0
+      val ts = new java.sql.Timestamp(tMid).toString
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_tt TIMESTAMP AS OF '$ts'")
+        .collect()(0).getLong(0) === 10)
+      // graft_snapshot needs NO catalog entry — a path and optionally a
+      // version; dv-bearing snapshots come back masked
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_snapshot('$root')")
+        .collect()(0).getLong(0) === 30)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_snapshot('$root', 0)")
+        .collect()(0).getLong(0) === 10)
+      TableFormat.deleteKeysMor(spark, root, Seq(7L).toDF("k"), "k")
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_snapshot('$root')")
+        .collect()(0).getLong(0) === 29,
+        "graft_snapshot must serve the dv-masked table")
+      // graft_history = describe through SQL: one row per version,
+      // accounts from metadata alone
+      val hist = spark.sql(
+        s"""SELECT version, rows, dv_entries FROM graft_history('$root')
+           |ORDER BY version""".stripMargin).collect()
+      assert(hist.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+      assert(hist.map(_.getLong(2)).toSeq === Seq(0L, 0L, 1L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_tt")
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL null semantics)") {
     import spark.implicits._
     val root = freshRoot()
