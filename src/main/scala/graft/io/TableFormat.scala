@@ -116,7 +116,8 @@ object TableFormat {
     */
   private[graft] case class Manifest(entries: Seq[Entry],
                                      schemaDdl: Option[String],
-                                     txns: Map[String, Long] = Map.empty)
+                                     txns: Map[String, Long] = Map.empty,
+                                     op: String = "")
 
   /** The deletion-vector sidecar's dir-association column. Reserved name
     * — user tables must not carry it (loudly rejected at DV-write time).
@@ -136,6 +137,7 @@ object TableFormat {
     * encoding. Three line shapes:
     * {{{
     *   #schema\t<enc ddl>                      — committed schema
+    *   #op\t<enc name>                          — the commit's operation label
     *   G\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>\t<rows>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
     *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t…]*  — pre-rows (row count unknown)
     *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*  — pre-r16 (no size account)
@@ -151,6 +153,7 @@ object TableFormat {
     val f = manifestDir(root).resolve(s"v$v.json")
     require(Files.exists(f), s"no snapshot v$v at $root")
     var schema: Option[String] = None
+    var op = ""
     var txns = Map.empty[String, Long]
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
@@ -158,6 +161,7 @@ object TableFormat {
       .foreach { line =>
         val parts = line.split("\t", -1)
         if (line.startsWith("#schema\t")) schema = Some(dec(parts(1)))
+        else if (line.startsWith("#op\t")) op = dec(parts(1))
         else if (line.startsWith("#txn\t"))
           txns += dec(parts(1)) -> parts(2).toLong
         else if (line.startsWith("#")) () // forward-compat: skip
@@ -199,7 +203,7 @@ object TableFormat {
             s"torn manifest line in v$v: '$line'")
         }
       }
-    Manifest(entries.result(), schema, txns)
+    Manifest(entries.result(), schema, txns, op)
   }
 
   private def readManifest(root: String, v: Int): Seq[Entry] =
@@ -207,10 +211,12 @@ object TableFormat {
 
   private[graft] def writeManifest(root: String, v: Int, entries: Seq[Entry],
                                    schemaDdl: Option[String] = None,
-                                   txns: Map[String, Long] = Map.empty)
+                                   txns: Map[String, Long] = Map.empty,
+                                   op: String = "")
       : Unit = {
     Files.createDirectories(manifestDir(root))
     val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
+      (if (op.nonEmpty) s"#op\t${enc(op)}\n" else "") +
       txns.toSeq.sortBy(_._1)
         .map { case (a, b) => s"#txn\t${enc(a)}\t$b\n" }.mkString
     val body = entries.map { e =>
@@ -588,7 +594,8 @@ object TableFormat {
       val v = prev + 1
       try {
         writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema),
-          prevM.map(_.txns).getOrElse(Map.empty) ++ txn)
+          txns = prevM.map(_.txns).getOrElse(Map.empty) ++ txn,
+          op = "append")
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -646,7 +653,7 @@ object TableFormat {
       baseUntouched = Seq.empty,
       produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(df.schema), conflictKeys = None,
-      replaceSchema = true)
+      replaceSchema = true, op = "overwrite")
   }
 
   // ------------------------------------------------------------- reading
@@ -1112,7 +1119,8 @@ object TableFormat {
       produced: Seq[Entry], ourSchema: Option[StructType],
       conflictKeys: Option[(DataFrame, String)],
       txn: Option[(String, Long)] = None,
-      replaceSchema: Boolean = false): Int = {
+      replaceSchema: Boolean = false,
+      op: String = "rewrite"): Int = {
     val readDirs = readSet.map(_.dir).toSet
     val baseDirs = readDirs ++ baseUntouched.map(_.dir)
     var attempt = 0
@@ -1161,7 +1169,7 @@ object TableFormat {
           case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
           case (a, b) => a.orElse(b).map(_.toDDL)
         }
-      try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn)
+      try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1203,7 +1211,8 @@ object TableFormat {
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
       produced = Seq(mkEntry(spark, dataDir, cols)),
-      ourSchema = Some(head.schema), conflictKeys = None)
+      ourSchema = Some(head.schema), conflictKeys = None,
+      op = "compact")
   }
 
   /** Targeted SMALL-DIR compaction (the public Delta auto-compact /
@@ -1255,7 +1264,8 @@ object TableFormat {
     commitRewrite(spark, root, prev, readSet = small,
       baseUntouched = big,
       produced = Seq(mkEntry(spark, dataDir, cols)),
-      ourSchema = Some(packed.schema), conflictKeys = None)
+      ourSchema = Some(packed.schema), conflictKeys = None,
+      op = "compact-small")
   }
 
   /** Predicate-pruned copy-on-write core shared by [[deleteWhere]] and
@@ -1268,7 +1278,8 @@ object TableFormat {
     */
   private def rewriteWhere(spark: SparkSession, root: String,
       cond: Column, transform: DataFrame => DataFrame,
-      statsCols: Seq[String], bloomCol: Option[String]): Int = {
+      statsCols: Seq[String], bloomCol: Option[String],
+      op: String): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to rewrite at $root")
     val condExpr =
@@ -1289,7 +1300,7 @@ object TableFormat {
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
       produced = Seq(mkEntry(spark, dataDir, cols)),
-      ourSchema = Some(out.schema), conflictKeys = None)
+      ourSchema = Some(out.schema), conflictKeys = None, op = op)
   }
 
   /** Row-level DELETE by PREDICATE — the general form [[deleteKeys]]'
@@ -1307,7 +1318,7 @@ object TableFormat {
                   bloomCol: Option[String] = None): Int =
     rewriteWhere(spark, root, cond,
       df => df.filter(!coalesce(cond, lit(false))),
-      (statsCol.toSeq ++ statsCols).distinct, bloomCol)
+      (statsCol.toSeq ++ statsCols).distinct, bloomCol, op = "delete-where")
 
   /** Row-level UPDATE by PREDICATE: rows satisfying `cond` take the
     * assigned values (cast to the column's declared type — an UPDATE
@@ -1337,7 +1348,8 @@ object TableFormat {
           case None => col(f.name)
         }
       }: _*)
-    }, (statsCol.toSeq ++ statsCols).distinct, bloomCol)
+    }, (statsCol.toSeq ++ statsCols).distinct, bloomCol,
+      op = "update-where")
   }
 
   /** File-pruned COPY-ON-WRITE upsert (the Delta/Iceberg MERGE pattern
@@ -1385,7 +1397,8 @@ object TableFormat {
       baseUntouched = untouched,
       produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(merged.schema),
-      conflictKeys = Some((updates.select(keyCol), keyCol)))
+      conflictKeys = Some((updates.select(keyCol), keyCol)),
+      op = "merge")
   }
 
   /** Row-level COPY-ON-WRITE DELETE by key — the same prune-rewrite-
@@ -1418,7 +1431,8 @@ object TableFormat {
       baseUntouched = untouched,
       produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(remaining.schema),
-      conflictKeys = Some((keys.select(keyCol), keyCol)))
+      conflictKeys = Some((keys.select(keyCol), keyCol)),
+      op = "delete")
   }
 
   /** MERGE-ON-READ delete: write the deleted keys as a deletion-vector
@@ -1451,7 +1465,8 @@ object TableFormat {
       produced = morMaskOrFold(spark, root, touched, keys, keyCol,
         manifestSchema(m), foldRatio),
       ourSchema = None,
-      conflictKeys = Some((keys.select(keyCol), keyCol)))
+      conflictKeys = Some((keys.select(keyCol), keyCol)),
+      op = "delete-mor")
   }
 
   /** Auto-fold threshold: a dir whose accumulated deletion-vector rows
@@ -1609,7 +1624,8 @@ object TableFormat {
       baseUntouched = untouched,
       produced = masked :+ dataEntry,
       ourSchema = Some(updates.schema),
-      conflictKeys = Some((updates.select(keyCol), keyCol)))
+      conflictKeys = Some((updates.select(keyCol), keyCol)),
+      op = "merge-mor")
   }
 
   /** Apply one CHANGE-FEED DELTA — mask `deletes` keys (merge-on-read,
@@ -1653,7 +1669,8 @@ object TableFormat {
     if (!hasDeletes) // marker-only: entries carry verbatim
       return commitRewrite(spark, root, prev, readSet = Seq.empty,
         baseUntouched = m.entries, produced = Seq.empty,
-        ourSchema = None, conflictKeys = None, txn = txn)
+        ourSchema = None, conflictKeys = None, txn = txn,
+        op = "apply-delta")
     val (touched, untouched) = touchedSplit(spark, m.entries, deletes, keyCol)
     val masked =
       if (touched.isEmpty) Seq.empty
@@ -1674,7 +1691,8 @@ object TableFormat {
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched, produced = masked ++ appended,
       ourSchema = if (hasAppends) Some(appends.schema) else None,
-      conflictKeys = Some((conflict, keyCol)), txn = txn)
+      conflictKeys = Some((conflict, keyCol)), txn = txn,
+      op = "apply-delta")
   }
 
   // ---------------------------------------------------------- change feed
@@ -1876,7 +1894,8 @@ object TableFormat {
     if (entries.isEmpty) return prev
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty, produced = entries,
-      ourSchema = Some(head.schema), conflictKeys = None)
+      ourSchema = Some(head.schema), conflictKeys = None,
+      op = "optimize")
   }
 
   /** Z-ORDER compaction: the head snapshot re-clustered along the Morton
@@ -1915,7 +1934,8 @@ object TableFormat {
     if (entries.isEmpty) return prev
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty, produced = entries,
-      ourSchema = Some(head.schema), conflictKeys = None)
+      ourSchema = Some(head.schema), conflictKeys = None,
+      op = "optimize-zorder")
   }
 
   /** EXACTLY-ONCE streaming sink: each commit records `(appId →
@@ -1962,7 +1982,7 @@ object TableFormat {
         (appId -> batchId)
       try {
         writeManifest(root, prev + 1, entries,
-          nextSchemaDdl(prevM, df.schema), txns)
+          nextSchemaDdl(prevM, df.schema), txns, op = "stream-batch")
         return true
       } catch {
         // CAS lost: re-read — if the winner was a replay of THIS batch
@@ -2187,9 +2207,10 @@ object TableFormat {
         m.entries.map(e => math.max(e.nFiles, 0)).sum.toLong,
         m.entries.count(_.dv.nonEmpty).toLong,
         m.txns.size.toLong,
-        m.entries.map(e => math.max(e.rows, 0L)).sum)
+        m.entries.map(e => math.max(e.rows, 0L)).sum,
+        if (m.op.nonEmpty) m.op else "unknown")
     }.toDF("version", "entries", "bytes", "files", "dv_entries", "txns",
-      "rows")
+      "rows", "operation")
   }
 
   /** Data-dir paths of snapshot `v` — spec window into the manifest
@@ -2558,6 +2579,50 @@ object TableFormat {
       root
     })
 
+  /** The SQL twin of [[qTableMerge]]: the SAME %7-update / %97-insert
+    * delta, landed through `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT *` over the registered catalog table
+    * instead of the Scala verb — one oracle recompute covers both
+    * doorways, so a drifted MERGE translation turns exactly one of the
+    * two rows red.
+    */
+  private val mergeSqlCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlMergeTable(s: SparkSession, dir: String): String =
+    mergeSqlCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_mrgsql")
+        .toString + "/t"
+      val (orders, _, hi, mid) = orderKeySplit(s, dir)
+      orders.createOrReplaceTempView("graft_mrgsql_src")
+      val updates = orders
+        .filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") <= mid)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + hi + 1).as("o_orderkey"),
+            lit("N").as("o_orderstatus")))
+      updates.createOrReplaceTempView("graft_mrgsql_delta")
+      s.sql("DROP TABLE IF EXISTS graft_sql_merge_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_merge_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus
+           |FROM graft_mrgsql_src""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_sql_merge_orders t USING graft_mrgsql_delta s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      root
+    })
+
+  private def qTableSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    landedSqlMergeTable(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n FROM graft_sql_merge_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private def qTableSqlDelete(s: SparkSession, dir: String): DataFrame = {
     landedSqlDml2Table(s, dir)
     s.sql(
@@ -2573,6 +2638,7 @@ object TableFormat {
     dvCache.keys.toList.foreach(dvCache.remove)
     dmlCache.keys.toList.foreach(dmlCache.remove)
     dml2Cache.keys.toList.foreach(dml2Cache.remove)
+    mergeSqlCache.keys.toList.foreach(mergeSqlCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2587,7 +2653,8 @@ object TableFormat {
       "q_table_sql_dv" -> qTableSqlDv,
       "q_table_sql_count" -> qTableSqlCount,
       "q_table_sql_insert" -> qTableSqlInsert,
-      "q_table_sql_delete" -> qTableSqlDelete)
+      "q_table_sql_delete" -> qTableSqlDelete,
+      "q_table_sql_merge" -> qTableSqlMerge)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -2662,6 +2729,20 @@ object TableFormat {
         |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_v0 FROM v0
         |  GROUP BY 1) b USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
+    // the SQL MERGE doorway lands the same delta as q_table_merge
+    "q_table_sql_merge" ->
+      """WITH b AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
+        |merged AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= mid THEN 'U'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n FROM merged
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DELETE %19 then UPDATE %23 survivors to 'X', replayed in SQL
     "q_table_sql_delete" ->
       """SELECT o_orderstatus, count(*) AS n

@@ -717,10 +717,16 @@ class TableFormatSqlSpec extends TestSpark {
       // graft_history = describe through SQL: one row per version,
       // accounts from metadata alone
       val hist = spark.sql(
-        s"""SELECT version, rows, dv_entries FROM graft_history('$root')
+        s"""SELECT version, rows, dv_entries, operation
+           |FROM graft_history('$root')
            |ORDER BY version""".stripMargin).collect()
       assert(hist.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
       assert(hist.map(_.getLong(2)).toSeq === Seq(0L, 0L, 1L))
+      // every commit records WHAT landed it — the Delta DESCRIBE
+      // HISTORY operation column, from the manifest's own label
+      assert(hist.map(_.getString(3)).toSeq ===
+        Seq("append", "append", "delete-mor"),
+        s"operation labels: ${hist.map(_.getString(3)).toSeq}")
     } finally spark.sql("DROP TABLE IF EXISTS graft_tt")
   }
 
