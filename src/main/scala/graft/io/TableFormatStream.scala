@@ -61,6 +61,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * window — a rewrite inside the admitted span refuses exactly as it
   * would uncapped.
   *
+  * `Trigger.AvailableNow` interplay: Spark's v1 wrapper snapshots
+  * `getOffset` ONCE as the run's end target, so an UNCAPPED AvailableNow
+  * run consumes the whole backlog (in one batch — a deliberate batch
+  * invocation), while a CAPPED one advances at most
+  * `maxVersionsPerTrigger` versions per RUN — never silent loss (the
+  * checkpoint holds the committed offset) and repeated runs converge to
+  * the head; bounded batches + full drain in one invocation needs the
+  * continuous trigger. Spec-pinned so nobody assumes the v2
+  * (Delta-style) per-batch-limit behavior.
+  *
   * Retention interplay: pass `followerId=name` and the source registers
   * its committed progress as a follower ref after every completed batch
   * ([[TableFormat.registerFollower]]) — [[TableFormat.expire]] then
