@@ -172,26 +172,30 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       "graft-table MERGE does not support WHEN NOT MATCHED BY SOURCE")
     val tOut = mt.targetTable.outputSet
     val sOut = mt.sourceTable.outputSet
-    val (tk, sk) = mt.mergeCondition match {
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          a: AttributeReference, b: AttributeReference)
-          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          b: AttributeReference, a: AttributeReference)
-          if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
-      case other => refuse(s"ON condition is not one target-key = " +
-        s"source-key equality: ${other.sql}")
-    }
-    val targetCols = mt.targetTable.output.map(_.name.toLowerCase)
-    // the analyzer's `SET *` expansion wraps values in nullability
-    // asserts and widening casts — those don't change WHICH source
-    // column feeds WHICH target column, which is all identity means
+    // the analyzer wraps both the ON keys and the `SET *` expansion in
+    // type-reconciliation casts and nullability asserts — neither
+    // changes WHICH column is meant (the command re-casts the aligned
+    // source to the target's declared types anyway)
     def bare(e: Expression): Expression = e match {
       case c: Cast => bare(c.child)
       case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
         bare(a.child)
       case x => x
     }
+    val (tk, sk) = mt.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(x, y) =>
+        (bare(x), bare(y)) match {
+          case (a: AttributeReference, b: AttributeReference)
+              if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+          case (b: AttributeReference, a: AttributeReference)
+              if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
+          case _ => refuse(s"ON condition is not one target-key = " +
+            s"source-key equality: ${mt.mergeCondition.sql}")
+        }
+      case other => refuse(s"ON condition is not one target-key = " +
+        s"source-key equality: ${other.sql}")
+    }
+    val targetCols = mt.targetTable.output.map(_.name.toLowerCase)
     def isIdentity(assigns: Seq[Assignment]): Boolean = {
       val pairs = assigns.flatMap { a => (a.key, bare(a.value)) match {
         case (k: Attribute, v: AttributeReference)

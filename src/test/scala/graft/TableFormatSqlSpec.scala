@@ -730,6 +730,82 @@ class TableFormatSqlSpec extends TestSpark {
     } finally spark.sql("DROP TABLE IF EXISTS graft_tt")
   }
 
+  test("the SQL DML surface agrees with a model over randomized histories") {
+    // model check for the WHOLE SQL doorway: a Map replays INSERT /
+    // DELETE WHERE / UPDATE WHERE / MERGE alongside the catalog table,
+    // and after every statement the table must equal the model. Seeded,
+    // bounded — the property layer the per-statement examples can't
+    // give for pruned-vs-touched × range-vs-modulo × null combinations.
+    val rnd = new scala.util.Random(4242)
+    (1 to 2).foreach { seed =>
+      val base = Files.createTempDirectory(s"graft_sql_model$seed")
+      val root = s"$base/t"
+      spark.sql("DROP TABLE IF EXISTS graft_dml_model")
+      spark.sql(s"""CREATE TABLE graft_dml_model (k BIGINT, s STRING,
+        v BIGINT) USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
+      var model = Map.empty[Long, (String, Long)]
+      def check(stmt: String): Unit = {
+        val got = spark.sql("SELECT k, s, v FROM graft_dml_model")
+          .collect().map(r => r.getLong(0) -> ((r.getString(1),
+            r.getLong(2)))).toMap
+        assert(got === model, s"model drift after: $stmt")
+      }
+      def runSql(stmt: String): Unit = { spark.sql(stmt); check(stmt) }
+      (0 until 6).foreach { round =>
+        // INSERT fresh random keys (dup-free: the model is a map)
+        val fresh = (0 until 2 + rnd.nextInt(6))
+          .map(_ => rnd.nextInt(80).toLong).distinct
+          .filterNot(model.contains)
+        if (fresh.nonEmpty) {
+          val vals = fresh.map(k => s"($k, 's$k', ${k % 10})")
+            .mkString(", ")
+          model ++= fresh.map(k => k -> ((s"s$k", k % 10))).toMap
+          runSql(s"INSERT INTO graft_dml_model VALUES $vals")
+        }
+        rnd.nextInt(3) match {
+          case 0 => // range delete (zone-map-prunable shape)
+            val lo = rnd.nextInt(80).toLong; val hi = lo + rnd.nextInt(20)
+            model = model.filterNot { case (k, _) => k >= lo && k <= hi }
+            runSql(
+              s"DELETE FROM graft_dml_model WHERE k BETWEEN $lo AND $hi")
+          case 1 => // modulo delete (unknown shape: every dir touched)
+            val m = 2 + rnd.nextInt(5); val r = rnd.nextInt(m)
+            model = model.filterNot { case (_, (_, v)) => v % m == r }
+            runSql(s"DELETE FROM graft_dml_model WHERE v % $m = $r")
+          case _ => // simultaneous multi-assignment update over a range
+            val lo = rnd.nextInt(80).toLong; val hi = lo + rnd.nextInt(30)
+            model = model.map {
+              case (k, (s0, v0)) if k >= lo && k <= hi =>
+                k -> ((s0 + "!", v0 + 100))
+              case kept => kept
+            }
+            runSql(s"""UPDATE graft_dml_model
+              SET s = concat(s, '!'), v = v + 100
+              WHERE k BETWEEN $lo AND $hi""")
+        }
+        if (round % 2 == 1) { // MERGE upsert: rewrite some, insert some
+          val keys = (0 until 1 + rnd.nextInt(5))
+            .map(_ => rnd.nextInt(90).toLong).distinct
+          val vals = keys.map(k => s"($k, 'm$k', ${k % 7})")
+            .mkString(", ")
+          model ++= keys.map(k => k -> ((s"m$k", k % 7))).toMap
+          runSql(s"""MERGE INTO graft_dml_model t
+            USING (SELECT * FROM VALUES $vals AS d(k, s, v)) src
+            ON t.k = src.k
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *""")
+        }
+      }
+      // the history names every verb that ran — lineage survives the fuzz
+      val ops = TableFormat.describe(spark, root)
+        .collect().map(_.getString(7)).toSet
+      assert(ops.subsetOf(Set("append", "delete-where", "update-where",
+        "merge", "rewrite")) && ops.contains("append"),
+        s"unexpected operation labels: $ops")
+      spark.sql("DROP TABLE IF EXISTS graft_dml_model")
+    }
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL null semantics)") {
     import spark.implicits._
     val root = freshRoot()
