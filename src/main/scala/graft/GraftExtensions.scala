@@ -50,6 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // where the parsed RelationTimeTravel is still intact
     // (graft.io.GraftTimeTravelRule)
     ext.injectHintResolutionRule(s => new graft.io.GraftTimeTravelRule(s))
+    // maintenance verbs — OPTIMIZE/VACUUM '<path>' … — via a delegating
+    // parser (graft.io.GraftSqlParser); any other text parses untouched
+    ext.injectParser((_, delegate) => new graft.io.GraftSqlParser(delegate))
     // table-valued doorways needing no catalog entry at all:
     //   SELECT * FROM graft_snapshot('/root', 3)   — pruned, dv-masked
     //   SELECT * FROM graft_history('/root')       — per-version accounts

@@ -1,0 +1,129 @@
+package graft.io
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Maintenance statements for the table format — the public
+  * Delta-lake pattern of a DELEGATING parser that owns a few verbs and
+  * hands everything else to Spark's own:
+  * {{{
+  *   OPTIMIZE '/path'                              -- whole-table compaction
+  *   OPTIMIZE '/path' RANGE BY k INTO 8 BUCKETS    -- range re-clustering
+  *   OPTIMIZE '/path' ZORDER BY (a, b) INTO 8 BUCKETS
+  *   OPTIMIZE '/path' SMALL FILES UNDER 1048576    -- bin-pack the small tail
+  *   VACUUM '/path' KEEP LAST 3                    -- expire + reclaim
+  * }}}
+  * Each lands through the Scala maintenance verb ([[TableFormat.compact]]
+  * / [[TableFormat.compactRanged]] / [[TableFormat.compactZOrder]] /
+  * [[TableFormat.compactSmall]] / [[TableFormat.expire]]+[[TableFormat.vacuum]])
+  * and returns a one-row summary. The path is quoted (these are
+  * path-addressed maintenance verbs, like `graft_snapshot`); only
+  * statements whose FIRST token is OPTIMIZE/VACUUM are intercepted, so
+  * every standard SQL text — including any that merely contains those
+  * words — parses exactly as before. Install with the extensions:
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+final class GraftSqlParser(delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.maintenancePlan(sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[graft] object GraftSqlParser {
+
+  private val OptimizePlain =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeRange =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+RANGE\s+BY\s+(\w+)\s+INTO\s+(\d+)\s+BUCKETS\s*;?\s*""".r
+  private val OptimizeZOrder =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)\s+INTO\s+(\d+)\s+BUCKETS\s*;?\s*""".r
+  private val OptimizeSmall =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+SMALL\s+FILES\s+UNDER\s+(\d+)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+LAST\s+(\d+)\s*;?\s*""".r
+  private val Lead = """(?is)\s*(OPTIMIZE|VACUUM)\b.*""".r
+
+  def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
+    case OptimizePlain(p) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "compact"))
+    case OptimizeRange(p, col, n) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "range",
+        cols = Seq(col), n = n.toInt))
+    case OptimizeZOrder(p, a, b, n) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "zorder",
+        cols = Seq(a, b), n = n.toInt))
+    case OptimizeSmall(p, bytes) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "small",
+        n = 2, bytes = bytes.toLong))
+    case Vacuum(p, keep) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "vacuum",
+        n = keep.toInt))
+    case Lead(verb) => throw new IllegalArgumentException(
+      s"malformed graft $verb statement — supported forms: " +
+        "OPTIMIZE '<path>' [RANGE BY col INTO n BUCKETS | ZORDER BY " +
+        "(a, b) INTO n BUCKETS | SMALL FILES UNDER bytes]; " +
+        "VACUUM '<path>' KEEP LAST n")
+    case _ => None
+  }
+}
+
+/** One maintenance run → a one-row (operation, version, detail)
+  * summary. Kept as a single command class: the verbs share the
+  * root/commit plumbing and differ only in which [[TableFormat]]
+  * maintenance call they land.
+  */
+private[graft] case class GraftMaintenanceCommand(root: String,
+    verb: String, cols: Seq[String] = Nil, n: Int = 0,
+    bytes: Long = 0L) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val result = verb match {
+      case "compact" =>
+        s"v${TableFormat.compact(spark, root)}"
+      case "range" =>
+        s"v${TableFormat.compactRanged(spark, root, cols.head, n)}"
+      case "zorder" =>
+        s"v${TableFormat.compactZOrder(spark, root, cols.head, cols(1), n)}"
+      case "small" =>
+        val v = TableFormat.compactSmall(spark, root, bytes, minDirs = n)
+        s"v$v"
+      case "vacuum" =>
+        val expired = TableFormat.expire(root, keepLast = n)
+        val dirs = TableFormat.vacuum(root)
+        s"expired ${expired.size} version(s), reclaimed ${dirs.size} dir(s)"
+      case other => throw new IllegalStateException(s"verb $other")
+    }
+    Seq(Row(verb, result))
+  }
+}

@@ -806,6 +806,47 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("OPTIMIZE / VACUUM maintenance statements land through SQL") {
+    import spark.implicits._
+    val root = freshRoot()
+    for (lo <- Seq(0L, 100L, 200L, 300L))
+      TableFormat.append((lo until lo + 50L).map(k => (k, s"s$k"))
+        .toDF("k", "s"), root, statsCol = Some("k"))
+    val v0 = TableFormat.latestVersion(root)
+    // bin-pack the small tail through SQL; the one-row summary names
+    // the landed version
+    val small = spark.sql(s"OPTIMIZE '$root' SMALL FILES UNDER 10485760")
+      .collect()
+    assert(small.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("small", s"v${v0 + 1}")))
+    assert(TableFormat.readManifestFull(root, v0 + 1).entries.size === 1)
+    // range re-clustering restores skipping over the packed dir
+    spark.sql(s"OPTIMIZE '$root' RANGE BY k INTO 4 BUCKETS").collect()
+    val vR = TableFormat.latestVersion(root)
+    assert(TableFormat.prunedDirs(root, vR,
+      Seq(("k", Long.box(0L), Long.box(40L)))).size <
+      TableFormat.snapshotDirs(root, vR).size,
+      "SQL range OPTIMIZE must leave prunable per-dir bounds")
+    assert(TableFormat.readSnapshot(spark, root).count() === 200)
+    // vacuum: history trims to the floor, superseded dirs reclaimed,
+    // head content intact
+    val vac = spark.sql(s"VACUUM '$root' KEEP LAST 1").collect()
+    assert(vac(0).getString(0) === "vacuum" &&
+      vac(0).getString(1).contains("reclaimed"), vac.toSeq)
+    assert(TableFormat.readSnapshot(spark, root).count() === 200)
+    intercept[Exception] {
+      TableFormat.readSnapshot(spark, root, 0).collect()
+    }
+    // a malformed maintenance statement refuses with the grammar named
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE '$root' BY MOONLIGHT")
+    }
+    assert(e.getMessage.contains("supported forms"), e.getMessage)
+    // ordinary SQL that merely MENTIONS the verbs parses untouched
+    assert(spark.sql("SELECT 'OPTIMIZE' AS vacuum").collect()(0)
+      .getString(0) === "OPTIMIZE")
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL null semantics)") {
     import spark.implicits._
     val root = freshRoot()
