@@ -79,6 +79,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(graft.io.TableFormat.getClass.getName,
+        "graft_changes"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => {
+        // the row-level CDC feed through SQL: change_type-tagged rows
+        // between two snapshots (toVersion defaults to the head) —
+        // cost ∝ changed files, like the Scala readChanges it wraps
+        require(children.length == 3 || children.length == 4,
+          "graft_changes(path, keyCol, fromVersion[, toVersion])")
+        val spark = org.apache.spark.sql.SparkSession.active
+        val root = graft.io.TableFormat.posixRoot(
+          String.valueOf(tvfArg(children.head, "graft_changes path")))
+        val keyCol =
+          String.valueOf(tvfArg(children(1), "graft_changes keyCol"))
+        val from =
+          String.valueOf(tvfArg(children(2), "graft_changes from")).toInt
+        val to = if (children.length == 4)
+          String.valueOf(tvfArg(children(3), "graft_changes to")).toInt
+        else graft.io.TableFormat.latestVersion(root)
+        graft.io.TableFormat.readChanges(spark, root, from, to, keyCol)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_history"),
       new ExpressionInfo(graft.io.TableFormat.getClass.getName,
         "graft_history"),

@@ -714,6 +714,17 @@ class TableFormatSqlSpec extends TestSpark {
         s"SELECT count(*) AS n FROM graft_snapshot('$root')")
         .collect()(0).getLong(0) === 29,
         "graft_snapshot must serve the dv-masked table")
+      // the row-level change feed through SQL: the dv window's one
+      // delete, and the append window's twenty inserts
+      val chg = spark.sql(
+        s"""SELECT change_type, k FROM graft_changes('$root', 'k', 1)
+           |ORDER BY k""".stripMargin).collect()
+      assert(chg.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+        Seq(("delete", 7L)), s"dv-window CDC through SQL: ${chg.toSeq}")
+      assert(spark.sql(
+        s"""SELECT count(*) AS n FROM graft_changes('$root', 'k', 0, 1)
+           |WHERE change_type = 'insert'""".stripMargin)
+        .collect()(0).getLong(0) === 20)
       // graft_history = describe through SQL: one row per version,
       // accounts from metadata alone
       val hist = spark.sql(
