@@ -415,6 +415,12 @@ class TableFormatSqlSpec extends TestSpark {
         "SELECT max(x) AS hi FROM (SELECT k AS x FROM graft_sql_mm)")
       assert(scans(aliased) === 0, "aliased max must still fold")
       assert(aliased.collect()(0).getLong(0) === 299L)
+      // the graft_snapshot TVF serves the same manifest-backed relation,
+      // so a stats query over it folds identically — composition for free
+      val tvf = spark.sql(
+        s"SELECT count(*) AS n, min(k) AS lo FROM graft_snapshot('$root')")
+      assert(scans(tvf) === 0, "TVF stats query must fold to metadata")
+      assert(tvf.collect()(0).toSeq === Seq(300L, 0L))
       // string extremes decline — parquet writers may truncate binary
       // stats, so the recorded bounds need not be values of the data
       val smin = spark.sql("SELECT min(s) AS lo FROM graft_sql_mm")
