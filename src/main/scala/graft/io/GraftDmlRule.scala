@@ -305,12 +305,13 @@ private[graft] case class InsertIntoGraftTableCommand(root: String,
       .ofRows(spark, query)
     val statsCols = GraftDmlRule.statsColsOf(writeOpts)
     val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    val check = writeOpts.get("check")
     if (overwrite)
       TableFormat.replace(spark, root, df, statsCols = statsCols,
-        bloomCol = bloomCol)
+        bloomCol = bloomCol, check = check)
     else
       TableFormat.append(df, root, statsCols = statsCols,
-        bloomCol = bloomCol)
+        bloomCol = bloomCol, check = check)
     // a catalog table's resolved relation is CACHED per name
     // (FindDataSourceTable); the commit moved the head, so the next
     // SELECT must re-resolve against the new manifest — the same

@@ -117,7 +117,8 @@ object TableFormat {
   private[graft] case class Manifest(entries: Seq[Entry],
                                      schemaDdl: Option[String],
                                      txns: Map[String, Long] = Map.empty,
-                                     op: String = "")
+                                     op: String = "",
+                                     check: Option[String] = None)
 
   /** The deletion-vector sidecar's dir-association column. Reserved name
     * — user tables must not carry it (loudly rejected at DV-write time).
@@ -138,6 +139,7 @@ object TableFormat {
     * {{{
     *   #schema\t<enc ddl>                      — committed schema
     *   #op\t<enc name>                          — the commit's operation label
+    *   #check\t<enc sql expr>                   — table-level CHECK constraint
     *   G\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>\t<rows>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
     *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t…]*  — pre-rows (row count unknown)
     *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*  — pre-r16 (no size account)
@@ -154,6 +156,7 @@ object TableFormat {
     require(Files.exists(f), s"no snapshot v$v at $root")
     var schema: Option[String] = None
     var op = ""
+    var check: Option[String] = None
     var txns = Map.empty[String, Long]
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
@@ -162,6 +165,7 @@ object TableFormat {
         val parts = line.split("\t", -1)
         if (line.startsWith("#schema\t")) schema = Some(dec(parts(1)))
         else if (line.startsWith("#op\t")) op = dec(parts(1))
+        else if (line.startsWith("#check\t")) check = Some(dec(parts(1)))
         else if (line.startsWith("#txn\t"))
           txns += dec(parts(1)) -> parts(2).toLong
         else if (line.startsWith("#")) () // forward-compat: skip
@@ -203,7 +207,7 @@ object TableFormat {
             s"torn manifest line in v$v: '$line'")
         }
       }
-    Manifest(entries.result(), schema, txns, op)
+    Manifest(entries.result(), schema, txns, op, check)
   }
 
   private def readManifest(root: String, v: Int): Seq[Entry] =
@@ -212,11 +216,13 @@ object TableFormat {
   private[graft] def writeManifest(root: String, v: Int, entries: Seq[Entry],
                                    schemaDdl: Option[String] = None,
                                    txns: Map[String, Long] = Map.empty,
-                                   op: String = "")
+                                   op: String = "",
+                                   check: Option[String] = None)
       : Unit = {
     Files.createDirectories(manifestDir(root))
     val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
       (if (op.nonEmpty) s"#op\t${enc(op)}\n" else "") +
+      check.map(c => s"#check\t${enc(c)}\n").getOrElse("") +
       txns.toSeq.sortBy(_._1)
         .map { case (a, b) => s"#txn\t${enc(a)}\t$b\n" }.mkString
     val body = entries.map { e =>
@@ -563,11 +569,53 @@ object TableFormat {
     * zero extra jobs — buying metadata-level pruning on every future
     * range read / merge / delete. Returns the committed version.
     */
+  /** Refuse `df` rows violating the table's CHECK constraint — the
+    * Delta invariant idea: the constraint is part of the TABLE (one
+    * `#check` header in every manifest, declared at creation,
+    * immutable), so every landing path validates NEW rows against it
+    * before any data file exists. SQL null semantics: a NULL check is
+    * a violation (a constraint that can't prove itself doesn't hold) —
+    * matching the ANSI default for CHECK being commonly relaxed is
+    * deliberately NOT done; loud beats lenient at 100 TB. One
+    * limit-1 probe per landing, against rows this commit introduces.
+    */
+  private def enforceCheck(df: DataFrame, check: Option[String],
+      root: String): Unit =
+    check.foreach { expr =>
+      val bad = df.filter(!coalesce(
+        org.apache.spark.sql.functions.expr(expr), lit(false)))
+        .limit(1).collect()
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"CHECK constraint ($expr) on $root violated by row " +
+          s"${bad.head} — no commit was made")
+    }
+
+  /** The table's recorded CHECK, reconciled with a caller's
+    * declaration: constraints are immutable once set, and a second
+    * declaration must match verbatim or refuse.
+    */
+  private def effectiveCheck(root: String,
+      declared: Option[String]): Option[String] = {
+    val head = latestVersion(root)
+    val existing =
+      if (head < 0) None else readManifestFull(root, head).check
+    (existing, declared) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalArgumentException(
+          s"table at $root already carries CHECK ($a) — constraints " +
+            s"are immutable; drop/recreate the table to change it ($b)")
+      case _ => existing.orElse(declared)
+    }
+  }
+
   def append(df: DataFrame, root: String,
              statsCol: Option[String] = None,
              statsCols: Seq[String] = Nil,
              bloomCol: Option[String] = None,
-             txn: Option[(String, Long)] = None): Int = {
+             txn: Option[(String, Long)] = None,
+             check: Option[String] = None): Int = {
+    val tableCheck = effectiveCheck(root, check)
+    enforceCheck(df, tableCheck, root)
     val dataDir = newDataDir(root)
     val writer = bloomCol.foldLeft(df.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -595,7 +643,7 @@ object TableFormat {
       try {
         writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema),
           txns = prevM.map(_.txns).getOrElse(Map.empty) ++ txn,
-          op = "append")
+          op = "append", check = tableCheck)
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -641,9 +689,12 @@ object TableFormat {
   def replace(spark: SparkSession, root: String, df: DataFrame,
               statsCol: Option[String] = None,
               statsCols: Seq[String] = Nil,
-              bloomCol: Option[String] = None): Int = {
+              bloomCol: Option[String] = None,
+              check: Option[String] = None): Int = {
     val prev = latestVersion(root)
-    if (prev < 0) return append(df, root, statsCol, statsCols, bloomCol)
+    if (prev < 0)
+      return append(df, root, statsCol, statsCols, bloomCol, check = check)
+    enforceCheck(df, effectiveCheck(root, check), root)
     val m = readManifestFull(root, prev)
     val dataDir = newDataDir(root)
     bloomCol.foldLeft(df.write)((w, c) =>
@@ -1169,7 +1220,8 @@ object TableFormat {
           case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
           case (a, b) => a.orElse(b).map(_.toDDL)
         }
-      try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op)
+      try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op,
+        check = m.check)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1294,6 +1346,7 @@ object TableFormat {
     if (touched.isEmpty) return prev
     val dataDir = newDataDir(root)
     val out = transform(readEntries(spark, touched, manifestSchema(m)))
+    if (op == "update-where") enforceCheck(out, m.check, root)
     bloomCol.foldLeft(out.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
     val cols = (statsCols ++ touched.flatMap(_.bounds.keys)).distinct
@@ -1377,6 +1430,7 @@ object TableFormat {
     // idle cycle (nor wholesale-rewrite stats-less dirs)
     if (updates.isEmpty) return prev
     val m = readManifestFull(root, prev)
+    enforceCheck(updates, m.check, root)
     val (touched, untouched) =
       touchedSplit(spark, m.entries, updates, keyCol)
     val dataDir = newDataDir(root)
@@ -1609,6 +1663,7 @@ object TableFormat {
     require(prev >= 0, s"nothing to merge into at $root")
     if (updates.isEmpty) return prev
     val m = readManifestFull(root, prev)
+    enforceCheck(updates, m.check, root)
     val (touched, untouched) = touchedSplit(spark, m.entries, updates, keyCol)
     val dataDir = newDataDir(root)
     val writer = bloomCol.foldLeft(updates.write)((w, c) =>
@@ -1958,7 +2013,10 @@ object TableFormat {
   def appendBatch(df: DataFrame, root: String, batchId: Long,
                   statsCol: Option[String] = None,
                   statsCols: Seq[String] = Nil,
-                  appId: String = "stream"): Boolean = {
+                  appId: String = "stream",
+                  check: Option[String] = None): Boolean = {
+    val tableCheck = effectiveCheck(root, check)
+    enforceCheck(df, tableCheck, root)
     def lastCommitted(prevM: Option[Manifest]): Long =
       prevM.flatMap(_.txns.get(appId)).getOrElse(-1L)
     val prev0 = latestVersion(root)
@@ -1982,7 +2040,8 @@ object TableFormat {
         (appId -> batchId)
       try {
         writeManifest(root, prev + 1, entries,
-          nextSchemaDdl(prevM, df.schema), txns, op = "stream-batch")
+          nextSchemaDdl(prevM, df.schema), txns, op = "stream-batch",
+          check = tableCheck)
         return true
       } catch {
         // CAS lost: re-read — if the winner was a replay of THIS batch

@@ -159,6 +159,7 @@ final class TableFormatSourceProvider
       .getOrElse(Seq.empty)
     val bloomCol = parameters.get("bloomcol")
       .orElse(parameters.get("bloomCol"))
+    val check = parameters.get("check")
     val exists = TableFormat.latestVersion(root) >= 0
     mode match {
       case SaveMode.ErrorIfExists if exists =>
@@ -167,10 +168,10 @@ final class TableFormatSourceProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Overwrite =>
         TableFormat.replace(sqlContext.sparkSession, root, data,
-          statsCols = statsCols, bloomCol = bloomCol)
+          statsCols = statsCols, bloomCol = bloomCol, check = check)
       case _ => // Append, or first write under any mode
         TableFormat.append(data, root, statsCols = statsCols,
-          bloomCol = bloomCol)
+          bloomCol = bloomCol, check = check)
     }
     createRelation(sqlContext, parameters)
   }

@@ -864,6 +864,63 @@ class TableFormatSqlSpec extends TestSpark {
       .getString(0) === "OPTIMIZE")
   }
 
+  test("CHECK constraints: declared once, enforced on every landing path") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sql_chk")
+    val root = s"$base/t"
+    spark.sql(s"""CREATE TABLE graft_chk (k BIGINT, v BIGINT)
+      USING `$Provider`
+      OPTIONS (path '$root', statsCols 'k', check 'v >= 0')""")
+    try {
+      spark.sql("INSERT INTO graft_chk VALUES (1, 10), (2, 0)")
+      assert(TableFormat.readManifestFull(root,
+        TableFormat.latestVersion(root)).check === Some("v >= 0"),
+        "the first insert must record the declared constraint")
+      val v0 = TableFormat.latestVersion(root)
+      def refused(body: => Unit): String = {
+        val e = intercept[Exception](body)
+        val msg = String.valueOf(e.getMessage) +
+          Option(e.getCause).map(c => String.valueOf(c.getMessage))
+            .getOrElse("")
+        assert(msg.contains("CHECK constraint"),
+          s"violation must name the constraint: $e")
+        assert(TableFormat.latestVersion(root) === v0,
+          "a refused landing must not mint a version")
+        msg
+      }
+      // every doorway that introduces values validates BEFORE any file
+      // lands: SQL insert, SQL update, SQL merge, Scala merge (both
+      // forms), streaming appendBatch — and a NULL check is a
+      // violation, not a pass
+      refused(spark.sql("INSERT INTO graft_chk VALUES (3, -1)"))
+      refused(spark.sql("UPDATE graft_chk SET v = v - 100 WHERE k = 1"))
+      refused(spark.sql("""MERGE INTO graft_chk t
+        USING (SELECT * FROM VALUES (9L, -9L) AS s(k, v)) src
+        ON t.k = src.k WHEN NOT MATCHED THEN INSERT *"""))
+      refused(TableFormat.merge(spark, root,
+        Seq((9L, -9L)).toDF("k", "v"), "k"))
+      refused(TableFormat.mergeMor(spark, root,
+        Seq((9L, -9L)).toDF("k", "v"), "k"))
+      refused(TableFormat.appendBatch(
+        Seq((9L, -9L)).toDF("k", "v"), root, batchId = 0L))
+      refused(TableFormat.append(
+        Seq((9L, Option.empty[Long])).toDF("k", "v"), root))
+      // a conforming landing still works, and the constraint carries
+      spark.sql("INSERT INTO graft_chk VALUES (3, 3)")
+      assert(TableFormat.readManifestFull(root,
+        TableFormat.latestVersion(root)).check === Some("v >= 0"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft_chk")
+        .collect()(0).getLong(0) === 3)
+      // constraints are immutable: a different re-declaration refuses
+      val e = intercept[Exception] {
+        TableFormat.append(Seq((4L, 4L)).toDF("k", "v"), root,
+          check = Some("v >= 1"))
+      }
+      assert(String.valueOf(e.getMessage).contains("immutable"),
+        s"re-declaration must refuse: $e")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_chk")
+  }
+
   test("deleteWhere keeps NULL-condition rows (SQL null semantics)") {
     import spark.implicits._
     val root = freshRoot()
