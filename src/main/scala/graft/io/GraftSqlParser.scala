@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   OPTIMIZE '/path' ZORDER BY (a, b) INTO 8 BUCKETS
   *   OPTIMIZE '/path' SMALL FILES UNDER 1048576    -- bin-pack the small tail
   *   VACUUM '/path' KEEP LAST 3                    -- expire + reclaim
+  *   RESTORE '/path' TO VERSION 4                  -- content rollback commit
+  *   CLONE '/src' TO '/dst' [VERSION AS OF 4]      -- zero-copy shallow clone
   * }}}
   * Each lands through the Scala maintenance verb ([[TableFormat.compact]]
   * / [[TableFormat.compactRanged]] / [[TableFormat.compactZOrder]] /
@@ -65,7 +67,11 @@ private[graft] object GraftSqlParser {
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s+SMALL\s+FILES\s+UNDER\s+(\d+)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+LAST\s+(\d+)\s*;?\s*""".r
-  private val Lead = """(?is)\s*(OPTIMIZE|VACUUM)\b.*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val Clone =
+    """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  private val Lead = """(?is)\s*(OPTIMIZE|VACUUM|RESTORE|CLONE)\b.*""".r
 
   def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
     case OptimizePlain(p) =>
@@ -82,11 +88,19 @@ private[graft] object GraftSqlParser {
     case Vacuum(p, keep) =>
       Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "vacuum",
         n = keep.toInt))
+    case Restore(p, v) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "restore",
+        n = v.toInt))
+    case Clone(src, dst, v) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(src), "clone",
+        cols = Seq(TableFormat.posixRoot(dst)),
+        n = Option(v).map(_.toInt).getOrElse(-1)))
     case Lead(verb) => throw new IllegalArgumentException(
       s"malformed graft $verb statement — supported forms: " +
         "OPTIMIZE '<path>' [RANGE BY col INTO n BUCKETS | ZORDER BY " +
         "(a, b) INTO n BUCKETS | SMALL FILES UNDER bytes]; " +
-        "VACUUM '<path>' KEEP LAST n")
+        "VACUUM '<path>' KEEP LAST n; RESTORE '<path>' TO VERSION n; " +
+        "CLONE '<src>' TO '<dst>' [VERSION AS OF n]")
     case _ => None
   }
 }
@@ -122,6 +136,11 @@ private[graft] case class GraftMaintenanceCommand(root: String,
         val expired = TableFormat.expire(root, keepLast = n)
         val dirs = TableFormat.vacuum(root)
         s"expired ${expired.size} version(s), reclaimed ${dirs.size} dir(s)"
+      case "restore" =>
+        s"v${TableFormat.restore(root, n)}"
+      case "clone" => // cols.head carries the DESTINATION path here
+        s"v${TableFormat.cloneTable(root, cols.head, version = n)} " +
+          s"at ${cols.head}"
       case other => throw new IllegalStateException(s"verb $other")
     }
     Seq(Row(verb, result))

@@ -2167,6 +2167,97 @@ object TableFormat {
     readSnapshot(spark, root, tags(root).getOrElse(name,
       throw new IllegalArgumentException(s"no tag '$name' at $root")))
 
+  // --------------------------------------------------- restore / clone
+
+  /** Make snapshot `version`'s CONTENT the new head as a fresh commit —
+    * the Delta `RESTORE TABLE … TO VERSION` verb. The target manifest's
+    * entries and schema are re-committed at head+1 (data dirs are
+    * immutable, so re-pointing is the whole operation — zero data I/O);
+    * history stays intact, so time travel still sees the undone
+    * commits, and the CDC feed across the restore derives the correct
+    * row-level diff from the manifest diff like any other commit.
+    * Deliberately NOT restored: the head's streaming TRANSACTION
+    * markers carry forward unchanged (rewinding them would invite a
+    * replayed micro-batch to double-apply — progress markers are about
+    * the WRITER's history, not the table's content), and so does the
+    * head's CHECK constraint (constraints are immutable and never
+    * rewind to a laxer past). The target manifest must still be live:
+    * [[expire]] may have aged it out — then this refuses loudly, and
+    * conversely a live manifest GUARANTEES its data dirs exist, because
+    * [[vacuum]] only reclaims dirs no surviving manifest references.
+    * Restoring the current head is a no-op (no version minted).
+    * Returns the new head (or the unchanged head on the no-op).
+    */
+  def restore(root: String, version: Int): Int = {
+    require(version >= 0, s"cannot restore to negative version $version")
+    require(versionExists(root, version),
+      s"cannot restore $root to v$version — that manifest is absent " +
+        "(never committed, or aged out by expire); pick a live version " +
+        "from describe/graft_history")
+    val target = readManifestFull(root, version)
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(root)
+      if (head == version) return head
+      val headM = readManifestFull(root, head)
+      try {
+        writeManifest(root, head + 1, target.entries, target.schemaDdl,
+          txns = headM.txns, op = "restore",
+          check = headM.check.orElse(target.check))
+        return head + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"restore at $root lost the manifest CAS $MaxCommitRetries " +
+              "times in a row — giving up rather than livelock", e)
+      }
+    }
+    -1 // unreachable: the loop exits only by return or throw
+  }
+
+  /** SHALLOW clone — the Delta `CREATE TABLE … SHALLOW CLONE` idea:
+    * `dst` becomes a new table whose v0 manifest references `src`'s
+    * snapshot dirs (head, or `version` for a time-travel clone) with
+    * their zone maps, deletion vectors, size/row accounts, schema, and
+    * CHECK constraint carried verbatim — zero data copied, one manifest
+    * written. The clone then evolves INDEPENDENTLY: its commits write
+    * new dirs under `dst`, and copy-on-write rewrites (merge/delete)
+    * replace shared dirs in the clone's manifest only — `src` never
+    * sees them. `dst`'s own [[vacuum]] is safe by construction (it
+    * sweeps only `dst/data` + `dst/dv`, where the shared dirs don't
+    * live). The one shared-fate caveat, same as Delta's: [[vacuum]] ON
+    * `src` reclaims dirs once no SRC manifest references them — it
+    * cannot see the clone — so pin the cloned version with a
+    * [[tag]] on `src` for a durable clone. Streaming txn markers do NOT
+    * carry (a writer's progress against `src` says nothing about `dst`;
+    * carrying them would make an exactly-once sink silently SKIP its
+    * first batches against the clone). `dst` must not already be a
+    * table. Returns the clone's committed version (always 0).
+    */
+  def cloneTable(src: String, dst: String, version: Int = -1): Int = {
+    val v = if (version < 0) latestVersion(src) else version
+    require(v >= 0, s"nothing to clone at $src")
+    require(versionExists(src, v),
+      s"cannot clone $src at v$v — that manifest is absent")
+    require(latestVersion(dst) < 0,
+      s"clone target $dst is already a table (head v${latestVersion(dst)})")
+    require(Paths.get(posixRoot(dst)).toAbsolutePath.normalize !=
+      Paths.get(posixRoot(src)).toAbsolutePath.normalize,
+      s"clone target must differ from the source root $src")
+    val m = readManifestFull(src, v)
+    // absolute dirs: entries are written absolute by every commit path,
+    // but normalize defensively — a relative dir in the clone's
+    // manifest would resolve against the WRONG root
+    val entries = m.entries.map { e =>
+      def abs(p: String) = Paths.get(p).toAbsolutePath.normalize.toString
+      e.copy(dir = abs(e.dir), dv = e.dv.map(abs))
+    }
+    writeManifest(dst, 0, entries, m.schemaDdl, txns = Map.empty,
+      op = "clone", check = m.check)
+    0
+  }
+
   /** Drop all manifest versions except the newest `keepLast` — the
     * retention half of the GC story. TAGGED versions survive regardless
     * ([[tag]]): retention ages out ordinary history, never a named

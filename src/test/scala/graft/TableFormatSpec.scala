@@ -1236,4 +1236,100 @@ class TableFormatSpec extends TestSpark {
     val totalV1 = rows.map(_.getLong(2)).sum
     assert(totalV1 === graft.io.Sources.table(spark, Sf, "orders").count())
   }
+
+  test("restore re-points the head at a prior snapshot's content") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root,
+      statsCol = Some("k"))                                  // v0
+    TableFormat.append(Seq((3L, "c")).toDF("k", "s"), root,
+      statsCol = Some("k"))                                  // v1
+    TableFormat.deleteKeys(spark, root, Seq(1L).toDF("k"), "k") // v2
+    def content(v: Int = -1): Set[(Long, String)] =
+      TableFormat.readSnapshot(spark, root, v).as[(Long, String)]
+        .collect().toSet
+    assert(content() === Set((2L, "b"), (3L, "c")))
+    // restore to v1 mints v3 whose content IS v1's; history intact
+    val v3 = TableFormat.restore(root, 1)
+    assert(v3 === 3)
+    assert(content() === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(content(2) === Set((2L, "b"), (3L, "c")),
+      "the undone commit must stay time-travelable")
+    assert(TableFormat.describe(spark, root)
+      .filter($"version" === 3).collect()(0)
+      .getAs[String]("operation") === "restore")
+    // the CDC feed across the restore derives the re-inserted row
+    val changes = TableFormat.readChanges(spark, root, 2, 3, "k")
+    val inserted = changes.filter($"change_type" === "insert")
+      .select($"k").as[Long].collect().toSet
+    assert(inserted === Set(1L), changes.collect().toSeq)
+    // restoring the current head is a no-op: no version minted
+    assert(TableFormat.restore(root, 3) === 3)
+    assert(TableFormat.latestVersion(root) === 3)
+    // an absent (expired) target refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TableFormat.restore(root, 99)
+    }
+    assert(e.getMessage.contains("absent"), e.getMessage)
+  }
+
+  test("restore never rewinds streaming txn markers") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a")).toDF("k", "s"), root)     // v0
+    assert(TableFormat.appendBatch(Seq((2L, "b")).toDF("k", "s"),
+      root, batchId = 0L))                                      // v1
+    TableFormat.restore(root, 0)                                // v2
+    // a replayed micro-batch 0 must still be recognized as applied —
+    // the marker carried FORWARD through the restore
+    assert(!TableFormat.appendBatch(Seq((2L, "b")).toDF("k", "s"),
+      root, batchId = 0L),
+      "replayed batch must not double-apply after a restore")
+    assert(TableFormat.readSnapshot(spark, root).count() === 1)
+  }
+
+  test("shallow clone shares dirs, then evolves independently") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_tf_clone")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    TableFormat.append((0L until 40L).map(k => (k, s"s$k"))
+      .toDF("k", "s"), src, statsCol = Some("k"))              // src v0
+    TableFormat.append((40L until 50L).map(k => (k, s"s$k"))
+      .toDF("k", "s"), src, statsCol = Some("k"))              // src v1
+    assert(TableFormat.cloneTable(src, dst) === 0)
+    def rows(root: String): Set[Long] =
+      TableFormat.readSnapshot(spark, root).select($"k").as[Long]
+        .collect().toSet
+    assert(rows(dst) === (0L until 50L).toSet)
+    // zero data copied: every clone entry points into src's tree
+    val shared = TableFormat.snapshotDirs(dst, 0)
+    assert(shared.nonEmpty && shared.forall(_.startsWith(
+      java.nio.file.Paths.get(src).toAbsolutePath.normalize.toString)),
+      shared)
+    // zone maps carried: a narrow range read prunes on the clone too
+    assert(TableFormat.prunedDirs(dst, 0,
+      Seq(("k", Long.box(0L), Long.box(10L)))).size < shared.size)
+    // independent evolution: CoW delete on the clone rewrites into
+    // dst's tree; src never changes
+    TableFormat.deleteKeys(spark, dst, Seq(0L).toDF("k"), "k")
+    TableFormat.append(Seq((100L, "x")).toDF("k", "s"), dst)
+    assert(rows(dst) === ((1L until 50L).toSet + 100L))
+    assert(rows(src) === (0L until 50L).toSet,
+      "the source must never see the clone's commits")
+    // the clone's vacuum sweeps only its own tree — the shared dirs
+    // (now superseded in the clone by the CoW delete) stay readable
+    // from src even after the clone expires its history
+    TableFormat.expire(dst, keepLast = 1)
+    TableFormat.vacuum(dst)
+    assert(rows(src) === (0L until 50L).toSet)
+    // a time-travel clone pins the requested version
+    val dst2 = s"$base/dst2"
+    TableFormat.cloneTable(src, dst2, version = 0)
+    assert(rows(dst2) === (0L until 40L).toSet)
+    // cloning onto an existing table refuses
+    val e = intercept[IllegalArgumentException] {
+      TableFormat.cloneTable(src, dst2)
+    }
+    assert(e.getMessage.contains("already a table"), e.getMessage)
+  }
 }

@@ -864,6 +864,33 @@ class TableFormatSqlSpec extends TestSpark {
       .getString(0) === "OPTIMIZE")
   }
 
+  test("RESTORE / CLONE statements land through SQL") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sql_restore")
+    val src = s"$base/src"; val dst = s"$base/dst"
+    TableFormat.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), src,
+      statsCol = Some("k"))                                   // v0
+    TableFormat.append(Seq((3L, "c")).toDF("k", "s"), src,
+      statsCol = Some("k"))                                   // v1
+    // clone the historical v0, then keep evolving the source
+    val cl = spark.sql(s"CLONE '$src' TO '$dst' VERSION AS OF 0").collect()
+    assert(cl(0).getString(0) === "clone" &&
+      cl(0).getString(1).startsWith("v0"), cl.toSeq)
+    assert(TableFormat.readSnapshot(spark, dst).count() === 2)
+    // roll the source back to v0 content through SQL; summary names
+    // the minted head
+    val rs = spark.sql(s"RESTORE '$src' TO VERSION 0").collect()
+    assert(rs.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("restore", "v2")))
+    assert(TableFormat.readSnapshot(spark, src).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    // a malformed form refuses with the grammar named
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"RESTORE '$src' TO YESTERDAY")
+    }
+    assert(e.getMessage.contains("supported forms"), e.getMessage)
+  }
+
   test("CHECK constraints: declared once, enforced on every landing path") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_sql_chk")
