@@ -17,6 +17,12 @@ class EdgeCasesSpec extends TestSpark {
     "q_dedup_minhash", "q_dedup_exact", "q_pack_sequences",
     "q_chunk_docs", "q_dedup_intradoc")
 
+  // Per-process temp root: two concurrent `sbt test` runs (e.g. a manual
+  // run racing a driver run) must not clobber each other's landed parquet
+  // mid-read — fixed /tmp names did exactly that once.
+  private val tmpRoot =
+    java.nio.file.Files.createTempDirectory("graft_edge_").toString
+
   private def land(dir: String, rows: Seq[(Long, String)]): Unit = {
     rows.toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -24,7 +30,7 @@ class EdgeCasesSpec extends TestSpark {
   }
 
   test("an EMPTY documents table yields empty results, never a crash") {
-    val dir = "/tmp/graft_edge_empty"
+    val dir = s"$tmpRoot/empty"
     land(dir, Seq.empty)
     keys.foreach { k =>
       val n = SparkEntry.queries(k)(spark, dir).count()
@@ -34,7 +40,7 @@ class EdgeCasesSpec extends TestSpark {
   }
 
   test("sub-shingle and whitespace-only docs flow through the shingle tier") {
-    val dir = "/tmp/graft_edge_short"
+    val dir = s"$tmpRoot/short"
     // nothing here has 3 tokens, so every shingle set is empty
     land(dir, Seq((1L, "hi"), (2L, ""), (3L, "   "), (4L, "one two")))
     assert(SparkEntry.queries("q_simjoin_prefix")(spark, dir).count() === 0)
@@ -45,7 +51,7 @@ class EdgeCasesSpec extends TestSpark {
   }
 
   test("null and unicode text rows survive the token pipelines") {
-    val dir = "/tmp/graft_edge_unicode"
+    val dir = s"$tmpRoot/unicode"
     spark.createDataFrame(
         spark.sparkContext.parallelize(Seq(
           org.apache.spark.sql.Row(1L, null),

@@ -87,7 +87,7 @@ class SimJoinSpec extends TestSpark {
 
   test("salt flag expands an over-cap hub bucket to the exact pair set") {
     import spark.implicits._
-    val dir = "/tmp/graft_simjoin_salted"
+    val dir = java.nio.file.Files.createTempDirectory("graft_simjoin_salted_").toString
     // 1100 identical docs: one shared shingle → ONE bucket of 1100 docs,
     // past MaxBandBucket (1024). With the flag on, the salted expansion
     // must produce exactly the C(1100,2) identical-pair clique at J = 1.0
@@ -126,7 +126,7 @@ class SimJoinSpec extends TestSpark {
 
   test("degenerate single-bucket corpus trips the loud cap, not a quadratic join") {
     import spark.implicits._
-    val dir = "/tmp/graft_simjoin_degenerate"
+    val dir = java.nio.file.Files.createTempDirectory("graft_simjoin_degenerate_").toString
     // 1100 identical 3-token docs: one shingle each, same for all, so all
     // 1100 land in ONE prefix bucket — past MaxBandBucket, the answer set
     // itself is quadratic (~600k pairs) and the right behavior is refusal

@@ -54,8 +54,8 @@ class ZOrderSpec extends TestSpark {
       val (xlo, xhi) = mid(xmin, xmax)
       val (ylo, yhi) = mid(ymin, ymax)
 
-      val zPath = "/tmp/graft_zorder_z"
-      val idPath = "/tmp/graft_zorder_id"
+      val zPath = ZOrderSpec.tmpRoot + "/z"
+      val idPath = ZOrderSpec.tmpRoot + "/id"
       graft.io.Layout.writeZOrdered(d, zPath, "zkey", Files)
       d.repartitionByRange(Files, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
@@ -100,12 +100,19 @@ class ZOrderSpec extends TestSpark {
           (max("y") - min("y")).cast("double")).as("a")).head
       r.getDouble(0)
     }
-    val zArea = meanFileArea("/tmp/graft_zorder_z")
-    val idArea = meanFileArea("/tmp/graft_zorder_id")
+    val zArea = meanFileArea(ZOrderSpec.tmpRoot + "/z")
+    val idArea = meanFileArea(ZOrderSpec.tmpRoot + "/id")
     assert(zArea < total * 0.5,
       f"z files should cover small rectangles: ${zArea / total}%.2f of plane")
     assert(idArea > total * 0.8,
       f"id files should span the plane: ${idArea / total}%.2f of plane")
     assert(zArea < idArea / 2)
   }
+}
+
+object ZOrderSpec {
+  // Unique per test-JVM so concurrent `sbt test` runs never clobber
+  // each other's landed layout mid-probe.
+  val tmpRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_zorder_").toString
 }
