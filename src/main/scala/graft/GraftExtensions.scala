@@ -103,6 +103,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           .queryExecution.analyzed
       }))
     ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_stats"),
+      new ExpressionInfo(graft.io.TableFormat.getClass.getName,
+        "graft_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => {
+        // per-column metadata stats: merged-sketch NDV + merged zone-map
+        // bounds + the row account — zero scans (graft.io.TableFormat
+        // .colStats)
+        require(children.length == 1, "graft_stats(path)")
+        val root = graft.io.TableFormat.posixRoot(
+          String.valueOf(tvfArg(children.head, "graft_stats path")))
+        graft.io.TableFormat
+          .colStats(org.apache.spark.sql.SparkSession.active, root)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_mv"),
+      new ExpressionInfo(graft.io.MatView.getClass.getName, "graft_mv"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+          => {
+        // the FINALIZED materialized view: per-group state resolved into
+        // the declared aggregate columns (graft.io.MatView.read)
+        require(children.length == 1, "graft_mv(path)")
+        val root = graft.io.TableFormat.posixRoot(
+          String.valueOf(tvfArg(children.head, "graft_mv path")))
+        graft.io.MatView
+          .read(org.apache.spark.sql.SparkSession.active, root)
+          .queryExecution.analyzed
+      }))
+    ext.injectTableFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_history"),
       new ExpressionInfo(graft.io.TableFormat.getClass.getName,
         "graft_history"),

@@ -42,6 +42,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.io.Sources.queries ++
       graft.io.TableFormat.queries ++
+      graft.io.MatView.queries ++
       graft.etl.Migration.queries ++
       graft.ops.Relational.queries ++
       graft.ops.Analytics.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.io.Sources.oracleSql ++
       graft.io.TableFormat.oracleSql ++
+      graft.io.MatView.oracleSql ++
       graft.etl.Migration.oracleSql ++
       graft.ops.Relational.oracleSql ++
       graft.ops.Analytics.oracleSql ++

@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   VACUUM '/path' KEEP LAST 3                    -- expire + reclaim
   *   RESTORE '/path' TO VERSION 4                  -- content rollback commit
   *   CLONE '/src' TO '/dst' [VERSION AS OF 4]      -- zero-copy shallow clone
+  *   CREATE MATERIALIZED VIEW '/mv' AS             -- standing incremental MV
+  *     SELECT k, count(*) AS n, sum(x) AS sx FROM '/src' GROUP BY k
+  *   REFRESH MATERIALIZED VIEW '/mv'               -- fold the change feed in
+  *   ANALYZE '/path' FOR COLUMNS (a, b)            -- retrofit NDV sketches
   * }}}
   * Each lands through the Scala maintenance verb ([[TableFormat.compact]]
   * / [[TableFormat.compactRanged]] / [[TableFormat.compactZOrder]] /
@@ -71,9 +75,59 @@ private[graft] object GraftSqlParser {
     """(?is)\s*RESTORE\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val Clone =
     """(?is)\s*CLONE\s+'([^']+)'\s+TO\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*;?\s*""".r
+  // quoted-path form only: Spark's own `ANALYZE TABLE ident …` must
+  // keep parsing through the delegate untouched
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+'([^']+)'\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
+  private val CreateMv =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.*?)\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""".r
+  private val RefreshMv =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
+  private val MvLead =
+    """(?is)\s*(?:CREATE|REFRESH)\s+MATERIALIZED\s+VIEW\b.*""".r
   private val Lead = """(?is)\s*(OPTIMIZE|VACUUM|RESTORE|CLONE)\b.*""".r
 
+  /** One SELECT item of a CREATE MATERIALIZED VIEW — either a bare
+    * group column or `fn(arg) AS name`. Single-argument aggregates
+    * only, so splitting the item list on commas is unambiguous.
+    */
+  private val AggItem = """(?i)(\w+)\s*\(\s*(\*|[\w.]+)\s*\)\s+AS\s+(\w+)""".r
+  private val ColItem = """(\w+)""".r
+
+  private[graft] def parseMvItems(items: String, groupBy: String)
+      : (Seq[String], Seq[MvAgg]) = {
+    val declaredGroups = groupBy.split(",").map(_.trim).filter(_.nonEmpty)
+    val cols = Seq.newBuilder[String]
+    val aggs = Seq.newBuilder[MvAgg]
+    items.split(",").map(_.trim).filter(_.nonEmpty).foreach {
+      case AggItem(fn, arg, out) =>
+        val f = fn.toLowerCase
+        aggs += (if (f == "count" && arg == "*") MvAgg("count_star", "*", out)
+                 else MvAgg(f, arg, out))
+      case ColItem(c) => cols += c
+      case other => throw new IllegalArgumentException(
+        s"malformed MATERIALIZED VIEW select item '$other' — use a " +
+          "group column or fn(col) AS name (count/sum/avg/min/max)")
+    }
+    val g = cols.result()
+    require(g.sorted == declaredGroups.toSeq.sorted,
+      s"MATERIALIZED VIEW select columns (${g.mkString(", ")}) must " +
+        s"match GROUP BY (${declaredGroups.mkString(", ")})")
+    (g, aggs.result())
+  }
+
   def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
+    case CreateMv(mv, items, src, groupBy) =>
+      val (g, aggs) = parseMvItems(items, groupBy)
+      Some(GraftMvCommand(TableFormat.posixRoot(mv), "create",
+        source = TableFormat.posixRoot(src), groupCols = g, aggs = aggs))
+    case RefreshMv(mv) =>
+      Some(GraftMvCommand(TableFormat.posixRoot(mv), "refresh"))
+    case MvLead() => throw new IllegalArgumentException(
+      "malformed MATERIALIZED VIEW statement — supported forms: " +
+        "CREATE MATERIALIZED VIEW '<mv>' AS SELECT <group cols + " +
+        "fn(col) AS name…> FROM '<src>' GROUP BY <cols>; " +
+        "REFRESH MATERIALIZED VIEW '<mv>'")
     case OptimizePlain(p) =>
       Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "compact"))
     case OptimizeRange(p, col, n) =>
@@ -95,6 +149,9 @@ private[graft] object GraftSqlParser {
       Some(GraftMaintenanceCommand(TableFormat.posixRoot(src), "clone",
         cols = Seq(TableFormat.posixRoot(dst)),
         n = Option(v).map(_.toInt).getOrElse(-1)))
+    case Analyze(p, colList) =>
+      Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "analyze",
+        cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case Lead(verb) => throw new IllegalArgumentException(
       s"malformed graft $verb statement — supported forms: " +
         "OPTIMIZE '<path>' [RANGE BY col INTO n BUCKETS | ZORDER BY " +
@@ -102,6 +159,33 @@ private[graft] object GraftSqlParser {
         "VACUUM '<path>' KEEP LAST n; RESTORE '<path>' TO VERSION n; " +
         "CLONE '<src>' TO '<dst>' [VERSION AS OF n]")
     case _ => None
+  }
+}
+
+/** CREATE/REFRESH MATERIALIZED VIEW → a one-row summary. Lands through
+  * [[MatView.create]]/[[MatView.refresh]]; reads go through the
+  * `graft_mv('<mv>')` table function.
+  */
+private[graft] case class GraftMvCommand(mvRoot: String, verb: String,
+    source: String = "", groupCols: Seq[String] = Nil,
+    aggs: Seq[MvAgg] = Nil) extends LeafRunnableCommand {
+
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.StringType
+
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("operation", StringType, nullable = false)(),
+      AttributeReference("result", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val result = verb match {
+      case "create" =>
+        s"v${MatView.create(spark, mvRoot, source, groupCols, aggs)}"
+      case "refresh" =>
+        s"v${MatView.refresh(spark, mvRoot)}"
+      case other => throw new IllegalStateException(s"verb $other")
+    }
+    Seq(Row(s"$verb materialized view", result))
   }
 }
 
@@ -141,6 +225,8 @@ private[graft] case class GraftMaintenanceCommand(root: String,
       case "clone" => // cols.head carries the DESTINATION path here
         s"v${TableFormat.cloneTable(root, cols.head, version = n)} " +
           s"at ${cols.head}"
+      case "analyze" =>
+        s"v${TableFormat.analyze(spark, root, cols)}"
       case other => throw new IllegalStateException(s"verb $other")
     }
     Seq(Row(verb, result))

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HyperLogLogPlusPlus, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -10,6 +10,8 @@ import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 /** Metadata-only aggregates over the table format's SQL surface — the
   * public Delta/Iceberg idea of answering bare `count(*)`/`min`/`max`
+  * (and, r16, `approx_count_distinct` from the manifest's NDV sketch
+  * registers — see [[NdvSketch]] and the rsd gate at the match site)
   * from the commit log's accounts instead of scheduling a scan. An
   * unfiltered, ungrouped aggregate over a [[ManifestFileIndex]]-backed
   * relation whose every output folds — counts from the manifest row
@@ -100,10 +102,39 @@ object ManifestAggFold extends Rule[LogicalPlan] {
           extreme(plan, m, a, takeMin = true)
         case Max(a: AttributeReference) =>
           extreme(plan, m, a, takeMin = false)
+        // approx_count_distinct: an APPROXIMATE contract, so the fold
+        // may answer from the manifest's NDV sketches — but only when
+        // the caller's requested error tolerates the sketch's (rsd ≥
+        // the registers' 4.6 %); a tighter ask stays on the scan. The
+        // folded estimate is deterministic (fixed-seed xxhash64
+        // registers), unlike a sampled one — same data, same answer.
+        case h: HyperLogLogPlusPlus
+            if h.relativeSD >= NdvSketch.Rsd - 1e-12 =>
+          h.child match {
+            case a: AttributeReference => ndvFold(plan, m, a)
+            case _ => None
+          }
         case _ => None
       }
     case _ => None
   }
+
+  /** NDV of `a` from the manifest sketches: every entry dv-free (a dv
+    * can hide distinct values) and sketch-carrying for the resolved
+    * column; a gap — a dir landed or rewritten since the last ANALYZE —
+    * declines, like an unbounded column does for extremes.
+    */
+  private def ndvFold(plan: LogicalPlan, m: ManifestFileIndex,
+      a: AttributeReference): Option[Any] =
+    resolveAttr(plan, a).flatMap { col =>
+      if (m.entries.isEmpty) Some(0L)
+      else if (m.entries.forall(e => e.dv.isEmpty &&
+          e.ndv.contains(col.name)))
+        Some(NdvSketch.estimate(m.entries
+          .map(e => NdvSketch.fromHex(e.ndv(col.name)))
+          .reduce(NdvSketch.merge)))
+      else None
+    }
 
   /** min/max of `a` from the zone maps: every entry dv-free and
     * bounded on the resolved column in an exact domain, the column's

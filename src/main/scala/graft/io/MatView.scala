@@ -1,0 +1,547 @@
+package graft.io
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One aggregate of a materialized view's definition: `fn(in) AS out`.
+  * `fn` ∈ count_star | count | sum | avg | min | max (`in` is ignored
+  * for count_star). count/sum/avg are RETRACTABLE — a refresh folds the
+  * source's change feed into the standing state arithmetically, cost ∝
+  * changed rows. min/max are not (retracting the current extremum needs
+  * the runner-up), so their presence routes the refresh to an
+  * affected-group recompute, cost ∝ the changed GROUPS' source rows.
+  */
+final case class MvAgg(fn: String, in: String, out: String)
+
+/** STANDING incremental materialized views over [[TableFormat]] tables
+  * — the engine feature the `q_table_mv` query only sketched as a
+  * pattern: the view is itself a TableFormat table whose definition
+  * (source root, group columns, aggregate list) lives in its OWN
+  * manifest as table properties ([[TableFormat.tableProps]]), so the
+  * definition travels with the table through compaction, restore, and
+  * clone, and `REFRESH` needs nothing but the view's root.
+  *
+  * Design — the classic aggregate-state/finalize split (the view
+  * maintenance literature's delta tables, re-expressed on the format's
+  * own primitives):
+  *
+  *   - STORAGE holds per-group STATE, not answers: group columns, a
+  *     collision-free group key string, the group's row count, and per
+  *     aggregate its mergeable state (running sum + non-null count for
+  *     sum/avg; non-null count for count; the exact value for min/max).
+  *     [[read]] finalizes state into the user-visible frame (sum/avg of
+  *     an all-null group correctly NULL via the count guard).
+  *   - REFRESH reads the source window `(last indexed, head]` from the
+  *     manifest diff ([[TableFormat.readDelta]] — raw added/dropped
+  *     effective rows, cost ∝ changed files) and lands ONE
+  *     [[TableFormat.applyDelta]] commit: affected group keys masked
+  *     (merge-on-read), merged/recomputed state rows appended, and the
+  *     source version riding the SAME manifest install as a txn marker
+  *     (appId = source root). A crash anywhere leaves the view wholly
+  *     at the old version or wholly at the new one; a replayed refresh
+  *     sees the marker and skips; concurrent refreshers serialize
+  *     through the manifest CAS, the overlap guarded by
+  *     [[TableFormat]]'s key-range conflict check.
+  *   - RETRACTABLE path: the window's rows get sign +1 (added) / −1
+  *     (dropped), one aggregation computes per-group deltas, and a full
+  *     outer join on the group key merges them with the standing state
+  *     — groups whose row count reaches zero DROP (group death), new
+  *     keys appear (birth). Nothing re-reads the source table.
+  *   - RECOMPUTE path (any min/max): the window only identifies the
+  *     AFFECTED group keys; their state is recomputed from the source
+  *     head semi-joined to those keys — still never the whole table.
+  *
+  * Caveat, shared with every incremental-view engine: retractable
+  * arithmetic over floating-point measures can drift in the last ulp
+  * versus a from-scratch recompute (add-then-remove is not a perfect
+  * inverse in IEEE754). Integer/decimal measures are exact; the specs
+  * pin incremental == recompute on long measures.
+  *
+  * SQL surface ([[GraftSqlParser]]):
+  * {{{
+  *   CREATE MATERIALIZED VIEW '/mv' AS
+  *     SELECT k1, k2, count(*) AS n, sum(x) AS sx FROM '/src'
+  *     GROUP BY k1, k2
+  *   REFRESH MATERIALIZED VIEW '/mv'
+  *   SELECT * FROM graft_mv('/mv')          -- finalized view rows
+  * }}}
+  */
+object MatView {
+
+  /** Reserved state columns. The group-key string is per-column base64
+    * over the value's string form (null → a marker outside the base64
+    * alphabet), joined by '|' — collision-free without reserving any
+    * character in user data, and a single string column the view
+    * table's zone maps and [[TableFormat.applyDelta]] pruning key on.
+    */
+  private[graft] val KeyCol = "__graft_mv_key"
+  private[graft] val NCol = "__graft_mv_n"
+  private def aCol(out: String) = s"__graft_mv_a_$out"
+  private def cCol(out: String) = s"__graft_mv_c_$out"
+
+  private val Retractable = Set("count_star", "count", "sum", "avg")
+  private val Fns = Retractable ++ Set("min", "max")
+
+  private def keyExpr(groupCols: Seq[String]): Column =
+    concat_ws("|", groupCols.map(c =>
+      when(col(c).isNull, lit("∅"))
+        .otherwise(base64(encode(col(c).cast("string"), "UTF-8")))): _*)
+
+  // --------------------------------------------- definition in props
+
+  private val PropSource = "mv.source"
+  private val PropGroup = "mv.group"
+  private val PropAggs = "mv.aggs"
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def defProps(source: String, groupCols: Seq[String],
+      aggs: Seq[MvAgg]): Map[String, String] = Map(
+    PropSource -> source,
+    PropGroup -> groupCols.map(enc).mkString(","),
+    PropAggs -> aggs.map(a =>
+      s"${enc(a.fn)},${enc(a.in)},${enc(a.out)}").mkString(";"))
+
+  /** The view's recorded definition — (source root, group cols, aggs).
+    * Loud when `root` is not a materialized view.
+    */
+  def definition(root: String): (String, Seq[String], Seq[MvAgg]) = {
+    val p = TableFormat.tableProps(root)
+    val src = p.getOrElse(PropSource, throw new IllegalArgumentException(
+      s"$root is not a materialized view (no ${PropSource} property) — " +
+        "create it with MatView.create or CREATE MATERIALIZED VIEW"))
+    val group = p(PropGroup).split(",").toSeq.map(dec)
+    val aggs = p(PropAggs).split(";").toSeq.map { s =>
+      val Array(f, i, o) = s.split(",", 3)
+      MvAgg(dec(f), dec(i), dec(o))
+    }
+    (src, group, aggs)
+  }
+
+  // ------------------------------------------------------------ create
+
+  /** Declare + initially materialize a view at `mvRoot` over the
+    * TableFormat table at `source`. Two commits: v0 records the
+    * definition (metadata-only — a crash after it leaves a valid,
+    * refreshable empty view), then the initial [[refresh]] runs the
+    * ordinary maintenance path with `from = -1`, i.e. the whole source
+    * head is the first change window — creation and refresh are ONE
+    * code path, not a full-compute special case.
+    */
+  def create(spark: SparkSession, mvRoot: String, source: String,
+             groupCols: Seq[String], aggs: Seq[MvAgg]): Int = {
+    require(TableFormat.latestVersion(mvRoot) < 0,
+      s"materialized-view target $mvRoot is already a table " +
+        s"(head v${TableFormat.latestVersion(mvRoot)})")
+    require(groupCols.nonEmpty, "a materialized view needs group columns")
+    require(aggs.nonEmpty, "a materialized view needs aggregates")
+    aggs.foreach(a => require(Fns(a.fn),
+      s"unsupported MV aggregate '${a.fn}' — supported: " +
+        Fns.toSeq.sorted.mkString(", ")))
+    val outs = groupCols ++ aggs.map(_.out)
+    require(outs.distinct.size == outs.size,
+      s"MV output names collide: ${outs.mkString(", ")}")
+    outs.foreach(o => require(!o.startsWith("__graft_mv_"),
+      s"MV output name $o uses the reserved __graft_mv_ prefix"))
+    TableFormat.setProps(mvRoot, defProps(source, groupCols, aggs))
+    refresh(spark, mvRoot)
+  }
+
+  // ----------------------------------------------------------- refresh
+
+  /** Bring the view up to the source head. No-op (no commit at all)
+    * when already current; a marker-only commit when the window moved
+    * versions but no data (e.g. the source only advanced by set-props);
+    * otherwise one [[TableFormat.applyDelta]] commit as described on
+    * the object. Returns the view's committed version.
+    */
+  def refresh(spark: SparkSession, mvRoot: String): Int = {
+    val (source, groupCols, aggs) = definition(mvRoot)
+    val from = TableFormat.lastTxn(mvRoot, source).toInt
+    val to = TableFormat.latestVersion(source)
+    require(to >= 0, s"MV source $source has no snapshot to refresh from")
+    if (to <= from) return TableFormat.latestVersion(mvRoot)
+    val (addedOpt, droppedOpt) = TableFormat.readDelta(spark, source,
+      from, to)
+    val txn = Some((source, to.toLong))
+    if (addedOpt.isEmpty && droppedOpt.isEmpty)
+      return TableFormat.applyDelta(spark, mvRoot, spark.emptyDataFrame,
+        KeyCol, spark.emptyDataFrame, txn = txn)
+    val signed = (addedOpt.map(_.withColumn("__sign", lit(1))) ++
+      droppedOpt.map(_.withColumn("__sign", lit(-1))))
+      .reduce(_ unionByName _)
+    val retractable = aggs.forall(a => Retractable(a.fn))
+    val appends =
+      if (retractable) mergedState(spark, mvRoot, hasState(mvRoot, from),
+        groupCols, aggs, signed)
+      else recomputedState(spark, source, to, groupCols, aggs, signed)
+    val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
+    TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+      statsCol = Some(KeyCol), txn = txn)
+  }
+
+  private def hasState(mvRoot: String, from: Int): Boolean = {
+    val head = TableFormat.latestVersion(mvRoot)
+    from >= 0 && head >= 0 &&
+      TableFormat.readManifestFull(mvRoot, head).entries.nonEmpty
+  }
+
+  // ---------------------------------------------------------- follow
+
+  /** CONTINUOUS maintenance: follow the source's change feed through
+    * the table-format streaming source and fold each micro-batch into
+    * the view — the [[graft.ops.IndexSync.followPostings]] shape for
+    * aggregates. Retractable views only (count/sum/avg): min/max needs
+    * the source head per window, which a stream batch does not pin —
+    * those views refuse here and use batch [[refresh]]. `keyCol` must
+    * be a UNIQUE source key (the cdc feed pairs update images by it; a
+    * duplicate key would inflate row multiplicity and corrupt the
+    * deltas). Exactly-once: each batch lands as one [[TableFormat
+    * .applyDelta]] commit whose txn marker is the BATCH id (appId
+    * `follow:<source>`), so a restart replaying a committed batch
+    * skips. ONE maintainer per view: do not interleave batch refresh
+    * with an active follower — each tracks its own high-water mark and
+    * would re-apply the other's window.
+    */
+  def follow(spark: SparkSession, mvRoot: String, keyCol: String,
+             checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (source, groupCols, aggs) = definition(mvRoot)
+    require(aggs.forall(a => Retractable(a.fn)),
+      s"view at $mvRoot carries min/max — a stream batch cannot pin " +
+        "the source head those need; maintain it with MatView.refresh")
+    // seed the stream at the view's refresh marker: the creation
+    // refresh already folded the snapshot through that version, so the
+    // stream must deliver strictly-later changes, not the initial
+    // whole-snapshot batch (which would double-apply every standing row)
+    val indexed = TableFormat.lastTxn(mvRoot, source)
+    val reader = spark.readStream
+      .format(classOf[TableFormatSourceProvider].getName)
+      .option("mode", "cdc").option("keyCol", keyCol)
+    (if (indexed >= 0) reader.option("startingVersion", indexed.toString)
+     else reader)
+      .load(source)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (feed: DataFrame, batchId: Long) =>
+        applyFeed(spark, mvRoot, source, groupCols, aggs, feed, batchId)
+        ()
+      }
+      .start()
+  }
+
+  /** Fold one cdc-feed micro-batch into the view state as a single
+    * marker-carrying commit. An empty batch still commits its marker —
+    * the batch sequence stays dense for the replay check.
+    */
+  private def applyFeed(spark: SparkSession, mvRoot: String,
+      source: String, groupCols: Seq[String], aggs: Seq[MvAgg],
+      feed: DataFrame, batchId: Long): Unit = {
+    val txn = Some((s"follow:$source", batchId))
+    if (TableFormat.lastTxn(mvRoot, s"follow:$source") >= batchId) return
+    val signed = feed.withColumn("__sign",
+        when(col("change_type").isin("insert", "update_postimage"), 1)
+          .otherwise(-1))
+      .drop("change_type")
+    val head = TableFormat.latestVersion(mvRoot)
+    val state = head >= 0 &&
+      TableFormat.readManifestFull(mvRoot, head).entries.nonEmpty
+    val appends = mergedState(spark, mvRoot, state, groupCols, aggs, signed)
+    val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
+    TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+      statsCol = Some(KeyCol), txn = txn)
+    ()
+  }
+
+  /** Per-group STATE aggregates over raw source rows (`sign` absent) —
+    * the recompute/initial shape. Kept textually parallel to
+    * [[deltaAggs]]: the two must agree or incremental ≠ recompute.
+    */
+  private def stateAggs(aggs: Seq[MvAgg]): Seq[Column] =
+    count(lit(1)).as(NCol) +: aggs.flatMap { a =>
+      a.fn match {
+        case "count_star" => Nil // finalized from NCol
+        case "count" => Seq(count(col(a.in)).as(cCol(a.out)))
+        case "sum" => Seq(sum(col(a.in)).as(aCol(a.out)),
+          count(col(a.in)).as(cCol(a.out)))
+        case "avg" => Seq(sum(col(a.in).cast("double")).as(aCol(a.out)),
+          count(col(a.in)).as(cCol(a.out)))
+        case "min" => Seq(min(col(a.in)).as(aCol(a.out)))
+        case "max" => Seq(max(col(a.in)).as(aCol(a.out)))
+      }
+    }
+
+  /** Per-group DELTA aggregates over ±1-signed window rows. */
+  private def deltaAggs(aggs: Seq[MvAgg]): Seq[Column] = {
+    val sign = col("__sign")
+    sum(sign.cast("long")).as(NCol) +: aggs.flatMap { a =>
+      def nn = col(a.in).isNotNull
+      a.fn match {
+        case "count_star" => Nil
+        case "count" => Seq(
+          sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
+        case "sum" => Seq(
+          sum(when(nn, col(a.in) * sign).otherwise(lit(null))).as(aCol(a.out)),
+          sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
+        case "avg" => Seq(
+          sum(when(nn, col(a.in).cast("double") * sign)
+            .otherwise(lit(null))).as(aCol(a.out)),
+          sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
+        case other => throw new IllegalStateException(
+          s"non-retractable $other reached the delta path")
+      }
+    }
+  }
+
+  /** The state columns' land order — both refresh paths and the
+    * initial materialization produce exactly this frame shape.
+    */
+  private def stateSelect(groupCols: Seq[String], aggs: Seq[MvAgg])
+      : Seq[Column] =
+    groupCols.map(col) ++ (col(KeyCol) +: col(NCol) +:
+      aggs.flatMap { a =>
+        a.fn match {
+          case "count_star" => Nil
+          case "count" => Seq(col(cCol(a.out)))
+          case "sum" | "avg" => Seq(col(aCol(a.out)), col(cCol(a.out)))
+          case _ => Seq(col(aCol(a.out)))
+        }
+      })
+
+  /** RETRACTABLE merge: standing state ⋈ window delta on the group key
+    * (full outer — births and deaths), state summed, dead groups (row
+    * count 0) dropped. The join's delta side is one aggregation of the
+    * changed rows — small — so Catalyst broadcast-plans it against the
+    * view scan in the common case.
+    */
+  private def mergedState(spark: SparkSession, mvRoot: String,
+      hasState: Boolean, groupCols: Seq[String], aggs: Seq[MvAgg],
+      signed: DataFrame): DataFrame = {
+    val delta = signed.groupBy(groupCols.map(col): _*)
+      .agg(deltaAggs(aggs).head, deltaAggs(aggs).tail: _*)
+      .withColumn(KeyCol, keyExpr(groupCols))
+    val stateCols = stateSelect(groupCols, aggs)
+    if (!hasState) {
+      // first materialization (or standing state empty): delta IS state
+      return delta.filter(col(NCol) > 0).select(stateCols: _*)
+    }
+    // standing state read PRUNED to the affected keys' dirs: rows of
+    // untouched groups cannot join anything (the delta side holds only
+    // affected keys), so dirs whose key bounds exclude them are skipped
+    // — refresh I/O ∝ affected dirs, never view size (the delta
+    // aggregation evaluates once more for the bounds probe; it is an
+    // aggregate of the change window, bounded by changed files)
+    val old = TableFormat.readTouched(spark, mvRoot,
+      delta.select(KeyCol), KeyCol)
+    // disambiguate: every delta column except the join key gets a d_ name
+    val d = delta.columns.filterNot(_ == KeyCol)
+      .foldLeft(delta)((f, c) => f.withColumnRenamed(c, s"__d_$c"))
+    def addLong(a: Column, b: Column): Column =
+      coalesce(a, lit(0L)) + coalesce(b, lit(0L))
+    // RIGHT join: the appended rows must cover exactly the AFFECTED
+    // keys (the delta side) — standing rows the window never touched
+    // stay in their dirs unmasked, and re-appending them (a full outer
+    // join's left-only rows) would duplicate every untouched group
+    val merged = old.join(d, Seq(KeyCol), "right")
+      .withColumn(NCol, addLong(col(NCol), col(s"__d_$NCol")))
+      .filter(col(NCol) > 0)
+    val folded = aggs.foldLeft(merged) { (f, a) =>
+      a.fn match {
+        case "count_star" => f
+        case "count" => f.withColumn(cCol(a.out),
+          addLong(col(cCol(a.out)), col(s"__d_${cCol(a.out)}")))
+        case "sum" | "avg" =>
+          // raw sums may be NULL (all-null group on either side):
+          // null+null stays null, value+null keeps the value
+          f.withColumn(aCol(a.out),
+              when(col(aCol(a.out)).isNull && col(s"__d_${aCol(a.out)}").isNull,
+                lit(null))
+                .otherwise(coalesce(col(aCol(a.out)), lit(0)) +
+                  coalesce(col(s"__d_${aCol(a.out)}"), lit(0))))
+            .withColumn(cCol(a.out),
+              addLong(col(cCol(a.out)), col(s"__d_${cCol(a.out)}")))
+        case other => throw new IllegalStateException(
+          s"non-retractable $other reached the merge path")
+      }
+    }
+    // group columns: the standing row's values, else the delta's (birth)
+    val withGroups = groupCols.foldLeft(folded)((f, g) =>
+      f.withColumn(g, coalesce(col(g), col(s"__d_$g"))))
+    withGroups.select(stateSelect(groupCols, aggs): _*)
+  }
+
+  /** NON-RETRACTABLE refresh: recompute the affected groups' state from
+    * the source head, semi-joined to the window's group keys — cost ∝
+    * the changed groups' rows, never the table. Groups that died are
+    * absent here and handled by the caller's key mask.
+    */
+  private def recomputedState(spark: SparkSession, source: String,
+      to: Int, groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame)
+      : DataFrame = {
+    val affected = signed.select(groupCols.map(col): _*).distinct()
+    val head = TableFormat.readSnapshot(spark, source, to)
+    head.join(affected, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(stateAggs(aggs).head, stateAggs(aggs).tail: _*)
+      .withColumn(KeyCol, keyExpr(groupCols))
+      .select(stateSelect(groupCols, aggs): _*)
+  }
+
+  // -------------------------------------------------------------- read
+
+  /** The finalized user-visible view: group columns + each aggregate
+    * under its declared name, state resolved (count(*) from the group
+    * row count; sum/avg NULL when no non-null input survives — the
+    * count guard, matching SQL aggregate semantics exactly).
+    */
+  def read(spark: SparkSession, mvRoot: String): DataFrame = {
+    val (_, groupCols, aggs) = definition(mvRoot)
+    val state = TableFormat.readSnapshot(spark, mvRoot)
+    val outs = aggs.map { a =>
+      a.fn match {
+        case "count_star" => col(NCol).as(a.out)
+        case "count" => col(cCol(a.out)).as(a.out)
+        case "sum" => when(col(cCol(a.out)) > 0, col(aCol(a.out)))
+          .as(a.out)
+        case "avg" => when(col(cCol(a.out)) > 0,
+          col(aCol(a.out)) / col(cCol(a.out))).as(a.out)
+        case _ => col(aCol(a.out)).as(a.out)
+      }
+    }
+    state.select(groupCols.map(col) ++ outs: _*)
+  }
+
+  // ------------------------------------------------- fixtures + queries
+
+  /** Landed MV fixture — the full lifecycle against an orders-backed
+    * source: create over the odd-key half, then append the even half,
+    * merge-on-read delete every 13th key, append a synthetic tail
+    * (key+hi+1, status 'N'), and refresh ONCE across all three source
+    * commits. Key arithmetic only, so the oracle recomputes the same
+    * aggregates from `orders` directly — a hash match proves
+    * incremental == recompute end-to-end through the change window.
+    */
+  private val mvCache = TrieMap.empty[(SparkSession, String),
+    (String, String, String)]
+
+  private def landedMv(s: SparkSession, dir: String)
+      : (String, String, String) =
+    mvCache.getOrElseUpdate((s, dir), {
+      val src = Files.createTempDirectory("graft_mv_src").toString
+      val orders = Sources.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      val hi = orders.agg(max("o_orderkey")).head.getLong(0)
+      TableFormat.append(orders.filter(col("o_orderkey") % 2 === 1), src,
+        statsCol = Some("o_orderkey"))
+      val mv = Files.createTempDirectory("graft_mv_view").toString
+      create(s, mv, src, Seq("o_orderstatus"), Seq(
+        MvAgg("count_star", "*", "n"),
+        MvAgg("sum", "o_orderkey", "sum_key"),
+        MvAgg("avg", "o_orderkey", "avg_key")))
+      val mm = Files.createTempDirectory("graft_mv_view_mm").toString
+      create(s, mm, src, Seq("o_orderstatus", "o_orderpriority"), Seq(
+        MvAgg("count_star", "*", "n"),
+        MvAgg("min", "o_orderkey", "min_key"),
+        MvAgg("max", "o_orderkey", "max_key")))
+      TableFormat.append(orders.filter(col("o_orderkey") % 2 === 0), src,
+        statsCol = Some("o_orderkey"))
+      TableFormat.deleteKeysMor(s, src,
+        orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
+        "o_orderkey")
+      TableFormat.append(orders.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + hi + 1).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_orderpriority")), src,
+        statsCol = Some("o_orderkey"))
+      refresh(s, mv)
+      refresh(s, mm)
+      (src, mv, mm)
+    })
+
+  private def qMvIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (_, mv, _) = landedMv(s, dir)
+    read(s, mv).orderBy("o_orderstatus")
+  }
+
+  private def qMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, mm) = landedMv(s, dir)
+    read(s, mm).orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** The same lifecycle driven ENTIRELY through SQL: CREATE
+    * MATERIALIZED VIEW, source DML, REFRESH, and a `graft_mv` read.
+    */
+  private val sqlCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlMv(s: SparkSession, dir: String): String =
+    sqlCache.getOrElseUpdate((s, dir), {
+      val src = Files.createTempDirectory("graft_mv_sqlsrc").toString
+      val orders = Sources.table(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+      TableFormat.append(orders.filter(col("o_orderkey") % 2 === 1), src,
+        statsCol = Some("o_orderkey"))
+      val mv = Files.createTempDirectory("graft_mv_sqlview").toString
+      s.sql(s"""CREATE MATERIALIZED VIEW '$mv' AS
+        SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
+        FROM '$src' GROUP BY o_orderstatus""")
+      TableFormat.append(orders.filter(col("o_orderkey") % 2 === 0), src,
+        statsCol = Some("o_orderkey"))
+      s.sql(s"REFRESH MATERIALIZED VIEW '$mv'")
+      mv
+    })
+
+  private def qMvSql(s: SparkSession, dir: String): DataFrame = {
+    val mv = landedSqlMv(s, dir)
+    s.sql(s"SELECT * FROM graft_mv('$mv') ORDER BY o_orderstatus")
+  }
+
+  private[graft] def clearMemos(): Unit = {
+    mvCache.keys.toList.foreach(mvCache.remove)
+    sqlCache.keys.toList.foreach(sqlCache.remove)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q_mv_incremental" -> qMvIncremental,
+      "q_mv_minmax" -> qMvMinmax,
+      "q_mv_sql" -> qMvSql)
+
+  val oracleSql: Map[String, String] = Map(
+    // effective source after the fixture's three commits; avg over a
+    // LONG column is hash-exact (integral partial sums < 2^53)
+    "q_mv_incremental" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
+        |eff AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  avg(o_orderkey) AS avg_key
+        |FROM eff GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mv_minmax" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
+        |eff AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N', o_orderpriority FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM eff GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_mv_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin)
+}

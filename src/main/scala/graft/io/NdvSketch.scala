@@ -1,0 +1,146 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.LongLeadingZeros
+
+/** Per-column NDV (distinct-count) SKETCHES for the table format's
+  * metadata layer — the HyperLogLog register array (public Flajolet et
+  * al. 2007 construction; the same family behind Spark's own
+  * `approx_count_distinct`), fixed at p=9 → 512 byte registers per
+  * (entry, column), hex-encoded in the manifest.
+  *
+  * Why registers and not a number: registers MERGE — the union's
+  * registers are the element-wise max of the parts' registers, exactly
+  * (not approximately), so per-ENTRY sketches compose into the head
+  * snapshot's estimate with zero data I/O no matter how entries come
+  * and go. A rewrite/compaction produces entries WITHOUT sketches
+  * (their content changed), and every consumer declines on any gap —
+  * the same sound-first contract as the zone maps. Deterministic by
+  * construction: xxhash64 with Spark's fixed seed, no sampling — the
+  * same data always yields the same registers, so folded estimates are
+  * stable across runs (a requirement for plan pinning and reproducible
+  * stats).
+  *
+  * Estimator: the standard HLL harmonic mean with the linear-counting
+  * small-range correction; at m=512 the relative standard error is
+  * 1.04/√512 ≈ 4.6 % — tighter than `approx_count_distinct`'s default
+  * 5 %, which is what lets [[ManifestAggFold]] answer the default call
+  * from metadata without weakening the caller's contract.
+  */
+object NdvSketch {
+
+  /** 2^P registers; P leading hash bits pick the register. */
+  val P = 9
+  val M: Int = 1 << P
+
+  /** Relative standard error of the estimate — the fold gate:
+    * a caller asking for BETTER accuracy than this must scan.
+    */
+  val Rsd: Double = 1.04 / math.sqrt(M.toDouble)
+
+  private val Alpha = 0.7213 / (1.0 + 1.079 / M)
+
+  /** Harmonic-mean HLL estimate with linear counting below 2.5·m. */
+  def estimate(regs: Array[Byte]): Long = {
+    require(regs.length == M, s"sketch has ${regs.length} registers, want $M")
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < M) {
+      invSum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = Alpha * M.toDouble * M.toDouble / invSum
+    val corrected =
+      if (e <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+      else e
+    math.rint(corrected).toLong
+  }
+
+  /** Union sketch = element-wise register max — EXACT: merging per-part
+    * sketches equals sketching the union in one pass.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](M)
+    var i = 0
+    while (i < M) {
+      out(i) = if (a(i) >= b(i)) a(i) else b(i)
+      i += 1
+    }
+    out
+  }
+
+  def toHex(regs: Array[Byte]): String =
+    regs.map(r => f"$r%02x").mkString
+
+  def fromHex(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+
+  /** (bucket, ρ) columns of one value column: bucket = top P hash bits,
+    * ρ = leading-zero rank of the remaining bits (an all-zero tail maps
+    * to the max rank 64−P+1). NULLs contribute nothing — NDV counts
+    * values, matching `count(DISTINCT col)` / `approx_count_distinct`.
+    */
+  private def bucketAndRho(c: Column): (Column, Column) = {
+    val h = xxhash64(c)
+    val w = shiftleft(h, P)
+    val rho = when(w === 0L, lit(64 - P + 1))
+      .otherwise(ColumnBridge.column(
+        LongLeadingZeros(ColumnBridge.expression(w))) + 1)
+    (shiftrightunsigned(h, 64 - P).cast("int"), rho.cast("int"))
+  }
+
+  /** Per-column register arrays over `df` — ONE Spark job: each column
+    * contributes a column-pruned pass, the per-column frames union, and
+    * a map-side-combined max lands ≤ cols·m tiny rows on the driver.
+    */
+  def sketches(df: DataFrame, cols: Seq[String]): Map[String, Array[Byte]] = {
+    require(cols.nonEmpty, "ndv sketch needs at least one column")
+    val parts = cols.map { c =>
+      val (b, r) = bucketAndRho(col(c))
+      df.filter(col(c).isNotNull)
+        .select(lit(c).as("__c"), b.as("__b"), r.as("__r"))
+    }
+    val rows = parts.reduce(_ unionAll _)
+      .groupBy("__c", "__b").agg(max("__r").as("__r"))
+      .collect() // bounded: ≤ cols · 512 rows
+    val regs = cols.map(_ -> new Array[Byte](M)).toMap
+    rows.foreach { row =>
+      regs(row.getString(0))(row.getInt(1)) = row.getInt(2).toByte
+    }
+    regs
+  }
+
+  /** Per-(dir, column) register arrays over a multi-dir scan carrying a
+    * `__dir` column — the one-job form [[TableFormat.analyze]] uses to
+    * retrofit sketches onto a standing table: grouped by (dir, column,
+    * bucket) with map-side combine, then packed to one ≤512-element row
+    * per (dir, column) so the driver collect is dirs·cols rows of ~0.5
+    * KB, never dirs·cols·512 rows.
+    */
+  def sketchesByDir(tagged: DataFrame, cols: Seq[String])
+      : Map[(String, String), Array[Byte]] = {
+    require(cols.nonEmpty, "ndv sketch needs at least one column")
+    val parts = cols.map { c =>
+      val (b, r) = bucketAndRho(col(c))
+      tagged.filter(col(c).isNotNull)
+        .select(col("__dir"), lit(c).as("__c"), b.as("__b"), r.as("__r"))
+    }
+    val rows = parts.reduce(_ unionAll _)
+      .groupBy("__dir", "__c", "__b").agg(max("__r").as("__r"))
+      .groupBy("__dir", "__c")
+      .agg(collect_list(struct(col("__b"), col("__r"))).as("__regs"))
+      .collect()
+    rows.map { row =>
+      val regs = new Array[Byte](M)
+      row.getSeq[org.apache.spark.sql.Row](2).foreach { p =>
+        regs(p.getInt(0)) = p.getInt(1).toByte
+      }
+      (row.getString(0), row.getString(1)) -> regs
+    }.toMap
+  }
+}

@@ -104,7 +104,8 @@ object TableFormat {
                                   bounds: Map[String, ColBounds] = Map.empty,
                                   bytes: Long = -1L,
                                   nFiles: Int = -1,
-                                  rows: Long = -1L)
+                                  rows: Long = -1L,
+                                  ndv: Map[String, String] = Map.empty)
 
   /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
@@ -118,7 +119,8 @@ object TableFormat {
                                      schemaDdl: Option[String],
                                      txns: Map[String, Long] = Map.empty,
                                      op: String = "",
-                                     check: Option[String] = None)
+                                     check: Option[String] = None,
+                                     props: Map[String, String] = Map.empty)
 
   /** The deletion-vector sidecar's dir-association column. Reserved name
     * — user tables must not carry it (loudly rejected at DV-write time).
@@ -140,6 +142,8 @@ object TableFormat {
     *   #schema\t<enc ddl>                      — committed schema
     *   #op\t<enc name>                          — the commit's operation label
     *   #check\t<enc sql expr>                   — table-level CHECK constraint
+    *   #prop\t<enc key>\t<enc value>            — table property (carried)
+    *   #ndv\t<enc dir>\t<enc col>\t<hex>        — entry NDV sketch registers
     *   G\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>\t<rows>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*
     *   F\t<enc dir>\t<enc dv|''>\t<bytes>\t<nfiles>[\t…]*  — pre-rows (row count unknown)
     *   E\t<enc dir>\t<enc dv|''>[\t<enc col>\t<typ>\t<enc lo>\t<enc hi>]*  — pre-r16 (no size account)
@@ -158,6 +162,8 @@ object TableFormat {
     var op = ""
     var check: Option[String] = None
     var txns = Map.empty[String, Long]
+    var props = Map.empty[String, String]
+    var ndv = Map.empty[String, Map[String, String]] // dir → col → hex
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
@@ -168,6 +174,13 @@ object TableFormat {
         else if (line.startsWith("#check\t")) check = Some(dec(parts(1)))
         else if (line.startsWith("#txn\t"))
           txns += dec(parts(1)) -> parts(2).toLong
+        else if (line.startsWith("#prop\t"))
+          props += dec(parts(1)) -> dec(parts(2))
+        else if (line.startsWith("#ndv\t")) {
+          val d = dec(parts(1))
+          ndv += d -> (ndv.getOrElse(d, Map.empty) +
+            (dec(parts(2)) -> parts(3)))
+        }
         else if (line.startsWith("#")) () // forward-compat: skip
         else if (line.startsWith("G\t")) {
           require(parts.length >= 6 && (parts.length - 6) % 4 == 0,
@@ -207,7 +220,9 @@ object TableFormat {
             s"torn manifest line in v$v: '$line'")
         }
       }
-    Manifest(entries.result(), schema, txns, op, check)
+    val withNdv = entries.result().map(e =>
+      ndv.get(e.dir).map(m => e.copy(ndv = m)).getOrElse(e))
+    Manifest(withNdv, schema, txns, op, check, props)
   }
 
   private def readManifest(root: String, v: Int): Seq[Entry] =
@@ -217,21 +232,27 @@ object TableFormat {
                                    schemaDdl: Option[String] = None,
                                    txns: Map[String, Long] = Map.empty,
                                    op: String = "",
-                                   check: Option[String] = None)
+                                   check: Option[String] = None,
+                                   props: Map[String, String] = Map.empty)
       : Unit = {
     Files.createDirectories(manifestDir(root))
     val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
       (if (op.nonEmpty) s"#op\t${enc(op)}\n" else "") +
       check.map(c => s"#check\t${enc(c)}\n").getOrElse("") +
       txns.toSeq.sortBy(_._1)
-        .map { case (a, b) => s"#txn\t${enc(a)}\t$b\n" }.mkString
+        .map { case (a, b) => s"#txn\t${enc(a)}\t$b\n" }.mkString +
+      props.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"#prop\t${enc(k)}\t${enc(x)}\n" }.mkString
     val body = entries.map { e =>
       val b = e.bounds.toSeq.sortBy(_._1).map { case (c, cb) =>
         s"\t${enc(c)}\t${cb.typ}\t${enc(cb.lo)}\t${enc(cb.hi)}"
       }.mkString
       s"G\t${enc(e.dir)}\t${e.dv.map(enc).getOrElse("")}" +
         s"\t${e.bytes}\t${e.nFiles}\t${e.rows}$b"
-    }.mkString("", "\n", "\n")
+    }.mkString("", "\n", "\n") +
+      entries.flatMap(e => e.ndv.toSeq.sortBy(_._1).map { case (c, hex) =>
+        s"#ndv\t${enc(e.dir)}\t${enc(c)}\t$hex\n"
+      }).mkString
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, (header + body).getBytes(StandardCharsets.UTF_8))
     // HARD-LINK creation is the commit, not a rename: POSIX rename
@@ -613,7 +634,8 @@ object TableFormat {
              statsCols: Seq[String] = Nil,
              bloomCol: Option[String] = None,
              txn: Option[(String, Long)] = None,
-             check: Option[String] = None): Int = {
+             check: Option[String] = None,
+             ndvCols: Seq[String] = Nil): Int = {
     val tableCheck = effectiveCheck(root, check)
     enforceCheck(df, tableCheck, root)
     val dataDir = newDataDir(root)
@@ -621,7 +643,16 @@ object TableFormat {
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     writer.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
+    // NDV sketches are opt-in: one column-pruned pass over the freshly
+    // written dir (reading back beats re-evaluating an arbitrary input
+    // plan), registers landing in the same manifest line as the bounds
+    val sketches =
+      if (ndvCols.isEmpty) Map.empty[String, String]
+      else NdvSketch.sketches(
+        df.sparkSession.read.parquet(dataDir), ndvCols)
+        .map { case (c, r) => c -> NdvSketch.toHex(r) }
     val entry = mkEntry(df.sparkSession, dataDir, cols)
+      .copy(ndv = sketches)
     // Bounded CAS retry: an append's entry is version-independent (new
     // data dir + whatever the latest manifest lists), so a loser can
     // always re-read latest and re-attempt at latest+1 — the data dir is
@@ -643,7 +674,8 @@ object TableFormat {
       try {
         writeManifest(root, v, entries, nextSchemaDdl(prevM, df.schema),
           txns = prevM.map(_.txns).getOrElse(Map.empty) ++ txn,
-          op = "append", check = tableCheck)
+          op = "append", check = tableCheck,
+          props = prevM.map(_.props).getOrElse(Map.empty))
         return v
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1221,7 +1253,7 @@ object TableFormat {
           case (a, b) => a.orElse(b).map(_.toDDL)
         }
       try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op,
-        check = m.check)
+        check = m.check, props = m.props)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1841,6 +1873,60 @@ object TableFormat {
     }
   }
 
+  /** EFFECTIVE head rows from only the data dirs whose zone-map bounds
+    * intersect `keys` — the read-side twin of the delete path's
+    * touched-split: rows of keys outside a dir's recorded range cannot
+    * live there, so a point-ish lookup reads O(touched dirs), never the
+    * table ([[MatView]]'s state merge rides this: refresh I/O ∝ the
+    * affected groups' dirs, not view size). Unstatted dirs read
+    * conservatively, like every pruning consumer.
+    */
+  private[graft] def readTouched(spark: SparkSession, root: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val v = latestVersion(root)
+    require(v >= 0, s"no snapshot at $root")
+    val m = readManifestFull(root, v)
+    val (touched, _) = touchedSplit(spark, m.entries, keys, keyCol)
+    if (touched.isEmpty)
+      readEntries(spark, m.entries, manifestSchema(m)).filter(lit(false))
+    else readEntries(spark, touched, manifestSchema(m))
+  }
+
+  /** The RAW two-sided delta between two snapshots — (rows added, rows
+    * dropped), each side the EFFECTIVE rows (dv applied) of the manifest
+    * entries that moved, `None` when that side moved nothing.
+    * `fromVersion = -1` means "since before the table existed": added =
+    * the whole `toVersion` snapshot — the initial-materialization window
+    * a fresh [[MatView]] consumes through the SAME code path as every
+    * later refresh. Unlike [[readChanges]] this does NOT pair updates
+    * into pre/post images (pairing joins on a key and would duplicate
+    * rows under non-unique keys); an aggregate maintainer only needs the
+    * multiset difference, which is exactly these two frames.
+    */
+  private[graft] def readDelta(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int)
+      : (Option[DataFrame], Option[DataFrame]) = {
+    val mTo = readManifestFull(root, toVersion)
+    val (added, dropped) =
+      if (fromVersion < 0) (mTo.entries, Seq.empty[Entry])
+      else {
+        val mFrom = readManifestFull(root, fromVersion)
+        val fromBy = mFrom.entries.map(e => e.dir -> e).toMap
+        val toBy = mTo.entries.map(e => e.dir -> e).toMap
+        (mTo.entries.filter(e => !fromBy.get(e.dir).exists(_.dv == e.dv)),
+          mFrom.entries.filter(e => !toBy.get(e.dir).exists(_.dv == e.dv)))
+      }
+    val schema: Option[StructType] = manifestSchema(mTo).orElse {
+      val dirs = (added ++ dropped).map(_.dir).distinct
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(dirs: _*).schema)
+    }
+    def side(es: Seq[Entry]): Option[DataFrame] =
+      if (es.isEmpty) None else Some(readEntries(spark, es, schema))
+    (side(added), side(dropped))
+  }
+
   /** Rows ADDED between two snapshots — the appends-mode streaming
     * batch ([[TableFormatSourceProvider]]): the data dirs of
     * `toVersion` absent from `fromVersion`, read under the TO schema.
@@ -2041,7 +2127,8 @@ object TableFormat {
       try {
         writeManifest(root, prev + 1, entries,
           nextSchemaDdl(prevM, df.schema), txns, op = "stream-batch",
-          check = tableCheck)
+          check = tableCheck,
+          props = prevM.map(_.props).getOrElse(Map.empty))
         return true
       } catch {
         // CAS lost: re-read — if the winner was a replay of THIS batch
@@ -2056,6 +2143,164 @@ object TableFormat {
       }
     }
     false // unreachable
+  }
+
+  // -------------------------------------------------- table properties
+
+  /** The table's property map at the head snapshot (empty when the
+    * table or the header is absent) — the Delta/Iceberg TBLPROPERTIES
+    * slot: free-form key→value metadata every commit carries forward
+    * verbatim, so a property set once survives appends, rewrites,
+    * compactions, restores, and clones. [[MatView]] records a
+    * materialized view's standing definition here — the definition
+    * travels WITH the table, not in a sidecar a copy can lose.
+    */
+  def tableProps(root: String): Map[String, String] = {
+    val v = latestVersion(root)
+    if (v < 0) Map.empty else readManifestFull(root, v).props
+  }
+
+  /** Merge `kv` into the table's properties as a METADATA-ONLY commit
+    * (entries, schema, txns, CHECK all carried verbatim — time travel
+    * sees the pre-property content unchanged). Creating a table that
+    * does not exist yet is legal: v0 is an empty snapshot carrying only
+    * the properties — the slot [[MatView.create]] uses to record a
+    * view's definition BEFORE its first materialization, so a crash
+    * between the two leaves a refreshable (empty) view, never an
+    * orphaned data commit. CAS-retried like every commit. Returns the
+    * committed version.
+    */
+  def setProps(root: String, kv: Map[String, String]): Int = {
+    require(kv.nonEmpty, "setProps needs at least one property")
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(root)
+      val m = if (head < 0) Manifest(Seq.empty, None)
+              else readManifestFull(root, head)
+      try {
+        writeManifest(root, head + 1, m.entries, m.schemaDdl, m.txns,
+          op = "set-props", check = m.check, props = m.props ++ kv)
+        return head + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"setProps at $root lost the manifest CAS $MaxCommitRetries " +
+              "times in a row — giving up rather than livelock", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  // ------------------------------------------------- NDV column stats
+
+  /** Retrofit per-entry NDV SKETCHES ([[NdvSketch]]) onto the head
+    * snapshot for `cols` — the `ANALYZE` verb: ONE Spark job reads the
+    * live dirs (column-pruned to `cols`), tags each row with its source
+    * dir via the deterministic `_metadata.file_path` (the dv-mask
+    * technique), and aggregates 512 registers per (dir, column) with
+    * map-side combine; the commit is METADATA-ONLY (entries' data
+    * untouched, sketches attached to their manifest lines). Sketches
+    * cover the dir's RAW rows — a dir is immutable, so its sketch stays
+    * valid however deletion vectors move; consumers account for dv debt
+    * themselves ([[ManifestAggFold]] declines on it). A dir that holds
+    * zero non-null values of a column gets the legitimate all-zero
+    * sketch (estimate 0), never a gap. Entries landed by a concurrent
+    * commit DURING the scan stay unstatted (sound — consumers decline
+    * on the gap until the next ANALYZE). Returns the committed version.
+    */
+  def analyze(spark: SparkSession, root: String, cols: Seq[String]): Int = {
+    require(cols.nonEmpty, "analyze needs at least one column")
+    val head0 = latestVersion(root)
+    require(head0 >= 0, s"nothing to analyze at $root")
+    val m0 = readManifestFull(root, head0)
+    if (m0.entries.isEmpty) return head0
+    manifestSchema(m0).foreach { s =>
+      val missing = cols.filterNot(s.fieldNames.contains)
+      require(missing.isEmpty,
+        s"analyze of $root names absent column(s) ${missing.mkString(", ")}")
+    }
+    val dirs = m0.entries.map(_.dir)
+    val base = manifestSchema(m0) match {
+      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
+    val dirExpr = regexp_replace(
+      regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""),
+      "/[^/]*$", "")
+    val skx = NdvSketch.sketchesByDir(
+      base.withColumn("__dir", dirExpr), cols)
+    def hexFor(dir: String): Map[String, String] =
+      cols.map(c => c -> NdvSketch.toHex(
+        skx.getOrElse((dir, c), new Array[Byte](NdvSketch.M)))).toMap
+    val analyzed = dirs.toSet
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(root)
+      val m = readManifestFull(root, head)
+      val entries = m.entries.map(e =>
+        if (analyzed(e.dir)) e.copy(ndv = e.ndv ++ hexFor(e.dir)) else e)
+      try {
+        writeManifest(root, head + 1, entries, m.schemaDdl, m.txns,
+          op = "analyze", check = m.check, props = m.props)
+        return head + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"analyze at $root lost the manifest CAS $MaxCommitRetries " +
+              "times in a row — giving up rather than livelock", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** Column statistics of the head snapshot from METADATA ALONE — zero
+    * scans, zero jobs: per column the merged-sketch NDV estimate (NULL
+    * when any live entry lacks a sketch or carries a deletion vector —
+    * the [[ManifestAggFold]] gates) and the merged zone-map bounds
+    * (NULL on any gap), plus the table's row account. The SQL doorway
+    * is `graft_stats('<root>')`.
+    */
+  def colStats(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(root)
+    require(v >= 0, s"no snapshot at $root")
+    val m = readManifestFull(root, v)
+    val names: Seq[String] = manifestSchema(m)
+      .map(_.fieldNames.toSeq)
+      .getOrElse((m.entries.flatMap(_.bounds.keys) ++
+        m.entries.flatMap(_.ndv.keys)).distinct)
+    val rowAccount: Option[Long] =
+      if (m.entries.forall(_.rows >= 0)) Some(m.entries.map(_.rows).sum)
+      else None
+    val allClean = m.entries.forall(_.dv.isEmpty)
+    val rows = names.map { c =>
+      val ndv: Option[Long] =
+        if (m.entries.isEmpty) Some(0L)
+        else if (allClean && m.entries.forall(_.ndv.contains(c)))
+          Some(NdvSketch.estimate(m.entries
+            .map(e => NdvSketch.fromHex(e.ndv(c)))
+            .reduce(NdvSketch.merge)))
+        else None
+      val bs = m.entries.map(_.bounds.get(c))
+      val (lo, hi): (Option[String], Option[String]) =
+        if (m.entries.nonEmpty && bs.forall(_.isDefined)) {
+          val all = bs.flatten
+          val typ = all.head.typ
+          if (all.forall(_.typ == typ)) {
+            def lt(a: String, b: String): Boolean = typ match {
+              case "string" => utf8Cmp(a, b) < 0
+              case _ => a.toLong < b.toLong
+            }
+            (Some(all.map(_.lo).reduce((a, b) => if (lt(a, b)) a else b)),
+              Some(all.map(_.hi).reduce((a, b) => if (lt(a, b)) b else a)))
+          } else (None, None)
+        } else (None, None)
+      (c, ndv, lo, hi, rowAccount)
+    }
+    import spark.implicits._
+    rows.toDF("column", "ndv", "lo", "hi", "rows")
   }
 
   // ------------------------------------------------------- named refs
@@ -2203,7 +2448,8 @@ object TableFormat {
       try {
         writeManifest(root, head + 1, target.entries, target.schemaDdl,
           txns = headM.txns, op = "restore",
-          check = headM.check.orElse(target.check))
+          check = headM.check.orElse(target.check),
+          props = if (headM.props.nonEmpty) headM.props else target.props)
         return head + 1
       } catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -2254,7 +2500,7 @@ object TableFormat {
       e.copy(dir = abs(e.dir), dv = e.dv.map(abs))
     }
     writeManifest(dst, 0, entries, m.schemaDdl, txns = Map.empty,
-      op = "clone", check = m.check)
+      op = "clone", check = m.check, props = m.props)
     0
   }
 

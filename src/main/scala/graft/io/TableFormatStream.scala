@@ -29,7 +29,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     ([[TableFormat.readChanges]]) with its `change_type` column —
   *     insert / delete / update_preimage / update_postimage — for
   *     consumers that maintain state through rewrites (requires
-  *     `keyCol`). The initial batch is the full snapshot as inserts.
+  *     `keyCol`). The initial batch is the full snapshot as inserts —
+  *     unless `startingVersion=v` declares the consumer already holds
+  *     snapshot v, making the first window `(v, head]` (the Delta
+  *     startingVersion idea; how [[MatView.follow]] attaches a stream
+  *     to state a batch refresh built without double-applying it).
   *
   * The provider is the format's FULL Spark-surface doorway (r16): batch
   * read ([[TableFormatSourceProvider.createRelation]] — manifest-pruned
@@ -311,13 +315,29 @@ private[io] final class TableFormatStreamSource(sqlContext: SQLContext,
   private val followerId = parameters.get("followerid")
     .orElse(parameters.get("followerId"))
 
+  /** `startingVersion=v`: deliver changes SINCE snapshot v (exclusive —
+    * the first window is `(v, head]`), instead of the default initial
+    * batch that replays the whole snapshot. The consumer declares "I
+    * already hold v" — exactly what a maintainer whose state was built
+    * by a batch pass needs to attach a stream without double-applying
+    * ([[graft.io.MatView.follow]] seeds it from the view's refresh
+    * marker). Only consulted on a FRESH checkpoint: after a restart the
+    * engine replays the committed offset and this option is ignored,
+    * so moving it later cannot silently skip a window.
+    */
+  private val startingVersion: Option[Int] =
+    parameters.get("startingversion")
+      .orElse(parameters.get("startingVersion")).map(_.toInt)
+  startingVersion.foreach(v => require(v >= 0,
+    s"startingVersion must be >= 0, got $v"))
+
   /** Highest version this source has served (getBatch) or had committed
     * (commit) — the admission baseline. -1 until the engine restores us:
     * on restart MicroBatchExecution replays getBatch over the last
     * committed window before asking for new offsets, so the baseline is
     * re-seeded from the checkpoint, not from this field's initial value.
     */
-  @volatile private var highWater: Int = -1
+  @volatile private var highWater: Int = startingVersion.getOrElse(-1)
 
   override def getOffset: Option[Offset] = {
     val v = TableFormat.latestVersion(root)
@@ -373,7 +393,8 @@ private[io] final class TableFormatStreamSource(sqlContext: SQLContext,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val spark = sqlContext.sparkSession
-    val from = start.map(version).getOrElse(-1)
+    val from = start.map(version)
+      .orElse(startingVersion).getOrElse(-1)
     val to = version(end)
     // stranded-consumer check (round-15 VERDICT #5): resuming from an
     // offset whose manifest retention already dropped must fail with the
@@ -395,6 +416,12 @@ private[io] final class TableFormatStreamSource(sqlContext: SQLContext,
     if (from >= 0) followerId.foreach(
       TableFormat.registerFollower(root, _, from))
     val batch: DataFrame = mode match {
+      case _ if from >= to =>
+        // a startingVersion at (or past) the first offered offset: the
+        // window is empty by declaration, not an error
+        val shape = TableFormat.readSnapshot(spark, root, to)
+        (if (mode == "cdc") shape.withColumn("change_type", lit("insert"))
+         else shape).filter(lit(false))
       case "cdc" if from < 0 =>
         // initial batch: the whole snapshot enters the feed as inserts
         TableFormat.readSnapshot(spark, root, to)

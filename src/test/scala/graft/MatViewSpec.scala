@@ -1,0 +1,290 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.io.{MatView, MvAgg, TableFormat}
+
+/** Standing incremental materialized views ([[graft.io.MatView]]): the
+  * `q_mv_*` oracles verify one lifecycle's VALUES; this suite owns the
+  * maintenance semantics — incremental == recompute across randomized
+  * histories, group death/birth, NULL aggregate finalization, refresh
+  * idempotence and no-op behavior, definition survival through
+  * compaction/clone, and the SQL surface.
+  */
+class MatViewSpec extends TestSpark {
+
+  private def fresh(tag: String): String =
+    Files.createTempDirectory(s"graft_mv_$tag").toString
+
+  /** Direct recompute of a view definition over the source head — the
+    * truth the incremental state must match exactly.
+    */
+  private def recompute(src: String, groupCols: Seq[String],
+      aggs: Seq[MvAgg]): DataFrame = {
+    val head = TableFormat.readSnapshot(spark, src)
+    val cols = aggs.map { a =>
+      a.fn match {
+        case "count_star" => count(lit(1)).as(a.out)
+        case "count" => count(col(a.in)).as(a.out)
+        case "sum" => sum(col(a.in)).as(a.out)
+        case "avg" => avg(col(a.in)).as(a.out)
+        case "min" => min(col(a.in)).as(a.out)
+        case "max" => max(col(a.in)).as(a.out)
+      }
+    }
+    head.groupBy(groupCols.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def assertSame(a: DataFrame, b: DataFrame, label: String): Unit =
+    assert(sortedRows(a) === sortedRows(b), label)
+
+  test("incremental refresh == recompute across a randomized history") {
+    import spark.implicits._
+    val src = fresh("src")
+    val mv = fresh("view")
+    val rnd = new scala.util.Random(16)
+    def rows(ks: Seq[Long]): DataFrame =
+      ks.map(k => (k, s"g${k % 5}",
+        if (k % 7 == 0) None else Some(k * 3))).toDF("k", "g", "x")
+    TableFormat.append(rows(1L to 40L), src, statsCol = Some("k"))
+    MatView.create(spark, mv, src, Seq("g"), Seq(
+      MvAgg("count_star", "*", "n"), MvAgg("count", "x", "nx"),
+      MvAgg("sum", "x", "sx"), MvAgg("avg", "x", "ax")))
+    val defAggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("count", "x", "nx"), MvAgg("sum", "x", "sx"),
+      MvAgg("avg", "x", "ax"))
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), defAggs),
+      "initial materialization")
+    var next = 41L
+    (1 to 6).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // append a fresh slice (some new groups via k % 5 drift)
+          TableFormat.append(rows(next until (next + 17L)), src,
+            statsCol = Some("k"))
+          next += 17L
+        case 1 => // merge-on-read delete of a live stripe
+          val live = TableFormat.readSnapshot(spark, src)
+            .filter(col("k") % (3 + step) === 0).select("k")
+          TableFormat.deleteKeysMor(spark, src, live, "k")
+        case 2 => // copy-on-write update: moves rows BETWEEN groups
+          TableFormat.updateWhere(spark, src, col("k") % 11 === step.toLong,
+            Seq("g" -> lit(s"g${step % 3}")), statsCol = Some("k"))
+      }
+      // refresh only every other step: a window can span several commits
+      if (step % 2 == 0 || step == 6) {
+        MatView.refresh(spark, mv)
+        assertSame(MatView.read(spark, mv),
+          recompute(src, Seq("g"), defAggs), s"after step $step")
+      }
+    }
+  }
+
+  test("min/max views recompute affected groups only, still exact") {
+    import spark.implicits._
+    val src = fresh("mmsrc")
+    val mv = fresh("mmview")
+    def rows(ks: Seq[Long]): DataFrame =
+      ks.map(k => (k, s"g${k % 4}", k * 2)).toDF("k", "g", "x")
+    TableFormat.append(rows(1L to 30L), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("min", "x", "mn"), MvAgg("max", "x", "mx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    // delete the current max of g0 and the min of g1 — exactly the case
+    // retraction cannot maintain and recompute must
+    val head = TableFormat.readSnapshot(spark, src)
+    val mx = head.filter(col("g") === "g0").agg(max("k")).head.getLong(0)
+    val mn = head.filter(col("g") === "g1").agg(min("k")).head.getLong(0)
+    TableFormat.deleteKeysMor(spark, src,
+      Seq(mx, mn).toDF("k"), "k")
+    TableFormat.append(rows(31L to 45L), src, statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+      "min/max after extremum deletion")
+  }
+
+  test("group death drops the row; birth creates it; all-null sum is NULL") {
+    import spark.implicits._
+    val src = fresh("dbsrc")
+    val mv = fresh("dbview")
+    TableFormat.append(Seq((1L, "a", Some(10L)), (2L, "a", Some(20L)),
+      (3L, "b", None)).toDF("k", "g", "x"), src, statsCol = Some("k"))
+    MatView.create(spark, mv, src, Seq("g"), Seq(
+      MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx")))
+    // group b: present, sum NULL (its only x is null)
+    val b0 = MatView.read(spark, mv).filter(col("g") === "b").collect()
+    assert(b0.length === 1 && b0.head.isNullAt(2),
+      "all-null group's sum must finalize NULL")
+    // kill group a entirely; birth group c
+    TableFormat.deleteKeysMor(spark, src, Seq(1L, 2L).toDF("k"), "k")
+    TableFormat.append(Seq((9L, "c", Some(7L))).toDF("k", "g", "x"), src,
+      statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    val after = MatView.read(spark, mv).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!after.contains("a"), "dead group must drop out of the view")
+    assert(after("c") === 1L, "born group must appear")
+    assert(after("b") === 1L, "untouched group carried")
+  }
+
+  test("refresh is a no-op when current and idempotent on replay") {
+    import spark.implicits._
+    val src = fresh("idsrc")
+    val mv = fresh("idview")
+    TableFormat.append(Seq((1L, "a")).toDF("k", "g"), src)
+    MatView.create(spark, mv, src, Seq("g"),
+      Seq(MvAgg("count_star", "*", "n")))
+    val v1 = TableFormat.latestVersion(mv)
+    assert(MatView.refresh(spark, mv) === v1,
+      "refresh with no source movement must not commit")
+    assert(TableFormat.latestVersion(mv) === v1)
+    // marker rides the commit: the indexed source version is the head
+    assert(TableFormat.lastTxn(mv, src) === TableFormat.latestVersion(src))
+    // source moves; two sequential refreshes: second is a no-op
+    TableFormat.append(Seq((2L, "a")).toDF("k", "g"), src)
+    val v2 = MatView.refresh(spark, mv)
+    assert(v2 > v1)
+    assert(MatView.refresh(spark, mv) === v2, "replay must skip")
+    assert(MatView.read(spark, mv).collect().map(_.getLong(1)).sum === 2L)
+  }
+
+  test("definition and state survive compaction, restore, and clone") {
+    import spark.implicits._
+    val src = fresh("ccsrc")
+    val mv = fresh("ccview")
+    TableFormat.append((1L to 20L).map(k => (k, s"g${k % 3}"))
+      .toDF("k", "g"), src, statsCol = Some("k"))
+    MatView.create(spark, mv, src, Seq("g"),
+      Seq(MvAgg("count_star", "*", "n")))
+    TableFormat.deleteKeysMor(spark, src, Seq(3L, 6L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    val before = sortedRows(MatView.read(spark, mv))
+    // compaction must carry the definition (props) AND the marker (txns)
+    TableFormat.compact(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === before)
+    assert(TableFormat.lastTxn(mv, src) === TableFormat.latestVersion(src),
+      "compaction must not lose the refresh high-water marker")
+    TableFormat.append(Seq((100L, "g9")).toDF("k", "g"), src)
+    MatView.refresh(spark, mv)
+    assert(MatView.read(spark, mv).filter(col("g") === "g9").count() === 1)
+    // a clone is an independent view with the same definition
+    val dst = fresh("ccclone")
+    TableFormat.cloneTable(mv, dst)
+    val (clonedSrc, clonedGroup, clonedAggs) = MatView.definition(dst)
+    assert(clonedSrc === src && clonedGroup === Seq("g") &&
+      clonedAggs === Seq(MvAgg("count_star", "*", "n")))
+  }
+
+  test("multi-column group keys with NULLs are collision-free") {
+    import spark.implicits._
+    val src = fresh("nksrc")
+    val mv = fresh("nkview")
+    // the adversarial pairs: (null, "x") vs ("null", "x") vs ("", "x"),
+    // and a value containing the join separator
+    val rows = Seq((1L, None, Some("x")), (2L, Some("null"), Some("x")),
+      (3L, Some(""), Some("x")), (4L, Some("a|b"), None),
+      (5L, Some("a"), Some("|b"))).toDF("k", "g1", "g2")
+    TableFormat.append(rows, src, statsCol = Some("k"))
+    MatView.create(spark, mv, src, Seq("g1", "g2"),
+      Seq(MvAgg("count_star", "*", "n")))
+    assert(MatView.read(spark, mv).count() === 5,
+      "each adversarial key pair must form its own group")
+    TableFormat.deleteKeysMor(spark, src, Seq(2L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    val left = MatView.read(spark, mv)
+    assert(left.count() === 4)
+    assert(left.filter(col("g1").isNull).count() === 1,
+      "the NULL-keyed group must survive deleting the 'null' string group")
+  }
+
+  test("SQL surface: CREATE / REFRESH MATERIALIZED VIEW and graft_mv") {
+    import spark.implicits._
+    val src = fresh("sqlsrc")
+    val mv = fresh("sqlview")
+    TableFormat.append(Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("k", "g"), src, statsCol = Some("k"))
+    spark.sql(s"""CREATE MATERIALIZED VIEW '$mv' AS
+      SELECT g, count(*) AS n, sum(k) AS sk FROM '$src' GROUP BY g""")
+    val got0 = spark.sql(s"SELECT * FROM graft_mv('$mv') ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got0.toSeq === Seq(("a", 2L, 3L), ("b", 1L, 3L)))
+    TableFormat.append(Seq((4L, "b")).toDF("k", "g"), src,
+      statsCol = Some("k"))
+    spark.sql(s"REFRESH MATERIALIZED VIEW '$mv'")
+    val got1 = spark.sql(s"SELECT * FROM graft_mv('$mv') ORDER BY g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got1.toSeq === Seq(("a", 2L, 3L), ("b", 2L, 7L)))
+    // malformed statements fail loudly with the supported forms
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE MATERIALIZED VIEW '$mv' WITH NONSENSE")
+    }
+    assert(e.getMessage.contains("MATERIALIZED VIEW"))
+    // a non-view table refuses refresh with a clear error
+    val e2 = intercept[IllegalArgumentException] {
+      MatView.refresh(spark, src)
+    }
+    assert(e2.getMessage.contains("not a materialized view"))
+  }
+
+  test("a followed view tracks live source commits, replay-safe") {
+    import spark.implicits._
+    val src = fresh("fsrc")
+    val mv = fresh("fview")
+    val ckpt = fresh("fckpt")
+    TableFormat.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "g", "x"), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    // min/max views refuse to follow, naming the batch path
+    val mm = fresh("fmm")
+    MatView.create(spark, mm, src, Seq("g"),
+      Seq(MvAgg("max", "x", "mx")))
+    val e = intercept[IllegalArgumentException] {
+      MatView.follow(spark, mm, "k", fresh("fmmckpt"))
+    }
+    assert(e.getMessage.contains("refresh"))
+    val q = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      TableFormat.append(Seq((3L, "a", 5L), (4L, "c", 7L))
+        .toDF("k", "g", "x"), src, statsCol = Some("k"))
+      TableFormat.deleteKeysMor(spark, src, Seq(2L).toDF("k"), "k")
+      q.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "followed view after appends + MOR delete")
+    } finally q.stop()
+    // restart from the checkpoint: a replayed batch must not double-apply
+    val q2 = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      TableFormat.append(Seq((9L, "a", 1L)).toDF("k", "g", "x"), src,
+        statsCol = Some("k"))
+      q2.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "followed view after a restart")
+    } finally q2.stop()
+  }
+
+  test("table properties: carried by every commit, settable on a fresh root") {
+    import spark.implicits._
+    val root = fresh("props")
+    TableFormat.setProps(root, Map("owner" -> "spec", "pii" -> "false"))
+    assert(TableFormat.tableProps(root) ===
+      Map("owner" -> "spec", "pii" -> "false"))
+    TableFormat.append(Seq((1L, "a")).toDF("k", "g"), root)
+    TableFormat.append(Seq((2L, "b")).toDF("k", "g"), root)
+    TableFormat.compact(spark, root)
+    TableFormat.setProps(root, Map("pii" -> "true"))
+    assert(TableFormat.tableProps(root)("pii") === "true")
+    assert(TableFormat.tableProps(root)("owner") === "spec")
+    // set-props is metadata-only: content unchanged at the new head
+    assert(TableFormat.readSnapshot(spark, root).count() === 2)
+    // restore carries the head's props (metadata is table-level, not
+    // content-level)
+    TableFormat.restore(root, 1)
+    assert(TableFormat.tableProps(root)("pii") === "true")
+  }
+}

@@ -87,6 +87,53 @@ class TableFormatStreamSpec extends TestSpark {
     } finally q.stop()
   }
 
+  test("startingVersion skips the snapshot batch; the first window is (v, head]") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append(Seq((1L, "a"), (2L, "b")).toDF("k", "s"),
+      root, statsCol = Some("k")) // v0 — declared already-held
+    TableFormat.append(Seq((3L, "c")).toDF("k", "s"),
+      root, statsCol = Some("k")) // v1 — must stream
+    val q = spark.readStream.format(Provider)
+      .option("mode", "cdc").option("keyCol", "k")
+      .option("startingVersion", "0").load(root)
+      .writeStream.format("memory").queryName("tfs_sv")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def got: Set[(Long, String, String)] = spark.table("tfs_sv")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got === Set((3L, "c", "insert")),
+        "the held snapshot's rows must NOT replay as the initial batch")
+      // later commits flow normally
+      TableFormat.deleteKeysMor(spark, root, Seq(1L).toDF("k"), "k")
+      q.processAllAvailable()
+      assert(got === Set((3L, "c", "insert"), (1L, "a", "delete")))
+    } finally q.stop()
+    // startingVersion == head: the declared-empty first window is not
+    // an error, and the stream picks up strictly-later commits
+    val root2 = freshRoot()
+    TableFormat.append(Seq((1L, "x")).toDF("k", "s"), root2,
+      statsCol = Some("k"))
+    val q2 = spark.readStream.format(Provider)
+      .option("mode", "cdc").option("keyCol", "k")
+      .option("startingVersion",
+        TableFormat.latestVersion(root2).toString).load(root2)
+      .writeStream.format("memory").queryName("tfs_sv2")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("tfs_sv2").count() === 0)
+      TableFormat.append(Seq((2L, "y")).toDF("k", "s"), root2,
+        statsCol = Some("k"))
+      q2.processAllAvailable()
+      assert(spark.table("tfs_sv2").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+        Set((2L, "y", "insert")))
+    } finally q2.stop()
+  }
+
   test("maxVersionsPerTrigger drains a backlog in bounded batches, exactly once") {
     import spark.implicits._
     val root = freshRoot()
