@@ -27,3 +27,76 @@ case class LongLeadingZeros(child: Expression)
   override protected def withNewChildInternal(newChild: Expression)
       : LongLeadingZeros = copy(child = newChild)
 }
+
+/** Typed per-group HyperLogLog register aggregator — the STATE behind a
+  * materialized view's approx-distinct column ([[graft.io.MatView]]):
+  * input is the row's xxhash64 (boxed — a NULL input contributes
+  * nothing, matching `approx_count_distinct`'s null semantics), the
+  * buffer is the 512-byte register array, merge is element-wise max.
+  * Registers are bit-identical to [[graft.io.NdvSketch.sketches]]'
+  * column form (shared [[graft.io.NdvSketch.update]] kernel).
+  */
+class HllRegistersAgg
+    extends org.apache.spark.sql.expressions.Aggregator[
+      java.lang.Long, Array[Byte], Array[Byte]] {
+
+  override def zero: Array[Byte] = new Array[Byte](graft.io.NdvSketch.M)
+
+  override def reduce(b: Array[Byte], h: java.lang.Long): Array[Byte] = {
+    if (h != null) graft.io.NdvSketch.update(b, h.longValue)
+    b
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    graft.io.NdvSketch.merge(a, b)
+
+  override def finish(b: Array[Byte]): Array[Byte] = b
+
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+}
+
+/** Element-wise register max of two HLL sketches — how a view refresh
+  * folds an append-only window's per-group registers into the standing
+  * state (one scalar call per AFFECTED group, so interpreted eval is
+  * fine; codegen delegates to the same static kernel).
+  */
+case class HllMergeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.BinaryType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.io.NdvSketch.merge(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.io.NdvSketch.merge($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HllMergeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Finalize HLL registers into the distinct-count estimate — the read
+  * side of a view's approx-distinct column.
+  */
+case class HllEstimateExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    graft.io.NdvSketch.estimate(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.io.NdvSketch.estimate($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : HllEstimateExpr = copy(child = newChild)
+}

@@ -4,16 +4,23 @@ import java.nio.file.Files
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.{HllEstimateExpr, HllMergeExpr, HllRegistersAgg}
 
 /** One aggregate of a materialized view's definition: `fn(in) AS out`.
-  * `fn` ∈ count_star | count | sum | avg | min | max (`in` is ignored
-  * for count_star). count/sum/avg are RETRACTABLE — a refresh folds the
-  * source's change feed into the standing state arithmetically, cost ∝
-  * changed rows. min/max are not (retracting the current extremum needs
-  * the runner-up), so their presence routes the refresh to an
-  * affected-group recompute, cost ∝ the changed GROUPS' source rows.
+  * `fn` ∈ count_star | count | sum | avg | min | max |
+  * approx_count_distinct (`in` is ignored for count_star). count/sum/
+  * avg are RETRACTABLE — a refresh folds the source's change feed into
+  * the standing state arithmetically, cost ∝ changed rows. min/max are
+  * not (retracting the current extremum needs the runner-up), so their
+  * presence routes the refresh to an affected-group recompute, cost ∝
+  * the changed GROUPS' source rows. approx_count_distinct sits between:
+  * per-group HLL registers MERGE on an append-only window (delta cost)
+  * but cannot retract, so a window containing any drop recomputes the
+  * affected groups.
   */
 final case class MvAgg(fn: String, in: String, out: String)
 
@@ -51,9 +58,10 @@ final case class MvAgg(fn: String, in: String, out: String)
   *     outer join on the group key merges them with the standing state
   *     — groups whose row count reaches zero DROP (group death), new
   *     keys appear (birth). Nothing re-reads the source table.
-  *   - RECOMPUTE path (any min/max): the window only identifies the
-  *     AFFECTED group keys; their state is recomputed from the source
-  *     head semi-joined to those keys — still never the whole table.
+  *   - RECOMPUTE path (any min/max; approx_count_distinct when the
+  *     window dropped rows): the window only identifies the AFFECTED
+  *     group keys; their state is recomputed from the source head
+  *     semi-joined to those keys — still never the whole table.
   *
   * Caveat, shared with every incremental-view engine: retractable
   * arithmetic over floating-point measures can drift in the last ulp
@@ -84,7 +92,24 @@ object MatView {
   private def cCol(out: String) = s"__graft_mv_c_$out"
 
   private val Retractable = Set("count_star", "count", "sum", "avg")
-  private val Fns = Retractable ++ Set("min", "max")
+
+  /** approx_count_distinct's HLL-register state MERGES on insert but
+    * cannot retract a delete (a register max never un-raises), so it
+    * rides the cheap delta path exactly when the refresh window dropped
+    * nothing — the append-mostly shape distinct-user rollups live in —
+    * and falls back to affected-group recompute otherwise.
+    */
+  private val Mergeable = Retractable + "approx_count_distinct"
+  private val Fns = Mergeable ++ Set("min", "max")
+
+  private lazy val hllUdaf = udaf(new HllRegistersAgg, Encoders.LONG)
+
+  /** The row's hash for NDV state — guarded so a NULL value contributes
+    * NOTHING (Spark's xxhash64 folds null into the seed and returns a
+    * real long; unguarded, every null row would count as one shared
+    * distinct value).
+    */
+  private def ndvHash(c: Column): Column = when(c.isNotNull, xxhash64(c))
 
   private def keyExpr(groupCols: Seq[String]): Column =
     concat_ws("|", groupCols.map(c =>
@@ -178,9 +203,12 @@ object MatView {
       droppedOpt.map(_.withColumn("__sign", lit(-1))))
       .reduce(_ unionByName _)
     val retractable = aggs.forall(a => Retractable(a.fn))
+    val mergeable =
+      aggs.forall(a => Mergeable(a.fn)) && droppedOpt.isEmpty
     val appends =
-      if (retractable) mergedState(spark, mvRoot, hasState(mvRoot, from),
-        groupCols, aggs, signed)
+      if (retractable || mergeable)
+        mergedState(spark, mvRoot, hasState(mvRoot, from),
+          groupCols, aggs, signed)
       else recomputedState(spark, source, to, groupCols, aggs, signed)
     val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
     TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
@@ -215,8 +243,10 @@ object MatView {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val (source, groupCols, aggs) = definition(mvRoot)
     require(aggs.forall(a => Retractable(a.fn)),
-      s"view at $mvRoot carries min/max — a stream batch cannot pin " +
-        "the source head those need; maintain it with MatView.refresh")
+      s"view at $mvRoot carries non-retractable aggregates (min/max/" +
+        "approx_count_distinct) — a stream batch cannot pin the source " +
+        "head their delete handling needs; maintain it with " +
+        "MatView.refresh")
     // seed the stream at the view's refresh marker: the creation
     // refresh already folded the snapshot through that version, so the
     // stream must deliver strictly-later changes, not the initial
@@ -274,6 +304,8 @@ object MatView {
           count(col(a.in)).as(cCol(a.out)))
         case "avg" => Seq(sum(col(a.in).cast("double")).as(aCol(a.out)),
           count(col(a.in)).as(cCol(a.out)))
+        case "approx_count_distinct" =>
+          Seq(hllUdaf(ndvHash(col(a.in))).as(aCol(a.out)))
         case "min" => Seq(min(col(a.in)).as(aCol(a.out)))
         case "max" => Seq(max(col(a.in)).as(aCol(a.out)))
       }
@@ -295,6 +327,10 @@ object MatView {
           sum(when(nn, col(a.in).cast("double") * sign)
             .otherwise(lit(null))).as(aCol(a.out)),
           sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
+        // only reachable on an append-only window (the refresh router):
+        // every sign is +1, so the window's registers are just its rows'
+        case "approx_count_distinct" =>
+          Seq(hllUdaf(ndvHash(col(a.in))).as(aCol(a.out)))
         case other => throw new IllegalStateException(
           s"non-retractable $other reached the delta path")
       }
@@ -368,6 +404,18 @@ object MatView {
                   coalesce(col(s"__d_${aCol(a.out)}"), lit(0))))
             .withColumn(cCol(a.out),
               addLong(col(cCol(a.out)), col(s"__d_${cCol(a.out)}")))
+        case "approx_count_distinct" =>
+          // register max of standing ∥ window state; a birth has no
+          // standing registers, an affected-but-hash-free window side
+          // cannot occur (the group is in the delta because it has rows,
+          // and the udaf always finishes a buffer)
+          f.withColumn(aCol(a.out),
+            when(col(aCol(a.out)).isNull, col(s"__d_${aCol(a.out)}"))
+              .otherwise(when(col(s"__d_${aCol(a.out)}").isNull,
+                col(aCol(a.out)))
+                .otherwise(ColumnBridge.column(HllMergeExpr(
+                  ColumnBridge.expression(col(aCol(a.out))),
+                  ColumnBridge.expression(col(s"__d_${aCol(a.out)}")))))))
         case other => throw new IllegalStateException(
           s"non-retractable $other reached the merge path")
       }
@@ -413,6 +461,9 @@ object MatView {
           .as(a.out)
         case "avg" => when(col(cCol(a.out)) > 0,
           col(aCol(a.out)) / col(cCol(a.out))).as(a.out)
+        case "approx_count_distinct" => ColumnBridge.column(
+          HllEstimateExpr(ColumnBridge.expression(col(aCol(a.out)))))
+          .as(a.out)
         case _ => col(aCol(a.out)).as(a.out)
       }
     }
@@ -430,10 +481,10 @@ object MatView {
     * incremental == recompute end-to-end through the change window.
     */
   private val mvCache = TrieMap.empty[(SparkSession, String),
-    (String, String, String)]
+    (String, String, String, String)]
 
   private def landedMv(s: SparkSession, dir: String)
-      : (String, String, String) =
+      : (String, String, String, String) =
     mvCache.getOrElseUpdate((s, dir), {
       val src = Files.createTempDirectory("graft_mv_src").toString
       val orders = Sources.table(s, dir, "orders")
@@ -451,8 +502,13 @@ object MatView {
         MvAgg("count_star", "*", "n"),
         MvAgg("min", "o_orderkey", "min_key"),
         MvAgg("max", "o_orderkey", "max_key")))
+      val nv = Files.createTempDirectory("graft_mv_view_ndv").toString
+      create(s, nv, src, Seq("o_orderstatus"), Seq(
+        MvAgg("count_star", "*", "n"),
+        MvAgg("approx_count_distinct", "o_orderkey", "keys_est")))
       TableFormat.append(orders.filter(col("o_orderkey") % 2 === 0), src,
         statsCol = Some("o_orderkey"))
+      refresh(s, nv) // append-only window: the register-MERGE path
       TableFormat.deleteKeysMor(s, src,
         orders.filter(col("o_orderkey") % 13 === 0).select("o_orderkey"),
         "o_orderkey")
@@ -462,17 +518,29 @@ object MatView {
         statsCol = Some("o_orderkey"))
       refresh(s, mv)
       refresh(s, mm)
-      (src, mv, mm)
+      refresh(s, nv) // window with drops: the recompute path
+      (src, mv, mm, nv)
     })
 
   private def qMvIncremental(s: SparkSession, dir: String): DataFrame = {
-    val (_, mv, _) = landedMv(s, dir)
+    val (_, mv, _, _) = landedMv(s, dir)
     read(s, mv).orderBy("o_orderstatus")
   }
 
   private def qMvMinmax(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, mm) = landedMv(s, dir)
+    val (_, _, mm, _) = landedMv(s, dir)
     read(s, mm).orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  /** Approx-distinct view — APPROXIMATE by design, so rows-only at the
+    * driver (no DuckDB oracle, the SURVEY §2 A3 convention); the spec
+    * pins maintained == recompute register-for-register and the
+    * estimate's tolerance, and the fixture exercises BOTH refresh paths
+    * (append-only merge window, then a window with drops).
+    */
+  private def qMvNdv(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, nv) = landedMv(s, dir)
+    read(s, nv).orderBy("o_orderstatus")
   }
 
   /** The same lifecycle driven ENTIRELY through SQL: CREATE
@@ -510,6 +578,7 @@ object MatView {
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map("q_mv_incremental" -> qMvIncremental,
       "q_mv_minmax" -> qMvMinmax,
+      "q_mv_ndv" -> qMvNdv,
       "q_mv_sql" -> qMvSql)
 
   val oracleSql: Map[String, String] = Map(

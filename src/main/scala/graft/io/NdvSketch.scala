@@ -61,6 +61,20 @@ object NdvSketch {
     math.rint(corrected).toLong
   }
 
+  /** Fold ONE hashed value into `regs` in place — the row-level twin of
+    * [[bucketAndRho]]'s column form (same bucket/ρ arithmetic, so
+    * registers built either way are identical). Used by the per-group
+    * aggregate behind [[MatView]]'s approx-distinct state.
+    */
+  def update(regs: Array[Byte], h: Long): Unit = {
+    val bucket = (h >>> (64 - P)).toInt
+    val w = h << P
+    val rho =
+      if (w == 0L) 64 - P + 1
+      else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rho > regs(bucket)) regs(bucket) = rho.toByte
+  }
+
   /** Union sketch = element-wise register max — EXACT: merging per-part
     * sketches equals sketching the union in one pass.
     */

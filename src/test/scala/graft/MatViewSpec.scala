@@ -231,6 +231,51 @@ class MatViewSpec extends TestSpark {
     assert(e2.getMessage.contains("not a materialized view"))
   }
 
+  test("approx-distinct views: register-merge on appends, recompute on drops") {
+    import spark.implicits._
+    val src = fresh("ndsrc")
+    val mv = fresh("ndview")
+    def rows(ks: Seq[Long]): DataFrame =
+      ks.map(k => (k, s"g${k % 3}", s"u${k % 700}")).toDF("k", "g", "u")
+    TableFormat.append(rows(1L to 800L), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("approx_count_distinct", "u", "users"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    def freshEstimates(): Map[String, Long] = {
+      // the truth: a from-scratch view over the head — maintained and
+      // rebuilt registers share one kernel, so estimates must be EQUAL,
+      // not merely close
+      val ref = fresh("ndref")
+      MatView.create(spark, ref, src, Seq("g"), aggs)
+      MatView.read(spark, ref).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    }
+    def viewEstimates(): Map[String, Long] =
+      MatView.read(spark, mv).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // append-only window → the register-MERGE path
+    TableFormat.append(rows(801L to 1400L), src, statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    assert(viewEstimates() === freshEstimates(),
+      "merge-path estimates must equal a from-scratch rebuild's")
+    // sanity: near the exact distinct count (700 u values spread over 3
+    // groups ⇒ each group sees ~700 · (share of ks))
+    val exact = TableFormat.readSnapshot(spark, src)
+      .groupBy("g").agg(countDistinct(col("u")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    viewEstimates().foreach { case (g, est) =>
+      assert(math.abs(est - exact(g).toDouble) / exact(g) < 0.15,
+        s"group $g estimate $est vs exact ${exact(g)}")
+    }
+    // a window with drops → the affected-group RECOMPUTE path (a register
+    // max cannot un-raise; the estimate must shrink back to the truth)
+    TableFormat.deleteKeysMor(spark, src,
+      (1L to 1400L by 2L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    assert(viewEstimates() === freshEstimates(),
+      "drop-window estimates must equal a from-scratch rebuild's")
+  }
+
   test("a followed view tracks live source commits, replay-safe") {
     import spark.implicits._
     val src = fresh("fsrc")
