@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (graft.io.ManifestAggFold has the soundness gates;
     // TableFormatSqlSpec pins the zero-scan plan)
     ext.injectOptimizerRule(_ => graft.io.ManifestAggFold)
+    // manifest accounts/sketches/bounds → CatalogStatistics BEFORE the
+    // cost-based join-reorder batch consumes them: CBO over format
+    // tables with zero ANALYZE TABLE scans (graft.io.GraftManifestStats)
+    ext.injectPreCBORule(_ => graft.io.GraftManifestStats)
     // INSERT INTO/OVERWRITE over a manifest-backed relation must become
     // a table COMMIT — without this rule Spark's post-hoc
     // DataSourceAnalysis would write raw parquet into the table root,

@@ -1,0 +1,97 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Feed the optimizer's COST MODEL from the manifest — the missing half
+  * of `ANALYZE TABLE`: a manifest-backed relation already KNOWS its row
+  * count (size accounts), per-column NDV (sketch registers), and
+  * per-column min/max (zone maps), so a pre-CBO rule attaches them as
+  * the relation's [[CatalogStatistics]] and Spark's own join-reorder /
+  * join-selection cardinality estimation runs off true numbers — zero
+  * `ANALYZE TABLE` scans, fresh at every commit because the stats ARE
+  * the commit metadata. At 100 TB this is the difference between CBO
+  * being unusable (a stats scan per table per change) and free.
+  *
+  * Gates, all sound-first like every other manifest consumer:
+  *   - a relation that already carries catalog stats (a real ANALYZEd
+  *     catalog table) is left alone — measured beats derived;
+  *   - row count only when every entry has an account and none is
+  *     dv-masked ([[ManifestFileIndex.metadataRowCount]]'s contract);
+  *   - per-column NDV only when every entry is dv-free and carries a
+  *     sketch for the column; min/max only from complete long-domain
+  *     bounds on integral columns (strings may be truncated in footer
+  *     stats; dates skipped pending an external-form round-trip spec).
+  *   - estimates feed PLANNING only — no correctness path reads them.
+  *
+  * Registered via `injectPreCBORule` ([[graft.GraftExtensions]]) so it
+  * runs after operator optimization and BEFORE the cost-based
+  * join-reorder batch that consumes the stats; effective when the user
+  * enables `spark.sql.cbo.enabled` (+ `joinReorder.enabled`), inert
+  * otherwise — exactly `ANALYZE TABLE`'s own contract.
+  */
+object GraftManifestStats extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case l: LogicalRelation if l.catalogTable.forall(_.stats.isEmpty) =>
+      l.relation match {
+        case fs: HadoopFsRelation => fs.location match {
+          case m: ManifestFileIndex =>
+            val ct = l.catalogTable.getOrElse(synthetic(l, m))
+            l.copy(catalogTable = Some(ct.copy(stats = Some(statsOf(l, m)))))
+          case _ => l
+        }
+        case _ => l
+      }
+  }
+
+  /** A placeholder CatalogTable for path-addressed relations (TVF /
+    * registerSql / `spark.read.format(…)`) — only its `stats` slot is
+    * consumed (LogicalRelation.computeStats); the identifier is
+    * synthetic and never reaches a catalog.
+    */
+  private def synthetic(l: LogicalRelation, m: ManifestFileIndex)
+      : CatalogTable =
+    CatalogTable(
+      identifier = TableIdentifier(
+        "graft_manifest_stats_" + Integer.toHexString(m.root.hashCode)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = l.relation.schema,
+      provider = Some("graft-table"))
+
+  private def statsOf(l: LogicalRelation,
+      m: ManifestFileIndex): CatalogStatistics = {
+    val clean = m.entries.forall(_.dv.isEmpty)
+    val colStats = l.output.flatMap { a =>
+      val ndv: Option[BigInt] =
+        if (m.entries.isEmpty) Some(BigInt(0))
+        else if (clean && m.entries.forall(_.ndv.contains(a.name)))
+          Some(BigInt(NdvSketch.estimate(m.entries
+            .map(e => NdvSketch.fromHex(e.ndv(a.name)))
+            .reduce(NdvSketch.merge))))
+        else None
+      val integral =
+        a.dataType == LongType || a.dataType == IntegerType
+      val (lo, hi): (Option[String], Option[String]) =
+        if (integral && m.entries.nonEmpty && m.entries.forall(
+            _.bounds.get(a.name).exists(_.typ == "long"))) {
+          val bs = m.entries.map(_.bounds(a.name))
+          (Some(bs.map(_.lo.toLong).min.toString),
+            Some(bs.map(_.hi.toLong).max.toString))
+        } else (None, None)
+      if (ndv.isEmpty && lo.isEmpty) None
+      else Some(a.name -> CatalogColumnStat(distinctCount = ndv,
+        min = lo, max = hi, nullCount = None, avgLen = None,
+        maxLen = None, histogram = None))
+    }.toMap
+    CatalogStatistics(
+      sizeInBytes = BigInt(m.sizeInBytes),
+      rowCount = m.metadataRowCount.map(BigInt(_)),
+      colStats = colStats)
+  }
+}

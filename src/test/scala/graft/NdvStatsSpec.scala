@@ -119,6 +119,58 @@ class NdvStatsSpec extends TestSpark {
     }
   }
 
+  test("manifest stats feed the optimizer: plan rowCount/NDV, CBO reorder") {
+    import spark.implicits._
+    // two format tables: a 4000-row fact and a 7-key dim — with CBO on,
+    // the manifest-derived stats alone must (a) surface as plan
+    // statistics and (b) drive join-reorder, no ANALYZE TABLE anywhere
+    val fact = fresh()
+    val dim = fresh()
+    TableFormat.append((1L to 4000L).map(k => (k, k % 7))
+      .toDF("k", "fk"), fact, statsCol = Some("k"),
+      ndvCols = Seq("k", "fk"))
+    TableFormat.append((0L to 6L).map(d => (d, s"d$d"))
+      .toDF("d", "name"), dim, statsCol = Some("d"),
+      ndvCols = Seq("d"))
+    TableFormat.registerSql(spark, fact, "graft_cbo_fact")
+    TableFormat.registerSql(spark, dim, "graft_cbo_dim")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val st = spark.table("graft_cbo_fact")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.contains(BigInt(4000)),
+        s"plan rowCount should be the manifest account, got ${st.rowCount}")
+      val ndvs = st.attributeStats.map { case (a, cs) =>
+        a.name -> cs.distinctCount }
+      assert(ndvs.get("fk").flatten.contains(BigInt(7)),
+        s"plan NDV(fk) should come from the sketches, got $ndvs")
+      // min/max ride from the zone maps
+      val kStats = st.attributeStats.find(_._1.name == "k").map(_._2)
+      assert(kStats.flatMap(_.min).contains(1L) &&
+        kStats.flatMap(_.max).contains(4000L),
+        s"plan min/max should come from the zone maps, got $kStats")
+      // join-reorder restructures a worst-practice syntactic order off
+      // the manifest stats alone (fact ⋈ fact-sized self first, 7-row
+      // dim last) — the CboReorderSpec scenario with ZERO stats scans
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      def shape(cbo: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.sql(
+          """SELECT count(*) AS n FROM graft_cbo_fact a
+            |JOIN graft_cbo_fact b ON a.k = b.k
+            |JOIN graft_cbo_dim d ON a.fk = d.d""".stripMargin)
+          .queryExecution.optimizedPlan.toString
+      }
+      val off = shape(cbo = false)
+      val on = shape(cbo = true)
+      assert(on !== off,
+        s"manifest-fed CBO left the syntactic join order untouched:\n$on")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
+
   test("ANALYZE SQL verb + graft_stats: zero-scan per-column statistics") {
     import spark.implicits._
     val root = fresh()
