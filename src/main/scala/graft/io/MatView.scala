@@ -24,6 +24,17 @@ import graft.functions.{HllEstimateExpr, HllMergeExpr, HllRegistersAgg}
   */
 final case class MvAgg(fn: String, in: String, out: String)
 
+/** A view's full recorded definition: source table root, group columns,
+  * aggregate list, and an optional row PREDICATE (SQL expression over
+  * the source's columns) — the view covers only rows satisfying it.
+  * Maintenance composes naturally: a changed row is filtered on BOTH
+  * sides of the window, so an update moving a row INTO the predicate
+  * contributes only its post-image (+1) and one moving OUT only its
+  * pre-image (−1) — the filtered multiset delta, no special cases.
+  */
+final case class MvDef(source: String, groupCols: Seq[String],
+                       aggs: Seq[MvAgg], where: Option[String] = None)
+
 /** STANDING incremental materialized views over [[TableFormat]] tables
   * — the engine feature the `q_table_mv` query only sketched as a
   * pattern: the view is itself a TableFormat table whose definition
@@ -69,11 +80,16 @@ final case class MvAgg(fn: String, in: String, out: String)
   * inverse in IEEE754). Integer/decimal measures are exact; the specs
   * pin incremental == recompute on long measures.
   *
+  * Measures are EXPRESSIONS (any SQL scalar over the source's columns,
+  * e.g. `sum(price * qty)`), and a definition may carry a WHERE
+  * predicate ([[MvDef.where]]) scoping the view to matching rows — the
+  * window filter makes cross-boundary updates come out right for free.
+  *
   * SQL surface ([[GraftSqlParser]]):
   * {{{
   *   CREATE MATERIALIZED VIEW '/mv' AS
   *     SELECT k1, k2, count(*) AS n, sum(x) AS sx FROM '/src'
-  *     GROUP BY k1, k2
+  *     [WHERE <pred>] GROUP BY k1, k2
   *   REFRESH MATERIALIZED VIEW '/mv'
   *   SELECT * FROM graft_mv('/mv')          -- finalized view rows
   * }}}
@@ -121,23 +137,24 @@ object MatView {
   private val PropSource = "mv.source"
   private val PropGroup = "mv.group"
   private val PropAggs = "mv.aggs"
+  private val PropWhere = "mv.where"
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
     java.net.URLDecoder.decode(s, "UTF-8")
 
-  private def defProps(source: String, groupCols: Seq[String],
-      aggs: Seq[MvAgg]): Map[String, String] = Map(
-    PropSource -> source,
-    PropGroup -> groupCols.map(enc).mkString(","),
-    PropAggs -> aggs.map(a =>
-      s"${enc(a.fn)},${enc(a.in)},${enc(a.out)}").mkString(";"))
+  private def defProps(d: MvDef): Map[String, String] = Map(
+    PropSource -> d.source,
+    PropGroup -> d.groupCols.map(enc).mkString(","),
+    PropAggs -> d.aggs.map(a =>
+      s"${enc(a.fn)},${enc(a.in)},${enc(a.out)}").mkString(";")) ++
+    d.where.map(PropWhere -> _)
 
-  /** The view's recorded definition — (source root, group cols, aggs).
-    * Loud when `root` is not a materialized view.
+  /** The view's recorded definition. Loud when `root` is not a
+    * materialized view.
     */
-  def definition(root: String): (String, Seq[String], Seq[MvAgg]) = {
+  def definition(root: String): MvDef = {
     val p = TableFormat.tableProps(root)
     val src = p.getOrElse(PropSource, throw new IllegalArgumentException(
       s"$root is not a materialized view (no ${PropSource} property) — " +
@@ -147,7 +164,7 @@ object MatView {
       val Array(f, i, o) = s.split(",", 3)
       MvAgg(dec(f), dec(i), dec(o))
     }
-    (src, group, aggs)
+    MvDef(src, group, aggs, p.get(PropWhere))
   }
 
   // ------------------------------------------------------------ create
@@ -161,7 +178,8 @@ object MatView {
     * code path, not a full-compute special case.
     */
   def create(spark: SparkSession, mvRoot: String, source: String,
-             groupCols: Seq[String], aggs: Seq[MvAgg]): Int = {
+             groupCols: Seq[String], aggs: Seq[MvAgg],
+             where: Option[String] = None): Int = {
     require(TableFormat.latestVersion(mvRoot) < 0,
       s"materialized-view target $mvRoot is already a table " +
         s"(head v${TableFormat.latestVersion(mvRoot)})")
@@ -175,7 +193,8 @@ object MatView {
       s"MV output names collide: ${outs.mkString(", ")}")
     outs.foreach(o => require(!o.startsWith("__graft_mv_"),
       s"MV output name $o uses the reserved __graft_mv_ prefix"))
-    TableFormat.setProps(mvRoot, defProps(source, groupCols, aggs))
+    TableFormat.setProps(mvRoot,
+      defProps(MvDef(source, groupCols, aggs, where)))
     refresh(spark, mvRoot)
   }
 
@@ -188,7 +207,7 @@ object MatView {
     * the object. Returns the view's committed version.
     */
   def refresh(spark: SparkSession, mvRoot: String): Int = {
-    val (source, groupCols, aggs) = definition(mvRoot)
+    val MvDef(source, groupCols, aggs, where) = definition(mvRoot)
     val from = TableFormat.lastTxn(mvRoot, source).toInt
     val to = TableFormat.latestVersion(source)
     require(to >= 0, s"MV source $source has no snapshot to refresh from")
@@ -199,8 +218,12 @@ object MatView {
     if (addedOpt.isEmpty && droppedOpt.isEmpty)
       return TableFormat.applyDelta(spark, mvRoot, spark.emptyDataFrame,
         KeyCol, spark.emptyDataFrame, txn = txn)
-    val signed = (addedOpt.map(_.withColumn("__sign", lit(1))) ++
-      droppedOpt.map(_.withColumn("__sign", lit(-1))))
+    // the predicate applies to BOTH window sides: a row entering the
+    // filter contributes only its +1 image, one leaving only its −1
+    def scoped(df: DataFrame): DataFrame =
+      where.map(w => df.filter(expr(w))).getOrElse(df)
+    val signed = (addedOpt.map(scoped(_).withColumn("__sign", lit(1))) ++
+      droppedOpt.map(scoped(_).withColumn("__sign", lit(-1))))
       .reduce(_ unionByName _)
     val retractable = aggs.forall(a => Retractable(a.fn))
     val mergeable =
@@ -209,7 +232,8 @@ object MatView {
       if (retractable || mergeable)
         mergedState(spark, mvRoot, hasState(mvRoot, from),
           groupCols, aggs, signed)
-      else recomputedState(spark, source, to, groupCols, aggs, signed)
+      else recomputedState(spark, source, to, groupCols, aggs, signed,
+        where)
     val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
     TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
       statsCol = Some(KeyCol), txn = txn)
@@ -241,7 +265,7 @@ object MatView {
   def follow(spark: SparkSession, mvRoot: String, keyCol: String,
              checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val (source, groupCols, aggs) = definition(mvRoot)
+    val MvDef(source, groupCols, aggs, _) = definition(mvRoot)
     require(aggs.forall(a => Retractable(a.fn)),
       s"view at $mvRoot carries non-retractable aggregates (min/max/" +
         "approx_count_distinct) — a stream batch cannot pin the source " +
@@ -277,7 +301,9 @@ object MatView {
       feed: DataFrame, batchId: Long): Unit = {
     val txn = Some((s"follow:$source", batchId))
     if (TableFormat.lastTxn(mvRoot, s"follow:$source") >= batchId) return
-    val signed = feed.withColumn("__sign",
+    val where = definition(mvRoot).where
+    val fed = where.map(w => feed.filter(expr(w))).getOrElse(feed)
+    val signed = fed.withColumn("__sign",
         when(col("change_type").isin("insert", "update_postimage"), 1)
           .otherwise(-1))
       .drop("change_type")
@@ -299,15 +325,15 @@ object MatView {
     count(lit(1)).as(NCol) +: aggs.flatMap { a =>
       a.fn match {
         case "count_star" => Nil // finalized from NCol
-        case "count" => Seq(count(col(a.in)).as(cCol(a.out)))
-        case "sum" => Seq(sum(col(a.in)).as(aCol(a.out)),
-          count(col(a.in)).as(cCol(a.out)))
-        case "avg" => Seq(sum(col(a.in).cast("double")).as(aCol(a.out)),
-          count(col(a.in)).as(cCol(a.out)))
+        case "count" => Seq(count(expr(a.in)).as(cCol(a.out)))
+        case "sum" => Seq(sum(expr(a.in)).as(aCol(a.out)),
+          count(expr(a.in)).as(cCol(a.out)))
+        case "avg" => Seq(sum(expr(a.in).cast("double")).as(aCol(a.out)),
+          count(expr(a.in)).as(cCol(a.out)))
         case "approx_count_distinct" =>
-          Seq(hllUdaf(ndvHash(col(a.in))).as(aCol(a.out)))
-        case "min" => Seq(min(col(a.in)).as(aCol(a.out)))
-        case "max" => Seq(max(col(a.in)).as(aCol(a.out)))
+          Seq(hllUdaf(ndvHash(expr(a.in))).as(aCol(a.out)))
+        case "min" => Seq(min(expr(a.in)).as(aCol(a.out)))
+        case "max" => Seq(max(expr(a.in)).as(aCol(a.out)))
       }
     }
 
@@ -315,22 +341,22 @@ object MatView {
   private def deltaAggs(aggs: Seq[MvAgg]): Seq[Column] = {
     val sign = col("__sign")
     sum(sign.cast("long")).as(NCol) +: aggs.flatMap { a =>
-      def nn = col(a.in).isNotNull
+      def nn = expr(a.in).isNotNull
       a.fn match {
         case "count_star" => Nil
         case "count" => Seq(
           sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
         case "sum" => Seq(
-          sum(when(nn, col(a.in) * sign).otherwise(lit(null))).as(aCol(a.out)),
+          sum(when(nn, expr(a.in) * sign).otherwise(lit(null))).as(aCol(a.out)),
           sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
         case "avg" => Seq(
-          sum(when(nn, col(a.in).cast("double") * sign)
+          sum(when(nn, expr(a.in).cast("double") * sign)
             .otherwise(lit(null))).as(aCol(a.out)),
           sum(when(nn, sign.cast("long")).otherwise(0L)).as(cCol(a.out)))
         // only reachable on an append-only window (the refresh router):
         // every sign is +1, so the window's registers are just its rows'
         case "approx_count_distinct" =>
-          Seq(hllUdaf(ndvHash(col(a.in))).as(aCol(a.out)))
+          Seq(hllUdaf(ndvHash(expr(a.in))).as(aCol(a.out)))
         case other => throw new IllegalStateException(
           s"non-retractable $other reached the delta path")
       }
@@ -432,10 +458,11 @@ object MatView {
     * absent here and handled by the caller's key mask.
     */
   private def recomputedState(spark: SparkSession, source: String,
-      to: Int, groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame)
-      : DataFrame = {
+      to: Int, groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame,
+      where: Option[String]): DataFrame = {
     val affected = signed.select(groupCols.map(col): _*).distinct()
-    val head = TableFormat.readSnapshot(spark, source, to)
+    val head0 = TableFormat.readSnapshot(spark, source, to)
+    val head = where.map(w => head0.filter(expr(w))).getOrElse(head0)
     head.join(affected, groupCols, "left_semi")
       .groupBy(groupCols.map(col): _*)
       .agg(stateAggs(aggs).head, stateAggs(aggs).tail: _*)
@@ -451,7 +478,7 @@ object MatView {
     * count guard, matching SQL aggregate semantics exactly).
     */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
-    val (_, groupCols, aggs) = definition(mvRoot)
+    val MvDef(_, groupCols, aggs, _) = definition(mvRoot)
     val state = TableFormat.readSnapshot(spark, mvRoot)
     val outs = aggs.map { a =>
       a.fn match {

@@ -175,9 +175,9 @@ class MatViewSpec extends TestSpark {
     // a clone is an independent view with the same definition
     val dst = fresh("ccclone")
     TableFormat.cloneTable(mv, dst)
-    val (clonedSrc, clonedGroup, clonedAggs) = MatView.definition(dst)
-    assert(clonedSrc === src && clonedGroup === Seq("g") &&
-      clonedAggs === Seq(MvAgg("count_star", "*", "n")))
+    val cloned = MatView.definition(dst)
+    assert(cloned.source === src && cloned.groupCols === Seq("g") &&
+      cloned.aggs === Seq(MvAgg("count_star", "*", "n")))
   }
 
   test("multi-column group keys with NULLs are collision-free") {
@@ -229,6 +229,45 @@ class MatViewSpec extends TestSpark {
       MatView.refresh(spark, src)
     }
     assert(e2.getMessage.contains("not a materialized view"))
+  }
+
+  test("WHERE-scoped views with expression measures track boundary crossings") {
+    import spark.implicits._
+    val src = fresh("whsrc")
+    val mv = fresh("whview")
+    TableFormat.append((1L to 60L).map(k =>
+      (k, s"g${k % 3}", k % 10, k * 2)).toDF("k", "g", "price", "qty"),
+      src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("sum", "price * qty", "revenue"))
+    MatView.create(spark, mv, src, Seq("g"), aggs,
+      where = Some("price >= 5"))
+    def truth(): Seq[String] =
+      sortedRows(TableFormat.readSnapshot(spark, src)
+        .filter(col("price") >= 5).groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("price * qty")).as("revenue")))
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "initial filtered materialization")
+    // updates move rows ACROSS the predicate boundary in both
+    // directions: into the view (price 2 → 7) and out of it (9 → 1)
+    TableFormat.updateWhere(spark, src, col("price") === 2,
+      Seq("price" -> lit(7L)), statsCol = Some("k"))
+    TableFormat.updateWhere(spark, src, col("price") === 9,
+      Seq("price" -> lit(1L)), statsCol = Some("k"))
+    TableFormat.deleteKeysMor(spark, src,
+      (1L to 60L by 7L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "filtered view after boundary-crossing updates + deletes")
+    // the definition records the predicate; SQL form round-trips it
+    assert(MatView.definition(mv).where === Some("price >= 5"))
+    val sqlMv = fresh("whsql")
+    spark.sql(s"""CREATE MATERIALIZED VIEW '$sqlMv' AS
+      SELECT g, count(*) AS n FROM '$src' WHERE price >= 5 GROUP BY g""")
+    assert(MatView.definition(sqlMv).where === Some("price >= 5"))
+    assert(sortedRows(MatView.read(spark, sqlMv)) ===
+      sortedRows(MatView.read(spark, mv).select("g", "n")))
   }
 
   test("approx-distinct views: register-merge on appends, recompute on drops") {
