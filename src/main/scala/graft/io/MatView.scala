@@ -508,10 +508,10 @@ object MatView {
     * incremental == recompute end-to-end through the change window.
     */
   private val mvCache = TrieMap.empty[(SparkSession, String),
-    (String, String, String, String)]
+    (String, String, String, String, String)]
 
   private def landedMv(s: SparkSession, dir: String)
-      : (String, String, String, String) =
+      : (String, String, String, String, String) =
     mvCache.getOrElseUpdate((s, dir), {
       val src = Files.createTempDirectory("graft_mv_src").toString
       val orders = Sources.table(s, dir, "orders")
@@ -533,6 +533,11 @@ object MatView {
       create(s, nv, src, Seq("o_orderstatus"), Seq(
         MvAgg("count_star", "*", "n"),
         MvAgg("approx_count_distinct", "o_orderkey", "keys_est")))
+      val fl = Files.createTempDirectory("graft_mv_view_flt").toString
+      create(s, fl, src, Seq("o_orderpriority"), Seq(
+        MvAgg("count_star", "*", "n"),
+        MvAgg("sum", "o_orderkey % 100", "sum_mod")),
+        where = Some("o_orderstatus <> 'O'"))
       TableFormat.append(orders.filter(col("o_orderkey") % 2 === 0), src,
         statsCol = Some("o_orderkey"))
       refresh(s, nv) // append-only window: the register-MERGE path
@@ -546,16 +551,17 @@ object MatView {
       refresh(s, mv)
       refresh(s, mm)
       refresh(s, nv) // window with drops: the recompute path
-      (src, mv, mm, nv)
+      refresh(s, fl)
+      (src, mv, mm, nv, fl)
     })
 
   private def qMvIncremental(s: SparkSession, dir: String): DataFrame = {
-    val (_, mv, _, _) = landedMv(s, dir)
+    val (_, mv, _, _, _) = landedMv(s, dir)
     read(s, mv).orderBy("o_orderstatus")
   }
 
   private def qMvMinmax(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, mm, _) = landedMv(s, dir)
+    val (_, _, mm, _, _) = landedMv(s, dir)
     read(s, mm).orderBy("o_orderstatus", "o_orderpriority")
   }
 
@@ -566,8 +572,18 @@ object MatView {
     * (append-only merge window, then a window with drops).
     */
   private def qMvNdv(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, nv) = landedMv(s, dir)
+    val (_, _, _, nv, _) = landedMv(s, dir)
     read(s, nv).orderBy("o_orderstatus")
+  }
+
+  /** WHERE-scoped view with an EXPRESSION measure — the fixture's
+    * update-free lifecycle still crosses the predicate boundary (the
+    * synthetic 'N' tail fails it; the 13th-key delete retracts matching
+    * rows), and the oracle restates filter + expression declaratively.
+    */
+  private def qMvFiltered(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, fl) = landedMv(s, dir)
+    read(s, fl).orderBy("o_orderpriority")
   }
 
   /** The same lifecycle driven ENTIRELY through SQL: CREATE
@@ -606,6 +622,7 @@ object MatView {
     Map("q_mv_incremental" -> qMvIncremental,
       "q_mv_minmax" -> qMvMinmax,
       "q_mv_ndv" -> qMvNdv,
+      "q_mv_filtered" -> qMvFiltered,
       "q_mv_sql" -> qMvSql)
 
   val oracleSql: Map[String, String] = Map(
@@ -623,6 +640,18 @@ object MatView {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  avg(o_orderkey) AS avg_key
         |FROM eff GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_mv_filtered" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
+        |eff AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N', o_orderpriority FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod
+        |FROM eff WHERE o_orderstatus <> 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_mv_minmax" ->
       """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
         |eff AS (
