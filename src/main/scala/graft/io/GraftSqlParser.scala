@@ -80,7 +80,10 @@ private[graft] object GraftSqlParser {
   private val Analyze =
     """(?is)\s*ANALYZE\s+'([^']+)'\s+FOR\s+COLUMNS\s*\(\s*([\w\s,]+?)\s*\)\s*;?\s*""".r
   private val CreateMv =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.*?)\s+FROM\s+'([^']+)'(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s+AS\s+SELECT\s+(.*?)\s+FROM\s+('[^']+'(?:\s+JOIN\s+'[^']+'\s+ON\s+\w+\s*=\s*\w+)*)(?:\s+WHERE\s+(.+?))?\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""".r
+  private val MvJoinClause =
+    """(?is)JOIN\s+'([^']+)'\s+ON\s+(\w+)\s*=\s*(\w+)""".r
+  private val MvFromFact = """(?s)^'([^']+)'""".r
   private val RefreshMv =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+'([^']+)'\s*;?\s*""".r
   private val MvLead =
@@ -117,18 +120,23 @@ private[graft] object GraftSqlParser {
   }
 
   def maintenancePlan(sql: String): Option[LogicalPlan] = sql match {
-    case CreateMv(mv, items, src, whereOrNull, groupBy) =>
+    case CreateMv(mv, items, fromClause, whereOrNull, groupBy) =>
       val (g, aggs) = parseMvItems(items, groupBy)
+      val fact = MvFromFact.findFirstMatchIn(fromClause).get.group(1)
+      val dims = MvJoinClause.findAllMatchIn(fromClause).map(m =>
+        MvDim(TableFormat.posixRoot(m.group(1)), m.group(2), m.group(3)))
+        .toSeq
       Some(GraftMvCommand(TableFormat.posixRoot(mv), "create",
-        source = TableFormat.posixRoot(src), groupCols = g, aggs = aggs,
-        where = Option(whereOrNull).map(_.trim).filter(_.nonEmpty)))
+        source = TableFormat.posixRoot(fact), groupCols = g, aggs = aggs,
+        where = Option(whereOrNull).map(_.trim).filter(_.nonEmpty),
+        dims = dims))
     case RefreshMv(mv) =>
       Some(GraftMvCommand(TableFormat.posixRoot(mv), "refresh"))
     case MvLead() => throw new IllegalArgumentException(
       "malformed MATERIALIZED VIEW statement — supported forms: " +
         "CREATE MATERIALIZED VIEW '<mv>' AS SELECT <group cols + " +
-        "fn(col) AS name…> FROM '<src>' [WHERE <pred>] GROUP BY " +
-        "<cols>; " +
+        "fn(col) AS name…> FROM '<fact>' [JOIN '<dim>' ON fk = pk …] " +
+        "[WHERE <pred>] GROUP BY <cols>; " +
         "REFRESH MATERIALIZED VIEW '<mv>'")
     case OptimizePlain(p) =>
       Some(GraftMaintenanceCommand(TableFormat.posixRoot(p), "compact"))
@@ -170,8 +178,8 @@ private[graft] object GraftSqlParser {
   */
 private[graft] case class GraftMvCommand(mvRoot: String, verb: String,
     source: String = "", groupCols: Seq[String] = Nil,
-    aggs: Seq[MvAgg] = Nil, where: Option[String] = None)
-    extends LeafRunnableCommand {
+    aggs: Seq[MvAgg] = Nil, where: Option[String] = None,
+    dims: Seq[MvDim] = Nil) extends LeafRunnableCommand {
 
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.StringType
@@ -183,7 +191,8 @@ private[graft] case class GraftMvCommand(mvRoot: String, verb: String,
   override def run(spark: SparkSession): Seq[Row] = {
     val result = verb match {
       case "create" =>
-        s"v${MatView.create(spark, mvRoot, source, groupCols, aggs, where)}"
+        s"v${MatView.create(spark, mvRoot, source, groupCols, aggs,
+          where, dims)}"
       case "refresh" =>
         s"v${MatView.refresh(spark, mvRoot)}"
       case other => throw new IllegalStateException(s"verb $other")

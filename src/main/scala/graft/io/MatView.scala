@@ -33,7 +33,20 @@ final case class MvAgg(fn: String, in: String, out: String)
   * pre-image (−1) — the filtered multiset delta, no special cases.
   */
 final case class MvDef(source: String, groupCols: Seq[String],
-                       aggs: Seq[MvAgg], where: Option[String] = None)
+                       aggs: Seq[MvAgg], where: Option[String] = None,
+                       dims: Seq[MvDim] = Nil)
+
+/** One DIMENSION of a join view: the fact row stream inner-joins
+  * `root`'s snapshot on `factKey = dimKey` before filtering/grouping —
+  * the star-join rollup shape (revenue by nation). The maintenance
+  * contract: fact CHANGES drive incremental refresh against the dims'
+  * pinned snapshots; a dim that MOVED since the last refresh may have
+  * re-attributed any standing group, so the view rebuilds from the
+  * head (detected automatically from the recorded dim pins — never a
+  * silent stale join). Column names across fact and dims must be
+  * distinct apart from the join keys.
+  */
+final case class MvDim(root: String, factKey: String, dimKey: String)
 
 /** STANDING incremental materialized views over [[TableFormat]] tables
   * — the engine feature the `q_table_mv` query only sketched as a
@@ -138,6 +151,8 @@ object MatView {
   private val PropGroup = "mv.group"
   private val PropAggs = "mv.aggs"
   private val PropWhere = "mv.where"
+  private val PropDims = "mv.dims"
+  private def propDimV(root: String) = s"mv.dimv.${enc(root)}"
 
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
@@ -149,7 +164,11 @@ object MatView {
     PropGroup -> d.groupCols.map(enc).mkString(","),
     PropAggs -> d.aggs.map(a =>
       s"${enc(a.fn)},${enc(a.in)},${enc(a.out)}").mkString(";")) ++
-    d.where.map(PropWhere -> _)
+    d.where.map(PropWhere -> _) ++
+    (if (d.dims.isEmpty) Map.empty[String, String]
+     else Map(PropDims -> d.dims.map(x =>
+       s"${enc(x.root)},${enc(x.factKey)},${enc(x.dimKey)}")
+       .mkString(";")))
 
   /** The view's recorded definition. Loud when `root` is not a
     * materialized view.
@@ -164,8 +183,20 @@ object MatView {
       val Array(f, i, o) = s.split(",", 3)
       MvAgg(dec(f), dec(i), dec(o))
     }
-    MvDef(src, group, aggs, p.get(PropWhere))
+    val dims = p.get(PropDims).map(_.split(";").toSeq.map { s =>
+      val Array(r, fk, dk) = s.split(",", 3)
+      MvDim(dec(r), dec(fk), dec(dk))
+    }).getOrElse(Nil)
+    MvDef(src, group, aggs, p.get(PropWhere), dims)
   }
+
+  /** The dim snapshot version the view's state was last built against
+    * (-1 before the first refresh) — the pin [[refresh]] compares to
+    * detect dim movement.
+    */
+  private def recordedDimVersion(mvRoot: String, dimRoot: String): Int =
+    TableFormat.tableProps(mvRoot).get(propDimV(dimRoot))
+      .map(_.toInt).getOrElse(-1)
 
   // ------------------------------------------------------------ create
 
@@ -179,7 +210,8 @@ object MatView {
     */
   def create(spark: SparkSession, mvRoot: String, source: String,
              groupCols: Seq[String], aggs: Seq[MvAgg],
-             where: Option[String] = None): Int = {
+             where: Option[String] = None,
+             dims: Seq[MvDim] = Nil): Int = {
     require(TableFormat.latestVersion(mvRoot) < 0,
       s"materialized-view target $mvRoot is already a table " +
         s"(head v${TableFormat.latestVersion(mvRoot)})")
@@ -193,8 +225,10 @@ object MatView {
       s"MV output names collide: ${outs.mkString(", ")}")
     outs.foreach(o => require(!o.startsWith("__graft_mv_"),
       s"MV output name $o uses the reserved __graft_mv_ prefix"))
+    dims.foreach(x => require(TableFormat.latestVersion(x.root) >= 0,
+      s"MV dimension ${x.root} has no snapshot"))
     TableFormat.setProps(mvRoot,
-      defProps(MvDef(source, groupCols, aggs, where)))
+      defProps(MvDef(source, groupCols, aggs, where, dims)))
     refresh(spark, mvRoot)
   }
 
@@ -207,36 +241,95 @@ object MatView {
     * the object. Returns the view's committed version.
     */
   def refresh(spark: SparkSession, mvRoot: String): Int = {
-    val MvDef(source, groupCols, aggs, where) = definition(mvRoot)
+    val d = definition(mvRoot)
+    val MvDef(source, groupCols, aggs, where, dims) = d
     val from = TableFormat.lastTxn(mvRoot, source).toInt
     val to = TableFormat.latestVersion(source)
     require(to >= 0, s"MV source $source has no snapshot to refresh from")
-    if (to <= from) return TableFormat.latestVersion(mvRoot)
-    val (addedOpt, droppedOpt) = TableFormat.readDelta(spark, source,
-      from, to)
-    val txn = Some((source, to.toLong))
-    if (addedOpt.isEmpty && droppedOpt.isEmpty)
-      return TableFormat.applyDelta(spark, mvRoot, spark.emptyDataFrame,
-        KeyCol, spark.emptyDataFrame, txn = txn)
-    // the predicate applies to BOTH window sides: a row entering the
-    // filter contributes only its +1 image, one leaving only its −1
-    def scoped(df: DataFrame): DataFrame =
-      where.map(w => df.filter(expr(w))).getOrElse(df)
-    val signed = (addedOpt.map(scoped(_).withColumn("__sign", lit(1))) ++
-      droppedOpt.map(scoped(_).withColumn("__sign", lit(-1))))
-      .reduce(_ unionByName _)
-    val retractable = aggs.forall(a => Retractable(a.fn))
-    val mergeable =
-      aggs.forall(a => Mergeable(a.fn)) && droppedOpt.isEmpty
-    val appends =
-      if (retractable || mergeable)
-        mergedState(spark, mvRoot, hasState(mvRoot, from),
-          groupCols, aggs, signed)
-      else recomputedState(spark, source, to, groupCols, aggs, signed,
-        where)
-    val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
-    TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
-      statsCol = Some(KeyCol), txn = txn)
+    // pin every dim at its head for this refresh; a dim that MOVED since
+    // the last pin may have re-attributed any standing group (a changed
+    // dim attribute changes which group a fact row belongs to), so the
+    // whole view rebuilds — incremental against a moved dim would be a
+    // silently stale join
+    val dimVs = dims.map(x => x -> TableFormat.latestVersion(x.root))
+    val dimsMoved = dimVs.exists { case (x, v) =>
+      recordedDimVersion(mvRoot, x.root) != v }
+    if (to <= from && !dimsMoved) return TableFormat.latestVersion(mvRoot)
+
+    def joinDims(f: DataFrame): DataFrame =
+      dimVs.foldLeft(f) { case (acc, (x, v)) =>
+        val dimDf = TableFormat.readSnapshot(spark, x.root, v)
+        if (x.factKey == x.dimKey) acc.join(dimDf, Seq(x.factKey))
+        else acc.join(dimDf, acc(x.factKey) === dimDf(x.dimKey))
+          .drop(dimDf(x.dimKey))
+      }
+    // the predicate applies to BOTH window sides (after the dim join —
+    // it may reference dim columns): a row entering the filter
+    // contributes only its +1 image, one leaving only its −1
+    def prepared(df: DataFrame): DataFrame = {
+      val joined = joinDims(df)
+      where.map(w => joined.filter(expr(w))).getOrElse(joined)
+    }
+
+    val version =
+      if (dimsMoved) {
+        // REBUILD: full state from the head; every standing key masked.
+        // The source marker rides only when the source itself moved — a
+        // dim-only rebuild must not be skippable by marker replay.
+        val state = prepared(TableFormat.readSnapshot(spark, source, to))
+          .groupBy(groupCols.map(col): _*)
+          .agg(stateAggs(aggs).head, stateAggs(aggs).tail: _*)
+          .withColumn(KeyCol, keyExpr(groupCols))
+          .select(stateSelect(groupCols, aggs): _*)
+        val oldKeys =
+          if (hasState(mvRoot, 0)) TableFormat
+            .readSnapshot(spark, mvRoot).select(KeyCol).distinct()
+          else spark.emptyDataFrame
+        TableFormat.applyDelta(spark, mvRoot, oldKeys, KeyCol, state,
+          statsCol = Some(KeyCol),
+          txn = if (to > from) Some((source, to.toLong)) else None)
+      } else {
+        val (addedOpt, droppedOpt) = TableFormat.readDelta(spark, source,
+          from, to)
+        val txn = Some((source, to.toLong))
+        if (addedOpt.isEmpty && droppedOpt.isEmpty)
+          return TableFormat.applyDelta(spark, mvRoot, spark.emptyDataFrame,
+            KeyCol, spark.emptyDataFrame, txn = txn)
+        // one evaluation of the change window: the signed frame feeds
+        // the delta aggregation, the touched-dir bounds probe, AND the
+        // delete keys — unpersisted three evaluations would re-read the
+        // changed parquet files three times
+        val signed =
+          (addedOpt.map(prepared(_).withColumn("__sign", lit(1))) ++
+            droppedOpt.map(prepared(_).withColumn("__sign", lit(-1))))
+          .reduce(_ unionByName _).persist()
+        try {
+          val retractable = aggs.forall(a => Retractable(a.fn))
+          val mergeable =
+            aggs.forall(a => Mergeable(a.fn)) && droppedOpt.isEmpty
+          val appends =
+            if (retractable || mergeable)
+              mergedState(spark, mvRoot, hasState(mvRoot, from),
+                groupCols, aggs, signed)
+            else recomputedState(spark,
+              prepared(TableFormat.readSnapshot(spark, source, to)),
+              groupCols, aggs, signed)
+          val deletes =
+            signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
+          TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+            statsCol = Some(KeyCol), txn = txn)
+        } finally {
+          signed.unpersist(blocking = false)
+          ()
+        }
+      }
+    // record the dim pins AFTER the state commit (a crash between the
+    // two re-runs as a redundant rebuild next refresh — never stale)
+    if (dims.nonEmpty && dimVs.exists { case (x, v) =>
+        recordedDimVersion(mvRoot, x.root) != v })
+      TableFormat.setProps(mvRoot,
+        dimVs.map { case (x, v) => propDimV(x.root) -> v.toString }.toMap)
+    math.max(version, TableFormat.latestVersion(mvRoot))
   }
 
   private def hasState(mvRoot: String, from: Int): Boolean = {
@@ -265,12 +358,15 @@ object MatView {
   def follow(spark: SparkSession, mvRoot: String, keyCol: String,
              checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val MvDef(source, groupCols, aggs, _) = definition(mvRoot)
+    val MvDef(source, groupCols, aggs, _, dims) = definition(mvRoot)
     require(aggs.forall(a => Retractable(a.fn)),
       s"view at $mvRoot carries non-retractable aggregates (min/max/" +
         "approx_count_distinct) — a stream batch cannot pin the source " +
         "head their delete handling needs; maintain it with " +
         "MatView.refresh")
+    require(dims.isEmpty,
+      s"view at $mvRoot joins dimensions — a stream cannot observe dim " +
+        "movement (the rebuild trigger); maintain it with MatView.refresh")
     // seed the stream at the view's refresh marker: the creation
     // refresh already folded the snapshot through that version, so the
     // stream must deliver strictly-later changes, not the initial
@@ -457,12 +553,10 @@ object MatView {
     * the changed groups' rows, never the table. Groups that died are
     * absent here and handled by the caller's key mask.
     */
-  private def recomputedState(spark: SparkSession, source: String,
-      to: Int, groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame,
-      where: Option[String]): DataFrame = {
+  private def recomputedState(spark: SparkSession, head: DataFrame,
+      groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame)
+      : DataFrame = {
     val affected = signed.select(groupCols.map(col): _*).distinct()
-    val head0 = TableFormat.readSnapshot(spark, source, to)
-    val head = where.map(w => head0.filter(expr(w))).getOrElse(head0)
     head.join(affected, groupCols, "left_semi")
       .groupBy(groupCols.map(col): _*)
       .agg(stateAggs(aggs).head, stateAggs(aggs).tail: _*)
@@ -478,7 +572,7 @@ object MatView {
     * count guard, matching SQL aggregate semantics exactly).
     */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
-    val MvDef(_, groupCols, aggs, _) = definition(mvRoot)
+    val MvDef(_, groupCols, aggs, _, _) = definition(mvRoot)
     val state = TableFormat.readSnapshot(spark, mvRoot)
     val outs = aggs.map { a =>
       a.fn match {
@@ -508,14 +602,15 @@ object MatView {
     * incremental == recompute end-to-end through the change window.
     */
   private val mvCache = TrieMap.empty[(SparkSession, String),
-    (String, String, String, String, String)]
+    (String, String, String, String, String, String)]
 
   private def landedMv(s: SparkSession, dir: String)
-      : (String, String, String, String, String) =
+      : (String, String, String, String, String, String) =
     mvCache.getOrElseUpdate((s, dir), {
       val src = Files.createTempDirectory("graft_mv_src").toString
       val orders = Sources.table(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+          "o_custkey")
       val hi = orders.agg(max("o_orderkey")).head.getLong(0)
       TableFormat.append(orders.filter(col("o_orderkey") % 2 === 1), src,
         statsCol = Some("o_orderkey"))
@@ -538,6 +633,23 @@ object MatView {
         MvAgg("count_star", "*", "n"),
         MvAgg("sum", "o_orderkey % 100", "sum_mod")),
         where = Some("o_orderstatus <> 'O'"))
+      // star-join view: orders ⋈ customer ⋈ nation, rolled up by nation
+      // — the dims land ONCE as format tables and never move, so every
+      // later refresh takes the fact-delta path against their pins
+      val custD = Files.createTempDirectory("graft_mv_dim_cust").toString
+      TableFormat.append(Sources.table(s, dir, "customer")
+        .select("c_custkey", "c_nationkey"), custD,
+        statsCol = Some("c_custkey"))
+      val natD = Files.createTempDirectory("graft_mv_dim_nat").toString
+      TableFormat.append(Sources.table(s, dir, "nation")
+        .select("n_nationkey", "n_name"), natD,
+        statsCol = Some("n_nationkey"))
+      val jv = Files.createTempDirectory("graft_mv_view_join").toString
+      create(s, jv, src, Seq("n_name"), Seq(
+        MvAgg("count_star", "*", "n"),
+        MvAgg("sum", "o_orderkey % 1000", "sum_mod")),
+        dims = Seq(MvDim(custD, "o_custkey", "c_custkey"),
+          MvDim(natD, "c_nationkey", "n_nationkey")))
       TableFormat.append(orders.filter(col("o_orderkey") % 2 === 0), src,
         statsCol = Some("o_orderkey"))
       refresh(s, nv) // append-only window: the register-MERGE path
@@ -546,22 +658,24 @@ object MatView {
         "o_orderkey")
       TableFormat.append(orders.filter(col("o_orderkey") % 97 === 0)
         .select((col("o_orderkey") + hi + 1).as("o_orderkey"),
-          lit("N").as("o_orderstatus"), col("o_orderpriority")), src,
+          lit("N").as("o_orderstatus"), col("o_orderpriority"),
+          col("o_custkey")), src,
         statsCol = Some("o_orderkey"))
       refresh(s, mv)
       refresh(s, mm)
       refresh(s, nv) // window with drops: the recompute path
       refresh(s, fl)
-      (src, mv, mm, nv, fl)
+      refresh(s, jv) // dims unmoved: the fact-delta path through joins
+      (src, mv, mm, nv, fl, jv)
     })
 
   private def qMvIncremental(s: SparkSession, dir: String): DataFrame = {
-    val (_, mv, _, _, _) = landedMv(s, dir)
+    val (_, mv, _, _, _, _) = landedMv(s, dir)
     read(s, mv).orderBy("o_orderstatus")
   }
 
   private def qMvMinmax(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, mm, _, _) = landedMv(s, dir)
+    val (_, _, mm, _, _, _) = landedMv(s, dir)
     read(s, mm).orderBy("o_orderstatus", "o_orderpriority")
   }
 
@@ -572,7 +686,7 @@ object MatView {
     * (append-only merge window, then a window with drops).
     */
   private def qMvNdv(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, nv, _) = landedMv(s, dir)
+    val (_, _, _, nv, _, _) = landedMv(s, dir)
     read(s, nv).orderBy("o_orderstatus")
   }
 
@@ -582,8 +696,17 @@ object MatView {
     * rows), and the oracle restates filter + expression declaratively.
     */
   private def qMvFiltered(s: SparkSession, dir: String): DataFrame = {
-    val (_, _, _, _, fl) = landedMv(s, dir)
+    val (_, _, _, _, fl, _) = landedMv(s, dir)
     read(s, fl).orderBy("o_orderpriority")
+  }
+
+  /** Star-join view maintained from fact deltas against pinned dims —
+    * the oracle restates the join + rollup declaratively over the
+    * fixture's key arithmetic.
+    */
+  private def qMvJoin(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, _, _, _, jv) = landedMv(s, dir)
+    read(s, jv).orderBy("n_name")
   }
 
   /** The same lifecycle driven ENTIRELY through SQL: CREATE
@@ -623,6 +746,7 @@ object MatView {
       "q_mv_minmax" -> qMvMinmax,
       "q_mv_ndv" -> qMvNdv,
       "q_mv_filtered" -> qMvFiltered,
+      "q_mv_join" -> qMvJoin,
       "q_mv_sql" -> qMvSql)
 
   val oracleSql: Map[String, String] = Map(
@@ -652,6 +776,20 @@ object MatView {
         |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sum_mod
         |FROM eff WHERE o_orderstatus <> 'O'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_mv_join" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
+        |eff AS (
+        |  SELECT o_orderkey, o_custkey FROM orders
+        |  WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, o_custkey FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT n_name, count(*) AS n,
+        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS sum_mod
+        |FROM eff
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_mv_minmax" ->
       """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
         |eff AS (

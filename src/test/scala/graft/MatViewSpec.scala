@@ -270,6 +270,69 @@ class MatViewSpec extends TestSpark {
       sortedRows(MatView.read(spark, mv).select("g", "n")))
   }
 
+  test("join views: fact deltas refresh incrementally; a moved dim rebuilds") {
+    import spark.implicits._
+    import graft.io.MvDim
+    val fact = fresh("jfact")
+    val dim = fresh("jdim")
+    TableFormat.append(Seq((10L, "r1"), (20L, "r2"))
+      .toDF("d_id", "d_name"), dim, statsCol = Some("d_id"))
+    TableFormat.append((1L to 30L).map(k => (k, if (k % 2 == 0) 10L
+      else 20L, k * 3)).toDF("k", "fk", "x"), fact, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
+    val mv = fresh("jview")
+    MatView.create(spark, mv, fact, Seq("d_name"), aggs,
+      dims = Seq(MvDim(dim, "fk", "d_id")))
+    def truth(): Seq[String] =
+      sortedRows(TableFormat.readSnapshot(spark, fact)
+        .join(TableFormat.readSnapshot(spark, dim),
+          col("fk") === col("d_id")).drop("d_id")
+        .groupBy("d_name")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "initial join materialization")
+    // fact-only movement: the incremental path, dims pinned
+    val vBefore = TableFormat.latestVersion(mv)
+    TableFormat.append(Seq((31L, 10L, 1L), (32L, 20L, 2L))
+      .toDF("k", "fk", "x"), fact, statsCol = Some("k"))
+    TableFormat.deleteKeysMor(spark, fact, Seq(2L, 4L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "join view after fact delta")
+    // dims unmoved → no rebuild happened: exactly ONE state commit
+    // landed (plus no dim-pin commit, the pins were already current)
+    assert(TableFormat.latestVersion(mv) === vBefore + 1,
+      "a fact-only window must not trigger the rebuild path")
+    // a MOVED dim (rename r1 → R1) re-attributes every r1-joined row:
+    // refresh detects the pin mismatch and rebuilds — without a fact
+    // commit at all
+    TableFormat.updateWhere(spark, dim, col("d_id") === 10L,
+      Seq("d_name" -> lit("R1")), statsCol = Some("d_id"))
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "join view after a dim UPDATE (rebuild path)")
+    assert(MatView.read(spark, mv).filter(col("d_name") === "R1")
+      .count() === 1, "the renamed group must appear under its new name")
+    // replay: nothing moved → no commit
+    val v2 = TableFormat.latestVersion(mv)
+    MatView.refresh(spark, mv)
+    assert(TableFormat.latestVersion(mv) === v2)
+    // a dim-joined view refuses to follow a stream, naming refresh
+    val e = intercept[IllegalArgumentException] {
+      MatView.follow(spark, mv, "k", fresh("jckpt"))
+    }
+    assert(e.getMessage.contains("dim"))
+    // SQL round trip with a JOIN clause
+    val sqlMv = fresh("jsql")
+    spark.sql(s"""CREATE MATERIALIZED VIEW '$sqlMv' AS
+      SELECT d_name, count(*) AS n FROM '$fact'
+      JOIN '$dim' ON fk = d_id GROUP BY d_name""")
+    assert(MatView.definition(sqlMv).dims ===
+      Seq(MvDim(dim, "fk", "d_id")))
+    assert(sortedRows(MatView.read(spark, sqlMv)) ===
+      sortedRows(MatView.read(spark, mv).select("d_name", "n")))
+  }
+
   test("approx-distinct views: register-merge on appends, recompute on drops") {
     import spark.implicits._
     val src = fresh("ndsrc")
