@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatisti
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType}
 
 /** Feed the optimizer's COST MODEL from the manifest — the missing half
   * of `ANALYZE TABLE`: a manifest-backed relation already KNOWS its row
@@ -23,9 +23,11 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *   - row count only when every entry has an account and none is
   *     dv-masked ([[ManifestFileIndex.metadataRowCount]]'s contract);
   *   - per-column NDV only when every entry is dv-free and carries a
-  *     sketch for the column; min/max only from complete long-domain
-  *     bounds on integral columns (strings may be truncated in footer
-  *     stats; dates skipped pending an external-form round-trip spec).
+  *     sketch for the column; min/max only from complete bounds in the
+  *     column's own domain — integral columns off long bounds, date
+  *     columns off epoch-day bounds rendered in the catalog's ISO
+  *     external form (round-trip spec-pinned); strings decline (footer
+  *     stats may be truncated).
   *   - estimates feed PLANNING only — no correctness path reads them.
   *
   * Registered via `injectPreCBORule` ([[graft.GraftExtensions]]) so it
@@ -83,6 +85,17 @@ object GraftManifestStats extends Rule[LogicalPlan] {
           val bs = m.entries.map(_.bounds(a.name))
           (Some(bs.map(_.lo.toLong).min.toString),
             Some(bs.map(_.hi.toLong).max.toString))
+        } else if (a.dataType == DateType && m.entries.nonEmpty &&
+            m.entries.forall(
+              _.bounds.get(a.name).exists(_.typ == "date"))) {
+          // zone maps hold epoch days; the catalog's external form is
+          // the ISO date string (CatalogColumnStat.fromExternalString
+          // parses it back to days) — round-trip spec-pinned
+          val bs = m.entries.map(_.bounds(a.name))
+          (Some(java.time.LocalDate.ofEpochDay(bs.map(_.lo.toLong).min)
+            .toString),
+            Some(java.time.LocalDate.ofEpochDay(bs.map(_.hi.toLong).max)
+              .toString))
         } else (None, None)
       if (ndv.isEmpty && lo.isEmpty) None
       else Some(a.name -> CatalogColumnStat(distinctCount = ndv,

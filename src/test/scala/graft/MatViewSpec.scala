@@ -415,6 +415,45 @@ class MatViewSpec extends TestSpark {
     } finally q2.stop()
   }
 
+  test("the state merge reads only dirs whose key bounds cover the delta") {
+    import spark.implicits._
+    val src = fresh("prsrc")
+    val mv = fresh("prview")
+    // many groups so the view itself spans a key range worth pruning
+    TableFormat.append((1L to 4000L).map(k => (k, s"g${"%04d".format(k % 400)}"))
+      .toDF("k", "g"), src, statsCol = Some("k"))
+    MatView.create(spark, mv, src, Seq("g"),
+      Seq(MvAgg("count_star", "*", "n")))
+    // lay the view out in key ranges so bounds are disjoint per dir
+    TableFormat.compactRanged(spark, mv, MatView.KeyCol, 8)
+    // a refresh window touching ONE group must read a strict subset of
+    // the view's files for its standing-state side
+    TableFormat.append(Seq((9001L, "g0007")).toDF("k", "g"), src,
+      statsCol = Some("k"))
+    val keys = Seq(("g0007")).toDF("g")
+      .select(concat(lit(""), base64(encode(col("g").cast("string"),
+        "UTF-8"))).as(MatView.KeyCol))
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect() // execute THIS QueryExecution so its metrics fill
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (nTouched, nAll) =
+      try (filesRead(
+        TableFormat.readTouched(spark, mv, keys, MatView.KeyCol)),
+        filesRead(TableFormat.readSnapshot(spark, mv)))
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(nTouched < nAll,
+      s"point merge read $nTouched of $nAll view files — bounds did " +
+        "not prune")
+    // and the refresh built on it stays exact
+    MatView.refresh(spark, mv)
+    assert(MatView.read(spark, mv).filter(col("g") === "g0007")
+      .head.getLong(1) === 11L) // 10 original ks (k%400==7) + the new one
+  }
+
   test("table properties: carried by every commit, settable on a fresh root") {
     import spark.implicits._
     val root = fresh("props")

@@ -149,6 +149,21 @@ class NdvStatsSpec extends TestSpark {
       assert(kStats.flatMap(_.min).contains(1L) &&
         kStats.flatMap(_.max).contains(4000L),
         s"plan min/max should come from the zone maps, got $kStats")
+      // DATE bounds round-trip through the catalog's ISO external form
+      // back to epoch days in the plan stats
+      val dated = fresh()
+      TableFormat.append(spark.range(1, 31)
+        .selectExpr("id AS k", "date_add(date'2024-03-01', " +
+          "CAST(id AS INT)) AS d"), dated, statsCols = Seq("d"))
+      TableFormat.registerSql(spark, dated, "graft_cbo_dated")
+      val dStats = spark.table("graft_cbo_dated")
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "d").map(_._2)
+      val lo = java.time.LocalDate.parse("2024-03-02").toEpochDay.toInt
+      val hi = java.time.LocalDate.parse("2024-03-31").toEpochDay.toInt
+      assert(dStats.flatMap(_.min).contains(lo) &&
+        dStats.flatMap(_.max).contains(hi),
+        s"date bounds should round-trip to epoch days, got $dStats")
       // join-reorder restructures a worst-practice syntactic order off
       // the manifest stats alone (fact ⋈ fact-sized self first, 7-row
       // dim last) — the CboReorderSpec scenario with ZERO stats scans
