@@ -265,9 +265,14 @@ object MatView {
       }
     // the predicate applies to BOTH window sides (after the dim join —
     // it may reference dim columns): a row entering the filter
-    // contributes only its +1 image, one leaving only its −1
+    // contributes only its +1 image, one leaving only its −1. A source
+    // that is itself a VIEW finalizes first, so cascades consume
+    // user-visible rows, never raw state.
+    val srcView = sourceView(source)
     def prepared(df: DataFrame): DataFrame = {
-      val joined = joinDims(df)
+      val vised = srcView
+        .map(sd => finalizeFrame(sd.groupCols, sd.aggs, df)).getOrElse(df)
+      val joined = joinDims(vised)
       where.map(w => joined.filter(expr(w))).getOrElse(joined)
     }
 
@@ -367,6 +372,10 @@ object MatView {
     require(dims.isEmpty,
       s"view at $mvRoot joins dimensions — a stream cannot observe dim " +
         "movement (the rebuild trigger); maintain it with MatView.refresh")
+    require(sourceView(source).isEmpty,
+      s"view at $mvRoot cascades from another view — follow the BASE " +
+        "table and refresh this one after the parent (the cdc feed " +
+        "would deliver raw state rows)")
     // seed the stream at the view's refresh marker: the creation
     // refresh already folded the snapshot through that version, so the
     // stream must deliver strictly-later changes, not the initial
@@ -573,7 +582,18 @@ object MatView {
     */
   def read(spark: SparkSession, mvRoot: String): DataFrame = {
     val MvDef(_, groupCols, aggs, _, _) = definition(mvRoot)
-    val state = TableFormat.readSnapshot(spark, mvRoot)
+    finalizeFrame(groupCols, aggs, TableFormat.readSnapshot(spark, mvRoot))
+  }
+
+  /** State rows → the user-visible frame — shared by [[read]] and the
+    * CASCADE path (a view whose source is ITSELF a view consumes the
+    * parent's change window through this projection: state rows are
+    * one-per-group, so adding/dropping a state row IS adding/dropping
+    * exactly one finalized row — the multiset delta survives the
+    * projection untouched).
+    */
+  private def finalizeFrame(groupCols: Seq[String], aggs: Seq[MvAgg],
+      state: DataFrame): DataFrame = {
     val outs = aggs.map { a =>
       a.fn match {
         case "count_star" => col(NCol).as(a.out)
@@ -590,6 +610,16 @@ object MatView {
     }
     state.select(groupCols.map(col) ++ outs: _*)
   }
+
+  /** The parent-view finalize projection when `source` is itself a
+    * materialized view, identity otherwise — how every source read in
+    * [[refresh]] sees finalized rows, making view-over-view cascades
+    * (daily → monthly rollups) just work.
+    */
+  private def sourceView(source: String): Option[MvDef] =
+    if (TableFormat.tableProps(source).contains(PropSource))
+      Some(definition(source))
+    else None
 
   // ------------------------------------------------- fixtures + queries
 
