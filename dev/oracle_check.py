@@ -62,6 +62,18 @@ def main():
             print(f"FAIL {name}: columns spark={spark_cols} duck={duck_cols}")
             n_fail += 1
             continue
+        # Result TYPES must agree too: the driver's hash serializes values,
+        # so e.g. DuckDB summing ints into HUGEINT vs Spark's int64 hash-
+        # mismatches even when Python-level == compares equal (the exact
+        # mode that shipped q_tpch_q12 red in round 16).
+        spark_types = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        duck_types = dict(zip(duck_rel.columns, (str(t) for t in duck_rel.types)))
+        type_diff = {c: (spark_types[c], duck_types[c]) for c in spark_cols
+                     if spark_types[c] != duck_types[c]}
+        if type_diff:
+            print(f"FAIL {name}: result types differ (spark, duck): {type_diff}")
+            n_fail += 1
+            continue
         if len(spark_rows) != len(duck_rows):
             print(f"FAIL {name}: rowcount spark={len(spark_rows)} duck={len(duck_rows)}")
             n_fail += 1

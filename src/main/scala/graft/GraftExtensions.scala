@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DataSourceAnalysis would write raw parquet into the table root,
     // outside any snapshot (graft.io.GraftDmlRule)
     ext.injectResolutionRule(_ => new graft.io.GraftDmlRule)
+    // dv-bearing snapshots through the plain catalog relation: the
+    // provider lands them mask-pending, this rule swaps in the
+    // composed masked plan (pruned scans + broadcast anti-join) —
+    // without it a SELECT over a MOR-deleted table fails loudly at
+    // listing, never silently unmasked (graft.io.GraftDvMaskRule)
+    ext.injectResolutionRule(s => new graft.io.GraftDvMaskRule(s))
     // VERSION AS OF / TIMESTAMP AS OF over format-backed catalog
     // tables — Spark's analyzer only supports the syntax for v2
     // catalogs, and its own ResolveRelations THROWS on a v1 table's

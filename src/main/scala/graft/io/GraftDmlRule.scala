@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable}
@@ -147,17 +147,36 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         }
       case mt: MergeIntoTable
           if mt.targetTable.resolved && mt.sourceTable.resolved &&
-            mt.mergeCondition.resolved =>
+            mt.mergeCondition.resolved &&
+            (mt.matchedActions ++ mt.notMatchedActions)
+              .forall(actionResolved) =>
         dmlTarget(mt.targetTable) match {
           case Some((root, opts, ident)) => rewriteMerge(mt, root, opts, ident)
           case None => mt
         }
     }
 
-  /** The three supported MERGE shapes → one command; everything else
-    * refuses with the staging escape hatch named. Star actions are
-    * accepted both raw and in the analyzer's identity expansion (the
-    * fixed point may hand us either).
+  /** Wait for every clause's condition and assignments to resolve
+    * before intercepting — the analyzer's fixed point may hand us the
+    * statement mid-resolution.
+    */
+  private def actionResolved(
+      a: org.apache.spark.sql.catalyst.plans.logical.MergeAction)
+      : Boolean =
+    a.condition.forall(_.resolved) && (a match {
+      case u: UpdateAction =>
+        u.assignments.forall(x => x.key.resolved && x.value.resolved)
+      case i: InsertAction =>
+        i.assignments.forall(x => x.key.resolved && x.value.resolved)
+      case _ => true
+    })
+
+  /** The three STAR MERGE shapes → the key-anchored fast command
+    * ([[MergeIntoGraftTableCommand]]); anything else that is still a
+    * conditional/column-level row-level merge → the general
+    * CASE-projected command ([[MergeIntoGraftTableCondCommand]]).
+    * Star actions are accepted both raw and in the analyzer's identity
+    * expansion (the fixed point may hand us either).
     */
   private def rewriteMerge(mt: MergeIntoTable, root: String,
       opts: Map[String, String],
@@ -170,6 +189,9 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         "other shapes")
     require(mt.notMatchedBySourceActions.isEmpty,
       "graft-table MERGE does not support WHEN NOT MATCHED BY SOURCE")
+    require(!mt.withSchemaEvolution,
+      "graft-table MERGE does not support WITH SCHEMA EVOLUTION — " +
+        "schema widening happens on append")
     val tOut = mt.targetTable.outputSet
     val sOut = mt.sourceTable.outputSet
     // the analyzer wraps both the ON keys and the `SET *` expansion in
@@ -206,27 +228,90 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       pairs.length == assigns.length && pairs.toSet == targetCols.toSet
     }
     val matched = mt.matchedActions match {
-      case Seq() => "none"
-      case Seq(UpdateStarAction(None)) => "update"
-      case Seq(UpdateAction(None, _, true)) => "update" // analyzer: SET *
-      case Seq(UpdateAction(None, as, _)) if isIdentity(as) => "update"
-      case Seq(DeleteAction(None)) => "delete"
-      case other => refuse(s"unsupported matched actions: $other")
+      case Seq() => Some("none")
+      case Seq(UpdateStarAction(None)) => Some("update")
+      case Seq(UpdateAction(None, _, true)) => Some("update") // analyzer: SET *
+      case Seq(UpdateAction(None, as, _)) if isIdentity(as) => Some("update")
+      case Seq(DeleteAction(None)) => Some("delete")
+      case _ => None
     }
     val notMatched = mt.notMatchedActions match {
-      case Seq() => "none"
-      case Seq(InsertStarAction(None)) => "insert"
-      case Seq(InsertAction(None, as)) if isIdentity(as) => "insert"
-      case other => refuse(s"unsupported not-matched actions: $other")
+      case Seq() => Some("none")
+      case Seq(InsertStarAction(None)) => Some("insert")
+      case Seq(InsertAction(None, as)) if isIdentity(as) => Some("insert")
+      case _ => None
     }
-    val action = (matched, notMatched) match {
-      case ("update", "insert") => "upsert"
-      case ("delete", "none") => "delete"
-      case ("none", "insert") => "insert"
-      case other => refuse(s"unsupported action combination $other")
+    val starAction = (matched, notMatched) match {
+      case (Some("update"), Some("insert")) => Some("upsert")
+      case (Some("delete"), Some("none")) => Some("delete")
+      case (Some("none"), Some("insert")) => Some("insert")
+      case _ => None
     }
-    MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
-      action, ident)
+    starAction match {
+      case Some(action) =>
+        MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
+          action, ident)
+      case None => // the general form: conditional / column-level actions
+        condMerge(mt, root, opts, tk, sk, ident, refuse)
+    }
+  }
+
+  /** The GENERAL MERGE shapes — `WHEN MATCHED [AND cond] THEN UPDATE
+    * SET col = expr, …` / `… THEN DELETE` / `WHEN NOT MATCHED [AND
+    * cond] THEN INSERT (cols) VALUES (exprs)`, any number of clauses,
+    * first-match-wins — canonicalized into per-clause (condition,
+    * assignment) lists for [[MergeIntoGraftTableCondCommand]]. Every
+    * expression is re-anchored here, while target/source attr identity
+    * is still known: a target column reference renames to
+    * `__graft_t_<name>` and a source reference to `__graft_s_<name>`
+    * (same exprIds — still resolved for CheckAnalysis), so the command
+    * can rebind them by name over a prefix-renamed join at run time
+    * without ambiguity when both sides share column names.
+    */
+  private def condMerge(mt: MergeIntoTable, root: String,
+      opts: Map[String, String], tk: String, sk: String,
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier],
+      refuse: String => Nothing): LogicalPlan = {
+    val tOut = mt.targetTable.outputSet
+    val sOut = mt.sourceTable.outputSet
+    val srcByName = mt.sourceTable.output
+      .map(a => a.name.toLowerCase -> a).toMap
+    def pfx(e: Expression): Expression = unbind(e).transform {
+      case a: AttributeReference if tOut.contains(a) =>
+        a.withName(GraftDmlRule.TPfx + a.name)
+      case a: AttributeReference if sOut.contains(a) =>
+        a.withName(GraftDmlRule.SPfx + a.name)
+    }
+    def named(k: Expression): String = k match {
+      case at: Attribute => at.name
+      case other => refuse(s"MERGE can only assign top-level target " +
+        s"columns, got ${other.sql}")
+    }
+    def identityAssigns: Seq[(String, Expression)] =
+      mt.targetTable.output.map { t =>
+        val s = srcByName.getOrElse(t.name.toLowerCase, refuse(
+          s"MERGE … SET */INSERT * needs source column '${t.name}'"))
+        t.name -> pfx(s)
+      }
+    val matchedSpecs: Seq[(Option[Expression],
+        Option[Seq[(String, Expression)]])] =
+      mt.matchedActions.map {
+        case DeleteAction(c) => (c.map(pfx), None)
+        case UpdateStarAction(c) => (c.map(pfx), Some(identityAssigns))
+        case UpdateAction(c, as, _) =>
+          (c.map(pfx), Some(as.map(a => named(a.key) -> pfx(a.value))))
+        case other => refuse(s"unsupported matched action: $other")
+      }
+    val notMatchedSpecs: Seq[(Option[Expression],
+        Seq[(String, Expression)])] =
+      mt.notMatchedActions.map {
+        case InsertStarAction(c) => (c.map(pfx), identityAssigns)
+        case InsertAction(c, as) =>
+          (c.map(pfx), as.map(a => named(a.key) -> pfx(a.value)))
+        case other => refuse(s"unsupported not-matched action: $other")
+      }
+    MergeIntoGraftTableCondCommand(root, opts, mt.sourceTable, tk, sk,
+      matchedSpecs, notMatchedSpecs, ident)
   }
 
   private def rewrite(i: InsertIntoStatement, l: LogicalRelation,
@@ -366,6 +451,14 @@ private[graft] case class UpdateGraftTableCommand(root: String,
 }
 
 private[graft] object GraftDmlRule {
+  /** Column-name prefixes a conditional MERGE's run-time join uses to
+    * keep same-named target/source columns apart; clause expressions
+    * are pre-renamed onto them at resolution time, while attr identity
+    * is still known from exprIds.
+    */
+  val TPfx = "__graft_t_"
+  val SPfx = "__graft_s_"
+
   /** Re-anchor a resolved condition/assignment on COLUMN NAMES: the
     * statement's exprIds die with the statement, but the command
     * re-reads the table at run time — names are the stable
@@ -456,6 +549,150 @@ private[graft] case class MergeIntoGraftTableCommand(root: String,
             s"unknown merge action '$other'")
         }
     }
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** The GENERAL `MERGE INTO` — conditional and column-level clauses,
+  * any number, first-match-wins per SQL:
+  *
+  * {{{
+  *   WHEN MATCHED AND t.v < s.v THEN UPDATE SET v = s.v, n = t.n + 1
+  *   WHEN MATCHED AND s.op = 'D' THEN DELETE
+  *   WHEN NOT MATCHED AND s.v > 0 THEN INSERT (k, v) VALUES (s.k, s.v)
+  * }}}
+  *
+  * landed as ONE crash-atomic [[TableFormat.applyDelta]] commit: every
+  * matched row whose first firing clause is update/delete contributes
+  * its key to the merge-on-read MASK, update rows re-land their merged
+  * image (target columns carried, assigned columns CASE-projected on
+  * the firing clause index) and qualifying not-matched source rows land
+  * their insert image in the same appended dir. At scale the join's
+  * target side reads only the dirs whose zone maps / blooms might hold
+  * a source key ([[TableFormat.readTouchedForKeys]] — sound, so the
+  * anti-join for NOT MATCHED over the touched frame equals the
+  * whole-table anti-join), the mask is O(affected keys), and untouched
+  * dirs never rewrite — a trickle of conditional upserts costs the
+  * touched dirs' read plus O(source) writes, never the table.
+  *
+  * SQL conformance notes: a target row matching MORE than one source
+  * row refuses loudly when any matched clause exists (the standard's
+  * cardinality error — applying clauses per pair would update one row
+  * twice); unassigned columns keep the target value on UPDATE and are
+  * NULL on INSERT; clause conditions see both rows (`t.*`, `s.*`);
+  * assigned values cast to the declared column types (a MERGE never
+  * retypes). The table's CHECK constraint probes every introduced row
+  * BEFORE any file lands — same refusal as every built-in landing path.
+  */
+private[graft] case class MergeIntoGraftTableCondCommand(root: String,
+    writeOpts: Map[String, String], source: LogicalPlan,
+    targetKey: String, sourceKey: String,
+    matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+    notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions._
+    import GraftDmlRule.{TPfx, SPfx, rebind}
+    val FireCol = "__graft_fire"
+    val schema = TableFormat.latestSchema(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"MERGE INTO needs an existing committed table at $root"))
+    val fields = schema.fields.toSeq
+    val tk = fields.find(_.name.equalsIgnoreCase(targetKey))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE key '$targetKey' is not a column of $root")).name
+    val src = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, source)
+    require(!src.columns.exists(c =>
+      c.startsWith(TPfx) || c.startsWith(SPfx)),
+      s"MERGE source columns may not start with the reserved $TPfx/$SPfx")
+    val srcP = src.select(src.columns.toSeq.map(c =>
+      col(c).as(SPfx + c)): _*)
+    val keyFrame = src.select(col(sourceKey)
+      .cast(schema(tk).dataType).as(tk))
+    val tgt = TableFormat.readTouchedForKeys(spark, root, keyFrame, tk)
+    val tgtP = tgt.select(tgt.columns.toSeq.map(c =>
+      col(c).as(TPfx + c)): _*)
+    val joinCond = col(TPfx + tk) ===
+      col(SPfx + sourceKey).cast(schema(tk).dataType)
+    def fire(conds: Seq[Option[Expression]]): Column =
+      conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
+        when(c.map(rebind).getOrElse(lit(true)), lit(i)).otherwise(acc)
+      }
+    val statsCols = GraftDmlRule.statsColsOf(writeOpts)
+    val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    var cached: Seq[DataFrame] = Nil
+    try {
+      val (delKeys, updImages) =
+        if (matched.isEmpty) (tgt.select(col(tk)).limit(0), None)
+        else {
+          val pairs = tgtP.join(srcP, joinCond, "inner")
+            .withColumn(FireCol, fire(matched.map(_._1)))
+            .persist()
+          cached :+= pairs
+          // SQL cardinality rule: with matched clauses present, a
+          // target row may match at most one source row
+          val dup = pairs.groupBy(col(TPfx + tk))
+            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+            .limit(1).collect()
+          require(dup.isEmpty,
+            s"MERGE: target key ${dup.headOption.map(_.get(0))} matched " +
+              "more than one source row — deduplicate the source")
+          val fired = pairs.filter(col(FireCol) >= 0)
+          val updIdx = matched.zipWithIndex.collect {
+            case ((_, Some(_)), i) => i
+          }
+          val upd =
+            if (updIdx.isEmpty) None
+            else Some(fired.filter(col(FireCol)
+                .isin(updIdx.map(Int.box): _*))
+              .select(fields.map { f =>
+                val base: Column = col(TPfx + f.name)
+                matched.zipWithIndex.foldRight(base) {
+                  case (((_, Some(as)), i), acc) =>
+                    as.find(_._1.equalsIgnoreCase(f.name)) match {
+                      case Some((_, e)) => when(col(FireCol) === i,
+                        rebind(e).cast(f.dataType)).otherwise(acc)
+                      case None => acc
+                    }
+                  case (_, acc) => acc // DELETE clause: row never lands
+                }.cast(f.dataType).as(f.name)
+              }: _*))
+          (fired.select(col(TPfx + tk).as(tk)), upd)
+        }
+      val insImages =
+        if (notMatched.isEmpty) None
+        else Some(srcP
+          .join(tgtP.select(col(TPfx + tk)), joinCond, "left_anti")
+          .withColumn(FireCol, fire(notMatched.map(_._1)))
+          .filter(col(FireCol) >= 0)
+          .select(fields.map { f =>
+            notMatched.zipWithIndex
+              .foldRight(lit(null).cast(f.dataType): Column) {
+                case (((_, as), i), acc) =>
+                  as.find(_._1.equalsIgnoreCase(f.name)) match {
+                    case Some((_, e)) => when(col(FireCol) === i,
+                      rebind(e).cast(f.dataType)).otherwise(acc)
+                    case None => acc
+                  }
+              }.cast(f.dataType).as(f.name)
+          }: _*))
+      val appends = (updImages.toSeq ++ insImages.toSeq) match {
+        case Seq() => tgt.limit(0)
+        case imgs =>
+          val u = imgs.reduce(_ unionByName _).persist()
+          cached :+= u
+          u
+      }
+      TableFormat.enforceCheckFor(appends, root)
+      TableFormat.applyDelta(spark, root, delKeys, tk, appends,
+        statsCols = statsCols, bloomCol = bloomCol)
+    } finally cached.foreach(_.unpersist())
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

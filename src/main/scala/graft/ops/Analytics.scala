@@ -868,10 +868,10 @@ object Analytics {
         |ORDER BY value DESC, l_partkey""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_returnflag,
-        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS high_line_count,
-        |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-        |      THEN 1 ELSE 0 END) AS low_line_count
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         |FROM orders, lineitem
         |WHERE o_orderkey = l_orderkey
         |  AND l_shipdate >= TIMESTAMP '1996-01-01'

@@ -108,6 +108,75 @@ class MatViewSpec extends TestSpark {
       "min/max after extremum deletion")
   }
 
+  test("NULL-keyed groups materialize and maintain in min/max views") {
+    // round-16 ADVICE (high): the affected-group recompute semi-joined
+    // on raw group columns (null-unsafe equality) while the delete mask
+    // keyed on the '∅' string — a NULL-keyed group silently vanished
+    // from min/max views. GROUP BY semantics demand it behave like any
+    // other group.
+    import spark.implicits._
+    val src = fresh("nullsrc")
+    val mv = fresh("nullview")
+    def df(rows: Seq[(Long, Option[String], Long)]) =
+      rows.toDF("k", "g", "x")
+    TableFormat.append(df(Seq((1L, Some("a"), 10L), (2L, None, 20L),
+      (3L, None, 30L))), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("min", "x", "mn"), MvAgg("max", "x", "mx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+      "NULL group at creation")
+    // delete the NULL group's max and append into it: exactly the
+    // affected-group recompute path
+    TableFormat.deleteKeysMor(spark, src, Seq(3L).toDF("k"), "k")
+    TableFormat.append(df(Seq((4L, None, 5L))), src, statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+      "NULL group across extremum deletion + append")
+    val nullRow = MatView.read(spark, mv).filter(col("g").isNull).collect()
+    assert(nullRow.length === 1 && nullRow.head.getLong(2) === 5L &&
+      nullRow.head.getLong(3) === 20L,
+      s"NULL group min/max drifted: ${nullRow.toSeq}")
+    // kill the NULL group entirely: its row must drop like any other
+    TableFormat.deleteKeysMor(spark, src, Seq(2L, 4L).toDF("k"), "k")
+    MatView.refresh(spark, mv)
+    assert(MatView.read(spark, mv).filter(col("g").isNull).isEmpty,
+      "dead NULL group must drop out of the view")
+  }
+
+  test("batch refresh after a follower reconciles by rebuild, never double-applies") {
+    // round-16 ADVICE #4: the two maintainers track different
+    // high-water marks (follower batch ids vs source versions);
+    // interleaving used to double-apply windows silently
+    import spark.implicits._
+    val src = fresh("ilsrc")
+    val mv = fresh("ilview")
+    TableFormat.append(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "g", "x"), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    val q = MatView.follow(spark, mv, "k", fresh("ilckpt"))
+    try {
+      TableFormat.append(Seq((3L, "a", 5L)).toDF("k", "g", "x"), src,
+        statsCol = Some("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the follower folded v1; refresh's own marker still says v0 — a
+    // naive incremental refresh would re-apply (3, a, 5)
+    TableFormat.append(Seq((4L, "c", 7L)).toDF("k", "g", "x"), src,
+      statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+      "refresh over a followed view must reconcile, not double-apply")
+    // subsequent refreshes resume INCREMENTALLY (the reconciliation is
+    // recorded; no endless rebuild): same equality after one more delta
+    TableFormat.append(Seq((5L, "a", 2L)).toDF("k", "g", "x"), src,
+      statsCol = Some("k"))
+    MatView.refresh(spark, mv)
+    assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+      "incremental refresh after the reconciliation")
+  }
+
   test("group death drops the row; birth creates it; all-null sum is NULL") {
     import spark.implicits._
     val src = fresh("dbsrc")

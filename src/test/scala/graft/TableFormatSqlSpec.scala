@@ -149,18 +149,118 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
-  test("the one-relation provider refuses a dv-bearing snapshot loudly") {
+  test("the one-relation doorway serves a dv-bearing snapshot MASKED") {
+    // round-16 VERDICT #4: a MOR-deleted table used to refuse the plain
+    // relation; now the provider lands it mask-pending and the injected
+    // GraftDvMaskRule substitutes the composed masked plan
     import spark.implicits._
     val root = freshRoot()
     TableFormat.append((0L until 50L).map(k => (k, s"a$k")).toDF("k", "s"),
       root, statsCol = Some("k"))
     TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
-    val e = intercept[IllegalArgumentException] {
-      spark.read.format(Provider).load(root).collect()
-    }
+    val got = spark.read.format(Provider).load(root)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 50L).toSet - 5L,
+      "one-relation read over a dv head must be masked")
+  }
+
+  test("a mask-pending index that escapes the rule fails LOUDLY at listing") {
+    // the soundness net: without the injected rule (extensions absent)
+    // a dv-bearing relation must never list files — silent unmasked
+    // reads are the one unacceptable failure mode
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 10L).map(k => (k, s"a$k")).toDF("k", "s"),
+      root, statsCol = Some("k"))
+    TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
+    val m = TableFormat.readManifestFull(root,
+      TableFormat.latestVersion(root))
+    val idx = new graft.io.ManifestFileIndex(spark, root, m.entries,
+      maskPending = true)
+    val e = intercept[IllegalArgumentException] { idx.listFiles(Nil, Nil) }
     assert(e.getMessage.contains("deletion vectors") &&
-      e.getMessage.contains("readSnapshotSql"),
-      s"dv refusal must name the escape hatches: ${e.getMessage}")
+      e.getMessage.contains("GraftExtensions"),
+      s"poisoned listing must name the recovery: ${e.getMessage}")
+  }
+
+  test("a dv-bearing head reads through the catalog relation, masked and pruned") {
+    import spark.implicits._
+    val base = freshRoot()
+    val root = s"$base/t"
+    spark.sql("DROP TABLE IF EXISTS graft_dvsel")
+    spark.sql(s"""CREATE TABLE graft_dvsel (k BIGINT, s STRING)
+      USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
+    spark.sql("""INSERT INTO graft_dvsel
+      SELECT id, concat('s', id) FROM range(0, 100)""")
+    spark.sql("""INSERT INTO graft_dvsel
+      SELECT id, concat('s', id) FROM range(100, 200)""")
+    TableFormat.deleteKeysMor(spark, root, Seq(5L, 150L).toDF("k"), "k")
+    spark.catalog.refreshTable("graft_dvsel")
+    try withStaticPlans {
+      val (rows, files) = runAndFiles(
+        spark.sql("SELECT k FROM graft_dvsel WHERE k <= 99"))
+      assert(rows.map(_.getLong(0)).toSet === (0L until 100L).toSet - 5L,
+        "catalog SELECT over a dv head must be masked")
+      // pruning survives the mask composition: the upper dir never reads
+      val kept = TableFormat.prunedDirs(root,
+        TableFormat.latestVersion(root),
+        Seq(("k", Long.box(Long.MinValue), Long.box(99L))))
+      assert(kept.size === 1)
+      assert(files === filesUnder(kept),
+        "masked catalog read did not prune at the manifest level")
+      // row-level DML still resolves against the same (dv-bearing) table
+      spark.sql("DELETE FROM graft_dvsel WHERE k = 7")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_dvsel WHERE k < 100")
+        .collect()(0).getLong(0) === 98)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dvsel")
+  }
+
+  test("conditional MERGE lands column-level update/delete/insert in ONE commit") {
+    import spark.implicits._
+    val base = freshRoot()
+    val root = s"$base/t"
+    spark.sql("DROP TABLE IF EXISTS graft_mrgc")
+    spark.sql(s"""CREATE TABLE graft_mrgc (k BIGINT, s STRING, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
+    spark.sql(
+      "INSERT INTO graft_mrgc VALUES (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40)")
+    val v0 = TableFormat.latestVersion(root)
+    Seq((1L, "up", 5L), (2L, "del", 0L), (4L, "noop", 0L),
+      (5L, "ins", 50L), (6L, "skip", 60L))
+      .toDF("k", "op", "nv").createOrReplaceTempView("graft_mrgc_src")
+    try {
+      spark.sql(
+        """MERGE INTO graft_mrgc t USING graft_mrgc_src s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'del' THEN DELETE
+          |WHEN MATCHED AND s.op IN ('up', 'del') THEN
+          |  UPDATE SET v = t.v + s.nv, s = concat(t.s, '!')
+          |WHEN NOT MATCHED AND s.op = 'ins' THEN
+          |  INSERT (k, s, v) VALUES (s.k, 'new', s.nv)""".stripMargin)
+      assert(TableFormat.latestVersion(root) === v0 + 1,
+        "conditional MERGE must land as ONE applyDelta commit")
+      val got = spark.sql("SELECT k, s, v FROM graft_mrgc ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      // k=2: DELETE fires FIRST even though the update condition also
+      // holds (first-match-wins); k=4 matched, no clause fires → carried;
+      // k=6 unmatched, insert condition false → dropped
+      assert(got === Seq((1L, "a!", 15L), (3L, "c", 30L),
+        (4L, "d", 40L), (5L, "new", 50L)))
+      // SQL cardinality rule: duplicate source keys refuse loudly
+      Seq((1L, "up", 5L), (1L, "up", 6L)).toDF("k", "op", "nv")
+        .createOrReplaceTempView("graft_mrgc_dup")
+      val e = intercept[Exception] {
+        spark.sql(
+          """MERGE INTO graft_mrgc t USING graft_mrgc_dup s ON t.k = s.k
+            |WHEN MATCHED AND s.op = 'up' THEN UPDATE SET v = s.nv
+            |""".stripMargin)
+      }
+      assert(String.valueOf(e.getMessage).contains("more than one") ||
+        Option(e.getCause).exists(c =>
+          String.valueOf(c.getMessage).contains("more than one")),
+        s"duplicate-source MERGE must refuse: ${e.getMessage}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mrgc")
   }
 
   test("versionAsOf time-travels the format load") {
@@ -669,16 +769,26 @@ class TableFormatSqlSpec extends TestSpark {
         "insert-only MERGE overwrote a matched row")
       assert(spark.sql("SELECT s FROM graft_mrg WHERE k = 100")
         .collect()(0).getString(0) === "new")
-      // outside the supported shapes → loud refusal with the escape
-      // hatch named, never a silently-wrong merge
+      // column-level matched UPDATE — a refusal through round 16, now
+      // the general conditional-merge path (one applyDelta commit)
+      spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'only'""")
+      assert(spark.sql(
+        "SELECT s FROM graft_mrg WHERE k IN (3, 100) ORDER BY k")
+        .collect().map(_.getString(0)).toSeq === Seq("only", "only"))
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrg")
+        .collect()(0).getLong(0) === 58,
+        "column-level UPDATE must not change cardinality")
+      // the still-unsupported clause refuses loudly
       val e = intercept[Exception] {
         spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
-          ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'only'""")
+          ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'x'
+          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
       }
-      assert(String.valueOf(e.getMessage).contains("MERGE supports") ||
+      assert(String.valueOf(e.getMessage).contains("NOT MATCHED BY SOURCE") ||
         Option(e.getCause).exists(c =>
-          String.valueOf(c.getMessage).contains("MERGE supports")),
-        s"unsupported merge shape must refuse loudly: $e")
+          String.valueOf(c.getMessage).contains("NOT MATCHED BY SOURCE")),
+        s"unsupported merge clause must refuse loudly: $e")
     } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
   }
 
@@ -811,13 +921,36 @@ class TableFormatSqlSpec extends TestSpark {
             ON t.k = src.k
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED THEN INSERT *""")
+        } else { // CONDITIONAL merge: first-match-wins decision table
+          val keys = (0 until 2 + rnd.nextInt(5))
+            .map(_ => rnd.nextInt(95).toLong).distinct
+          val thr = rnd.nextInt(10).toLong
+          val vals = keys.map(k => s"($k, ${k % 11})").mkString(", ")
+          model = model.flatMap {
+            case (k, (s0, v0)) if keys.contains(k) =>
+              val d = k % 11
+              if (d < thr) None // DELETE clause fires first
+              else if (v0 % 2 == 0) Some(k -> ((s0 + "?", v0 + d)))
+              else Some(k -> ((s0, v0))) // matched, no clause fires
+            case kept => Some(kept)
+          } ++ keys.filterNot(model.contains).filter(_ % 11 >= thr)
+            .map(k => k -> ((s"c$k", k % 11))) // conditional INSERT
+          runSql(s"""MERGE INTO graft_dml_model t
+            USING (SELECT * FROM VALUES $vals AS d(k, dv)) src
+            ON t.k = src.k
+            WHEN MATCHED AND src.dv < $thr THEN DELETE
+            WHEN MATCHED AND t.v % 2 = 0 THEN
+              UPDATE SET s = concat(t.s, '?'), v = t.v + src.dv
+            WHEN NOT MATCHED AND src.k % 11 >= $thr THEN
+              INSERT (k, s, v) VALUES (src.k, concat('c', src.k), src.dv)""")
         }
       }
       // the history names every verb that ran — lineage survives the fuzz
       val ops = TableFormat.describe(spark, root)
         .collect().map(_.getString(7)).toSet
       assert(ops.subsetOf(Set("append", "delete-where", "update-where",
-        "merge", "rewrite")) && ops.contains("append"),
+        "merge", "rewrite", "apply-delta", "delete-mor")) &&
+        ops.contains("append"),
         s"unexpected operation labels: $ops")
       spark.sql("DROP TABLE IF EXISTS graft_dml_model")
     }

@@ -111,6 +111,38 @@ class TableFormatStreamSpec extends TestSpark {
       q.processAllAvailable()
       assert(got === Set((3L, "c", "insert"), (1L, "a", "delete")))
     } finally q.stop()
+    // the effective startingVersion PERSISTS in the source-metadata dir
+    // (round-16 ADVICE #3): a changed/dropped option under an existing
+    // checkpoint must not re-window the replay of the first committed
+    // batch — observable through the admission baseline: with
+    // maxVersionsPerTrigger=1 over a 3-version table, a fresh source
+    // seeded at the persisted v0 offers offset 1, while the stale code
+    // would offer 0 (option dropped) or 2 (option moved later)
+    locally {
+      val root3 = freshRoot()
+      for (i <- 0 until 3)
+        TableFormat.append(Seq((10L + i, s"v$i")).toDF("k", "s"), root3,
+          statsCol = Some("k"))
+      val meta = java.nio.file.Files
+        .createTempDirectory("graft_sv_meta").toString
+      val cdcSchema = org.apache.spark.sql.types.StructType(
+        TableFormat.readSnapshot(spark, root3).schema.fields :+
+          org.apache.spark.sql.types.StructField("change_type",
+            org.apache.spark.sql.types.StringType))
+      def mkSource(params: Map[String, String]) =
+        new graft.io.TableFormatStreamSource(spark.sqlContext, root3,
+          params ++ Map("mode" -> "cdc", "keyCol" -> "k",
+            "maxVersionsPerTrigger" -> "1"),
+          cdcSchema, metadataPath = Some(meta))
+      def off(s: graft.io.TableFormatStreamSource): Long =
+        s.getOffset.get.json.trim.toLong
+      assert(off(mkSource(Map("startingVersion" -> "0"))) === 1L)
+      assert(off(mkSource(Map.empty)) === 1L,
+        "dropped startingVersion must not re-window: persisted v0 rules")
+      assert(off(mkSource(Map("startingVersion" -> "2"))) === 1L,
+        "moved startingVersion must not skip the committed window")
+    }
+
     // startingVersion == head: the declared-empty first window is not
     // an error, and the stream picks up strictly-later commits
     val root2 = freshRoot()
