@@ -110,9 +110,36 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
   private def unbind(e: Expression): Expression = {
     require(!e.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-      "graft-table DML conditions cannot contain subqueries — stage " +
-        "the subquery into a frame and use deleteKeys/merge")
+      "graft-table DML supports subqueries only as the whole condition " +
+        "`<key> IN (SELECT …)` (uncorrelated) — stage other shapes " +
+        "into a frame and use deleteKeys/updateKeys/merge")
     e
+  }
+
+  /** The supported SUBQUERY condition (round-16 VERDICT #5): the WHOLE
+    * condition is `<target column> IN (<uncorrelated subquery>)` — the
+    * canonical GDPR-erasure statement. The command materializes the
+    * subquery into a key frame at RUN time and lands through the
+    * key-pruned paths ([[TableFormat.deleteKeys]]/
+    * [[TableFormat.updateKeys]]), where pruning comes from the key
+    * VALUES (zone maps + blooms) — a static predicate tree cannot
+    * prune a subquery. Correlated subqueries, NOT IN (different null
+    * semantics), EXISTS, and conjunct combinations keep refusing
+    * through [[unbind]].
+    */
+  private def keysSubquery(cond: Expression, target: LogicalPlan)
+      : Option[(String, LogicalPlan)] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.InSubquery(Seq(v),
+        q: org.apache.spark.sql.catalyst.expressions.ListQuery)
+        if q.outerAttrs.isEmpty && q.plan.output.length == 1 =>
+      v match {
+        case a: AttributeReference if target.outputSet.contains(a) =>
+          Some((a.name, q.plan))
+        case Cast(a: AttributeReference, _, _, _)
+            if target.outputSet.contains(a) => Some((a.name, q.plan))
+        case _ => None
+      }
+    case _ => None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
@@ -125,24 +152,34 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case d: DeleteFromTable if d.resolved =>
         dmlTarget(d.table) match {
           case Some((root, opts, ident)) =>
-            DeleteFromGraftTableCommand(root, opts,
-              unbind(d.condition), ident)
+            keysSubquery(d.condition, d.table) match {
+              case Some((key, sub)) =>
+                DeleteKeysGraftTableCommand(root, opts, key, sub, ident)
+              case None => DeleteFromGraftTableCommand(root, opts,
+                unbind(d.condition), ident)
+            }
           case None => d
         }
       case u: UpdateTable if u.resolved =>
         dmlTarget(u.table) match {
           case Some((root, opts, ident)) =>
-            UpdateGraftTableCommand(root, opts,
-              u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
-              u.assignments.map { a =>
-                val name = a.key match {
-                  case at: Attribute => at.name
-                  case other => throw new IllegalArgumentException(
-                    "graft-table UPDATE can only assign top-level " +
-                      s"columns, got ${other.sql}")
-                }
-                name -> unbind(a.value)
-              }, ident)
+            val assigns = u.assignments.map { a =>
+              val name = a.key match {
+                case at: Attribute => at.name
+                case other => throw new IllegalArgumentException(
+                  "graft-table UPDATE can only assign top-level " +
+                    s"columns, got ${other.sql}")
+              }
+              name -> unbind(a.value)
+            }
+            u.condition.flatMap(keysSubquery(_, u.table)) match {
+              case Some((key, sub)) =>
+                UpdateKeysGraftTableCommand(root, opts, key, sub,
+                  assigns, ident)
+              case None => UpdateGraftTableCommand(root, opts,
+                u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
+                assigns, ident)
+            }
           case None => u
         }
       case mt: MergeIntoTable
@@ -484,6 +521,70 @@ private[graft] object GraftDmlRule {
 
   def bloomColOf(writeOpts: Map[String, String]): Option[String] =
     writeOpts.get("bloomcol").orElse(writeOpts.get("bloomCol"))
+
+  /** Execute an uncorrelated DML subquery into the one-column key
+    * frame the key-pruned verbs take — renamed and cast to the target
+    * key column's declared type, so [[TableFormat.touchedSplit]]
+    * probes zone maps in the key's own comparison domain.
+    */
+  def subqueryKeys(spark: SparkSession, root: String, keyCol: String,
+      subquery: LogicalPlan): DataFrame = {
+    val sub = org.apache.spark.sql.graftbridge.ColumnBridge
+      .ofRows(spark, subquery)
+    val field = TableFormat.latestSchema(root)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(keyCol)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"key column '$keyCol' is not a column of $root"))
+    sub.select(org.apache.spark.sql.functions.col(sub.columns.head)
+      .cast(field.dataType).as(field.name))
+  }
+}
+
+/** `DELETE FROM t WHERE k IN (SELECT …)` — the uncorrelated-subquery
+  * key delete (the canonical GDPR-erasure shape at 100 TB): the
+  * subquery materializes into a key frame at run time and lands
+  * through [[TableFormat.deleteKeys]], a copy-on-write commit pruned
+  * by the key VALUES (zone maps + blooms). IN-null semantics fall out
+  * of the anti-join: NULL keys match no row, NULL-keyed rows survive.
+  */
+private[graft] case class DeleteKeysGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCol: String, subquery: LogicalPlan,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableFormat.deleteKeys(spark, root,
+      GraftDmlRule.subqueryKeys(spark, root, keyCol, subquery), keyCol,
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE k IN (SELECT …)` — the key-set twin for
+  * UPDATE, landed through [[TableFormat.updateKeys]] (same pruning
+  * and simultaneous-assignment semantics as the predicate form).
+  */
+private[graft] case class UpdateKeysGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCol: String, subquery: LogicalPlan,
+    assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    TableFormat.updateKeys(spark, root,
+      GraftDmlRule.subqueryKeys(spark, root, keyCol, subquery), keyCol,
+      assignments.map { case (n, v) => n -> GraftDmlRule.rebind(v) },
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
 }
 
 /** `MERGE INTO t USING s ON t.k = s.k …` landed through the format's

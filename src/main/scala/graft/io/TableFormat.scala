@@ -651,8 +651,18 @@ object TableFormat {
       else NdvSketch.sketches(
         df.sparkSession.read.parquet(dataDir), ndvCols)
         .map { case (c, r) => c -> NdvSketch.toHex(r) }
-    val entry = mkEntry(df.sparkSession, dataDir, cols)
+    val entry0 = mkEntry(df.sparkSession, dataDir, cols)
       .copy(ndv = sketches)
+    // once-analyzed stays analyzed: an append auto-sketches whatever
+    // coverage the standing entries all carry, so ingest never breaks
+    // the metadata fold (the coverage read races a concurrent commit
+    // harmlessly — worst case is a gap or an extra sketch, both sound)
+    val entry = {
+      val p = latestVersion(root)
+      if (p < 0) entry0
+      else resketched(df.sparkSession,
+        readManifestFull(root, p).entries, Seq(entry0)).head
+    }
     // Bounded CAS retry: an append's entry is version-independent (new
     // data dir + whatever the latest manifest lists), so a loser can
     // always re-read latest and re-attempt at latest+1 — the data dir is
@@ -697,6 +707,37 @@ object TableFormat {
     val v = latestVersion(root)
     if (v < 0) -1L
     else readManifestFull(root, v).txns.getOrElse(appId, -1L)
+  }
+
+  /** NDV sketch UPKEEP (round-16 VERDICT #3): the columns EVERY base
+    * entry carries sketches for — exactly [[ManifestAggFold]]'s
+    * all-entries coverage gate — are re-sketched onto the commit's
+    * fresh dirs, one column-pruned job per fresh dir over data the
+    * commit just wrote (reading back beats re-evaluating an arbitrary
+    * input plan; registers are deterministic, so a content-preserving
+    * compaction leaves the MERGED estimate bit-identical — register
+    * max is row-partitioning-independent). A column absent from a
+    * fresh dir's files stays gapped (sound — the fold declines until
+    * the next ANALYZE). Tables never analyzed have empty coverage and
+    * pay nothing.
+    */
+  private def resketched(spark: SparkSession, base: Seq[Entry],
+      produced: Seq[Entry]): Seq[Entry] = {
+    if (base.isEmpty || produced.isEmpty) return produced
+    val cols = base.map(_.ndv.keySet).reduce(_ intersect _)
+    if (cols.isEmpty) return produced
+    produced.map { e =>
+      val missing = (cols -- e.ndv.keySet).toSeq.sorted
+      if (missing.isEmpty) e
+      else {
+        val df = spark.read.parquet(e.dir)
+        val have = missing.filter(df.columns.contains)
+        if (have.isEmpty) e
+        else e.copy(ndv = e.ndv ++ NdvSketch.sketches(df, have).map {
+          case (c, r) => c -> NdvSketch.toHex(r)
+        })
+      }
+    }
   }
 
   /** CAS-retry bound for commits — generous against real contention
@@ -1218,6 +1259,12 @@ object TableFormat {
       txn: Option[(String, Long)] = None,
       replaceSchema: Boolean = false,
       op: String = "rewrite"): Int = {
+    // NDV upkeep (round-16 VERDICT #3): once a table is analyzed, every
+    // rewrite keeps it analyzed — fresh dirs re-sketch the base
+    // coverage in one column-pruned job over data this commit just
+    // wrote, so the zero-scan stats story never gaps after maintenance
+    val producedS =
+      resketched(spark, readSet ++ baseUntouched, produced)
     val readDirs = readSet.map(_.dir).toSet
     val baseDirs = readDirs ++ baseUntouched.map(_.dir)
     var attempt = 0
@@ -1256,7 +1303,7 @@ object TableFormat {
               s"v$head: a concurrent commit landed data whose $kc range " +
               "intersects this rewrite's keys — re-run against the new head")
       }
-      val next = m.entries.filterNot(e => readDirs(e.dir)) ++ produced
+      val next = m.entries.filterNot(e => readDirs(e.dir)) ++ producedS
       // an overwrite replaces the table's schema contract verbatim (the
       // one commit kind where a retype is legitimate); every other
       // rewrite widens by union
@@ -1448,6 +1495,65 @@ object TableFormat {
         }
       }: _*)
     }, (statsCol.toSeq ++ statsCols).distinct, bloomCol,
+      op = "update-where")
+  }
+
+  /** Row-level UPDATE by KEY SET — the verb `UPDATE t SET … WHERE k IN
+    * (SELECT …)` lands on ([[graft.io.GraftDmlRule]] materializes the
+    * uncorrelated subquery into `keys`): rows whose `keyCol` matches a
+    * key take the assignments (simultaneous over the pre-update row,
+    * cast to declared types — [[updateWhere]] semantics), everything
+    * else carries. Pruning comes from the key VALUES via
+    * [[touchedSplit]] (zone maps + blooms), which a static predicate
+    * tree cannot give a subquery; dirs provably holding no key carry
+    * verbatim, a fully-disjoint key set no-ops without minting a
+    * version. NULL keys match nothing (SQL IN semantics — a NULL
+    * condition keeps the row).
+    */
+  def updateKeys(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCol: String, set: Seq[(String, Column)],
+                 statsCol: Option[String] = None,
+                 statsCols: Seq[String] = Nil,
+                 bloomCol: Option[String] = None): Int = {
+    require(set.nonEmpty, "updateKeys needs at least one assignment")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to update at $root")
+    if (keys.isEmpty) return prev
+    val m = readManifestFull(root, prev)
+    val (touched, untouched) = touchedSplit(spark, m.entries, keys, keyCol)
+    if (touched.isEmpty) return prev // provably disjoint: no-op
+    val df = readEntries(spark, touched, manifestSchema(m))
+    val byName = set.toMap
+    require(set.size == byName.size, "duplicate assignment column")
+    val unknown = byName.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
+        s"does not have (${df.columns.mkString(", ")})")
+    val HitCol = "__graft_upd_hit"
+    require(!df.columns.contains(HitCol), s"$HitCol is reserved")
+    // membership by left join (auto-broadcast when the key frame's
+    // stats allow — a GDPR erasure list is KBs, a bulk set shuffles)
+    val marked = df.join(
+      keys.select(col(keyCol)).na.drop().distinct()
+        .withColumn(HitCol, lit(true)), Seq(keyCol), "left")
+    val out = marked.select(df.schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => when(col(HitCol) === true, v.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    enforceCheck(out, m.check, root)
+    val dataDir = newDataDir(root)
+    bloomCol.foldLeft(out.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    val cols = ((statsCol.toSeq ++ statsCols) ++
+      touched.flatMap(_.bounds.keys)).distinct
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched,
+      produced = Seq(mkEntry(spark, dataDir, cols)),
+      ourSchema = Some(out.schema),
+      conflictKeys = Some((keys.select(keyCol), keyCol)),
       op = "update-where")
   }
 
@@ -2168,7 +2274,11 @@ object TableFormat {
     val dataDir = newDataDir(root)
     df.write.parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val entry = mkEntry(df.sparkSession, dataDir, cols)
+    // same once-analyzed-stays-analyzed upkeep as append: a streamed
+    // table keeps its metadata fold alive batch over batch
+    val entry = resketched(df.sparkSession,
+      prevM0.map(_.entries).getOrElse(Seq.empty),
+      Seq(mkEntry(df.sparkSession, dataDir, cols))).head
     var attempt = 0
     while (true) {
       val prev = latestVersion(root)

@@ -97,14 +97,22 @@ class NdvStatsSpec extends TestSpark {
       assert(scans(q(
         "SELECT approx_count_distinct(s) FROM graft_ndv_gate")) > 0,
         "a column without sketches must scan")
-      // an entry landed WITHOUT sketches gaps the fold (registerSql pins
-      // the snapshot at call time — re-register to see the new head)
+      // a plain append now KEEPS the fold alive — once analyzed, stays
+      // analyzed (r17 upkeep: the standing coverage auto-sketches onto
+      // the fresh dir; registerSql pins the snapshot — re-register)
       TableFormat.append(Seq((9999L, "x")).toDF("k", "s"), root,
         statsCol = Some("k"))
       TableFormat.registerSql(spark, root, "graft_ndv_gate")
       assert(scans(q(
+        "SELECT approx_count_distinct(k) FROM graft_ndv_gate")) === 0,
+        "append upkeep must keep the fold alive")
+      // a dir that CANNOT carry the coverage (widening append without
+      // the sketched column) still gaps the fold — sound-first
+      TableFormat.append(Seq("w").toDF("s2"), root)
+      TableFormat.registerSql(spark, root, "graft_ndv_gate")
+      assert(scans(q(
         "SELECT approx_count_distinct(k) FROM graft_ndv_gate")) > 0,
-        "a sketch gap must decline the fold")
+        "a coverage-incapable dir must decline the fold")
       // ANALYZE retrofits the gap away; dv debt then declines again
       TableFormat.analyze(spark, root, Seq("k"))
       TableFormat.registerSql(spark, root, "graft_ndv_gate")
@@ -116,6 +124,49 @@ class NdvStatsSpec extends TestSpark {
       assert(scans(q(
         "SELECT approx_count_distinct(k) FROM graft_ndv_gate")) > 0,
         "dv debt must decline the fold — a dv can hide distinct values")
+    }
+  }
+
+  test("rewrites keep the table analyzed: OPTIMIZE/merge re-sketch output") {
+    // round-16 VERDICT #3: compaction/OPTIMIZE/merge used to land fresh
+    // entries without sketches, silently degrading the zero-scan stats
+    // story until a manual ANALYZE
+    import spark.implicits._
+    withStaticPlans {
+      val root = fresh()
+      for (lo <- Seq(0L, 1000L))
+        TableFormat.append(
+          (lo until lo + 1000L).map(k => (k, s"g${k % 37}")).toDF("k", "g"),
+          root, statsCol = Some("k"), ndvCols = Seq("k", "g"))
+      def ndv(): Map[String, Long] = TableFormat.colStats(spark, root)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def foldScans(): Int = {
+        TableFormat.registerSql(spark, root, "graft_ndv_keep")
+        scans(spark.sql(
+          "SELECT approx_count_distinct(k), approx_count_distinct(g) " +
+            "FROM graft_ndv_keep"))
+      }
+      val before = ndv()
+      // content-preserving OPTIMIZE: the fold survives AND the merged
+      // estimate is bit-identical (register max is row-partitioning-
+      // independent — same rows, same merged registers)
+      TableFormat.compactRanged(spark, root, "k", 3)
+      assert(foldScans() === 0,
+        "OPTIMIZE must not gap the metadata fold")
+      assert(ndv() === before,
+        "a content-preserving rewrite must leave estimates identical")
+      // a merge rewrite keeps coverage too (values change, so only the
+      // zero-scan property is pinned, not the exact estimate)
+      TableFormat.merge(spark, root,
+        (0L until 50L).map(k => (k, "zz")).toDF("k", "g"), "k",
+        statsCol = Some("k"))
+      assert(foldScans() === 0,
+        "merge must re-sketch its rewritten output")
+      // and the per-dir dv auto-fold path (deleteKeysMor past the
+      // ratio) would rewrite too — spot-check plain compact
+      TableFormat.compact(spark, root, statsCol = Some("k"))
+      assert(foldScans() === 0,
+        "compact must re-sketch its single output dir")
     }
   }
 

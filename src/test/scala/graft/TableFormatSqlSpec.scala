@@ -716,15 +716,42 @@ class TableFormatSqlSpec extends TestSpark {
         "the swapped row kept its old key — assignments ran sequentially")
       // history is intact under time travel
       assert(TableFormat.readSnapshot(spark, root, v0).count() === 300)
-      // a subquery condition refuses loudly (stage it into a frame)
+      // `k IN (SELECT …)` lands as a KEY-PRUNED copy-on-write commit
+      // (round-16 VERDICT #5 — the canonical GDPR-erasure statement);
+      // the subquery evaluates against the PRE-delete snapshot
+      val vSub = TableFormat.latestVersion(root)
+      val dirsPre = TableFormat.snapshotDirs(root, vSub).toSet
+      spark.sql("""DELETE FROM graft_dml WHERE k IN
+        (SELECT k FROM graft_dml WHERE v >= 2900)""")
+      assert(TableFormat.latestVersion(root) === vSub + 1,
+        "subquery DELETE must land as one commit")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_dml")
+        .collect()(0).getLong(0) === 279)
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_dml WHERE k BETWEEN 290 AND 299")
+        .collect()(0).getLong(0) === 0)
+      // key-value pruning: the two low dirs hold none of keys 290-299
+      // and carry verbatim
+      val dirsPost = TableFormat
+        .snapshotDirs(root, vSub + 1).toSet
+      assert((dirsPre & dirsPost).size >= 2,
+        s"subquery DELETE rewrote non-intersecting dirs: " +
+          s"$dirsPre vs $dirsPost")
+      // the UPDATE twin
+      spark.sql("""UPDATE graft_dml SET s = 'erased' WHERE k IN
+        (SELECT k FROM graft_dml WHERE v = 500)""")
+      assert(spark.sql("SELECT s FROM graft_dml WHERE k = 50")
+        .collect()(0).getString(0) === "erased")
+      // other subquery shapes (EXISTS / correlated) keep refusing
       val e = intercept[Exception] {
-        spark.sql("""DELETE FROM graft_dml WHERE k IN
-          (SELECT k FROM graft_dml WHERE v > 100)""")
+        spark.sql("""DELETE FROM graft_dml WHERE EXISTS
+          (SELECT 1 FROM graft_dml d2
+           WHERE d2.k = graft_dml.k AND d2.v > 100)""")
       }
       assert(String.valueOf(e.getMessage).contains("subquer") ||
         Option(e.getCause).exists(c =>
           String.valueOf(c.getMessage).contains("subquer")),
-        s"subquery DML must refuse with the staging hint: $e")
+        s"non-IN subquery DML must refuse with the staging hint: $e")
     } finally spark.sql("DROP TABLE IF EXISTS graft_dml")
   }
 
