@@ -135,8 +135,17 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       v match {
         case a: AttributeReference if target.outputSet.contains(a) =>
           Some((a.name, q.plan))
-        case Cast(a: AttributeReference, _, _, _)
-            if target.outputSet.contains(a) => Some((a.name, q.plan))
+        // the analyzer's coercion cast is accepted only when it is an
+        // UP-cast (lossless ⇒ injective): the command compares key
+        // values in the key's own declared domain after a round-trip
+        // filter ([[GraftDmlRule.subqueryKeys]]), which is sound
+        // exactly for injective casts. A lossy shape (string key vs
+        // int list collapses '01' and '1') refuses through [[unbind]]
+        // instead of silently matching the wrong rows (r17 ADVICE).
+        case c @ Cast(a: AttributeReference, _, _, _)
+            if target.outputSet.contains(a) &&
+              Cast.canUpCast(a.dataType, c.dataType) =>
+          Some((a.name, q.plan))
         case _ => None
       }
     case _ => None
@@ -185,8 +194,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case mt: MergeIntoTable
           if mt.targetTable.resolved && mt.sourceTable.resolved &&
             mt.mergeCondition.resolved &&
-            (mt.matchedActions ++ mt.notMatchedActions)
-              .forall(actionResolved) =>
+            (mt.matchedActions ++ mt.notMatchedActions ++
+              mt.notMatchedBySourceActions).forall(actionResolved) =>
         dmlTarget(mt.targetTable) match {
           case Some((root, opts, ident)) => rewriteMerge(mt, root, opts, ident)
           case None => mt
@@ -224,8 +233,6 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         s"INSERT * (not matched) on one key equality; $what — stage the " +
         "source into a frame and use TableFormat.merge/deleteKeys for " +
         "other shapes")
-    require(mt.notMatchedBySourceActions.isEmpty,
-      "graft-table MERGE does not support WHEN NOT MATCHED BY SOURCE")
     require(!mt.withSchemaEvolution,
       "graft-table MERGE does not support WITH SCHEMA EVOLUTION — " +
         "schema widening happens on append")
@@ -278,12 +285,14 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case Seq(InsertAction(None, as)) if isIdentity(as) => Some("insert")
       case _ => None
     }
-    val starAction = (matched, notMatched) match {
-      case (Some("update"), Some("insert")) => Some("upsert")
-      case (Some("delete"), Some("none")) => Some("delete")
-      case (Some("none"), Some("insert")) => Some("insert")
-      case _ => None
-    }
+    val starAction =
+      if (mt.notMatchedBySourceActions.nonEmpty) None // general form only
+      else (matched, notMatched) match {
+        case (Some("update"), Some("insert")) => Some("upsert")
+        case (Some("delete"), Some("none")) => Some("delete")
+        case (Some("none"), Some("insert")) => Some("insert")
+        case _ => None
+      }
     starAction match {
       case Some(action) =>
         MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
@@ -347,8 +356,20 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
           (c.map(pfx), as.map(a => named(a.key) -> pfx(a.value)))
         case other => refuse(s"unsupported not-matched action: $other")
       }
+    // BY-SOURCE clauses see only target columns (the analyzer already
+    // refuses source references there), so they share the matched
+    // clauses' (cond, update-or-delete) shape
+    val bySourceSpecs: Seq[(Option[Expression],
+        Option[Seq[(String, Expression)]])] =
+      mt.notMatchedBySourceActions.map {
+        case DeleteAction(c) => (c.map(pfx), None)
+        case UpdateAction(c, as, _) =>
+          (c.map(pfx), Some(as.map(a => named(a.key) -> pfx(a.value))))
+        case other =>
+          refuse(s"unsupported not-matched-by-source action: $other")
+      }
     MergeIntoGraftTableCondCommand(root, opts, mt.sourceTable, tk, sk,
-      matchedSpecs, notMatchedSpecs, ident)
+      matchedSpecs, notMatchedSpecs, bySourceSpecs, ident)
   }
 
   private def rewrite(i: InsertIntoStatement, l: LogicalRelation,
@@ -423,8 +444,7 @@ private[graft] case class InsertIntoGraftTableCommand(root: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(query)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val df = org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofRows(spark, query)
+    val df = GraftDmlRule.planFrame(spark, query)
     val statsCols = GraftDmlRule.statsColsOf(writeOpts)
     val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
     val check = writeOpts.get("check")
@@ -522,21 +542,53 @@ private[graft] object GraftDmlRule {
   def bloomColOf(writeOpts: Map[String, String]): Option[String] =
     writeOpts.get("bloomcol").orElse(writeOpts.get("bloomCol"))
 
+  /** Execute a captured DML/MERGE read plan at run time, with the
+    * DV-MASK substitution re-applied first (round-17 VERDICT edge):
+    * rule order inside the extension batch is not guaranteed, so a
+    * statement this rule captured before [[GraftDvMaskRule]] walked it
+    * can carry a mask-pending relation in a subquery/source leg —
+    * executing that raw would fail loudly at file-listing time with an
+    * error naming the doorway, not the fix. The substitution is
+    * idempotent (a substituted leg holds no pending index), so
+    * re-running it here is safe in either rule order.
+    */
+  def planFrame(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
+      new GraftDvMaskRule(spark).apply(plan))
+
   /** Execute an uncorrelated DML subquery into the one-column key
     * frame the key-pruned verbs take — renamed and cast to the target
     * key column's declared type, so [[TableFormat.touchedSplit]]
-    * probes zone maps in the key's own comparison domain.
+    * probes zone maps in the key's own comparison domain. When the
+    * subquery's values live in a WIDER domain (the accepted coerced
+    * shape `CAST(k) IN (…)` — up-casts only), values that do not
+    * ROUND-TRIP through the key type can never equal any key there, so
+    * they drop instead of wrapping into a WRONG key under non-ANSI
+    * cast (round-17 ADVICE, medium); a NULL IN-list value matches no
+    * row and drops with them.
     */
   def subqueryKeys(spark: SparkSession, root: String, keyCol: String,
       subquery: LogicalPlan): DataFrame = {
-    val sub = org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofRows(spark, subquery)
+    import org.apache.spark.sql.functions.col
+    val sub = planFrame(spark, subquery)
     val field = TableFormat.latestSchema(root)
       .flatMap(_.fields.find(_.name.equalsIgnoreCase(keyCol)))
       .getOrElse(throw new IllegalArgumentException(
         s"key column '$keyCol' is not a column of $root"))
-    sub.select(org.apache.spark.sql.functions.col(sub.columns.head)
-      .cast(field.dataType).as(field.name))
+    val subType = sub.schema.head.dataType
+    if (subType == field.dataType)
+      sub.select(col(sub.columns.head).cast(field.dataType).as(field.name))
+    else {
+      // try_cast: under ANSI a plain down-cast of an out-of-range
+      // value would ERROR the whole statement; under legacy mode it
+      // would WRAP. Either way the value equals no key — null out,
+      // round-trip-compare (an up-cast back never fails), drop.
+      val v = col(sub.columns.head)
+      sub.select(v.try_cast(field.dataType).as(field.name),
+          v.as("__graft_orig"))
+        .filter(col(field.name).cast(subType) === col("__graft_orig"))
+        .select(col(field.name))
+    }
   }
 }
 
@@ -614,8 +666,7 @@ private[graft] case class MergeIntoGraftTableCommand(root: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.col
-    val src = org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofRows(spark, source)
+    val src = GraftDmlRule.planFrame(spark, source)
     val statsCols = GraftDmlRule.statsColsOf(writeOpts)
     val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
     action match {
@@ -642,10 +693,15 @@ private[graft] case class MergeIntoGraftTableCommand(root: String,
           case "insert" =>
             val existing = TableFormat.readSnapshot(spark, root)
               .select(col(targetKey))
+            // cached: `isEmpty` then `append` would otherwise execute
+            // the anti-join twice per INSERT-only MERGE (r17 VERDICT #7)
             val fresh = aligned.join(existing, Seq(targetKey), "left_anti")
-            if (!fresh.isEmpty)
-              TableFormat.append(fresh, root, statsCols = statsCols,
-                bloomCol = bloomCol)
+              .persist()
+            try {
+              if (!fresh.isEmpty)
+                TableFormat.append(fresh, root, statsCols = statsCols,
+                  bloomCol = bloomCol)
+            } finally { fresh.unpersist(); () }
           case other => throw new IllegalStateException(
             s"unknown merge action '$other'")
         }
@@ -677,20 +733,37 @@ private[graft] case class MergeIntoGraftTableCommand(root: String,
   * dirs never rewrite — a trickle of conditional upserts costs the
   * touched dirs' read plus O(source) writes, never the table.
   *
-  * SQL conformance notes: a target row matching MORE than one source
-  * row refuses loudly when any matched clause exists (the standard's
-  * cardinality error — applying clauses per pair would update one row
-  * twice); unassigned columns keep the target value on UPDATE and are
-  * NULL on INSERT; clause conditions see both rows (`t.*`, `s.*`);
-  * assigned values cast to the declared column types (a MERGE never
-  * retypes). The table's CHECK constraint probes every introduced row
-  * BEFORE any file lands — same refusal as every built-in landing path.
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` (r17
+  * VERDICT #4) evaluates the TARGET-side complement — rows no source
+  * key matches — through the same first-match-wins machinery; its
+  * conditions see only target columns (the analyzer refuses source
+  * references there). A BY-SOURCE merge necessarily reads the WHOLE
+  * target (the rows it touches are exactly those the source keys
+  * cannot prune to), the full-sync cost the semantics demand; without
+  * BY-SOURCE clauses the target side stays key-pruned.
+  *
+  * SQL conformance notes: a target ROW updated/deleted by more than
+  * one source row refuses loudly (the standard's cardinality error —
+  * counted per row identity over FIRED pairs, so duplicate-key targets
+  * and multi-match rows where only one pair fires a clause are legal,
+  * r17 ADVICE); because the merge-on-read mask is BY KEY, rows that
+  * fired no clause but share a fired row's key re-land VERBATIM in the
+  * same commit; the ON comparison is sound under type coercion — a
+  * source key that does not round-trip through the target key's
+  * declared type matches nothing (and so INSERTs if a clause admits
+  * it) instead of wrapping onto an unrelated target row (r17 ADVICE);
+  * unassigned columns keep the target value on UPDATE and are NULL on
+  * INSERT; clause conditions see both rows (`t.*`, `s.*`); assigned
+  * values cast to the declared column types (a MERGE never retypes).
+  * The table's CHECK constraint probes every introduced row BEFORE any
+  * file lands — same refusal as every built-in landing path.
   */
 private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     writeOpts: Map[String, String], source: LogicalPlan,
     targetKey: String, sourceKey: String,
     matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
     notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
+    bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
     catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
     extends LeafRunnableCommand {
 
@@ -700,6 +773,7 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     import org.apache.spark.sql.functions._
     import GraftDmlRule.{TPfx, SPfx, rebind}
     val FireCol = "__graft_fire"
+    val RowIdCol = "__graft_rowid"
     val schema = TableFormat.latestSchema(root).getOrElse(
       throw new IllegalArgumentException(
         s"MERGE INTO needs an existing committed table at $root"))
@@ -707,20 +781,42 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     val tk = fields.find(_.name.equalsIgnoreCase(targetKey))
       .getOrElse(throw new IllegalArgumentException(
         s"MERGE key '$targetKey' is not a column of $root")).name
-    val src = org.apache.spark.sql.graftbridge.ColumnBridge
-      .ofRows(spark, source)
+    val src = GraftDmlRule.planFrame(spark, source)
     require(!src.columns.exists(c =>
       c.startsWith(TPfx) || c.startsWith(SPfx)),
       s"MERGE source columns may not start with the reserved $TPfx/$SPfx")
     val srcP = src.select(src.columns.toSeq.map(c =>
       col(c).as(SPfx + c)): _*)
-    val keyFrame = src.select(col(sourceKey)
-      .cast(schema(tk).dataType).as(tk))
-    val tgt = TableFormat.readTouchedForKeys(spark, root, keyFrame, tk)
+    val keyType = schema(tk).dataType
+    val srcKeyType = src.schema.fields
+      .find(_.name.equalsIgnoreCase(sourceKey))
+      .getOrElse(throw new IllegalArgumentException(
+        s"MERGE source key '$sourceKey' is not a source column")).dataType
+    // sound under coercion (r17 ADVICE): when the source key is wider,
+    // a value that does not round-trip through the target key type can
+    // never equal any target key in the coerced domain — try_cast (a
+    // plain down-cast would ERROR under ANSI, WRAP under legacy) plus
+    // the round-trip conjunct make it match NOTHING instead of landing
+    // on an unrelated row; the same filter tightens the pruning frame
+    val sKey = col(SPfx + sourceKey)
+    val sKeyT = sKey.try_cast(keyType)
+    val joinCond =
+      if (srcKeyType == keyType) col(TPfx + tk) === sKey
+      else col(TPfx + tk) === sKeyT && sKeyT.cast(srcKeyType) === sKey
+    val keyFrame =
+      if (srcKeyType == keyType)
+        src.select(col(sourceKey).cast(keyType).as(tk))
+      else src
+        .select(col(sourceKey).try_cast(keyType).as(tk),
+          col(sourceKey).as("__graft_orig"))
+        .filter(col(tk).cast(srcKeyType) === col("__graft_orig"))
+        .select(col(tk))
+    val tgt =
+      if (bySource.nonEmpty) TableFormat.readSnapshot(spark, root)
+      else TableFormat.readTouchedForKeys(spark, root, keyFrame, tk)
     val tgtP = tgt.select(tgt.columns.toSeq.map(c =>
       col(c).as(TPfx + c)): _*)
-    val joinCond = col(TPfx + tk) ===
-      col(SPfx + sourceKey).cast(schema(tk).dataType)
+      .withColumn(RowIdCol, monotonically_increasing_id())
     def fire(conds: Seq[Option[Expression]]): Column =
       conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
         when(c.map(rebind).getOrElse(lit(true)), lit(i)).otherwise(acc)
@@ -728,44 +824,79 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     val statsCols = GraftDmlRule.statsColsOf(writeOpts)
     val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
     var cached: Seq[DataFrame] = Nil
+
+    /** One update/delete LEG — matched pairs or by-source rows:
+      * first-match-wins fire index, per-ROW cardinality check (pair
+      * legs only — a by-source row appears once by construction),
+      * fired keys masked, fired updates re-landed CASE-projected, and
+      * unfired rows sharing a fired KEY re-landed verbatim (the mask
+      * is by key; without the carry a duplicate-key sibling no clause
+      * touched would vanish). Returns (mask keys, append frames).
+      */
+    def runLeg(rows0: DataFrame,
+        specs: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
+        pairLeg: Boolean): (DataFrame, Seq[DataFrame]) = {
+      val rows = rows0.withColumn(FireCol, fire(specs.map(_._1))).persist()
+      cached :+= rows
+      val fired = rows.filter(col(FireCol) >= 0)
+      if (pairLeg) {
+        // SQL cardinality rule, per target ROW identity over FIRED
+        // pairs: the same row updated/deleted twice is the error —
+        // duplicate-key targets (one firing pair per row) and
+        // multi-match rows with a single firing pair are legal
+        val dup = fired.groupBy(col(RowIdCol))
+          .agg(count(lit(1)).as("__n"), first(col(TPfx + tk)).as("__k"))
+          .filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE: a target row (key ${dup.headOption.map(_.get(1))}) " +
+            "would be updated/deleted by more than one source row — " +
+            "deduplicate the source")
+      }
+      val delKeys = fired.select(col(TPfx + tk).as(tk)).distinct()
+      val updIdx = specs.zipWithIndex.collect {
+        case ((_, Some(_)), i) => i
+      }
+      val upd =
+        if (updIdx.isEmpty) None
+        else Some(fired.filter(col(FireCol)
+            .isin(updIdx.map(Int.box): _*))
+          .select(fields.map { f =>
+            val base: Column = col(TPfx + f.name)
+            specs.zipWithIndex.foldRight(base) {
+              case (((_, Some(as)), i), acc) =>
+                as.find(_._1.equalsIgnoreCase(f.name)) match {
+                  case Some((_, e)) => when(col(FireCol) === i,
+                    rebind(e).cast(f.dataType)).otherwise(acc)
+                  case None => acc
+                }
+              case (_, acc) => acc // DELETE clause: row never lands
+            }.cast(f.dataType).as(f.name)
+          }: _*))
+      val unfired0 = rows.filter(col(FireCol) < 0)
+      // pair legs: a row may appear in several pairs — carry it only
+      // when NO pair fired for it, and once
+      val unfired =
+        if (pairLeg)
+          unfired0.join(fired.select(col(RowIdCol)), Seq(RowIdCol),
+            "left_anti").dropDuplicates(RowIdCol)
+        else unfired0
+      val carriedRows = unfired
+        .join(delKeys, col(TPfx + tk) === col(tk), "left_semi")
+        .select(fields.map(f =>
+          col(TPfx + f.name).cast(f.dataType).as(f.name)): _*)
+      (delKeys, upd.toSeq :+ carriedRows)
+    }
+
     try {
-      val (delKeys, updImages) =
-        if (matched.isEmpty) (tgt.select(col(tk)).limit(0), None)
-        else {
-          val pairs = tgtP.join(srcP, joinCond, "inner")
-            .withColumn(FireCol, fire(matched.map(_._1)))
-            .persist()
-          cached :+= pairs
-          // SQL cardinality rule: with matched clauses present, a
-          // target row may match at most one source row
-          val dup = pairs.groupBy(col(TPfx + tk))
-            .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
-            .limit(1).collect()
-          require(dup.isEmpty,
-            s"MERGE: target key ${dup.headOption.map(_.get(0))} matched " +
-              "more than one source row — deduplicate the source")
-          val fired = pairs.filter(col(FireCol) >= 0)
-          val updIdx = matched.zipWithIndex.collect {
-            case ((_, Some(_)), i) => i
-          }
-          val upd =
-            if (updIdx.isEmpty) None
-            else Some(fired.filter(col(FireCol)
-                .isin(updIdx.map(Int.box): _*))
-              .select(fields.map { f =>
-                val base: Column = col(TPfx + f.name)
-                matched.zipWithIndex.foldRight(base) {
-                  case (((_, Some(as)), i), acc) =>
-                    as.find(_._1.equalsIgnoreCase(f.name)) match {
-                      case Some((_, e)) => when(col(FireCol) === i,
-                        rebind(e).cast(f.dataType)).otherwise(acc)
-                      case None => acc
-                    }
-                  case (_, acc) => acc // DELETE clause: row never lands
-                }.cast(f.dataType).as(f.name)
-              }: _*))
-          (fired.select(col(TPfx + tk).as(tk)), upd)
-        }
+      val emptyKeys = tgt.select(col(tk)).limit(0)
+      val (mDel, mApp) =
+        if (matched.isEmpty) (emptyKeys, Seq.empty[DataFrame])
+        else runLeg(tgtP.join(srcP, joinCond, "inner"), matched,
+          pairLeg = true)
+      val (bDel, bApp) =
+        if (bySource.isEmpty) (emptyKeys, Seq.empty[DataFrame])
+        else runLeg(tgtP.join(srcP.select(sKey), joinCond, "left_anti"),
+          bySource, pairLeg = false)
       val insImages =
         if (notMatched.isEmpty) None
         else Some(srcP
@@ -783,7 +914,8 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
                   }
               }.cast(f.dataType).as(f.name)
           }: _*))
-      val appends = (updImages.toSeq ++ insImages.toSeq) match {
+      val delKeys = mDel.unionByName(bDel)
+      val appends = (mApp ++ bApp ++ insImages.toSeq) match {
         case Seq() => tgt.limit(0)
         case imgs =>
           val u = imgs.reduce(_ unionByName _).persist()

@@ -46,10 +46,16 @@ final class GraftDvMaskRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def walk(p: LogicalPlan): LogicalPlan = p match {
     // write/row-level targets keep the raw relation (root discovery);
-    // only the value-producing sides are walked
+    // only the value-producing sides are walked — which for DML
+    // includes the CONDITION's subqueries (read legs, r17 VERDICT #8:
+    // `DELETE FROM t WHERE k IN (SELECT k FROM dv_table)` must read
+    // the dv table masked, not fail at listing time)
     case i: InsertIntoStatement => i.copy(query = walk(i.query))
-    case d: DeleteFromTable => d
-    case u: UpdateTable => u
+    case d: DeleteFromTable => d.copy(condition = walkExpr(d.condition))
+    case u: UpdateTable => u.copy(
+      condition = u.condition.map(walkExpr),
+      assignments = u.assignments.map(a =>
+        a.copy(value = walkExpr(a.value))))
     case mt: MergeIntoTable =>
       mt.copy(sourceTable = walk(mt.sourceTable))
     case l: LogicalRelation if pending(l) => substitute(l)
@@ -59,6 +65,14 @@ final class GraftDvMaskRule(spark: SparkSession) extends Rule[LogicalPlan] {
           se.withNewPlan(walk(se.plan))
       }
   }
+
+  private def walkExpr(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    e.transform {
+      case se: SubqueryExpression if se.plan.exists(pending) =>
+        se.withNewPlan(walk(se.plan))
+    }
 
   private def substitute(l: LogicalRelation): LogicalPlan = {
     val fs = l.relation.asInstanceOf[HadoopFsRelation]

@@ -22,8 +22,10 @@ import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
   * `VERSION AS OF` is the manifest version; `TIMESTAMP AS OF` resolves
   * to the LAST version whose manifest was published at or before the
   * instant ([[TableFormat.versionAt]] — commit publish time is the
-  * manifest hard-link's mtime, driver-side metadata only). Non-graft
-  * tables pass through untouched for Spark's own handling.
+  * manifest's own `#ts` header, mtime only as a legacy fallback, so a
+  * backup-restore that rewrites mtimes cannot shift history;
+  * driver-side metadata only). Non-graft tables pass through untouched
+  * for Spark's own handling.
   */
 final class GraftTimeTravelRule(spark: SparkSession)
     extends Rule[LogicalPlan] {

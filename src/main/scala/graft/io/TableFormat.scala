@@ -139,6 +139,7 @@ object TableFormat {
     * producer, and control characters in user column names survive the
     * encoding. Three line shapes:
     * {{{
+    *   #ts\t<epoch millis>                      — commit publish instant
     *   #schema\t<enc ddl>                      — committed schema
     *   #op\t<enc name>                          — the commit's operation label
     *   #check\t<enc sql expr>                   — table-level CHECK constraint
@@ -236,7 +237,13 @@ object TableFormat {
                                    props: Map[String, String] = Map.empty)
       : Unit = {
     Files.createDirectories(manifestDir(root))
-    val header = schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
+    // the commit INSTANT rides first in the header (r17 VERDICT #2):
+    // TIMESTAMP AS OF resolves from it, so an rsync/backup-restore
+    // that rewrites every file mtime no longer silently shifts the
+    // table's history; [[commitMillis]] reads it with one short
+    // header scan, mtime remains the fallback for pre-r18 manifests
+    val header = s"#ts\t${System.currentTimeMillis()}\n" +
+      schemaDdl.map(s => s"#schema\t${enc(s)}\n").getOrElse("") +
       (if (op.nonEmpty) s"#op\t${enc(op)}\n" else "") +
       check.map(c => s"#check\t${enc(c)}\n").getOrElse("") +
       txns.toSeq.sortBy(_._1)
@@ -279,19 +286,35 @@ object TableFormat {
     finally stream.close() // Files.list holds a directory handle open
   }
 
+  /** Publish instant of commit `v`: the `#ts` header the commit itself
+    * recorded (r18 — immune to mtime rewrites by rsync/backup-restore),
+    * falling back to the manifest file's mtime for pre-r18 manifests.
+    * One short header scan — `#ts` is the manifest's first line when
+    * present, so the reader never parses entries.
+    */
+  private[graft] def commitMillis(root: String, v: Int): Long = {
+    val f = manifestDir(root).resolve(s"v$v.json")
+    val br = Files.newBufferedReader(f, StandardCharsets.UTF_8)
+    try {
+      var line = br.readLine()
+      while (line != null && line.startsWith("#")) {
+        if (line.startsWith("#ts\t")) return line.split("\t")(1).toLong
+        line = br.readLine()
+      }
+    } finally br.close()
+    Files.getLastModifiedTime(f).toMillis
+  }
+
   /** The last version published at or before `millis` — what
-    * `TIMESTAMP AS OF` resolves to. Commit publish time IS the
-    * manifest file's mtime: the hard-link creation that wins the CAS
-    * stamps it, and manifests are never rewritten. Driver-side
-    * metadata only, one directory listing.
+    * `TIMESTAMP AS OF` resolves to. Publish time is the manifest's own
+    * `#ts` header ([[commitMillis]]; mtime fallback for legacy
+    * manifests). Driver-side metadata only: one directory listing plus
+    * one header line per version.
     */
   private[graft] def versionAt(root: String, millis: Long): Int = {
-    val dir = manifestDir(root)
     val vs = listVersions(root).sorted
     require(vs.nonEmpty, s"no snapshot at $root")
-    val at = vs.filter { v =>
-      Files.getLastModifiedTime(dir.resolve(s"v$v.json")).toMillis <= millis
-    }
+    val at = vs.filter(v => commitMillis(root, v) <= millis)
     require(at.nonEmpty,
       s"no snapshot at $root existed at or before " +
         s"${new java.sql.Timestamp(millis)} (earliest commit is " +
@@ -3257,6 +3280,60 @@ object TableFormat {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** `WHEN NOT MATCHED BY SOURCE` end-to-end (round-17 VERDICT #4):
+    * ONE statement carrying matched-update, not-matched-insert, a
+    * CONDITIONAL by-source update and a by-source delete — the
+    * full-sync shape every warehouse reconciliation job runs — landed
+    * by [[MergeIntoGraftTableCondCommand]] as ONE applyDelta commit.
+    * First-match-wins on the target complement: 'F' rows re-status to
+    * 'K', every other unmatched row deletes. The oracle replays the
+    * decision table over `orders` declaratively.
+    */
+  private val mergeSrcCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlMergeSrcTable(s: SparkSession, dir: String): String =
+    mergeSrcCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_mrgsrc")
+        .toString + "/t"
+      val (orders, _, hi, _) = orderKeySplit(s, dir)
+      val delta = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"))
+        .unionByName(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + hi + 1).as("o_orderkey")))
+      delta.createOrReplaceTempView("graft_mrgsrc_delta")
+      orders.createOrReplaceTempView("graft_mrgsrc_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_merges_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_merges_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_orderstatus
+           |FROM graft_mrgsrc_src""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_sql_merges_orders t USING graft_mrgsrc_delta s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+          |WHEN NOT MATCHED THEN
+          |  INSERT (o_orderkey, o_orderstatus) VALUES (s.o_orderkey, 'N')
+          |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN
+          |  UPDATE SET o_orderstatus = 'K'
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin)
+      root
+    })
+
+  private def qTableSqlMergeSrc(s: SparkSession, dir: String): DataFrame = {
+    val root = landedSqlMergeSrcTable(s, dir)
+    // the by-source merge leaves a dv-bearing head; the registered
+    // view composes the mask with pruned scans
+    registerSql(s, root, "graft_sql_merges_view")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM graft_sql_merges_view
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private def qTableSqlDelete(s: SparkSession, dir: String): DataFrame = {
     landedSqlDml2Table(s, dir)
     s.sql(
@@ -3274,6 +3351,7 @@ object TableFormat {
     dml2Cache.keys.toList.foreach(dml2Cache.remove)
     mergeSqlCache.keys.toList.foreach(mergeSqlCache.remove)
     mergeCondCache.keys.toList.foreach(mergeCondCache.remove)
+    mergeSrcCache.keys.toList.foreach(mergeSrcCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3290,7 +3368,8 @@ object TableFormat {
       "q_table_sql_insert" -> qTableSqlInsert,
       "q_table_sql_delete" -> qTableSqlDelete,
       "q_table_sql_merge" -> qTableSqlMerge,
-      "q_table_sql_merge_cond" -> qTableSqlMergeCond)
+      "q_table_sql_merge_cond" -> qTableSqlMergeCond,
+      "q_table_sql_merge_src" -> qTableSqlMergeSrc)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -3377,6 +3456,24 @@ object TableFormat {
         |         THEN o_orderstatus || 'u' ELSE o_orderstatus END
         |      AS o_orderstatus
         |  FROM orders, b WHERE o_orderkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM kept GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // BY-SOURCE full-sync: matched %3 keys → 'M', shifted %97 keys
+    // insert as 'N', unmatched 'F' rows → 'K', every other unmatched
+    // row deletes
+    "q_table_sql_merge_src" ->
+      """WITH b AS (SELECT max(o_orderkey) AS hi FROM orders),
+        |kept AS (
+        |  SELECT o_orderkey, 'M' AS o_orderstatus FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'K' FROM orders
+        |  WHERE o_orderkey % 3 <> 0 AND o_orderstatus = 'F'
         |  UNION ALL
         |  SELECT o_orderkey + hi + 1, 'N' FROM orders, b
         |  WHERE o_orderkey % 97 = 0)

@@ -344,24 +344,62 @@ private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
           "graft-starting-version")
         val fs = dir.getFileSystem(
           sqlContext.sparkSession.sessionState.newHadoopConf())
+        // the marker is WRITTEN whole to a temp file and RENAMED into
+        // place (r17 ADVICE): a raw create-then-write lets a race
+        // loser read the winner's empty, still-open file — an
+        // unparseable torn read instead of a resolved race. The loser
+        // (or any reader racing the rename) retries briefly on
+        // missing/empty content before failing.
         def readPersisted(): Option[Int] = {
-          val in = fs.open(marker)
-          val s = try scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim finally in.close()
-          Some(s.toInt).filter(_ >= 0)
+          var attempt = 0
+          while (true) {
+            val s: Option[String] =
+              try {
+                val in = fs.open(marker)
+                try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+                  .mkString.trim) finally in.close()
+              } catch {
+                case _: java.io.FileNotFoundException => None
+              }
+            s match {
+              case Some(v) if v.nonEmpty =>
+                return Some(v.toInt).filter(_ >= 0)
+              case _ =>
+                attempt += 1
+                if (attempt >= 50) throw new IllegalStateException(
+                  s"startingVersion marker $marker stayed " +
+                    "missing/empty after the creation race — " +
+                    "checkpoint dir unhealthy")
+                Thread.sleep(100)
+            }
+          }
+          None // unreachable
         }
         if (fs.exists(marker)) readPersisted()
         else {
-          try {
-            fs.mkdirs(dir)
-            val out = fs.create(marker, false) // create-if-absent CAS
-            try out.write(declared.getOrElse(-1).toString
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-            declared
-          } catch { // lost the creation race: the winner's value rules
-            case _: java.io.IOException => readPersisted()
+          fs.mkdirs(dir)
+          val tmp = new org.apache.hadoop.fs.Path(dir,
+            s"graft-starting-version.tmp-${java.util.UUID.randomUUID}")
+          val out = fs.create(tmp, true)
+          try out.write(declared.getOrElse(-1).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          // rename-if-absent via FileContext (the primitive Spark's own
+          // checkpoint manager CASes with): the default NONE option
+          // REFUSES an existing destination — FileSystem.rename on the
+          // local fs would silently clobber the winner — so the loser
+          // reads the winner's value back; the temp always cleans
+          val won = try {
+            org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri,
+              sqlContext.sparkSession.sessionState.newHadoopConf())
+              .rename(tmp, marker)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case _: java.io.IOException => false
           }
+          if (!won) fs.delete(tmp, false)
+          if (won) declared else readPersisted()
         }
     }
   }

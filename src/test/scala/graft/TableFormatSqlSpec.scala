@@ -263,6 +263,90 @@ class TableFormatSqlSpec extends TestSpark {
     } finally spark.sql("DROP TABLE IF EXISTS graft_mrgc")
   }
 
+  test("MERGE BY SOURCE, duplicate-key targets, and coercion soundness") {
+    import spark.implicits._
+    val base = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_mrgs")
+    spark.sql(s"""CREATE TABLE graft_mrgs (k BIGINT, s STRING, v BIGINT)
+      USING `$Provider` OPTIONS (path '$base/t', statsCols 'k')""")
+    spark.sql("""INSERT INTO graft_mrgs VALUES
+      (1,'a',10),(2,'b',20),(3,'c',30),(4,'d',40)""")
+    val v0 = TableFormat.latestVersion(s"$base/t")
+    Seq((1L, 100L), (5L, 500L)).toDF("k", "nv")
+      .createOrReplaceTempView("graft_mrgs_src")
+    try {
+      // full-sync in ONE commit: matched update + not-matched insert +
+      // by-source clauses (first-match-wins on the target complement)
+      spark.sql("""MERGE INTO graft_mrgs t USING graft_mrgs_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k, s, v) VALUES (s.k, 'new', s.nv)
+        WHEN NOT MATCHED BY SOURCE AND t.k = 3 THEN UPDATE SET s = 'kept'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(TableFormat.latestVersion(s"$base/t") === v0 + 1,
+        "BY-SOURCE MERGE must land as ONE applyDelta commit")
+      val got = spark.sql("SELECT k, s, v FROM graft_mrgs ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSeq
+      assert(got === Seq((1L, "a", 100L), (3L, "kept", 30L),
+        (5L, "new", 500L)))
+
+      // duplicate-key target rows are LEGAL when each is updated by at
+      // most one source row (cardinality is per ROW, not per key —
+      // r17 ADVICE); the sibling no clause fires for must carry
+      // verbatim through the key mask, never vanish
+      spark.sql("INSERT INTO graft_mrgs VALUES (7,'x',1),(7,'y',2)")
+      Seq((7L, 1000L)).toDF("k", "nv")
+        .createOrReplaceTempView("graft_mrgs_one")
+      spark.sql("""MERGE INTO graft_mrgs t USING graft_mrgs_one s
+        ON t.k = s.k WHEN MATCHED AND t.s = 'x' THEN UPDATE SET v = s.nv""")
+      val dup = spark.sql("SELECT s, v FROM graft_mrgs WHERE k = 7 ORDER BY s")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(dup === Seq(("x", 1000L), ("y", 2L)),
+        "unfired duplicate-key sibling must carry verbatim")
+      spark.sql("""MERGE INTO graft_mrgs t USING graft_mrgs_one s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'z'""")
+      assert(spark.sql(
+        "SELECT count(*) AS n FROM graft_mrgs WHERE k = 7 AND s = 'z'")
+        .collect()(0).getLong(0) === 2,
+        "one source row may update every duplicate-key target row")
+
+      // COERCION soundness (r17 ADVICE): an INT-keyed table probed
+      // with out-of-range BIGINT values must match NOTHING — pre-r18
+      // the values wrapped under non-ANSI cast onto live keys
+      spark.sql(s"""CREATE TABLE graft_mrgs_i (k INT, s STRING)
+        USING `$Provider` OPTIONS (path '$base/t2', statsCols 'k')""")
+      spark.sql("INSERT INTO graft_mrgs_i VALUES (5,'five'),(6,'six')")
+      // 2^32 + 5 wraps to 5 under a narrowing int cast
+      Seq(4294967301L).toDF("id")
+        .createOrReplaceTempView("graft_mrgs_wide")
+      spark.sql("""DELETE FROM graft_mrgs_i
+        WHERE k IN (SELECT id FROM graft_mrgs_wide)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrgs_i")
+        .collect()(0).getLong(0) === 2,
+        "out-of-range IN-subquery value wrapped onto a live key")
+      Seq(6L).toDF("id").createOrReplaceTempView("graft_mrgs_six")
+      spark.sql("""DELETE FROM graft_mrgs_i
+        WHERE k IN (SELECT id FROM graft_mrgs_six)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrgs_i")
+        .collect()(0).getLong(0) === 1,
+        "a round-tripping wide value must still delete its key")
+      // MERGE: a non-representable source key matches nothing (no
+      // spurious update of the wrapped row)
+      Seq((4294967301L, "wrap")).toDF("k", "s")
+        .createOrReplaceTempView("graft_mrgs_w2")
+      spark.sql("""MERGE INTO graft_mrgs_i t USING graft_mrgs_w2 s
+        ON t.k = s.k
+        WHEN MATCHED AND s.s = 'wrap' THEN UPDATE SET s = s.s""")
+      assert(spark.sql("SELECT s FROM graft_mrgs_i WHERE k = 5")
+        .collect()(0).getString(0) === "five",
+        "non-representable source key wrapped onto an unrelated row")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mrgs")
+      spark.sql("DROP TABLE IF EXISTS graft_mrgs_i")
+    }
+  }
+
   test("versionAsOf time-travels the format load") {
     import spark.implicits._
     val root = freshRoot()
@@ -742,6 +826,22 @@ class TableFormatSqlSpec extends TestSpark {
         (SELECT k FROM graft_dml WHERE v = 500)""")
       assert(spark.sql("SELECT s FROM graft_dml WHERE k = 50")
         .collect()(0).getString(0) === "erased")
+      // r18 (VERDICT #8): an IN-subquery over a DV-BEARING table reads
+      // MASKED instead of failing at listing time — an erasure list
+      // often lives in a table that has itself taken mor deletes; the
+      // resurrected keys (205-210) must NOT drive deletes here
+      val dvRoot = s"$base/dv"
+      TableFormat.append((200L until 211L).toDF("k"), dvRoot,
+        statsCol = Some("k"))
+      TableFormat.deleteKeysMor(spark, dvRoot, (205L until 211L).toDF("k"),
+        "k")
+      spark.sql(s"""CREATE TABLE graft_dml_dv USING `$Provider`
+        OPTIONS (path '$dvRoot', statsCols 'k')""")
+      spark.sql("""DELETE FROM graft_dml WHERE k IN
+        (SELECT k FROM graft_dml_dv)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_dml")
+        .collect()(0).getLong(0) === 274,
+        "dv-masked subquery must delete only the EFFECTIVE keys")
       // other subquery shapes (EXISTS / correlated) keep refusing
       val e = intercept[Exception] {
         spark.sql("""DELETE FROM graft_dml WHERE EXISTS
@@ -752,7 +852,10 @@ class TableFormatSqlSpec extends TestSpark {
         Option(e.getCause).exists(c =>
           String.valueOf(c.getMessage).contains("subquer")),
         s"non-IN subquery DML must refuse with the staging hint: $e")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_dml")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dml")
+      spark.sql("DROP TABLE IF EXISTS graft_dml_dv")
+    }
   }
 
   test("MERGE INTO upserts, deletes, and insert-onlys through the format verbs") {
@@ -806,16 +909,16 @@ class TableFormatSqlSpec extends TestSpark {
       assert(spark.sql("SELECT count(*) AS n FROM graft_mrg")
         .collect()(0).getLong(0) === 58,
         "column-level UPDATE must not change cardinality")
-      // the still-unsupported clause refuses loudly
-      val e = intercept[Exception] {
-        spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
-          ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'x'
-          WHEN NOT MATCHED BY SOURCE THEN DELETE""")
-      }
-      assert(String.valueOf(e.getMessage).contains("NOT MATCHED BY SOURCE") ||
-        Option(e.getCause).exists(c =>
-          String.valueOf(c.getMessage).contains("NOT MATCHED BY SOURCE")),
-        s"unsupported merge clause must refuse loudly: $e")
+      // WHEN NOT MATCHED BY SOURCE (r18, VERDICT #4): matched rows
+      // update, every target row no source key matches deletes — the
+      // full-sync shape, one commit
+      spark.sql("""MERGE INTO graft_mrg t USING graft_mrg_ins s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET s = 'x'
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""")
+      assert(spark.sql("SELECT k, s FROM graft_mrg ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((3L, "x"), (100L, "x")),
+        "BY SOURCE full-sync must keep exactly the source-matched rows")
     } finally spark.sql("DROP TABLE IF EXISTS graft_mrg")
   }
 
@@ -844,6 +947,18 @@ class TableFormatSqlSpec extends TestSpark {
       assert(spark.sql(
         s"SELECT count(*) AS n FROM graft_tt TIMESTAMP AS OF '$ts'")
         .collect()(0).getLong(0) === 10)
+      // r18 (VERDICT #2): the publish instant is the manifest's own
+      // #ts header — an rsync/backup-restore that rewrites every file
+      // mtime must not shift history (under the old mtime resolution
+      // this zeroed clock would make EVERY version qualify → head)
+      val mdir = java.nio.file.Paths.get(root, "manifest")
+      java.nio.file.Files.list(mdir).iterator.forEachRemaining(p =>
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(0L)))
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM graft_tt TIMESTAMP AS OF '$ts'")
+        .collect()(0).getLong(0) === 10,
+        "TIMESTAMP AS OF must resolve from #ts, not rewritten mtimes")
       // graft_snapshot needs NO catalog entry — a path and optionally a
       // version; dv-bearing snapshots come back masked
       assert(spark.sql(
@@ -970,6 +1085,28 @@ class TableFormatSqlSpec extends TestSpark {
               UPDATE SET s = concat(t.s, '?'), v = t.v + src.dv
             WHEN NOT MATCHED AND src.k % 11 >= $thr THEN
               INSERT (k, s, v) VALUES (src.k, concat('c', src.k), src.dv)""")
+        }
+        if (round == 4) { // BY-SOURCE full-sync round (r18)
+          val keys = (0 until 3 + rnd.nextInt(5))
+            .map(_ => rnd.nextInt(95).toLong).distinct
+          val thr = rnd.nextInt(10).toLong
+          val vals = keys.map(k => s"($k)").mkString(", ")
+          model = model.flatMap {
+            case (k, (s0, v0)) if keys.contains(k) =>
+              Some(k -> ((s0, v0 + 1))) // matched update
+            case (k, (s0, v0)) => // not matched by source
+              if (v0 % 10 < thr) None // by-source delete fires first
+              else Some(k -> ((s0 + "~", v0))) // by-source update
+          } ++ keys.filterNot(model.contains)
+            .map(k => k -> ((s"b$k", k))) // plain insert
+          runSql(s"""MERGE INTO graft_dml_model t
+            USING (SELECT * FROM VALUES $vals AS d(k)) src
+            ON t.k = src.k
+            WHEN MATCHED THEN UPDATE SET v = t.v + 1
+            WHEN NOT MATCHED THEN
+              INSERT (k, s, v) VALUES (src.k, concat('b', src.k), src.k)
+            WHEN NOT MATCHED BY SOURCE AND t.v % 10 < $thr THEN DELETE
+            WHEN NOT MATCHED BY SOURCE THEN UPDATE SET s = concat(t.s, '~')""")
         }
       }
       // the history names every verb that ran — lineage survives the fuzz
