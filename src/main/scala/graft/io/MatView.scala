@@ -296,7 +296,36 @@ object MatView {
       where.map(w => joined.filter(expr(w))).getOrElse(joined)
     }
 
-    val version =
+    // DIM-DELTA path (round-17 VERDICT #1): when ONLY dims moved (the
+    // SCD trickle — one upsert per refresh cycle), the change is a
+    // re-attribution of exactly the fact rows that join the changed dim
+    // keys. Those rows' OLD-dim images retract (−1) and NEW-dim images
+    // apply (+1) through the ordinary signed-window machinery — cost ∝
+    // affected rows/groups, never the view. The new dim pins ride the
+    // SAME applyDelta commit (propsDelta), so a crash can never leave
+    // the state updated but the pins stale (which would re-apply the
+    // retraction). Rebuild remains the route when the source moved too,
+    // when a follower interleaved, or when the dim window is not
+    // cleanly consumable (schema change, no recorded pin, CDC refusal).
+    // schema comparison is STRUCTURAL (names + types, nullability
+    // ignored): a copy-on-write rewrite legitimately relaxes
+    // nullability in the recorded DDL without changing the join shape
+    def dimShape(root: String, v: Int): Option[Seq[(String, String)]] =
+      TableFormat.readManifestFull(root, v).schemaDdl.map(s =>
+        org.apache.spark.sql.types.StructType.fromDDL(s).fields
+          .map(f => (f.name.toLowerCase, f.dataType.catalogString)).toSeq)
+    val dimDeltaOk = dimsMoved && !followerInterleaved && to <= from &&
+      srcView.isEmpty && dimVs.forall { case (x, v) =>
+        val rec = recordedDimVersion(mvRoot, x.root)
+        rec == v || (rec >= 0 && rec < v && {
+          val a = dimShape(x.root, rec)
+          a.isDefined && a == dimShape(x.root, v)
+        })
+      }
+    val dimDelta: Option[Int] =
+      if (!dimDeltaOk) None
+      else refreshDimDelta(spark, mvRoot, d, dimVs)
+    val version = dimDelta getOrElse {
       if (dimsMoved || followerInterleaved) {
         // REBUILD: full state from the head; every standing key masked.
         // The source marker rides only when the source itself moved — a
@@ -330,12 +359,14 @@ object MatView {
           .reduce(_ unionByName _).persist()
         try {
           val retractable = aggs.forall(a => Retractable(a.fn))
-          val mergeable =
-            aggs.forall(a => Mergeable(a.fn)) && droppedOpt.isEmpty
+          // an append-only window makes EVERY supported aggregate
+          // mergeable — min/max fold with least/greatest, HLL with a
+          // register merge (r18: min/max joined the fast path)
+          val appendOnly = droppedOpt.isEmpty
           val appends =
-            if (retractable || mergeable)
+            if (retractable || appendOnly)
               mergedState(spark, mvRoot, hasState(mvRoot, from),
-                groupCols, aggs, signed)
+                groupCols, aggs, signed, appendOnly = appendOnly)
             else recomputedState(spark,
               prepared(TableFormat.readSnapshot(spark, source, to)),
               groupCols, aggs, signed)
@@ -348,8 +379,11 @@ object MatView {
           ()
         }
       }
+    }
     // record the dim pins AFTER the state commit (a crash between the
-    // two re-runs as a redundant rebuild next refresh — never stale)
+    // two re-runs as a redundant rebuild next refresh — never stale);
+    // a dim-delta refresh carried them INSIDE its commit, so the
+    // mismatch re-check below is already satisfied and skips
     if (dims.nonEmpty && dimVs.exists { case (x, v) =>
         recordedDimVersion(mvRoot, x.root) != v })
       TableFormat.setProps(mvRoot,
@@ -363,6 +397,124 @@ object MatView {
     math.max(version, TableFormat.latestVersion(mvRoot))
   }
 
+  /** The DIM-DELTA refresh (round-17 VERDICT #1): consume each moved
+    * dim's CDC window ([[TableFormat.readChanges]] over the recorded
+    * pin → head), back-propagate the changed dim keys through the join
+    * chain to a FACT-level key set, and re-attribute exactly the fact
+    * rows that join them: their OLD-dim images retract (−1), their
+    * NEW-dim images apply (+1), through the ordinary signed-window
+    * machinery — mergedState for retractable views (cost ∝ affected
+    * rows), affected-group recompute otherwise. The refreshed dim pins
+    * ride the SAME applyDelta commit as table properties, so the step
+    * is atomic: a crash replay sees current pins and does nothing —
+    * the non-idempotent retraction can never double-apply. Returns
+    * None when a factKey column cannot be attributed to the fact table
+    * or an earlier dim (the caller then rebuilds — loud in cost, never
+    * in correctness).
+    */
+  private def refreshDimDelta(spark: SparkSession, mvRoot: String,
+      d: MvDef, dimVs: Seq[(MvDim, Int)]): Option[Int] = {
+    val MvDef(source, groupCols, aggs, where, dims) = d
+    val factCols = TableFormat.latestSchema(source)
+      .map(_.fieldNames.map(_.toLowerCase).toSet)
+      .getOrElse(return None)
+    val pinOf = dims.map(x => x -> recordedDimVersion(mvRoot, x.root)).toMap
+    val headOf = dimVs.toMap
+    def changedKeys(x: MvDim): DataFrame =
+      TableFormat.readChanges(spark, x.root, pinOf(x), headOf(x), x.dimKey)
+        .select(col(x.dimKey)).distinct()
+    // back-propagate (column, keys) to the FACT level: a dim's factKey
+    // either IS a fact column, or lives on an EARLIER dim — that dim's
+    // rows holding an affected value (under old AND new snapshots:
+    // either attribution routes fact rows to an affected group) yield
+    // its own affected dimKeys, recursively
+    def toFactLevel(i: Int, c: String, keys: DataFrame)
+        : Option[(String, DataFrame)] =
+      if (factCols.contains(c.toLowerCase)) Some((c, keys.toDF(c)))
+      else (0 until i).reverse.find { j =>
+        TableFormat.latestSchema(dims(j).root)
+          .exists(_.fieldNames.exists(_.equalsIgnoreCase(c)))
+      }.flatMap { j =>
+        val dj = dims(j)
+        val up = Seq(headOf(dj), pinOf(dj)).distinct.map { v =>
+          TableFormat.readSnapshot(spark, dj.root, v)
+            .select(col(dj.dimKey), col(c))
+            .join(keys.toDF(c), Seq(c), "left_semi")
+            .select(col(dj.dimKey))
+        }.reduce(_ unionByName _).distinct()
+        toFactLevel(j, dj.factKey, up)
+      }
+    val moved = dims.zipWithIndex.filter { case (x, _) =>
+      pinOf(x) != headOf(x) }
+    val factLevel: Seq[(String, DataFrame)] =
+      moved.foldLeft(Option(Seq.empty[(String, DataFrame)])) {
+        case (accOpt, (x, i)) => accOpt.flatMap(acc =>
+          toFactLevel(i, x.factKey, changedKeys(x)).map(acc :+ _))
+      } match {
+        case Some(fl) => fl
+        case None => return None
+      }
+    val byCol: Seq[(String, DataFrame)] = factLevel
+      .groupBy(_._1.toLowerCase).values.toSeq
+      .map(g => g.head._1 ->
+        g.map(_._2).reduce(_ unionByName _).distinct())
+    // fact rows joining ANY affected key — a zone-map-pruned touched
+    // read for the dominant single-column shape, flag-joins otherwise
+    val aff: DataFrame = byCol match {
+      case Seq((c, ks)) =>
+        TableFormat.readTouchedForKeys(spark, source, ks, c)
+          .join(ks, Seq(c), "left_semi")
+      case many =>
+        val flagged = many.zipWithIndex
+          .foldLeft(TableFormat.readSnapshot(spark, source)) {
+            case (acc, ((c, ks), i)) =>
+              acc.join(ks.withColumn(s"__graft_aff_$i", lit(1)),
+                Seq(c), "left")
+          }
+        flagged.filter(many.indices.map(i =>
+            col(s"__graft_aff_$i").isNotNull).reduce(_ || _))
+          .drop(many.indices.map(i => s"__graft_aff_$i"): _*)
+    }
+    def imageAt(at: MvDim => Int): DataFrame = {
+      val joined = dims.foldLeft(aff) { (acc, x) =>
+        val dimDf = TableFormat.readSnapshot(spark, x.root, at(x))
+        if (x.factKey == x.dimKey) acc.join(dimDf, Seq(x.factKey))
+        else acc.join(dimDf, acc(x.factKey) === dimDf(x.dimKey))
+          .drop(dimDf(x.dimKey))
+      }
+      where.map(w => joined.filter(expr(w))).getOrElse(joined)
+    }
+    val signed = imageAt(pinOf).withColumn("__sign", lit(-1))
+      .unionByName(imageAt(headOf).withColumn("__sign", lit(1)))
+      .persist()
+    try {
+      val pinProps = dimVs
+        .map { case (x, v) => propDimV(x.root) -> v.toString }.toMap
+      val appends =
+        if (aggs.forall(a => Retractable(a.fn)))
+          mergedState(spark, mvRoot, hasState(mvRoot, 0), groupCols,
+            aggs, signed)
+        else {
+          val head = dims.foldLeft(
+            TableFormat.readSnapshot(spark, source)) { (acc, x) =>
+            val dimDf = TableFormat.readSnapshot(spark, x.root, headOf(x))
+            if (x.factKey == x.dimKey) acc.join(dimDf, Seq(x.factKey))
+            else acc.join(dimDf, acc(x.factKey) === dimDf(x.dimKey))
+              .drop(dimDf(x.dimKey))
+          }
+          recomputedState(spark,
+            where.map(w => head.filter(expr(w))).getOrElse(head),
+            groupCols, aggs, signed)
+        }
+      val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
+      Some(TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+        statsCol = Some(KeyCol), propsDelta = pinProps))
+    } finally {
+      signed.unpersist(blocking = false)
+      ()
+    }
+  }
+
   private def hasState(mvRoot: String, from: Int): Boolean = {
     val head = TableFormat.latestVersion(mvRoot)
     from >= 0 && head >= 0 &&
@@ -374,10 +526,15 @@ object MatView {
   /** CONTINUOUS maintenance: follow the source's change feed through
     * the table-format streaming source and fold each micro-batch into
     * the view — the [[graft.ops.IndexSync.followPostings]] shape for
-    * aggregates. Retractable views only (count/sum/avg): min/max needs
-    * the source head per window, which a stream batch does not pin —
-    * those views refuse here and use batch [[refresh]]. `keyCol` must
-    * be a UNIQUE source key (the cdc feed pairs update images by it; a
+    * aggregates. Retractable views (count/sum/avg) fold every batch
+    * arithmetically; views carrying min/max or approx_count_distinct
+    * follow too (r17 VERDICT #5): append-only batches MERGE
+    * (least/greatest, register-union), and a batch whose window
+    * contains drops routes through the batch-refresh affected-group
+    * recompute AS OF the batch's END source version — the stream pins
+    * it on every row via the source's `includeEndVersion` column, so
+    * the hybrid stays exactly-once and exact. `keyCol` must be a
+    * UNIQUE source key (the cdc feed pairs update images by it; a
     * duplicate key would inflate row multiplicity and corrupt the
     * deltas). Exactly-once: each batch lands as one [[TableFormat
     * .applyDelta]] commit whose txn marker is the BATCH id (appId
@@ -393,11 +550,6 @@ object MatView {
              checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val MvDef(source, groupCols, aggs, _, dims) = definition(mvRoot)
-    require(aggs.forall(a => Retractable(a.fn)),
-      s"view at $mvRoot carries non-retractable aggregates (min/max/" +
-        "approx_count_distinct) — a stream batch cannot pin the source " +
-        "head their delete handling needs; maintain it with " +
-        "MatView.refresh")
     require(dims.isEmpty,
       s"view at $mvRoot joins dimensions — a stream cannot observe dim " +
         "movement (the rebuild trigger); maintain it with MatView.refresh")
@@ -405,14 +557,20 @@ object MatView {
       s"view at $mvRoot cascades from another view — follow the BASE " +
         "table and refresh this one after the parent (the cdc feed " +
         "would deliver raw state rows)")
+    // non-retractable views need the per-batch source-version pin for
+    // their drop-batch recompute
+    val nonRetract = aggs.exists(a => !Retractable(a.fn))
     // seed the stream at the view's refresh marker: the creation
     // refresh already folded the snapshot through that version, so the
     // stream must deliver strictly-later changes, not the initial
     // whole-snapshot batch (which would double-apply every standing row)
     val indexed = TableFormat.lastTxn(mvRoot, source)
-    val reader = spark.readStream
+    val reader0 = spark.readStream
       .format(classOf[TableFormatSourceProvider].getName)
       .option("mode", "cdc").option("keyCol", keyCol)
+    val reader =
+      if (nonRetract) reader0.option("includeEndVersion", "true")
+      else reader0
     (if (indexed >= 0) reader.option("startingVersion", indexed.toString)
      else reader)
       .load(source)
@@ -428,7 +586,11 @@ object MatView {
 
   /** Fold one cdc-feed micro-batch into the view state as a single
     * marker-carrying commit. An empty batch still commits its marker —
-    * the batch sequence stays dense for the replay check.
+    * the batch sequence stays dense for the replay check. Routing per
+    * batch: retractable-only views always merge; otherwise append-only
+    * batches merge (min/max via least/greatest) and drop-bearing
+    * batches recompute the affected groups from the source snapshot
+    * the batch window ENDS at (the `_graft_end_version` pin).
     */
   private def applyFeed(spark: SparkSession, mvRoot: String,
       source: String, groupCols: Seq[String], aggs: Seq[MvAgg],
@@ -436,18 +598,47 @@ object MatView {
     val txn = Some((s"follow:$source", batchId))
     if (TableFormat.lastTxn(mvRoot, s"follow:$source") >= batchId) return
     val where = definition(mvRoot).where
+    val vCol = TableFormatStreamSource.EndVersionCol
+    val hasV = feed.columns.contains(vCol)
     val fed = where.map(w => feed.filter(expr(w))).getOrElse(feed)
-    val signed = fed.withColumn("__sign",
+    val signed0 = fed.withColumn("__sign",
         when(col("change_type").isin("insert", "update_postimage"), 1)
           .otherwise(-1))
       .drop("change_type")
     val head = TableFormat.latestVersion(mvRoot)
     val state = head >= 0 &&
       TableFormat.readManifestFull(mvRoot, head).entries.nonEmpty
-    val appends = mergedState(spark, mvRoot, state, groupCols, aggs, signed)
-    val deletes = signed.select(keyExpr(groupCols).as(KeyCol)).distinct()
-    TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+    val retractable = aggs.forall(a => Retractable(a.fn))
+    val (deletes, appends, cached) =
+      if (retractable && !hasV) {
+        val signed = signed0
+        (signed.select(keyExpr(groupCols).as(KeyCol)).distinct(),
+          mergedState(spark, mvRoot, state, groupCols, aggs, signed),
+          None)
+      } else {
+        val signed = signed0.persist()
+        val appendOnly = signed.filter(col("__sign") === -1).isEmpty
+        val rows = if (hasV) signed.drop(vCol) else signed
+        val app =
+          if (retractable || appendOnly)
+            mergedState(spark, mvRoot, state, groupCols, aggs, rows,
+              appendOnly = appendOnly)
+          else {
+            val endV = signed.agg(max(col(vCol))).head.getInt(0)
+            val headDf = TableFormat.readSnapshot(spark, source, endV)
+            recomputedState(spark,
+              where.map(w => headDf.filter(expr(w))).getOrElse(headDf),
+              groupCols, aggs, rows)
+          }
+        (rows.select(keyExpr(groupCols).as(KeyCol)).distinct(), app,
+          Some(signed))
+      }
+    try TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
       statsCol = Some(KeyCol), txn = txn)
+    finally {
+      cached.foreach(_.unpersist(blocking = false))
+      ()
+    }
     ()
   }
 
@@ -471,8 +662,14 @@ object MatView {
       }
     }
 
-  /** Per-group DELTA aggregates over ±1-signed window rows. */
-  private def deltaAggs(aggs: Seq[MvAgg]): Seq[Column] = {
+  /** Per-group DELTA aggregates over ±1-signed window rows. With
+    * `appendOnly` (the router proved every sign is +1), min/max join
+    * the mergeable set: the window's extremum folds into the standing
+    * one with least/greatest — the append-mostly fast path batch
+    * refresh and streaming follow share (r17 VERDICT #5).
+    */
+  private def deltaAggs(aggs: Seq[MvAgg],
+      appendOnly: Boolean = false): Seq[Column] = {
     val sign = col("__sign")
     sum(sign.cast("long")).as(NCol) +: aggs.flatMap { a =>
       def nn = expr(a.in).isNotNull
@@ -491,8 +688,10 @@ object MatView {
         // every sign is +1, so the window's registers are just its rows'
         case "approx_count_distinct" =>
           Seq(hllUdaf(ndvHash(expr(a.in))).as(aCol(a.out)))
+        case "min" if appendOnly => Seq(min(expr(a.in)).as(aCol(a.out)))
+        case "max" if appendOnly => Seq(max(expr(a.in)).as(aCol(a.out)))
         case other => throw new IllegalStateException(
-          s"non-retractable $other reached the delta path")
+          s"non-retractable $other reached the delta path with drops")
       }
     }
   }
@@ -520,9 +719,10 @@ object MatView {
     */
   private def mergedState(spark: SparkSession, mvRoot: String,
       hasState: Boolean, groupCols: Seq[String], aggs: Seq[MvAgg],
-      signed: DataFrame): DataFrame = {
+      signed: DataFrame, appendOnly: Boolean = false): DataFrame = {
+    val dAggs = deltaAggs(aggs, appendOnly)
     val delta = signed.groupBy(groupCols.map(col): _*)
-      .agg(deltaAggs(aggs).head, deltaAggs(aggs).tail: _*)
+      .agg(dAggs.head, dAggs.tail: _*)
       .withColumn(KeyCol, keyExpr(groupCols))
     val stateCols = stateSelect(groupCols, aggs)
     if (!hasState) {
@@ -576,8 +776,15 @@ object MatView {
                 .otherwise(ColumnBridge.column(HllMergeExpr(
                   ColumnBridge.expression(col(aCol(a.out))),
                   ColumnBridge.expression(col(s"__d_${aCol(a.out)}")))))))
+        // append-only windows only (the router's contract): the new
+        // extremum is the least/greatest of standing and window —
+        // least/greatest skip NULLs, exactly the birth semantics
+        case "min" if appendOnly => f.withColumn(aCol(a.out),
+          least(col(aCol(a.out)), col(s"__d_${aCol(a.out)}")))
+        case "max" if appendOnly => f.withColumn(aCol(a.out),
+          greatest(col(aCol(a.out)), col(s"__d_${aCol(a.out)}")))
         case other => throw new IllegalStateException(
-          s"non-retractable $other reached the merge path")
+          s"non-retractable $other reached the merge path with drops")
       }
     }
     // group columns: the standing row's values, else the delta's (birth)

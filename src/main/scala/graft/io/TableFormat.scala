@@ -1281,7 +1281,8 @@ object TableFormat {
       conflictKeys: Option[(DataFrame, String)],
       txn: Option[(String, Long)] = None,
       replaceSchema: Boolean = false,
-      op: String = "rewrite"): Int = {
+      op: String = "rewrite",
+      propsDelta: Map[String, String] = Map.empty): Int = {
     // NDV upkeep (round-16 VERDICT #3): once a table is analyzed, every
     // rewrite keeps it analyzed — fresh dirs re-sketch the base
     // coverage in one column-pruned job over data this commit just
@@ -1337,7 +1338,7 @@ object TableFormat {
           case (a, b) => a.orElse(b).map(_.toDDL)
         }
       try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op,
-        check = m.check, props = m.props)
+        check = m.check, props = m.props ++ propsDelta)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1886,29 +1887,38 @@ object TableFormat {
                  statsCols: Seq[String] = Nil,
                  txn: Option[(String, Long)] = None,
                  foldRatio: Double = DvFoldRatio,
-                 bloomCol: Option[String] = None): Int = {
+                 bloomCol: Option[String] = None,
+                 propsDelta: Map[String, String] = Map.empty): Int = {
     val prev = latestVersion(root)
     txn.foreach { case (a, v) =>
       if (prev >= 0 && lastTxn(root, a) >= v) return prev // replayed delta
     }
     val hasDeletes = prev >= 0 && !deletes.isEmpty
     val hasAppends = !appends.isEmpty
-    if (!hasDeletes && !hasAppends && (txn.isEmpty || prev < 0)) return prev
-    if (!hasDeletes && hasAppends)
+    if (!hasDeletes && !hasAppends && txn.isEmpty && propsDelta.isEmpty)
+      return prev
+    if (!hasDeletes && !hasAppends && prev < 0 && propsDelta.isEmpty)
+      return prev
+    if (!hasDeletes && hasAppends && propsDelta.isEmpty)
       return append(appends, root, statsCol, statsCols,
         bloomCol = bloomCol, txn = txn)
+    require(prev >= 0 || !hasAppends,
+      "applyDelta with propsDelta needs an existing table") // props need v0
+    if (prev < 0) return -1
     val m = readManifestFull(root, prev)
-    if (!hasDeletes) // marker-only: entries carry verbatim
+    val cols = (statsCol.toSeq ++ statsCols).distinct
+    if (!hasDeletes && !hasAppends) // marker/props-only: entries verbatim
       return commitRewrite(spark, root, prev, readSet = Seq.empty,
         baseUntouched = m.entries, produced = Seq.empty,
         ourSchema = None, conflictKeys = None, txn = txn,
-        op = "apply-delta")
-    val (touched, untouched) = touchedSplit(spark, m.entries, deletes, keyCol)
+        op = "apply-delta", propsDelta = propsDelta)
+    val (touched, untouched) =
+      if (hasDeletes) touchedSplit(spark, m.entries, deletes, keyCol)
+      else (Seq.empty[Entry], m.entries)
     val masked =
       if (touched.isEmpty) Seq.empty
       else morMaskOrFold(spark, root, touched, deletes, keyCol,
         manifestSchema(m), foldRatio)
-    val cols = (statsCol.toSeq ++ statsCols).distinct
     val appended =
       if (!hasAppends) Seq.empty
       else {
@@ -1918,15 +1928,19 @@ object TableFormat {
           .parquet(dataDir)
         Seq(mkEntry(spark, dataDir, cols))
       }
-    val conflict =
-      if (hasAppends && appends.columns.contains(keyCol))
-        deletes.select(col(keyCol)).unionByName(appends.select(col(keyCol)))
-      else deletes.select(col(keyCol))
+    val conflict: Option[DataFrame] =
+      (hasDeletes, hasAppends && appends.columns.contains(keyCol)) match {
+        case (true, true) => Some(deletes.select(col(keyCol))
+          .unionByName(appends.select(col(keyCol))))
+        case (true, false) => Some(deletes.select(col(keyCol)))
+        case (false, true) => Some(appends.select(col(keyCol)))
+        case (false, false) => None // props-riding key-less append
+      }
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched, produced = masked ++ appended,
       ourSchema = if (hasAppends) Some(appends.schema) else None,
-      conflictKeys = Some((conflict, keyCol)), txn = txn,
-      op = "apply-delta")
+      conflictKeys = conflict.map((_, keyCol)), txn = txn,
+      op = "apply-delta", propsDelta = propsDelta)
   }
 
   /** Effective rows of exactly the head dirs whose zone maps / blooms

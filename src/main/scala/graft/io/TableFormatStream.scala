@@ -189,9 +189,21 @@ final class TableFormatSourceProvider
       throw new IllegalArgumentException(
         s"no committed snapshot at $root and no user schema — create the " +
           "table first or pass .schema(...)"))
-    if (parameters.getOrElse("mode", "appends") == "cdc")
-      StructType(base.fields :+ StructField("change_type", StringType))
-    else base
+    val cdc =
+      if (parameters.getOrElse("mode", "appends") == "cdc")
+        StructType(base.fields :+ StructField("change_type", StringType))
+      else base
+    // `includeEndVersion=true`: every batch row carries the window's
+    // END snapshot version — the pin a non-retractable consumer needs
+    // to recompute affected state AS OF the batch (r17 VERDICT #5:
+    // min/max MatView.follow routes drop-bearing batches through the
+    // affected-group recompute against exactly this snapshot)
+    if (parameters.getOrElse("includeendversion",
+        parameters.getOrElse("includeEndVersion", "false")).toBoolean)
+      StructType(cdc.fields :+
+        StructField(TableFormatStreamSource.EndVersionCol,
+          org.apache.spark.sql.types.IntegerType))
+    else cdc
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -506,7 +518,11 @@ private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
     }
     // order columns exactly as the planned source schema — a streaming
     // batch is consumed POSITIONALLY against it
-    val aligned = batch.select(schema.fieldNames.map(col).toSeq: _*)
+    val versioned =
+      if (schema.fieldNames.contains(TableFormatStreamSource.EndVersionCol))
+        batch.withColumn(TableFormatStreamSource.EndVersionCol, lit(to))
+      else batch
+    val aligned = versioned.select(schema.fieldNames.map(col).toSeq: _*)
     // a v1 Source's batch must be a STREAMING frame; the sql-package
     // bridge forwards to the constructor Spark's own file stream
     // source uses for its batches
@@ -529,4 +545,11 @@ private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
   override def stop(): Unit = ()
 
   override def toString: String = s"TableFormatStreamSource[$root, $mode]"
+}
+
+private[graft] object TableFormatStreamSource {
+  /** Reserved column `includeEndVersion=true` appends: the window's
+    * end snapshot version, constant per batch.
+    */
+  val EndVersionCol = "_graft_end_version"
 }

@@ -760,7 +760,77 @@ object Analytics {
         |ORDER BY nation, o_year DESC""".stripMargin)
   }
 
+  // ------------------------------------------------------- Q5 under CBO
+
+  /** TPC-H Q5 over FORMAT-BACKED tables with cost-based optimization
+    * end-to-end (round-17 VERDICT #6): the six tables land as graft
+    * tables whose manifests carry row accounts, zone maps, and NDV
+    * sketches on every join key — recorded AT WRITE TIME, so the
+    * optimizer's `rowCount`/`distinctCount`/min-max all come from
+    * manifest metadata with ZERO `ANALYZE TABLE` scans
+    * ([[graft.io.ManifestStats]]). The SQL is the worst-practice
+    * SYNTACTIC order (customer × orders × lineitem × supplier × nation
+    * × region, left-deep); CBO + join reorder must recover the
+    * one-fact-edge shape — lineitem ⋈ orders the only shuffle join,
+    * every dimension broadcast — which `NdvStatsSpec` pins on the
+    * physical plan. Planning is FORCED inside the conf window (plans
+    * are lazy; restoring the conf first would optimize without CBO).
+    */
+  private val cboCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
+  private def landedCboTables(s: SparkSession, dir: String): Unit =
+    cboCache.getOrElseUpdate((s, dir), {
+      def land(name: String, stats: Seq[String], ndv: Seq[String]): Unit = {
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_cbo5_$name").toString + "/t"
+        graft.io.TableFormat.append(t(s, dir, name), root,
+          statsCols = stats, ndvCols = ndv)
+        graft.io.TableFormat.registerSql(s, root, s"graft_cbo5_$name")
+      }
+      land("region", Seq("r_regionkey"), Seq("r_regionkey"))
+      land("nation", Seq("n_nationkey"), Seq("n_nationkey", "n_regionkey"))
+      land("customer", Seq("c_custkey"), Seq("c_custkey", "c_nationkey"))
+      land("supplier", Seq("s_suppkey"), Seq("s_suppkey", "s_nationkey"))
+      land("orders", Seq("o_orderkey", "o_orderdate"),
+        Seq("o_orderkey", "o_custkey"))
+      land("lineitem", Seq("l_orderkey"), Seq("l_orderkey", "l_suppkey"))
+    })
+
+  private[graft] val Q5CboSql: String =
+    """SELECT n_name,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4)
+      |    AS revenue
+      |FROM graft_cbo5_customer, graft_cbo5_orders, graft_cbo5_lineitem,
+      |     graft_cbo5_supplier, graft_cbo5_nation, graft_cbo5_region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private[graft] def qTpchQ5Cbo(s: SparkSession, dir: String): DataFrame = {
+    landedCboTables(s, dir)
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val df = s.sql(Q5CboSql)
+      df.queryExecution.executedPlan // force planning under CBO
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q5_cbo" -> qTpchQ5Cbo,
     "q_tpch_q2" -> qTpchQ2,
     "q_tpch_q9" -> qTpchQ9,
     "q_tpch_q1" -> qTpchQ1,
@@ -785,6 +855,23 @@ object Analytics {
     "q_tpch_q18" -> qTpchQ18)
 
   val oracleSql: Map[String, String] = Map(
+    // the format-backed CBO twin holds exactly the raw tables' rows, so
+    // the q5 oracle text applies verbatim
+    "q_tpch_q5_cbo" ->
+      """SELECT n_name,
+        |round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |  (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_tpch_q2" ->
       """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
         |  round(CAST(l_extendedprice AS DOUBLE), 4) AS supply_cost

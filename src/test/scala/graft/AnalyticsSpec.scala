@@ -58,6 +58,42 @@ class AnalyticsSpec extends TestSpark {
     assertOneFactEdge("q_tpch_q5", minBroadcast = 4)
   }
 
+  test("q_tpch_q5_cbo: manifest stats drive CBO reorder, zero ANALYZE scans") {
+    // the fixture lands the six FORMAT-backed tables (row accounts, zone
+    // maps, NDV sketches recorded at write time) and registers them —
+    // no ANALYZE TABLE anywhere in this test or the query path
+    graft.ops.Analytics.qTpchQ5Cbo(spark, Sf)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // manifest-fed plan statistics on the fact table
+      val st = spark.table("graft_cbo5_lineitem")
+        .queryExecution.optimizedPlan.stats
+      assert(st.rowCount.exists(_ > 0),
+        s"plan rowCount must come from the manifest account: ${st.rowCount}")
+      assert(st.attributeStats.exists { case (a, cs) =>
+        a.name == "l_orderkey" && cs.distinctCount.isDefined },
+        "plan NDV(l_orderkey) must come from the manifest sketches")
+      // the worst-practice SYNTACTIC order must be restructured by the
+      // manifest-fed cost model — same SQL, CBO off vs on
+      def shape(on: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", on.toString)
+        spark.sql(graft.ops.Analytics.Q5CboSql)
+          .queryExecution.optimizedPlan.toString
+      }
+      val off = shape(on = false)
+      val on = shape(on = true)
+      assert(on !== off,
+        s"manifest-fed CBO left the syntactic q5 join order untouched:\n$on")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+    // and the registered key's own physical plan keeps the one-fact-edge
+    // shape: >= 4 broadcasts, <= 1 shuffle join, no cartesian
+    assertOneFactEdge("q_tpch_q5_cbo", minBroadcast = 4)
+  }
+
   test("q_tpch_q10: one fact edge, returnflag filter pushed") {
     assertOneFactEdge("q_tpch_q10", minBroadcast = 2)
     val s = staticPlan("q_tpch_q10").toString

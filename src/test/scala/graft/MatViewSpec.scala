@@ -402,6 +402,110 @@ class MatViewSpec extends TestSpark {
       sortedRows(MatView.read(spark, mv).select("d_name", "n")))
   }
 
+  test("a 1-row dim update refreshes via dim-delta: cost ∝ affected groups") {
+    import spark.implicits._
+    import graft.io.MvDim
+    val fact = fresh("ddfact")
+    val dim = fresh("dddim")
+    TableFormat.append((0L until 50L).map(i => (i, s"n$i"))
+      .toDF("d_id", "d_name"), dim, statsCol = Some("d_id"))
+    TableFormat.append((1L to 1000L).map(k => (k, k % 50, k))
+      .toDF("k", "fk", "x"), fact, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
+    val mv = fresh("ddview")
+    MatView.create(spark, mv, fact, Seq("d_name"), aggs,
+      dims = Seq(MvDim(dim, "fk", "d_id")))
+    def truth(): Seq[String] =
+      sortedRows(TableFormat.readSnapshot(spark, fact)
+        .join(TableFormat.readSnapshot(spark, dim),
+          col("fk") === col("d_id"))
+        .groupBy("d_name")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+    val v0 = TableFormat.latestVersion(mv)
+    val dirs0 = TableFormat.readManifestFull(mv, v0).entries
+      .map(_.dir).toSet
+    // ONE dim row moves (the SCD trickle): n7 → N7
+    TableFormat.updateWhere(spark, dim, col("d_id") === 7L,
+      Seq("d_name" -> lit("N7")), statsCol = Some("d_id"))
+    MatView.refresh(spark, mv)
+    val v1 = TableFormat.latestVersion(mv)
+    assert(v1 === v0 + 1,
+      "dim-delta must land state AND dim pins as ONE commit")
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "dim-delta result must equal recompute")
+    // COST pin (r17 VERDICT #1 done-criterion): the commit appended
+    // only the AFFECTED groups' state — the view holds 50 groups, the
+    // re-attribution kills n7 (mask) and births N7: ≤ 2 appended rows.
+    // A whole-view rebuild would append all 50.
+    val appended = TableFormat.readManifestFull(mv, v1).entries
+      .filterNot(e => dirs0.contains(e.dir))
+    assert(appended.nonEmpty && appended.map(_.rows).sum <= 2,
+      s"dim-delta appended ${appended.map(_.rows).sum} state rows — " +
+        "that is a rebuild, not an affected-group delta")
+    // pins rode the commit: an immediate replay sees nothing moved
+    MatView.refresh(spark, mv)
+    assert(TableFormat.latestVersion(mv) === v1,
+      "a replayed dim-delta refresh must be a no-op")
+    // non-retractable (max) dim view routes through affected-group
+    // recompute and stays exact
+    val mvm = fresh("ddviewmm")
+    MatView.create(spark, mvm, fact, Seq("d_name"),
+      Seq(MvAgg("count_star", "*", "n"), MvAgg("max", "x", "mx")),
+      dims = Seq(MvDim(dim, "fk", "d_id")))
+    TableFormat.updateWhere(spark, dim, col("d_id") === 9L,
+      Seq("d_name" -> lit("N9")), statsCol = Some("d_id"))
+    MatView.refresh(spark, mvm)
+    assert(sortedRows(MatView.read(spark, mvm)) ===
+      sortedRows(TableFormat.readSnapshot(spark, fact)
+        .join(TableFormat.readSnapshot(spark, dim),
+          col("fk") === col("d_id"))
+        .groupBy("d_name")
+        .agg(count(lit(1)).as("n"), max(col("x")).as("mx"))),
+      "min/max dim-delta must equal recompute")
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "the retractable view must track the second dim move too")
+    // CHAINED dims (fact → customer → nation): a changed NATION key
+    // back-propagates through the customer dim to a fact-level key set
+    val cust = fresh("ddcust")
+    val nat = fresh("ddnat")
+    TableFormat.append((0L until 20L).map(i => (i, i % 4))
+      .toDF("c_id", "c_nat"), cust, statsCol = Some("c_id"))
+    TableFormat.append((0L until 4L).map(i => (i, s"nat$i"))
+      .toDF("nat_id", "nat_name"), nat, statsCol = Some("nat_id"))
+    val fact2 = fresh("ddfact2")
+    TableFormat.append((1L to 400L).map(k => (k, k % 20, k))
+      .toDF("k", "cid", "x"), fact2, statsCol = Some("k"))
+    val mv2 = fresh("ddview2")
+    MatView.create(spark, mv2, fact2, Seq("nat_name"), aggs,
+      dims = Seq(MvDim(cust, "cid", "c_id"),
+        MvDim(nat, "c_nat", "nat_id")))
+    def truth2(): Seq[String] =
+      sortedRows(TableFormat.readSnapshot(spark, fact2)
+        .join(TableFormat.readSnapshot(spark, cust),
+          col("cid") === col("c_id"))
+        .join(TableFormat.readSnapshot(spark, nat),
+          col("c_nat") === col("nat_id"))
+        .groupBy("nat_name")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx")))
+    val w0 = TableFormat.latestVersion(mv2)
+    TableFormat.updateWhere(spark, nat, col("nat_id") === 2L,
+      Seq("nat_name" -> lit("NAT2")), statsCol = Some("nat_id"))
+    MatView.refresh(spark, mv2)
+    assert(TableFormat.latestVersion(mv2) === w0 + 1,
+      "chained dim-delta must land as one commit")
+    assert(sortedRows(MatView.read(spark, mv2)) === truth2(),
+      "chained dim-delta must equal recompute")
+    // dim SCHEMA change falls back to rebuild and stays exact (the
+    // eligibility gate, not the delta, owns that window)
+    TableFormat.append((50L until 52L)
+      .map(i => (i, s"n$i", s"extra$i"))
+      .toDF("d_id", "d_name", "d_extra"), dim, statsCol = Some("d_id"))
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "a dim schema change must rebuild, never go stale")
+  }
+
   test("approx-distinct views: register-merge on appends, recompute on drops") {
     import spark.implicits._
     val src = fresh("ndsrc")
@@ -456,14 +560,6 @@ class MatViewSpec extends TestSpark {
       .toDF("k", "g", "x"), src, statsCol = Some("k"))
     val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
     MatView.create(spark, mv, src, Seq("g"), aggs)
-    // min/max views refuse to follow, naming the batch path
-    val mm = fresh("fmm")
-    MatView.create(spark, mm, src, Seq("g"),
-      Seq(MvAgg("max", "x", "mx")))
-    val e = intercept[IllegalArgumentException] {
-      MatView.follow(spark, mm, "k", fresh("fmmckpt"))
-    }
-    assert(e.getMessage.contains("refresh"))
     val q = MatView.follow(spark, mv, "k", ckpt)
     try {
       TableFormat.append(Seq((3L, "a", 5L), (4L, "c", 7L))
@@ -481,6 +577,53 @@ class MatViewSpec extends TestSpark {
       q2.processAllAvailable()
       assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
         "followed view after a restart")
+    } finally q2.stop()
+  }
+
+  test("min/max views follow a stream: merge appends, recompute drop batches") {
+    import spark.implicits._
+    val src = fresh("mmfsrc")
+    val mv = fresh("mmfview")
+    val ckpt = fresh("mmfckpt")
+    TableFormat.append(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 7L))
+      .toDF("k", "g", "x"), src, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"),
+      MvAgg("min", "x", "mn"), MvAgg("max", "x", "mx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    // r17 VERDICT #5: min/max views FOLLOW now — append-only batches
+    // fold with least/greatest, drop-bearing batches recompute the
+    // affected groups AS OF the batch's end version (the stream's
+    // includeEndVersion pin)
+    val q = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      // append-only batch → the merge path (births included: group c)
+      TableFormat.append(Seq((4L, "a", 50L), (5L, "c", 5L))
+        .toDF("k", "g", "x"), src, statsCol = Some("k"))
+      q.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "min/max view after an append-only batch")
+      // drop the CURRENT max of group a → the recompute must find the
+      // runner-up (a merge could never un-raise it)
+      TableFormat.deleteKeysMor(spark, src, Seq(4L).toDF("k"), "k")
+      q.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "min/max view after a drop batch (recompute path)")
+      // group death (all of c) + an append in the same window
+      TableFormat.deleteKeysMor(spark, src, Seq(5L).toDF("k"), "k")
+      TableFormat.append(Seq((6L, "b", 1L)).toDF("k", "g", "x"), src,
+        statsCol = Some("k"))
+      q.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "min/max view after group death + append")
+    } finally q.stop()
+    // restart from the checkpoint: replay-safe, and the next drop batch
+    // still recomputes exactly
+    val q2 = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      TableFormat.deleteKeysMor(spark, src, Seq(1L).toDF("k"), "k")
+      q2.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "min/max view after a restart + drop")
     } finally q2.stop()
   }
 
