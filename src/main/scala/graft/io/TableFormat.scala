@@ -2816,9 +2816,12 @@ object TableFormat {
         m.entries.count(_.dv.nonEmpty).toLong,
         m.txns.size.toLong,
         m.entries.map(e => math.max(e.rows, 0L)).sum,
-        if (m.op.nonEmpty) m.op else "unknown")
+        if (m.op.nonEmpty) m.op else "unknown",
+        // publish instant from the #ts header (mtime on legacy
+        // manifests) — the DESCRIBE HISTORY timestamp column
+        new java.sql.Timestamp(commitMillis(root, v)))
     }.toDF("version", "entries", "bytes", "files", "dv_entries", "txns",
-      "rows", "operation")
+      "rows", "operation", "ts")
   }
 
   /** Data-dir paths of snapshot `v` — spec window into the manifest

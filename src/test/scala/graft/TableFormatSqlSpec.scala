@@ -376,6 +376,14 @@ class TableFormatSqlSpec extends TestSpark {
     assert(d(1)._3 > d(0)._3, "bytes must grow across an append")
     // merge-on-read debt surfaces: one dv-bearing entry at the head
     assert(d.map(_._5).toSeq === Seq(0L, 0L, 1L), s"dv debt: ${d.toSeq}")
+    // the commit instant rides along (from the #ts header): non-null
+    // and non-decreasing across versions — the DESCRIBE HISTORY
+    // timestamp column, immune to mtime rewrites
+    val ts = TableFormat.describe(spark, root).collect()
+      .map(_.getAs[java.sql.Timestamp]("ts"))
+    assert(ts.forall(_ != null) && ts.sliding(2).forall {
+      case Array(a, b) => !b.before(a); case _ => true
+    }, s"commit instants must be present and ordered: ${ts.toSeq}")
   }
 
   test("planner stats come from the manifest's size account, not a listing") {
