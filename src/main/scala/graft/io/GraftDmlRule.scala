@@ -233,11 +233,24 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         s"INSERT * (not matched) on one key equality; $what — stage the " +
         "source into a frame and use TableFormat.merge/deleteKeys for " +
         "other shapes")
-    require(!mt.withSchemaEvolution,
-      "graft-table MERGE does not support WITH SCHEMA EVOLUTION — " +
-        "schema widening happens on append")
     val tOut = mt.targetTable.outputSet
     val sOut = mt.sourceTable.outputSet
+    // WITH SCHEMA EVOLUTION (Delta's merge-evolution semantics): top-
+    // level source columns absent from the target become new nullable
+    // target columns, populated by the STAR actions — the appended
+    // images carry the widened schema and the commit unions it into
+    // the manifest (the format's ordinary widening evolution; existing
+    // rows read null). Nested-struct evolution is out of scope — the
+    // format's schema union refuses a retype, so a same-name struct
+    // with new inner fields fails loudly there, never silently.
+    val evolveCols: Seq[AttributeReference] =
+      if (!mt.withSchemaEvolution) Nil
+      else {
+        val tNames = mt.targetTable.output.map(_.name.toLowerCase).toSet
+        mt.sourceTable.output.collect {
+          case a: AttributeReference if !tNames(a.name.toLowerCase) => a
+        }
+      }
     // the analyzer wraps both the ON keys and the `SET *` expansion in
     // type-reconciliation casts and nullability asserts — neither
     // changes WHICH column is meant (the command re-casts the aligned
@@ -285,8 +298,26 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case Seq(InsertAction(None, as)) if isIdentity(as) => Some("insert")
       case _ => None
     }
+    // evolution is carried by the star actions (the analyzer expands
+    // `SET *`/`INSERT *` over the target columns BEFORE this rule runs,
+    // dropping source extras — UpdateAction keeps its fromStar marker;
+    // an InsertAction whose assignments are the identity over ALL
+    // target columns is indistinguishable from INSERT * post-analysis
+    // and is treated as star under WITH SCHEMA EVOLUTION). A merge
+    // whose actions reference nothing new routes as an ordinary merge.
+    val evolve: Seq[AttributeReference] =
+      if (evolveCols.isEmpty) Nil
+      else if ((mt.matchedActions ++ mt.notMatchedActions).exists {
+        case UpdateStarAction(_) => true
+        case UpdateAction(_, _, true) => true
+        case InsertStarAction(_) => true
+        case InsertAction(_, as) => isIdentity(as)
+        case _ => false
+      }) evolveCols
+      else Nil
     val starAction =
-      if (mt.notMatchedBySourceActions.nonEmpty) None // general form only
+      if (mt.notMatchedBySourceActions.nonEmpty || evolve.nonEmpty)
+        None // general form only
       else (matched, notMatched) match {
         case (Some("update"), Some("insert")) => Some("upsert")
         case (Some("delete"), Some("none")) => Some("delete")
@@ -298,7 +329,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
           action, ident)
       case None => // the general form: conditional / column-level actions
-        condMerge(mt, root, opts, tk, sk, ident, refuse)
+        condMerge(mt, root, opts, tk, sk, ident, refuse, evolve)
     }
   }
 
@@ -317,7 +348,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
   private def condMerge(mt: MergeIntoTable, root: String,
       opts: Map[String, String], tk: String, sk: String,
       ident: Option[org.apache.spark.sql.catalyst.TableIdentifier],
-      refuse: String => Nothing): LogicalPlan = {
+      refuse: String => Nothing,
+      evolve: Seq[AttributeReference] = Nil): LogicalPlan = {
     val tOut = mt.targetTable.outputSet
     val sOut = mt.sourceTable.outputSet
     val srcByName = mt.sourceTable.output
@@ -333,17 +365,39 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case other => refuse(s"MERGE can only assign top-level target " +
         s"columns, got ${other.sql}")
     }
+    // star assignments: identity over the target columns, plus the
+    // evolution columns (source-populated) when WITH SCHEMA EVOLUTION
+    // routed new columns here
     def identityAssigns: Seq[(String, Expression)] =
       mt.targetTable.output.map { t =>
         val s = srcByName.getOrElse(t.name.toLowerCase, refuse(
           s"MERGE … SET */INSERT * needs source column '${t.name}'"))
         t.name -> pfx(s)
+      } ++ evolve.map(a => a.name -> pfx(a))
+    val targetCols = mt.targetTable.output.map(_.name.toLowerCase)
+    def isIdentity(assigns: Seq[Assignment]): Boolean = {
+      def bare(e: Expression): Expression = e match {
+        case c: Cast => bare(c.child)
+        case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+          bare(a.child)
+        case x => x
       }
+      val pairs = assigns.flatMap { a => (a.key, bare(a.value)) match {
+        case (k: Attribute, v: AttributeReference)
+            if sOut.contains(v) && k.name.equalsIgnoreCase(v.name) =>
+          Some(k.name.toLowerCase)
+        case _ => None
+      }}
+      pairs.length == assigns.length && pairs.toSet == targetCols.toSet
+    }
     val matchedSpecs: Seq[(Option[Expression],
         Option[Seq[(String, Expression)]])] =
       mt.matchedActions.map {
         case DeleteAction(c) => (c.map(pfx), None)
         case UpdateStarAction(c) => (c.map(pfx), Some(identityAssigns))
+        case UpdateAction(c, _, true) => // analyzer-expanded SET * —
+          // re-derive so evolution columns survive the expansion
+          (c.map(pfx), Some(identityAssigns))
         case UpdateAction(c, as, _) =>
           (c.map(pfx), Some(as.map(a => named(a.key) -> pfx(a.value))))
         case other => refuse(s"unsupported matched action: $other")
@@ -352,6 +406,11 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         Seq[(String, Expression)])] =
       mt.notMatchedActions.map {
         case InsertStarAction(c) => (c.map(pfx), identityAssigns)
+        case InsertAction(c, as)
+            if evolve.nonEmpty && isIdentity(as) =>
+          // InsertAction carries no star marker; under WITH SCHEMA
+          // EVOLUTION an all-target identity insert is INSERT *
+          (c.map(pfx), identityAssigns)
         case InsertAction(c, as) =>
           (c.map(pfx), as.map(a => named(a.key) -> pfx(a.value)))
         case other => refuse(s"unsupported not-matched action: $other")
@@ -369,7 +428,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
           refuse(s"unsupported not-matched-by-source action: $other")
       }
     MergeIntoGraftTableCondCommand(root, opts, mt.sourceTable, tk, sk,
-      matchedSpecs, notMatchedSpecs, bySourceSpecs, ident)
+      matchedSpecs, notMatchedSpecs, bySourceSpecs, ident,
+      evolve.map(a => a.name -> a.dataType))
   }
 
   private def rewrite(i: InsertIntoStatement, l: LogicalRelation,
@@ -764,7 +824,8 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
     notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
     bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
-    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier],
+    evolve: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -777,7 +838,15 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     val schema = TableFormat.latestSchema(root).getOrElse(
       throw new IllegalArgumentException(
         s"MERGE INTO needs an existing committed table at $root"))
-    val fields = schema.fields.toSeq
+    // WITH SCHEMA EVOLUTION: the new columns join the projected field
+    // list (nullable, source-typed); the appended images carry the
+    // widened schema and the commit unions it into the manifest. A
+    // re-run against an already-evolved head adds nothing (name check)
+    val newFields = evolve
+      .filterNot(e => schema.fields.exists(_.name.equalsIgnoreCase(e._1)))
+      .map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = true) }
+    val fields = schema.fields.toSeq ++ newFields
     val tk = fields.find(_.name.equalsIgnoreCase(targetKey))
       .getOrElse(throw new IllegalArgumentException(
         s"MERGE key '$targetKey' is not a column of $root")).name
@@ -814,8 +883,12 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     val tgt =
       if (bySource.nonEmpty) TableFormat.readSnapshot(spark, root)
       else TableFormat.readTouchedForKeys(spark, root, keyFrame, tk)
-    val tgtP = tgt.select(tgt.columns.toSeq.map(c =>
-      col(c).as(TPfx + c)): _*)
+    val tgtP = newFields.foldLeft(
+      tgt.select(tgt.columns.toSeq.map(c => col(c).as(TPfx + c)): _*)) {
+        // evolution columns read null on the un-evolved target side
+        case (df, f) => df.withColumn(TPfx + f.name,
+          lit(null).cast(f.dataType))
+      }
       .withColumn(RowIdCol, monotonically_increasing_id())
     def fire(conds: Seq[Option[Expression]]): Column =
       conds.zipWithIndex.foldRight(lit(-1): Column) { case ((c, i), acc) =>
@@ -926,6 +999,19 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
       TableFormat.applyDelta(spark, root, delKeys, tk, appends,
         statsCols = statsCols, bloomCol = bloomCol)
     } finally cached.foreach(_.unpersist())
+    if (newFields.nonEmpty) catalogIdent.foreach { id =>
+      // schema evolution must also move the CATALOG's declared schema,
+      // or the next read refuses on the declared-vs-committed check.
+      // Align to the committed head (not `fields`): a merge that ended
+      // up appending nothing leaves the manifest — and so the catalog —
+      // unmoved
+      TableFormat.latestSchema(root).foreach { head =>
+        if (head.fieldNames.length >
+            spark.sessionState.catalog.getTableMetadata(id)
+              .dataSchema.fieldNames.length)
+          spark.sessionState.catalog.alterTableDataSchema(id, head)
+      }
+    }
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

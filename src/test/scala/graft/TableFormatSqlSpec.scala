@@ -347,6 +347,110 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens through star actions") {
+    import spark.implicits._
+    val base = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_mrge")
+    spark.sql(s"""CREATE TABLE graft_mrge (k BIGINT, v STRING)
+      USING `$Provider` OPTIONS (path '$base/t', statsCols 'k')""")
+    spark.sql("INSERT INTO graft_mrge VALUES (1,'a'),(2,'b'),(3,'c')")
+    val v0 = TableFormat.latestVersion(s"$base/t")
+    Seq((2L, "B", 20L, "hot"), (4L, "d", 40L, "new"))
+      .toDF("k", "v", "extra", "note")
+      .createOrReplaceTempView("graft_mrge_src")
+    try {
+      // WITHOUT the flag, star expansion over the target columns
+      // silently ignores the source extras — ordinary Spark semantics,
+      // the schema must NOT move
+      spark.sql("""MERGE INTO graft_mrge t USING graft_mrge_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(TableFormat.latestSchema(s"$base/t").get.fieldNames.toSeq
+        === Seq("k", "v"), "no evolution without the flag")
+
+      // WITH the flag, both new columns land: nullable, null-backfilled
+      // on untouched rows, populated on the touched ones, ONE commit
+      val v1 = TableFormat.latestVersion(s"$base/t")
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge t
+        USING graft_mrge_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(TableFormat.latestVersion(s"$base/t") === v1 + 1,
+        "evolution merge must land as ONE commit")
+      val sch = TableFormat.latestSchema(s"$base/t").get
+      assert(sch.fieldNames.toSeq === Seq("k", "v", "extra", "note") &&
+        sch("extra").nullable && sch("note").nullable,
+        s"evolved schema: $sch")
+      val got = spark.sql(
+        "SELECT k, v, extra, note FROM graft_mrge ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSeq
+      assert(got === Seq((1L, "a", -1L, null), (2L, "B", 20L, "hot"),
+        (3L, "c", -1L, null), (4L, "d", 40L, "new")), s"content: $got")
+
+      // time travel keeps the narrow schema (widening is a commit,
+      // not a retro-edit)
+      assert(spark.read.format(Provider)
+        .option("versionAsOf", v0.toString).load(s"$base/t")
+        .columns.toSeq === Seq("k", "v"),
+        "pre-evolution versions must read the narrow schema")
+
+      // a REPLAY of the same statement is schema-idempotent (the
+      // columns exist now; the source keys update to the same values)
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge t
+        USING graft_mrge_src s
+        ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(TableFormat.latestSchema(s"$base/t").get.fieldNames.toSeq
+        === Seq("k", "v", "extra", "note"), "replay must not re-add")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrge")
+        .collect()(0).getLong(0) === 4)
+
+      // evolution composes with conditional clauses and BY SOURCE in
+      // one statement (the general command path, whole-target read)
+      spark.sql(s"""CREATE TABLE graft_mrge2 (k BIGINT, v STRING)
+        USING `$Provider` OPTIONS (path '$base/t2', statsCols 'k')""")
+      spark.sql("INSERT INTO graft_mrge2 VALUES (1,'a'),(2,'b'),(3,'c')")
+      Seq((2L, "B", 9L), (5L, "e", 5L)).toDF("k", "v", "w")
+        .createOrReplaceTempView("graft_mrge2_src")
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge2 t
+        USING graft_mrge2_src s
+        ON t.k = s.k
+        WHEN MATCHED AND s.w > 0 THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.k = 1 THEN DELETE""")
+      val got2 = spark.sql("SELECT k, v, w FROM graft_mrge2 ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+      assert(got2 === Seq((2L, "B", 9L), (3L, "c", -1L), (5L, "e", 5L)),
+        s"evolution + conditional + by-source: $got2")
+
+      // no star action → nothing can populate the new column → the
+      // schema must not move. (An identity list covering ALL target
+      // columns is indistinguishable from INSERT * post-analysis —
+      // InsertAction carries no star marker — and treats as star; a
+      // PARTIAL column list is unambiguous and never evolves.)
+      spark.sql(s"""CREATE TABLE graft_mrge3 (k BIGINT, v STRING,
+        u BIGINT) USING `$Provider` OPTIONS (path '$base/t3',
+        statsCols 'k')""")
+      spark.sql("INSERT INTO graft_mrge3 VALUES (1,'a',0)")
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge3 t
+        USING graft_mrge2_src s
+        ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(TableFormat.latestSchema(s"$base/t3").get.fieldNames.toSeq
+        === Seq("k", "v", "u"), "partial column lists must not evolve")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mrge")
+      spark.sql("DROP TABLE IF EXISTS graft_mrge2")
+      spark.sql("DROP TABLE IF EXISTS graft_mrge3")
+    }
+  }
+
   test("versionAsOf time-travels the format load") {
     import spark.implicits._
     val root = freshRoot()
