@@ -38,8 +38,10 @@ final class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.maintenancePlan(sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.maintenancePlan(sqlText).getOrElse {
+      val p = delegate.parsePlan(sqlText)
+      GraftSqlParser.wrapAddColumns(p).getOrElse(p)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -169,6 +171,87 @@ private[graft] object GraftSqlParser {
         "VACUUM '<path>' KEEP LAST n; RESTORE '<path>' TO VERSION n; " +
         "CLONE '<src>' TO '<dst>' [VERSION AS OF n]")
     case _ => None
+  }
+
+  /** `ALTER TABLE t ADD COLUMNS (…)` — Spark refuses it outright for
+    * unlisted v1 providers ("drop and re-create the table"), so the
+    * parser wraps the SIMPLE shape (session-catalog identifier,
+    * top-level columns, no FIRST/AFTER position, no DEFAULT) into a
+    * command that dispatches at RUN time: a graft table evolves by a
+    * schema-only widening commit (entries verbatim, metadata-only —
+    * old rows read null, time travel keeps the narrow schema) plus the
+    * catalog realign; any other table lands through Spark's own v1
+    * `AlterTableAddColumnsCommand`, keeping its behavior — including
+    * its refusals — intact. Nested adds, positions, defaults, and
+    * foreign-catalog identifiers stay on the untouched standard plan.
+    */
+  private[graft] def wrapAddColumns(p: LogicalPlan): Option[LogicalPlan] =
+    p match {
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        a.table match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+            val ident = u.multipartIdentifier match {
+              case Seq(t) => Some(TableIdentifier(t))
+              case Seq(db, t) => Some(TableIdentifier(t, Some(db)))
+              case Seq(cat, db, t)
+                  if cat.equalsIgnoreCase("spark_catalog") =>
+                Some(TableIdentifier(t, Some(db)))
+              case _ => None
+            }
+            val simple = a.columnsToAdd.forall(c =>
+              c.path.isEmpty && c.position.isEmpty && c.default.isEmpty)
+            ident.filter(_ => simple).map(id =>
+              GraftAddColumnsCommand(id,
+                a.columnsToAdd.map(c => (c.colName, c.dataType, c.nullable))))
+          case _ => None
+        }
+      case _ => None
+    }
+}
+
+/** The landed half of ALTER TABLE ADD COLUMNS: graft tables widen the
+  * MANIFEST first (one metadata-only commit — the same union-schema
+  * contract every rewrite keeps, so a concurrent reader never sees the
+  * catalog ahead of the format) and then realign the catalog's
+  * declared schema; everything else delegates to Spark's own command.
+  */
+private[graft] case class GraftAddColumnsCommand(ident: TableIdentifier,
+    cols: Seq[(String, DataType, Boolean)]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val catalog = spark.sessionState.catalog
+    val meta =
+      if (catalog.tableExists(ident)) Some(catalog.getTableMetadata(ident))
+      else None
+    val graftProviders = Set(
+      classOf[TableFormatSourceProvider].getName, "graft-table")
+    val isGraft = meta.exists(_.provider.exists(graftProviders))
+    if (!isGraft) {
+      // not ours: Spark's own v1 path, refusals and all
+      org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand(
+        ident, cols.map { case (n, t, nl) =>
+          org.apache.spark.sql.types.StructField(n, t, nl) }).run(spark)
+      return Seq.empty
+    }
+    val ct = meta.get
+    require(cols.forall(_._3),
+      s"graft-table ADD COLUMNS must be nullable — existing rows have " +
+        "no value to backfill (NOT NULL would be violated immediately)")
+    val newFields = cols.map { case (n, t, _) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true) }
+    val raw = ct.storage.properties.get("path")
+      .orElse(ct.storage.properties.get("Path"))
+      .orElse(ct.storage.locationUri.map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft table $ident has no path/location"))
+    val root = TableFormat.posixRoot(raw)
+    // manifest first (a declared-but-empty table has no manifest yet —
+    // the catalog alone governs until the first insert commits v0)
+    TableFormat.addColumns(spark, root, newFields)
+    catalog.alterTableDataSchema(ident,
+      StructType(ct.dataSchema.fields ++ newFields))
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
   }
 }
 

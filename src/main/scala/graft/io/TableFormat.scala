@@ -1962,6 +1962,37 @@ object TableFormat {
     else readEntries(spark, touched, manifestSchema(m))
   }
 
+  /** ALTER TABLE ADD COLUMNS as a commit: widen the head's schema by
+    * `fields` (nullable — there is no data to backfill) with every
+    * entry carried VERBATIM — a metadata-only commit, zero data I/O,
+    * the same widening-union contract appends keep. Old versions time
+    * travel to the narrow schema; the change feed sees an empty window
+    * (no dir moved). A table with no snapshot yet (declared, pre-first
+    * -insert) returns -1 — the catalog's declared schema alone governs
+    * until the first INSERT commits v0.
+    */
+  def addColumns(spark: SparkSession, root: String,
+      fields: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    val prev = latestVersion(root)
+    if (prev < 0) return -1
+    val m = readManifestFull(root, prev)
+    val cur = manifestSchema(m).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot v$prev at $root has no recorded schema (legacy " +
+          "manifest) — ADD COLUMNS needs the schema contract"))
+    fields.foreach { f =>
+      require(!cur.fieldNames.exists(_.equalsIgnoreCase(f.name)),
+        s"ADD COLUMNS: column '${f.name}' already exists at $root")
+      require(f.nullable,
+        s"ADD COLUMNS: column '${f.name}' must be nullable — existing " +
+          "rows have no value to backfill")
+    }
+    commitRewrite(spark, root, prev, readSet = Seq.empty,
+      baseUntouched = m.entries, produced = Seq.empty,
+      ourSchema = Some(StructType(cur.fields ++ fields)),
+      conflictKeys = None, op = "add-columns")
+  }
+
   /** The head's recorded CHECK constraint, if any — for landing paths
     * that assemble their own commit (conditional SQL MERGE) and must
     * validate new rows before any file lands.

@@ -451,6 +451,80 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("ALTER TABLE ADD COLUMNS widens manifest and catalog together") {
+    import spark.implicits._
+    val base = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_alter")
+    spark.sql(s"""CREATE TABLE graft_alter (k BIGINT, v STRING)
+      USING `$Provider` OPTIONS (path '$base/t', statsCols 'k')""")
+    spark.sql("INSERT INTO graft_alter VALUES (1,'a'),(2,'b')")
+    val v0 = TableFormat.latestVersion(s"$base/t")
+    try {
+      spark.sql(
+        "ALTER TABLE graft_alter ADD COLUMNS (w BIGINT, note STRING)")
+      // ONE metadata-only commit: schema widened, entries verbatim,
+      // operation labeled
+      assert(TableFormat.latestVersion(s"$base/t") === v0 + 1)
+      val sch = TableFormat.latestSchema(s"$base/t").get
+      assert(sch.fieldNames.toSeq === Seq("k", "v", "w", "note") &&
+        sch("w").nullable, s"manifest schema: $sch")
+      assert(TableFormat.describe(spark, s"$base/t").collect()
+        .last.getAs[String]("operation") === "add-columns")
+      // the catalog read composes: old rows read null in the new cols,
+      // an insert lands the full width
+      spark.sql("INSERT INTO graft_alter VALUES (3,'c',30,'hi')")
+      val got = spark.sql(
+        "SELECT k, v, w, note FROM graft_alter ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getString(3))).toSeq
+      assert(got === Seq((1L, "a", -1L, null), (2L, "b", -1L, null),
+        (3L, "c", 30L, "hi")), s"content: $got")
+      // time travel keeps the narrow schema
+      assert(spark.read.format(Provider)
+        .option("versionAsOf", v0.toString).load(s"$base/t")
+        .columns.toSeq === Seq("k", "v"))
+      // refusals: duplicate name, NOT NULL (nothing to backfill)
+      val dup = intercept[Exception](spark.sql(
+        "ALTER TABLE graft_alter ADD COLUMNS (w BIGINT)"))
+      assert(dup.getMessage.contains("already exists"), dup.getMessage)
+      val nn = intercept[Exception](spark.sql(
+        "ALTER TABLE graft_alter ADD COLUMNS (z BIGINT NOT NULL)"))
+      assert(nn.getMessage.contains("nullable"), nn.getMessage)
+      // RENAME/DROP keep refusing through Spark's own checks
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft_alter RENAME COLUMN v TO vv"))
+      intercept[Exception](spark.sql(
+        "ALTER TABLE graft_alter DROP COLUMN v"))
+
+      // a DECLARED empty table (no snapshot yet): the catalog alone
+      // widens; the first INSERT commits v0 under the evolved schema
+      spark.sql(s"""CREATE TABLE graft_alter2 (k BIGINT)
+        USING `$Provider` OPTIONS (path '$base/t2', statsCols 'k')""")
+      spark.sql("ALTER TABLE graft_alter2 ADD COLUMNS (s STRING)")
+      spark.sql("INSERT INTO graft_alter2 VALUES (1,'x')")
+      assert(TableFormat.latestSchema(s"$base/t2").get.fieldNames.toSeq
+        === Seq("k", "s"))
+      assert(spark.sql("SELECT s FROM graft_alter2 WHERE k = 1")
+        .collect()(0).getString(0) === "x")
+
+      // a NON-graft table keeps Spark's own ADD COLUMNS behavior
+      spark.sql("DROP TABLE IF EXISTS plain_parquet_alter")
+      spark.sql(s"""CREATE TABLE plain_parquet_alter (k BIGINT)
+        USING parquet LOCATION '$base/p'""")
+      spark.sql("INSERT INTO plain_parquet_alter VALUES (5)")
+      spark.sql("ALTER TABLE plain_parquet_alter ADD COLUMNS (s STRING)")
+      assert(spark.sql("SELECT k, s FROM plain_parquet_alter")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else r.getString(1))).toSeq
+        === Seq((5L, null)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_alter")
+      spark.sql("DROP TABLE IF EXISTS graft_alter2")
+      spark.sql("DROP TABLE IF EXISTS plain_parquet_alter")
+    }
+  }
+
   test("versionAsOf time-travels the format load") {
     import spark.implicits._
     val root = freshRoot()
