@@ -794,7 +794,9 @@ object Analytics {
       land("supplier", Seq("s_suppkey"), Seq("s_suppkey", "s_nationkey"))
       land("orders", Seq("o_orderkey", "o_orderdate"),
         Seq("o_orderkey", "o_custkey"))
-      land("lineitem", Seq("l_orderkey"), Seq("l_orderkey", "l_suppkey"))
+      land("lineitem", Seq("l_orderkey"),
+        Seq("l_orderkey", "l_suppkey", "l_partkey"))
+      land("part", Seq("p_partkey"), Seq("p_partkey"))
     })
 
   private[graft] val Q5CboSql: String =
@@ -812,6 +814,47 @@ object Analytics {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q9 (the repo's partsupp-less adaptation) under the same
+    * manifest-fed CBO end-to-end contract as [[qTpchQ5Cbo]]: worst-
+    * practice syntactic order (part first, fact tables last), profit
+    * aggregated per nation × year across EVERY order date — no date
+    * filter, so unlike q5 the optimizer cannot lean on a selective
+    * fact predicate and must order the joins off the manifest row
+    * counts and join-key NDVs alone. The pinned shape: lineitem ⋈
+    * orders the one shuffle edge, part/supplier/nation broadcast.
+    */
+  private[graft] val Q9CboSql: String =
+    """SELECT n_name AS nation, o_year,
+      |  round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit
+      |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |          (1 - CAST(l_discount AS DECIMAL(12,2))) -
+      |          CAST(p_retailprice AS DECIMAL(12,2)) *
+      |          CAST(l_quantity AS DECIMAL(12,2)) AS amount
+      |      FROM graft_cbo5_part, graft_cbo5_supplier, graft_cbo5_lineitem,
+      |           graft_cbo5_orders, graft_cbo5_nation
+      |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |        AND p_name LIKE '%widget%') profit
+      |GROUP BY n_name, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  private[graft] def qTpchQ9Cbo(s: SparkSession, dir: String): DataFrame = {
+    landedCboTables(s, dir)
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val df = s.sql(Q9CboSql)
+      df.queryExecution.executedPlan // force planning under CBO
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
 
   private[graft] def qTpchQ5Cbo(s: SparkSession, dir: String): DataFrame = {
     landedCboTables(s, dir)
@@ -831,6 +874,7 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q5_cbo" -> qTpchQ5Cbo,
+    "q_tpch_q9_cbo" -> qTpchQ9Cbo,
     "q_tpch_q2" -> qTpchQ2,
     "q_tpch_q9" -> qTpchQ9,
     "q_tpch_q1" -> qTpchQ1,
@@ -888,6 +932,22 @@ object Analytics {
         |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin,
+    // the format-backed CBO twin holds exactly the raw tables' rows, so
+    // the q9 oracle text applies verbatim
+    "q_tpch_q9_cbo" ->
+      """SELECT n_name AS nation, o_year,
+        |  round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit
+        |FROM (SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |        CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |          (1 - CAST(l_discount AS DECIMAL(12,2))) -
+        |          CAST(p_retailprice AS DECIMAL(12,2)) *
+        |          CAST(l_quantity AS DECIMAL(12,2)) AS amount
+        |      FROM part, supplier, lineitem, orders, nation
+        |      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        |        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        |        AND p_name LIKE '%widget%') profit
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
     "q_tpch_q9" ->
       """SELECT n_name AS nation, o_year,
         |  round(CAST(sum(amount) AS DOUBLE), 4) AS sum_profit

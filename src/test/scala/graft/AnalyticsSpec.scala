@@ -94,6 +94,30 @@ class AnalyticsSpec extends TestSpark {
     assertOneFactEdge("q_tpch_q5_cbo", minBroadcast = 4)
   }
 
+  test("q_tpch_q9_cbo: manifest stats order the joins with no fact predicate") {
+    // q9 has NO selective fact filter (every order year aggregates), so
+    // the reorder leans on manifest row counts + join-key NDVs alone;
+    // 4 joins, >= 3 broadcast leaves lineitem ⋈ orders the one shuffle
+    graft.ops.Analytics.qTpchQ9Cbo(spark, Sf)
+    assertOneFactEdge("q_tpch_q9_cbo", minBroadcast = 3)
+    // CBO must actually restructure the worst-practice syntactic order
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      def shape(on: Boolean): String = {
+        spark.conf.set("spark.sql.cbo.enabled", on.toString)
+        spark.sql(graft.ops.Analytics.Q9CboSql)
+          .queryExecution.optimizedPlan.toString
+      }
+      val off = shape(on = false)
+      val on = shape(on = true)
+      assert(on !== off,
+        s"manifest-fed CBO left the syntactic q9 join order untouched:\n$on")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", "false")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+    }
+  }
+
   test("q_tpch_q10: one fact edge, returnflag filter pushed") {
     assertOneFactEdge("q_tpch_q10", minBroadcast = 2)
     val s = staticPlan("q_tpch_q10").toString
