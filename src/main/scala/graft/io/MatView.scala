@@ -545,32 +545,53 @@ object MatView {
     * different high-water mark; interleaving would double-apply) — so
     * switching a followed view back to batch maintenance costs one
     * rebuild, never wrongness.
+    *
+    * DIM-JOINED views follow too (r18): each fact batch joins the
+    * PINNED dim snapshots (immutable reads — a concurrent dim commit
+    * cannot tear a batch) before folding, with WHERE applied post-join
+    * exactly as batch refresh does. The stream cannot observe dim
+    * movement, so every batch CHECKS the pins first and fails LOUDLY
+    * when a dim moved — run [[refresh]] (the dim-delta path) and
+    * restart the follow; the view is never silently stale.
     */
   def follow(spark: SparkSession, mvRoot: String, keyCol: String,
              checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val MvDef(source, groupCols, aggs, _, dims) = definition(mvRoot)
-    require(dims.isEmpty,
-      s"view at $mvRoot joins dimensions — a stream cannot observe dim " +
-        "movement (the rebuild trigger); maintain it with MatView.refresh")
     require(sourceView(source).isEmpty,
       s"view at $mvRoot cascades from another view — follow the BASE " +
         "table and refresh this one after the parent (the cdc feed " +
         "would deliver raw state rows)")
-    // non-retractable views need the per-batch source-version pin for
-    // their drop-batch recompute
-    val nonRetract = aggs.exists(a => !Retractable(a.fn))
     // seed the stream at the view's refresh marker: the creation
     // refresh already folded the snapshot through that version, so the
     // stream must deliver strictly-later changes, not the initial
     // whole-snapshot batch (which would double-apply every standing row)
     val indexed = TableFormat.lastTxn(mvRoot, source)
-    val reader0 = spark.readStream
+    // a view previously followed by ANOTHER checkpoint holds state past
+    // the refresh-marker seed: a fresh checkpoint's windows would
+    // overlap the old follow's folds. Require the reconciling batch
+    // refresh (rebuild) first — it raises `propFollowCleared` to the
+    // old follow's high-water
+    val fm = TableFormat.lastTxn(mvRoot, s"follow:$source")
+    val cleared = TableFormat.tableProps(mvRoot)
+      .get(propFollowCleared(source)).map(_.toLong).getOrElse(-1L)
+    def checkpointFresh: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(checkpoint, "offsets")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      !fs.exists(p) || fs.listStatus(p).isEmpty
+    }
+    require(fm < 0 || fm <= cleared || !checkpointFresh,
+      s"view at $mvRoot was followed before (high-water v$fm) and a " +
+        "FRESH checkpoint would re-deliver windows that follow already " +
+        "folded — run MatView.refresh to reconcile, then start the new " +
+        "checkpoint")
+    // every batch carries its window-end source version: the follow
+    // markers live in source-version domain, and drop-bearing or
+    // possibly-overlapping windows recompute AS OF that pin
+    val reader = spark.readStream
       .format(classOf[TableFormatSourceProvider].getName)
       .option("mode", "cdc").option("keyCol", keyCol)
-    val reader =
-      if (nonRetract) reader0.option("includeEndVersion", "true")
-      else reader0
+      .option("includeEndVersion", "true")
     (if (indexed >= 0) reader.option("startingVersion", indexed.toString)
      else reader)
       .load(source)
@@ -585,58 +606,113 @@ object MatView {
   }
 
   /** Fold one cdc-feed micro-batch into the view state as a single
-    * marker-carrying commit. An empty batch still commits its marker —
-    * the batch sequence stays dense for the replay check. Routing per
-    * batch: retractable-only views always merge; otherwise append-only
-    * batches merge (min/max via least/greatest) and drop-bearing
-    * batches recompute the affected groups from the source snapshot
-    * the batch window ENDS at (the `_graft_end_version` pin).
+    * marker-carrying commit whose txn version is the batch window's
+    * END source version (empty batches commit nothing — the marker
+    * only needs to floor the folded state, not stay dense). Routing
+    * per batch: append-only windows and retractable-only views merge
+    * (min/max via least/greatest on append-only); drop-bearing windows
+    * and windows that may OVERLAP an interleaved batch refresh
+    * (refresh marker ahead of the follow marker) recompute the
+    * affected groups from the source snapshot the window ends at (the
+    * `_graft_end_version` pin) — mask+recompute is exact under any
+    * overlap, where a merge would double-apply.
     */
   private def applyFeed(spark: SparkSession, mvRoot: String,
       source: String, groupCols: Seq[String], aggs: Seq[MvAgg],
       feed: DataFrame, batchId: Long): Unit = {
-    val txn = Some((s"follow:$source", batchId))
-    if (TableFormat.lastTxn(mvRoot, s"follow:$source") >= batchId) return
-    val where = definition(mvRoot).where
     val vCol = TableFormatStreamSource.EndVersionCol
-    val hasV = feed.columns.contains(vCol)
-    val fed = where.map(w => feed.filter(expr(w))).getOrElse(feed)
-    val signed0 = fed.withColumn("__sign",
+    require(feed.columns.contains(vCol),
+      "follow feeds carry the batch-end source version " +
+        "(includeEndVersion) — restart the follow so the reader options " +
+        "take effect")
+    if (feed.isEmpty) return // nothing to fold, no marker needed
+    val endV = feed.agg(max(col(vCol))).head.getInt(0)
+    // follow markers live in SOURCE-VERSION domain (r18): the txn
+    // version is the batch window's END version, so (a) a Spark replay
+    // of a committed batch skips on the version, (b) a FRESH
+    // checkpoint's renumbered batches can never be mistaken for
+    // replays (the batch-id domain would skip them silently — windows
+    // LOST), and (c) subsumption against an interleaved batch refresh
+    // is a plain version comparison instead of an unanswerable
+    // batch-id-to-version question.
+    val fm = TableFormat.lastTxn(mvRoot, s"follow:$source")
+    if (fm >= endV) return // replayed batch: this window is committed
+    val rh = TableFormat.lastTxn(mvRoot, source) // creation/refresh marker
+    val txn = Some((s"follow:$source", endV.toLong))
+    if (fm >= 0 && rh > fm && endV <= rh) {
+      // a batch refresh folded PAST this window while the stream was
+      // stopped or failing — the replay is fully subsumed; mark it
+      // consumed so the next batch sees a tight high-water
+      TableFormat.applyDelta(spark, mvRoot, spark.emptyDataFrame, KeyCol,
+        spark.emptyDataFrame, txn = txn)
+      return
+    }
+    // a refresh interleaved past the stream's last commit: this window
+    // may STRADDLE it (part already folded) — a merge would
+    // double-apply the overlap, so route through the affected-group
+    // recompute, which is exact under ANY overlap
+    val ambiguous = fm >= 0 && rh > fm
+    val d = definition(mvRoot)
+    val where = d.where
+    val dims = d.dims
+    // dim-joined views follow FACT changes against the PINNED dim
+    // versions (snapshot reads — immutable, so a concurrent dim commit
+    // cannot tear a batch). A moved pin fails the batch LOUDLY: the
+    // stream cannot observe dim movement, and folding fact rows
+    // through the new dim image without re-attributing standing groups
+    // would be silently stale — the batch-refresh dim-delta path owns
+    // that; the follow restarts after it reconciles.
+    val pins = dims.map(x => x -> recordedDimVersion(mvRoot, x.root)).toMap
+    dims.foreach { x =>
+      val head = TableFormat.latestVersion(x.root)
+      require(pins(x) == head,
+        s"view at $mvRoot follows fact changes against PINNED dims, " +
+          s"but dim ${x.root} moved (pinned v${pins(x)}, head v$head) — " +
+          "run MatView.refresh (the dim-delta path) and restart the " +
+          "follow")
+    }
+    // fact rows → pinned-dim image → WHERE (dim views may predicate on
+    // dim columns, so the filter applies post-join — same order as
+    // batch refresh); with no dims this is exactly the where filter
+    def dimImage(df: DataFrame): DataFrame = {
+      val joined = dims.foldLeft(df) { (acc, x) =>
+        val dimDf = TableFormat.readSnapshot(spark, x.root, pins(x))
+        if (x.factKey == x.dimKey) acc.join(dimDf, Seq(x.factKey))
+        else acc.join(dimDf, acc(x.factKey) === dimDf(x.dimKey))
+          .drop(dimDf(x.dimKey))
+      }
+      where.map(w => joined.filter(expr(w))).getOrElse(joined)
+    }
+    val fed = dimImage(feed)
+    val signed = fed.withColumn("__sign",
         when(col("change_type").isin("insert", "update_postimage"), 1)
           .otherwise(-1))
       .drop("change_type")
+      .persist()
     val head = TableFormat.latestVersion(mvRoot)
     val state = head >= 0 &&
       TableFormat.readManifestFull(mvRoot, head).entries.nonEmpty
     val retractable = aggs.forall(a => Retractable(a.fn))
-    val (deletes, appends, cached) =
-      if (retractable && !hasV) {
-        val signed = signed0
-        (signed.select(keyExpr(groupCols).as(KeyCol)).distinct(),
-          mergedState(spark, mvRoot, state, groupCols, aggs, signed),
-          None)
-      } else {
-        val signed = signed0.persist()
-        val appendOnly = signed.filter(col("__sign") === -1).isEmpty
-        val rows = if (hasV) signed.drop(vCol) else signed
-        val app =
-          if (retractable || appendOnly)
-            mergedState(spark, mvRoot, state, groupCols, aggs, rows,
-              appendOnly = appendOnly)
-          else {
-            val endV = signed.agg(max(col(vCol))).head.getInt(0)
-            val headDf = TableFormat.readSnapshot(spark, source, endV)
-            recomputedState(spark,
-              where.map(w => headDf.filter(expr(w))).getOrElse(headDf),
-              groupCols, aggs, rows)
-          }
-        (rows.select(keyExpr(groupCols).as(KeyCol)).distinct(), app,
-          Some(signed))
-      }
-    try TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
-      statsCol = Some(KeyCol), txn = txn)
-    finally {
-      cached.foreach(_.unpersist(blocking = false))
+    try {
+      val appendOnly = signed.filter(col("__sign") === -1).isEmpty
+      val rows = signed.drop(vCol)
+      val appends =
+        if (!ambiguous && (retractable || appendOnly))
+          mergedState(spark, mvRoot, state, groupCols, aggs, rows,
+            appendOnly = appendOnly)
+        else {
+          // drop-bearing window (a merge cannot un-raise min/max), or
+          // a possibly-straddling one: recompute the affected groups
+          // AS OF the batch's end version
+          val headDf = dimImage(
+            TableFormat.readSnapshot(spark, source, endV))
+          recomputedState(spark, headDf, groupCols, aggs, rows)
+        }
+      val deletes = rows.select(keyExpr(groupCols).as(KeyCol)).distinct()
+      TableFormat.applyDelta(spark, mvRoot, deletes, KeyCol, appends,
+        statsCol = Some(KeyCol), txn = txn)
+    } finally {
+      signed.unpersist(blocking = false)
       ()
     }
     ()

@@ -386,11 +386,10 @@ class MatViewSpec extends TestSpark {
     val v2 = TableFormat.latestVersion(mv)
     MatView.refresh(spark, mv)
     assert(TableFormat.latestVersion(mv) === v2)
-    // a dim-joined view refuses to follow a stream, naming refresh
-    val e = intercept[IllegalArgumentException] {
-      MatView.follow(spark, mv, "k", fresh("jckpt"))
-    }
-    assert(e.getMessage.contains("dim"))
+    // dim-joined views FOLLOW now (r18) — the dedicated follow spec
+    // owns the behavior; here just pin that the doorway opens and the
+    // one-maintainer contract still guards a fresh checkpoint after
+    // this test's batch refreshes (no follow ran: no guard to trip)
     // SQL round trip with a JOIN clause
     val sqlMv = fresh("jsql")
     spark.sql(s"""CREATE MATERIALIZED VIEW '$sqlMv' AS
@@ -624,6 +623,105 @@ class MatViewSpec extends TestSpark {
       q2.processAllAvailable()
       assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
         "min/max view after a restart + drop")
+    } finally q2.stop()
+  }
+
+  test("dim-joined views follow fact streams against pinned dims") {
+    import spark.implicits._
+    import graft.io.MvDim
+    val fact = fresh("dffact")
+    val dim = fresh("dfdim")
+    val mv = fresh("dfview")
+    val ckpt = fresh("dfckpt")
+    TableFormat.append(Seq((10L, "r1"), (20L, "r2"))
+      .toDF("d_id", "d_name"), dim, statsCol = Some("d_id"))
+    TableFormat.append(Seq((1L, 10L, 3L), (2L, 20L, 5L), (3L, 10L, 7L))
+      .toDF("k", "fk", "x"), fact, statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"),
+      MvAgg("max", "x", "mx")) // max: the drop path must recompute
+    MatView.create(spark, mv, fact, Seq("d_name"), aggs,
+      dims = Seq(MvDim(dim, "fk", "d_id")))
+    def truth(): Seq[String] =
+      sortedRows(TableFormat.readSnapshot(spark, fact)
+        .join(TableFormat.readSnapshot(spark, dim),
+          col("fk") === col("d_id")).drop("d_id")
+        .groupBy("d_name")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          max(col("x")).as("mx")))
+    val q = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      // fact appends fold through the PINNED dim join (group birth: r2
+      // grows, and a row joining no dim key contributes nothing)
+      TableFormat.append(Seq((4L, 20L, 9L), (5L, 99L, 1L))
+        .toDF("k", "fk", "x"), fact, statsCol = Some("k"))
+      q.processAllAvailable()
+      assert(sortedRows(MatView.read(spark, mv)) === truth(),
+        "dim-joined view after a fact append batch")
+      // drop the max of r1 → the recompute path joins dims at pins
+      TableFormat.deleteKeysMor(spark, fact, Seq(3L).toDF("k"), "k")
+      q.processAllAvailable()
+      assert(sortedRows(MatView.read(spark, mv)) === truth(),
+        "dim-joined view after a drop batch")
+      // a MOVED dim fails the next batch LOUDLY — never silently stale
+      TableFormat.updateWhere(spark, dim, col("d_id") === 10L,
+        Seq("d_name" -> lit("R1")), statsCol = Some("d_id"))
+      TableFormat.append(Seq((6L, 10L, 2L)).toDF("k", "fk", "x"), fact,
+        statsCol = Some("k"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("dim") ||
+        Option(e.getCause).exists(_.getMessage.contains("dim")),
+        s"moved dim must fail the batch naming the fix: ${e.getMessage}")
+    } finally q.stop()
+    // the batch refresh reconciles: dim re-pin + the interleaved-
+    // follower rebuild in one pass
+    MatView.refresh(spark, mv)
+    assert(sortedRows(MatView.read(spark, mv)) === truth(),
+      "batch refresh reconciles the moved dim")
+    // SAME checkpoint restarts: the failed batch replays SUBSUMED (the
+    // refresh folded past it — marker-only commit), later batches fold
+    val q2 = MatView.follow(spark, mv, "k", ckpt)
+    try {
+      TableFormat.append(Seq((7L, 20L, 11L)).toDF("k", "fk", "x"), fact,
+        statsCol = Some("k"))
+      q2.processAllAvailable()
+      assert(sortedRows(MatView.read(spark, mv)) === truth(),
+        "same-checkpoint restart after the reconcile")
+    } finally q2.stop()
+  }
+
+  test("a fresh checkpoint after a follow requires the reconciling refresh") {
+    import spark.implicits._
+    val src = fresh("fcsrc")
+    val mv = fresh("fcview")
+    TableFormat.append(Seq((1L, "a", 10L)).toDF("k", "g", "x"), src,
+      statsCol = Some("k"))
+    val aggs = Seq(MvAgg("count_star", "*", "n"), MvAgg("sum", "x", "sx"))
+    MatView.create(spark, mv, src, Seq("g"), aggs)
+    val q = MatView.follow(spark, mv, "k", fresh("fcckpt1"))
+    try {
+      TableFormat.append(Seq((2L, "b", 20L)).toDF("k", "g", "x"), src,
+        statsCol = Some("k"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // a FRESH checkpoint would re-deliver the window the old follow
+    // already folded (its batches renumber from 0 and the seed is the
+    // refresh marker) — refuse, naming the reconcile
+    val e = intercept[IllegalArgumentException] {
+      MatView.follow(spark, mv, "k", fresh("fcckpt2"))
+    }
+    assert(e.getMessage.contains("refresh"), e.getMessage)
+    // the reconciling refresh (rebuild) clears the guard; a fresh
+    // checkpoint then follows cleanly from the post-rebuild marker
+    MatView.refresh(spark, mv)
+    val q2 = MatView.follow(spark, mv, "k", fresh("fcckpt3"))
+    try {
+      TableFormat.append(Seq((3L, "a", 5L)).toDF("k", "g", "x"), src,
+        statsCol = Some("k"))
+      q2.processAllAvailable()
+      assertSame(MatView.read(spark, mv), recompute(src, Seq("g"), aggs),
+        "fresh checkpoint after the reconciling refresh")
     } finally q2.stop()
   }
 
