@@ -98,6 +98,12 @@ object ManifestAggFold extends Rule[LogicalPlan] {
       ae.aggregateFunction match {
         case Count(Seq(Literal(v, _))) if v != null =>
           m.metadataRowCount.map(n => n: Any)
+        // count(col) = Σ rows − Σ nulls (r18): needs every entry
+        // dv-free with a row account AND a recorded null count for the
+        // resolved column (the commit's footer pass records them for
+        // the declared stats columns)
+        case Count(Seq(a: AttributeReference)) =>
+          nonNullCount(plan, m, a)
         case Min(a: AttributeReference) =>
           extreme(plan, m, a, takeMin = true)
         case Max(a: AttributeReference) =>
@@ -133,6 +139,22 @@ object ManifestAggFold extends Rule[LogicalPlan] {
         Some(NdvSketch.estimate(m.entries
           .map(e => NdvSketch.fromHex(e.ndv(col.name)))
           .reduce(NdvSketch.merge)))
+      else None
+    }
+
+  /** Non-null count of `a` from the manifest null accounts: every
+    * entry dv-free (a dv can hide null or non-null rows alike), row
+    * account present, and a null count recorded for the resolved
+    * column; any gap declines — an unrecorded column is
+    * indistinguishable from an unknown tally.
+    */
+  private def nonNullCount(plan: LogicalPlan, m: ManifestFileIndex,
+      a: AttributeReference): Option[Any] =
+    resolveAttr(plan, a).flatMap { col =>
+      if (m.entries.isEmpty) Some(0L)
+      else if (m.entries.forall(e => e.dv.isEmpty && e.rows >= 0 &&
+          e.nulls.contains(col.name)))
+        Some(m.entries.map(e => e.rows - e.nulls(col.name)).sum: Any)
       else None
     }
 

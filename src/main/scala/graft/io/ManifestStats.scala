@@ -97,9 +97,16 @@ object GraftManifestStats extends Rule[LogicalPlan] {
             Some(java.time.LocalDate.ofEpochDay(bs.map(_.hi.toLong).max)
               .toString))
         } else (None, None)
-      if (ndv.isEmpty && lo.isEmpty) None
+      // null accounts (r18): sharpens IS [NOT] NULL selectivity and
+      // join-cardinality estimates; complete-or-decline like the rest
+      val nulls: Option[BigInt] =
+        if (m.entries.isEmpty) Some(BigInt(0))
+        else if (clean && m.entries.forall(_.nulls.contains(a.name)))
+          Some(BigInt(m.entries.map(_.nulls(a.name)).sum))
+        else None
+      if (ndv.isEmpty && lo.isEmpty && nulls.isEmpty) None
       else Some(a.name -> CatalogColumnStat(distinctCount = ndv,
-        min = lo, max = hi, nullCount = None, avgLen = None,
+        min = lo, max = hi, nullCount = nulls, avgLen = None,
         maxLen = None, histogram = None))
     }.toMap
     CatalogStatistics(

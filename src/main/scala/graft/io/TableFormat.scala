@@ -105,7 +105,8 @@ object TableFormat {
                                   bytes: Long = -1L,
                                   nFiles: Int = -1,
                                   rows: Long = -1L,
-                                  ndv: Map[String, String] = Map.empty)
+                                  ndv: Map[String, String] = Map.empty,
+                                  nulls: Map[String, Long] = Map.empty)
 
   /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
@@ -165,6 +166,7 @@ object TableFormat {
     var txns = Map.empty[String, Long]
     var props = Map.empty[String, String]
     var ndv = Map.empty[String, Map[String, String]] // dir → col → hex
+    var nulls = Map.empty[String, Map[String, Long]] // dir → col → nulls
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
@@ -181,6 +183,11 @@ object TableFormat {
           val d = dec(parts(1))
           ndv += d -> (ndv.getOrElse(d, Map.empty) +
             (dec(parts(2)) -> parts(3)))
+        }
+        else if (line.startsWith("#nulls\t")) {
+          val d = dec(parts(1))
+          nulls += d -> (nulls.getOrElse(d, Map.empty) +
+            (dec(parts(2)) -> parts(3).toLong))
         }
         else if (line.startsWith("#")) () // forward-compat: skip
         else if (line.startsWith("G\t")) {
@@ -221,8 +228,10 @@ object TableFormat {
             s"torn manifest line in v$v: '$line'")
         }
       }
-    val withNdv = entries.result().map(e =>
-      ndv.get(e.dir).map(m => e.copy(ndv = m)).getOrElse(e))
+    val withNdv = entries.result().map { e0 =>
+      val e = ndv.get(e0.dir).map(m => e0.copy(ndv = m)).getOrElse(e0)
+      nulls.get(e.dir).map(m => e.copy(nulls = m)).getOrElse(e)
+    }
     Manifest(withNdv, schema, txns, op, check, props)
   }
 
@@ -259,6 +268,9 @@ object TableFormat {
     }.mkString("", "\n", "\n") +
       entries.flatMap(e => e.ndv.toSeq.sortBy(_._1).map { case (c, hex) =>
         s"#ndv\t${enc(e.dir)}\t${enc(c)}\t$hex\n"
+      }).mkString +
+      entries.flatMap(e => e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
+        s"#nulls\t${enc(e.dir)}\t${enc(c)}\t$n\n"
       }).mkString
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, (header + body).getBytes(StandardCharsets.UTF_8))
@@ -440,8 +452,9 @@ object TableFormat {
                       cols: Seq[String]): Entry = {
     val conf = spark.sessionState.newHadoopConf()
     val files = listDataFiles(conf, dir)
-    val (bounds, rows) = footerStatsFiles(conf, files, cols)
-    Entry(dir, None, bounds, files.map(_.getLen).sum, files.size, rows)
+    val (bounds, rows, nulls) = footerStatsFiles(conf, files, cols)
+    Entry(dir, None, bounds, files.map(_.getLen).sum, files.size, rows,
+      nulls = nulls)
   }
 
   private def footerBounds(spark: SparkSession, dataDir: String,
@@ -471,18 +484,29 @@ object TableFormat {
       cols: Seq[String]): Map[String, ColBounds] =
     footerStatsFiles(conf, files, cols)._1
 
-  /** Bounds AND total row count of a landed dir in ONE footer pass —
-    * the commit's single metadata read supplies the zone maps, the size
-    * account's row tally, and nothing touches the data pages. The row
-    * count is what [[countRows]] and the metadata-only count(*) rewrite
+  /** Bounds, total row count, AND per-column NULL counts of a landed
+    * dir in ONE footer pass — the commit's single metadata read
+    * supplies the zone maps, the size account's row tally, and the
+    * null accounts, and nothing touches the data pages. The row count
+    * is what [[countRows]] and the metadata-only count(*) rewrite
     * ([[graft.GraftExtensions]]) answer from at query time with zero
-    * Spark jobs.
+    * Spark jobs; the null counts extend that fold to `count(col)`
+    * (rows − nulls) and feed the CBO's per-column nullCount. Null
+    * accounting is independent of bounds soundness (a kind clash kills
+    * the bounds, not the tally): a chunk missing its null statistic
+    * drops the COLUMN from the null map (unknown must never read as
+    * zero), and a file that predates the column (widening evolution)
+    * contributes its whole row count — every row reads null there.
     */
   private def footerStatsFiles(
       conf: org.apache.hadoop.conf.Configuration,
       files: Seq[org.apache.hadoop.fs.FileStatus],
-      cols: Seq[String]): (Map[String, ColBounds], Long) = {
+      cols: Seq[String])
+      : (Map[String, ColBounds], Long, Map[String, Long]) = {
     var rowTally = 0L
+    val nullAcc = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var nullsUnknown = Set.empty[String]
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -504,14 +528,20 @@ object TableFormat {
         HadoopInputFile.fromPath(f.getPath, conf))
       try reader.getFooter.getBlocks.asScala.foreach { block =>
         rowTally += block.getRowCount
-        cols.filterNot(dead).foreach { c =>
+        cols.foreach { c =>
           block.getColumns.asScala.find(_.getPath.toDotString == c) match {
-            case None => () // pre-evolution file: column reads all-null
+            case None => // pre-evolution file: column reads all-null
+              nullAcc(c) += block.getRowCount
             case Some(chunk) =>
               val st = chunk.getStatistics
+              if (st != null && st.isNumNullsSet)
+                nullAcc(c) += st.getNumNulls
+              else nullsUnknown += c
               val allNull = st != null && st.isNumNullsSet &&
                 st.getNumNulls == chunk.getValueCount
-              if (st == null || (!st.hasNonNullValue && !allNull)) dead += c
+              if (dead(c)) ()
+              else if (st == null || (!st.hasNonNullValue && !allNull))
+                dead += c
               else if (st.hasNonNullValue) {
                 val pt = chunk.getPrimitiveType
                 val logical = pt.getLogicalTypeAnnotation
@@ -569,7 +599,8 @@ object TableFormat {
     }
     (cols.filterNot(dead).flatMap(c => acc.get(c).map { case (k, lo, hi) =>
       c -> ColBounds(k, lo.toString, hi.toString)
-    }).toMap, rowTally)
+    }).toMap, rowTally,
+      cols.filterNot(nullsUnknown).map(c => c -> nullAcc(c)).toMap)
   }
 
   /** Table root from a possibly URI-spelled path. The SQL catalog hands
@@ -1376,7 +1407,12 @@ object TableFormat {
     val dataDir = newDataDir(root)
     val head = readEntries(spark, m.entries, manifestSchema(m))
     head.write.parquet(dataDir)
-    val cols = (statsCol.toSeq ++ statsCols).distinct
+    // inherit the stats discipline: the fresh dir re-collects bounds
+    // and null accounts for every column ANY previous entry covered
+    // (an all-null dir legitimately has no bounds but still counts),
+    // so a bare OPTIMIZE never silently drops the zone-map/fold story
+    val cols = ((statsCol.toSeq ++ statsCols) ++
+      m.entries.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
       produced = Seq(mkEntry(spark, dataDir, cols)),
@@ -1429,7 +1465,7 @@ object TableFormat {
       .coalesce(nFiles)
     packed.write.parquet(dataDir)
     val cols = ((statsCol.toSeq ++ statsCols) ++
-      small.flatMap(_.bounds.keys)).distinct
+      small.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = small,
       baseUntouched = big,
       produced = Seq(mkEntry(spark, dataDir, cols)),
@@ -1466,7 +1502,8 @@ object TableFormat {
     if (op == "update-where") enforceCheck(out, m.check, root)
     bloomCol.foldLeft(out.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
-    val cols = (statsCols ++ touched.flatMap(_.bounds.keys)).distinct
+    val cols = (statsCols ++
+      touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
       produced = Seq(mkEntry(spark, dataDir, cols)),

@@ -738,9 +738,11 @@ class TableFormatSqlSpec extends TestSpark {
         "SELECT count(*) AS n FROM graft_sql_cnt2 WHERE k <= 50")
       assert(scans(filtered) > 0, "a filtered count must scan")
       assert(filtered.collect()(0).getLong(0) === 51)
-      // count(col) counts NON-NULLS — the row account can't answer it
+      // count(col) counts NON-NULLS — foldable only from a recorded
+      // null account, and `s` is not a stats column here, so it scans
       val colCnt = spark.sql("SELECT count(s) AS n FROM graft_sql_cnt2")
-      assert(scans(colCnt) > 0, "count(col) must scan (null semantics)")
+      assert(scans(colCnt) > 0,
+        "count(col) without a null account must scan")
       assert(colCnt.collect()(0).getLong(0) === 300)
       // grouping produces per-group counts
       val grouped = spark.sql(
@@ -759,6 +761,64 @@ class TableFormatSqlSpec extends TestSpark {
       assert(scans(legacy) > 0,
         "a row-less account must decline the metadata fold")
       assert(legacy.collect()(0).getLong(0) === 300)
+    }
+  }
+
+  test("count(col) folds from the null accounts; gaps and dv debt decline") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.LocalTableScanExec
+    withStaticPlans {
+      val root = freshRoot()
+      // every 10th k is NULL; the commit's one footer pass records the
+      // per-dir null tally alongside the zone maps
+      TableFormat.append((0L until 100L)
+        .map(k => (if (k % 10 == 0) None else Some(k), s"s$k"))
+        .toDF("k", "s"), root, statsCol = Some("k"))
+      // an ALL-NULL dir: zone-map bounds legitimately absent, but the
+      // null account still knows every row is null
+      TableFormat.append(
+        Seq.fill(20)((Option.empty[Long], "x")).toDF("k", "s"),
+        root, statsCol = Some("k"))
+      TableFormat.registerSql(spark, root, "graft_sql_nulls")
+      def scans(df: DataFrame): Int = df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.size
+      val q = spark.sql("SELECT count(k) AS n FROM graft_sql_nulls")
+      assert(scans(q) === 0,
+        s"count(col) with complete null accounts must fold:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.queryExecution.executedPlan
+        .collect { case l: LocalTableScanExec => l }.nonEmpty)
+      assert(q.collect()(0).getLong(0) === 90) // 100 - 10 nulls + 0
+      // count(*) and count(k) fold together in one LocalTableScan
+      val both = spark.sql(
+        "SELECT count(*) AS n, count(k) AS nk FROM graft_sql_nulls")
+      assert(scans(both) === 0)
+      assert(both.collect()(0).toSeq === Seq(120L, 90L))
+      // the CBO column stat carries the null count (sharpens IS NULL
+      // selectivity with zero ANALYZE scans)
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val st = spark.table("graft_sql_nulls")
+          .queryExecution.optimizedPlan.stats
+        assert(st.attributeStats.exists { case (a, cs) =>
+          a.name == "k" && cs.nullCount.contains(BigInt(30)) },
+          s"manifest null account must feed the CBO: ${st.attributeStats}")
+      } finally spark.conf.set("spark.sql.cbo.enabled", "false")
+      // dv debt declines — the mask can hide null and non-null rows
+      TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
+      TableFormat.registerSql(spark, root, "graft_sql_nulls_dv")
+      val dv = spark.sql("SELECT count(k) AS n FROM graft_sql_nulls_dv")
+      assert(dv.collect()(0).getLong(0) === 89,
+        "dv-masked count must stay correct on the scan path")
+      // null accounts survive maintenance: compaction re-collects them
+      // for its fresh dir, so the fold works after OPTIMIZE folds the
+      // dv debt in
+      TableFormat.compact(spark, root)
+      TableFormat.registerSql(spark, root, "graft_sql_nulls_c")
+      val afterC = spark.sql("SELECT count(k) AS n FROM graft_sql_nulls_c")
+      assert(scans(afterC) === 0,
+        "count(col) must fold again after compaction re-collects")
+      assert(afterC.collect()(0).getLong(0) === 89)
     }
   }
 
