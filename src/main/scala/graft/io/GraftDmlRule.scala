@@ -261,19 +261,35 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         bare(a.child)
       case x => x
     }
-    val (tk, sk) = mt.mergeCondition match {
+    // the ON clause: one target-key = source-key equality, or an AND
+    // of several (COMPOSITE key, r18 — lands copy-on-write through
+    // [[TableFormat.applyCoWDelta]]; the merge-on-read mask is
+    // single-key by construction)
+    def eqPair(x0: Expression, y0: Expression): Option[(String, String)] =
+      (bare(x0), bare(y0)) match {
+        case (a: AttributeReference, b: AttributeReference)
+            if tOut.contains(a) && sOut.contains(b) => Some((a.name, b.name))
+        case (b: AttributeReference, a: AttributeReference)
+            if tOut.contains(a) && sOut.contains(b) => Some((a.name, b.name))
+        case _ => None
+      }
+    def keyPairs(c: Expression): Option[Seq[(String, String)]] = c match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        for (a <- keyPairs(l); b <- keyPairs(r)) yield a ++ b
       case org.apache.spark.sql.catalyst.expressions.EqualTo(x, y) =>
-        (bare(x), bare(y)) match {
-          case (a: AttributeReference, b: AttributeReference)
-              if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
-          case (b: AttributeReference, a: AttributeReference)
-              if tOut.contains(a) && sOut.contains(b) => (a.name, b.name)
-          case _ => refuse(s"ON condition is not one target-key = " +
-            s"source-key equality: ${mt.mergeCondition.sql}")
-        }
-      case other => refuse(s"ON condition is not one target-key = " +
-        s"source-key equality: ${other.sql}")
+        eqPair(x, y).map(Seq(_))
+      case _ => None
     }
+    val keys: Seq[(String, String)] = keyPairs(mt.mergeCondition) match {
+      case Some(ks) if ks.nonEmpty &&
+          ks.map(_._1.toLowerCase).distinct.size == ks.size => ks
+      case Some(ks) if ks.nonEmpty =>
+        refuse(s"ON condition equates the same target column twice: " +
+          s"${mt.mergeCondition.sql}")
+      case _ => refuse(s"ON condition is not a conjunction of " +
+        s"target-key = source-key equalities: ${mt.mergeCondition.sql}")
+    }
+    val (tk, sk) = keys.head
     val targetCols = mt.targetTable.output.map(_.name.toLowerCase)
     def isIdentity(assigns: Seq[Assignment]): Boolean = {
       val pairs = assigns.flatMap { a => (a.key, bare(a.value)) match {
@@ -316,8 +332,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       }) evolveCols
       else Nil
     val starAction =
-      if (mt.notMatchedBySourceActions.nonEmpty || evolve.nonEmpty)
-        None // general form only
+      if (mt.notMatchedBySourceActions.nonEmpty || evolve.nonEmpty ||
+        keys.size > 1) None // general form only
       else (matched, notMatched) match {
         case (Some("update"), Some("insert")) => Some("upsert")
         case (Some("delete"), Some("none")) => Some("delete")
@@ -329,7 +345,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
           action, ident)
       case None => // the general form: conditional / column-level actions
-        condMerge(mt, root, opts, tk, sk, ident, refuse, evolve)
+        condMerge(mt, root, opts, keys, ident, refuse, evolve)
     }
   }
 
@@ -346,7 +362,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     * without ambiguity when both sides share column names.
     */
   private def condMerge(mt: MergeIntoTable, root: String,
-      opts: Map[String, String], tk: String, sk: String,
+      opts: Map[String, String], keys: Seq[(String, String)],
       ident: Option[org.apache.spark.sql.catalyst.TableIdentifier],
       refuse: String => Nothing,
       evolve: Seq[AttributeReference] = Nil): LogicalPlan = {
@@ -427,7 +443,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         case other =>
           refuse(s"unsupported not-matched-by-source action: $other")
       }
-    MergeIntoGraftTableCondCommand(root, opts, mt.sourceTable, tk, sk,
+    MergeIntoGraftTableCondCommand(root, opts, mt.sourceTable, keys,
       matchedSpecs, notMatchedSpecs, bySourceSpecs, ident,
       evolve.map(a => a.name -> a.dataType))
   }
@@ -820,7 +836,7 @@ private[graft] case class MergeIntoGraftTableCommand(root: String,
   */
 private[graft] case class MergeIntoGraftTableCondCommand(root: String,
     writeOpts: Map[String, String], source: LogicalPlan,
-    targetKey: String, sourceKey: String,
+    keys: Seq[(String, String)],
     matched: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
     notMatched: Seq[(Option[Expression], Seq[(String, Expression)])],
     bySource: Seq[(Option[Expression], Option[Seq[(String, Expression)]])],
@@ -847,42 +863,52 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
       .map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t, nullable = true) }
     val fields = schema.fields.toSeq ++ newFields
-    val tk = fields.find(_.name.equalsIgnoreCase(targetKey))
-      .getOrElse(throw new IllegalArgumentException(
-        s"MERGE key '$targetKey' is not a column of $root")).name
     val src = GraftDmlRule.planFrame(spark, source)
     require(!src.columns.exists(c =>
       c.startsWith(TPfx) || c.startsWith(SPfx)),
       s"MERGE source columns may not start with the reserved $TPfx/$SPfx")
     val srcP = src.select(src.columns.toSeq.map(c =>
       col(c).as(SPfx + c)): _*)
-    val keyType = schema(tk).dataType
-    val srcKeyType = src.schema.fields
-      .find(_.name.equalsIgnoreCase(sourceKey))
-      .getOrElse(throw new IllegalArgumentException(
-        s"MERGE source key '$sourceKey' is not a source column")).dataType
-    // sound under coercion (r17 ADVICE): when the source key is wider,
+    // per-key metadata: resolved target name, target type, source type
+    val keyMeta: Seq[(String, String,
+        org.apache.spark.sql.types.DataType,
+        org.apache.spark.sql.types.DataType)] =
+      keys.map { case (tkn0, skn) =>
+        val tkn = schema.fields.find(_.name.equalsIgnoreCase(tkn0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE key '$tkn0' is not a column of $root")).name
+        val st = src.schema.fields.find(_.name.equalsIgnoreCase(skn))
+          .getOrElse(throw new IllegalArgumentException(
+            s"MERGE source key '$skn' is not a source column")).dataType
+        (tkn, skn, schema(tkn).dataType, st)
+      }
+    val tks = keyMeta.map(_._1)
+    // sound under coercion (r17 ADVICE): when a source key is wider,
     // a value that does not round-trip through the target key type can
     // never equal any target key in the coerced domain — try_cast (a
     // plain down-cast would ERROR under ANSI, WRAP under legacy) plus
     // the round-trip conjunct make it match NOTHING instead of landing
-    // on an unrelated row; the same filter tightens the pruning frame
-    val sKey = col(SPfx + sourceKey)
-    val sKeyT = sKey.try_cast(keyType)
-    val joinCond =
-      if (srcKeyType == keyType) col(TPfx + tk) === sKey
-      else col(TPfx + tk) === sKeyT && sKeyT.cast(srcKeyType) === sKey
-    val keyFrame =
-      if (srcKeyType == keyType)
-        src.select(col(sourceKey).cast(keyType).as(tk))
-      else src
-        .select(col(sourceKey).try_cast(keyType).as(tk),
-          col(sourceKey).as("__graft_orig"))
-        .filter(col(tk).cast(srcKeyType) === col("__graft_orig"))
-        .select(col(tk))
+    // on an unrelated row; the same filters tighten the pruning frame
+    val joinCond = keyMeta.map { case (tkn, skn, kt, st) =>
+      val sKey = col(SPfx + skn)
+      val sKeyT = sKey.try_cast(kt)
+      if (st == kt) col(TPfx + tkn) === sKey
+      else col(TPfx + tkn) === sKeyT && sKeyT.cast(st) === sKey
+    }.reduce(_ && _)
+    val keyFrame = keyMeta
+      .filter { case (_, _, kt, st) => st != kt }
+      .foldLeft(src.select(keyMeta.flatMap { case (tkn, skn, kt, st) =>
+        Seq(col(skn).try_cast(kt).as(tkn)) ++
+          (if (st != kt) Seq(col(skn).as(s"__graft_orig_$tkn")) else Nil)
+      }: _*)) { case (df, (tkn, _, _, st)) =>
+        df.filter(col(tkn).cast(st) === col(s"__graft_orig_$tkn"))
+      }.select(tks.map(col): _*)
     val tgt =
       if (bySource.nonEmpty) TableFormat.readSnapshot(spark, root)
-      else TableFormat.readTouchedForKeys(spark, root, keyFrame, tk)
+      else if (tks.size == 1)
+        TableFormat.readTouchedForKeys(spark, root, keyFrame, tks.head)
+      else
+        TableFormat.readTouchedForKeysMulti(spark, root, keyFrame, tks)
     val tgtP = newFields.foldLeft(
       tgt.select(tgt.columns.toSeq.map(c => col(c).as(TPfx + c)): _*)) {
         // evolution columns read null on the un-evolved target side
@@ -918,14 +944,16 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
         // duplicate-key targets (one firing pair per row) and
         // multi-match rows with a single firing pair are legal
         val dup = fired.groupBy(col(RowIdCol))
-          .agg(count(lit(1)).as("__n"), first(col(TPfx + tk)).as("__k"))
+          .agg(count(lit(1)).as("__n"),
+            first(col(TPfx + tks.head)).as("__k"))
           .filter(col("__n") > 1).limit(1).collect()
         require(dup.isEmpty,
           s"MERGE: a target row (key ${dup.headOption.map(_.get(1))}) " +
             "would be updated/deleted by more than one source row — " +
             "deduplicate the source")
       }
-      val delKeys = fired.select(col(TPfx + tk).as(tk)).distinct()
+      val delKeys = fired
+        .select(tks.map(t => col(TPfx + t).as(t)): _*).distinct()
       val updIdx = specs.zipWithIndex.collect {
         case ((_, Some(_)), i) => i
       }
@@ -954,26 +982,30 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
             "left_anti").dropDuplicates(RowIdCol)
         else unfired0
       val carriedRows = unfired
-        .join(delKeys, col(TPfx + tk) === col(tk), "left_semi")
+        .join(delKeys,
+          tks.map(t => col(TPfx + t) === col(t)).reduce(_ && _),
+          "left_semi")
         .select(fields.map(f =>
           col(TPfx + f.name).cast(f.dataType).as(f.name)): _*)
       (delKeys, upd.toSeq :+ carriedRows)
     }
 
     try {
-      val emptyKeys = tgt.select(col(tk)).limit(0)
+      val emptyKeys = tgt.select(tks.map(col): _*).limit(0)
       val (mDel, mApp) =
         if (matched.isEmpty) (emptyKeys, Seq.empty[DataFrame])
         else runLeg(tgtP.join(srcP, joinCond, "inner"), matched,
           pairLeg = true)
       val (bDel, bApp) =
         if (bySource.isEmpty) (emptyKeys, Seq.empty[DataFrame])
-        else runLeg(tgtP.join(srcP.select(sKey), joinCond, "left_anti"),
-          bySource, pairLeg = false)
+        else runLeg(tgtP.join(
+          srcP.select(keyMeta.map(m => col(SPfx + m._2)): _*),
+          joinCond, "left_anti"), bySource, pairLeg = false)
       val insImages =
         if (notMatched.isEmpty) None
         else Some(srcP
-          .join(tgtP.select(col(TPfx + tk)), joinCond, "left_anti")
+          .join(tgtP.select(tks.map(t => col(TPfx + t)): _*),
+            joinCond, "left_anti")
           .withColumn(FireCol, fire(notMatched.map(_._1)))
           .filter(col(FireCol) >= 0)
           .select(fields.map { f =>
@@ -996,8 +1028,12 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
           u
       }
       TableFormat.enforceCheckFor(appends, root)
-      TableFormat.applyDelta(spark, root, delKeys, tk, appends,
-        statsCols = statsCols, bloomCol = bloomCol)
+      if (tks.size == 1)
+        TableFormat.applyDelta(spark, root, delKeys, tks.head, appends,
+          statsCols = statsCols, bloomCol = bloomCol)
+      else // composite key: the mask is single-key, so land copy-on-write
+        TableFormat.applyCoWDelta(spark, root, delKeys, tks, appends,
+          statsCols = statsCols, bloomCol = bloomCol)
     } finally cached.foreach(_.unpersist())
     if (newFields.nonEmpty) catalogIdent.foreach { id =>
       // schema evolution must also move the CATALOG's declared schema,

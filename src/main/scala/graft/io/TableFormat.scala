@@ -1999,6 +1999,89 @@ object TableFormat {
     else readEntries(spark, touched, manifestSchema(m))
   }
 
+  /** Multi-column [[touchedSplit]]: a dir is untouched when ANY key
+    * column's zone maps prove none of the tuples' values for that
+    * column land in it — a matching ROW needs every component present,
+    * so per-column exclusion composes soundly (the intersection of the
+    * per-column touched sets).
+    */
+  private def touchedSplitMulti(spark: SparkSession, entries: Seq[Entry],
+      keyed: DataFrame, keyCols: Seq[String]): (Seq[Entry], Seq[Entry]) =
+    keyCols.foldLeft((entries, Seq.empty[Entry])) {
+      case ((remaining, out), kc) =>
+        val (t, u) = touchedSplit(spark, remaining, keyed, kc)
+        (t, out ++ u)
+    }
+
+  /** Multi-column [[readTouchedForKeys]] — the bounded target side a
+    * COMPOSITE-key merge joins against.
+    */
+  private[graft] def readTouchedForKeysMulti(spark: SparkSession,
+      root: String, keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val prev = latestVersion(root)
+    require(prev >= 0, s"no snapshot at $root")
+    val m = readManifestFull(root, prev)
+    val (touched, _) = touchedSplitMulti(spark, m.entries, keys, keyCols)
+    if (touched.isEmpty) readSnapshot(spark, root).limit(0)
+    else readEntries(spark, touched, manifestSchema(m))
+  }
+
+  /** COMPOSITE-key delta: mask-by-tuple + append in ONE commit. The
+    * merge-on-read mask is single-key by construction (a dv sidecar
+    * records VALUES of one declared column the read path anti-joins),
+    * so a composite key lands COPY-ON-WRITE instead: dirs the key
+    * tuples provably miss ([[touchedSplitMulti]]) carry verbatim, the
+    * rest read effective, drop rows matching any delete tuple
+    * (multi-column anti-join — never a concatenated surrogate, which
+    * would collide on separator-bearing strings), and re-land with the
+    * appends in one fresh dir. Cost ∝ touched dirs — the same pruning
+    * contract every single-key path keeps, with CoW's write
+    * amplification instead of a dv sidecar. Appends may be WIDER
+    * (schema-evolution merge): survivors null-backfill through the
+    * union, and the commit records the union schema.
+    */
+  private[graft] def applyCoWDelta(spark: SparkSession, root: String,
+      deletes: DataFrame, keyCols: Seq[String], appends: DataFrame,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None): Int = {
+    require(keyCols.size >= 2,
+      "applyCoWDelta is the composite-key form — use applyDelta for " +
+        "one key (merge-on-read beats a rewrite there)")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"no snapshot at $root")
+    val hasDeletes = !deletes.isEmpty
+    val hasAppends = !appends.isEmpty
+    if (!hasDeletes && !hasAppends) return prev
+    if (!hasDeletes)
+      return append(appends, root, statsCols = statsCols,
+        bloomCol = bloomCol)
+    val m = readManifestFull(root, prev)
+    val (touched, untouched) =
+      touchedSplitMulti(spark, m.entries, deletes, keyCols)
+    if (touched.isEmpty) // tuples provably absent: a plain append
+      return if (hasAppends) append(appends, root, statsCols = statsCols,
+        bloomCol = bloomCol) else prev
+    val survivors = readEntries(spark, touched, manifestSchema(m))
+      .join(deletes.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val out = survivors.unionByName(appends, allowMissingColumns = true)
+    val dataDir = newDataDir(root)
+    bloomCol.foldLeft(out.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(dataDir)
+    val cols = (statsCols ++
+      touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
+    // conflicts detect on the FIRST key column: a foreign commit
+    // holding a conflicting tuple necessarily intersects our first
+    // component's values — conservative, never missed
+    val conflict = deletes.select(col(keyCols.head))
+      .unionByName(appends.select(col(keyCols.head)))
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched,
+      produced = Seq(mkEntry(spark, dataDir, cols)),
+      ourSchema = Some(out.schema),
+      conflictKeys = Some((conflict, keyCols.head)), op = "merge")
+  }
+
   /** ALTER TABLE ADD COLUMNS as a commit: widen the head's schema by
     * `fields` (nullable — there is no data to backfill) with every
     * entry carried VERBATIM — a metadata-only commit, zero data I/O,
@@ -3468,6 +3551,69 @@ object TableFormat {
       root
     })
 
+  /** COMPOSITE-key MERGE end-to-end (r18): the table is keyed on
+    * (l_orderkey, l_linenumber) — including DUPLICATE pairs, which the
+    * synthetic lineitem carries — and the statement matches on BOTH
+    * columns, landing copy-on-write through
+    * [[TableFormat.applyCoWDelta]] (the merge-on-read mask is
+    * single-key by construction). Tuple semantics are load-bearing:
+    * a single-key or concatenated-surrogate bug would update every
+    * row sharing ONE component. The oracle replays row-level over
+    * lineitem.
+    */
+  private val mergeMultiCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlMergeMultiTable(s: SparkSession, dir: String)
+      : String =
+    mergeMultiCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_mrgmulti")
+        .toString + "/t"
+      val li = Sources.table(s, dir, "lineitem")
+      val hi = li.agg(max(col("l_orderkey"))).head.getLong(0)
+      // deduped: a duplicate source tuple would legitimately refuse
+      // (two source rows firing on one target row — the SQL
+      // cardinality error); duplicate TARGET rows stay, each updated
+      // once by the single source row for its tuple
+      val delta = li
+        .filter(col("l_orderkey") % 7 === 0 && col("l_linenumber") % 2 === 1)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lit(100L).as("dq"))
+        .unionByName(li
+          .filter(col("l_orderkey") % 97 === 0 && col("l_linenumber") === 1)
+          .select((col("l_orderkey") + hi + 1).as("l_orderkey"),
+            col("l_linenumber"), lit(1000L).as("dq")))
+        .distinct()
+      delta.createOrReplaceTempView("graft_mrgmulti_delta")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .createOrReplaceTempView("graft_mrgmulti_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_mergem_li")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_mergem_li USING `$p`
+           |OPTIONS (path '$root', statsCols 'l_orderkey,l_linenumber')
+           |AS SELECT * FROM graft_mrgmulti_src""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_sql_mergem_li t USING graft_mrgmulti_delta s
+          |ON t.l_orderkey = s.l_orderkey
+          |  AND t.l_linenumber = s.l_linenumber
+          |WHEN MATCHED THEN UPDATE SET qty = t.qty + s.dq
+          |WHEN NOT MATCHED THEN
+          |  INSERT (l_orderkey, l_linenumber, qty)
+          |  VALUES (s.l_orderkey, s.l_linenumber, s.dq)""".stripMargin)
+      root
+    })
+
+  private def qTableSqlMergeMulti(s: SparkSession, dir: String)
+      : DataFrame = {
+    landedSqlMergeMultiTable(s, dir)
+    s.sql(
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS qty_sum
+        |FROM graft_sql_mergem_li
+        |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin)
+  }
+
   private def qTableSqlMergeEvol(s: SparkSession, dir: String)
       : DataFrame = {
     val root = landedSqlMergeEvolTable(s, dir)
@@ -3494,6 +3640,7 @@ object TableFormat {
     mergeCondCache.keys.toList.foreach(mergeCondCache.remove)
     mergeSrcCache.keys.toList.foreach(mergeSrcCache.remove)
     mergeEvolCache.keys.toList.foreach(mergeEvolCache.remove)
+    mergeMultiCache.keys.toList.foreach(mergeMultiCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3512,7 +3659,8 @@ object TableFormat {
       "q_table_sql_merge" -> qTableSqlMerge,
       "q_table_sql_merge_cond" -> qTableSqlMergeCond,
       "q_table_sql_merge_src" -> qTableSqlMergeSrc,
-      "q_table_sql_merge_evol" -> qTableSqlMergeEvol)
+      "q_table_sql_merge_evol" -> qTableSqlMergeEvol,
+      "q_table_sql_merge_multi" -> qTableSqlMergeMulti)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -3624,6 +3772,25 @@ object TableFormat {
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
         |FROM kept GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // COMPOSITE key (l_orderkey, l_linenumber): matched %7/odd-line
+    // pairs bump qty by 100 per ROW (duplicate pairs each update once),
+    // shifted %97/line-1 DISTINCT tuples insert at 1000
+    "q_table_sql_merge_multi" ->
+      """WITH b AS (SELECT max(l_orderkey) AS hi FROM lineitem),
+        |base AS (SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |merged AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 7 = 0 AND l_linenumber % 2 = 1
+        |         THEN qty + 100 ELSE qty END AS qty
+        |  FROM base
+        |  UNION ALL
+        |  SELECT DISTINCT l_orderkey + hi + 1, l_linenumber, 1000
+        |  FROM base, b WHERE l_orderkey % 97 = 0 AND l_linenumber = 1)
+        |SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(qty) AS BIGINT) AS qty_sum
+        |FROM merged GROUP BY l_linenumber
+        |ORDER BY l_linenumber""".stripMargin,
     // WITH SCHEMA EVOLUTION: %7<=mid keys update to 'U' carrying the
     // NEW o_tag column, shifted %97 keys insert as 'N' with it, every
     // untouched row reads o_tag NULL

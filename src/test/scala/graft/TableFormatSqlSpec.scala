@@ -347,6 +347,113 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("composite-key MERGE: tuple semantics, pruning, cardinality") {
+    import spark.implicits._
+    val base = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_mrgm")
+    spark.sql(s"""CREATE TABLE graft_mrgm (k1 BIGINT, k2 BIGINT,
+      v STRING) USING `$Provider` OPTIONS (path '$base/t',
+      statsCols 'k1,k2')""")
+    // single components COLLIDE across rows — only the tuple is unique
+    spark.sql("""INSERT INTO graft_mrgm VALUES
+      (1,1,'a'),(1,2,'b'),(2,1,'c'),(2,2,'d')""")
+    val v0 = TableFormat.latestVersion(s"$base/t")
+    Seq((1L, 1L, "A"), (3L, 1L, "e"))
+      .toDF("k1", "k2", "nv").createOrReplaceTempView("graft_mrgm_src")
+    try {
+      spark.sql("""MERGE INTO graft_mrgm t USING graft_mrgm_src s
+        ON t.k1 = s.k1 AND t.k2 = s.k2
+        WHEN MATCHED THEN UPDATE SET v = s.nv
+        WHEN NOT MATCHED THEN INSERT (k1, k2, v) VALUES (s.k1, s.k2, s.nv)""")
+      assert(TableFormat.latestVersion(s"$base/t") === v0 + 1,
+        "composite MERGE must land as ONE commit")
+      val got = spark.sql("SELECT k1, k2, v FROM graft_mrgm ORDER BY k1, k2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq
+      // ONLY (1,1) updated — (1,2) and (2,1) share a component and
+      // must carry; (3,1) inserted
+      assert(got === Seq((1L, 1L, "A"), (1L, 2L, "b"), (2L, 1L, "c"),
+        (2L, 2L, "d"), (3L, 1L, "e")), s"tuple semantics: $got")
+
+      // separator-adversarial STRING keys: a concatenated surrogate
+      // would collide ("a|b","c") with ("a","b|c")
+      spark.sql(s"""CREATE TABLE graft_mrgm_s (k1 STRING, k2 STRING,
+        v BIGINT) USING `$Provider` OPTIONS (path '$base/ts',
+        statsCols 'k1,k2')""")
+      spark.sql("""INSERT INTO graft_mrgm_s VALUES
+        ('a|b','c',1),('a','b|c',2)""")
+      Seq(("a|b", "c", 10L)).toDF("k1", "k2", "nv")
+        .createOrReplaceTempView("graft_mrgm_s_src")
+      spark.sql("""MERGE INTO graft_mrgm_s t USING graft_mrgm_s_src s
+        ON t.k1 = s.k1 AND t.k2 = s.k2
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      val sgot = spark.sql("SELECT k1, v FROM graft_mrgm_s ORDER BY k1")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(sgot === Seq(("a", 2L), ("a|b", 10L)),
+        s"separator-adversarial tuples must not collide: $sgot")
+
+      // PRUNING: dirs the tuples provably miss carry VERBATIM through
+      // the copy-on-write commit (per-column zone-map exclusion)
+      spark.sql(s"""CREATE TABLE graft_mrgm_p (k1 BIGINT, k2 BIGINT,
+        v BIGINT) USING `$Provider` OPTIONS (path '$base/tp',
+        statsCols 'k1,k2')""")
+      (0 until 3).foreach { i =>
+        val lo = i * 100L
+        TableFormat.append((lo until lo + 100L).map(k => (k, k % 10, k))
+          .toDF("k1", "k2", "v"), s"$base/tp",
+          statsCols = Seq("k1", "k2"))
+      }
+      val before = TableFormat.snapshotDirs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp")).toSet
+      Seq((5L, 5L, -1L)).toDF("k1", "k2", "nv")
+        .createOrReplaceTempView("graft_mrgm_p_src")
+      spark.sql("""MERGE INTO graft_mrgm_p t USING graft_mrgm_p_src s
+        ON t.k1 = s.k1 AND t.k2 = s.k2
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      val after = TableFormat.snapshotDirs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp")).toSet
+      // the two dirs whose k1 range excludes 5 must carry verbatim
+      assert((before & after).size === 2,
+        s"untouched dirs must carry: before=$before after=$after")
+      assert(spark.sql(
+        "SELECT v FROM graft_mrgm_p WHERE k1 = 5").collect()(0)
+        .getLong(0) === -1L)
+      assert(spark.sql("SELECT count(*) AS n FROM graft_mrgm_p")
+        .collect()(0).getLong(0) === 300)
+
+      // SQL cardinality: two source rows firing on one target TUPLE
+      Seq((1L, 1L, "x"), (1L, 1L, "y")).toDF("k1", "k2", "nv")
+        .createOrReplaceTempView("graft_mrgm_dup")
+      val e = intercept[Exception] {
+        spark.sql("""MERGE INTO graft_mrgm t USING graft_mrgm_dup s
+          ON t.k1 = s.k1 AND t.k2 = s.k2
+          WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      }
+      assert(e.getMessage.contains("more than one source row"),
+        e.getMessage)
+
+      // coercion soundness holds per KEY COMPONENT: an out-of-range
+      // BIGINT against an INT component matches nothing
+      spark.sql(s"""CREATE TABLE graft_mrgm_i (k1 INT, k2 BIGINT,
+        v STRING) USING `$Provider` OPTIONS (path '$base/ti',
+        statsCols 'k1')""")
+      spark.sql("INSERT INTO graft_mrgm_i VALUES (5, 1, 'five')")
+      Seq((4294967301L, 1L, "wrap")).toDF("k1", "k2", "nv")
+        .createOrReplaceTempView("graft_mrgm_w")
+      spark.sql("""MERGE INTO graft_mrgm_i t USING graft_mrgm_w s
+        ON t.k1 = s.k1 AND t.k2 = s.k2
+        WHEN MATCHED THEN UPDATE SET v = s.nv""")
+      assert(spark.sql("SELECT v FROM graft_mrgm_i").collect()(0)
+        .getString(0) === "five",
+        "a non-representable component must match nothing")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_mrgm")
+      spark.sql("DROP TABLE IF EXISTS graft_mrgm_s")
+      spark.sql("DROP TABLE IF EXISTS graft_mrgm_p")
+      spark.sql("DROP TABLE IF EXISTS graft_mrgm_i")
+    }
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens through star actions") {
     import spark.implicits._
     val base = freshRoot()
