@@ -98,13 +98,18 @@ object GraftManifestStats extends Rule[LogicalPlan] {
               .toString))
         } else (None, None)
       // null accounts (r18): sharpens IS [NOT] NULL selectivity and
-      // join-cardinality estimates; complete-or-decline like the rest
+      // join-cardinality estimates; complete-or-decline like the rest.
+      // nullCount only RIDES on a stat ndv/bounds already justify — a
+      // nullCount-ONLY ColumnStat makes `colStatsMap.contains` true
+      // and steers Spark's FilterEstimation into
+      // evaluateBinaryForNumeric without min/max, an INTERNAL_ERROR
+      // (found by q_tpch_q5_cbo's timestamp range filter)
       val nulls: Option[BigInt] =
         if (m.entries.isEmpty) Some(BigInt(0))
         else if (clean && m.entries.forall(_.nulls.contains(a.name)))
           Some(BigInt(m.entries.map(_.nulls(a.name)).sum))
         else None
-      if (ndv.isEmpty && lo.isEmpty && nulls.isEmpty) None
+      if (ndv.isEmpty && lo.isEmpty) None
       else Some(a.name -> CatalogColumnStat(distinctCount = ndv,
         min = lo, max = hi, nullCount = nulls, avgLen = None,
         maxLen = None, histogram = None))

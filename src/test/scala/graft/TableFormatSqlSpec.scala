@@ -901,15 +901,31 @@ class TableFormatSqlSpec extends TestSpark {
         "SELECT count(*) AS n, count(k) AS nk FROM graft_sql_nulls")
       assert(scans(both) === 0)
       assert(both.collect()(0).toSeq === Seq(120L, 90L))
-      // the CBO column stat carries the null count (sharpens IS NULL
-      // selectivity with zero ANALYZE scans)
+      // the CBO column stat carries the null count when bounds/ndv
+      // justify the stat at all — a nullCount-ONLY ColumnStat would
+      // steer Spark's FilterEstimation into evaluateBinaryForNumeric
+      // without min/max (INTERNAL_ERROR, found by q_tpch_q5_cbo), so
+      // the all-null-dir table above must expose NO stat for k, and a
+      // complete-bounds table exposes bounds + nullCount together
       spark.conf.set("spark.sql.cbo.enabled", "true")
       try {
         val st = spark.table("graft_sql_nulls")
           .queryExecution.optimizedPlan.stats
-        assert(st.attributeStats.exists { case (a, cs) =>
-          a.name == "k" && cs.nullCount.contains(BigInt(30)) },
-          s"manifest null account must feed the CBO: ${st.attributeStats}")
+        assert(!st.attributeStats.exists(_._1.name == "k"),
+          s"incomplete bounds must not mint a ColumnStat: " +
+            s"${st.attributeStats}")
+        val root2 = freshRoot()
+        TableFormat.append((0L until 50L)
+          .map(k => (if (k % 5 == 0) None else Some(k), "x"))
+          .toDF("k", "s"), root2, statsCol = Some("k"))
+        TableFormat.registerSql(spark, root2, "graft_sql_nulls_cbo")
+        val st2 = spark.table("graft_sql_nulls_cbo")
+          .queryExecution.optimizedPlan.stats
+        assert(st2.attributeStats.exists { case (a, cs) =>
+          a.name == "k" && cs.nullCount.contains(BigInt(10)) &&
+            cs.min.isDefined },
+          s"null account must ride the bounds-backed stat: " +
+            s"${st2.attributeStats}")
       } finally spark.conf.set("spark.sql.cbo.enabled", "false")
       // dv debt declines — the mask can hide null and non-null rows
       TableFormat.deleteKeysMor(spark, root, Seq(5L).toDF("k"), "k")
