@@ -128,26 +128,30 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     * through [[unbind]].
     */
   private def keysSubquery(cond: Expression, target: LogicalPlan)
-      : Option[(String, LogicalPlan)] = cond match {
-    case org.apache.spark.sql.catalyst.expressions.InSubquery(Seq(v),
+      : Option[(Seq[String], LogicalPlan)] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.InSubquery(vs,
         q: org.apache.spark.sql.catalyst.expressions.ListQuery)
-        if q.outerAttrs.isEmpty && q.plan.output.length == 1 =>
-      v match {
+        if q.outerAttrs.isEmpty && q.plan.output.length == vs.length =>
+      // each value a target column (or the analyzer's UP-cast of one —
+      // lossless ⇒ injective, so comparing in the key's own declared
+      // domain after a round-trip filter is sound; a lossy shape like
+      // a string key vs an int list collapses '01' and '1' and refuses
+      // through [[unbind]] instead of matching the wrong rows). The
+      // TUPLE form `(k1, k2) IN (SELECT …)` (r18) lands copy-on-write
+      // per tuple — multi-column anti-join, never a concatenation.
+      val names = vs.map {
         case a: AttributeReference if target.outputSet.contains(a) =>
-          Some((a.name, q.plan))
-        // the analyzer's coercion cast is accepted only when it is an
-        // UP-cast (lossless ⇒ injective): the command compares key
-        // values in the key's own declared domain after a round-trip
-        // filter ([[GraftDmlRule.subqueryKeys]]), which is sound
-        // exactly for injective casts. A lossy shape (string key vs
-        // int list collapses '01' and '1') refuses through [[unbind]]
-        // instead of silently matching the wrong rows (r17 ADVICE).
+          Some(a.name)
         case c @ Cast(a: AttributeReference, _, _, _)
             if target.outputSet.contains(a) &&
               Cast.canUpCast(a.dataType, c.dataType) =>
-          Some((a.name, q.plan))
+          Some(a.name)
         case _ => None
       }
+      if (names.forall(_.isDefined) &&
+          names.flatten.map(_.toLowerCase).distinct.size == names.size)
+        Some((names.flatten, q.plan))
+      else None
     case _ => None
   }
 
@@ -162,8 +166,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         dmlTarget(d.table) match {
           case Some((root, opts, ident)) =>
             keysSubquery(d.condition, d.table) match {
-              case Some((key, sub)) =>
-                DeleteKeysGraftTableCommand(root, opts, key, sub, ident)
+              case Some((keys, sub)) =>
+                DeleteKeysGraftTableCommand(root, opts, keys, sub, ident)
               case None => DeleteFromGraftTableCommand(root, opts,
                 unbind(d.condition), ident)
             }
@@ -182,8 +186,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
               name -> unbind(a.value)
             }
             u.condition.flatMap(keysSubquery(_, u.table)) match {
-              case Some((key, sub)) =>
-                UpdateKeysGraftTableCommand(root, opts, key, sub,
+              case Some((keys, sub)) =>
+                UpdateKeysGraftTableCommand(root, opts, keys, sub,
                   assigns, ident)
               case None => UpdateGraftTableCommand(root, opts,
                 u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
@@ -643,28 +647,36 @@ private[graft] object GraftDmlRule {
     * cast (round-17 ADVICE, medium); a NULL IN-list value matches no
     * row and drops with them.
     */
-  def subqueryKeys(spark: SparkSession, root: String, keyCol: String,
-      subquery: LogicalPlan): DataFrame = {
+  def subqueryKeys(spark: SparkSession, root: String,
+      keyCols: Seq[String], subquery: LogicalPlan): DataFrame = {
     import org.apache.spark.sql.functions.col
     val sub = planFrame(spark, subquery)
-    val field = TableFormat.latestSchema(root)
-      .flatMap(_.fields.find(_.name.equalsIgnoreCase(keyCol)))
-      .getOrElse(throw new IllegalArgumentException(
-        s"key column '$keyCol' is not a column of $root"))
-    val subType = sub.schema.head.dataType
-    if (subType == field.dataType)
-      sub.select(col(sub.columns.head).cast(field.dataType).as(field.name))
-    else {
-      // try_cast: under ANSI a plain down-cast of an out-of-range
-      // value would ERROR the whole statement; under legacy mode it
-      // would WRAP. Either way the value equals no key — null out,
-      // round-trip-compare (an up-cast back never fails), drop.
-      val v = col(sub.columns.head)
-      sub.select(v.try_cast(field.dataType).as(field.name),
-          v.as("__graft_orig"))
-        .filter(col(field.name).cast(subType) === col("__graft_orig"))
-        .select(col(field.name))
+    val fields = keyCols.map { kc =>
+      TableFormat.latestSchema(root)
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(kc)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"key column '$kc' is not a column of $root"))
     }
+    // positional: the i-th subquery output compares to the i-th key.
+    // try_cast per position: under ANSI a plain down-cast of an
+    // out-of-range value would ERROR the whole statement; under legacy
+    // mode it would WRAP. Either way the value equals no key — null
+    // out, round-trip-compare (an up-cast back never fails), drop the
+    // TUPLE (one non-representable component makes the tuple match
+    // nothing).
+    val cols = sub.columns.toSeq
+    val selected = sub.select(fields.zip(cols).flatMap { case (f, c) =>
+      val subType = sub.schema(c).dataType
+      Seq(col(c).try_cast(f.dataType).as(f.name)) ++
+        (if (subType != f.dataType)
+          Seq(col(c).as(s"__graft_orig_${f.name}")) else Nil)
+    }: _*)
+    fields.zip(cols).filter { case (f, c) =>
+      sub.schema(c).dataType != f.dataType
+    }.foldLeft(selected) { case (df, (f, c)) =>
+      df.filter(col(f.name).cast(sub.schema(c).dataType) ===
+        col(s"__graft_orig_${f.name}"))
+    }.select(fields.map(f => col(f.name)): _*)
   }
 }
 
@@ -674,19 +686,31 @@ private[graft] object GraftDmlRule {
   * through [[TableFormat.deleteKeys]], a copy-on-write commit pruned
   * by the key VALUES (zone maps + blooms). IN-null semantics fall out
   * of the anti-join: NULL keys match no row, NULL-keyed rows survive.
+  * The TUPLE form `(k1, k2) IN (SELECT …)` (r18) lands through
+  * [[TableFormat.applyCoWDelta]] — per-column zone-map exclusion,
+  * multi-column anti-join.
   */
 private[graft] case class DeleteKeysGraftTableCommand(root: String,
-    writeOpts: Map[String, String], keyCol: String, subquery: LogicalPlan,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan,
     catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
     extends LeafRunnableCommand {
 
   override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    TableFormat.deleteKeys(spark, root,
-      GraftDmlRule.subqueryKeys(spark, root, keyCol, subquery), keyCol,
-      statsCols = GraftDmlRule.statsColsOf(writeOpts),
-      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    val keys = GraftDmlRule.subqueryKeys(spark, root, keyCols, subquery)
+    val statsCols = GraftDmlRule.statsColsOf(writeOpts)
+    val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    if (keyCols.size == 1)
+      TableFormat.deleteKeys(spark, root, keys, keyCols.head,
+        statsCols = statsCols, bloomCol = bloomCol)
+    else
+      TableFormat.applyCoWDelta(spark, root, keys,
+        keyCols.map(kc => keys.schema.fields
+          .find(_.name.equalsIgnoreCase(kc)).get.name),
+        keys.limit(0), statsCols = statsCols, bloomCol = bloomCol,
+        op = "delete-where")
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }
@@ -694,10 +718,13 @@ private[graft] case class DeleteKeysGraftTableCommand(root: String,
 
 /** `UPDATE t SET … WHERE k IN (SELECT …)` — the key-set twin for
   * UPDATE, landed through [[TableFormat.updateKeys]] (same pruning
-  * and simultaneous-assignment semantics as the predicate form).
+  * and simultaneous-assignment semantics as the predicate form); the
+  * TUPLE form updates the matching rows' images and re-lands them
+  * through one [[TableFormat.applyCoWDelta]] commit.
   */
 private[graft] case class UpdateKeysGraftTableCommand(root: String,
-    writeOpts: Map[String, String], keyCol: String, subquery: LogicalPlan,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan,
     assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
     extends LeafRunnableCommand {
@@ -705,11 +732,33 @@ private[graft] case class UpdateKeysGraftTableCommand(root: String,
   override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    TableFormat.updateKeys(spark, root,
-      GraftDmlRule.subqueryKeys(spark, root, keyCol, subquery), keyCol,
-      assignments.map { case (n, v) => n -> GraftDmlRule.rebind(v) },
-      statsCols = GraftDmlRule.statsColsOf(writeOpts),
-      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    import org.apache.spark.sql.functions.{col, expr}
+    val keys = GraftDmlRule.subqueryKeys(spark, root, keyCols, subquery)
+    val statsCols = GraftDmlRule.statsColsOf(writeOpts)
+    val bloomCol = GraftDmlRule.bloomColOf(writeOpts)
+    val bound = assignments.map { case (n, v) =>
+      n -> GraftDmlRule.rebind(v) }
+    if (keyCols.size == 1)
+      TableFormat.updateKeys(spark, root, keys, keyCols.head, bound,
+        statsCols = statsCols, bloomCol = bloomCol)
+    else {
+      val resolved = keyCols.map(kc => keys.schema.fields
+        .find(_.name.equalsIgnoreCase(kc)).get.name)
+      val touched = TableFormat.readTouchedForKeysMulti(spark, root,
+        keys, resolved)
+      // simultaneous assignments over exactly the matching tuples
+      val hit = touched.join(keys, resolved, "left_semi")
+      val byName = bound.map { case (n, v) => n.toLowerCase -> v }.toMap
+      val updated = hit.select(hit.columns.toSeq.map { c =>
+        byName.get(c.toLowerCase) match {
+          case Some(v) => v.cast(hit.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      TableFormat.enforceCheckFor(updated, root)
+      TableFormat.applyCoWDelta(spark, root, keys, resolved, updated,
+        statsCols = statsCols, bloomCol = bloomCol, op = "update-where")
+    }
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

@@ -2043,7 +2043,8 @@ object TableFormat {
   private[graft] def applyCoWDelta(spark: SparkSession, root: String,
       deletes: DataFrame, keyCols: Seq[String], appends: DataFrame,
       statsCols: Seq[String] = Nil,
-      bloomCol: Option[String] = None): Int = {
+      bloomCol: Option[String] = None,
+      op: String = "merge"): Int = {
     require(keyCols.size >= 2,
       "applyCoWDelta is the composite-key form — use applyDelta for " +
         "one key (merge-on-read beats a rewrite there)")
@@ -2063,7 +2064,9 @@ object TableFormat {
         bloomCol = bloomCol) else prev
     val survivors = readEntries(spark, touched, manifestSchema(m))
       .join(deletes.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val out = survivors.unionByName(appends, allowMissingColumns = true)
+    val out =
+      if (!hasAppends) survivors
+      else survivors.unionByName(appends, allowMissingColumns = true)
     val dataDir = newDataDir(root)
     bloomCol.foldLeft(out.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
@@ -2073,13 +2076,17 @@ object TableFormat {
     // conflicts detect on the FIRST key column: a foreign commit
     // holding a conflicting tuple necessarily intersects our first
     // component's values — conservative, never missed
-    val conflict = deletes.select(col(keyCols.head))
-      .unionByName(appends.select(col(keyCols.head)))
+    val conflict =
+      if (hasAppends && appends.columns.exists(
+          _.equalsIgnoreCase(keyCols.head)))
+        deletes.select(col(keyCols.head))
+          .unionByName(appends.select(col(keyCols.head)))
+      else deletes.select(col(keyCols.head))
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
       produced = Seq(mkEntry(spark, dataDir, cols)),
       ourSchema = Some(out.schema),
-      conflictKeys = Some((conflict, keyCols.head)), op = "merge")
+      conflictKeys = Some((conflict, keyCols.head)), op = op)
   }
 
   /** ALTER TABLE ADD COLUMNS as a commit: widen the head's schema by

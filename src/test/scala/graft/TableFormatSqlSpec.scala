@@ -347,6 +347,83 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
+  test("tuple IN-subquery DELETE and UPDATE land copy-on-write") {
+    import spark.implicits._
+    val base = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_tupq")
+    spark.sql(s"""CREATE TABLE graft_tupq (k1 BIGINT, k2 BIGINT,
+      v STRING) USING `$Provider` OPTIONS (path '$base/t',
+      statsCols 'k1,k2')""")
+    spark.sql("""INSERT INTO graft_tupq VALUES
+      (1,1,'a'),(1,2,'b'),(2,1,'c'),(2,2,'d'),(3,3,'e')""")
+    try {
+      // tuple semantics: only the exact pairs delete — single
+      // components collide across surviving rows
+      Seq((1L, 1L), (2L, 2L)).toDF("a", "b")
+        .createOrReplaceTempView("graft_tupq_del")
+      spark.sql("""DELETE FROM graft_tupq
+        WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_del)""")
+      val got = spark.sql("SELECT k1, k2 FROM graft_tupq ORDER BY k1, k2")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === Seq((1L, 2L), (2L, 1L), (3L, 3L)),
+        s"tuple delete must drop exact pairs only: $got")
+      // tuple UPDATE: simultaneous assignment over the matching pairs
+      Seq((2L, 1L), (3L, 3L)).toDF("a", "b")
+        .createOrReplaceTempView("graft_tupq_upd")
+      spark.sql("""UPDATE graft_tupq SET v = concat(v, '!')
+        WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_upd)""")
+      val got2 = spark.sql("SELECT k2, v FROM graft_tupq ORDER BY k1, k2")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got2 === Seq((2L, "b"), (1L, "c!"), (3L, "e!")),
+        s"tuple update must touch exact pairs only: $got2")
+      // a NULL component in the list matches no row (IN semantics)
+      Seq((Some(1L), Option.empty[Long])).toDF("a", "b")
+        .createOrReplaceTempView("graft_tupq_null")
+      spark.sql("""DELETE FROM graft_tupq
+        WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_null)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_tupq")
+        .collect()(0).getLong(0) === 3,
+        "a NULL tuple component must match nothing")
+      // a non-round-tripping component drops the whole tuple
+      spark.sql(s"""CREATE TABLE graft_tupq_i (k1 INT, k2 INT, v STRING)
+        USING `$Provider` OPTIONS (path '$base/ti', statsCols 'k1')""")
+      spark.sql("INSERT INTO graft_tupq_i VALUES (5, 1, 'keep')")
+      Seq((4294967301L, 1L)).toDF("a", "b")
+        .createOrReplaceTempView("graft_tupq_wide")
+      spark.sql("""DELETE FROM graft_tupq_i
+        WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_wide)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_tupq_i")
+        .collect()(0).getLong(0) === 1,
+        "an out-of-range component wrapped onto a live tuple")
+      // pruning: dirs the tuples provably miss carry verbatim
+      spark.sql(s"""CREATE TABLE graft_tupq_p (k1 BIGINT, k2 BIGINT,
+        v BIGINT) USING `$Provider` OPTIONS (path '$base/tp',
+        statsCols 'k1,k2')""")
+      (0 until 3).foreach { i =>
+        val lo = i * 100L
+        TableFormat.append((lo until lo + 100L).map(k => (k, k % 10, k))
+          .toDF("k1", "k2", "v"), s"$base/tp",
+          statsCols = Seq("k1", "k2"))
+      }
+      val before = TableFormat.snapshotDirs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp")).toSet
+      Seq((205L, 5L)).toDF("a", "b")
+        .createOrReplaceTempView("graft_tupq_one")
+      spark.sql("""DELETE FROM graft_tupq_p
+        WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_one)""")
+      val after = TableFormat.snapshotDirs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp")).toSet
+      assert((before & after).size === 2,
+        s"untouched dirs must carry verbatim: $before vs $after")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_tupq_p")
+        .collect()(0).getLong(0) === 299)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_tupq")
+      spark.sql("DROP TABLE IF EXISTS graft_tupq_i")
+      spark.sql("DROP TABLE IF EXISTS graft_tupq_p")
+    }
+  }
+
   test("composite-key MERGE: tuple semantics, pruning, cardinality") {
     import spark.implicits._
     val base = freshRoot()
