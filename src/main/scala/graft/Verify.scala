@@ -90,6 +90,22 @@ object Verify {
       }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // a REUSED outDir must not serve the previous run's parquet
+        // for a query that just FAILED — stale output would make the
+        // oracle compare read green over broken code (found in r18:
+        // a CBO regression passed the local gate off a stale dump).
+        // Delete the result dir so the compare reports the miss.
+        def rm(p: java.nio.file.Path): Unit = {
+          if (java.nio.file.Files.isDirectory(p)) {
+            val s = java.nio.file.Files.list(p)
+            try {
+              val it = s.iterator()
+              while (it.hasNext) rm(it.next())
+            } finally s.close()
+          }
+          java.nio.file.Files.deleteIfExists(p); ()
+        }
+        rm(java.nio.file.Paths.get(outDir, name))
       }
     }
     graft.ops.Dedup.clearCaches()

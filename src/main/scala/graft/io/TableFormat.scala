@@ -2667,10 +2667,16 @@ object TableFormat {
               Some(all.map(_.hi).reduce((a, b) => if (lt(a, b)) b else a)))
           } else (None, None)
         } else (None, None)
-      (c, ndv, lo, hi, rowAccount)
+      // null account (r18): Σ per-entry nulls when complete and dv-free
+      val nulls: Option[Long] =
+        if (m.entries.isEmpty) Some(0L)
+        else if (allClean && m.entries.forall(_.nulls.contains(c)))
+          Some(m.entries.map(_.nulls(c)).sum)
+        else None
+      (c, ndv, lo, hi, nulls, rowAccount)
     }
     import spark.implicits._
-    rows.toDF("column", "ndv", "lo", "hi", "rows")
+    rows.toDF("column", "ndv", "lo", "hi", "nulls", "rows")
   }
 
   // ------------------------------------------------------- named refs

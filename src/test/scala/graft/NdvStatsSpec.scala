@@ -254,7 +254,9 @@ class NdvStatsSpec extends TestSpark {
     assert(byCol("k").getString(2) === "0" &&
       byCol("k").getString(3) === "599", "merged zone-map bounds")
     assert(byCol("g").isNullAt(2), "unstatted column's bounds are NULL")
-    assert(byCol("k").getLong(4) === 600L, "row account rides along")
+    assert(byCol("k").getLong(4) === 0L, "null account rides along (r18)")
+    assert(byCol("g").isNullAt(4), "unstatted column's nulls are NULL")
+    assert(byCol("k").getLong(5) === 600L, "row account rides along")
     // an all-zero sketch is a legitimate zero, not a gap: a dir with no
     // non-null values of a column still folds
     val root2 = fresh()
