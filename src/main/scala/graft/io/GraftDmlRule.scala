@@ -111,8 +111,9 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     require(!e.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
       "graft-table DML supports subqueries only as the whole condition " +
-        "`<key> IN (SELECT …)` (uncorrelated) — stage other shapes " +
-        "into a frame and use deleteKeys/updateKeys/merge")
+        "`<key> IN (SELECT …)` or `EXISTS (SELECT … WHERE inner = " +
+        "outer [AND …])` (equality correlation only) — stage other " +
+        "shapes into a frame and use deleteKeys/updateKeys/merge")
     e
   }
 
@@ -155,6 +156,116 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** DECORRELATION (r19 — the r18 VERDICT's #3 gap): the idiomatic
+    * purge statements
+    * {{{
+    *   DELETE FROM t WHERE EXISTS
+    *     (SELECT 1 FROM s WHERE s.k = t.k AND s.flag = 1)
+    *   UPDATE t SET … WHERE k IN (SELECT k FROM s WHERE s.g = t.g)
+    * }}}
+    * decorrelate to exactly the key frame the key-pruned commands
+    * already consume: each correlated EQUALITY conjunct `inner = outer`
+    * contributes a (target column, inner value) pair, the residual
+    * (outer-free) conjuncts stay on the subquery, and the rewritten
+    * UNCORRELATED plan projects the inner values — a semi-join key set
+    * for DELETE, the same for UPDATE. One pair lands key-pruned
+    * ([[TableFormat.deleteKeys]]/[[TableFormat.updateKeys]]); several
+    * land as a tuple (merge-on-read, like tuple IN). Supported shape:
+    * the subquery is `[Project over] Filter` whose correlated conjuncts
+    * are all top-level equalities between an inner attribute and an
+    * outer target column (up-casts tolerated on either side — the
+    * command's round-trip guard keeps the coerced comparison sound);
+    * non-equality correlation, correlation below joins/aggregates, and
+    * NOT EXISTS keep refusing loudly through [[unbind]].
+    */
+  private def existsSubquery(cond: Expression, target: LogicalPlan)
+      : Option[(Seq[String], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, OuterReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // strip analyzer type-reconciliation up-casts — the commands
+    // re-derive the comparison in the key's declared domain with a
+    // round-trip guard, so only injective casts may be peeled
+    def bareUp(e: Expression): Expression = e match {
+      case c @ Cast(ch, _, _, _) if Cast.canUpCast(ch.dataType, c.dataType)
+        => bareUp(ch)
+      case x => x
+    }
+    /** One correlated conjunct → (target column name, inner value). */
+    def corrPair(e: Expression, inner: LogicalPlan)
+        : Option[(String, AttributeReference)] = e match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(x, y) =>
+        (bareUp(x), bareUp(y)) match {
+          case (a: AttributeReference, OuterReference(t: AttributeReference))
+              if inner.outputSet.contains(a) &&
+                target.outputSet.contains(t) => Some((t.name, a))
+          case (OuterReference(t: AttributeReference), a: AttributeReference)
+              if inner.outputSet.contains(a) &&
+                target.outputSet.contains(t) => Some((t.name, a))
+          case _ => None
+        }
+      case _ => None
+    }
+    /** The [Project over] Filter body → (pairs, residual-filtered
+      * child) when EVERY outer-referencing conjunct is a supported
+      * equality.
+      */
+    def body(plan: LogicalPlan)
+        : Option[(Seq[(String, AttributeReference)], LogicalPlan)] = {
+      val f = plan match {
+        case Project(_, fl: Filter) => Some(fl)
+        case fl: Filter => Some(fl)
+        case _ => None
+      }
+      f.flatMap { fl =>
+        val (corr, residual) = conjuncts(fl.condition).partition(
+          _.exists(_.isInstanceOf[OuterReference]))
+        val pairs = corr.map(corrPair(_, fl.child))
+        if (corr.isEmpty || pairs.exists(_.isEmpty)) None
+        else Some((pairs.flatten,
+          residual.reduceOption(
+            org.apache.spark.sql.catalyst.expressions.And(_, _))
+            .map(Filter(_, fl.child)).getOrElse(fl.child)))
+      }
+    }
+    cond match {
+      case e: Exists if e.outerAttrs.nonEmpty =>
+        body(e.plan).flatMap { case (pairs, stripped) =>
+          val names = pairs.map(_._1)
+          if (names.map(_.toLowerCase).distinct.size != names.size) None
+          else Some((names, Project(pairs.map(_._2), stripped)))
+        }
+      case InSubquery(vs, q: ListQuery)
+          if q.outerAttrs.nonEmpty && q.plan.output.length == vs.length =>
+        // the IN values resolve like the uncorrelated form; the
+        // correlated equalities append their pairs to the tuple
+        val valueNames = vs.map {
+          case a: AttributeReference if target.outputSet.contains(a) =>
+            Some(a.name)
+          case c @ Cast(a: AttributeReference, _, _, _)
+              if target.outputSet.contains(a) &&
+                Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
+          case _ => None
+        }
+        q.plan match {
+          case Project(list, _) if valueNames.forall(_.isDefined) =>
+            body(q.plan).flatMap { case (pairs, stripped) =>
+              val names = valueNames.flatten ++ pairs.map(_._1)
+              if (names.map(_.toLowerCase).distinct.size != names.size)
+                None
+              else Some((names,
+                Project(list ++ pairs.map(_._2), stripped)))
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -165,7 +276,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case d: DeleteFromTable if d.resolved =>
         dmlTarget(d.table) match {
           case Some((root, opts, ident)) =>
-            keysSubquery(d.condition, d.table) match {
+            keysSubquery(d.condition, d.table)
+              .orElse(existsSubquery(d.condition, d.table)) match {
               case Some((keys, sub)) =>
                 DeleteKeysGraftTableCommand(root, opts, keys, sub, ident)
               case None => DeleteFromGraftTableCommand(root, opts,
@@ -185,7 +297,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
               }
               name -> unbind(a.value)
             }
-            u.condition.flatMap(keysSubquery(_, u.table)) match {
+            u.condition.flatMap(c => keysSubquery(c, u.table)
+              .orElse(existsSubquery(c, u.table))) match {
               case Some((keys, sub)) =>
                 UpdateKeysGraftTableCommand(root, opts, keys, sub,
                   assigns, ident)
@@ -318,20 +431,25 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case Seq(InsertAction(None, as)) if isIdentity(as) => Some("insert")
       case _ => None
     }
-    // evolution is carried by the star actions (the analyzer expands
-    // `SET *`/`INSERT *` over the target columns BEFORE this rule runs,
-    // dropping source extras — UpdateAction keeps its fromStar marker;
-    // an InsertAction whose assignments are the identity over ALL
-    // target columns is indistinguishable from INSERT * post-analysis
-    // and is treated as star under WITH SCHEMA EVOLUTION). A merge
-    // whose actions reference nothing new routes as an ordinary merge.
+    // evolution is carried by the STAR actions only (the analyzer
+    // expands `SET *`/`INSERT *` over the target columns BEFORE this
+    // rule runs, dropping source extras — UpdateAction keeps its
+    // fromStar marker, and an insert clause's star-ness rides the
+    // parse-time tag [[GraftSqlParser.InsertStarTag]], r19: an
+    // EXPLICIT all-target-column identity list no longer silently
+    // evolves). A merge whose actions reference nothing new routes as
+    // an ordinary merge.
+    val starIdx: Seq[Int] = mt
+      .getTagValue(GraftSqlParser.InsertStarTag).getOrElse(Seq.empty)
     val evolve: Seq[AttributeReference] =
       if (evolveCols.isEmpty) Nil
-      else if ((mt.matchedActions ++ mt.notMatchedActions).exists {
+      else if (mt.matchedActions.exists {
         case UpdateStarAction(_) => true
         case UpdateAction(_, _, true) => true
-        case InsertStarAction(_) => true
-        case InsertAction(_, as) => isIdentity(as)
+        case _ => false
+      } || mt.notMatchedActions.zipWithIndex.exists {
+        case (InsertStarAction(_), _) => true
+        case (InsertAction(_, as), i) => isIdentity(as) && starIdx.contains(i)
         case _ => false
       }) evolveCols
       else Nil
@@ -349,7 +467,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         MergeIntoGraftTableCommand(root, opts, mt.sourceTable, tk, sk,
           action, ident)
       case None => // the general form: conditional / column-level actions
-        condMerge(mt, root, opts, keys, ident, refuse, evolve)
+        condMerge(mt, root, opts, keys, ident, refuse, evolve, starIdx)
     }
   }
 
@@ -369,7 +487,8 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       opts: Map[String, String], keys: Seq[(String, String)],
       ident: Option[org.apache.spark.sql.catalyst.TableIdentifier],
       refuse: String => Nothing,
-      evolve: Seq[AttributeReference] = Nil): LogicalPlan = {
+      evolve: Seq[AttributeReference] = Nil,
+      starIdx: Seq[Int] = Nil): LogicalPlan = {
     val tOut = mt.targetTable.outputSet
     val sOut = mt.sourceTable.outputSet
     val srcByName = mt.sourceTable.output
@@ -424,16 +543,17 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       }
     val notMatchedSpecs: Seq[(Option[Expression],
         Seq[(String, Expression)])] =
-      mt.notMatchedActions.map {
-        case InsertStarAction(c) => (c.map(pfx), identityAssigns)
-        case InsertAction(c, as)
-            if evolve.nonEmpty && isIdentity(as) =>
-          // InsertAction carries no star marker; under WITH SCHEMA
-          // EVOLUTION an all-target identity insert is INSERT *
+      mt.notMatchedActions.zipWithIndex.map {
+        case (InsertStarAction(c), _) => (c.map(pfx), identityAssigns)
+        case (InsertAction(c, as), i)
+            if evolve.nonEmpty && isIdentity(as) && starIdx.contains(i) =>
+          // a GENUINE `INSERT *` (parse-time tag) carries the evolution
+          // columns; an explicit all-target identity list does not —
+          // its inserts read NULL there (r19)
           (c.map(pfx), identityAssigns)
-        case InsertAction(c, as) =>
+        case (InsertAction(c, as), _) =>
           (c.map(pfx), as.map(a => named(a.key) -> pfx(a.value)))
-        case other => refuse(s"unsupported not-matched action: $other")
+        case (other, _) => refuse(s"unsupported not-matched action: $other")
       }
     // BY-SOURCE clauses see only target columns (the analyzer already
     // refuses source references there), so they share the matched
@@ -686,9 +806,10 @@ private[graft] object GraftDmlRule {
   * through [[TableFormat.deleteKeys]], a copy-on-write commit pruned
   * by the key VALUES (zone maps + blooms). IN-null semantics fall out
   * of the anti-join: NULL keys match no row, NULL-keyed rows survive.
-  * The TUPLE form `(k1, k2) IN (SELECT …)` (r18) lands through
-  * [[TableFormat.applyCoWDelta]] — per-column zone-map exclusion,
-  * multi-column anti-join.
+  * The TUPLE form `(k1, k2) IN (SELECT …)` lands MERGE-ON-READ through
+  * [[TableFormat.deleteKeysMorMulti]] (r19) — per-column zone-map
+  * exclusion, a multi-column deletion-vector sidecar, never a dir
+  * rewrite and never a concatenated surrogate.
   */
 private[graft] case class DeleteKeysGraftTableCommand(root: String,
     writeOpts: Map[String, String], keyCols: Seq[String],
@@ -705,12 +826,12 @@ private[graft] case class DeleteKeysGraftTableCommand(root: String,
     if (keyCols.size == 1)
       TableFormat.deleteKeys(spark, root, keys, keyCols.head,
         statsCols = statsCols, bloomCol = bloomCol)
-    else
-      TableFormat.applyCoWDelta(spark, root, keys,
+    else // r19: tuple deletes land MERGE-ON-READ — O(tuples) sidecar
+      // rows on the touched dirs, never a dir rewrite (auto-fold
+      // bounds the debt; applyCoWDelta remains the explicit fold form)
+      TableFormat.deleteKeysMorMulti(spark, root, keys,
         keyCols.map(kc => keys.schema.fields
-          .find(_.name.equalsIgnoreCase(kc)).get.name),
-        keys.limit(0), statsCols = statsCols, bloomCol = bloomCol,
-        op = "delete-where")
+          .find(_.name.equalsIgnoreCase(kc)).get.name))
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }
@@ -719,8 +840,9 @@ private[graft] case class DeleteKeysGraftTableCommand(root: String,
 /** `UPDATE t SET … WHERE k IN (SELECT …)` — the key-set twin for
   * UPDATE, landed through [[TableFormat.updateKeys]] (same pruning
   * and simultaneous-assignment semantics as the predicate form); the
-  * TUPLE form updates the matching rows' images and re-lands them
-  * through one [[TableFormat.applyCoWDelta]] commit.
+  * TUPLE form masks the matching tuples and appends their updated
+  * images through one merge-on-read [[TableFormat.applyDeltaMulti]]
+  * commit (r19).
   */
 private[graft] case class UpdateKeysGraftTableCommand(root: String,
     writeOpts: Map[String, String], keyCols: Seq[String],
@@ -756,7 +878,10 @@ private[graft] case class UpdateKeysGraftTableCommand(root: String,
         }
       }: _*)
       TableFormat.enforceCheckFor(updated, root)
-      TableFormat.applyCoWDelta(spark, root, keys, resolved, updated,
+      // r19: mask the matched tuples + append the updated images in ONE
+      // merge-on-read commit — a point update writes O(tuples), never a
+      // dir rewrite
+      TableFormat.applyDeltaMulti(spark, root, keys, resolved, updated,
         statsCols = statsCols, bloomCol = bloomCol, op = "update-where")
     }
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
@@ -1080,8 +1205,10 @@ private[graft] case class MergeIntoGraftTableCondCommand(root: String,
       if (tks.size == 1)
         TableFormat.applyDelta(spark, root, delKeys, tks.head, appends,
           statsCols = statsCols, bloomCol = bloomCol)
-      else // composite key: the mask is single-key, so land copy-on-write
-        TableFormat.applyCoWDelta(spark, root, delKeys, tks, appends,
+      else // composite key (r19): the dv sidecar carries the full key
+        // TUPLE, so the mask+append lands merge-on-read like the
+        // single-key form — O(keys) sidecar rows, no dir rewrite
+        TableFormat.applyDeltaMulti(spark, root, delKeys, tks, appends,
           statsCols = statsCols, bloomCol = bloomCol)
     } finally cached.foreach(_.unpersist())
     if (newFields.nonEmpty) catalogIdent.foreach { id =>

@@ -40,7 +40,10 @@ final class GraftSqlParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlParser.maintenancePlan(sqlText).getOrElse {
       val p = delegate.parsePlan(sqlText)
-      GraftSqlParser.wrapAddColumns(p).getOrElse(p)
+      GraftSqlParser.tagInsertStars(p)
+      GraftSqlParser.wrapAddColumns(p)
+        .orElse(GraftSqlParser.wrapRenameDrop(p))
+        .getOrElse(p)
     }
 
   override def parseQuery(sqlText: String): LogicalPlan =
@@ -62,6 +65,30 @@ final class GraftSqlParser(delegate: ParserInterface)
 }
 
 private[graft] object GraftSqlParser {
+
+  /** Clause indices of `INSERT *` actions in a MERGE, recorded at PARSE
+    * time (r19 — the r18 VERDICT's star-ambiguity nit): the analyzer
+    * expands `INSERT *` into an identity assignment list that is
+    * indistinguishable from an EXPLICIT all-column list post-analysis,
+    * and `WITH SCHEMA EVOLUTION` must evolve only through genuine
+    * stars. The tag rides the MergeIntoTable node — the rule-transform
+    * framework copies tags onto every rewritten copy — and
+    * [[GraftDmlRule]] reads it when deciding which insert clauses
+    * carry the evolution columns.
+    */
+  private[graft] val InsertStarTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Seq[Int]](
+      "graft.insertStarIdx")
+
+  private[graft] def tagInsertStars(p: LogicalPlan): Unit =
+    p.foreach {
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        val idx = m.notMatchedActions.zipWithIndex.collect {
+          case (_: org.apache.spark.sql.catalyst.plans.logical.InsertStarAction, i) => i
+        }
+        if (idx.nonEmpty) m.setTagValue(InsertStarTag, idx)
+      case _ => ()
+    }
 
   private val OptimizePlain =
     """(?is)\s*OPTIMIZE\s+'([^']+)'\s*;?\s*""".r
@@ -207,6 +234,51 @@ private[graft] object GraftSqlParser {
         }
       case _ => None
     }
+
+  /** Session-catalog identifier of an ALTER TABLE target, when simple. */
+  private def sessionIdent(t: LogicalPlan): Option[TableIdentifier] =
+    t match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        u.multipartIdentifier match {
+          case Seq(n) => Some(TableIdentifier(n))
+          case Seq(db, n) => Some(TableIdentifier(n, Some(db)))
+          case Seq(cat, db, n) if cat.equalsIgnoreCase("spark_catalog") =>
+            Some(TableIdentifier(n, Some(db)))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP COLUMN
+    * a` — Spark refuses both outright for v1 session-catalog providers
+    * ("only supported with v2 tables"), so the parser wraps the simple
+    * top-level-column shapes into commands that dispatch at RUN time:
+    * a graft table lands a METADATA-ONLY column-mapping commit
+    * ([[TableFormat.renameColumn]]/[[TableFormat.dropColumn]] — zero
+    * data I/O, old snapshots keep their names) plus the catalog
+    * realign; any other provider refuses with Spark's own wording.
+    * Nested fields and multi-column drops stay on the untouched
+    * standard plan (and its refusals).
+    */
+  private[graft] def wrapRenameDrop(p: LogicalPlan): Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
+    import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, RenameColumn}
+    p match {
+      case r: RenameColumn => r.column match {
+        case UnresolvedFieldName(Seq(from)) =>
+          sessionIdent(r.table).map(id =>
+            GraftRenameColumnCommand(id, from, r.newName))
+        case _ => None // nested field: Spark's own (refusing) path
+      }
+      case d: DropColumns => d.columnsToDrop match {
+        case Seq(UnresolvedFieldName(Seq(name))) =>
+          sessionIdent(d.table).map(id =>
+            GraftDropColumnCommand(id, name, d.ifExists))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
 }
 
 /** The landed half of ALTER TABLE ADD COLUMNS: graft tables widen the
@@ -250,6 +322,123 @@ private[graft] case class GraftAddColumnsCommand(ident: TableIdentifier,
     TableFormat.addColumns(spark, root, newFields)
     catalog.alterTableDataSchema(ident,
       StructType(ct.dataSchema.fields ++ newFields))
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
+  }
+}
+
+/** Shared run-time plumbing of the column-mapping DDL commands:
+  * resolve the catalog table, require the graft provider (everything
+  * else refuses with Spark's own v1 wording — there is no v1 command
+  * to delegate to), land the manifest commit FIRST (a concurrent
+  * reader must never see the catalog ahead of the format), then
+  * realign the catalog schema and any declared statsCols/bloomCol
+  * option naming the column.
+  */
+private[graft] trait GraftColumnMappingCommand {
+  this: LeafRunnableCommand =>
+
+  protected def ident: TableIdentifier
+
+  protected def resolveGraft(spark: SparkSession)
+      : (org.apache.spark.sql.catalyst.catalog.CatalogTable, String) = {
+    val catalog = spark.sessionState.catalog
+    require(catalog.tableExists(ident), s"table $ident not found")
+    val ct = catalog.getTableMetadata(ident)
+    val graftProviders = Set(
+      classOf[TableFormatSourceProvider].getName, "graft-table")
+    require(ct.provider.exists(graftProviders),
+      s"ALTER TABLE … RENAME/DROP COLUMN is only supported on graft " +
+        s"tables or v2 tables; $ident uses provider " +
+        s"${ct.provider.getOrElse("<none>")}")
+    val raw = ct.storage.properties.get("path")
+      .orElse(ct.storage.properties.get("Path"))
+      .orElse(ct.storage.locationUri.map(_.toString))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft table $ident has no path/location"))
+    (ct, TableFormat.posixRoot(raw))
+  }
+
+  /** Re-spell `from` → `to` inside the declared statsCols/bloomCol
+    * storage options, so post-rename DML keeps recording the same zone
+    * maps and blooms under the new logical name (`to` empty = drop the
+    * column from the options).
+    */
+  protected def remapWriteOpts(spark: SparkSession,
+      ct: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+      from: String, to: String): Unit = {
+    val updated = ct.storage.properties.map { case (k, v) =>
+      k.toLowerCase match {
+        case "statscols" => k -> v.split(",").map(_.trim)
+          .filter(_.nonEmpty)
+          .flatMap(c => if (c.equalsIgnoreCase(from))
+            Some(to).filter(_.nonEmpty) else Some(c))
+          .mkString(",")
+        case "bloomcol" if v.trim.equalsIgnoreCase(from) => k -> to
+        case _ => k -> v
+      }
+    }.filter { case (k, v) =>
+      // an emptied option drops (a dropped bloom column must not leave
+      // an empty-string bloom declaration behind)
+      v.nonEmpty || !Set("statscols", "bloomcol")(k.toLowerCase)
+    }
+    if (updated != ct.storage.properties)
+      spark.sessionState.catalog.alterTable(
+        ct.copy(storage = ct.storage.copy(properties = updated)))
+  }
+}
+
+/** The landed half of ALTER TABLE … RENAME COLUMN over a graft table:
+  * one metadata-only column-mapping commit, then the catalog realign.
+  * A declared-but-empty table (no manifest yet) renames through the
+  * catalog alone — the declared schema governs until the first insert.
+  */
+private[graft] case class GraftRenameColumnCommand(ident: TableIdentifier,
+    from: String, to: String)
+    extends LeafRunnableCommand with GraftColumnMappingCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ct, root) = resolveGraft(spark)
+    val f = ct.dataSchema.fields.find(_.name.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(
+        s"RENAME COLUMN: no column '$from' in $ident"))
+    require(!ct.dataSchema.fields.exists(_.name.equalsIgnoreCase(to)),
+      s"RENAME COLUMN: column '$to' already exists in $ident")
+    if (TableFormat.latestVersion(root) >= 0)
+      TableFormat.renameColumn(spark, root, f.name, to)
+    // full alterTable, not alterTableDataSchema — the latter validates
+    // for widening-only evolution and refuses a renamed field
+    spark.sessionState.catalog.alterTable(ct.copy(
+      schema = StructType(ct.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(name = to) else x))))
+    remapWriteOpts(spark,
+      spark.sessionState.catalog.getTableMetadata(ident), f.name, to)
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
+  }
+}
+
+/** The landed half of ALTER TABLE … DROP COLUMN over a graft table:
+  * one metadata-only retire commit, then the catalog realign.
+  */
+private[graft] case class GraftDropColumnCommand(ident: TableIdentifier,
+    name: String, ifExists: Boolean)
+    extends LeafRunnableCommand with GraftColumnMappingCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ct, root) = resolveGraft(spark)
+    val f0 = ct.dataSchema.fields.find(_.name.equalsIgnoreCase(name))
+    if (f0.isEmpty && ifExists) return Seq.empty
+    val f = f0.getOrElse(throw new IllegalArgumentException(
+      s"DROP COLUMN: no column '$name' in $ident"))
+    require(ct.dataSchema.fields.length > 1,
+      s"DROP COLUMN: '$name' is the only column of $ident")
+    if (TableFormat.latestVersion(root) >= 0)
+      TableFormat.dropColumn(spark, root, f.name)
+    spark.sessionState.catalog.alterTable(ct.copy(
+      schema = StructType(ct.schema.fields.filterNot(_.name == f.name))))
+    remapWriteOpts(spark,
+      spark.sessionState.catalog.getTableMetadata(ident), f.name, "")
     spark.catalog.refreshTable(ident.quotedString)
     Seq.empty
   }

@@ -46,10 +46,11 @@ private[graft] final class ManifestFileIndex(
     */
   private def failIfMaskPending(): Unit =
     require(!maskPending,
-      s"snapshot at $root carries deletion vectors; this relation must " +
-        "be read through graft.GraftExtensions (the injected mask " +
-        "rule), TableFormat.readSnapshotSql/registerSql, or after " +
-        "compact() folds the vectors")
+      s"snapshot at $root carries deletion vectors or renamed columns " +
+        "(column mapping); this relation must be read through " +
+        "graft.GraftExtensions (the injected mask rule), " +
+        "TableFormat.readSnapshotSql/registerSql, or after compact() " +
+        "folds the vectors")
 
   /** LAZY per-dir listing memo: a pruned query lists ONLY its surviving
     * dirs (entries are immutable, so a listing never staleles) — at

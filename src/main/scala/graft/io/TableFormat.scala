@@ -128,6 +128,136 @@ object TableFormat {
     */
   private val DvDirCol = "__graft_dv_dir"
 
+  // --------------------------------------------------- column mapping
+
+  /** COLUMN MAPPING (r19 — the public Delta column-mapping "name mode"
+    * idea): every column's PHYSICAL spelling in parquet is its name at
+    * BIRTH, stable forever; `ALTER TABLE … RENAME COLUMN` re-points the
+    * LOGICAL name in one metadata-only commit (zero data I/O), and
+    * `DROP COLUMN` retires the physical name so old files keep reading
+    * (the dropped column simply leaves the read schema). The
+    * logical→physical map rides in the carried table properties —
+    * every commit path already carries props forward verbatim, so the
+    * map survives appends, rewrites, restores, and clones with zero
+    * new manifest plumbing, and each historical manifest keeps ITS map
+    * (time travel shows the names of its day). Reserved prop keys;
+    * [[setProps]] refuses them.
+    */
+  private[graft] val ColMapProp = "graft.colmap"
+  private[graft] val RetiredProp = "graft.colmap.retired"
+
+  /** StructField-metadata key carrying a column's physical name on the
+    * schema [[manifestSchema]] returns — how the mapping travels into
+    * every read path without changing a signature (the same field-
+    * metadata vehicle Delta's column mapping uses publicly).
+    */
+  private[graft] val PhysKey = "graft.physical"
+
+  /** The head's logical→physical map (non-identity entries only). */
+  private[graft] def colMapOf(m: Manifest): Map[String, String] =
+    m.props.get(ColMapProp).map(_.split(",").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        dec(kv.substring(0, i)) -> dec(kv.substring(i + 1))
+      }.toMap).getOrElse(Map.empty)
+
+  /** Physical names retired by DROP COLUMN — a later ADD of the same
+    * spelling must refuse, or old files would resurrect dropped values
+    * under the new column.
+    */
+  private[graft] def retiredOf(m: Manifest): Set[String] =
+    m.props.get(RetiredProp).map(_.split(",").toSeq.filter(_.nonEmpty)
+      .map(dec).toSet).getOrElse(Set.empty)
+
+  private def colMapProps(colMap: Map[String, String],
+      retired: Set[String]): Map[String, String] =
+    Map(ColMapProp -> colMap.toSeq.sortBy(_._1)
+        .map { case (l, p) => s"${enc(l)}=${enc(p)}" }.mkString(","),
+      RetiredProp -> retired.toSeq.sorted.map(enc).mkString(","))
+
+  private def withPhysical(s: StructType, colMap: Map[String, String])
+      : StructType =
+    if (colMap.isEmpty) s
+    else StructType(s.fields.map { f =>
+      colMap.get(f.name).filter(_ != f.name).map { p =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysKey, p).build())
+      }.getOrElse(f)
+    })
+
+  private[graft] def physNameOf(f: org.apache.spark.sql.types.StructField)
+      : String =
+    if (f.metadata.contains(PhysKey)) f.metadata.getString(PhysKey)
+    else f.name
+
+  /** The non-identity logical→physical pairs `s`'s field metadata
+    * carries (empty = no rename ever ran — the fast path everywhere).
+    */
+  private[graft] def physMapOf(s: StructType): Map[String, String] =
+    s.fields.collect {
+      case f if f.metadata.contains(PhysKey) =>
+        f.name -> f.metadata.getString(PhysKey)
+    }.toMap
+
+  /** `s` re-spelled to physical names, mapping metadata stripped — the
+    * schema a parquet SCAN reads files under.
+    */
+  private def physicalize(s: StructType): StructType =
+    StructType(s.fields.map { f =>
+      if (!f.metadata.contains(PhysKey)) f
+      else f.copy(name = f.metadata.getString(PhysKey),
+        metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysKey).build())
+    })
+
+  /** Rename `df`'s mapped logical columns to their physical spellings
+    * for a parquet landing — identity (and zero plan nodes) when the
+    * table has no mapping.
+    */
+  private def toPhysicalDf(df: DataFrame,
+      colMap: Map[String, String]): DataFrame = {
+    val ren = colMap.filter { case (l, p) =>
+      l != p && df.columns.contains(l) }
+    if (ren.isEmpty) df else df.withColumnsRenamed(ren)
+  }
+
+  /** Inverse of [[toPhysicalDf]] — physical spellings back to logical
+    * (for driver-side read-backs of freshly landed dirs).
+    */
+  private def toLogicalDf(df: DataFrame,
+      colMap: Map[String, String]): DataFrame = {
+    val ren = colMap.collect { case (l, p)
+      if l != p && df.columns.contains(p) => p -> l }
+    if (ren.isEmpty) df else df.withColumnsRenamed(ren)
+  }
+
+  /** Refuse a landing/widening that would BIRTH a column whose default
+    * physical spelling is already taken — by a renamed column's
+    * original name (both columns' values would alias in new files) or
+    * by a dropped column's retired name (old files would resurrect the
+    * dropped values under the newcomer). Loud and exact: the caller
+    * picks another name; the table's data files stay unambiguous.
+    */
+  private def guardNewColumns(incoming: StructType,
+      prev: Option[Manifest]): Unit = for {
+    m <- prev
+    if colMapOf(m).nonEmpty || retiredOf(m).nonEmpty
+    cur <- manifestSchema(m)
+  } {
+    val colMap = colMapOf(m)
+    val curNames = cur.fieldNames.map(_.toLowerCase).toSet
+    val usedPhys = cur.fields.map(f =>
+      colMap.getOrElse(f.name, f.name).toLowerCase).toSet ++
+      retiredOf(m).map(_.toLowerCase)
+    incoming.fields.filterNot(f => curNames(f.name.toLowerCase))
+      .foreach { f =>
+        require(!usedPhys(f.name.toLowerCase),
+          s"cannot add column '${f.name}': that physical spelling is " +
+            "already carried by a renamed or dropped column's data " +
+            "files — pick another name")
+      }
+  }
+
   // -------------------------------------------------------- manifest codec
 
   private def enc(s: String): String =
@@ -387,8 +517,12 @@ object TableFormat {
     }
   }
 
+  /** The committed LOGICAL schema, with each renamed column's physical
+    * spelling riding in its field metadata ([[PhysKey]]) so every read
+    * path translates without a signature change.
+    */
   private[graft] def manifestSchema(m: Manifest): Option[StructType] =
-    m.schemaDdl.map(StructType.fromDDL)
+    m.schemaDdl.map(d => withPhysical(StructType.fromDDL(d), colMapOf(m)))
 
   /** The schema to record for a commit that writes `df` over a table
     * whose previous manifest is `prev`: the widening union when the
@@ -449,12 +583,19 @@ object TableFormat {
     * manifest instead of a 100 TB listing).
     */
   private def mkEntry(spark: SparkSession, dir: String,
-                      cols: Seq[String]): Entry = {
+                      cols: Seq[String],
+                      colMap: Map[String, String] = Map.empty): Entry = {
     val conf = spark.sessionState.newHadoopConf()
     val files = listDataFiles(conf, dir)
-    val (bounds, rows, nulls) = footerStatsFiles(conf, files, cols)
-    Entry(dir, None, bounds, files.map(_.getLen).sum, files.size, rows,
-      nulls = nulls)
+    // footers carry PHYSICAL spellings; the manifest's accounts key
+    // LOGICAL (what every pruning consumer probes with)
+    val phys = cols.map(c => colMap.getOrElse(c, c))
+    val inv = cols.zip(phys).map(_.swap).toMap
+    val (bounds, rows, nulls) = footerStatsFiles(conf, files, phys)
+    Entry(dir, None,
+      bounds.map { case (p, b) => inv.getOrElse(p, p) -> b },
+      files.map(_.getLen).sum, files.size, rows,
+      nulls = nulls.map { case (p, n) => inv.getOrElse(p, p) -> n })
   }
 
   private def footerBounds(spark: SparkSession, dataDir: String,
@@ -636,6 +777,19 @@ object TableFormat {
     Paths.get(root, "dv", java.util.UUID.randomUUID().toString)
       .toAbsolutePath.normalize.toString
 
+  /** Land `df` (logical names) into `dataDir` under the table's
+    * PHYSICAL spellings, bloom option re-keyed to the physical column
+    * — the one parquet-landing doorway every commit path shares.
+    */
+  private def writeData(df: DataFrame, dataDir: String,
+      bloomCol: Option[String],
+      colMap: Map[String, String]): Unit = {
+    val out = toPhysicalDf(df, colMap)
+    bloomCol.map(c => colMap.getOrElse(c, c)).foldLeft(out.write)((w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(dataDir)
+  }
+
   /** Append `df` as a new snapshot: new immutable data dir + manifest
     * v(latest+1) = previous entries ++ the new one, with the committed
     * schema (widening-unioned against the previous) recorded alongside.
@@ -692,10 +846,12 @@ object TableFormat {
              ndvCols: Seq[String] = Nil): Int = {
     val tableCheck = effectiveCheck(root, check)
     enforceCheck(df, tableCheck, root)
+    val head0 = latestVersion(root)
+    val headM0 = if (head0 < 0) None else Some(readManifestFull(root, head0))
+    val colMap = headM0.map(colMapOf).getOrElse(Map.empty)
+    guardNewColumns(df.schema, headM0)
     val dataDir = newDataDir(root)
-    val writer = bloomCol.foldLeft(df.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    writer.parquet(dataDir)
+    writeData(df, dataDir, bloomCol, colMap)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     // NDV sketches are opt-in: one column-pruned pass over the freshly
     // written dir (reading back beats re-evaluating an arbitrary input
@@ -703,19 +859,18 @@ object TableFormat {
     val sketches =
       if (ndvCols.isEmpty) Map.empty[String, String]
       else NdvSketch.sketches(
-        df.sparkSession.read.parquet(dataDir), ndvCols)
+        toLogicalDf(df.sparkSession.read.parquet(dataDir), colMap), ndvCols)
         .map { case (c, r) => c -> NdvSketch.toHex(r) }
-    val entry0 = mkEntry(df.sparkSession, dataDir, cols)
+    val entry0 = mkEntry(df.sparkSession, dataDir, cols, colMap)
       .copy(ndv = sketches)
     // once-analyzed stays analyzed: an append auto-sketches whatever
     // coverage the standing entries all carry, so ingest never breaks
     // the metadata fold (the coverage read races a concurrent commit
     // harmlessly — worst case is a gap or an extra sketch, both sound)
-    val entry = {
-      val p = latestVersion(root)
-      if (p < 0) entry0
-      else resketched(df.sparkSession,
-        readManifestFull(root, p).entries, Seq(entry0)).head
+    val entry = headM0 match {
+      case None => entry0
+      case Some(pm) =>
+        resketched(df.sparkSession, pm.entries, Seq(entry0), colMap).head
     }
     // Bounded CAS retry: an append's entry is version-independent (new
     // data dir + whatever the latest manifest lists), so a loser can
@@ -776,7 +931,8 @@ object TableFormat {
     * pay nothing.
     */
   private def resketched(spark: SparkSession, base: Seq[Entry],
-      produced: Seq[Entry]): Seq[Entry] = {
+      produced: Seq[Entry],
+      colMap: Map[String, String] = Map.empty): Seq[Entry] = {
     if (base.isEmpty || produced.isEmpty) return produced
     val cols = base.map(_.ndv.keySet).reduce(_ intersect _)
     if (cols.isEmpty) return produced
@@ -784,7 +940,7 @@ object TableFormat {
       val missing = (cols -- e.ndv.keySet).toSeq.sorted
       if (missing.isEmpty) e
       else {
-        val df = spark.read.parquet(e.dir)
+        val df = toLogicalDf(spark.read.parquet(e.dir), colMap)
         val have = missing.filter(df.columns.contains)
         if (have.isEmpty) e
         else e.copy(ndv = e.ndv ++ NdvSketch.sketches(df, have).map {
@@ -848,7 +1004,13 @@ object TableFormat {
     */
   private def readEntries(spark: SparkSession, entries: Seq[Entry],
                           schema: Option[StructType]): DataFrame = {
-    def rd(dirs: Seq[String]): DataFrame = schema match {
+    // column mapping: files carry PHYSICAL spellings (stable since each
+    // column's birth — renames are metadata-only), so the scan reads the
+    // physicalized schema and the result renames back to the logical
+    // names at the end; dv sidecars key physical, so the mask composes
+    val pmap = schema.map(physMapOf).getOrElse(Map.empty)
+    val readSchema = schema.map(physicalize)
+    def rd(dirs: Seq[String]): DataFrame = readSchema match {
       case Some(s) => spark.read.schema(s).parquet(dirs: _*)
       case None => spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
@@ -859,11 +1021,16 @@ object TableFormat {
         java.util.Collections.emptyList[Row](), s)
     }
     val (withDv, clean) = entries.partition(_.dv.nonEmpty)
-    if (withDv.isEmpty) return rd(entries.map(_.dir))
-    val masked = dvMask(spark, withDv, rd(withDv.map(_.dir)))
-    if (clean.isEmpty) masked
-    else rd(clean.map(_.dir))
-      .unionByName(masked, allowMissingColumns = true)
+    val raw =
+      if (withDv.isEmpty) rd(entries.map(_.dir))
+      else {
+        val masked = dvMask(spark, withDv, rd(withDv.map(_.dir)))
+        if (clean.isEmpty) masked
+        else rd(clean.map(_.dir))
+          .unionByName(masked, allowMissingColumns = true)
+      }
+    if (pmap.isEmpty) raw
+    else raw.toDF(schema.get.fieldNames.toSeq: _*)
   }
 
   /** Anti-join `withDv`'s deletion-vector keys out of `data` (rows read
@@ -877,12 +1044,11 @@ object TableFormat {
                      data: DataFrame): DataFrame = {
     val dvPaths = withDv.flatMap(_.dv).distinct
     val dv = spark.read.parquet(dvPaths: _*)
-    val keyName = dv.columns.filterNot(_ == DvDirCol) match {
-      case Array(k) => k
-      case other => throw new IllegalStateException(
-        s"deletion vectors must carry exactly one key column, " +
-          s"got ${other.mkString(",")}")
-    }
+    // one or more key columns (COMPOSITE tuples since r19) — the mask
+    // is one broadcast anti-join on (dir, k1, …, kN), never a
+    // concatenated surrogate (separator-bearing strings would collide)
+    val keyNames = dv.columns.filterNot(_ == DvDirCol).toSeq
+    require(keyNames.nonEmpty, "deletion vectors carry no key column")
     // strip the file: scheme and the filename — what remains is exactly
     // the normalized dir spelling the manifest records. The hidden file
     // metadata column (not `input_file_name()`): the metadata attribute
@@ -895,10 +1061,10 @@ object TableFormat {
       "/[^/]*$", "")
     data
       .withColumn("__graft_src_dir", dirExpr)
-      .join(broadcast(dv.select(col(DvDirCol),
-          col(keyName).as("__graft_dv_key"))),
-        col("__graft_src_dir") === col(DvDirCol) &&
-          col(keyName) === col("__graft_dv_key"),
+      .join(broadcast(dv.select(col(DvDirCol) +:
+          keyNames.map(k => col(k).as(s"__graft_dv_$k")): _*)),
+        keyNames.map(k => col(k) === col(s"__graft_dv_$k"))
+          .foldLeft(col("__graft_src_dir") === col(DvDirCol))(_ && _),
         "left_anti")
       .drop("__graft_src_dir")
   }
@@ -1037,14 +1203,30 @@ object TableFormat {
     */
   private[graft] def maskedFrame(spark: SparkSession, root: String,
       entries: Seq[Entry], schema: StructType): DataFrame = {
-    def frame(es: Seq[Entry]): DataFrame =
-      ManifestFileIndex.frame(spark, root, es, schema)
-    val (withDv, clean) = entries.partition(_.dv.nonEmpty)
-    if (withDv.isEmpty) frame(entries)
-    else {
-      val masked = dvMask(spark, withDv, frame(withDv))
-      if (clean.isEmpty) masked else frame(clean).unionByName(masked)
-    }
+    val pmap = physMapOf(schema)
+    val physSchema = physicalize(schema)
+    // the scan legs plan under PHYSICAL attribute names, so predicates
+    // pushed into them arrive physical — re-key the entries' stats maps
+    // to match, or a renamed column's zone maps would silently stop
+    // pruning on this doorway
+    val es =
+      if (pmap.isEmpty) entries
+      else entries.map(e => e.copy(
+        bounds = e.bounds.map { case (c, b) => pmap.getOrElse(c, c) -> b },
+        ndv = e.ndv.map { case (c, x) => pmap.getOrElse(c, c) -> x },
+        nulls = e.nulls.map { case (c, n) => pmap.getOrElse(c, c) -> n }))
+    def frame(xs: Seq[Entry]): DataFrame =
+      ManifestFileIndex.frame(spark, root, xs, physSchema)
+    val (withDv, clean) = es.partition(_.dv.nonEmpty)
+    val raw =
+      if (withDv.isEmpty) frame(es)
+      else {
+        val masked = dvMask(spark, withDv, frame(withDv))
+        if (clean.isEmpty) masked else frame(clean).unionByName(masked)
+      }
+    if (pmap.isEmpty) raw
+    else raw.select(schema.fields.toSeq.map(f =>
+      col(physNameOf(f)).as(f.name)): _*)
   }
 
   /** Register snapshot `version` (default: latest) as temp view `name`
@@ -1120,8 +1302,13 @@ object TableFormat {
     // before anything lists files, and a plan that escapes the rule
     // (extensions absent) fails loudly at listing, never silently
     // resurrecting dv-deleted rows
+    // mask-pending also covers a RENAMED table (column mapping): the
+    // one-relation doorway must expose the LOGICAL schema, but the scan
+    // needs the physical one — the injected GraftDvMaskRule substitutes
+    // the translated (and dv-masked) composition before anything lists
     ManifestFileIndex.relation(spark, root, m.entries, schema, writeOpts,
-      maskPending = m.entries.exists(_.dv.nonEmpty))
+      maskPending = m.entries.exists(_.dv.nonEmpty) ||
+        physMapOf(schema).nonEmpty)
   }
 
   /** Data dirs of snapshot `v` whose bounds survive `preds` — the spec
@@ -1149,7 +1336,9 @@ object TableFormat {
     * touched: correctness costs a rewrite, never a carried stale row.
     */
   private def touchedSplit(spark: SparkSession, entries: Seq[Entry],
-      keyed: DataFrame, keyCol: String): (Seq[Entry], Seq[Entry]) = {
+      keyed: DataFrame, keyCol: String,
+      colMap: Map[String, String] = Map.empty)
+      : (Seq[Entry], Seq[Entry]) = {
     import org.apache.spark.sql.types._
     val kind: Option[String] = keyed.schema(keyCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => Some("long")
@@ -1194,7 +1383,8 @@ object TableFormat {
     // dirs that PROVABLY contain none of the keys.
     val cleared =
       if (t.isEmpty) Set.empty[String]
-      else bloomExcluded(spark, t.map(_._1), keyed, keyCol)
+      else bloomExcluded(spark, t.map(_._1), keyed, keyCol,
+        colMap.getOrElse(keyCol, keyCol))
     if (cleared.isEmpty) (t.map(_._1), u.map(_._1))
     else (t.map(_._1).filterNot(e => cleared(e.dir)),
       u.map(_._1) ++ t.map(_._1).filter(e => cleared(e.dir)))
@@ -1220,7 +1410,7 @@ object TableFormat {
     * probe stays metadata-sized either way.
     */
   private def bloomExcluded(spark: SparkSession, candidates: Seq[Entry],
-      keyed: DataFrame, keyCol: String): Set[String] = {
+      keyed: DataFrame, keyCol: String, physKey: String): Set[String] = {
     import org.apache.spark.sql.types._
     val supported = keyed.schema(keyCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType | StringType => true
@@ -1234,7 +1424,7 @@ object TableFormat {
     if (rows.isEmpty || rows.length > BloomProbeMaxKeys) return Set.empty
     val keys: Seq[Any] = rows.toSeq.map(_.get(0))
     val conf = spark.sessionState.newHadoopConf()
-    candidates.filter(e => dirBloomExcludes(conf, e.dir, keyCol, keys))
+    candidates.filter(e => dirBloomExcludes(conf, e.dir, physKey, keys))
       .map(_.dir).toSet
   }
 
@@ -1318,14 +1508,21 @@ object TableFormat {
     // rewrite keeps it analyzed — fresh dirs re-sketch the base
     // coverage in one column-pruned job over data this commit just
     // wrote, so the zero-scan stats story never gaps after maintenance
+    val head0 = latestVersion(root)
+    val colMap0 =
+      if (head0 < 0) Map.empty[String, String]
+      else colMapOf(readManifestFull(root, head0))
     val producedS =
-      resketched(spark, readSet ++ baseUntouched, produced)
+      resketched(spark, readSet ++ baseUntouched, produced, colMap0)
     val readDirs = readSet.map(_.dir).toSet
     val baseDirs = readDirs ++ baseUntouched.map(_.dir)
     var attempt = 0
     while (true) {
       val head = latestVersion(root)
       val m = readManifestFull(root, head)
+      // a rewrite that widens the schema must not birth a column whose
+      // physical spelling collides with a renamed/dropped column's
+      if (!replaceSchema) ourSchema.foreach(guardNewColumns(_, Some(m)))
       // txn idempotence FIRST — before conflict validation: a concurrent
       // attempt of the SAME delta that won the CAS must read as "already
       // durably applied" (skip), never as a conflict to re-run
@@ -1352,7 +1549,7 @@ object TableFormat {
             "the new head")
       conflictKeys.foreach { case (keys, kc) =>
         if (foreign.nonEmpty &&
-            touchedSplit(spark, foreign, keys, kc)._1.nonEmpty)
+            touchedSplit(spark, foreign, keys, kc, colMapOf(m))._1.nonEmpty)
           throw new CommitConflictException(
             s"rewrite of $root based on v$baseVersion conflicts with " +
               s"v$head: a concurrent commit landed data whose $kc range " +
@@ -1368,8 +1565,14 @@ object TableFormat {
           case (Some(a), Some(b)) => Some(unionSchema(a, b).toDDL)
           case (a, b) => a.orElse(b).map(_.toDDL)
         }
+      // an OVERWRITE replaces the schema contract verbatim, so it also
+      // resets the column mapping: every new column's physical name is
+      // its own, and no old dir survives to collide with retired names
+      val carriedProps =
+        if (replaceSchema) m.props - ColMapProp - RetiredProp
+        else m.props
       try { writeManifest(root, head + 1, next, ddl, m.txns ++ txn, op,
-        check = m.check, props = m.props ++ propsDelta)
+        check = m.check, props = carriedProps ++ propsDelta)
         return head + 1 }
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
@@ -1406,7 +1609,7 @@ object TableFormat {
     val m = readManifestFull(root, prev)
     val dataDir = newDataDir(root)
     val head = readEntries(spark, m.entries, manifestSchema(m))
-    head.write.parquet(dataDir)
+    writeData(head, dataDir, None, colMapOf(m))
     // inherit the stats discipline: the fresh dir re-collects bounds
     // and null accounts for every column ANY previous entry covered
     // (an all-null dir legitimately has no bounds but still counts),
@@ -1415,7 +1618,7 @@ object TableFormat {
       m.entries.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(head.schema), conflictKeys = None,
       op = "compact")
   }
@@ -1463,12 +1666,12 @@ object TableFormat {
     val dataDir = newDataDir(root)
     val packed = readEntries(spark, small, manifestSchema(m))
       .coalesce(nFiles)
-    packed.write.parquet(dataDir)
+    writeData(packed, dataDir, None, colMapOf(m))
     val cols = ((statsCol.toSeq ++ statsCols) ++
       small.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = small,
       baseUntouched = big,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(packed.schema), conflictKeys = None,
       op = "compact-small")
   }
@@ -1500,13 +1703,12 @@ object TableFormat {
     val dataDir = newDataDir(root)
     val out = transform(readEntries(spark, touched, manifestSchema(m)))
     if (op == "update-where") enforceCheck(out, m.check, root)
-    bloomCol.foldLeft(out.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    writeData(out, dataDir, bloomCol, colMapOf(m))
     val cols = (statsCols ++
       touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(out.schema), conflictKeys = None, op = op)
   }
 
@@ -1581,7 +1783,8 @@ object TableFormat {
     require(prev >= 0, s"nothing to update at $root")
     if (keys.isEmpty) return prev
     val m = readManifestFull(root, prev)
-    val (touched, untouched) = touchedSplit(spark, m.entries, keys, keyCol)
+    val (touched, untouched) =
+      touchedSplit(spark, m.entries, keys, keyCol, colMapOf(m))
     if (touched.isEmpty) return prev // provably disjoint: no-op
     val df = readEntries(spark, touched, manifestSchema(m))
     val byName = set.toMap
@@ -1606,13 +1809,12 @@ object TableFormat {
     }: _*)
     enforceCheck(out, m.check, root)
     val dataDir = newDataDir(root)
-    bloomCol.foldLeft(out.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    writeData(out, dataDir, bloomCol, colMapOf(m))
     val cols = ((statsCol.toSeq ++ statsCols) ++
       touched.flatMap(_.bounds.keys)).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(out.schema),
       conflictKeys = Some((keys.select(keyCol), keyCol)),
       op = "update-where")
@@ -1644,8 +1846,9 @@ object TableFormat {
     if (updates.isEmpty) return prev
     val m = readManifestFull(root, prev)
     enforceCheck(updates, m.check, root)
+    guardNewColumns(updates.schema, Some(m))
     val (touched, untouched) =
-      touchedSplit(spark, m.entries, updates, keyCol)
+      touchedSplit(spark, m.entries, updates, keyCol, colMapOf(m))
     val dataDir = newDataDir(root)
     val merged =
       if (touched.isEmpty) updates
@@ -1657,12 +1860,11 @@ object TableFormat {
     // bloomCol keeps the rewrite bloom-indexed: a rewritten dir that
     // silently dropped its blooms would turn conservatively-touched on
     // the NEXT point edit, decaying pruning with every rewrite
-    bloomCol.foldLeft(merged.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    writeData(merged, dataDir, bloomCol, colMapOf(m))
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(merged.schema),
       conflictKeys = Some((updates.select(keyCol), keyCol)),
       op = "merge")
@@ -1686,17 +1888,17 @@ object TableFormat {
     // a useless new version per call — mirror merge's no-op
     if (keys.isEmpty) return prev
     val m = readManifestFull(root, prev)
-    val (touched, untouched) = touchedSplit(spark, m.entries, keys, keyCol)
+    val (touched, untouched) =
+      touchedSplit(spark, m.entries, keys, keyCol, colMapOf(m))
     if (touched.isEmpty) return prev // nothing referenced: no-op, no commit
     val dataDir = newDataDir(root)
     val remaining = readEntries(spark, touched, manifestSchema(m))
       .join(keys.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    bloomCol.foldLeft(remaining.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
+    writeData(remaining, dataDir, bloomCol, colMapOf(m))
     val cols = (statsCol.toSeq ++ statsCols).distinct
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(remaining.schema),
       conflictKeys = Some((keys.select(keyCol), keyCol)),
       op = "delete")
@@ -1720,19 +1922,36 @@ object TableFormat {
     */
   def deleteKeysMor(spark: SparkSession, root: String, keys: DataFrame,
                     keyCol: String,
-                    foldRatio: Double = DvFoldRatio): Int = {
+                    foldRatio: Double = DvFoldRatio): Int =
+    deleteKeysMorMulti(spark, root, keys, Seq(keyCol), foldRatio)
+
+  /** COMPOSITE-key merge-on-read delete (r19 — the r18 VERDICT's #2
+    * gap): the deletion-vector sidecar carries the FULL key tuple as N
+    * physical columns (never a concatenated surrogate — separator-
+    * bearing strings would collide) and the read-time mask anti-joins
+    * on all of them, so a trickle of point deletes against a
+    * (k1,k2)-keyed 100 TB table lands O(keys) sidecar rows instead of
+    * rewriting every touched dir. Pruning composes per column
+    * ([[touchedSplitMulti]]); auto-fold at [[DvFoldRatio]] and the
+    * one-sidecar-per-dir discipline are shared with the single-key
+    * path — this IS the single-key path, generalized.
+    */
+  def deleteKeysMorMulti(spark: SparkSession, root: String,
+      keys: DataFrame, keyCols: Seq[String],
+      foldRatio: Double = DvFoldRatio): Int = {
     val prev = latestVersion(root)
     require(prev >= 0, s"nothing to delete from at $root")
     if (keys.isEmpty) return prev
     val m = readManifestFull(root, prev)
-    val (touched, untouched) = touchedSplit(spark, m.entries, keys, keyCol)
+    val (touched, untouched) =
+      touchedSplitMulti(spark, m.entries, keys, keyCols, colMapOf(m))
     if (touched.isEmpty) return prev
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = morMaskOrFold(spark, root, touched, keys, keyCol,
+      produced = morMaskOrFold(spark, root, touched, keys, keyCols,
         manifestSchema(m), foldRatio),
       ourSchema = None,
-      conflictKeys = Some((keys.select(keyCol), keyCol)),
+      conflictKeys = Some((keys.select(keyCols.head), keyCols.head)),
       op = "delete-mor")
   }
 
@@ -1758,10 +1977,24 @@ object TableFormat {
     * size); dir row counts come from parquet footers, zero Spark jobs.
     */
   private def morMaskOrFold(spark: SparkSession, root: String,
-      touched: Seq[Entry], keys: DataFrame, keyCol: String,
+      touched: Seq[Entry], keys: DataFrame, keyCols: Seq[String],
       schema: Option[StructType], foldRatio: Double): Seq[Entry] = {
     require(foldRatio > 0, s"foldRatio must be positive, got $foldRatio")
-    val accumulated = dvAccumulatedCounts(spark, touched, keys, keyCol)
+    val pmap = schema.map(physMapOf).getOrElse(Map.empty)
+    val physKeys = keyCols.map(c => pmap.getOrElse(c, c))
+    // key-shape agreement BEFORE any sidecar union: all sidecars of one
+    // table key on one column set, or the read-time anti-join is
+    // unresolvable — a mismatch must surface as this loud refusal, not
+    // as a union-by-name resolution error inside the fold probe
+    touched.flatMap(_.dv).distinct.foreach { p =>
+      val cs = spark.read.parquet(p).columns
+        .filterNot(_ == DvDirCol).toSeq.sorted
+      require(cs == physKeys.sorted,
+        s"existing deletion vectors key on ${cs.mkString(",")}, not " +
+          physKeys.mkString(","))
+    }
+    val accumulated =
+      dvAccumulatedCounts(spark, touched, keys, keyCols, physKeys)
     val (fold, mask) = touched.partition { e =>
       // manifest row account when the entry carries one (every commit
       // since rows landed); footer pass only for legacy entries
@@ -1770,30 +2003,32 @@ object TableFormat {
     }
     val masked =
       if (mask.isEmpty) Seq.empty
-      else writeDvSidecar(spark, root, mask, keys, keyCol)
+      else writeDvSidecar(spark, root, mask, keys, keyCols, physKeys)
     val folded =
       if (fold.isEmpty) Seq.empty
       else {
         val dataDir = newDataDir(root)
         val remaining = readEntries(spark, fold, schema)
-          .join(keys.select(col(keyCol)).distinct(), Seq(keyCol),
+          .join(keys.select(keyCols.map(col): _*).distinct(), keyCols,
             "left_anti")
-        remaining.write.parquet(dataDir)
+        writeData(remaining, dataDir, None, pmap)
         val cols = fold.flatMap(_.bounds.keys).distinct
-        Seq(mkEntry(spark, dataDir, cols))
+        Seq(mkEntry(spark, dataDir, cols, pmap))
       }
     masked ++ folded
   }
 
-  /** |existing sidecar rows ∪ fresh keys| per touched dir — what each
-    * dir's sidecar WOULD hold after this commit (fresh keys count
-    * against every touched dir, matching the sidecar the mask path
-    * writes; a key absent from the dir inflates the count toward an
-    * earlier fold, which costs a rewrite, never correctness).
+  /** |existing sidecar rows ∪ fresh key tuples| per touched dir — what
+    * each dir's sidecar WOULD hold after this commit (fresh tuples
+    * count against every touched dir, matching the sidecar the mask
+    * path writes; a tuple absent from the dir inflates the count toward
+    * an earlier fold, which costs a rewrite, never correctness).
     */
   private def dvAccumulatedCounts(spark: SparkSession, touched: Seq[Entry],
-      keys: DataFrame, keyCol: String): Map[String, Long] = {
-    val fresh = keys.select(col(keyCol)).distinct()
+      keys: DataFrame, keyCols: Seq[String],
+      physKeys: Seq[String]): Map[String, Long] = {
+    val fresh = keys.select(keyCols.zip(physKeys).map { case (l, p) =>
+      col(l).as(p) }: _*).distinct()
     touched.map { e =>
       val mine = fresh.withColumn(DvDirCol, lit(e.dir))
       e.dv match {
@@ -1801,7 +2036,8 @@ object TableFormat {
           .filter(col(DvDirCol) === e.dir).unionByName(mine)
         case None => mine
       }
-    }.reduce(_ unionByName _).dropDuplicates(keyCol, DvDirCol)
+    }.reduce(_ unionByName _)
+      .dropDuplicates(physKeys :+ DvDirCol)
       .groupBy(DvDirCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
@@ -1830,18 +2066,24 @@ object TableFormat {
     * commit, shared by [[deleteKeysMor]] and [[mergeMor]].
     */
   private def writeDvSidecar(spark: SparkSession, root: String,
-      touched: Seq[Entry], keys: DataFrame, keyCol: String): Seq[Entry] = {
-    require(keyCol != DvDirCol, s"$DvDirCol is reserved")
-    // all sidecars of one table must agree on the key column — a second
-    // writer deleting by a different key would make the read-time
-    // anti-join unresolvable
+      touched: Seq[Entry], keys: DataFrame, keyCols: Seq[String],
+      physKeys: Seq[String]): Seq[Entry] = {
+    require(!keyCols.contains(DvDirCol), s"$DvDirCol is reserved")
+    // all sidecars of one table must agree on the key columns — a
+    // second writer deleting by a different key (set) would make the
+    // read-time anti-join unresolvable. Sidecars store the PHYSICAL
+    // spellings, so a later column rename composes with live DVs
+    // without rewriting a sidecar.
     touched.flatMap(_.dv).distinct.foreach { p =>
-      val cs = spark.read.parquet(p).columns.filterNot(_ == DvDirCol).toSeq
-      require(cs == Seq(keyCol),
-        s"existing deletion vectors key on ${cs.mkString(",")}, not $keyCol")
+      val cs = spark.read.parquet(p).columns
+        .filterNot(_ == DvDirCol).toSeq.sorted
+      require(cs == physKeys.sorted,
+        s"existing deletion vectors key on ${cs.mkString(",")}, not " +
+          physKeys.mkString(","))
     }
     val dvDir = newDvDir(root)
-    val fresh = keys.select(col(keyCol)).distinct()
+    val fresh = keys.select(keyCols.zip(physKeys).map { case (l, p) =>
+      col(l).as(p) }: _*).distinct()
     val perDir = touched.map { e =>
       val mine = fresh.withColumn(DvDirCol, lit(e.dir))
       e.dv match {
@@ -1849,7 +2091,7 @@ object TableFormat {
           .filter(col(DvDirCol) === e.dir).unionByName(mine)
         case None => mine
       }
-    }.reduce(_ unionByName _).dropDuplicates(keyCol, DvDirCol)
+    }.reduce(_ unionByName _).dropDuplicates(physKeys :+ DvDirCol)
     perDir.write.parquet(dvDir)
     touched.map(_.copy(dv = Some(dvDir)))
   }
@@ -1877,17 +2119,17 @@ object TableFormat {
     if (updates.isEmpty) return prev
     val m = readManifestFull(root, prev)
     enforceCheck(updates, m.check, root)
-    val (touched, untouched) = touchedSplit(spark, m.entries, updates, keyCol)
+    guardNewColumns(updates.schema, Some(m))
+    val (touched, untouched) =
+      touchedSplit(spark, m.entries, updates, keyCol, colMapOf(m))
     val dataDir = newDataDir(root)
-    val writer = bloomCol.foldLeft(updates.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-    writer.parquet(dataDir)
+    writeData(updates, dataDir, bloomCol, colMapOf(m))
     val cols = (statsCol.toSeq ++ statsCols).distinct
-    val dataEntry = mkEntry(spark, dataDir, cols)
+    val dataEntry = mkEntry(spark, dataDir, cols, colMapOf(m))
     val masked =
       if (touched.isEmpty) Seq.empty // pure insert: no dirs to mask
       else morMaskOrFold(spark, root, touched, updates.select(keyCol),
-        keyCol, manifestSchema(m), foldRatio)
+        Seq(keyCol), manifestSchema(m), foldRatio)
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
       produced = masked :+ dataEntry,
@@ -1950,20 +2192,20 @@ object TableFormat {
         ourSchema = None, conflictKeys = None, txn = txn,
         op = "apply-delta", propsDelta = propsDelta)
     val (touched, untouched) =
-      if (hasDeletes) touchedSplit(spark, m.entries, deletes, keyCol)
+      if (hasDeletes)
+        touchedSplit(spark, m.entries, deletes, keyCol, colMapOf(m))
       else (Seq.empty[Entry], m.entries)
     val masked =
       if (touched.isEmpty) Seq.empty
-      else morMaskOrFold(spark, root, touched, deletes, keyCol,
+      else morMaskOrFold(spark, root, touched, deletes, Seq(keyCol),
         manifestSchema(m), foldRatio)
+    if (hasAppends) guardNewColumns(appends.schema, Some(m))
     val appended =
       if (!hasAppends) Seq.empty
       else {
         val dataDir = newDataDir(root)
-        bloomCol.foldLeft(appends.write)((w, c) =>
-          w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-          .parquet(dataDir)
-        Seq(mkEntry(spark, dataDir, cols))
+        writeData(appends, dataDir, bloomCol, colMapOf(m))
+        Seq(mkEntry(spark, dataDir, cols, colMapOf(m)))
       }
     val conflict: Option[DataFrame] =
       (hasDeletes, hasAppends && appends.columns.contains(keyCol)) match {
@@ -1980,6 +2222,67 @@ object TableFormat {
       op = "apply-delta", propsDelta = propsDelta)
   }
 
+  /** COMPOSITE-key change-feed delta, MERGE-ON-READ (r19): mask the
+    * delete TUPLES via a multi-column deletion-vector sidecar on their
+    * zone-map-touched dirs and land `appends` as one fresh dir, all in
+    * ONE commit — the composite twin of [[applyDelta]]. A point
+    * delete/merge on a (k1,k2)-keyed table writes O(tuples) sidecar
+    * rows where the pre-r19 route ([[applyCoWDelta]]) rewrote every
+    * touched dir; auto-fold at `foldRatio` keeps the copy-on-write
+    * form as the debt bound, and [[compact]] folds sidecars back into
+    * data on the maintenance cadence. Appends may be WIDER (schema-
+    * evolution merge) — the commit unions the schema. Conflicts detect
+    * on the first key column (conservative, like every composite
+    * path). [[applyCoWDelta]] remains the explicit fold/rewrite form.
+    */
+  def applyDeltaMulti(spark: SparkSession, root: String,
+      deletes: DataFrame, keyCols: Seq[String], appends: DataFrame,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None,
+      foldRatio: Double = DvFoldRatio,
+      op: String = "merge-mor"): Int = {
+    require(keyCols.size >= 2,
+      "applyDeltaMulti is the composite-key form — use applyDelta for " +
+        "one key")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"no snapshot at $root")
+    val hasDeletes = !deletes.isEmpty
+    val hasAppends = !appends.isEmpty
+    if (!hasDeletes && !hasAppends) return prev
+    val m = readManifestFull(root, prev)
+    if (hasAppends) guardNewColumns(appends.schema, Some(m))
+    val (touched, untouched) =
+      if (hasDeletes)
+        touchedSplitMulti(spark, m.entries, deletes, keyCols, colMapOf(m))
+      else (Seq.empty[Entry], m.entries)
+    val masked =
+      if (touched.isEmpty) Seq.empty
+      else morMaskOrFold(spark, root, touched,
+        deletes.select(keyCols.map(col): _*), keyCols,
+        manifestSchema(m), foldRatio)
+    val appended =
+      if (!hasAppends) Seq.empty
+      else {
+        val dataDir = newDataDir(root)
+        writeData(appends, dataDir, bloomCol, colMapOf(m))
+        Seq(mkEntry(spark, dataDir, statsCols, colMapOf(m)))
+      }
+    if (masked.isEmpty && appended.isEmpty) return prev
+    val hasKeyInAppends = hasAppends &&
+      appends.columns.exists(_.equalsIgnoreCase(keyCols.head))
+    val conflict: Option[DataFrame] = (hasDeletes, hasKeyInAppends) match {
+      case (true, true) => Some(deletes.select(col(keyCols.head))
+        .unionByName(appends.select(col(keyCols.head))))
+      case (true, false) => Some(deletes.select(col(keyCols.head)))
+      case (false, true) => Some(appends.select(col(keyCols.head)))
+      case (false, false) => None // key-less append
+    }
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched, produced = masked ++ appended,
+      ourSchema = if (hasAppends) Some(appends.schema) else None,
+      conflictKeys = conflict.map((_, keyCols.head)), op = op)
+  }
+
   /** Effective rows of exactly the head dirs whose zone maps / blooms
     * might hold a key of `keys` — the bounded target-side input a
     * key-anchored MERGE join needs. Soundness carries from
@@ -1994,7 +2297,8 @@ object TableFormat {
     val prev = latestVersion(root)
     require(prev >= 0, s"no snapshot at $root")
     val m = readManifestFull(root, prev)
-    val (touched, _) = touchedSplit(spark, m.entries, keys, keyCol)
+    val (touched, _) =
+      touchedSplit(spark, m.entries, keys, keyCol, colMapOf(m))
     if (touched.isEmpty) readSnapshot(spark, root).limit(0)
     else readEntries(spark, touched, manifestSchema(m))
   }
@@ -2006,10 +2310,12 @@ object TableFormat {
     * per-column touched sets).
     */
   private def touchedSplitMulti(spark: SparkSession, entries: Seq[Entry],
-      keyed: DataFrame, keyCols: Seq[String]): (Seq[Entry], Seq[Entry]) =
+      keyed: DataFrame, keyCols: Seq[String],
+      colMap: Map[String, String] = Map.empty)
+      : (Seq[Entry], Seq[Entry]) =
     keyCols.foldLeft((entries, Seq.empty[Entry])) {
       case ((remaining, out), kc) =>
-        val (t, u) = touchedSplit(spark, remaining, keyed, kc)
+        val (t, u) = touchedSplit(spark, remaining, keyed, kc, colMap)
         (t, out ++ u)
     }
 
@@ -2021,7 +2327,8 @@ object TableFormat {
     val prev = latestVersion(root)
     require(prev >= 0, s"no snapshot at $root")
     val m = readManifestFull(root, prev)
-    val (touched, _) = touchedSplitMulti(spark, m.entries, keys, keyCols)
+    val (touched, _) =
+      touchedSplitMulti(spark, m.entries, keys, keyCols, colMapOf(m))
     if (touched.isEmpty) readSnapshot(spark, root).limit(0)
     else readEntries(spark, touched, manifestSchema(m))
   }
@@ -2057,8 +2364,9 @@ object TableFormat {
       return append(appends, root, statsCols = statsCols,
         bloomCol = bloomCol)
     val m = readManifestFull(root, prev)
+    if (hasAppends) guardNewColumns(appends.schema, Some(m))
     val (touched, untouched) =
-      touchedSplitMulti(spark, m.entries, deletes, keyCols)
+      touchedSplitMulti(spark, m.entries, deletes, keyCols, colMapOf(m))
     if (touched.isEmpty) // tuples provably absent: a plain append
       return if (hasAppends) append(appends, root, statsCols = statsCols,
         bloomCol = bloomCol) else prev
@@ -2068,9 +2376,7 @@ object TableFormat {
       if (!hasAppends) survivors
       else survivors.unionByName(appends, allowMissingColumns = true)
     val dataDir = newDataDir(root)
-    bloomCol.foldLeft(out.write)((w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
-      .parquet(dataDir)
+    writeData(out, dataDir, bloomCol, colMapOf(m))
     val cols = (statsCols ++
       touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
     // conflicts detect on the FIRST key column: a foreign commit
@@ -2084,7 +2390,7 @@ object TableFormat {
       else deletes.select(col(keyCols.head))
     commitRewrite(spark, root, prev, readSet = touched,
       baseUntouched = untouched,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
       ourSchema = Some(out.schema),
       conflictKeys = Some((conflict, keyCols.head)), op = op)
   }
@@ -2114,10 +2420,159 @@ object TableFormat {
         s"ADD COLUMNS: column '${f.name}' must be nullable — existing " +
           "rows have no value to backfill")
     }
+    guardNewColumns(StructType(fields), Some(m))
     commitRewrite(spark, root, prev, readSet = Seq.empty,
       baseUntouched = m.entries, produced = Seq.empty,
       ourSchema = Some(StructType(cur.fields ++ fields)),
       conflictKeys = None, op = "add-columns")
+  }
+
+  /** Does the table's CHECK constraint reference `colName`? Parsed,
+    * not substring-matched — `CHECK (price > 0)` must not block a
+    * rename of `pric`.
+    */
+  private def checkReferences(spark: SparkSession, check: Option[String],
+      colName: String): Boolean = check.exists { c =>
+    spark.sessionState.sqlParser.parseExpression(c).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.name
+    }.exists(_.equalsIgnoreCase(colName))
+  }
+
+  /** ALTER TABLE … RENAME COLUMN as a METADATA-ONLY commit (the public
+    * Delta column-mapping "name mode" idea): data files keep the
+    * column's PHYSICAL spelling — its name at birth, stable forever —
+    * and this commit re-points the LOGICAL name: the schema DDL is
+    * re-spelled, the zone-map / NDV / null accounts re-key to the new
+    * logical name (pruning and the metadata folds survive the rename
+    * untouched), and the logical→physical map updates in the carried
+    * props. ZERO data I/O — no file is read or written. Old snapshots
+    * time-travel with their old names (each manifest carries its own
+    * map); deletion-vector sidecars key on PHYSICAL names, so a rename
+    * composes with live DVs. Refuses when the CHECK constraint
+    * references the column (its recorded expression text would go
+    * silently stale) and on a legacy manifest with no schema contract.
+    * CAS-retried like every commit. Returns the committed version.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      from: String, to: String): Int = {
+    require(to.nonEmpty && !to.contains("\t") && !to.contains("\n"),
+      s"invalid column name '$to'")
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(root)
+      require(head >= 0, s"no snapshot at $root — RENAME COLUMN needs " +
+        "a committed schema (a declared-but-empty table renames " +
+        "through the catalog alone)")
+      val m = readManifestFull(root, head)
+      val cur = manifestSchema(m).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot v$head at $root has no recorded schema (legacy " +
+            "manifest) — RENAME COLUMN needs the schema contract"))
+      val f = cur.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+        throw new IllegalArgumentException(
+          s"RENAME COLUMN: no column '$from' at $root " +
+            s"(${cur.fieldNames.mkString(", ")})"))
+      require(f.name.equalsIgnoreCase(to) ||
+        !cur.fields.exists(_.name.equalsIgnoreCase(to)),
+        s"RENAME COLUMN: column '$to' already exists at $root")
+      require(!checkReferences(spark, m.check, f.name),
+        s"RENAME COLUMN: the CHECK constraint (${m.check.get}) " +
+          s"references '${f.name}' — drop/recreate the table to " +
+          "change both")
+      val colMap = colMapOf(m)
+      val phys = colMap.getOrElse(f.name, f.name)
+      val colMap2 = (colMap - f.name) ++
+        (if (phys == to) Map.empty[String, String] else Map(to -> phys))
+      val ddl2 = StructType(StructType.fromDDL(m.schemaDdl.get).fields
+        .map(x => if (x.name == f.name) x.copy(name = to) else x)).toDDL
+      val entries2 = m.entries.map(e => e.copy(
+        bounds = e.bounds.map { case (c, b) =>
+          (if (c == f.name) to else c) -> b },
+        ndv = e.ndv.map { case (c, x) =>
+          (if (c == f.name) to else c) -> x },
+        nulls = e.nulls.map { case (c, n) =>
+          (if (c == f.name) to else c) -> n }))
+      try {
+        writeManifest(root, head + 1, entries2, Some(ddl2), m.txns,
+          op = "rename-column", check = m.check,
+          props = m.props ++ colMapProps(colMap2, retiredOf(m)))
+        return head + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"renameColumn at $root lost the manifest CAS " +
+              s"$MaxCommitRetries times in a row — giving up rather " +
+              "than livelock", e)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** ALTER TABLE … DROP COLUMN as a METADATA-ONLY commit: the field
+    * leaves the schema DDL and its accounts leave every entry; data
+    * files are untouched — the dropped column's physical spelling is
+    * RETIRED in the carried props, so old files keep reading (the
+    * column simply isn't in the read schema any more) and a later ADD
+    * of the same name refuses instead of resurrecting dropped values.
+    * Refuses: the table's last column, a CHECK-referenced column, and
+    * a column live deletion vectors key on (the masked read anti-joins
+    * on it — OPTIMIZE folds the vectors first). Time travel to a
+    * pre-drop version still reads the column. Returns the version.
+    */
+  def dropColumn(spark: SparkSession, root: String, name: String): Int = {
+    var attempt = 0
+    while (true) {
+      val head = latestVersion(root)
+      require(head >= 0, s"no snapshot at $root")
+      val m = readManifestFull(root, head)
+      val cur = manifestSchema(m).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot v$head at $root has no recorded schema (legacy " +
+            "manifest) — DROP COLUMN needs the schema contract"))
+      val f = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DROP COLUMN: no column '$name' at $root " +
+            s"(${cur.fieldNames.mkString(", ")})"))
+      require(cur.fields.length > 1,
+        s"DROP COLUMN: '$name' is the only column of $root")
+      require(!checkReferences(spark, m.check, f.name),
+        s"DROP COLUMN: the CHECK constraint (${m.check.get}) " +
+          s"references '${f.name}' — the constraint could no longer " +
+          "be evaluated")
+      val colMap = colMapOf(m)
+      val phys = colMap.getOrElse(f.name, f.name)
+      // live deletion vectors keying on this column would make the
+      // masked read unresolvable — fold them first
+      m.entries.flatMap(_.dv).distinct.foreach { p =>
+        val ks = spark.read.parquet(p).schema.fieldNames
+          .filterNot(_ == DvDirCol)
+        require(!ks.exists(_.equalsIgnoreCase(phys)),
+          s"DROP COLUMN: live deletion vectors key on '${f.name}' — " +
+            "OPTIMIZE (compact) the table first to fold them")
+      }
+      val ddl2 = StructType(StructType.fromDDL(m.schemaDdl.get).fields
+        .filterNot(_.name == f.name)).toDDL
+      val entries2 = m.entries.map(e => e.copy(
+        bounds = e.bounds - f.name, ndv = e.ndv - f.name,
+        nulls = e.nulls - f.name))
+      try {
+        writeManifest(root, head + 1, entries2, Some(ddl2), m.txns,
+          op = "drop-column", check = m.check,
+          props = m.props ++
+            colMapProps(colMap - f.name, retiredOf(m) + phys))
+        return head + 1
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          attempt += 1
+          if (attempt >= MaxCommitRetries) throw new IllegalStateException(
+            s"dropColumn at $root lost the manifest CAS " +
+              s"$MaxCommitRetries times in a row — giving up rather " +
+              "than livelock", e)
+      }
+    }
+    -1 // unreachable
   }
 
   /** The head's recorded CHECK constraint, if any — for landing paths
@@ -2336,9 +2791,11 @@ object TableFormat {
     * frame — one job and no persist is the shape that survives 100×.
     */
   private def landBuckets(spark: SparkSession, root: String,
-      parted: DataFrame, statsCols: Seq[String]): Seq[Entry] = {
+      parted: DataFrame, statsCols: Seq[String],
+      colMap: Map[String, String] = Map.empty): Seq[Entry] = {
     val dataDir = newDataDir(root)
-    parted.write.partitionBy("__bucket").parquet(dataDir)
+    toPhysicalDf(parted, colMap).write
+      .partitionBy("__bucket").parquet(dataDir)
     val base = Paths.get(dataDir)
     val stream = Files.list(base)
     val buckets = try stream.iterator().asScala
@@ -2350,7 +2807,7 @@ object TableFormat {
       val plain = base.resolve("b" + b.stripPrefix("__bucket="))
       Files.move(base.resolve(b), plain)
       val d = plain.toAbsolutePath.normalize.toString
-      mkEntry(spark, d, statsCols)
+      mkEntry(spark, d, statsCols, colMap)
     }
   }
 
@@ -2382,8 +2839,8 @@ object TableFormat {
     val parted = head.repartitionByRange(nBuckets, col(statsCol))
       .withColumn("__bucket", spark_partition_id())
       .sortWithinPartitions(col("__bucket"), col(statsCol))
-    val entries =
-      landBuckets(spark, root, parted, statsCol +: extraStatsCols)
+    val entries = landBuckets(spark, root, parted,
+      statsCol +: extraStatsCols, colMapOf(m))
     // a zero-row head has nothing to lay out; committing an EMPTY
     // manifest would erase the schema anchor — no-op like an empty merge
     if (entries.isEmpty) return prev
@@ -2425,7 +2882,8 @@ object TableFormat {
       .withColumn("__bucket", spark_partition_id())
       .sortWithinPartitions(col("__bucket"), col("__zkey"))
       .drop("__zkey")
-    val entries = landBuckets(spark, root, parted, Seq(colA, colB))
+    val entries =
+      landBuckets(spark, root, parted, Seq(colA, colB), colMapOf(m))
     if (entries.isEmpty) return prev
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty, produced = entries,
@@ -2466,14 +2924,16 @@ object TableFormat {
       s"batch $batchId of '$appId' arrived over a gap (last committed " +
         s"batch ${lastCommitted(prevM0)}) — a skipped batch would " +
         "silently vanish from every future snapshot")
+    val colMap0 = prevM0.map(colMapOf).getOrElse(Map.empty)
+    guardNewColumns(df.schema, prevM0)
     val dataDir = newDataDir(root)
-    df.write.parquet(dataDir)
+    writeData(df, dataDir, None, colMap0)
     val cols = (statsCol.toSeq ++ statsCols).distinct
     // same once-analyzed-stays-analyzed upkeep as append: a streamed
     // table keeps its metadata fold alive batch over batch
     val entry = resketched(df.sparkSession,
       prevM0.map(_.entries).getOrElse(Seq.empty),
-      Seq(mkEntry(df.sparkSession, dataDir, cols))).head
+      Seq(mkEntry(df.sparkSession, dataDir, cols, colMap0)), colMap0).head
     var attempt = 0
     while (true) {
       val prev = latestVersion(root)
@@ -2530,6 +2990,9 @@ object TableFormat {
     */
   def setProps(root: String, kv: Map[String, String]): Int = {
     require(kv.nonEmpty, "setProps needs at least one property")
+    require(!kv.keys.exists(_.startsWith(ColMapProp)),
+      s"$ColMapProp* properties are the column-mapping state — set " +
+        "them through RENAME/DROP COLUMN, never directly")
     var attempt = 0
     while (true) {
       val head = latestVersion(root)
@@ -2580,15 +3043,18 @@ object TableFormat {
     }
     val dirs = m0.entries.map(_.dir)
     val base = manifestSchema(m0) match {
-      case Some(s) => spark.read.schema(s).parquet(dirs: _*)
+      case Some(s) => spark.read.schema(physicalize(s)).parquet(dirs: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(dirs: _*)
     }
     val dirExpr = regexp_replace(
       regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""),
       "/[^/]*$", "")
-    val skx = NdvSketch.sketchesByDir(
-      base.withColumn("__dir", dirExpr), cols)
+    // rename physical → logical AFTER the metadata tag (a projection
+    // would strip the hidden _metadata resolution)
+    val tagged = toLogicalDf(base.withColumn("__dir", dirExpr),
+      manifestSchema(m0).map(physMapOf).getOrElse(Map.empty))
+    val skx = NdvSketch.sketchesByDir(tagged, cols)
     val analyzed = dirs.toSet
     // absence of a (dir, column) sketch is legitimate ONLY for an
     // all-null dir — but a path-normalization mismatch (percent-encoded
@@ -3617,6 +4083,48 @@ object TableFormat {
       root
     })
 
+  /** COLUMN MAPPING end-to-end (r19): the table lands with three
+    * columns, RENAMES its key (metadata-only — the data files keep the
+    * physical spelling), DROPS a column (retired, zero I/O), and then
+    * takes post-rename DML under the NEW names — a predicate DELETE
+    * and an UPDATE both addressing `okey`, exercising the logical→
+    * physical translation on the read, prune, and write paths at once.
+    * The oracle replays the surviving rows over raw orders.
+    */
+  private val renameCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlRenameTable(s: SparkSession, dir: String): String =
+    renameCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_rename")
+        .toString + "/t"
+      Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+        .createOrReplaceTempView("graft_rename_src")
+      s.sql("DROP TABLE IF EXISTS graft_sql_ren_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_ren_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT * FROM graft_rename_src""".stripMargin)
+      s.sql("ALTER TABLE graft_sql_ren_orders " +
+        "RENAME COLUMN o_orderkey TO okey")
+      s.sql("ALTER TABLE graft_sql_ren_orders DROP COLUMN o_orderpriority")
+      s.sql("DELETE FROM graft_sql_ren_orders WHERE okey % 13 = 0")
+      s.sql("UPDATE graft_sql_ren_orders SET o_orderstatus = 'R' " +
+        "WHERE okey % 17 = 0")
+      root
+    })
+
+  private def qTableSqlRename(s: SparkSession, dir: String): DataFrame = {
+    landedSqlRenameTable(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
+        |FROM graft_sql_ren_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   private def qTableSqlMergeMulti(s: SparkSession, dir: String)
       : DataFrame = {
     landedSqlMergeMultiTable(s, dir)
@@ -3654,6 +4162,7 @@ object TableFormat {
     mergeSrcCache.keys.toList.foreach(mergeSrcCache.remove)
     mergeEvolCache.keys.toList.foreach(mergeEvolCache.remove)
     mergeMultiCache.keys.toList.foreach(mergeMultiCache.remove)
+    renameCache.keys.toList.foreach(renameCache.remove)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -3673,7 +4182,8 @@ object TableFormat {
       "q_table_sql_merge_cond" -> qTableSqlMergeCond,
       "q_table_sql_merge_src" -> qTableSqlMergeSrc,
       "q_table_sql_merge_evol" -> qTableSqlMergeEvol,
-      "q_table_sql_merge_multi" -> qTableSqlMergeMulti)
+      "q_table_sql_merge_multi" -> qTableSqlMergeMulti,
+      "q_table_sql_rename" -> qTableSqlRename)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -3783,6 +4293,19 @@ object TableFormat {
         |  WHERE o_orderkey % 97 = 0)
         |SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM kept GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // COLUMN MAPPING: rename o_orderkey → okey (metadata-only), drop
+    // o_orderpriority, then DML under the new name — %13 keys delete,
+    // %17 keys flip to 'R' (a %13-deleted key never sees the update)
+    "q_table_sql_rename" ->
+      """WITH kept AS (
+        |  SELECT o_orderkey AS okey,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN 'R'
+        |         ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(okey) AS BIGINT) AS key_sum
         |FROM kept GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
     // COMPOSITE key (l_orderkey, l_linenumber): matched %7/odd-line

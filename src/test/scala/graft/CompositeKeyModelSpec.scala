@@ -9,8 +9,10 @@ import java.nio.file.Files
   * must equal the model. The generators bias single-component
   * COLLISIONS (small component domains), so a concatenated-surrogate
   * or single-key bug surfaces as cross-tuple contamination within a
-  * round or two. All landings are copy-on-write ([[graft.io
-  * .TableFormat.applyCoWDelta]]); the per-column pruning is exercised
+  * round or two. Landings are MERGE-ON-READ since r19 ([[graft.io
+  * .TableFormat.applyDeltaMulti]] — tuple deletion-vector sidecars
+  * with auto-fold), so the histories also exercise masked reads over
+  * accumulated multi-column DVs; the per-column pruning is exercised
   * incidentally by every statement over the multi-dir history. Seeded,
   * bounded.
   */

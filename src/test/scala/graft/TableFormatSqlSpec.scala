@@ -347,7 +347,7 @@ class TableFormatSqlSpec extends TestSpark {
     }
   }
 
-  test("tuple IN-subquery DELETE and UPDATE land copy-on-write") {
+  test("tuple IN-subquery DELETE and UPDATE land merge-on-read") {
     import spark.implicits._
     val base = freshRoot()
     spark.sql("DROP TABLE IF EXISTS graft_tupq")
@@ -413,8 +413,14 @@ class TableFormatSqlSpec extends TestSpark {
         WHERE (k1, k2) IN (SELECT a, b FROM graft_tupq_one)""")
       val after = TableFormat.snapshotDirs(s"$base/tp",
         TableFormat.latestVersion(s"$base/tp")).toSet
-      assert((before & after).size === 2,
-        s"untouched dirs must carry verbatim: $before vs $after")
+      // r19: tuple deletes land MERGE-ON-READ — every data dir carries
+      // verbatim and only the tuple-touched dir gains a dv sidecar
+      assert(before === after,
+        s"all dirs must carry under the tuple mask: $before vs $after")
+      val dvs = TableFormat.snapshotDvs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp"))
+      assert(dvs.values.count(_.nonEmpty) === 1,
+        s"only the touched dir masks (per-column pruning): $dvs")
       assert(spark.sql("SELECT count(*) AS n FROM graft_tupq_p")
         .collect()(0).getLong(0) === 299)
     } finally {
@@ -489,9 +495,16 @@ class TableFormatSqlSpec extends TestSpark {
         WHEN MATCHED THEN UPDATE SET v = s.nv""")
       val after = TableFormat.snapshotDirs(s"$base/tp",
         TableFormat.latestVersion(s"$base/tp")).toSet
-      // the two dirs whose k1 range excludes 5 must carry verbatim
-      assert((before & after).size === 2,
-        s"untouched dirs must carry: before=$before after=$after")
+      // r19: the composite MERGE lands merge-on-read — EVERY dir
+      // carries verbatim (the matched tuple masks via sidecar, the
+      // updated image appends as one fresh dir)
+      assert(before.subsetOf(after),
+        s"all dirs must carry: before=$before after=$after")
+      val dvs = TableFormat.snapshotDvs(s"$base/tp",
+        TableFormat.latestVersion(s"$base/tp"))
+      assert(dvs.collect { case (d, dv) if before(d) => dv }
+        .count(_.nonEmpty) === 1,
+        s"only the tuple-touched dir masks: $dvs")
       assert(spark.sql(
         "SELECT v FROM graft_mrgm_p WHERE k1 = 5").collect()(0)
         .getLong(0) === -1L)
@@ -613,11 +626,45 @@ class TableFormatSqlSpec extends TestSpark {
       assert(got2 === Seq((2L, "B", 9L), (3L, "c", -1L), (5L, "e", 5L)),
         s"evolution + conditional + by-source: $got2")
 
+      // r19 (parse-time star marker): an EXPLICIT all-target-column
+      // identity insert list under WITH SCHEMA EVOLUTION is NOT a
+      // star — the schema must not move through it (pre-r19 it was
+      // indistinguishable from INSERT * post-analysis and silently
+      // evolved)
+      spark.sql(s"""CREATE TABLE graft_mrge4 (k BIGINT, v STRING)
+        USING `$Provider` OPTIONS (path '$base/t4', statsCols 'k')""")
+      spark.sql("INSERT INTO graft_mrge4 VALUES (1,'a')")
+      Seq((6L, "f", 60L)).toDF("k", "v", "extra")
+        .createOrReplaceTempView("graft_mrge4_src")
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge4 t
+        USING graft_mrge4_src s
+        ON t.k = s.k
+        WHEN NOT MATCHED AND s.extra > 0 THEN
+          INSERT (k, v) VALUES (s.k, s.v)""")
+      assert(TableFormat.latestSchema(s"$base/t4").get.fieldNames.toSeq
+        === Seq("k", "v"),
+        "an explicit identity insert list must not evolve the schema")
+      // …while a GENUINE INSERT * in the same conditional position does
+      spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_mrge4 t
+        USING graft_mrge4_src s
+        ON t.k = s.k
+        WHEN MATCHED AND s.extra > 0 THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT *""")
+      assert(TableFormat.latestSchema(s"$base/t4").get.fieldNames.toSeq
+        === Seq("k", "v", "extra"),
+        "a genuine INSERT * must evolve (the parse-time tag survives " +
+          "analysis)")
+      val got3 = spark.sql("SELECT k, extra FROM graft_mrge4 ORDER BY k")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+      assert(got3 === Seq((1L, -1L), (6L, -1L)),
+        s"the first (non-star) insert's row reads NULL extra: $got3")
+
       // no star action → nothing can populate the new column → the
-      // schema must not move. (An identity list covering ALL target
-      // columns is indistinguishable from INSERT * post-analysis —
-      // InsertAction carries no star marker — and treats as star; a
-      // PARTIAL column list is unambiguous and never evolves.)
+      // schema must not move. (Since r19 an identity list covering ALL
+      // target columns is ALSO not a star — the parse-time tag marks
+      // the genuine `INSERT *` clauses; a PARTIAL column list was
+      // always unambiguous and never evolves.)
       spark.sql(s"""CREATE TABLE graft_mrge3 (k BIGINT, v STRING,
         u BIGINT) USING `$Provider` OPTIONS (path '$base/t3',
         statsCols 'k')""")
@@ -632,6 +679,7 @@ class TableFormatSqlSpec extends TestSpark {
       spark.sql("DROP TABLE IF EXISTS graft_mrge")
       spark.sql("DROP TABLE IF EXISTS graft_mrge2")
       spark.sql("DROP TABLE IF EXISTS graft_mrge3")
+      spark.sql("DROP TABLE IF EXISTS graft_mrge4")
     }
   }
 
@@ -675,11 +723,14 @@ class TableFormatSqlSpec extends TestSpark {
       val nn = intercept[Exception](spark.sql(
         "ALTER TABLE graft_alter ADD COLUMNS (z BIGINT NOT NULL)"))
       assert(nn.getMessage.contains("nullable"), nn.getMessage)
-      // RENAME/DROP keep refusing through Spark's own checks
-      intercept[Exception](spark.sql(
-        "ALTER TABLE graft_alter RENAME COLUMN v TO vv"))
-      intercept[Exception](spark.sql(
-        "ALTER TABLE graft_alter DROP COLUMN v"))
+      // RENAME/DROP land as metadata-only column-mapping commits since
+      // r19 (full pins in ColumnMappingSpec) — smoke the round trip
+      spark.sql("ALTER TABLE graft_alter RENAME COLUMN note TO remark")
+      assert(spark.sql("SELECT remark FROM graft_alter WHERE k = 3")
+        .collect()(0).getString(0) === "hi")
+      spark.sql("ALTER TABLE graft_alter DROP COLUMN remark")
+      assert(!spark.sql("SELECT * FROM graft_alter").columns
+        .contains("remark"))
 
       // a DECLARED empty table (no snapshot yet): the catalog alone
       // widens; the first INSERT commits v0 under the evolved schema
