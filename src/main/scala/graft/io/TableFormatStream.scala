@@ -65,15 +65,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * window — a rewrite inside the admitted span refuses exactly as it
   * would uncapped.
   *
-  * `Trigger.AvailableNow` interplay: Spark's v1 wrapper snapshots
-  * `getOffset` ONCE as the run's end target, so an UNCAPPED AvailableNow
-  * run consumes the whole backlog (in one batch — a deliberate batch
-  * invocation), while a CAPPED one advances at most
-  * `maxVersionsPerTrigger` versions per RUN — never silent loss (the
-  * checkpoint holds the committed offset) and repeated runs converge to
-  * the head; bounded batches + full drain in one invocation needs the
-  * continuous trigger. Spec-pinned so nobody assumes the v2
-  * (Delta-style) per-batch-limit behavior.
+  * `Trigger.AvailableNow` (r19 — the Delta contract): the source
+  * implements `SupportsTriggerAvailableNow` itself, so Spark's
+  * one-snapshot v1 wrapper stays off it. The run's target is the head
+  * version observed at start; each batch admits at most
+  * `maxVersionsPerTrigger` versions (and `maxBytesPerTrigger` bytes)
+  * toward it, so an M-version backlog drains in ceil(M/N) BOUNDED
+  * batches and the query then terminates on its own — exactly-once
+  * across a restart mid-drain (the checkpoint holds the committed
+  * offset; a re-run re-arms the target at the new head). Data landing
+  * DURING the run waits for the next invocation. Spec-pinned.
   *
   * Retention interplay: pass `followerId=name` and the source registers
   * its committed progress as a follower ref after every completed batch
@@ -303,7 +304,9 @@ private[io] final class TableFormatStreamSink(root: String,
 private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
     root: String, parameters: Map[String, String],
     override val schema: StructType,
-    metadataPath: Option[String] = None) extends Source {
+    metadataPath: Option[String] = None) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private val mode = parameters.getOrElse("mode", "appends")
   require(mode == "appends" || mode == "cdc",
@@ -474,6 +477,61 @@ private[graft] final class TableFormatStreamSource(sqlContext: SQLContext,
   private def version(o: Offset): Int = o match {
     case l: LongOffset => l.offset.toInt
     case other => other.json.trim.toInt // SerializedOffset after restart
+  }
+
+  // ------------------------------------------- Trigger.AvailableNow
+
+  /** The run's drain TARGET under `Trigger.AvailableNow` — the head
+    * version observed when the engine prepared the run (r19, the Delta
+    * AvailableNow contract: drain the backlog that existed at start in
+    * admission-bounded batches, then terminate; data landing DURING the
+    * run waits for the next one). Implementing
+    * `SupportsTriggerAvailableNow` on the v1 Source keeps Spark's
+    * one-snapshot `AvailableNowSourceWrapper` OFF this source — the
+    * wrapper snapshots `getOffset` once, which under admission control
+    * is one batch's cap, so a capped pre-r19 run advanced only
+    * `maxVersionsPerTrigger` versions per invocation. None outside
+    * AvailableNow runs — every other trigger keeps the plain
+    * per-trigger admission.
+    */
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(TableFormat.latestVersion(root))
+
+  /** Admission caps live in [[getOffset]], not in engine read limits. */
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The admission-controlled offset query the engine uses once this
+    * source declares `SupportsAdmissionControl`: the per-trigger caps
+    * ([[getOffset]]), further bounded by the AvailableNow target when
+    * one is armed. `startOffset` re-seeds the baseline on a restarted
+    * run whose first `latestOffset` arrives before any `getBatch`
+    * replay (the engine restores the committed offset from the
+    * checkpoint and hands it here).
+    */
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    startOffset match {
+      case o: Offset => highWater = math.max(highWater, version(o))
+      case _ => ()
+    }
+    val admitted = getOffset.map(version)
+    val capped = availableNowTarget match {
+      case Some(t) => admitted.map(math.min(_, t)).filter(_ => t >= 0)
+      case None => admitted
+    }
+    capped.map(v => LongOffset(v.toLong)).orNull
+  }
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val v = TableFormat.latestVersion(root)
+    if (v < 0) null else LongOffset(v.toLong)
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

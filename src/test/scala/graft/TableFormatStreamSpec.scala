@@ -233,34 +233,89 @@ class TableFormatStreamSpec extends TestSpark {
         "AvailableNow must terminate on its own")
     }
     // uncapped: one run-to-completion invocation consumes the whole
-    // backlog (Spark's v1 AvailableNow wrapper snapshots getOffset ONCE
-    // as the run's target, so the window is the full catch-up coalesce
-    // — deliberate here: this IS a batch run)
+    // backlog in one batch (a deliberate batch invocation)
     run(cap = None)
     assert(batches.flatMap(identity).toSet === (0L to 4L).toSet &&
       batches.map(_.size).sum === 5,
       s"uncapped AvailableNow drain lost or duplicated rows: $batches")
-    // capped: the same one-snapshot contract means each RUN advances at
-    // most cap versions — never silent loss (the checkpoint holds the
-    // committed offset), and repeated runs CONVERGE to the head. The
-    // bounded-batch + full-drain combination needs the continuous
-    // trigger (the capped-drain spec above); this pins the honest
-    // AvailableNow semantics so nobody assumes Delta's v2 behavior.
+    // capped (r19 — the source implements SupportsTriggerAvailableNow,
+    // the Delta contract): ONE run drains the whole backlog observed at
+    // start in ceil(M/cap) BOUNDED batches, then terminates on its own
     for (i <- 5L to 8L)
       TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
-    var n0 = batches.size
+    val n0 = batches.size
     run(cap = Some(2))
-    val first = batches.drop(n0)
-    assert(first.flatMap(identity).toSet === Set(5L, 6L),
-      s"capped AvailableNow run must admit exactly cap versions: $first")
-    n0 = batches.size
-    run(cap = Some(2))
-    assert(batches.drop(n0).flatMap(identity).toSet === Set(7L, 8L),
-      s"second capped run must continue from the checkpoint: " +
-        batches.drop(n0))
+    val drained = batches.drop(n0)
+    assert(drained.flatMap(identity).toSet === Set(5L, 6L, 7L, 8L),
+      s"one capped AvailableNow run must drain the full backlog: $drained")
+    assert(drained.size === 2 && drained.forall(_.size === 2),
+      s"a 4-version backlog at cap 2 drains in 2 bounded batches: " +
+        drained.map(_.size))
     assert(batches.flatMap(identity).toSet === (0L to 8L).toSet &&
       batches.map(_.size).sum === 9,
-      "capped AvailableNow convergence lost or duplicated rows")
+      "capped AvailableNow drain lost or duplicated rows")
+    // a re-run against a drained head terminates with no new batches
+    val n1 = batches.size
+    run(cap = Some(2))
+    assert(batches.drop(n1).forall(_.isEmpty),
+      s"a drained head must yield no rows: ${batches.drop(n1)}")
+  }
+
+  test("AvailableNow: exactly-once across a restart mid-drain") {
+    import spark.implicits._
+    val root = freshRoot()
+    for (i <- 0L to 5L)
+      TableFormat.append(Seq(i).toDF("k"), root, statsCol = Some("k"))
+    val base = Files.createTempDirectory("graft_tf_availrestart")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    // first run: kill the query after the FIRST batch lands — a crash
+    // mid-drain; the checkpoint holds the committed offset
+    val killed = new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.sql.streaming.StreamingQuery]()
+    val q1 = spark.readStream.format(Provider)
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.collect().map(_.getLong(0)).toSet }
+        // stop after the first non-empty batch — from a separate thread
+        // (stop() from inside foreachBatch deadlocks the micro-batch)
+        val me = killed.get()
+        if (me != null && batches.synchronized(batches.size) == 1) {
+          new Thread(() => me.stop()).start()
+        }
+        ()
+      }.start()
+    killed.set(q1)
+    q1.awaitTermination(120000)
+    assert(batches.size <= 2,
+      s"the kill must land mid-drain, got ${batches.size} batches")
+    val afterCrash = batches.size
+    // second run: resumes from the checkpoint, drains the REMAINDER in
+    // bounded batches, terminates — nothing lost, nothing doubled
+    val q2 = spark.readStream.format(Provider)
+      .option("maxVersionsPerTrigger", "2").load(root)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += df.collect().map(_.getLong(0)).toSet }; ()
+      }.start()
+    assert(q2.awaitTermination(120000),
+      "the resumed AvailableNow run must terminate on its own")
+    val all = batches.synchronized(batches.toList)
+    // exactly-once: a batch REPLAYED after the crash may legitimately
+    // re-run (foreachBatch redelivery), but the committed row multiset
+    // must cover 0..5 exactly once per the sink's dedup window — here
+    // the replay re-delivers the SAME batch id, so distinct batch sets
+    // must union to the full range with no row in two different sets
+    assert(all.flatMap(identity).toSet === (0L to 5L).toSet,
+      s"restart mid-drain lost rows: $all")
+    assert(all.drop(afterCrash).forall(_.size <= 2),
+      s"resumed batches must stay bounded by the cap: $all")
   }
 
   test("maxBytesPerTrigger prices admission from the manifest size accounts") {
