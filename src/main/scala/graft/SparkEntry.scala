@@ -35,6 +35,11 @@ object SparkEntry {
     // refreshes + OPTIMIZE) is standing layout too — the maintained-
     // search query measures SEARCH, not the one-time history replay
     graft.ops.IndexSync.landedCdcIndex(spark, sfDir)
+    // the 7 format-backed CBO fixture tables (manifest row counts /
+    // NDVs / bounds feed the optimizer): standing layout for every
+    // q_tpch_*_cbo key — landed here so bench pass 1 measures the
+    // queries, not the one-time landing (r18 VERDICT nit)
+    graft.ops.Analytics.prepareCboTables(spark, sfDir)
     ()
   }
 

@@ -109,10 +109,22 @@ object GraftManifestStats extends Rule[LogicalPlan] {
         else if (clean && m.entries.forall(_.nulls.contains(a.name)))
           Some(BigInt(m.entries.map(_.nulls(a.name)).sum))
         else None
+      // equi-height HISTOGRAM (r19): merged from the per-entry log-bin
+      // counts when every live entry carries one for the column — the
+      // skewed-predicate selectivity lever min/max uniformity lacks.
+      // Rides only on a stat ndv/bounds already justify, like nullCount.
+      val histogram =
+        if (m.entries.nonEmpty && clean &&
+            m.entries.forall(_.hist.contains(a.name)))
+          QuantileHist.toEquiHeight(
+            m.entries.map(e => QuantileHist.decode(e.hist(a.name)))
+              .reduce(QuantileHist.merge),
+            ndv = ndv.map(_.toLong))
+        else None
       if (ndv.isEmpty && lo.isEmpty) None
       else Some(a.name -> CatalogColumnStat(distinctCount = ndv,
         min = lo, max = hi, nullCount = nulls, avgLen = None,
-        maxLen = None, histogram = None))
+        maxLen = None, histogram = histogram))
     }.toMap
     CatalogStatistics(
       sizeInBytes = BigInt(m.sizeInBytes),

@@ -106,7 +106,8 @@ object TableFormat {
                                   nFiles: Int = -1,
                                   rows: Long = -1L,
                                   ndv: Map[String, String] = Map.empty,
-                                  nulls: Map[String, Long] = Map.empty)
+                                  nulls: Map[String, Long] = Map.empty,
+                                  hist: Map[String, String] = Map.empty)
 
   /** One committed snapshot: its entries, the recorded schema DDL
     * (absent only on legacy/foreign manifests — readers then fall back
@@ -297,6 +298,7 @@ object TableFormat {
     var props = Map.empty[String, String]
     var ndv = Map.empty[String, Map[String, String]] // dir → col → hex
     var nulls = Map.empty[String, Map[String, Long]] // dir → col → nulls
+    var hist = Map.empty[String, Map[String, String]] // dir → col → bins
     val entries = Seq.newBuilder[Entry]
     new String(Files.readAllBytes(f), StandardCharsets.UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
@@ -318,6 +320,11 @@ object TableFormat {
           val d = dec(parts(1))
           nulls += d -> (nulls.getOrElse(d, Map.empty) +
             (dec(parts(2)) -> parts(3).toLong))
+        }
+        else if (line.startsWith("#hist\t")) {
+          val d = dec(parts(1))
+          hist += d -> (hist.getOrElse(d, Map.empty) +
+            (dec(parts(2)) -> parts(3)))
         }
         else if (line.startsWith("#")) () // forward-compat: skip
         else if (line.startsWith("G\t")) {
@@ -359,8 +366,9 @@ object TableFormat {
         }
       }
     val withNdv = entries.result().map { e0 =>
-      val e = ndv.get(e0.dir).map(m => e0.copy(ndv = m)).getOrElse(e0)
-      nulls.get(e.dir).map(m => e.copy(nulls = m)).getOrElse(e)
+      val e1 = ndv.get(e0.dir).map(m => e0.copy(ndv = m)).getOrElse(e0)
+      val e = nulls.get(e1.dir).map(m => e1.copy(nulls = m)).getOrElse(e1)
+      hist.get(e.dir).map(m => e.copy(hist = m)).getOrElse(e)
     }
     Manifest(withNdv, schema, txns, op, check, props)
   }
@@ -401,6 +409,9 @@ object TableFormat {
       }).mkString +
       entries.flatMap(e => e.nulls.toSeq.sortBy(_._1).map { case (c, n) =>
         s"#nulls\t${enc(e.dir)}\t${enc(c)}\t$n\n"
+      }).mkString +
+      entries.flatMap(e => e.hist.toSeq.sortBy(_._1).map { case (c, h) =>
+        s"#hist\t${enc(e.dir)}\t${enc(c)}\t$h\n"
       }).mkString
     val tmp = Files.createTempFile(manifestDir(root), s"v$v", ".tmp")
     Files.write(tmp, (header + body).getBytes(StandardCharsets.UTF_8))
@@ -843,7 +854,8 @@ object TableFormat {
              bloomCol: Option[String] = None,
              txn: Option[(String, Long)] = None,
              check: Option[String] = None,
-             ndvCols: Seq[String] = Nil): Int = {
+             ndvCols: Seq[String] = Nil,
+             histCols: Seq[String] = Nil): Int = {
     val tableCheck = effectiveCheck(root, check)
     enforceCheck(df, tableCheck, root)
     val head0 = latestVersion(root)
@@ -861,8 +873,24 @@ object TableFormat {
       else NdvSketch.sketches(
         toLogicalDf(df.sparkSession.read.parquet(dataDir), colMap), ndvCols)
         .map { case (c, r) => c -> NdvSketch.toHex(r) }
+    // value-distribution histograms are opt-in like the NDV sketches:
+    // one more column-pruned pass over the fresh dir (exact, mergeable
+    // log-bin counts — QuantileHist); unsupported-typed columns skip
+    val hists =
+      if (histCols.isEmpty) Map.empty[String, String]
+      else {
+        val back = toLogicalDf(df.sparkSession.read.parquet(dataDir),
+          colMap)
+        val sup = QuantileHist.supported(back, histCols)
+        val cnt = if (sup.isEmpty) Map.empty[String, Map[Int, Long]]
+                  else QuantileHist.counts(back, sup)
+        // supported columns with zero value rows record an EMPTY
+        // histogram (legitimate), never a gap
+        sup.map(c => c ->
+          QuantileHist.encode(cnt.getOrElse(c, Map.empty))).toMap
+      }
     val entry0 = mkEntry(df.sparkSession, dataDir, cols, colMap)
-      .copy(ndv = sketches)
+      .copy(ndv = sketches, hist = hists)
     // once-analyzed stays analyzed: an append auto-sketches whatever
     // coverage the standing entries all carry, so ingest never breaks
     // the metadata fold (the coverage read races a concurrent commit
@@ -2492,7 +2520,9 @@ object TableFormat {
         ndv = e.ndv.map { case (c, x) =>
           (if (c == f.name) to else c) -> x },
         nulls = e.nulls.map { case (c, n) =>
-          (if (c == f.name) to else c) -> n }))
+          (if (c == f.name) to else c) -> n },
+        hist = e.hist.map { case (c, h) =>
+          (if (c == f.name) to else c) -> h }))
       try {
         writeManifest(root, head + 1, entries2, Some(ddl2), m.txns,
           op = "rename-column", check = m.check,
@@ -2556,7 +2586,7 @@ object TableFormat {
         .filterNot(_.name == f.name)).toDDL
       val entries2 = m.entries.map(e => e.copy(
         bounds = e.bounds - f.name, ndv = e.ndv - f.name,
-        nulls = e.nulls - f.name))
+        nulls = e.nulls - f.name, hist = e.hist - f.name))
       try {
         writeManifest(root, head + 1, entries2, Some(ddl2), m.txns,
           op = "drop-column", check = m.check,
@@ -3055,6 +3085,10 @@ object TableFormat {
     val tagged = toLogicalDf(base.withColumn("__dir", dirExpr),
       manifestSchema(m0).map(physMapOf).getOrElse(Map.empty))
     val skx = NdvSketch.sketchesByDir(tagged, cols)
+    // r19: the same ANALYZE also retrofits value-distribution
+    // histograms for the integral/date columns among `cols` — one more
+    // column-pruned job; gaps stay legitimate for other types
+    val hx = QuantileHist.countsByDir(tagged, cols)
     val analyzed = dirs.toSet
     // absence of a (dir, column) sketch is legitimate ONLY for an
     // all-null dir — but a path-normalization mismatch (percent-encoded
@@ -3075,8 +3109,13 @@ object TableFormat {
     while (true) {
       val head = latestVersion(root)
       val m = readManifestFull(root, head)
+      val histSup = QuantileHist.supported(tagged, cols)
       val entries = m.entries.map(e =>
-        if (analyzed(e.dir)) e.copy(ndv = e.ndv ++ hexFor(e.dir)) else e)
+        if (analyzed(e.dir))
+          e.copy(ndv = e.ndv ++ hexFor(e.dir),
+            hist = e.hist ++ histSup.map(c => c -> QuantileHist.encode(
+              hx.getOrElse((e.dir, c), Map.empty))).toMap)
+        else e)
       try {
         writeManifest(root, head + 1, entries, m.schemaDdl, m.txns,
           op = "analyze", check = m.check, props = m.props)

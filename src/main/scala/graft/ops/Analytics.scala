@@ -794,10 +794,70 @@ object Analytics {
       land("supplier", Seq("s_suppkey"), Seq("s_suppkey", "s_nationkey"))
       land("orders", Seq("o_orderkey", "o_orderdate"),
         Seq("o_orderkey", "o_custkey"))
-      land("lineitem", Seq("l_orderkey"),
+      land("lineitem", Seq("l_orderkey", "l_shipdate"),
         Seq("l_orderkey", "l_suppkey", "l_partkey"))
       land("part", Seq("p_partkey"), Seq("p_partkey"))
     })
+
+  /** Fixture doorway for [[graft.SparkEntry.prepare]] (r18 VERDICT
+    * nit): landing the 7 format-backed CBO tables is one-time layout,
+    * so the bench's first pass measures the queries, not the landing.
+    * Idempotent; every `q_tpch_*_cbo` also lands lazily.
+    */
+  private[graft] def prepareCboTables(s: SparkSession, dir: String): Unit =
+    landedCboTables(s, dir)
+
+  /** Evaluate `body` with CBO + join reorder ON, planning FORCED inside
+    * the conf window (plans are lazy; restoring the conf first would
+    * optimize without CBO).
+    */
+  private def withCbo(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val df = body
+      df.queryExecution.executedPlan // force planning under CBO
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
+  /** The FULL TPC-H tier under manifest-fed CBO (r19 — the r18
+    * VERDICT's #4 gap): every base `q_tpch_qN` gains a `_cbo` twin
+    * whose SQL re-targets the format-backed `graft_cbo5_*` views (the
+    * tables hold exactly the raw parquet rows, so the base oracle text
+    * applies verbatim to the twin) and plans under cbo + joinReorder
+    * with row counts / NDVs / bounds from the MANIFESTS alone — zero
+    * ANALYZE scans. The base keys stay registered as raw-parquet,
+    * hand-ordered A/B twins; `CboReorderSpec` pins the join-heaviest
+    * three (q2, q8, q21) to plans no worse than the hand-ordered form
+    * (shuffle-exchange count). The rewrite is a word-boundary table-
+    * name substitution — column spellings (`o_orderkey`,
+    * `supp_nation`) never match a `\b<table>\b` pattern.
+    */
+  private val CboTableName =
+    "\\b(region|nation|customer|supplier|orders|lineitem|part)\\b".r
+
+  private[graft] def cboSqlOf(baseKey: String): String =
+    CboTableName.replaceAllIn(oracleSql(baseKey),
+      m => s"graft_cbo5_${m.group(1)}")
+
+  private def qTpchCbo(baseKey: String)(s: SparkSession,
+      dir: String): DataFrame = {
+    landedCboTables(s, dir)
+    withCbo(s)(s.sql(cboSqlOf(baseKey)))
+  }
+
+  /** Base keys twinned generically (q5/q9 keep their hand-written
+    * worst-practice-order twins above).
+    */
+  private[graft] val CboTwinBases: Seq[String] =
+    Seq(1, 2, 3, 4, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19,
+      20, 21, 22).map(n => s"q_tpch_q$n")
 
   private[graft] val Q5CboSql: String =
     """SELECT n_name,
@@ -872,7 +932,7 @@ object Analytics {
     }
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] = (Map(
     "q_tpch_q5_cbo" -> qTpchQ5Cbo,
     "q_tpch_q9_cbo" -> qTpchQ9Cbo,
     "q_tpch_q2" -> qTpchQ2,
@@ -897,8 +957,17 @@ object Analytics {
     "q_tpch_q5" -> qTpchQ5,
     "q_tpch_q10" -> qTpchQ10,
     "q_tpch_q18" -> qTpchQ18)
+      : Map[String, (SparkSession, String) => DataFrame]) ++
+    CboTwinBases.map(k => s"${k}_cbo" ->
+      ((s: SparkSession, dir: String) => qTpchCbo(k)(s, dir)))
 
-  val oracleSql: Map[String, String] = Map(
+  /** The `_cbo` twins read the same rows, so each base oracle text
+    * applies verbatim (appended after the literal below).
+    */
+  val oracleSql: Map[String, String] = baseOracleSql ++
+    CboTwinBases.map(k => s"${k}_cbo" -> baseOracleSql(k))
+
+  private lazy val baseOracleSql: Map[String, String] = Map(
     // the format-backed CBO twin holds exactly the raw tables' rows, so
     // the q5 oracle text applies verbatim
     "q_tpch_q5_cbo" ->

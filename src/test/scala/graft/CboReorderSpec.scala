@@ -74,4 +74,27 @@ class CboReorderSpec extends TestSpark {
       s.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
     }
   }
+
+  /** r19 (the r18 VERDICT's #4): the generic manifest-fed CBO twins of
+    * the join-heaviest TPC-H queries must plan NO WORSE than the
+    * hand-ordered raw-parquet bases — same or fewer shuffle exchanges.
+    * The twins' statistics come from the graft manifests alone (zero
+    * ANALYZE scans — the fixture tables land with row accounts, zone
+    * maps, and NDV sketches at write time).
+    */
+  test("q2/q8/q21 CBO twins plan no worse than the hand-ordered bases") {
+    val qs = graft.ops.Analytics.queries
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          => e
+      }.size
+    Seq("q_tpch_q2", "q_tpch_q8", "q_tpch_q21").foreach { base =>
+      val handOrdered = exchanges(qs(base)(spark, Sf))
+      val cbo = exchanges(qs(s"${base}_cbo")(spark, Sf))
+      assert(cbo <= handOrdered,
+        s"$base: the manifest-stats CBO plan shuffles MORE than the " +
+          s"hand-ordered base ($cbo vs $handOrdered exchanges)")
+    }
+  }
 }
