@@ -1339,16 +1339,28 @@ class TableFormatSqlSpec extends TestSpark {
       assert(spark.sql("SELECT count(*) AS n FROM graft_dml")
         .collect()(0).getLong(0) === 274,
         "dv-masked subquery must delete only the EFFECTIVE keys")
-      // other subquery shapes (EXISTS / correlated) keep refusing
+      // equality-correlated EXISTS lands since r19 (CorrelatedDmlSpec
+      // owns the full pins) — here just the effect over the live table
+      val expected = spark.sql(
+        """SELECT count(*) AS n FROM graft_dml t
+          |WHERE NOT EXISTS (SELECT 1 FROM graft_dml d2
+          |  WHERE d2.k = t.k AND d2.v > 100)""".stripMargin)
+        .collect()(0).getLong(0)
+      spark.sql("""DELETE FROM graft_dml WHERE EXISTS
+        (SELECT 1 FROM graft_dml d2
+         WHERE d2.k = graft_dml.k AND d2.v > 100)""")
+      assert(spark.sql("SELECT count(*) AS n FROM graft_dml")
+        .collect()(0).getLong(0) === expected,
+        "correlated EXISTS delete must remove exactly the matched keys")
+      // non-equality correlation keeps refusing with the staging hint
       val e = intercept[Exception] {
         spark.sql("""DELETE FROM graft_dml WHERE EXISTS
-          (SELECT 1 FROM graft_dml d2
-           WHERE d2.k = graft_dml.k AND d2.v > 100)""")
+          (SELECT 1 FROM graft_dml_dv d2 WHERE d2.k < graft_dml.k)""")
       }
       assert(String.valueOf(e.getMessage).contains("subquer") ||
         Option(e.getCause).exists(c =>
           String.valueOf(c.getMessage).contains("subquer")),
-        s"non-IN subquery DML must refuse with the staging hint: $e")
+        s"non-equality correlation must refuse with the staging hint: $e")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_dml")
       spark.sql("DROP TABLE IF EXISTS graft_dml_dv")
