@@ -1052,7 +1052,7 @@ object TableFormat {
     val raw =
       if (withDv.isEmpty) rd(entries.map(_.dir))
       else {
-        val masked = dvMask(spark, withDv, rd(withDv.map(_.dir)))
+        val masked = dvMaskLegs(spark, withDv, es => rd(es.map(_.dir)))
         if (clean.isEmpty) masked
         else rd(clean.map(_.dir))
           .unionByName(masked, allowMissingColumns = true)
@@ -1061,12 +1061,41 @@ object TableFormat {
     else raw.toDF(schema.get.fieldNames.toSeq: _*)
   }
 
+  /** Per-dir legs over the tag form: when the dv-bearing entry count is
+    * small (bounded by the compaction/auto-fold maintenance contract),
+    * each dir scans its OWN leg and anti-joins ONLY its sidecar's keys
+    * on the KEY COLUMNS alone — fixed-width join keys, a compile-time
+    * dir association, and crucially NO per-row `_metadata.file_path`
+    * materialization, which measured ~6× the whole masked read on a
+    * 600k-row dir (r19: `q_table_sql_merge_multi` 2.5 s → 0.5 s; the
+    * string read+copy per row dominates, not the regex). Past the cap
+    * the single-scan tag form ([[dvMask]]) keeps planning bounded —
+    * legs must never scale with an unmaintained table's dv count.
+    */
+  private val MaxDvLegs = 16
+
+  private def dvMaskLegs(spark: SparkSession, withDv: Seq[Entry],
+      scanOf: Seq[Entry] => DataFrame): DataFrame =
+    if (withDv.size > MaxDvLegs) dvMask(spark, withDv, scanOf(withDv))
+    else withDv.map { e =>
+      val dv = spark.read.parquet(e.dv.get)
+        .filter(col(DvDirCol) === e.dir)
+      val keyNames = dv.columns.filterNot(_ == DvDirCol).toSeq
+      scanOf(Seq(e)).join(
+        broadcast(dv.select(keyNames.map(k =>
+          col(k).as(s"__graft_dv_$k")): _*)),
+        keyNames.map(k => col(k) === col(s"__graft_dv_$k"))
+          .reduce(_ && _),
+        "left_anti")
+    }.reduce(_ unionByName _)
+
   /** Anti-join `withDv`'s deletion-vector keys out of `data` (rows read
     * from exactly those entries' dirs): the data side tags each row with
-    * its source dir — derived from `input_file_name`, one expression,
-    * never a per-dir plan leg — and ONE broadcast anti-join on
-    * (dir, key) masks every DV at once. Shared by [[readEntries]] and
-    * the SQL-surface read ([[readSnapshotSql]]).
+    * its source dir — derived from the file-path metadata, one
+    * expression, never a per-dir plan leg — and ONE broadcast anti-join
+    * on (dir, key) masks every DV at once. The UNBOUNDED form behind
+    * [[dvMaskLegs]]' cap; shared by [[readEntries]] and the SQL-surface
+    * read ([[readSnapshotSql]]).
     */
   private def dvMask(spark: SparkSession, withDv: Seq[Entry],
                      data: DataFrame): DataFrame = {
@@ -1249,7 +1278,7 @@ object TableFormat {
     val raw =
       if (withDv.isEmpty) frame(es)
       else {
-        val masked = dvMask(spark, withDv, frame(withDv))
+        val masked = dvMaskLegs(spark, withDv, xs => frame(xs))
         if (clean.isEmpty) masked else frame(clean).unionByName(masked)
       }
     if (pmap.isEmpty) raw
