@@ -963,17 +963,32 @@ object TableFormat {
       colMap: Map[String, String] = Map.empty): Seq[Entry] = {
     if (base.isEmpty || produced.isEmpty) return produced
     val cols = base.map(_.ndv.keySet).reduce(_ intersect _)
-    if (cols.isEmpty) return produced
+    // r19: value-distribution histograms keep the same once-analyzed-
+    // stays-analyzed upkeep as the NDV sketches — a rewrite's fresh dir
+    // re-counts whatever histogram coverage the standing entries all
+    // carry, in the same read-back the NDV refresh already pays
+    val histCols = base.map(_.hist.keySet).reduce(_ intersect _)
+    if (cols.isEmpty && histCols.isEmpty) return produced
     produced.map { e =>
       val missing = (cols -- e.ndv.keySet).toSeq.sorted
-      if (missing.isEmpty) e
+      val missingH = (histCols -- e.hist.keySet).toSeq.sorted
+      if (missing.isEmpty && missingH.isEmpty) e
       else {
         val df = toLogicalDf(spark.read.parquet(e.dir), colMap)
         val have = missing.filter(df.columns.contains)
-        if (have.isEmpty) e
-        else e.copy(ndv = e.ndv ++ NdvSketch.sketches(df, have).map {
-          case (c, r) => c -> NdvSketch.toHex(r)
-        })
+        val haveH = QuantileHist.supported(df,
+          missingH.filter(df.columns.contains))
+        val withNdv =
+          if (have.isEmpty) e
+          else e.copy(ndv = e.ndv ++ NdvSketch.sketches(df, have).map {
+            case (c, r) => c -> NdvSketch.toHex(r)
+          })
+        if (haveH.isEmpty) withNdv
+        else {
+          val cnt = QuantileHist.counts(df, haveH)
+          withNdv.copy(hist = withNdv.hist ++ haveH.map(c =>
+            c -> QuantileHist.encode(cnt.getOrElse(c, Map.empty))))
+        }
       }
     }
   }

@@ -784,8 +784,11 @@ object Analytics {
       def land(name: String, stats: Seq[String], ndv: Seq[String]): Unit = {
         val root = java.nio.file.Files
           .createTempDirectory(s"graft_cbo5_$name").toString + "/t"
+        // histograms on the NDV columns (r19): equi-join cardinality
+        // and skewed-filter selectivity estimate off the real value
+        // distribution; unsupported types skip inside
         graft.io.TableFormat.append(t(s, dir, name), root,
-          statsCols = stats, ndvCols = ndv)
+          statsCols = stats, ndvCols = ndv, histCols = ndv)
         graft.io.TableFormat.registerSql(s, root, s"graft_cbo5_$name")
       }
       land("region", Seq("r_regionkey"), Seq("r_regionkey"))

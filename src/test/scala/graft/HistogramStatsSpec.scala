@@ -100,6 +100,22 @@ class HistogramStatsSpec extends TestSpark {
       "rename must re-key the histogram account")
   }
 
+  test("once-analyzed stays analyzed: compaction re-counts the histogram") {
+    import spark.implicits._
+    val root = freshRoot()
+    TableFormat.append((0L until 300L).map(i => (i % 5, i)).toDF("k", "v"),
+      root, statsCols = Seq("k"), ndvCols = Seq("k"), histCols = Seq("k"))
+    TableFormat.append((0L until 200L).map(i => (i % 3, i)).toDF("k", "v"),
+      root, statsCols = Seq("k"), ndvCols = Seq("k"), histCols = Seq("k"))
+    TableFormat.compact(spark, root)
+    val e = graft.io.TableFormat.readManifestFull(root,
+      TableFormat.latestVersion(root)).entries
+    assert(e.size === 1 && e.head.hist.contains("k"),
+      "the compacted dir must re-carry the histogram coverage")
+    assert(QuantileHist.decode(e.head.hist("k")).values.sum === 500L,
+      "the re-counted histogram covers every surviving row")
+  }
+
   test("a skewed filter flips to broadcast ONLY with histograms present") {
     import spark.implicits._
     // 49.5k rows at k=1 plus a 500-row tail spread to 1e6: min/max
