@@ -111,9 +111,12 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     require(!e.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
       "graft-table DML supports subqueries only as the whole condition " +
-        "`<key> IN (SELECT …)` or `EXISTS (SELECT … WHERE inner = " +
-        "outer [AND …])` (equality correlation only) — stage other " +
-        "shapes into a frame and use deleteKeys/updateKeys/merge")
+        "`<key> [NOT] IN (SELECT …)` (NOT IN: single-column, " +
+        "uncorrelated — tuple NOT IN has three-valued tuple semantics; " +
+        "spell the complement as NOT EXISTS) or `[NOT] EXISTS (SELECT " +
+        "… WHERE inner = outer [AND …])` (equality correlation only) — " +
+        "stage other shapes into a frame and use " +
+        "deleteKeys/updateKeys/merge")
     e
   }
 
@@ -266,6 +269,35 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** The COMPLEMENT shapes (r19): `NOT EXISTS (SELECT … WHERE inner =
+    * outer …)` decorrelates exactly like [[existsSubquery]] — the inner
+    * `Exists` is handed to it verbatim — and single-column uncorrelated
+    * `k NOT IN (SELECT …)` reuses [[keysSubquery]]'s value matching.
+    * Both land through the anti commands ([[DeleteAntiKeysGraftTableCommand]]
+    * /[[UpdateAntiKeysGraftTableCommand]]): rows matching NO frame row
+    * are the statement's footprint. The boolean is `keepNullKeys` —
+    * NOT IN's three-valued logic keeps NULL-keyed rows (UNKNOWN),
+    * NOT EXISTS deletes/updates them (a correlated equality against
+    * NULL is never TRUE). Tuple NOT IN (3VL over tuples: one non-null
+    * unequal component makes the disequality TRUE, not UNKNOWN — a
+    * semantics no anti-join expresses) and CORRELATED NOT IN keep
+    * refusing loudly through [[unbind]], each with NOT EXISTS named as
+    * the unambiguous spelling.
+    */
+  private def antiSubquery(cond: Expression, target: LogicalPlan)
+      : Option[(Seq[String], LogicalPlan, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, Not}
+    cond match {
+      case Not(e: Exists) if e.outerAttrs.nonEmpty =>
+        existsSubquery(e, target).map { case (ks, p) => (ks, p, false) }
+      case Not(in @ InSubquery(_, q: ListQuery)) if q.outerAttrs.isEmpty =>
+        keysSubquery(in, target).collect {
+          case (ks, p) if ks.size == 1 => (ks, p, true)
+        }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -280,8 +312,13 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
               .orElse(existsSubquery(d.condition, d.table)) match {
               case Some((keys, sub)) =>
                 DeleteKeysGraftTableCommand(root, opts, keys, sub, ident)
-              case None => DeleteFromGraftTableCommand(root, opts,
-                unbind(d.condition), ident)
+              case None => antiSubquery(d.condition, d.table) match {
+                case Some((keys, sub, keepNull)) =>
+                  DeleteAntiKeysGraftTableCommand(root, opts, keys, sub,
+                    keepNull, ident)
+                case None => DeleteFromGraftTableCommand(root, opts,
+                  unbind(d.condition), ident)
+              }
             }
           case None => d
         }
@@ -302,9 +339,15 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
               case Some((keys, sub)) =>
                 UpdateKeysGraftTableCommand(root, opts, keys, sub,
                   assigns, ident)
-              case None => UpdateGraftTableCommand(root, opts,
-                u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
-                assigns, ident)
+              case None =>
+                u.condition.flatMap(antiSubquery(_, u.table)) match {
+                  case Some((keys, sub, keepNull)) =>
+                    UpdateAntiKeysGraftTableCommand(root, opts, keys, sub,
+                      keepNull, assigns, ident)
+                  case None => UpdateGraftTableCommand(root, opts,
+                    u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
+                    assigns, ident)
+                }
             }
           case None => u
         }
@@ -768,9 +811,17 @@ private[graft] object GraftDmlRule {
     * row and drops with them.
     */
   def subqueryKeys(spark: SparkSession, root: String,
-      keyCols: Seq[String], subquery: LogicalPlan): DataFrame = {
+      keyCols: Seq[String], subquery: LogicalPlan): DataFrame =
+    subqueryKeysFrame(spark, root, keyCols, planFrame(spark, subquery))
+
+  /** [[subqueryKeys]] over an already-executed frame — the anti
+    * commands materialize the subquery ONCE (they must inspect the RAW
+    * values for NOT IN's null check before the try_cast pipeline nulls
+    * non-round-trip values) and feed the same frame here.
+    */
+  def subqueryKeysFrame(spark: SparkSession, root: String,
+      keyCols: Seq[String], sub: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val sub = planFrame(spark, subquery)
     val fields = keyCols.map { kc =>
       TableFormat.latestSchema(root)
         .flatMap(_.fields.find(_.name.equalsIgnoreCase(kc)))
@@ -884,6 +935,84 @@ private[graft] case class UpdateKeysGraftTableCommand(root: String,
       TableFormat.applyDeltaMulti(spark, root, keys, resolved, updated,
         statsCols = statsCols, bloomCol = bloomCol, op = "update-where")
     }
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE NOT EXISTS (SELECT … WHERE inner = outer …)` /
+  * `DELETE FROM t WHERE k NOT IN (<uncorrelated subquery>)` — the
+  * COMPLEMENT purge (r19), landed through [[TableFormat.deleteAnti]]:
+  * rows matching NO key are deleted, and the pruning INVERTS — dirs
+  * the zone maps/blooms prove key-disjoint hold only doomed rows and
+  * DROP from the manifest wholesale with zero data I/O. NOT IN's
+  * three-valued logic resolves HERE, on the RAW subquery values before
+  * the try_cast pipeline (which nulls non-round-trip values and would
+  * conflate them with genuine NULLs): one NULL in the value list makes
+  * `k NOT IN (…)` UNKNOWN on every row — the statement deletes nothing
+  * and no version mints. The subquery executes ONCE (persisted across
+  * the null probe, the zone-map split, and the keep-join).
+  */
+private[graft] case class DeleteAntiKeysGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan, keepNullKeys: Boolean,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val raw = GraftDmlRule.planFrame(spark, subquery).persist()
+    try {
+      if (keepNullKeys &&
+          !raw.filter(col(raw.columns.head).isNull).isEmpty)
+        return Seq.empty // NULL in the NOT IN list: UNKNOWN everywhere
+      val keys = GraftDmlRule.subqueryKeysFrame(spark, root, keyCols, raw)
+      TableFormat.deleteAnti(spark, root, keys,
+        keyCols.map(kc => keys.schema.fields
+          .find(_.name.equalsIgnoreCase(kc)).get.name),
+        keepNullKeys,
+        statsCols = GraftDmlRule.statsColsOf(writeOpts),
+        bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    } finally raw.unpersist()
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE NOT EXISTS (…)` / `… WHERE k NOT IN
+  * (<uncorrelated subquery>)` — the complement-UPDATE twin, landed
+  * through [[TableFormat.updateAnti]] (simultaneous assignments over
+  * the pre-update row). Three-valued logic matches
+  * [[DeleteAntiKeysGraftTableCommand]]: a NULL in the NOT IN value
+  * list no-ops the statement here, on the raw values.
+  */
+private[graft] case class UpdateAntiKeysGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan, keepNullKeys: Boolean,
+    assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val raw = GraftDmlRule.planFrame(spark, subquery).persist()
+    try {
+      if (keepNullKeys &&
+          !raw.filter(col(raw.columns.head).isNull).isEmpty)
+        return Seq.empty // NULL in the NOT IN list: UNKNOWN everywhere
+      val keys = GraftDmlRule.subqueryKeysFrame(spark, root, keyCols, raw)
+      TableFormat.updateAnti(spark, root, keys,
+        keyCols.map(kc => keys.schema.fields
+          .find(_.name.equalsIgnoreCase(kc)).get.name),
+        keepNullKeys,
+        assignments.map { case (n, v) => n -> GraftDmlRule.rebind(v) },
+        statsCols = GraftDmlRule.statsColsOf(writeOpts),
+        bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    } finally raw.unpersist()
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

@@ -1976,6 +1976,152 @@ object TableFormat {
       op = "delete")
   }
 
+  /** Row-level DELETE of the COMPLEMENT of a key set — the landed form
+    * of the NOT-shaped SQL purges (r19)
+    * {{{
+    *   DELETE FROM t WHERE NOT EXISTS (SELECT 1 FROM s WHERE s.k = t.k …)
+    *   DELETE FROM t WHERE k NOT IN (SELECT v FROM s …)  -- uncorrelated
+    * }}}
+    * ([[graft.io.GraftDmlRule]] decorrelates/materializes `keys`): every
+    * row whose key tuple equality-matches NO frame row is deleted. The
+    * complement INVERTS the pruning action: a dir whose zone maps/blooms
+    * prove it holds none of the keys ([[touchedSplit]]'s "untouched")
+    * holds ONLY doomed rows — it DROPS from the manifest wholesale, zero
+    * data I/O — while maybe-overlapping dirs rewrite keeping their
+    * semi-join matches. `keepNullKeys` carries the statement's
+    * three-valued logic: NOT EXISTS deletes NULL-keyed rows (a
+    * correlated equality against NULL is never TRUE, single- or
+    * multi-key), NOT IN keeps them (`NULL NOT IN ⟨non-empty⟩` is
+    * UNKNOWN) — and under `keepNullKeys` a provably-disjoint dir may
+    * drop wholesale only when its `#nulls` account PROVES it holds no
+    * NULL-keyed rows; an unknown account rewrites conservatively. An
+    * EMPTY key frame is `x NOT IN (∅)` / no inner row can ever match:
+    * TRUE for every row, NULL keys included — the table truncates in
+    * one commit. NULLs IN the value list resolve UPSTREAM (the command
+    * no-ops the whole statement); this verb never sees them.
+    */
+  def deleteAnti(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCols: Seq[String], keepNullKeys: Boolean,
+                 statsCols: Seq[String] = Nil,
+                 bloomCol: Option[String] = None): Int = {
+    require(keyCols.nonEmpty, "deleteAnti needs at least one key column")
+    require(!keepNullKeys || keyCols.size == 1,
+      "NOT IN three-valued logic (keepNullKeys) is single-column by " +
+        "its SQL shape — tuple complements arrive as NOT EXISTS")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to delete from at $root")
+    val m = readManifestFull(root, prev)
+    if (m.entries.isEmpty) return prev
+    val schema = manifestSchema(m)
+    if (keys.isEmpty)
+      return commitRewrite(spark, root, prev, readSet = m.entries,
+        baseUntouched = Nil, produced = Seq.empty, ourSchema = schema,
+        conflictKeys = None, op = "delete-where")
+    val (maybe, disjoint) =
+      if (keyCols.size == 1)
+        touchedSplit(spark, m.entries, keys, keyCols.head, colMapOf(m))
+      else touchedSplitMulti(spark, m.entries, keys, keyCols, colMapOf(m))
+    val (drop, rewriteNulls) =
+      if (!keepNullKeys) (disjoint, Seq.empty[Entry])
+      else disjoint.partition(_.nulls.get(keyCols.head).contains(0L))
+    val rewrite = maybe ++ rewriteNulls
+    val produced =
+      if (rewrite.isEmpty) Seq.empty
+      else {
+        val df = readEntries(spark, rewrite, schema)
+        val HitCol = "__graft_anti_hit"
+        require(!df.columns.contains(HitCol), s"$HitCol is reserved")
+        val marked = df.join(
+          keys.select(keyCols.map(col): _*).na.drop().distinct()
+            .withColumn(HitCol, lit(true)), keyCols, "left")
+        val keep =
+          if (keepNullKeys)
+            coalesce(col(HitCol), lit(false)) || col(keyCols.head).isNull
+          else coalesce(col(HitCol), lit(false))
+        val kept = marked.filter(keep)
+          .select(df.columns.toSeq.map(col): _*)
+        val dataDir = newDataDir(root)
+        writeData(kept, dataDir, bloomCol, colMapOf(m))
+        Seq(mkEntry(spark, dataDir, (statsCols ++
+          rewrite.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct,
+          colMapOf(m)))
+      }
+    // the complement's read footprint is the WHOLE table (every dir
+    // either rewrites or drops), so the conflict check is whole-table
+    commitRewrite(spark, root, prev, readSet = rewrite ++ drop,
+      baseUntouched = Nil, produced = produced, ourSchema = schema,
+      conflictKeys = None, op = "delete-where")
+  }
+
+  /** Row-level UPDATE of the COMPLEMENT of a key set — the twin verb
+    * for `UPDATE t SET … WHERE NOT EXISTS (…)` / `… WHERE k NOT IN
+    * (<uncorrelated subquery>)` (r19). Rows whose key tuple matches NO
+    * frame row take the assignments (simultaneous over the PRE-update
+    * row, cast to declared types — [[updateWhere]] semantics); matches
+    * carry unchanged. Three-valued logic mirrors [[deleteAnti]]:
+    * NULL-keyed rows update under NOT EXISTS, carry under NOT IN
+    * (UNKNOWN) — except against an EMPTY value set, where the
+    * predicate is TRUE for every row, NULL keys included. Unlike the
+    * delete, the complement UPDATE must rewrite EVERY dir (a
+    * provably-disjoint dir's rows ALL take the assignment — the data
+    * changes either way); pruning saves nothing, so one join-marked
+    * pass over the full snapshot is the plan, with the key frame
+    * broadcast when small.
+    */
+  def updateAnti(spark: SparkSession, root: String, keys: DataFrame,
+                 keyCols: Seq[String], keepNullKeys: Boolean,
+                 set: Seq[(String, Column)],
+                 statsCols: Seq[String] = Nil,
+                 bloomCol: Option[String] = None): Int = {
+    require(set.nonEmpty, "updateAnti needs at least one assignment")
+    require(keyCols.nonEmpty, "updateAnti needs at least one key column")
+    require(!keepNullKeys || keyCols.size == 1,
+      "NOT IN three-valued logic (keepNullKeys) is single-column by " +
+        "its SQL shape — tuple complements arrive as NOT EXISTS")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to update at $root")
+    val m = readManifestFull(root, prev)
+    if (m.entries.isEmpty) return prev
+    val schema = manifestSchema(m)
+    val df = readEntries(spark, m.entries, schema)
+    val byName = set.toMap
+    require(set.size == byName.size, "duplicate assignment column")
+    val unknown = byName.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
+        s"does not have (${df.columns.mkString(", ")})")
+    val empty = keys.isEmpty
+    val HitCol = "__graft_anti_hit"
+    require(!df.columns.contains(HitCol), s"$HitCol is reserved")
+    val marked =
+      if (empty) df.withColumn(HitCol, lit(false))
+      else df.join(
+        keys.select(keyCols.map(col): _*).na.drop().distinct()
+          .withColumn(HitCol, lit(true)), keyCols, "left")
+    val cond =
+      if (empty) lit(true) // NOT IN (∅) / no possible match: every row
+      else if (keepNullKeys)
+        !coalesce(col(HitCol), lit(false)) && col(keyCols.head).isNotNull
+      else !coalesce(col(HitCol), lit(false))
+    val out = marked.select(df.schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => when(cond, v.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    enforceCheck(out, m.check, root)
+    val dataDir = newDataDir(root)
+    writeData(out, dataDir, bloomCol, colMapOf(m))
+    val cols = (statsCols ++
+      m.entries.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct
+    commitRewrite(spark, root, prev, readSet = m.entries,
+      baseUntouched = Nil,
+      produced = Seq(mkEntry(spark, dataDir, cols, colMapOf(m))),
+      ourSchema = Some(out.schema), conflictKeys = None,
+      op = "update-where")
+  }
+
   /** MERGE-ON-READ delete: write the deleted keys as a deletion-vector
     * sidecar on each zone-map-touched dir instead of rewriting the dir —
     * a point delete writes O(deleted keys) rows where copy-on-write
@@ -3903,6 +4049,53 @@ object TableFormat {
       root
     })
 
+  /** COMPLEMENT DML end-to-end (r19 — [[deleteAnti]]/[[updateAnti]] via
+    * the anti commands in [[graft.io.GraftDmlRule]]): a NOT EXISTS
+    * purge keeps only orders whose customer is in the BUILDING segment
+    * (NULL-safe by construction — a correlated equality against a
+    * missing key is never TRUE), then a NOT IN update retags orders
+    * whose customer is not positive-balance. The oracle replays both
+    * statements in DuckDB, whose NOT IN / NOT EXISTS three-valued
+    * logic this family is spec-pinned against (`AntiDmlSpec`).
+    */
+  private val antiCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlAntiTable(s: SparkSession, dir: String): String =
+    antiCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_anti")
+        .toString + "/t"
+      Sources.table(s, dir, "orders")
+        .createOrReplaceTempView("graft_anti_orders_src")
+      Sources.table(s, dir, "customer")
+        .createOrReplaceTempView("graft_anti_customer")
+      s.sql("DROP TABLE IF EXISTS graft_sql_anti_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_anti_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey,o_custkey')
+           |AS SELECT o_orderkey, o_custkey, o_orderstatus
+           |FROM graft_anti_orders_src""".stripMargin)
+      s.sql(
+        """DELETE FROM graft_sql_anti_orders WHERE NOT EXISTS
+          |(SELECT 1 FROM graft_anti_customer c
+          | WHERE c.c_custkey = graft_sql_anti_orders.o_custkey
+          |   AND c.c_mktsegment = 'BUILDING')""".stripMargin)
+      s.sql(
+        """UPDATE graft_sql_anti_orders SET o_orderstatus = 'Z'
+          |WHERE o_custkey NOT IN
+          |  (SELECT c_custkey FROM graft_anti_customer
+          |   WHERE c_acctbal > 0)""".stripMargin)
+      root
+    })
+
+  private def qTableSqlAnti(s: SparkSession, dir: String): DataFrame = {
+    landedSqlAntiTable(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
+        |FROM graft_sql_anti_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** The SQL twin of [[qTableMerge]]: the SAME %7-update / %97-insert
     * delta, landed through `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *` over the registered catalog table
@@ -4266,7 +4459,8 @@ object TableFormat {
       "q_table_sql_merge_src" -> qTableSqlMergeSrc,
       "q_table_sql_merge_evol" -> qTableSqlMergeEvol,
       "q_table_sql_merge_multi" -> qTableSqlMergeMulti,
-      "q_table_sql_rename" -> qTableSqlRename)
+      "q_table_sql_rename" -> qTableSqlRename,
+      "q_table_sql_anti" -> qTableSqlAnti)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -4446,6 +4640,18 @@ object TableFormat {
         |SELECT o_orderstatus, count(*) AS n FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DELETE %19 then UPDATE %23 survivors to 'X', replayed in SQL
+    "q_table_sql_anti" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT CASE WHEN o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |    THEN 'Z' ELSE o_orderstatus END AS o_orderstatus, o_orderkey
+        |  FROM orders
+        |  WHERE EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = orders.o_custkey
+        |      AND c.c_mktsegment = 'BUILDING'))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_sql_delete" ->
       """SELECT o_orderstatus, count(*) AS n
         |FROM (SELECT CASE WHEN o_orderkey % 23 = 0 THEN 'X'

@@ -9,7 +9,7 @@ import java.nio.file.Files
   * against inline expectations and a randomized model, the pruning
   * contract (dirs the keys provably miss carry verbatim), tuple
   * (multi-equality) correlation landing merge-on-read, and the loud
-  * refusals for non-equality correlation and NOT EXISTS.
+  * refusals for non-equality correlation (NOT EXISTS lands since r19b — AntiDmlSpec).
   */
 class CorrelatedDmlSpec extends TestSpark {
 
@@ -126,7 +126,7 @@ class CorrelatedDmlSpec extends TestSpark {
     spark.sql("DROP TABLE graft_corr_m")
   }
 
-  test("non-equality correlation and NOT EXISTS refuse loudly") {
+  test("non-equality correlation refuses loudly; equality NOT EXISTS lands") {
     import spark.implicits._
     val root = freshRoot()
     spark.sql("DROP TABLE IF EXISTS graft_corr_r")
@@ -141,12 +141,20 @@ class CorrelatedDmlSpec extends TestSpark {
     }
     assert(e1.getMessage.contains("EXISTS") ||
       e1.getMessage.contains("subquer"), e1.getMessage)
+    // NOT EXISTS LANDS since r19b (the complement verb — AntiDmlSpec
+    // owns its semantics); the refusal that remains on the NOT side is
+    // non-equality correlation
     val e2 = intercept[Exception] {
       spark.sql("""DELETE FROM graft_corr_r WHERE NOT EXISTS
-        (SELECT 1 FROM graft_corr_rs s WHERE s.k = graft_corr_r.k)""")
+        (SELECT 1 FROM graft_corr_rs s WHERE s.k < graft_corr_r.k)""")
     }
     assert(e2.getMessage.contains("EXISTS") ||
       e2.getMessage.contains("subquer"), e2.getMessage)
+    spark.sql("""DELETE FROM graft_corr_r WHERE NOT EXISTS
+      (SELECT 1 FROM graft_corr_rs s WHERE s.k = graft_corr_r.k)""")
+    val left = spark.sql("SELECT k FROM graft_corr_r").collect()
+      .map(_.getLong(0)).toSet
+    assert(left === Set(1L), s"equality-correlated NOT EXISTS lands: $left")
     spark.sql("DROP TABLE graft_corr_r")
   }
 }
