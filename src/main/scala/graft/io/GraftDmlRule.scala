@@ -181,26 +181,26 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     * non-equality correlation, correlation below joins/aggregates, and
     * NOT EXISTS keep refusing loudly through [[unbind]].
     */
-  private def existsSubquery(cond: Expression, target: LogicalPlan)
-      : Option[(Seq[String], LogicalPlan)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery, OuterReference}
-    import org.apache.spark.sql.catalyst.plans.logical.Filter
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-        conjuncts(l) ++ conjuncts(r)
-      case x => Seq(x)
-    }
-    // strip analyzer type-reconciliation up-casts — the commands
-    // re-derive the comparison in the key's declared domain with a
-    // round-trip guard, so only injective casts may be peeled
-    def bareUp(e: Expression): Expression = e match {
-      case c @ Cast(ch, _, _, _) if Cast.canUpCast(ch.dataType, c.dataType)
-        => bareUp(ch)
-      case x => x
-    }
-    /** One correlated conjunct → (target column name, inner value). */
-    def corrPair(e: Expression, inner: LogicalPlan)
-        : Option[(String, AttributeReference)] = e match {
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  // strip analyzer type-reconciliation up-casts — the commands
+  // re-derive the comparison in the key's declared domain with a
+  // round-trip guard, so only injective casts may be peeled
+  private def bareUp(e: Expression): Expression = e match {
+    case c @ Cast(ch, _, _, _) if Cast.canUpCast(ch.dataType, c.dataType)
+      => bareUp(ch)
+    case x => x
+  }
+
+  /** One correlated conjunct → (target column name, inner value). */
+  private def corrPair(e: Expression, inner: LogicalPlan,
+      target: LogicalPlan): Option[(String, AttributeReference)] = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    e match {
       case org.apache.spark.sql.catalyst.expressions.EqualTo(x, y) =>
         (bareUp(x), bareUp(y)) match {
           case (a: AttributeReference, OuterReference(t: AttributeReference))
@@ -213,28 +213,36 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         }
       case _ => None
     }
-    /** The [Project over] Filter body → (pairs, residual-filtered
-      * child) when EVERY outer-referencing conjunct is a supported
-      * equality.
-      */
-    def body(plan: LogicalPlan)
-        : Option[(Seq[(String, AttributeReference)], LogicalPlan)] = {
-      val f = plan match {
-        case Project(_, fl: Filter) => Some(fl)
-        case fl: Filter => Some(fl)
-        case _ => None
-      }
-      f.flatMap { fl =>
-        val (corr, residual) = conjuncts(fl.condition).partition(
-          _.exists(_.isInstanceOf[OuterReference]))
-        val pairs = corr.map(corrPair(_, fl.child))
-        if (corr.isEmpty || pairs.exists(_.isEmpty)) None
-        else Some((pairs.flatten,
-          residual.reduceOption(
-            org.apache.spark.sql.catalyst.expressions.And(_, _))
-            .map(Filter(_, fl.child)).getOrElse(fl.child)))
-      }
+  }
+
+  /** The [Project over] Filter body → (pairs, residual-filtered child)
+    * when EVERY outer-referencing conjunct is a supported equality.
+    */
+  private def corrBody(plan: LogicalPlan, target: LogicalPlan)
+      : Option[(Seq[(String, AttributeReference)], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.OuterReference
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val f = plan match {
+      case Project(_, fl: Filter) => Some(fl)
+      case fl: Filter => Some(fl)
+      case _ => None
     }
+    f.flatMap { fl =>
+      val (corr, residual) = conjuncts(fl.condition).partition(
+        _.exists(_.isInstanceOf[OuterReference]))
+      val pairs = corr.map(corrPair(_, fl.child, target))
+      if (corr.isEmpty || pairs.exists(_.isEmpty)) None
+      else Some((pairs.flatten,
+        residual.reduceOption(
+          org.apache.spark.sql.catalyst.expressions.And(_, _))
+          .map(Filter(_, fl.child)).getOrElse(fl.child)))
+    }
+  }
+
+  private def existsSubquery(cond: Expression, target: LogicalPlan)
+      : Option[(Seq[String], LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
+    def body(plan: LogicalPlan) = corrBody(plan, target)
     cond match {
       case e: Exists if e.outerAttrs.nonEmpty =>
         body(e.plan).flatMap { case (pairs, stripped) =>
@@ -298,6 +306,70 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** Correlated SCALAR-SUBQUERY assignment (r19b): the idiomatic
+    * enrich-update
+    * {{{
+    *   UPDATE t SET v = (SELECT max(x) FROM s WHERE s.j = t.k [AND …])
+    * }}}
+    * decorrelates to a per-key AGGREGATE FRAME: the correlated equality
+    * conjuncts become GROUP BY keys (residual inner-only conjuncts stay
+    * as a filter), the assigned value joins back per key, and rows with
+    * NO matching group take the aggregate's EMPTY-GROUP value —
+    * evaluated from the aggregate itself over a provably-empty input,
+    * never assumed: `count(*)` over no matches is 0, not NULL (the
+    * classic decorrelation count bug), `max`/`sum` are NULL. Supported
+    * shape: the whole assigned value is ONE ungrouped aggregate over a
+    * [Project over] Filter body with equality-only correlation
+    * (analyzer type-alignment casts around the subquery are peeled —
+    * the command re-casts to the column's declared type); uncorrelated
+    * aggregates land as a one-row literal. Returns (target key names,
+    * per-key frame plan with stable `__graft_sq_k*`/`__graft_sq_val`
+    * names, empty-group plan).
+    */
+  private def scalarAssign(value: Expression, target: LogicalPlan)
+      : Option[(Seq[String], LogicalPlan, LogicalPlan)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, OuterReference, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    // AssertNotNull is the analyzer's wrap when the RELATION schema
+    // infers non-nullability from all-non-null data so far — an
+    // inference artifact, not a declared constraint (the format has
+    // CHECK constraints for those), so it peels like the casts
+    def peel(e: Expression): Expression = e match {
+      case c: Cast => peel(c.child)
+      case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+        peel(a.child)
+      case x => x
+    }
+    peel(value) match {
+      case s: ScalarSubquery => s.plan match {
+        case Aggregate(Nil, Seq(a: Alias), child, _)
+            if !a.exists(_.isInstanceOf[OuterReference]) =>
+          if (s.outerAttrs.isEmpty)
+            // uncorrelated ungrouped aggregate: exactly one row — the
+            // command evaluates it once and assigns the literal
+            Some((Nil, s.plan, s.plan))
+          else corrBody(child, target).flatMap { case (pairs, stripped) =>
+            val names = pairs.map(_._1)
+            if (names.map(_.toLowerCase).distinct.size != names.size) None
+            else {
+              val grouped = Aggregate(pairs.map(_._2),
+                (pairs.map(_._2): Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]) :+ a,
+                stripped, None)
+              val frame = Project(
+                pairs.zipWithIndex.map { case ((_, ia), j) =>
+                  Alias(ia, s"__graft_sq_k$j")() } :+
+                  Alias(a.toAttribute, "__graft_sq_val")(), grouped)
+              val emptyP = Aggregate(Nil, Seq(a),
+                Filter(Literal.FalseLiteral, stripped), None)
+              Some((names, frame, emptyP))
+            }
+          }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -324,6 +396,38 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
         }
       case u: UpdateTable if u.resolved =>
         dmlTarget(u.table) match {
+          case Some((root, opts, ident))
+              if u.assignments.exists(_.value.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.ScalarSubquery])) =>
+            // scalar-subquery assignments (r19b): every subquery-bearing
+            // value must be the supported whole-value aggregate shape
+            val (scalA, plainA) = u.assignments.partition(
+              _.value.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.ScalarSubquery]))
+            def nameOf(a: org.apache.spark.sql.catalyst.plans.logical.Assignment)
+                : String = a.key match {
+              case at: Attribute => at.name
+              case other => throw new IllegalArgumentException(
+                "graft-table UPDATE can only assign top-level " +
+                  s"columns, got ${other.sql}")
+            }
+            val scalar = scalA.map { a =>
+              val n = nameOf(a)
+              scalarAssign(a.value, u.table) match {
+                case Some((ks, frame, emptyP)) => (n, ks, frame, emptyP)
+                case None => throw new IllegalArgumentException(
+                  "graft-table UPDATE supports a scalar subquery only " +
+                    "as the WHOLE assigned value, shaped `SET col = " +
+                    "(SELECT <one ungrouped aggregate> FROM s WHERE " +
+                    "s.j = t.k [AND …])` (equality correlation only) — " +
+                    s"`$n` is assigned something else; stage the " +
+                    "subquery into a frame and use merge")
+              }
+            }
+            val plainAssigns = plainA.map(a => nameOf(a) -> unbind(a.value))
+            UpdateScalarGraftTableCommand(root, opts,
+              u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
+              plainAssigns, scalar, ident)
           case Some((root, opts, ident)) =>
             val assigns = u.assignments.map { a =>
               val name = a.key match {
@@ -1013,6 +1117,91 @@ private[graft] case class UpdateAntiKeysGraftTableCommand(root: String,
         statsCols = GraftDmlRule.statsColsOf(writeOpts),
         bloomCol = GraftDmlRule.bloomColOf(writeOpts))
     } finally raw.unpersist()
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET v = (SELECT <aggregate> FROM s WHERE s.j = t.k …)
+  * [, plain assignments] [WHERE <subquery-free cond>]` — the
+  * scalar-subquery enrich-update (r19b), landed through
+  * [[TableFormat.updateTransform]]: each decorrelated per-key aggregate
+  * frame left-joins the touched rows on its correlation keys, rows
+  * with NO matching group take the aggregate's EMPTY-GROUP value
+  * (evaluated from the aggregate over a provably-empty input at run
+  * time — `count(*)` is 0, `max`/`sum` are NULL; never assumed), and
+  * one simultaneous select applies scalar + plain assignments over the
+  * PRE-update row under the WHERE condition. Pruning comes from the
+  * static condition's zone-map walk (an unconditioned enrich-update is
+  * a whole-table rewrite by construction). NULL correlation keys match
+  * no group (SQL equality) and take the empty-group value.
+  */
+private[graft] case class UpdateScalarGraftTableCommand(root: String,
+    writeOpts: Map[String, String],
+    condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    plain: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    scalar: Seq[(String, Seq[String], LogicalPlan, LogicalPlan)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = scalar.map(_._3)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val names = (plain.map(_._1) ++ scalar.map(_._1)).map(_.toLowerCase)
+    require(names.distinct.size == names.size, "duplicate assignment column")
+    val cond = GraftDmlRule.rebind(condition)
+    // each scalar assignment: (frame, empty-group default) — the frame
+    // is keyed and deduplicated by construction (GROUP BY the keys)
+    val resolved = scalar.map { case (n, ks, framePlan, emptyPlan) =>
+      if (ks.isEmpty) {
+        // uncorrelated ungrouped aggregate: exactly one row, once
+        val row = GraftDmlRule.planFrame(spark, framePlan).head()
+        (n, ks, None: Option[org.apache.spark.sql.DataFrame],
+          if (row.isNullAt(0)) null else row.get(0))
+      } else {
+        val row = GraftDmlRule.planFrame(spark, emptyPlan).head()
+        (n, ks, Some(GraftDmlRule.planFrame(spark, framePlan)),
+          if (row.isNullAt(0)) null else row.get(0))
+      }
+    }
+    TableFormat.updateTransform(spark, root, cond, { df =>
+      var cur = df
+      val scalarVals = resolved.zipWithIndex.map {
+        case ((n, _, None, value), _) =>
+          n.toLowerCase -> lit(value)
+        case ((n, ks, Some(f), dflt), i) =>
+          val hit = s"__graft_sq_hit_$i"
+          val fr = f.toDF((ks.indices.map(j => s"__graft_sq_k${i}_$j") :+
+            s"__graft_sq_val_$i"): _*).withColumn(hit, lit(true))
+          val on = ks.zipWithIndex.map { case (k, j) =>
+            cur(k) === fr(s"__graft_sq_k${i}_$j") }.reduce(_ && _)
+          cur = cur.join(fr, on, "left")
+          n.toLowerCase ->
+            when(col(hit) === true, col(s"__graft_sq_val_$i"))
+              .otherwise(lit(dflt))
+      }.toMap
+      val plainByName = plain.map { case (n, v) =>
+        n.toLowerCase -> GraftDmlRule.rebind(v) }.toMap
+      val unknown = (plainByName.keySet ++ scalarVals.keySet) --
+        df.columns.map(_.toLowerCase).toSet
+      require(unknown.isEmpty,
+        s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
+          s"does not have (${df.columns.mkString(", ")})")
+      cur.select(df.schema.fields.toSeq.map { f =>
+        scalarVals.get(f.name.toLowerCase) match {
+          case Some(v) =>
+            when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => plainByName.get(f.name.toLowerCase) match {
+            case Some(v) =>
+              when(cond, v.cast(f.dataType)).otherwise(col(f.name))
+                .as(f.name)
+            case None => col(f.name)
+          }
+        }
+      }: _*)
+    }, statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

@@ -1833,6 +1833,30 @@ object TableFormat {
       op = "update-where")
   }
 
+  /** Predicate-pruned copy-on-write UPDATE whose new values come from
+    * a caller-supplied TRANSFORM over the touched rows — the landing
+    * verb for scalar-subquery assignments (r19b,
+    * [[graft.io.UpdateScalarGraftTableCommand]]), where the assigned
+    * value is a per-key JOIN against a decorrelated aggregate frame
+    * and no static expression can express it. Same pruning/commit/
+    * CHECK story as [[updateWhere]]: dirs whose bounds exclude `cond`
+    * carry verbatim, the transform must preserve the schema (enforced
+    * — an UPDATE never retypes or reorders), NULL-condition rows carry
+    * unchanged (the transform receives `cond` and applies it per row).
+    */
+  private[graft] def updateTransform(spark: SparkSession, root: String,
+      cond: Column, transform: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None): Int =
+    rewriteWhere(spark, root, cond, { df =>
+      val out = transform(df)
+      require(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "updateTransform must preserve the schema: " +
+          s"${df.schema.simpleString} -> ${out.schema.simpleString}")
+      out
+    }, statsCols, bloomCol, op = "update-where")
+
   /** Row-level UPDATE by KEY SET — the verb `UPDATE t SET … WHERE k IN
     * (SELECT …)` lands on ([[graft.io.GraftDmlRule]] materializes the
     * uncorrelated subquery into `keys`): rows whose `keyCol` matches a
@@ -4096,6 +4120,49 @@ object TableFormat {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** Scalar-subquery UPDATE end-to-end (r19b —
+    * [[graft.io.UpdateScalarGraftTableCommand]]): every third order's
+    * total is replaced by its LINEITEM COUNT via a correlated ungrouped
+    * aggregate — orders with no lineitems take count's EMPTY-GROUP
+    * value 0, not NULL (the classic decorrelation count bug, pinned in
+    * `ScalarUpdateSpec`). The oracle replays with a left join.
+    */
+  private val scalUpdCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlScalarUpdTable(s: SparkSession, dir: String)
+      : String =
+    scalUpdCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_scalupd")
+        .toString + "/t"
+      Sources.table(s, dir, "orders")
+        .createOrReplaceTempView("graft_scalupd_orders_src")
+      Sources.table(s, dir, "lineitem")
+        .createOrReplaceTempView("graft_scalupd_li")
+      s.sql("DROP TABLE IF EXISTS graft_sql_scalupd_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_scalupd_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey')
+           |AS SELECT o_orderkey, o_totalprice
+           |FROM graft_scalupd_orders_src""".stripMargin)
+      s.sql(
+        """UPDATE graft_sql_scalupd_orders
+          |SET o_totalprice = (SELECT count(*) FROM graft_scalupd_li l
+          |  WHERE l.l_orderkey = graft_sql_scalupd_orders.o_orderkey)
+          |WHERE o_orderkey % 3 = 0""".stripMargin)
+      root
+    })
+
+  private def qTableSqlScalarUpd(s: SparkSession, dir: String)
+      : DataFrame = {
+    landedSqlScalarUpdTable(s, dir)
+    s.sql(
+      """SELECT o_orderkey % 10 AS bucket,
+        |  round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM graft_sql_scalupd_orders
+        |GROUP BY o_orderkey % 10 ORDER BY bucket""".stripMargin)
+  }
+
   /** The SQL twin of [[qTableMerge]]: the SAME %7-update / %97-insert
     * delta, landed through `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *` over the registered catalog table
@@ -4460,7 +4527,8 @@ object TableFormat {
       "q_table_sql_merge_evol" -> qTableSqlMergeEvol,
       "q_table_sql_merge_multi" -> qTableSqlMergeMulti,
       "q_table_sql_rename" -> qTableSqlRename,
-      "q_table_sql_anti" -> qTableSqlAnti)
+      "q_table_sql_anti" -> qTableSqlAnti,
+      "q_table_sql_scalar_upd" -> qTableSqlScalarUpd)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -4640,6 +4708,18 @@ object TableFormat {
         |SELECT o_orderstatus, count(*) AS n FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DELETE %19 then UPDATE %23 survivors to 'X', replayed in SQL
+    "q_table_sql_scalar_upd" ->
+      """WITH cnt AS (SELECT l_orderkey, count(*) AS c FROM lineitem
+        |  GROUP BY l_orderkey),
+        |upd AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0
+        |         THEN CAST(coalesce(c.c, 0) AS DOUBLE)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey)
+        |SELECT o_orderkey % 10 AS bucket,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  count(*) AS n
+        |FROM upd GROUP BY o_orderkey % 10 ORDER BY bucket""".stripMargin,
     "q_table_sql_anti" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key

@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+/** Scalar-subquery UPDATE assignments (r19b — `io/GraftDmlRule.scala`
+  * scalarAssign + UpdateScalarGraftTableCommand): `UPDATE t SET v =
+  * (SELECT <aggregate> FROM s WHERE s.j = t.k [AND …])`. Pins:
+  *
+  *   - per-key aggregate semantics incl. the EMPTY-GROUP value from
+  *     the aggregate itself: `count(*)` over no matches is 0, not NULL
+  *     (the classic decorrelation count bug), `max` is NULL;
+  *   - simultaneous assignment: a plain assignment beside the scalar
+  *     one reads the PRE-update row;
+  *   - NULL correlation keys match no group and take the empty value;
+  *   - uncorrelated ungrouped aggregates land as one-row literals;
+  *   - WHERE carves: non-matching rows carry unchanged;
+  *   - loud refusals for nested/non-aggregate/grouped shapes.
+  */
+class ScalarUpdateSpec extends TestSpark {
+
+  import graft.io.TableFormat
+
+  private val Provider = classOf[graft.io.TableFormatSourceProvider].getName
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_scal").toString
+
+  test("correlated max and the count(*) empty-group value") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_t")
+    spark.sql(s"""CREATE TABLE graft_scal_t (k BIGINT, v BIGINT, c BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    TableFormat.append(
+      Seq((Option(1L), 0L, -1L), (Option(2L), 0L, -1L),
+        (Option(3L), 0L, -1L), (None: Option[Long], 0L, -1L))
+        .toDF("k", "v", "c"),
+      s"$root/t", statsCols = Seq("k"))
+    Seq((1L, 10L), (1L, 30L), (2L, 7L)).toDF("j", "x")
+      .createOrReplaceTempView("graft_scal_s")
+    // max: k=1 → 30, k=2 → 7, k=3 and NULL → no group → NULL
+    spark.sql("""UPDATE graft_scal_t SET v =
+      (SELECT max(x) FROM graft_scal_s s WHERE s.j = graft_scal_t.k)""")
+    val vs = spark.sql(
+      "SELECT coalesce(k, -1), v FROM graft_scal_t").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(vs === Map(1L -> Some(30L), 2L -> Some(7L),
+      3L -> None, -1L -> None), s"max per key, NULL on no group: $vs")
+    // count(*): the empty group is 0 — NOT NULL (the count bug)
+    spark.sql("""UPDATE graft_scal_t SET c =
+      (SELECT count(*) FROM graft_scal_s s WHERE s.j = graft_scal_t.k)""")
+    val cs = spark.sql(
+      "SELECT coalesce(k, -1), c FROM graft_scal_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cs === Map(1L -> 2L, 2L -> 1L, 3L -> 0L, -1L -> 0L),
+      s"count over an empty group is 0, never NULL: $cs")
+    spark.sql("DROP TABLE graft_scal_t")
+  }
+
+  test("simultaneous plain+scalar assignments, WHERE carve, residual " +
+      "conjuncts, uncorrelated literal") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_u")
+    spark.sql(s"""CREATE TABLE graft_scal_u (k BIGINT, a BIGINT, b BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    spark.sql("""INSERT INTO graft_scal_u
+      SELECT id, id * 10, 0 FROM range(0, 6)""")
+    Seq((0L, 5L, 1L), (0L, 9L, 0L), (1L, 4L, 1L)).toDF("j", "x", "flag")
+      .createOrReplaceTempView("graft_scal_us")
+    // scalar with a RESIDUAL (flag = 1) + plain `b = a` reading the
+    // PRE-update a, under a WHERE carve (k < 2): k=0 → sum(5)=5,
+    // b = old a = 0*10; k=1 → sum(4)=4, b=10; k>=2 carry
+    spark.sql("""UPDATE graft_scal_u
+      SET a = (SELECT sum(x) FROM graft_scal_us s
+               WHERE s.j = graft_scal_u.k AND s.flag = 1),
+          b = a
+      WHERE k < 2""")
+    val got = spark.sql("SELECT k, a, b FROM graft_scal_u ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 5L, 0L), (1L, 4L, 10L), (2L, 20L, 0L),
+      (3L, 30L, 0L), (4L, 40L, 0L), (5L, 50L, 0L)),
+      s"residual + simultaneous + carve: $got")
+    // uncorrelated ungrouped aggregate: a one-row literal for all rows
+    spark.sql("""UPDATE graft_scal_u SET b =
+      (SELECT max(x) FROM graft_scal_us) WHERE k >= 4""")
+    val bs = spark.sql("SELECT k, b FROM graft_scal_u ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(bs.drop(4) === Seq((4L, 9L), (5L, 9L)),
+      s"uncorrelated aggregate assigns the literal: $bs")
+    assert(bs.take(4).map(_._2) === Seq(0L, 10L, 0L, 0L))
+    spark.sql("DROP TABLE graft_scal_u")
+  }
+
+  test("refusals: nested expression, non-aggregate, grouped aggregate") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_r")
+    spark.sql(s"""CREATE TABLE graft_scal_r (k BIGINT, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t')""")
+    spark.sql("INSERT INTO graft_scal_r VALUES (1, 0), (2, 0)")
+    Seq((1L, 5L)).toDF("j", "x").createOrReplaceTempView("graft_scal_rs")
+    def refuses(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(e.getMessage.contains("aggregate") ||
+        e.getMessage.contains("subquer"), s"$sql -> ${e.getMessage}")
+    }
+    refuses("""UPDATE graft_scal_r SET v = 1 +
+      (SELECT max(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)""")
+    refuses("""UPDATE graft_scal_r SET v =
+      (SELECT x FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)""")
+    refuses("""UPDATE graft_scal_r SET v =
+      (SELECT max(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k
+       GROUP BY s.x)""")
+    spark.sql("DROP TABLE graft_scal_r")
+  }
+
+  test("randomized model: scalar count/sum updates against a replay") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77019)
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_m")
+    spark.sql(s"""CREATE TABLE graft_scal_m (k BIGINT, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    var model = (0L until 25L).map(k => k -> 0L).toMap
+    TableFormat.append(model.toSeq.sorted.toDF("k", "v"),
+      s"$root/t", statsCols = Seq("k"))
+    (0 until 8).foreach { round =>
+      val side = (0 until rnd.nextInt(12))
+        .map(_ => (rnd.nextLong(30), rnd.nextLong(100)))
+      side.toDF("j", "x").createOrReplaceTempView("graft_scal_ms")
+      if (rnd.nextBoolean()) {
+        spark.sql("""UPDATE graft_scal_m SET v =
+          (SELECT count(*) FROM graft_scal_ms s
+           WHERE s.j = graft_scal_m.k)""")
+        model = model.map { case (k, _) =>
+          k -> side.count(_._1 == k).toLong }
+      } else {
+        // coalesce AROUND the subquery is a nested expression — the
+        // refusal is part of the contract; the table must be untouched
+        val e = intercept[Exception] {
+          spark.sql("""UPDATE graft_scal_m SET v = coalesce(
+            (SELECT sum(x) FROM graft_scal_ms s
+             WHERE s.j = graft_scal_m.k AND s.x % 2 = 0), v)""")
+        }
+        assert(e.getMessage.contains("aggregate") ||
+          e.getMessage.contains("subquer"), e.getMessage)
+      }
+      if (round % 2 == 0) {
+        val got = spark.sql("SELECT k, v FROM graft_scal_m").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === model, s"model divergence at round $round")
+      }
+    }
+    spark.sql("DROP TABLE graft_scal_m")
+  }
+}
