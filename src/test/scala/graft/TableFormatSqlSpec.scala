@@ -1595,6 +1595,32 @@ class TableFormatSqlSpec extends TestSpark {
             WHEN NOT MATCHED AND src.k % 11 >= $thr THEN
               INSERT (k, s, v) VALUES (src.k, concat('c', src.k), src.dv)""")
         }
+        if (round == 2) { // complement + scalar-subquery rounds (r19b)
+          if (rnd.nextBoolean()) {
+            // NOT IN purge: keep only the listed keys (k is never NULL
+            // here; AntiDmlSpec owns the three-valued-logic edges)
+            val keep = (0 until 1 + rnd.nextInt(6))
+              .map(_ => rnd.nextInt(80).toLong).distinct
+            model = model.filter { case (k, _) => keep.contains(k) }
+            runSql(s"""DELETE FROM graft_dml_model WHERE k NOT IN
+              (SELECT * FROM VALUES ${keep.map(k => s"(${k}L)")
+                .mkString(", ")} AS d(k))""")
+          } else {
+            // scalar-subquery enrich-update over a carve: count per key,
+            // empty groups read 0 (the decorrelation count-bug path)
+            val side = (0 until 1 + rnd.nextInt(8))
+              .map(_ => rnd.nextInt(80).toLong)
+            model = model.map {
+              case (k, (s0, _)) if k % 2 == 0 =>
+                k -> ((s0, side.count(_ == k).toLong))
+              case kept => kept
+            }
+            runSql(s"""UPDATE graft_dml_model SET v =
+              (SELECT count(*) FROM VALUES ${side.map(j => s"(${j}L)")
+                .mkString(", ")} AS d(j)
+               WHERE d.j = graft_dml_model.k) WHERE k % 2 = 0""")
+          }
+        }
         if (round == 4) { // BY-SOURCE full-sync round (r18)
           val keys = (0 until 3 + rnd.nextInt(5))
             .map(_ => rnd.nextInt(95).toLong).distinct
