@@ -306,6 +306,38 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** CONJUNCT-COMPOSED subquery conditions (r19b): the guarded purge
+    * {{{
+    *   DELETE FROM t WHERE k IN (SELECT …) AND status = '…' [AND …]
+    *   UPDATE t SET … WHERE EXISTS (SELECT … WHERE s.k = t.k) AND …
+    * }}}
+    * — EXACTLY ONE conjunct is a supported positive IN/EXISTS subquery
+    * (the whole-condition matchers applied to that conjunct), every
+    * other conjunct is subquery-free and becomes the STATIC RESIDUAL.
+    * Lands through [[TableFormat.deleteKeysWhere]]/[[TableFormat.updateKeysWhere]]
+    * — a keep-filtered copy-on-write, because the footprint is a
+    * ROW-SUBSET of the matched keys (duplicate-key rows where only one
+    * satisfies the residual) that the key-based fast paths cannot
+    * express — with COMPOSED pruning: key zone-map/bloom split ∧ the
+    * residual's bounds walk. NOT-shaped conjuncts and multiple
+    * subquery conjuncts keep refusing through [[unbind]].
+    */
+  private def composedKeys(cond: Expression, target: LogicalPlan)
+      : Option[(Seq[String], LogicalPlan, Expression)] = {
+    val cs = conjuncts(cond)
+    if (cs.size < 2) None
+    else {
+      val (subq, static) = cs.partition(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
+      if (subq.size != 1) None
+      else (keysSubquery(subq.head, target)
+        .orElse(existsSubquery(subq.head, target))).map { case (ks, p) =>
+        (ks, p, static.reduce(
+          org.apache.spark.sql.catalyst.expressions.And(_, _)))
+      }
+    }
+  }
+
   /** Correlated SCALAR-SUBQUERY assignment (r19b): the idiomatic
     * enrich-update
     * {{{
@@ -388,8 +420,13 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
                 case Some((keys, sub, keepNull)) =>
                   DeleteAntiKeysGraftTableCommand(root, opts, keys, sub,
                     keepNull, ident)
-                case None => DeleteFromGraftTableCommand(root, opts,
-                  unbind(d.condition), ident)
+                case None => composedKeys(d.condition, d.table) match {
+                  case Some((keys, sub, extra)) =>
+                    DeleteKeysWhereGraftTableCommand(root, opts, keys,
+                      sub, extra, ident)
+                  case None => DeleteFromGraftTableCommand(root, opts,
+                    unbind(d.condition), ident)
+                }
               }
             }
           case None => d
@@ -448,9 +485,16 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
                   case Some((keys, sub, keepNull)) =>
                     UpdateAntiKeysGraftTableCommand(root, opts, keys, sub,
                       keepNull, assigns, ident)
-                  case None => UpdateGraftTableCommand(root, opts,
-                    u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
-                    assigns, ident)
+                  case None =>
+                    u.condition.flatMap(composedKeys(_, u.table)) match {
+                      case Some((keys, sub, extra)) =>
+                        UpdateKeysWhereGraftTableCommand(root, opts, keys,
+                          sub, extra, assigns, ident)
+                      case None => UpdateGraftTableCommand(root, opts,
+                        u.condition.map(unbind)
+                          .getOrElse(Literal.TrueLiteral),
+                        assigns, ident)
+                    }
                 }
             }
           case None => u
@@ -1117,6 +1161,61 @@ private[graft] case class UpdateAntiKeysGraftTableCommand(root: String,
         statsCols = GraftDmlRule.statsColsOf(writeOpts),
         bloomCol = GraftDmlRule.bloomColOf(writeOpts))
     } finally raw.unpersist()
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE <key subquery> AND <static residual>` — the
+  * conjunct-composed purge (r19b), landed through
+  * [[TableFormat.deleteKeysWhere]]: exactly the rows whose key matches
+  * the materialized frame AND whose residual holds die; pruning
+  * composes the key split with the residual's bounds walk.
+  */
+private[graft] case class DeleteKeysWhereGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan,
+    extra: org.apache.spark.sql.catalyst.expressions.Expression,
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = GraftDmlRule.subqueryKeys(spark, root, keyCols, subquery)
+    TableFormat.deleteKeysWhere(spark, root, keys,
+      keyCols.map(kc => keys.schema.fields
+        .find(_.name.equalsIgnoreCase(kc)).get.name),
+      GraftDmlRule.rebind(extra),
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `UPDATE t SET … WHERE <key subquery> AND <static residual>` — the
+  * composed-UPDATE twin, landed through [[TableFormat.updateKeysWhere]].
+  */
+private[graft] case class UpdateKeysWhereGraftTableCommand(root: String,
+    writeOpts: Map[String, String], keyCols: Seq[String],
+    subquery: LogicalPlan,
+    extra: org.apache.spark.sql.catalyst.expressions.Expression,
+    assignments: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = Seq(subquery)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val keys = GraftDmlRule.subqueryKeys(spark, root, keyCols, subquery)
+    TableFormat.updateKeysWhere(spark, root, keys,
+      keyCols.map(kc => keys.schema.fields
+        .find(_.name.equalsIgnoreCase(kc)).get.name),
+      GraftDmlRule.rebind(extra),
+      assignments.map { case (n, v) => n -> GraftDmlRule.rebind(v) },
+      statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
     Seq.empty
   }

@@ -2000,6 +2000,128 @@ object TableFormat {
       op = "delete")
   }
 
+  /** Row-level DELETE by KEY SET **composed with static conjuncts** —
+    * the landed form of (r19b)
+    * {{{
+    *   DELETE FROM t WHERE k IN (SELECT …) AND status = '…' [AND …]
+    *   DELETE FROM t WHERE EXISTS (SELECT … WHERE s.k = t.k …) AND …
+    * }}}
+    * Deletes exactly the rows whose key matches a frame row AND whose
+    * static residual holds — a ROW-SUBSET the key-based verbs cannot
+    * express (two rows sharing a key where only one satisfies the
+    * residual must not both die), so the landing is a keep-filtered
+    * copy-on-write. Pruning COMPOSES: a dir carries verbatim when the
+    * key values provably miss it ([[touchedSplit]]) OR its bounds
+    * exclude the static residual (the read path's predicate-tree walk)
+    * — at 100 TB a guarded erasure rewrites only dirs both prunings
+    * keep. SQL nulls: a NULL key matches nothing, a NULL residual
+    * keeps the row.
+    */
+  def deleteKeysWhere(spark: SparkSession, root: String, keys: DataFrame,
+                      keyCols: Seq[String], extra: Column,
+                      statsCols: Seq[String] = Nil,
+                      bloomCol: Option[String] = None): Int = {
+    require(keyCols.nonEmpty, "deleteKeysWhere needs a key column")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to delete from at $root")
+    if (keys.isEmpty) return prev
+    val extraExpr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(extra)
+    require(!extraExpr.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      "the composed residual must be subquery-free")
+    val m = readManifestFull(root, prev)
+    val (tK, uK) =
+      if (keyCols.size == 1)
+        touchedSplit(spark, m.entries, keys, keyCols.head, colMapOf(m))
+      else touchedSplitMulti(spark, m.entries, keys, keyCols, colMapOf(m))
+    val (touched, uX) = tK.partition(e =>
+      ManifestFileIndex.keeps(e.bounds, extraExpr))
+    val untouched = uK ++ uX
+    if (touched.isEmpty) return prev
+    val df = readEntries(spark, touched, manifestSchema(m))
+    val HitCol = "__graft_cmp_hit"
+    require(!df.columns.contains(HitCol), s"$HitCol is reserved")
+    val marked = df.join(
+      keys.select(keyCols.map(col): _*).na.drop().distinct()
+        .withColumn(HitCol, lit(true)), keyCols, "left")
+    val kept = marked.filter(
+      !(coalesce(col(HitCol), lit(false)) && coalesce(extra, lit(false))))
+      .select(df.columns.toSeq.map(col): _*)
+    val dataDir = newDataDir(root)
+    writeData(kept, dataDir, bloomCol, colMapOf(m))
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched,
+      produced = Seq(mkEntry(spark, dataDir, (statsCols ++
+        touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct,
+        colMapOf(m))),
+      ourSchema = Some(kept.schema), conflictKeys = None,
+      op = "delete-where")
+  }
+
+  /** The UPDATE twin of [[deleteKeysWhere]] (r19b): rows whose key
+    * matches AND whose static residual holds take the assignments
+    * (simultaneous over the PRE-update row, cast to declared types);
+    * everything else — NULL keys and NULL residuals included — carries
+    * unchanged. Same composed pruning.
+    */
+  def updateKeysWhere(spark: SparkSession, root: String, keys: DataFrame,
+                      keyCols: Seq[String], extra: Column,
+                      set: Seq[(String, Column)],
+                      statsCols: Seq[String] = Nil,
+                      bloomCol: Option[String] = None): Int = {
+    require(set.nonEmpty, "updateKeysWhere needs at least one assignment")
+    require(keyCols.nonEmpty, "updateKeysWhere needs a key column")
+    val prev = latestVersion(root)
+    require(prev >= 0, s"nothing to update at $root")
+    if (keys.isEmpty) return prev
+    val extraExpr =
+      org.apache.spark.sql.graftbridge.ColumnBridge.expression(extra)
+    require(!extraExpr.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      "the composed residual must be subquery-free")
+    val m = readManifestFull(root, prev)
+    val (tK, uK) =
+      if (keyCols.size == 1)
+        touchedSplit(spark, m.entries, keys, keyCols.head, colMapOf(m))
+      else touchedSplitMulti(spark, m.entries, keys, keyCols, colMapOf(m))
+    val (touched, uX) = tK.partition(e =>
+      ManifestFileIndex.keeps(e.bounds, extraExpr))
+    val untouched = uK ++ uX
+    if (touched.isEmpty) return prev
+    val df = readEntries(spark, touched, manifestSchema(m))
+    val byName = set.toMap
+    require(set.size == byName.size, "duplicate assignment column")
+    val unknown = byName.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
+        s"does not have (${df.columns.mkString(", ")})")
+    val HitCol = "__graft_cmp_hit"
+    require(!df.columns.contains(HitCol), s"$HitCol is reserved")
+    val marked = df.join(
+      keys.select(keyCols.map(col): _*).na.drop().distinct()
+        .withColumn(HitCol, lit(true)), keyCols, "left")
+    val fire = coalesce(col(HitCol), lit(false)) &&
+      coalesce(extra, lit(false))
+    val out = marked.select(df.schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => when(fire, v.cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    enforceCheck(out, m.check, root)
+    val dataDir = newDataDir(root)
+    writeData(out, dataDir, bloomCol, colMapOf(m))
+    commitRewrite(spark, root, prev, readSet = touched,
+      baseUntouched = untouched,
+      produced = Seq(mkEntry(spark, dataDir, (statsCols ++
+        touched.flatMap(e => e.bounds.keys ++ e.nulls.keys)).distinct,
+        colMapOf(m))),
+      ourSchema = Some(out.schema), conflictKeys = None,
+      op = "update-where")
+  }
+
   /** Row-level DELETE of the COMPLEMENT of a key set — the landed form
     * of the NOT-shaped SQL purges (r19)
     * {{{
@@ -4163,6 +4285,54 @@ object TableFormat {
         |GROUP BY o_orderkey % 10 ORDER BY bucket""".stripMargin)
   }
 
+  /** Conjunct-composed subquery DML end-to-end (r19b —
+    * [[deleteKeysWhere]]/[[updateKeysWhere]]): a guarded erasure deletes
+    * BUILDING-segment customers' orders ONLY where the order is still
+    * open ('O' — the static residual), then a composed EXISTS update
+    * retags negative-balance customers' remaining 'F' orders. The
+    * oracle replays both row-level.
+    */
+  private val composedCache = TrieMap.empty[(SparkSession, String), String]
+
+  private def landedSqlComposedTable(s: SparkSession, dir: String)
+      : String =
+    composedCache.getOrElseUpdate((s, dir), {
+      val root = Files.createTempDirectory("graft_table_cmp")
+        .toString + "/t"
+      Sources.table(s, dir, "orders")
+        .createOrReplaceTempView("graft_cmp_orders_src")
+      Sources.table(s, dir, "customer")
+        .createOrReplaceTempView("graft_cmp_customer")
+      s.sql("DROP TABLE IF EXISTS graft_sql_cmp_orders")
+      val p = classOf[TableFormatSourceProvider].getName
+      s.sql(
+        s"""CREATE TABLE graft_sql_cmp_orders USING `$p`
+           |OPTIONS (path '$root', statsCols 'o_orderkey,o_custkey')
+           |AS SELECT o_orderkey, o_custkey, o_orderstatus
+           |FROM graft_cmp_orders_src""".stripMargin)
+      s.sql(
+        """DELETE FROM graft_sql_cmp_orders
+          |WHERE o_custkey IN (SELECT c_custkey FROM graft_cmp_customer
+          |  WHERE c_mktsegment = 'BUILDING')
+          |  AND o_orderstatus = 'O'""".stripMargin)
+      s.sql(
+        """UPDATE graft_sql_cmp_orders SET o_orderstatus = 'Y'
+          |WHERE EXISTS (SELECT 1 FROM graft_cmp_customer c
+          |  WHERE c.c_custkey = graft_sql_cmp_orders.o_custkey
+          |    AND c.c_acctbal < 0)
+          |  AND o_orderstatus = 'F'""".stripMargin)
+      root
+    })
+
+  private def qTableSqlComposed(s: SparkSession, dir: String)
+      : DataFrame = {
+    landedSqlComposedTable(s, dir)
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS n, sum(o_orderkey) AS sum_key
+        |FROM graft_sql_cmp_orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** The SQL twin of [[qTableMerge]]: the SAME %7-update / %97-insert
     * delta, landed through `MERGE INTO … WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT *` over the registered catalog table
@@ -4528,7 +4698,8 @@ object TableFormat {
       "q_table_sql_merge_multi" -> qTableSqlMergeMulti,
       "q_table_sql_rename" -> qTableSqlRename,
       "q_table_sql_anti" -> qTableSqlAnti,
-      "q_table_sql_scalar_upd" -> qTableSqlScalarUpd)
+      "q_table_sql_scalar_upd" -> qTableSqlScalarUpd,
+      "q_table_sql_composed" -> qTableSqlComposed)
 
   val oracleSql: Map[String, String] = Map(
     // evolved head = odd half without the late column (NULL backfill) ∪
@@ -4708,6 +4879,20 @@ object TableFormat {
         |SELECT o_orderstatus, count(*) AS n FROM merged
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // DELETE %19 then UPDATE %23 survivors to 'X', replayed in SQL
+    "q_table_sql_composed" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' AND EXISTS
+        |        (SELECT 1 FROM customer c
+        |         WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0)
+        |      THEN 'Y' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders o
+        |  WHERE NOT (o_orderstatus = 'O' AND o_custkey IN
+        |    (SELECT c_custkey FROM customer
+        |     WHERE c_mktsegment = 'BUILDING')))
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_table_sql_scalar_upd" ->
       """WITH cnt AS (SELECT l_orderkey, count(*) AS c FROM lineitem
         |  GROUP BY l_orderkey),

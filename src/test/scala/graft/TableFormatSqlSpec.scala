@@ -1595,6 +1595,16 @@ class TableFormatSqlSpec extends TestSpark {
             WHEN NOT MATCHED AND src.k % 11 >= $thr THEN
               INSERT (k, s, v) VALUES (src.k, concat('c', src.k), src.dv)""")
         }
+        if (round == 3) { // conjunct-composed subquery round (r19b)
+          val hit = (0 until 1 + rnd.nextInt(6))
+            .map(_ => rnd.nextInt(80).toLong).distinct
+          val m0 = 2 + rnd.nextInt(4); val r0 = rnd.nextInt(m0)
+          model = model.filterNot { case (k, (_, v)) =>
+            hit.contains(k) && v % m0 == r0 }
+          runSql(s"""DELETE FROM graft_dml_model
+            WHERE k IN (SELECT * FROM VALUES ${hit.map(k => s"(${k}L)")
+              .mkString(", ")} AS d(k)) AND v % $m0 = $r0""")
+        }
         if (round == 2) { // complement + scalar-subquery rounds (r19b)
           if (rnd.nextBoolean()) {
             // NOT IN purge: keep only the listed keys (k is never NULL
