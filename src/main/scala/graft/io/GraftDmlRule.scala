@@ -402,6 +402,60 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** SCALAR SUBQUERIES IN THE WHERE CLAUSE (r19b): the comparison
+    * purge/update
+    * {{{
+    *   DELETE FROM t WHERE v < (SELECT avg(x) FROM s WHERE s.k = t.k)
+    *   UPDATE t SET … WHERE v >= (SELECT max(x) FROM s WHERE s.j = t.g)
+    *                    AND status = '…'
+    * }}}
+    * — every `ScalarSubquery` in the condition must be the
+    * [[scalarAssign]]-supported ungrouped-aggregate shape; each is
+    * decorrelated and replaced by a placeholder attribute the command
+    * materializes from a per-key join at run time (empty groups take
+    * the aggregate's empty-group value, so `v < (SELECT avg …)` over a
+    * matchless row compares against NULL → UNKNOWN → the row carries,
+    * and a `count(*)` comparison sees 0 — SQL-exact). Returns
+    * (rewritten condition, scalar parts, subquery-free PRUNE conjuncts
+    * — a dir they exclude holds no affected row whatever the subquery
+    * values are). Mixing scalar subqueries with IN/EXISTS in one
+    * condition, or an unsupported scalar shape, refuses loudly here.
+    */
+  private def scalarCond(cond: Expression, target: LogicalPlan)
+      : Option[(Expression,
+        Seq[(String, Seq[String], LogicalPlan, LogicalPlan)],
+        Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.{ScalarSubquery, SubqueryExpression}
+    if (!cond.exists(_.isInstanceOf[ScalarSubquery])) return None
+    val buf = scala.collection.mutable.Buffer
+      .empty[(String, Seq[String], LogicalPlan, LogicalPlan)]
+    var bad: Option[String] = None
+    val rewritten = cond.transform {
+      case s: ScalarSubquery =>
+        scalarAssign(s, target) match {
+          case Some((ks, f, e)) =>
+            val nm = s"__graft_sq_c${buf.size}"
+            buf += ((nm, ks, f, e))
+            AttributeReference(nm, s.dataType, nullable = true)()
+          case None =>
+            bad = Some("an unsupported scalar-subquery shape"); s
+        }
+    }
+    if (rewritten.exists(_.isInstanceOf[SubqueryExpression]))
+      throw new IllegalArgumentException(
+        "graft-table DML supports scalar subqueries in WHERE only as " +
+          "`(SELECT <one ungrouped aggregate> FROM s [WHERE s.j = t.k " +
+          "AND …])` compared/combined with subquery-free expressions — " +
+          bad.getOrElse("it cannot mix with IN/EXISTS in one condition") +
+          "; stage the subquery into a frame and use " +
+          "deleteWhere/updateWhere")
+    val prune = conjuncts(cond)
+      .filterNot(_.exists(_.isInstanceOf[SubqueryExpression]))
+      .reduceOption(org.apache.spark.sql.catalyst.expressions.And(_, _))
+      .getOrElse(Literal.TrueLiteral)
+    Some((rewritten, buf.toSeq, prune))
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperators {
       case i: InsertIntoStatement if i.query.resolved =>
@@ -424,8 +478,13 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
                   case Some((keys, sub, extra)) =>
                     DeleteKeysWhereGraftTableCommand(root, opts, keys,
                       sub, extra, ident)
-                  case None => DeleteFromGraftTableCommand(root, opts,
-                    unbind(d.condition), ident)
+                  case None => scalarCond(d.condition, d.table) match {
+                    case Some((rw, subs, prune)) =>
+                      DeleteScalarCondGraftTableCommand(root, opts, rw,
+                        prune, subs, ident)
+                    case None => DeleteFromGraftTableCommand(root, opts,
+                      unbind(d.condition), ident)
+                  }
                 }
               }
             }
@@ -462,9 +521,18 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
               }
             }
             val plainAssigns = plainA.map(a => nameOf(a) -> unbind(a.value))
-            UpdateScalarGraftTableCommand(root, opts,
-              u.condition.map(unbind).getOrElse(Literal.TrueLiteral),
-              plainAssigns, scalar, ident)
+            // the condition may carry scalar subqueries of its own
+            val (condExpr, condSubs, prune) = u.condition match {
+              case None => (Literal.TrueLiteral,
+                Seq.empty[(String, Seq[String], LogicalPlan, LogicalPlan)],
+                None)
+              case Some(c) => scalarCond(c, u.table) match {
+                case Some((rw, subs, p)) => (rw, subs, Some(p))
+                case None => (unbind(c), Nil, None)
+              }
+            }
+            UpdateScalarGraftTableCommand(root, opts, condExpr, prune,
+              plainAssigns, scalar, condSubs, ident)
           case Some((root, opts, ident)) =>
             val assigns = u.assignments.map { a =>
               val name = a.key match {
@@ -490,10 +558,16 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
                       case Some((keys, sub, extra)) =>
                         UpdateKeysWhereGraftTableCommand(root, opts, keys,
                           sub, extra, assigns, ident)
-                      case None => UpdateGraftTableCommand(root, opts,
-                        u.condition.map(unbind)
-                          .getOrElse(Literal.TrueLiteral),
-                        assigns, ident)
+                      case None =>
+                        u.condition.flatMap(scalarCond(_, u.table)) match {
+                          case Some((rw, subs, p)) =>
+                            UpdateScalarGraftTableCommand(root, opts, rw,
+                              Some(p), assigns, Nil, subs, ident)
+                          case None => UpdateGraftTableCommand(root, opts,
+                            u.condition.map(unbind)
+                              .getOrElse(Literal.TrueLiteral),
+                            assigns, ident)
+                        }
                     }
                 }
             }
@@ -947,6 +1021,53 @@ private[graft] object GraftDmlRule {
     org.apache.spark.sql.graftbridge.ColumnBridge.ofRows(spark,
       new GraftDvMaskRule(spark).apply(plan))
 
+  /** Resolve decorrelated scalar parts once per statement: the per-key
+    * frame plus the aggregate's EMPTY-GROUP value evaluated over a
+    * provably-empty input (`count(*)` → 0, `max`/`sum` → NULL); the
+    * uncorrelated form resolves to its single-row literal instead.
+    */
+  def resolveScalars(spark: SparkSession,
+      parts: Seq[(String, Seq[String], LogicalPlan, LogicalPlan)])
+      : Seq[(String, Seq[String], Option[DataFrame], Any)] =
+    parts.map { case (n, ks, framePlan, emptyPlan) =>
+      if (ks.isEmpty) {
+        val row = planFrame(spark, framePlan).head()
+        (n, ks, None, if (row.isNullAt(0)) null else row.get(0))
+      } else {
+        val row = planFrame(spark, emptyPlan).head()
+        (n, ks, Some(planFrame(spark, framePlan)),
+          if (row.isNullAt(0)) null else row.get(0))
+      }
+    }
+
+  /** Left-join each resolved scalar's per-key frame (stable tagged
+    * column names — frames are keyed and deduplicated by construction,
+    * GROUP BY the correlation keys) and return the per-name value
+    * Column: the joined value on a hit, the empty-group value
+    * otherwise. NULL correlation keys match no group (SQL equality).
+    */
+  def joinScalars(df0: DataFrame,
+      resolved: Seq[(String, Seq[String], Option[DataFrame], Any)],
+      tag: String): (DataFrame, Seq[(String, org.apache.spark.sql.Column)]) = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    var cur = df0
+    val vals = resolved.zipWithIndex.map {
+      case ((n, _, None, value), _) => n.toLowerCase -> lit(value)
+      case ((n, ks, Some(f), dflt), i) =>
+        val hit = s"__graft_sq_${tag}_hit_$i"
+        val fr = f.toDF((ks.indices.map(j =>
+          s"__graft_sq_${tag}_k${i}_$j") :+
+          s"__graft_sq_${tag}_val_$i"): _*).withColumn(hit, lit(true))
+        val on = ks.zipWithIndex.map { case (k, j) =>
+          cur(k) === fr(s"__graft_sq_${tag}_k${i}_$j") }.reduce(_ && _)
+        cur = cur.join(fr, on, "left")
+        n.toLowerCase ->
+          when(col(hit) === true, col(s"__graft_sq_${tag}_val_$i"))
+            .otherwise(lit(dflt))
+    }
+    (cur, vals)
+  }
+
   /** Execute an uncorrelated DML subquery into the one-column key
     * frame the key-pruned verbs take — renamed and cast to the target
     * key column's declared type, so [[TableFormat.touchedSplit]]
@@ -1238,67 +1359,84 @@ private[graft] case class UpdateKeysWhereGraftTableCommand(root: String,
 private[graft] case class UpdateScalarGraftTableCommand(root: String,
     writeOpts: Map[String, String],
     condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    prune: Option[org.apache.spark.sql.catalyst.expressions.Expression],
     plain: Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
     scalar: Seq[(String, Seq[String], LogicalPlan, LogicalPlan)],
+    condScalars: Seq[(String, Seq[String], LogicalPlan, LogicalPlan)],
     catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
     extends LeafRunnableCommand {
 
-  override def innerChildren: Seq[LogicalPlan] = scalar.map(_._3)
+  override def innerChildren: Seq[LogicalPlan] =
+    (scalar ++ condScalars).map(_._3)
 
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{col, lit, when}
+    import org.apache.spark.sql.functions.{col, when}
     val names = (plain.map(_._1) ++ scalar.map(_._1)).map(_.toLowerCase)
     require(names.distinct.size == names.size, "duplicate assignment column")
+    val resolvedA = GraftDmlRule.resolveScalars(spark, scalar)
+    val resolvedC = GraftDmlRule.resolveScalars(spark, condScalars)
     val cond = GraftDmlRule.rebind(condition)
-    // each scalar assignment: (frame, empty-group default) — the frame
-    // is keyed and deduplicated by construction (GROUP BY the keys)
-    val resolved = scalar.map { case (n, ks, framePlan, emptyPlan) =>
-      if (ks.isEmpty) {
-        // uncorrelated ungrouped aggregate: exactly one row, once
-        val row = GraftDmlRule.planFrame(spark, framePlan).head()
-        (n, ks, None: Option[org.apache.spark.sql.DataFrame],
-          if (row.isNullAt(0)) null else row.get(0))
-      } else {
-        val row = GraftDmlRule.planFrame(spark, emptyPlan).head()
-        (n, ks, Some(GraftDmlRule.planFrame(spark, framePlan)),
-          if (row.isNullAt(0)) null else row.get(0))
-      }
-    }
-    TableFormat.updateTransform(spark, root, cond, { df =>
-      var cur = df
-      val scalarVals = resolved.zipWithIndex.map {
-        case ((n, _, None, value), _) =>
-          n.toLowerCase -> lit(value)
-        case ((n, ks, Some(f), dflt), i) =>
-          val hit = s"__graft_sq_hit_$i"
-          val fr = f.toDF((ks.indices.map(j => s"__graft_sq_k${i}_$j") :+
-            s"__graft_sq_val_$i"): _*).withColumn(hit, lit(true))
-          val on = ks.zipWithIndex.map { case (k, j) =>
-            cur(k) === fr(s"__graft_sq_k${i}_$j") }.reduce(_ && _)
-          cur = cur.join(fr, on, "left")
-          n.toLowerCase ->
-            when(col(hit) === true, col(s"__graft_sq_val_$i"))
-              .otherwise(lit(dflt))
-      }.toMap
+    TableFormat.updateTransform(spark, root,
+      GraftDmlRule.rebind(prune.getOrElse(condition)), { df =>
+      val (cur1, assignVals) =
+        GraftDmlRule.joinScalars(df, resolvedA, "a")
+      // condition scalars materialize as the PLACEHOLDER columns the
+      // rewritten condition references by name
+      val (cur2, condVals) =
+        GraftDmlRule.joinScalars(cur1, resolvedC, "c")
+      val cur = condVals.foldLeft(cur2) { case (d, (nm, v)) =>
+        d.withColumn(nm, v) }
+      val byScalar = assignVals.toMap
       val plainByName = plain.map { case (n, v) =>
         n.toLowerCase -> GraftDmlRule.rebind(v) }.toMap
-      val unknown = (plainByName.keySet ++ scalarVals.keySet) --
+      val unknown = (plainByName.keySet ++ byScalar.keySet) --
         df.columns.map(_.toLowerCase).toSet
       require(unknown.isEmpty,
         s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
           s"does not have (${df.columns.mkString(", ")})")
       cur.select(df.schema.fields.toSeq.map { f =>
-        scalarVals.get(f.name.toLowerCase) match {
+        byScalar.get(f.name.toLowerCase)
+          .orElse(plainByName.get(f.name.toLowerCase)) match {
           case Some(v) =>
             when(cond, v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-          case None => plainByName.get(f.name.toLowerCase) match {
-            case Some(v) =>
-              when(cond, v.cast(f.dataType)).otherwise(col(f.name))
-                .as(f.name)
-            case None => col(f.name)
-          }
+          case None => col(f.name)
         }
       }: _*)
+    }, statsCols = GraftDmlRule.statsColsOf(writeOpts),
+      bloomCol = GraftDmlRule.bloomColOf(writeOpts))
+    catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))
+    Seq.empty
+  }
+}
+
+/** `DELETE FROM t WHERE <expr over scalar subqueries> [AND …]` — the
+  * comparison purge (r19b): each decorrelated per-key aggregate joins
+  * in at run time, its placeholder column feeds the rewritten
+  * condition, and the keep-filter is SQL-exact (`NOT coalesce(cond,
+  * false)` — a matchless row comparing against NULL carries). Pruning
+  * from the subquery-free conjuncts via [[TableFormat.deleteTransform]].
+  */
+private[graft] case class DeleteScalarCondGraftTableCommand(root: String,
+    writeOpts: Map[String, String],
+    condition: org.apache.spark.sql.catalyst.expressions.Expression,
+    prune: org.apache.spark.sql.catalyst.expressions.Expression,
+    condScalars: Seq[(String, Seq[String], LogicalPlan, LogicalPlan)],
+    catalogIdent: Option[org.apache.spark.sql.catalyst.TableIdentifier])
+    extends LeafRunnableCommand {
+
+  override def innerChildren: Seq[LogicalPlan] = condScalars.map(_._3)
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val resolved = GraftDmlRule.resolveScalars(spark, condScalars)
+    val cond = GraftDmlRule.rebind(condition)
+    TableFormat.deleteTransform(spark, root,
+      GraftDmlRule.rebind(prune), { df =>
+      val (joined, condVals) = GraftDmlRule.joinScalars(df, resolved, "c")
+      val cur = condVals.foldLeft(joined) { case (d, (nm, v)) =>
+        d.withColumn(nm, v) }
+      cur.filter(not(coalesce(cond, lit(false))))
+        .select(df.columns.toSeq.map(col): _*)
     }, statsCols = GraftDmlRule.statsColsOf(writeOpts),
       bloomCol = GraftDmlRule.bloomColOf(writeOpts))
     catalogIdent.foreach(id => spark.catalog.refreshTable(id.quotedString))

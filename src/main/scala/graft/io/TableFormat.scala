@@ -1848,14 +1848,34 @@ object TableFormat {
       cond: Column, transform: DataFrame => DataFrame,
       statsCols: Seq[String] = Nil,
       bloomCol: Option[String] = None): Int =
+    rewriteTransform(spark, root, cond, transform, statsCols, bloomCol,
+      op = "update-where")
+
+  /** The DELETE twin of [[updateTransform]] (r19b): a keep-filtered
+    * rewrite whose filter the caller builds from per-key joins (the
+    * scalar-subquery WHERE shapes). Pruning from `cond` — the
+    * subquery-FREE conjuncts; a dir they exclude holds no deletable
+    * row whatever the subquery values are.
+    */
+  private[graft] def deleteTransform(spark: SparkSession, root: String,
+      cond: Column, transform: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil,
+      bloomCol: Option[String] = None): Int =
+    rewriteTransform(spark, root, cond, transform, statsCols, bloomCol,
+      op = "delete-where")
+
+  private def rewriteTransform(spark: SparkSession, root: String,
+      cond: Column, transform: DataFrame => DataFrame,
+      statsCols: Seq[String], bloomCol: Option[String],
+      op: String): Int =
     rewriteWhere(spark, root, cond, { df =>
       val out = transform(df)
       require(out.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
         df.schema.fields.map(f => (f.name, f.dataType)).toSeq,
-        "updateTransform must preserve the schema: " +
+        s"$op transform must preserve the schema: " +
           s"${df.schema.simpleString} -> ${out.schema.simpleString}")
       out
-    }, statsCols, bloomCol, op = "update-where")
+    }, statsCols, bloomCol, op = op)
 
   /** Row-level UPDATE by KEY SET — the verb `UPDATE t SET … WHERE k IN
     * (SELECT …)` lands on ([[graft.io.GraftDmlRule]] materializes the
@@ -4272,6 +4292,14 @@ object TableFormat {
           |SET o_totalprice = (SELECT count(*) FROM graft_scalupd_li l
           |  WHERE l.l_orderkey = graft_sql_scalupd_orders.o_orderkey)
           |WHERE o_orderkey % 3 = 0""".stripMargin)
+      // WHERE-scalar purge (r19b): orders with more than 5 lineitems
+      // die — a matchless order counts 0 and survives (the count-bug
+      // path under comparison)
+      s.sql(
+        """DELETE FROM graft_sql_scalupd_orders
+          |WHERE (SELECT count(*) FROM graft_scalupd_li l
+          |  WHERE l.l_orderkey = graft_sql_scalupd_orders.o_orderkey)
+          |  > 5""".stripMargin)
       root
     })
 
@@ -4900,7 +4928,8 @@ object TableFormat {
         |    CASE WHEN o_orderkey % 3 = 0
         |         THEN CAST(coalesce(c.c, 0) AS DOUBLE)
         |         ELSE o_totalprice END AS o_totalprice
-        |  FROM orders o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey)
+        |  FROM orders o LEFT JOIN cnt c ON c.l_orderkey = o.o_orderkey
+        |  WHERE coalesce(c.c, 0) <= 5)
         |SELECT o_orderkey % 10 AS bucket,
         |  round(sum(o_totalprice), 2) AS total,
         |  count(*) AS n

@@ -116,6 +116,57 @@ class ScalarUpdateSpec extends TestSpark {
     spark.sql("DROP TABLE graft_scal_r")
   }
 
+  test("scalar subqueries in WHERE: below-average delete, count-zero " +
+      "purge, static-conjunct composition, mixed-kind refusal") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_w")
+    spark.sql(s"""CREATE TABLE graft_scal_w (k BIGINT, g BIGINT, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    TableFormat.append(
+      Seq((1L, 1L, 10L), (2L, 1L, 30L), (3L, 2L, 5L), (4L, 9L, 1L))
+        .toDF("k", "g", "v"),
+      s"$root/t", statsCols = Seq("k"))
+    Seq((1L, 15L), (1L, 25L), (2L, 6L)).toDF("j", "x")
+      .createOrReplaceTempView("graft_scal_ws")
+    // below-average delete: g=1 avg=20 → k=1 (v=10) dies, k=2 (v=30)
+    // survives; g=2 avg=6 → k=3 (v=5) dies; g=9 has NO group → avg is
+    // NULL → UNKNOWN → k=4 carries (the SQL-exact matchless row)
+    spark.sql("""DELETE FROM graft_scal_w WHERE v <
+      (SELECT avg(x) FROM graft_scal_ws s WHERE s.j = graft_scal_w.g)""")
+    val ks = spark.sql("SELECT k FROM graft_scal_w").collect()
+      .map(_.getLong(0)).toSet
+    assert(ks === Set(2L, 4L),
+      s"below-average dies, matchless carries (NULL compare): $ks")
+    // count-zero purge ≡ NOT EXISTS: k=4's g=9 matches nothing → count
+    // 0 → dies; the count bug would read NULL and keep it
+    spark.sql("""DELETE FROM graft_scal_w WHERE
+      (SELECT count(*) FROM graft_scal_ws s
+       WHERE s.j = graft_scal_w.g) = 0""")
+    val ks2 = spark.sql("SELECT k FROM graft_scal_w").collect()
+      .map(_.getLong(0)).toSet
+    assert(ks2 === Set(2L), s"count(*)=0 purge needs the 0, not NULL: $ks2")
+    // UPDATE with a scalar cond AND a static conjunct
+    TableFormat.append(Seq((5L, 1L, 100L), (6L, 1L, 1L))
+      .toDF("k", "g", "v"), s"$root/t", statsCols = Seq("k"))
+    spark.sql("""UPDATE graft_scal_w SET v = -1 WHERE v >=
+      (SELECT max(x) FROM graft_scal_ws s WHERE s.j = graft_scal_w.g)
+      AND k >= 5""")
+    val got = spark.sql("SELECT k, v FROM graft_scal_w ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 30L), (5L, -1L), (6L, 1L)),
+      s"scalar cond ∧ static conjunct updates exactly the hits: $got")
+    // one condition mixing IN with a scalar subquery refuses loudly
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM graft_scal_w WHERE k IN
+        (SELECT j FROM graft_scal_ws) AND v <
+        (SELECT avg(x) FROM graft_scal_ws s WHERE s.j = graft_scal_w.g)""")
+    }
+    assert(e.getMessage.contains("subquer") ||
+      e.getMessage.contains("aggregate"), e.getMessage)
+    spark.sql("DROP TABLE graft_scal_w")
+  }
+
   test("randomized model: scalar count/sum updates against a replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(77019)
