@@ -1050,6 +1050,9 @@ private[graft] object GraftDmlRule {
       resolved: Seq[(String, Seq[String], Option[DataFrame], Any)],
       tag: String): (DataFrame, Seq[(String, org.apache.spark.sql.Column)]) = {
     import org.apache.spark.sql.functions.{col, lit, when}
+    require(!df0.columns.exists(
+      _.toLowerCase.startsWith(s"__graft_sq_${tag}_")),
+      s"__graft_sq_${tag}_* column names are reserved")
     var cur = df0
     val vals = resolved.zipWithIndex.map {
       case ((n, _, None, value), _) => n.toLowerCase -> lit(value)
