@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // cost-based join-reorder batch consumes them: CBO over format
     // tables with zero ANALYZE TABLE scans (graft.io.GraftManifestStats)
     ext.injectPreCBORule(_ => graft.io.GraftManifestStats)
+    // string-frequency summaries → join-side broadcast hints where NDV
+    // uniformity and the true skewed-value frequency land on different
+    // sides of the broadcast threshold (r20; graft.io.GraftFrequencyHints
+    // — sound bounds, decline-on-gap, user hints win)
+    ext.injectPreCBORule(_ => graft.io.GraftFrequencyHints)
     // INSERT INTO/OVERWRITE over a manifest-backed relation must become
     // a table COMMIT — without this rule Spark's post-hoc
     // DataSourceAnalysis would write raw parquet into the table root,

@@ -1,0 +1,136 @@
+package graft.io
+
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, BROADCAST, NO_BROADCAST_HASH}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.StringType
+
+/** Steer JOIN BROADCAST decisions off the manifest's STRING frequency
+  * summaries (r20 — the r19 VERDICT #4 consumer): Spark's own
+  * estimation has no string-domain distribution — a skewed equality
+  * (`lang = 'en'` at 95 % of the corpus) estimates rows/ndv under CBO
+  * and the UNFILTERED relation size without it, so the planner either
+  * broadcasts a side that is actually huge (executor OOM at 100 TB) or
+  * ships a full shuffle for a side that is actually tiny. This rule
+  * recognizes the one shape the summaries answer exactly — a string
+  * equality filter directly over a manifest-backed scan feeding a join
+  * — and sets the join-side hint ONLY when the summary's answer and
+  * Spark's own would land on different sides of the broadcast
+  * threshold, using the summary's SOUND bounds in the safe direction:
+  *
+  *   - BROADCAST when the UPPER count bound says the filtered side
+  *     fits under the threshold (extra conjuncts only shrink it
+  *     further) while Spark's estimate says it does not;
+  *   - NO_BROADCAST_HASH when the LOWER bound alone overflows the
+  *     threshold (sound only when the equality is the WHOLE filter)
+  *     while Spark's estimate would have broadcast — the
+  *     OOM-prevention direction.
+  *
+  * Declines on any gap: incomplete per-entry coverage, deletion-vector
+  * debt, a missing row account, an existing user hint (user beats
+  * derived), or a disabled auto-broadcast threshold. Estimates feed
+  * PLANNING only — no correctness path reads them.
+  */
+object GraftFrequencyHints extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.autoBroadcastJoinThreshold <= 0) return plan
+    plan.transform {
+      case j: Join =>
+        val lh = j.hint.leftHint.orElse(sideHint(j.left))
+        val rh = j.hint.rightHint.orElse(sideHint(j.right))
+        if (lh == j.hint.leftHint && rh == j.hint.rightHint) j
+        else j.copy(hint = JoinHint(lh, rh))
+    }
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** The side shape: [Project*] Filter(cond, [Project*] scan-of-manifest). */
+  private def sideHint(side: LogicalPlan): Option[HintInfo] = {
+    def stripToFilter(p: LogicalPlan): Option[Filter] = p match {
+      case p2: Project => stripToFilter(p2.child)
+      case f: Filter => Some(f)
+      case _ => None
+    }
+    def stripToManifest(p: LogicalPlan): Option[ManifestFileIndex] =
+      p match {
+        case p2: Project => stripToManifest(p2.child)
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location match {
+            case m: ManifestFileIndex => Some(m)
+            case _ => None
+          }
+          case _ => None
+        }
+        case _ => None
+      }
+    for {
+      f <- stripToFilter(side)
+      m <- stripToManifest(f.child)
+      hint <- hintFor(f, m)
+    } yield hint
+  }
+
+  private def hintFor(f: Filter, m: ManifestFileIndex)
+      : Option[HintInfo] = {
+    val cs = conjuncts(f.condition)
+    val eq = cs.collectFirst {
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+          if a.dataType == StringType && v != null => (a, v.toString)
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+          if a.dataType == StringType && v != null => (a, v.toString)
+    }
+    eq.flatMap { case (attr, value) =>
+      val entries = m.entries
+      val clean = entries.nonEmpty && entries.forall(_.dv.isEmpty)
+      val covered = clean && entries.forall(e =>
+        e.hist.get(attr.name).exists(FreqSketch.isFreq))
+      val rowsOpt = m.metadataRowCount
+      if (!covered || rowsOpt.isEmpty || rowsOpt.get <= 0) None
+      else {
+        val rows = rowsOpt.get
+        val width = math.max(1.0, m.sizeInBytes.toDouble / rows)
+        val (lo, hi) = FreqSketch.estimate(
+          entries.map(e => FreqSketch.decode(e.hist(attr.name))), value)
+        val thr = conf.autoBroadcastJoinThreshold
+        // what Spark itself would estimate for this side: rows/ndv
+        // uniformity under CBO (our ManifestStats feed), the unfiltered
+        // relation size without it
+        val sparkBytes =
+          if (conf.cboEnabled) {
+            val ndv =
+              if (entries.forall(_.ndv.contains(attr.name)))
+                math.max(1L, NdvSketch.estimate(entries
+                  .map(e => NdvSketch.fromHex(e.ndv(attr.name)))
+                  .reduce(NdvSketch.merge)))
+              else 1L
+            rows.toDouble / ndv * width
+          } else rows.toDouble * width
+        // conjuncts the equality already implies (itself, and its own
+        // IsNotNull — the analyzer's constraint inference adds one)
+        // reduce nothing; any OTHER conjunct could shrink the side
+        // below the lower bound, so the NO_BROADCAST direction
+        // declines on it
+        val onlyEq = cs.forall {
+          case EqualTo(a: AttributeReference, _: Literal) =>
+            a.semanticEquals(attr)
+          case EqualTo(_: Literal, a: AttributeReference) =>
+            a.semanticEquals(attr)
+          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+            a: AttributeReference) => a.semanticEquals(attr)
+          case _ => false
+        }
+        if (hi * width <= thr && sparkBytes > thr)
+          Some(HintInfo(strategy = Some(BROADCAST)))
+        else if (onlyEq && lo * width > thr && sparkBytes <= thr)
+          Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+        else None
+      }
+    }
+  }
+}

@@ -43,6 +43,7 @@ final class GraftSqlParser(delegate: ParserInterface)
       GraftSqlParser.tagInsertStars(p)
       GraftSqlParser.wrapAddColumns(p)
         .orElse(GraftSqlParser.wrapRenameDrop(p))
+        .orElse(GraftSqlParser.wrapAlterColumnType(p))
         .getOrElse(p)
     }
 
@@ -260,6 +261,39 @@ private[graft] object GraftSqlParser {
     * Nested fields and multi-column drops stay on the untouched
     * standard plan (and its refusals).
     */
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` (r20) — Spark refuses
+    * it outright for v1 session-catalog providers, so the parser wraps
+    * the simple shape (one top-level column, a TYPE change and nothing
+    * else — no nullability/comment/position/default edits riding
+    * along) into a command that dispatches at run time: a graft table
+    * lands a METADATA-ONLY widening commit
+    * ([[TableFormat.alterColumnType]] — zero data I/O, readers promote
+    * old files' narrower physical type at scan time) plus the catalog
+    * realign; any other provider refuses with Spark's own wording.
+    */
+  private[graft] def wrapAlterColumnType(p: LogicalPlan)
+      : Option[LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
+    import org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+    p match {
+      case a: AlterColumns => a.specs match {
+        case Seq(spec) => spec.column match {
+          case UnresolvedFieldName(Seq(colName))
+              if spec.newDataType.isDefined &&
+                spec.newNullability.isEmpty && spec.newComment.isEmpty &&
+                spec.newPosition.isEmpty &&
+                spec.newDefaultExpression.isEmpty && !spec.dropDefault =>
+            sessionIdent(a.table).map(id =>
+              GraftAlterColumnTypeCommand(id, colName,
+                spec.newDataType.get))
+          case _ => None
+        }
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private[graft] def wrapRenameDrop(p: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
     import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, RenameColumn}
@@ -348,8 +382,8 @@ private[graft] trait GraftColumnMappingCommand {
     val graftProviders = Set(
       classOf[TableFormatSourceProvider].getName, "graft-table")
     require(ct.provider.exists(graftProviders),
-      s"ALTER TABLE … RENAME/DROP COLUMN is only supported on graft " +
-        s"tables or v2 tables; $ident uses provider " +
+      s"ALTER TABLE … RENAME/DROP/ALTER COLUMN is only supported on " +
+        s"graft tables or v2 tables; $ident uses provider " +
         s"${ct.provider.getOrElse("<none>")}")
     val raw = ct.storage.properties.get("path")
       .orElse(ct.storage.properties.get("Path"))
@@ -439,6 +473,40 @@ private[graft] case class GraftDropColumnCommand(ident: TableIdentifier,
       schema = StructType(ct.schema.fields.filterNot(_.name == f.name))))
     remapWriteOpts(spark,
       spark.sessionState.catalog.getTableMetadata(ident), f.name, "")
+    spark.catalog.refreshTable(ident.quotedString)
+    Seq.empty
+  }
+}
+
+/** The landed half of ALTER TABLE … ALTER COLUMN TYPE over a graft
+  * table (r20): one metadata-only widening commit, then the catalog
+  * realign. A declared-but-empty table (no manifest yet) retypes
+  * through the catalog alone — there are no files whose physical type
+  * could disagree. Non-graft providers refuse with Spark's own v1
+  * wording (there is no v1 command to delegate to); non-widening
+  * changes refuse inside [[TableFormat.alterColumnType]] with the
+  * graft-owned message.
+  */
+private[graft] case class GraftAlterColumnTypeCommand(
+    ident: TableIdentifier, name: String, newType: DataType)
+    extends LeafRunnableCommand with GraftColumnMappingCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (ct, root) = resolveGraft(spark)
+    val f = ct.dataSchema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(throw new IllegalArgumentException(
+        s"ALTER COLUMN TYPE: no column '$name' in $ident"))
+    if (TableFormat.latestVersion(root) >= 0)
+      TableFormat.alterColumnType(spark, root, f.name, newType)
+    else require(TableFormat.metadataWiden(f.dataType, newType),
+      s"ALTER COLUMN TYPE on a graft table must WIDEN: '${f.name}' is " +
+        s"${f.dataType.simpleString} and ${newType.simpleString} is " +
+        "not a metadata-only widening")
+    // full alterTable — alterTableDataSchema validates for add-only
+    // evolution and refuses a retyped field
+    spark.sessionState.catalog.alterTable(ct.copy(
+      schema = StructType(ct.schema.fields.map(x =>
+        if (x.name == f.name) x.copy(dataType = newType) else x))))
     spark.catalog.refreshTable(ident.quotedString)
     Seq.empty
   }

@@ -113,9 +113,14 @@ object GraftManifestStats extends Rule[LogicalPlan] {
       // counts when every live entry carries one for the column — the
       // skewed-predicate selectivity lever min/max uniformity lacks.
       // Rides only on a stat ndv/bounds already justify, like nullCount.
+      // the hist slot carries NUMERIC log-bin histograms and (r20)
+      // STRING frequency summaries; only the numeric encoding converts
+      // to Spark's equi-height form — the string summaries feed
+      // [[GraftFrequencyHints]], which Spark's Histogram cannot carry
       val histogram =
         if (m.entries.nonEmpty && clean &&
-            m.entries.forall(_.hist.contains(a.name)))
+            m.entries.forall(_.hist.get(a.name)
+              .exists(h => !FreqSketch.isFreq(h))))
           QuantileHist.toEquiHeight(
             m.entries.map(e => QuantileHist.decode(e.hist(a.name)))
               .reduce(QuantileHist.merge),

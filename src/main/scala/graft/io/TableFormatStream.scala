@@ -175,8 +175,10 @@ final class TableFormatSourceProvider
         TableFormat.replace(sqlContext.sparkSession, root, data,
           statsCols = statsCols, bloomCol = bloomCol, check = check)
       case _ => // Append, or first write under any mode
+        // declared statsCols auto-collect NDV/histogram/frequency
+        // stats on every provider landing (r20), CTAS included
         TableFormat.append(data, root, statsCols = statsCols,
-          bloomCol = bloomCol, check = check)
+          bloomCol = bloomCol, check = check, autoStats = true)
     }
     createRelation(sqlContext, parameters)
   }

@@ -15,9 +15,14 @@ import java.nio.file.Files
   *     NOT IN value list no-ops the whole statement WITHOUT minting a
   *     version, and an EMPTY value set is TRUE for every row — NULL
   *     keys included;
-  *   - loud refusals: tuple NOT IN (three-valued tuple semantics no
-  *     anti-join expresses) and correlated NOT IN, each naming
-  *     NOT EXISTS as the unambiguous spelling;
+  *   - r20: CORRELATED single-column NOT IN with its per-matched-group
+  *     three-valued gate (empty group TRUE — NULL keys included; inner
+  *     NULL in the group keeps; anti otherwise), and the cast-starved
+  *     empty frame (a non-empty raw list whose values all fail the
+  *     round-trip cast keeps NULL-keyed rows — r19 ADVICE);
+  *   - loud refusal: tuple NOT IN (three-valued tuple semantics no
+  *     anti-join expresses), naming NOT EXISTS as the unambiguous
+  *     spelling;
   *   - a randomized model over all four verbs interleaved.
   */
 class AntiDmlSpec extends TestSpark {
@@ -184,7 +189,37 @@ class AntiDmlSpec extends TestSpark {
     spark.sql("DROP TABLE graft_anti_u")
   }
 
-  test("refusals: tuple NOT IN and correlated NOT IN name NOT EXISTS") {
+  test("cast-starved NOT IN list (r19 ADVICE): a non-empty raw list " +
+      "whose values all fail the round-trip cast deletes non-NULL keys " +
+      "but keeps NULL-keyed rows (UNKNOWN)") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_anti_f")
+    spark.sql(s"""CREATE TABLE graft_anti_f (k BIGINT, v STRING)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    TableFormat.append(
+      Seq((Option(1L), "a"), (Option(2L), "b"), (None: Option[Long], "n"))
+        .toDF("k", "v"), s"$root/t", statsCols = Seq("k"))
+    // all-fractional DOUBLE list vs a BIGINT key: every value drops in
+    // the round-trip cast, but the RAW list is non-empty — SQL says
+    // 1 <> 1.5 AND 1 <> 2.5 → TRUE (delete), NULL key → UNKNOWN (keep)
+    Seq(1.5, 2.5).toDF("d").createOrReplaceTempView("graft_anti_frac")
+    spark.sql("""UPDATE graft_anti_f SET v = 'hit'
+      WHERE k NOT IN (SELECT d FROM graft_anti_frac)""")
+    val up = spark.sql("SELECT coalesce(k, -1), v FROM graft_anti_f")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(up === Map(1L -> "hit", 2L -> "hit", -1L -> "n"),
+      s"cast-starved NOT IN update keeps the NULL-keyed row: $up")
+    spark.sql("""DELETE FROM graft_anti_f
+      WHERE k NOT IN (SELECT d FROM graft_anti_frac)""")
+    val got = spark.sql("SELECT coalesce(k, -1), v FROM graft_anti_f")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((-1L, "n")),
+      s"cast-starved NOT IN delete keeps ONLY the NULL-keyed row: $got")
+    spark.sql("DROP TABLE graft_anti_f")
+  }
+
+  test("refusal: tuple NOT IN names NOT EXISTS") {
     import spark.implicits._
     val root = freshRoot()
     spark.sql("DROP TABLE IF EXISTS graft_anti_r")
@@ -198,13 +233,99 @@ class AntiDmlSpec extends TestSpark {
     }
     assert(e1.getMessage.contains("NOT EXISTS"),
       s"tuple NOT IN must refuse naming the escape: ${e1.getMessage}")
-    val e2 = intercept[Exception] {
-      spark.sql("""DELETE FROM graft_anti_r WHERE k NOT IN
-        (SELECT a FROM graft_anti_rs s WHERE s.b = graft_anti_r.g)""")
-    }
-    assert(e2.getMessage.contains("NOT EXISTS"),
-      s"correlated NOT IN must refuse naming the escape: ${e2.getMessage}")
     spark.sql("DROP TABLE graft_anti_r")
+  }
+
+  test("correlated NOT IN (r20): per-group three-valued gate — empty " +
+      "group TRUE (NULL keys included), inner NULL in the group keeps, " +
+      "ordinary anti otherwise") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_anti_c")
+    spark.sql(s"""CREATE TABLE graft_anti_c (k BIGINT, g BIGINT, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    // groups by g: g=1 has values {1, 2}; g=2 has values {7, NULL};
+    // g=9 has NO inner rows; one inner row with a NULL group key must
+    // belong to no group
+    TableFormat.append(Seq(
+      (Option(1L), 1L, 0L),   // k ∈ group(1)={1,2} → FALSE → keeps
+      (Option(5L), 1L, 0L),   // k ∉ group(1), no inner NULL → TRUE
+      (Option(7L), 2L, 0L),   // k ∈ group(2) → FALSE → keeps
+      (Option(8L), 2L, 0L),   // group(2) has inner NULL → UNKNOWN → keeps
+      (None: Option[Long], 1L, 0L), // NULL k, non-empty null-free group → UNKNOWN
+      (Option(3L), 9L, 0L),   // empty group → NOT IN (∅) → TRUE
+      (None: Option[Long], 9L, 0L)) // empty group → TRUE even for NULL k
+      .toDF("k", "g", "v"), s"$root/t", statsCols = Seq("k"))
+    Seq((Option(1L), Option(1L)), (Option(2L), Option(1L)),
+      (Option(7L), Option(2L)), (None: Option[Long], Option(2L)),
+      (Option(99L), None: Option[Long])) // NULL group key: no group
+      .toDF("a", "b").createOrReplaceTempView("graft_anti_cs")
+    // UPDATE first (non-destructive evidence for every row)
+    spark.sql("""UPDATE graft_anti_c SET v = 1 WHERE k NOT IN
+      (SELECT a FROM graft_anti_cs s WHERE s.b = graft_anti_c.g)""")
+    val got = spark.sql(
+      "SELECT coalesce(k, -1), g, v FROM graft_anti_c").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got === Map((1L, 1L) -> 0L, (5L, 1L) -> 1L, (7L, 2L) -> 0L,
+      (8L, 2L) -> 0L, (-1L, 1L) -> 0L, (3L, 9L) -> 1L, (-1L, 9L) -> 1L),
+      s"correlated NOT IN 3VL per group: $got")
+    // DELETE: the same gate decides survival
+    spark.sql("""DELETE FROM graft_anti_c WHERE k NOT IN
+      (SELECT a FROM graft_anti_cs s WHERE s.b = graft_anti_c.g)""")
+    val left = spark.sql(
+      "SELECT coalesce(k, -1), g FROM graft_anti_c").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(left === Set((1L, 1L), (7L, 2L), (8L, 2L), (-1L, 1L)),
+      s"correlated NOT IN delete survivors: $left")
+    spark.sql("DROP TABLE graft_anti_c")
+  }
+
+  test("correlated NOT IN with residual conjuncts matches DuckDB-style " +
+      "replay over randomized data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42120)
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_anti_cm")
+    spark.sql(s"""CREATE TABLE graft_anti_cm (k BIGINT, g BIGINT, v BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    var model = (0 until 50).map { i =>
+      i -> (if (i % 13 == 0) (None: Option[Long]) else Some(i % 11L),
+        (i % 6).toLong, 0L)
+    }.toMap
+    TableFormat.append(model.toSeq.sortBy(_._1)
+      .map { case (_, (k, g, v)) => (k, g, v) }.toDF("k", "g", "v"),
+      s"$root/t", statsCols = Seq("k"))
+    (0 until 6).foreach { round =>
+      // side rows (a: value possibly NULL, b: group, c: residual flag)
+      val side = (0 until rnd.nextInt(15)).map { _ =>
+        (if (rnd.nextInt(8) == 0) (None: Option[Long])
+         else Some(rnd.nextLong(12)),
+          rnd.nextLong(7), rnd.nextInt(2).toLong)
+      }
+      side.toDF("a", "b", "c").createOrReplaceTempView("graft_anti_cms")
+      // the statement's matched group for a row: side rows with b = g
+      // AND the residual c = 1
+      def affected(k: Option[Long], g: Long): Boolean = {
+        val grp = side.filter(s => s._2 == g && s._3 == 1L).map(_._1)
+        if (grp.isEmpty) true
+        else if (grp.contains(None)) false
+        else k.exists(kk => !grp.contains(Some(kk)))
+      }
+      spark.sql(s"""UPDATE graft_anti_cm SET v = $round
+        WHERE k NOT IN (SELECT a FROM graft_anti_cms s
+          WHERE s.b = graft_anti_cm.g AND s.c = 1)""")
+      model = model.map { case (id, (k, g, v)) =>
+        id -> (k, g, if (affected(k, g)) round.toLong else v) }
+      val got = spark.sql("SELECT k, g, v FROM graft_anti_cm").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val want = model.values.map { case (k, g, v) => (k, g, v) }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(got === want, s"correlated NOT IN model divergence at " +
+        s"round $round: got $got want $want")
+    }
+    spark.sql("DROP TABLE graft_anti_cm")
   }
 
   test("randomized model: NOT EXISTS / NOT IN deletes and updates " +

@@ -219,6 +219,38 @@ class ColumnMappingSpec extends TestSpark {
     spark.sql("DROP TABLE graft_ren")
   }
 
+  test("CDC serves every window under the HEAD spellings (r20): a " +
+      "standing consumer across a rename sees one stable schema") {
+    import spark.implicits._
+    val root = freshRoot()
+    // v0, v1: two appends under the BIRTH name `k`
+    TableFormat.append((0L until 10L).map(i => (i, s"a$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"))
+    TableFormat.append((10L until 20L).map(i => (i, s"b$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"))
+    // v2: the rename; v3: a post-rename delete
+    val vRen = TableFormat.renameColumn(spark, root, "k", "id")
+    TableFormat.deleteKeys(spark, root, Seq(3L).toDF("id"), "id",
+      statsCols = Seq("id"))
+    // a PRE-rename window must STILL serve the head spelling `id` —
+    // the translation chains through the birth-stable physical name
+    val w0 = TableFormat.readChanges(spark, root, 0, 1, "id")
+    assert(w0.columns.toSeq === Seq("id", "s", "change_type"),
+      s"pre-rename window must serve head names: ${w0.columns.toSeq}")
+    assert(w0.select(sum("id")).collect()(0).getLong(0) ===
+      (10L until 20L).sum)
+    // the window crossing the rename and the post-rename window agree
+    val w1 = TableFormat.readChanges(spark, root, 1, vRen + 1, "id")
+    assert(w1.columns.toSeq === Seq("id", "s", "change_type"))
+    assert(w1.filter(col("change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // a standing consumer can UNION successive windows by name with no
+    // mid-stream spelling flip
+    val all = w0.unionByName(w1)
+    assert(all.filter(col("change_type") === "insert").count() === 10)
+    spark.sql("DROP TABLE IF EXISTS graft_cdc_ren_probe")
+  }
+
   test("non-graft v1 tables refuse RENAME COLUMN with a loud provider error") {
     spark.sql("DROP TABLE IF EXISTS plain_pq")
     val dir = Files.createTempDirectory("graft_plainpq").toString

@@ -89,9 +89,13 @@ class HistogramStatsSpec extends TestSpark {
     TableFormat.analyze(spark, root, Seq("k", "s"))
     val v = TableFormat.latestVersion(root)
     val e = graft.io.TableFormat.readManifestFull(root, v).entries.head
-    assert(e.hist.contains("k"), "analyze must land the histogram")
-    assert(!e.hist.contains("s"),
-      "string columns stay gaps (unsupported domain)")
+    assert(e.hist.contains("k") &&
+      !graft.io.FreqSketch.isFreq(e.hist("k")),
+      "analyze must land the numeric histogram")
+    assert(e.hist.contains("s") &&
+      graft.io.FreqSketch.isFreq(e.hist("s")),
+      "string columns carry a frequency summary (r20), not a numeric " +
+        "histogram")
     assert(QuantileHist.decode(e.hist("k")).values.sum === 500L)
     TableFormat.renameColumn(spark, root, "k", "id")
     val e2 = graft.io.TableFormat.readManifestFull(root,

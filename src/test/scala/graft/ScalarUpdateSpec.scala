@@ -14,7 +14,10 @@ import java.nio.file.Files
   *   - NULL correlation keys match no group and take the empty value;
   *   - uncorrelated ungrouped aggregates land as one-row literals;
   *   - WHERE carves: non-matching rows carry unchanged;
-  *   - loud refusals for nested/non-aggregate/grouped shapes.
+  *   - r20: expressions AROUND the subquery (arithmetic/coalesce/a
+  *     user-written lossy cast — preserved, never peeled) and GROUP BY
+  *     pinned by the correlation (empty group → NULL, even count(*));
+  *   - loud refusals for non-aggregate and unpinned-GROUP-BY shapes.
   */
 class ScalarUpdateSpec extends TestSpark {
 
@@ -93,27 +96,82 @@ class ScalarUpdateSpec extends TestSpark {
     spark.sql("DROP TABLE graft_scal_u")
   }
 
-  test("refusals: nested expression, non-aggregate, grouped aggregate") {
+  test("nested expressions around the subquery (r20): arithmetic, " +
+      "user-written lossy cast, coalesce; refusals for non-aggregate " +
+      "and non-correlated GROUP BY") {
     import spark.implicits._
     val root = freshRoot()
     spark.sql("DROP TABLE IF EXISTS graft_scal_r")
-    spark.sql(s"""CREATE TABLE graft_scal_r (k BIGINT, v BIGINT)
+    spark.sql(s"""CREATE TABLE graft_scal_r (k BIGINT, v BIGINT, d DOUBLE)
       USING `$Provider` OPTIONS (path '$root/t')""")
-    spark.sql("INSERT INTO graft_scal_r VALUES (1, 0), (2, 0)")
-    Seq((1L, 5L)).toDF("j", "x").createOrReplaceTempView("graft_scal_rs")
+    spark.sql("INSERT INTO graft_scal_r VALUES (1, 0, 0.0), (2, 0, 0.0)")
+    Seq((1L, 5L), (1L, 6L)).toDF("j", "x")
+      .createOrReplaceTempView("graft_scal_rs")
+    // arithmetic around the subquery evaluates over the joined value:
+    // k=1 → 1 + max(5,6) = 7; k=2 → 1 + NULL = NULL
+    spark.sql("""UPDATE graft_scal_r SET v = 1 +
+      (SELECT max(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)""")
+    val vs = spark.sql("SELECT k, v FROM graft_scal_r ORDER BY k")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    assert(vs === Seq((1L, Some(7L)), (2L, None)),
+      s"1 + (SELECT max…): joined value + NULL propagation: $vs")
+    // a USER-WRITTEN lossy cast must truncate exactly as written (the
+    // r19 ADVICE medium: an unconditional cast-peel silently assigned
+    // the unrounded aggregate): avg(5,6) = 5.5 → CAST AS INT → 5
+    spark.sql("""UPDATE graft_scal_r SET d = CAST(
+      (SELECT avg(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)
+      AS INT) WHERE k = 1""")
+    val d1 = spark.sql("SELECT d FROM graft_scal_r WHERE k = 1")
+      .head().getDouble(0)
+    assert(d1 === 5.0, s"CAST((SELECT avg…) AS INT) truncates: $d1")
+    // coalesce around the subquery reads the PRE-update row's column
+    spark.sql("UPDATE graft_scal_r SET v = 42 WHERE v IS NULL")
+    spark.sql("""UPDATE graft_scal_r SET v = coalesce(
+      (SELECT sum(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k),
+      v + 100)""")
+    val v2 = spark.sql("SELECT k, v FROM graft_scal_r ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v2 === Seq((1L, 11L), (2L, 142L)),
+      s"coalesce((SELECT…), v+100): hit sums, miss falls back: $v2")
     def refuses(sql: String): Unit = {
       val e = intercept[Exception] { spark.sql(sql) }
       assert(e.getMessage.contains("aggregate") ||
         e.getMessage.contains("subquer"), s"$sql -> ${e.getMessage}")
     }
-    refuses("""UPDATE graft_scal_r SET v = 1 +
-      (SELECT max(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)""")
     refuses("""UPDATE graft_scal_r SET v =
       (SELECT x FROM graft_scal_rs s WHERE s.j = graft_scal_r.k)""")
     refuses("""UPDATE graft_scal_r SET v =
       (SELECT max(x) FROM graft_scal_rs s WHERE s.j = graft_scal_r.k
        GROUP BY s.x)""")
     spark.sql("DROP TABLE graft_scal_r")
+  }
+
+  test("grouped correlated aggregate (r20): GROUP BY pinned by the " +
+      "correlation; empty group is NULL even for count(*)") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_g")
+    spark.sql(s"""CREATE TABLE graft_scal_g (k BIGINT, c BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t')""")
+    spark.sql("INSERT INTO graft_scal_g VALUES (1, -1), (2, -1), (3, -1)")
+    Seq((1L, 5L), (1L, 6L), (2L, 9L)).toDF("j", "x")
+      .createOrReplaceTempView("graft_scal_gs")
+    // GROUP BY s.j is pinned by s.j = t.k → provably one row per
+    // outer row; the matchless k=3 sees ZERO subquery rows, so the
+    // scalar is NULL — even for count(*), unlike the ungrouped shape
+    // whose empty-group count is 0
+    spark.sql("""UPDATE graft_scal_g SET c =
+      (SELECT count(*) FROM graft_scal_gs s
+       WHERE s.j = graft_scal_g.k GROUP BY s.j)""")
+    val cs = spark.sql("SELECT k, c FROM graft_scal_g ORDER BY k")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSeq
+    assert(cs === Seq((1L, Some(2L)), (2L, Some(1L)), (3L, None)),
+      s"grouped count: per-group counts, NULL (not 0) on no group: $cs")
+    spark.sql("DROP TABLE graft_scal_g")
   }
 
   test("scalar subqueries in WHERE: below-average delete, count-zero " +
@@ -167,6 +225,26 @@ class ScalarUpdateSpec extends TestSpark {
     spark.sql("DROP TABLE graft_scal_w")
   }
 
+  test("a table column shadowing a placeholder name refuses loudly " +
+      "(r19 ADVICE: reserved __graft_sq_* namespace)") {
+    import spark.implicits._
+    val root = freshRoot()
+    spark.sql("DROP TABLE IF EXISTS graft_scal_p")
+    spark.sql(s"""CREATE TABLE graft_scal_p
+      (k BIGINT, v BIGINT, `__graft_sq_c_ph0` BIGINT)
+      USING `$Provider` OPTIONS (path '$root/t')""")
+    spark.sql("INSERT INTO graft_scal_p VALUES (1, 0, 0)")
+    Seq((1L, 5L)).toDF("j", "x").createOrReplaceTempView("graft_scal_ps")
+    val e = intercept[Exception] {
+      spark.sql("""DELETE FROM graft_scal_p WHERE v <
+        (SELECT avg(x) FROM graft_scal_ps s WHERE s.j = graft_scal_p.k)""")
+    }
+    assert(e.getMessage.contains("reserved"),
+      s"placeholder collision must refuse, not silently replace: " +
+        e.getMessage)
+    spark.sql("DROP TABLE graft_scal_p")
+  }
+
   test("randomized model: scalar count/sum updates against a replay") {
     import spark.implicits._
     val rnd = new scala.util.Random(77019)
@@ -188,15 +266,16 @@ class ScalarUpdateSpec extends TestSpark {
         model = model.map { case (k, _) =>
           k -> side.count(_._1 == k).toLong }
       } else {
-        // coalesce AROUND the subquery is a nested expression — the
-        // refusal is part of the contract; the table must be untouched
-        val e = intercept[Exception] {
-          spark.sql("""UPDATE graft_scal_m SET v = coalesce(
-            (SELECT sum(x) FROM graft_scal_ms s
-             WHERE s.j = graft_scal_m.k AND s.x % 2 = 0), v)""")
+        // coalesce AROUND the subquery (r20): a matched key with no
+        // even x has an empty sum-group → NULL → falls back to v
+        spark.sql("""UPDATE graft_scal_m SET v = coalesce(
+          (SELECT sum(x) FROM graft_scal_ms s
+           WHERE s.j = graft_scal_m.k AND s.x % 2 = 0), v)""")
+        model = model.map { case (k, v) =>
+          val evens = side.filter(t => t._1 == k && t._2 % 2 == 0)
+            .map(_._2)
+          k -> (if (evens.isEmpty) v else evens.sum)
         }
-        assert(e.getMessage.contains("aggregate") ||
-          e.getMessage.contains("subquer"), e.getMessage)
       }
       if (round % 2 == 0) {
         val got = spark.sql("SELECT k, v FROM graft_scal_m").collect()

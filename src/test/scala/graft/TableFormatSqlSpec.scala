@@ -216,6 +216,51 @@ class TableFormatSqlSpec extends TestSpark {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dvsel")
   }
 
+  test("MERGE scalar-subquery clause conditions and partial INSERT " +
+      "column lists (r20): threshold evaluated once, omitted columns " +
+      "land NULL, correlated scalars refuse") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sql_mrgscal").toString
+    spark.sql("DROP TABLE IF EXISTS graft_mrgscal_t")
+    spark.sql(s"""CREATE TABLE graft_mrgscal_t (k BIGINT, v BIGINT, p DOUBLE)
+      USING `$Provider` OPTIONS (path '$root/t', statsCols 'k')""")
+    spark.sql("""INSERT INTO graft_mrgscal_t
+      SELECT id, id * 10, CAST(id AS DOUBLE) FROM range(0, 10)""")
+    Seq((2L, 100L), (8L, 200L), (20L, 300L)).toDF("k", "v")
+      .createOrReplaceTempView("graft_mrgscal_side")
+    Seq(5L).toDF("thr").createOrReplaceTempView("graft_mrgscal_thr")
+    // threshold (SELECT max(thr) FROM …) = 5: matched k=8 > 5 deletes,
+    // matched k=2 <= 5 retags; k=20 inserts NAMING ONLY (k, v) — the
+    // omitted p lands NULL
+    spark.sql("""MERGE INTO graft_mrgscal_t t USING graft_mrgscal_side s
+      ON t.k = s.k
+      WHEN MATCHED AND t.k > (SELECT max(thr) FROM graft_mrgscal_thr)
+        THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val got = spark.sql(
+      "SELECT k, v, p FROM graft_mrgscal_t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(!got.exists(_._1 == 8L), "k=8 above the scalar threshold dies")
+    assert(got.find(_._1 == 2L).get._2 === 100L,
+      "k=2 below the threshold takes the update")
+    assert(got.find(_._1 == 20L).get === ((20L, 300L, None)),
+      s"partial INSERT list backfills the omitted column with NULL: $got")
+    assert(got.size === 10, s"9 originals (one deleted) + 1 insert: $got")
+    // a CORRELATED scalar in a merge condition keeps refusing loudly
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO graft_mrgscal_t t USING graft_mrgscal_side s
+        ON t.k = s.k
+        WHEN MATCHED AND t.v < (SELECT max(thr) FROM graft_mrgscal_thr x
+          WHERE x.thr = t.k) THEN DELETE""")
+    }
+    assert(e.getMessage.contains("uncorrelated") ||
+      e.getMessage.contains("subquer"), e.getMessage)
+    spark.sql("DROP TABLE graft_mrgscal_t")
+  }
+
   test("conditional MERGE lands column-level update/delete/insert in ONE commit") {
     import spark.implicits._
     val base = freshRoot()
