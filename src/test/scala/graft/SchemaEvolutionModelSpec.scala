@@ -5,7 +5,8 @@ import java.nio.file.Files
 import graft.io.TableFormat
 
 /** Model check for SCHEMA EVOLUTION interleaved with DML: a map
-  * replays randomized INSERT / ALTER TABLE ADD COLUMNS / evolution
+  * replays randomized INSERT / ALTER TABLE ADD COLUMNS / ALTER COLUMN
+  * TYPE widening (r20) / evolution
   * MERGE / width-straddling UPDATE / DELETE / OPTIMIZE histories
   * alongside the catalog table, and after every statement the table
   * must equal the model. This is the interaction layer the
@@ -26,7 +27,9 @@ class SchemaEvolutionModelSpec extends TestSpark {
       val base = Files.createTempDirectory(s"graft_evol_model$seed")
       val root = s"$base/t"
       spark.sql("DROP TABLE IF EXISTS graft_evol_model")
-      spark.sql(s"""CREATE TABLE graft_evol_model (k BIGINT, v BIGINT)
+      // v starts NARROW (INT) — round 0 widens it to BIGINT, so every
+      // later statement reads mixed narrow/wide physical files
+      spark.sql(s"""CREATE TABLE graft_evol_model (k BIGINT, v INT)
         USING `$Provider` OPTIONS (path '$root', statsCols 'k')""")
       // model value: (v, w, e); w exists from round 1, e from round 2 —
       // before that the table simply lacks the column
@@ -38,7 +41,8 @@ class SchemaEvolutionModelSpec extends TestSpark {
         val got = spark.sql(
           s"SELECT ${cols.mkString(", ")} FROM graft_evol_model")
           .collect().map { r =>
-            r.getLong(0) -> ((r.getLong(1),
+            // v may be INT (pre-widen) or BIGINT (post-widen)
+            r.getLong(0) -> ((r.getAs[Number](1).longValue,
               if (width >= 1 && !r.isNullAt(2)) r.getLong(2) else NULLV,
               if (width >= 2 && !r.isNullAt(3)) r.getLong(3) else NULLV))
           }.toMap
@@ -63,6 +67,15 @@ class SchemaEvolutionModelSpec extends TestSpark {
             if (width >= 1) k % 5 else NULLV,
             if (width >= 2) k % 3 else NULLV))).toMap
           runSql(s"INSERT INTO graft_evol_model VALUES $vals")
+        }
+        if (round == 0) { // TYPE widen (r20): metadata-only, the
+          // standing narrow files promote at scan time; a post-widen
+          // insert lands a value only BIGINT holds
+          runSql("ALTER TABLE graft_evol_model ALTER COLUMN v TYPE BIGINT")
+          val bigK = 100L + seed
+          model += bigK -> ((bigK + 3000000000L, NULLV, NULLV))
+          runSql(s"INSERT INTO graft_evol_model VALUES " +
+            s"($bigK, ${bigK + 3000000000L})")
         }
         if (round == 1) { // ALTER widens; every existing row reads null
           width = 1
@@ -129,11 +142,16 @@ class SchemaEvolutionModelSpec extends TestSpark {
       // v0 still time-travels to the narrow schema
       val ops = TableFormat.describe(spark, root)
         .collect().map(_.getString(7)).toSet
-      assert(ops.contains("add-columns") && ops.contains("compact"),
+      assert(ops.contains("add-columns") && ops.contains("compact") &&
+        ops.contains("alter-column-type"),
         s"operation labels: $ops")
-      assert(spark.read.format(Provider).option("versionAsOf", "0")
-        .load(root).columns.toSeq === Seq("k", "v"),
+      val v0 = spark.read.format(Provider).option("versionAsOf", "0")
+        .load(root)
+      assert(v0.columns.toSeq === Seq("k", "v"),
         "v0 must keep the narrow schema")
+      assert(v0.schema("v").dataType ===
+        org.apache.spark.sql.types.IntegerType,
+        "v0 must keep the narrow TYPE (pre-widen manifest)")
       spark.sql("DROP TABLE IF EXISTS graft_evol_model")
     }
   }
