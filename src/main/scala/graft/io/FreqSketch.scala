@@ -20,13 +20,13 @@ import org.apache.spark.sql.functions._
   *
   *   - per entry and column: the EXACT top-K (value, count) pairs
   *     (count-desc, value-asc tiebreak — deterministic), plus the
-  *     total row count and MAXIMUM count of everything outside the
-  *     top-K (`othersTotal`/`othersMax`);
+  *     total count outside the top-K and a sound per-value CAP on any
+  *     unlisted value (`othersTotal`/`othersMax` — the K-th listed
+  *     count: no unlisted value can beat the value that kept it out);
   *   - SOUND merging across entries: a value's table-wide count lies
   *     in [Σ listed counts, Σ listed counts + Σ_unlisted othersMax] —
   *     exact lower bound because per-entry counts are exact, sound
-  *     upper bound because an unlisted value cannot beat that entry's
-  *     (K+1)-th count;
+  *     upper bound by the cap above;
   *   - the same sound-first coverage discipline as the NDV/histogram
   *     sketches: a rewrite's fresh entry re-counts whatever coverage
   *     the standing entries all carry ([[TableFormat]]'s resketch
@@ -63,33 +63,74 @@ object FreqSketch {
     cols.filter(c => df.schema.find(_.name == c)
       .exists(_.dataType == org.apache.spark.sql.types.StringType))
 
-  /** Per-column exact top-K over `df` — ONE aggregate job: per-column
-    * legs union into (col, value) rows, one count shuffle, a per-column
-    * rank, and a conditional re-aggregate that carries the ≤K listed
-    * pairs and the others account in the same pass. Driver receives
-    * ≤ cols rows of ≤ K pairs each.
+  /** Shared SKEW-FREE top-K over an exact (keys…, __v, __n) count
+    * frame. A single rank window partitioned by the key alone would
+    * funnel EVERY distinct value of a column through one task — the
+    * classic top-k skew wall at a high-NDV string column (URLs at
+    * 100 TB). Instead:
+    *
+    *   1. a LOCAL top-K per (key, shuffle partition) — the window key
+    *     includes `spark_partition_id()`, so parallelism holds and the
+    *     survivors are a proven SUPERSET of the global top-K (a global
+    *     top-K row beaten by K same-key rows in its own partition
+    *     would be beaten by them globally too);
+    *   2. the GLOBAL top-K over those ≤ K·partitions candidates — a
+    *     bounded frame;
+    *   3. per-key totals (Σ counts, distinct count) ride the count
+    *     frame as an ordinary map-side-combined aggregate.
+    *
+    * The others account derives soundly: `othersTotal` = Σ − Σ listed;
+    * `othersMax` = the K-th (smallest listed) count when anything is
+    * unlisted — no unlisted value can beat the value that kept it out
+    * of the top-K. (Slightly looser than the true (K+1)-th count,
+    * which the pruned candidates cannot witness; sound either way.)
+    */
+  private def topKByKey(counted: DataFrame, keyCols: Seq[String])
+      : Seq[(Seq[String], Freq)] = {
+    val keyed = keyCols.map(col)
+    val cached = counted.persist()
+    try {
+      val local = cached
+        .withColumn("__pid", spark_partition_id())
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(keyed :+ col("__pid"): _*)
+            .orderBy(desc("__n"), asc("__v"))))
+        .filter(col("__rn") <= K).drop("__pid", "__rn")
+      val top = local
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(keyed: _*).orderBy(desc("__n"), asc("__v"))))
+        .filter(col("__rn") <= K)
+        .groupBy(keyed: _*)
+        .agg(sort_array(collect_list(
+          struct(col("__rn"), col("__v"), col("__n")))).as("__top"))
+      val tot = cached.groupBy(keyed: _*)
+        .agg(sum(col("__n")).as("__tot"), count(lit(1)).as("__ndv"))
+      top.join(tot, keyCols).collect().toSeq.map { r =>
+        val key = keyCols.indices.map(r.getString)
+        val top = r.getSeq[Row](keyCols.size)
+          .map(p => (p.getString(1), p.getLong(2)))
+        val total = r.getLong(keyCols.size + 1)
+        val ndv = r.getLong(keyCols.size + 2)
+        val listed = top.map(_._2).sum
+        val othersMax = if (ndv > top.size) top.map(_._2).min else 0L
+        (key, Freq(top, total - listed, othersMax))
+      }
+    } finally { cached.unpersist(); () }
+  }
+
+  /** Per-column exact top-K over `df`: per-column legs union into
+    * (col, value) rows, one exact count shuffle, then the skew-free
+    * two-stage rank ([[topKByKey]]). Driver receives ≤ cols rows of
+    * ≤ K pairs each.
     */
   def counts(df: DataFrame, cols: Seq[String]): Map[String, Freq] = {
     if (cols.isEmpty) return Map.empty
     val legs = cols.map(c => df.filter(col(c).isNotNull)
       .select(lit(c).as("__c"), col(c).cast("string").as("__v")))
-    val ranked = legs.reduce(_ unionAll _)
+    val counted = legs.reduce(_ unionAll _)
       .groupBy("__c", "__v").agg(count(lit(1)).as("__n"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__c").orderBy(desc("__n"), asc("__v"))))
-    val rows = ranked.groupBy("__c").agg(
-      sort_array(collect_list(when(col("__rn") <= K,
-        struct(col("__rn"), col("__v"), col("__n"))))).as("__top"),
-      coalesce(sum(when(col("__rn") > K, col("__n"))), lit(0L))
-        .as("__ot"),
-      coalesce(max(when(col("__rn") > K, col("__n"))), lit(0L))
-        .as("__om"))
-      .collect()
-    rows.map { r =>
-      val top = r.getSeq[Row](1)
-        .map(p => (p.getString(1), p.getLong(2)))
-      r.getString(0) -> Freq(top, r.getLong(2), r.getLong(3))
-    }.toMap
+    topKByKey(counted, Seq("__c"))
+      .map { case (key, f) => key.head -> f }.toMap
   }
 
   /** Per-(dir, column) summaries over a multi-dir scan carrying a
@@ -101,25 +142,10 @@ object FreqSketch {
     val legs = cols.map(c => tagged.filter(col(c).isNotNull)
       .select(col("__dir"), lit(c).as("__c"),
         col(c).cast("string").as("__v")))
-    val ranked = legs.reduce(_ unionAll _)
+    val counted = legs.reduce(_ unionAll _)
       .groupBy("__dir", "__c", "__v").agg(count(lit(1)).as("__n"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__dir", "__c")
-          .orderBy(desc("__n"), asc("__v"))))
-    val rows = ranked.groupBy("__dir", "__c").agg(
-      sort_array(collect_list(when(col("__rn") <= K,
-        struct(col("__rn"), col("__v"), col("__n"))))).as("__top"),
-      coalesce(sum(when(col("__rn") > K, col("__n"))), lit(0L))
-        .as("__ot"),
-      coalesce(max(when(col("__rn") > K, col("__n"))), lit(0L))
-        .as("__om"))
-      .collect()
-    rows.map { r =>
-      val top = r.getSeq[Row](2)
-        .map(p => (p.getString(1), p.getLong(2)))
-      (r.getString(0), r.getString(1)) ->
-        Freq(top, r.getLong(3), r.getLong(4))
-    }.toMap
+    topKByKey(counted, Seq("__dir", "__c"))
+      .map { case (key, f) => (key.head, key(1)) -> f }.toMap
   }
 
   private def enc(s: String): String =
