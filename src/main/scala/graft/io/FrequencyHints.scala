@@ -76,9 +76,38 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
     } yield hint
   }
 
+  /** Resolve `a` through the Project chain under the Filter to the
+    * RELATION's own column name — by exprId, never by spelling: a
+    * Project may alias a different column (or a computed expression)
+    * to a stats column's name, and consulting the manifest under that
+    * spelling would read the WRONG column's summaries and hint a huge
+    * side into a broadcast. Anything but a plain attribute chain
+    * declines.
+    */
+  private def relationName(p: LogicalPlan, a: AttributeReference)
+      : Option[String] = p match {
+    case Project(list, child) => list.find(_.exprId == a.exprId) match {
+      case Some(al: org.apache.spark.sql.catalyst.expressions.Alias) =>
+        al.child match {
+          case ar: AttributeReference => relationName(child, ar)
+          case _ => None
+        }
+      case Some(ar: AttributeReference) => relationName(child, ar)
+      case _ => None
+    }
+    case l: LogicalRelation =>
+      l.output.find(_.exprId == a.exprId).map(_.name)
+    case _ => None
+  }
+
   private def hintFor(f: Filter, m: ManifestFileIndex)
       : Option[HintInfo] = {
     val cs = conjuncts(f.condition)
+    def isEqLit(e: Expression): Boolean = e match {
+      case EqualTo(_: AttributeReference, _: Literal) => true
+      case EqualTo(_: Literal, _: AttributeReference) => true
+      case _ => false
+    }
     val eq = cs.collectFirst {
       case EqualTo(a: AttributeReference, Literal(v, StringType))
           if a.dataType == StringType && v != null => (a, v.toString)
@@ -86,50 +115,50 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
           if a.dataType == StringType && v != null => (a, v.toString)
     }
     eq.flatMap { case (attr, value) =>
-      val entries = m.entries
-      val clean = entries.nonEmpty && entries.forall(_.dv.isEmpty)
-      val covered = clean && entries.forall(e =>
-        e.hist.get(attr.name).exists(FreqSketch.isFreq))
-      val rowsOpt = m.metadataRowCount
-      if (!covered || rowsOpt.isEmpty || rowsOpt.get <= 0) None
-      else {
-        val rows = rowsOpt.get
-        val width = math.max(1.0, m.sizeInBytes.toDouble / rows)
-        val (lo, hi) = FreqSketch.estimate(
-          entries.map(e => FreqSketch.decode(e.hist(attr.name))), value)
-        val thr = conf.autoBroadcastJoinThreshold
-        // what Spark itself would estimate for this side: rows/ndv
-        // uniformity under CBO (our ManifestStats feed), the unfiltered
-        // relation size without it
-        val sparkBytes =
-          if (conf.cboEnabled) {
-            val ndv =
-              if (entries.forall(_.ndv.contains(attr.name)))
-                math.max(1L, NdvSketch.estimate(entries
-                  .map(e => NdvSketch.fromHex(e.ndv(attr.name)))
-                  .reduce(NdvSketch.merge)))
-              else 1L
-            rows.toDouble / ndv * width
-          } else rows.toDouble * width
-        // conjuncts the equality already implies (itself, and its own
-        // IsNotNull — the analyzer's constraint inference adds one)
-        // reduce nothing; any OTHER conjunct could shrink the side
-        // below the lower bound, so the NO_BROADCAST direction
-        // declines on it
-        val onlyEq = cs.forall {
-          case EqualTo(a: AttributeReference, _: Literal) =>
-            a.semanticEquals(attr)
-          case EqualTo(_: Literal, a: AttributeReference) =>
-            a.semanticEquals(attr)
-          case org.apache.spark.sql.catalyst.expressions.IsNotNull(
-            a: AttributeReference) => a.semanticEquals(attr)
-          case _ => false
+      relationName(f.child, attr).flatMap { colName =>
+        val entries = m.entries
+        val clean = entries.nonEmpty && entries.forall(_.dv.isEmpty)
+        val covered = clean && entries.forall(e =>
+          e.hist.get(colName).exists(FreqSketch.isFreq))
+        val rowsOpt = m.metadataRowCount
+        if (!covered || rowsOpt.isEmpty || rowsOpt.get <= 0) None
+        else {
+          val rows = rowsOpt.get
+          val width = math.max(1.0, m.sizeInBytes.toDouble / rows)
+          val (lo, hi) = FreqSketch.estimate(
+            entries.map(e => FreqSketch.decode(e.hist(colName))), value)
+          val thr = conf.autoBroadcastJoinThreshold
+          // what Spark itself would estimate for this side: rows/ndv
+          // uniformity under CBO (our ManifestStats feed), the
+          // unfiltered relation size without it
+          val sparkBytes =
+            if (conf.cboEnabled) {
+              val ndv =
+                if (entries.forall(_.ndv.contains(colName)))
+                  math.max(1L, NdvSketch.estimate(entries
+                    .map(e => NdvSketch.fromHex(e.ndv(colName)))
+                    .reduce(NdvSketch.merge)))
+                else 1L
+              rows.toDouble / ndv * width
+            } else rows.toDouble * width
+          // the lower bound is sound only when the filter is EXACTLY
+          // one equality (this one) plus conjuncts it already implies
+          // (its own IsNotNull — the analyzer's constraint inference);
+          // any other conjunct — including a SECOND equality — could
+          // shrink the side below the bound, so NO_BROADCAST declines
+          val onlyEq = cs.count(isEqLit) == 1 && cs.forall { c =>
+            isEqLit(c) || (c match {
+              case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+                a: AttributeReference) => a.semanticEquals(attr)
+              case _ => false
+            })
+          }
+          if (hi * width <= thr && sparkBytes > thr)
+            Some(HintInfo(strategy = Some(BROADCAST)))
+          else if (onlyEq && lo * width > thr && sparkBytes <= thr)
+            Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
+          else None
         }
-        if (hi * width <= thr && sparkBytes > thr)
-          Some(HintInfo(strategy = Some(BROADCAST)))
-        else if (onlyEq && lo * width > thr && sparkBytes <= thr)
-          Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
-        else None
       }
     }
   }

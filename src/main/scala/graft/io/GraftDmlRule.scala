@@ -1070,7 +1070,7 @@ private[graft] case class InsertIntoGraftTableCommand(root: String,
     val check = writeOpts.get("check")
     if (overwrite)
       TableFormat.replace(spark, root, df, statsCols = statsCols,
-        bloomCol = bloomCol, check = check)
+        bloomCol = bloomCol, check = check, autoStats = true)
     else
       // declared statsCols auto-collect NDV/histogram/frequency stats
       // on every SQL landing (r20) — ANALYZE becomes the exception
@@ -1550,16 +1550,18 @@ private[graft] case class UpdateCorrAntiGraftTableCommand(root: String,
       val set = assignments.map { case (n, v) =>
         n -> GraftDmlRule.rebind(v) }
       TableFormat.updateTransform(spark, root, lit(true), { df =>
-        val byName = set.toMap
+        // case-insensitive like every sibling update command
+        val byName = set.map { case (n, v) => n.toLowerCase -> v }.toMap
         require(set.size == byName.size, "duplicate assignment column")
-        val unknown = byName.keySet -- df.columns.toSet
+        val unknown = byName.keySet --
+          df.columns.map(_.toLowerCase).toSet
         require(unknown.isEmpty,
           s"UPDATE assigns ${unknown.mkString(", ")} which the table " +
             s"does not have (${df.columns.mkString(", ")})")
         val (joined, affected) =
           GraftDmlRule.corrAntiAffected(df, frame, valCol, corrCols)
         joined.select(df.schema.fields.toSeq.map { f =>
-          byName.get(f.name) match {
+          byName.get(f.name.toLowerCase) match {
             case Some(v) => when(affected, v.cast(f.dataType))
               .otherwise(col(f.name)).as(f.name)
             case None => col(f.name)

@@ -250,17 +250,6 @@ private[graft] object GraftSqlParser {
       case _ => None
     }
 
-  /** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP COLUMN
-    * a` — Spark refuses both outright for v1 session-catalog providers
-    * ("only supported with v2 tables"), so the parser wraps the simple
-    * top-level-column shapes into commands that dispatch at RUN time:
-    * a graft table lands a METADATA-ONLY column-mapping commit
-    * ([[TableFormat.renameColumn]]/[[TableFormat.dropColumn]] — zero
-    * data I/O, old snapshots keep their names) plus the catalog
-    * realign; any other provider refuses with Spark's own wording.
-    * Nested fields and multi-column drops stay on the untouched
-    * standard plan (and its refusals).
-    */
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` (r20) — Spark refuses
     * it outright for v1 session-catalog providers, so the parser wraps
     * the simple shape (one top-level column, a TYPE change and nothing
@@ -294,6 +283,17 @@ private[graft] object GraftSqlParser {
     }
   }
 
+  /** `ALTER TABLE t RENAME COLUMN a TO b` / `ALTER TABLE t DROP COLUMN
+    * a` — Spark refuses both outright for v1 session-catalog providers
+    * ("only supported with v2 tables"), so the parser wraps the simple
+    * top-level-column shapes into commands that dispatch at RUN time:
+    * a graft table lands a METADATA-ONLY column-mapping commit
+    * ([[TableFormat.renameColumn]]/[[TableFormat.dropColumn]] — zero
+    * data I/O, old snapshots keep their names) plus the catalog
+    * realign; any other provider refuses with Spark's own wording.
+    * Nested fields and multi-column drops stay on the untouched
+    * standard plan (and its refusals).
+    */
   private[graft] def wrapRenameDrop(p: LogicalPlan): Option[LogicalPlan] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName
     import org.apache.spark.sql.catalyst.plans.logical.{DropColumns, RenameColumn}

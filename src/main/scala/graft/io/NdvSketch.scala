@@ -108,6 +108,25 @@ object NdvSketch {
     (shiftrightunsigned(h, 64 - P).cast("int"), rho.cast("int"))
   }
 
+  /** The hash-input form of a column: integral columns hash in the
+    * LONG domain and floats in DOUBLE (r20) — xxhash64 is
+    * TYPE-dependent (hash(int 5) ≠ hash(long 5)), so without the
+    * canonicalization a metadata-only ALTER COLUMN TYPE widen would
+    * leave old entries' registers in one hash domain and new entries'
+    * in another, and the merged estimate would double-count every
+    * value present on both sides of the widen. Values are preserved
+    * exactly (widening casts are injective), so the registers stay a
+    * correct NDV sketch of the column.
+    */
+  private def canonical(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == c).map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType) => col(c).cast(LongType)
+      case Some(FloatType) => col(c).cast(DoubleType)
+      case _ => col(c)
+    }
+  }
+
   /** Per-column register arrays over `df` — ONE Spark job: each column
     * contributes a column-pruned pass, the per-column frames union, and
     * a map-side-combined max lands ≤ cols·m tiny rows on the driver.
@@ -115,7 +134,7 @@ object NdvSketch {
   def sketches(df: DataFrame, cols: Seq[String]): Map[String, Array[Byte]] = {
     require(cols.nonEmpty, "ndv sketch needs at least one column")
     val parts = cols.map { c =>
-      val (b, r) = bucketAndRho(col(c))
+      val (b, r) = bucketAndRho(canonical(df, c))
       df.filter(col(c).isNotNull)
         .select(lit(c).as("__c"), b.as("__b"), r.as("__r"))
     }
@@ -140,7 +159,7 @@ object NdvSketch {
       : Map[(String, String), Array[Byte]] = {
     require(cols.nonEmpty, "ndv sketch needs at least one column")
     val parts = cols.map { c =>
-      val (b, r) = bucketAndRho(col(c))
+      val (b, r) = bucketAndRho(canonical(tagged, c))
       tagged.filter(col(c).isNotNull)
         .select(col("__dir"), lit(c).as("__c"), b.as("__b"), r.as("__r"))
     }

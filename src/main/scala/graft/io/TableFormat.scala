@@ -1053,19 +1053,47 @@ object TableFormat {
               statsCol: Option[String] = None,
               statsCols: Seq[String] = Nil,
               bloomCol: Option[String] = None,
-              check: Option[String] = None): Int = {
+              check: Option[String] = None,
+              autoStats: Boolean = false): Int = {
     val prev = latestVersion(root)
     if (prev < 0)
-      return append(df, root, statsCol, statsCols, bloomCol, check = check)
+      return append(df, root, statsCol, statsCols, bloomCol,
+        check = check, autoStats = autoStats)
     enforceCheck(df, effectiveCheck(root, check), root)
     val m = readManifestFull(root, prev)
     val dataDir = newDataDir(root)
     bloomCol.foldLeft(df.write)((w, c) =>
       w.option(s"parquet.bloom.filter.enabled#$c", "true")).parquet(dataDir)
     val cols = (statsCol.toSeq ++ statsCols).distinct
+    // auto-stats (r20): an OVERWRITE replaces every entry, so without
+    // this the declared-statsCols coverage INSERT INTO maintains would
+    // silently vanish until a manual ANALYZE — the one SQL landing
+    // whose statement class promises the same sketch upkeep
+    val entry0 = mkEntry(spark, dataDir, cols)
+    val entry =
+      if (!autoStats || cols.isEmpty) entry0
+      else {
+        val back = spark.read.parquet(dataDir)
+        val have = cols.filter(back.columns.contains)
+        val ndv =
+          if (have.isEmpty) Map.empty[String, String]
+          else NdvSketch.sketches(back, have)
+            .map { case (c, r) => c -> NdvSketch.toHex(r) }
+        val sup = QuantileHist.supported(back, have)
+        val cnt = if (sup.isEmpty) Map.empty[String, Map[Int, Long]]
+                  else QuantileHist.counts(back, sup)
+        val fsup = FreqSketch.supported(back, have)
+        val fcnt = if (fsup.isEmpty) Map.empty[String, FreqSketch.Freq]
+                   else FreqSketch.counts(back, fsup)
+        entry0.copy(ndv = ndv,
+          hist = sup.map(c => c ->
+            QuantileHist.encode(cnt.getOrElse(c, Map.empty))).toMap ++
+            fsup.map(c => c -> FreqSketch.encode(fcnt.getOrElse(c,
+              FreqSketch.Freq(Nil, 0L, 0L)))).toMap)
+      }
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
-      produced = Seq(mkEntry(spark, dataDir, cols)),
+      produced = Seq(entry),
       ourSchema = Some(df.schema), conflictKeys = None,
       replaceSchema = true, op = "overwrite")
   }
@@ -3005,10 +3033,13 @@ object TableFormat {
     * accounts survive UNTOUCHED because bounds are recorded
     * type-family-normalized (INT32 and INT64 both land kind "long" —
     * [[footerStatsFiles]]), so pruning keeps firing across the widen;
-    * the NDV sketch and null accounts are value-stable too. Only the
-    * equi-height histogram drops when the column LEAVES the integral
-    * family (int→double): its long-keyed buckets would feed the
-    * estimator a stale domain. Non-widening changes refuse LOUDLY with
+    * the null accounts are value-stable, and the NDV registers carry
+    * across HASH-STABLE widens (integral→integral, float→double — the
+    * [[NdvSketch]] canonical hash domains) while any other widen drops
+    * them sound-first. The equi-height histogram drops when the column
+    * LEAVES the integral family (int→double): its long-keyed buckets
+    * would feed the estimator a stale domain. Non-widening changes
+    * refuse LOUDLY with
     * a graft-owned message ([[metadataWiden]]); time travel to a
     * pre-widen version reads the narrow type from ITS manifest.
     */
@@ -3040,9 +3071,25 @@ object TableFormat {
           "cross-family changes need a rewrite: stage " +
           "SELECT CAST(…) into a new table")
       val leavesIntegral = newType == DoubleType && f.dataType != LongType
-      val entries2 =
-        if (!leavesIntegral) m.entries
-        else m.entries.map(e => e.copy(hist = e.hist - f.name))
+      // NDV registers carry only across HASH-STABLE widens: sketches
+      // hash integrals in the LONG domain and floats in DOUBLE
+      // ([[NdvSketch]] canonicalization), so integral→integral and
+      // float→double leave old registers exactly valid; any other
+      // widen (int→double, decimal re-encode) changes the hash input
+      // and the merged estimate would double-count — the account drops
+      // (sound-first; ANALYZE retrofits it).
+      val integralSet: Set[org.apache.spark.sql.types.DataType] = {
+        import org.apache.spark.sql.types._
+        Set(ByteType, ShortType, IntegerType, LongType)
+      }
+      val hashStable =
+        (integralSet(f.dataType) && integralSet(newType)) ||
+          (f.dataType == org.apache.spark.sql.types.FloatType &&
+            newType == DoubleType)
+      val entries2 = m.entries.map { e =>
+        val e1 = if (leavesIntegral) e.copy(hist = e.hist - f.name) else e
+        if (hashStable) e1 else e1.copy(ndv = e1.ndv - f.name)
+      }
       val ddl2 = StructType(StructType.fromDDL(m.schemaDdl.get).fields
         .map(x => if (x.name == f.name) x.copy(dataType = newType) else x))
         .toDDL

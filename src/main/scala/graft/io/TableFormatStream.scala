@@ -173,7 +173,8 @@ final class TableFormatSourceProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Overwrite =>
         TableFormat.replace(sqlContext.sparkSession, root, data,
-          statsCols = statsCols, bloomCol = bloomCol, check = check)
+          statsCols = statsCols, bloomCol = bloomCol, check = check,
+          autoStats = true)
       case _ => // Append, or first write under any mode
         // declared statsCols auto-collect NDV/histogram/frequency
         // stats on every provider landing (r20), CTAS included

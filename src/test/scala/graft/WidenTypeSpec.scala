@@ -142,6 +142,33 @@ class WidenTypeSpec extends TestSpark {
       (0L until 30L).sum + big)
   }
 
+  test("NDV registers stay consistent across a hash-stable widen and " +
+      "drop on a hash-unstable one") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 100 distinct int values, sketched
+    TableFormat.append((0 until 100).map(i => (i, i)).toDF("k", "d"),
+      root, statsCols = Seq("k"), ndvCols = Seq("k", "d"))
+    TableFormat.alterColumnType(spark, root, "k", LongType)
+    // the SAME 100 values land again post-widen as longs: xxhash64 is
+    // type-dependent, so without the canonical LONG hash domain the
+    // merged registers would double-count to ~200
+    TableFormat.append((0L until 100L).map(i => (i, i.toInt)).toDF("k", "d"),
+      root, statsCols = Seq("k"), ndvCols = Seq("k", "d"))
+    val st = TableFormat.colStats(spark, root)
+      .filter(col("column") === "k").collect()(0)
+    assert(!st.isNullAt(1) && st.getLong(1) < 130,
+      s"NDV across an int→long widen must not double-count: $st")
+    // int→double leaves the hash domain: the account drops sound-first
+    TableFormat.alterColumnType(spark, root, "d", DoubleType)
+    val m = TableFormat.readManifestFull(root,
+      TableFormat.latestVersion(root))
+    assert(!m.entries.exists(_.ndv.contains("d")),
+      "a hash-unstable widen must drop the NDV registers")
+    assert(m.entries.forall(_.ndv.contains("k")),
+      "the hash-stable widen must keep them")
+  }
+
   test("refusals are loud and graft-owned: narrowing, cross-family, " +
       "long→double, decimal narrowing") {
     import spark.implicits._
