@@ -46,6 +46,21 @@ object FreqSketch {
     */
   val K = 32
 
+  /** Longest value a summary may carry. Frequency summaries target
+    * low-cardinality CATEGORICAL strings (language tags, domains,
+    * status enums); a column whose top values run longer (URLs, text)
+    * would bloat every manifest line with up to K full values — the
+    * landing paths DECLINE the summary for such a column (a gap, so
+    * consumers stand down) rather than truncate, because a truncated
+    * value can no longer answer an exact-equality lookup. The zone
+    * maps' truncated-string decline is the same discipline.
+    */
+  val MaxValueLen = 64
+
+  /** Does every listed value fit the manifest budget? */
+  def withinCap(f: Freq): Boolean =
+    f.top.forall(_._1.length <= MaxValueLen)
+
   private[graft] val Prefix = "mg:"
 
   /** One column's summary for one entry. */

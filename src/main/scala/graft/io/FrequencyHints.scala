@@ -17,11 +17,15 @@ import org.apache.spark.sql.types.StringType
   * equality filter directly over a manifest-backed scan feeding a join
   * — and sets the join-side hint ONLY when the summary's answer and
   * Spark's own would land on different sides of the broadcast
-  * threshold, using the summary's SOUND bounds in the safe direction:
+  * threshold, using the summary's sound ROW bounds in the safe
+  * direction (bytes derive from the table-average row width — the
+  * same approximation Spark's own estimates use — with extra headroom
+  * on the broadcast side):
   *
-  *   - BROADCAST when the UPPER count bound says the filtered side
-  *     fits under the threshold (extra conjuncts only shrink it
-  *     further) while Spark's estimate says it does not;
+  *   - BROADCAST when TWICE the upper count bound's bytes fit under
+  *     the threshold (extra conjuncts only shrink the side further;
+  *     the headroom guards per-value width skew) while Spark's
+  *     estimate says it does not;
   *   - NO_BROADCAST_HASH when the LOWER bound alone overflows the
   *     threshold (sound only when the equality is the WHOLE filter)
   *     while Spark's estimate would have broadcast — the
@@ -153,7 +157,14 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
               case _ => false
             })
           }
-          if (hi * width <= thr && sparkBytes > thr)
+          // the ROW bounds are sound; the byte conversion uses the
+          // table-average row width — the same approximation every
+          // sizeInBytes estimate in Spark rides. The BROADCAST
+          // direction (the one that could OOM if width skews: the
+          // matched value's rows might be systematically wider than
+          // average) takes a 2× headroom; NO_BROADCAST errs toward a
+          // shuffle, which is never unsafe.
+          if (hi * width * 2 <= thr && sparkBytes > thr)
             Some(HintInfo(strategy = Some(BROADCAST)))
           else if (onlyEq && lo * width > thr && sparkBytes <= thr)
             Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))

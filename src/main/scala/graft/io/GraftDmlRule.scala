@@ -132,6 +132,22 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
     * semantics), EXISTS, and conjunct combinations keep refusing
     * through [[unbind]].
     */
+  /** A supported IN-VALUE expression: a bare target column or the
+    * analyzer's UP-cast of one (lossless ⇒ injective, so comparing in
+    * the key's own declared domain after a round-trip filter is
+    * sound). One matcher serves IN, correlated IN, and correlated
+    * NOT IN — the value-resolution rule cannot drift between them.
+    */
+  private def targetValueName(e: Expression, target: LogicalPlan)
+      : Option[String] = e match {
+    case a: AttributeReference if target.outputSet.contains(a) =>
+      Some(a.name)
+    case c @ Cast(a: AttributeReference, _, _, _)
+        if target.outputSet.contains(a) &&
+          Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
+    case _ => None
+  }
+
   private def keysSubquery(cond: Expression, target: LogicalPlan)
       : Option[(Seq[String], LogicalPlan)] = cond match {
     case org.apache.spark.sql.catalyst.expressions.InSubquery(vs,
@@ -144,15 +160,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       // through [[unbind]] instead of matching the wrong rows). The
       // TUPLE form `(k1, k2) IN (SELECT …)` (r18) lands copy-on-write
       // per tuple — multi-column anti-join, never a concatenation.
-      val names = vs.map {
-        case a: AttributeReference if target.outputSet.contains(a) =>
-          Some(a.name)
-        case c @ Cast(a: AttributeReference, _, _, _)
-            if target.outputSet.contains(a) &&
-              Cast.canUpCast(a.dataType, c.dataType) =>
-          Some(a.name)
-        case _ => None
-      }
+      val names = vs.map(targetValueName(_, target))
       if (names.forall(_.isDefined) &&
           names.flatten.map(_.toLowerCase).distinct.size == names.size)
         Some((names.flatten, q.plan))
@@ -255,14 +263,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
           if q.outerAttrs.nonEmpty && q.plan.output.length == vs.length =>
         // the IN values resolve like the uncorrelated form; the
         // correlated equalities append their pairs to the tuple
-        val valueNames = vs.map {
-          case a: AttributeReference if target.outputSet.contains(a) =>
-            Some(a.name)
-          case c @ Cast(a: AttributeReference, _, _, _)
-              if target.outputSet.contains(a) &&
-                Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
-          case _ => None
-        }
+        val valueNames = vs.map(targetValueName(_, target))
         q.plan match {
           case Project(list, _) if valueNames.forall(_.isDefined) =>
             body(q.plan).flatMap { case (pairs, stripped) =>
@@ -331,14 +332,7 @@ final class GraftDmlRule extends Rule[LogicalPlan] {
       case Not(InSubquery(vs, q: ListQuery))
           if q.outerAttrs.nonEmpty && vs.length == 1 &&
             q.plan.output.length == 1 =>
-        val valueName = vs.head match {
-          case a: AttributeReference if target.outputSet.contains(a) =>
-            Some(a.name)
-          case c @ Cast(a: AttributeReference, _, _, _)
-              if target.outputSet.contains(a) &&
-                Cast.canUpCast(a.dataType, c.dataType) => Some(a.name)
-          case _ => None
-        }
+        val valueName = targetValueName(vs.head, target)
         q.plan match {
           case Project(list, _)
               if valueName.isDefined && list.length == 1 &&

@@ -127,6 +127,23 @@ object NdvSketch {
     }
   }
 
+  /** Does `from` → `to` leave [[canonical]]'s hash input unchanged —
+    * i.e. may an ALTER COLUMN TYPE widen CARRY the registers? One
+    * predicate owns the answer so the widen path can never drift from
+    * the collection path: integrals all hash as LONG and floats as
+    * DOUBLE, so those families are stable; anything else (int→double,
+    * decimal re-encode) changes the hash input and the registers must
+    * drop.
+    */
+  def hashStableWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val integral: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType)
+    (integral(from) && integral(to)) ||
+      (from == FloatType && to == DoubleType)
+  }
+
   /** Per-column register arrays over `df` — ONE Spark job: each column
     * contributes a column-pruned pass, the per-column frames union, and
     * a map-side-combined max lands ≤ cols·m tiny rows on the driver.

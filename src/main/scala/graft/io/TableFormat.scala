@@ -878,16 +878,24 @@ object TableFormat {
     // keep the explicit ndvCols/histCols opt-in.
     val effNdv = (ndvCols ++ (if (autoStats) cols else Nil)).distinct
     val effHist = (histCols ++ (if (autoStats) cols else Nil)).distinct
+    lazy val back = toLogicalDf(df.sparkSession.read.parquet(dataDir),
+      colMap)
+    // an EXPLICIT ndvCols opt-in naming an absent column keeps failing
+    // loudly (a typo must not become a permanent silent stats gap);
+    // only the AUTO-derived statsCols tolerate absence — a
+    // pre-evolution append legitimately lacks a declared column
+    if (effNdv.nonEmpty) {
+      val missing = ndvCols.filterNot(back.columns.contains)
+      require(missing.isEmpty,
+        s"ndvCols name column(s) absent from the appended data: " +
+          s"${missing.mkString(", ")} (have ${back.columns.mkString(", ")})")
+    }
     // NDV sketches: one column-pruned pass over the freshly written
     // dir (reading back beats re-evaluating an arbitrary input plan),
     // registers landing in the same manifest line as the bounds
     val sketches =
       if (effNdv.isEmpty) Map.empty[String, String]
       else {
-        val back = toLogicalDf(df.sparkSession.read.parquet(dataDir),
-          colMap)
-        // a pre-evolution append may not carry every declared column —
-        // absent ones stay gapped, like the footer accounts
         val have = effNdv.filter(back.columns.contains)
         if (have.isEmpty) Map.empty[String, String]
         else NdvSketch.sketches(back, have)
@@ -900,22 +908,27 @@ object TableFormat {
     val hists =
       if (effHist.isEmpty) Map.empty[String, String]
       else {
-        val back = toLogicalDf(df.sparkSession.read.parquet(dataDir),
-          colMap)
-        val sup = QuantileHist.supported(back,
-          effHist.filter(back.columns.contains))
+        val present = effHist.filter(back.columns.contains)
+        val sup = QuantileHist.supported(back, present)
         val cnt = if (sup.isEmpty) Map.empty[String, Map[Int, Long]]
                   else QuantileHist.counts(back, sup)
-        val fsup = FreqSketch.supported(back,
-          effHist.filter(back.columns.contains))
+        val fsup = FreqSketch.supported(back, present)
         val fcnt = if (fsup.isEmpty) Map.empty[String, FreqSketch.Freq]
                    else FreqSketch.counts(back, fsup)
         // supported columns with zero value rows record an EMPTY
-        // histogram/summary (legitimate), never a gap
+        // histogram/summary (legitimate), never a gap; a string column
+        // whose top values exceed [[FreqSketch.MaxValueLen]] declines
+        // its summary instead — a GAP, so consumers stand down rather
+        // than bloat the manifest with long values
         sup.map(c => c ->
           QuantileHist.encode(cnt.getOrElse(c, Map.empty))).toMap ++
-          fsup.map(c => c -> FreqSketch.encode(fcnt.getOrElse(c,
-            FreqSketch.Freq(Nil, 0L, 0L)))).toMap
+          fsup.flatMap { c =>
+            fcnt.get(c) match {
+              case Some(f) if !FreqSketch.withinCap(f) => None
+              case other => Some(c -> FreqSketch.encode(
+                other.getOrElse(FreqSketch.Freq(Nil, 0L, 0L))))
+            }
+          }.toMap
       }
     val entry0 = mkEntry(df.sparkSession, dataDir, cols, colMap)
       .copy(ndv = sketches, hist = hists)
@@ -1023,8 +1036,13 @@ object TableFormat {
                      else FreqSketch.counts(df, haveF)
           withNdv.copy(hist = withNdv.hist ++ haveH.map(c =>
             c -> QuantileHist.encode(cnt.getOrElse(c, Map.empty))) ++
-            haveF.map(c => c -> FreqSketch.encode(fcnt.getOrElse(c,
-              FreqSketch.Freq(Nil, 0L, 0L)))))
+            haveF.flatMap { c =>
+              fcnt.get(c) match {
+                case Some(f) if !FreqSketch.withinCap(f) => None
+                case other => Some(c -> FreqSketch.encode(
+                  other.getOrElse(FreqSketch.Freq(Nil, 0L, 0L))))
+              }
+            })
         }
       }
     }
@@ -1088,8 +1106,13 @@ object TableFormat {
         entry0.copy(ndv = ndv,
           hist = sup.map(c => c ->
             QuantileHist.encode(cnt.getOrElse(c, Map.empty))).toMap ++
-            fsup.map(c => c -> FreqSketch.encode(fcnt.getOrElse(c,
-              FreqSketch.Freq(Nil, 0L, 0L)))).toMap)
+            fsup.flatMap { c =>
+              fcnt.get(c) match {
+                case Some(f) if !FreqSketch.withinCap(f) => None
+                case other => Some(c -> FreqSketch.encode(
+                  other.getOrElse(FreqSketch.Freq(Nil, 0L, 0L))))
+              }
+            }.toMap)
       }
     commitRewrite(spark, root, prev, readSet = m.entries,
       baseUntouched = Seq.empty,
@@ -3071,21 +3094,13 @@ object TableFormat {
           "cross-family changes need a rewrite: stage " +
           "SELECT CAST(…) into a new table")
       val leavesIntegral = newType == DoubleType && f.dataType != LongType
-      // NDV registers carry only across HASH-STABLE widens: sketches
-      // hash integrals in the LONG domain and floats in DOUBLE
-      // ([[NdvSketch]] canonicalization), so integral→integral and
-      // float→double leave old registers exactly valid; any other
-      // widen (int→double, decimal re-encode) changes the hash input
-      // and the merged estimate would double-count — the account drops
-      // (sound-first; ANALYZE retrofits it).
-      val integralSet: Set[org.apache.spark.sql.types.DataType] = {
-        import org.apache.spark.sql.types._
-        Set(ByteType, ShortType, IntegerType, LongType)
-      }
-      val hashStable =
-        (integralSet(f.dataType) && integralSet(newType)) ||
-          (f.dataType == org.apache.spark.sql.types.FloatType &&
-            newType == DoubleType)
+      // NDV registers carry only across HASH-STABLE widens
+      // ([[NdvSketch.hashStableWiden]] — the collection path owns the
+      // predicate): any other widen (int→double, decimal re-encode)
+      // changes the hash input and the merged estimate would
+      // double-count — the account drops (sound-first; ANALYZE
+      // retrofits it).
+      val hashStable = NdvSketch.hashStableWiden(f.dataType, newType)
       val entries2 = m.entries.map { e =>
         val e1 = if (leavesIntegral) e.copy(hist = e.hist - f.name) else e
         if (hashStable) e1 else e1.copy(ndv = e1.ndv - f.name)
@@ -3256,12 +3271,20 @@ object TableFormat {
         val headNames = manifestSchema(headM).map(_.fieldNames.toSet)
           .getOrElse(Set.empty)
         val toMap = colMapOf(mTo)
-        schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty).flatMap { c =>
+        val windowNames = schema.map(_.fieldNames.toSeq).getOrElse(Seq.empty)
+        val r = windowNames.flatMap { c =>
           val phys = toMap.getOrElse(c, c)
           val hn = headInv.getOrElse(phys,
             if (headNames.contains(phys)) phys else c)
           if (hn != c) Some(c -> hn) else None
         }.toMap
+        // a head that DROPPED one column and renamed another onto its
+        // spelling would make the translated set collide (two columns
+        // both named the drop's old spelling) — serve the window's OWN
+        // names instead (the pre-translation behavior), never a frame
+        // with duplicate columns
+        val translated = windowNames.map(c => r.getOrElse(c, c))
+        if (translated.distinct.size != translated.size) Map.empty else r
       }
     def rows(es: Seq[Entry]): DataFrame = {
       val r = readEntries(spark, es, schema)
@@ -3721,8 +3744,13 @@ object TableFormat {
           e.copy(ndv = e.ndv ++ hexFor(e.dir),
             hist = e.hist ++ histSup.map(c => c -> QuantileHist.encode(
               hx.getOrElse((e.dir, c), Map.empty))).toMap ++
-              fqCols.map(c => c -> FreqSketch.encode(fx.getOrElse(
-                (e.dir, c), FreqSketch.Freq(Nil, 0L, 0L)))).toMap)
+              fqCols.flatMap { c =>
+                fx.get((e.dir, c)) match {
+                  case Some(f) if !FreqSketch.withinCap(f) => None
+                  case other => Some(c -> FreqSketch.encode(
+                    other.getOrElse(FreqSketch.Freq(Nil, 0L, 0L))))
+                }
+              }.toMap)
         else e)
       try {
         writeManifest(root, head + 1, entries, m.schemaDdl, m.txns,

@@ -58,6 +58,27 @@ class FreqStatsSpec extends TestSpark {
     assert(FreqSketch.decode(FreqSketch.encode(f)) === f)
   }
 
+  test("long string values decline the summary (manifest-budget gap); " +
+      "explicit ndvCols typos refuse loudly") {
+    import spark.implicits._
+    val root = freshRoot()
+    // values beyond MaxValueLen: a URL-ish column must GAP, never
+    // bloat the manifest or record a misleading empty summary
+    TableFormat.append(
+      (0 until 40).map(i => s"https://example.test/${"p" * 80}/$i")
+        .toDF("url"), root, histCols = Seq("url"))
+    val e = TableFormat.readManifestFull(root,
+      TableFormat.latestVersion(root)).entries.head
+    assert(!e.hist.contains("url"),
+      s"long values must decline the summary: ${e.hist.keySet}")
+    // an EXPLICIT ndvCols opt-in naming an absent column is a typo,
+    // not a legitimate pre-evolution gap — it must refuse loudly
+    val e2 = intercept[IllegalArgumentException] {
+      TableFormat.append(Seq(1L).toDF("k"), root, ndvCols = Seq("usr_id"))
+    }
+    assert(e2.getMessage.contains("ndvCols"), e2.getMessage)
+  }
+
   test("auto-stats (r19 VERDICT #7): SQL INSERT into a statsCols table " +
       "carries NDV + histogram + frequency without ANALYZE") {
     val root = freshRoot()
