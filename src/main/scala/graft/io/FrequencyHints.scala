@@ -129,8 +129,14 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
         else {
           val rows = rowsOpt.get
           val width = math.max(1.0, m.sizeInBytes.toDouble / rows)
-          val (lo, hi) = FreqSketch.estimate(
-            entries.map(e => FreqSketch.decode(e.hist(colName))), value)
+          // decode failures DECLINE, never fail the query (r21 ADVICE
+          // fix): a corrupt or future-format hist line inside an
+          // optimizer rule must read as a stats gap — the same
+          // decline-on-gap discipline every other consumer follows
+          scala.util.Try(
+            entries.map(e => FreqSketch.decode(e.hist(colName)))
+          ).toOption.flatMap { sketches =>
+          val (lo, hi) = FreqSketch.estimate(sketches, value)
           val thr = conf.autoBroadcastJoinThreshold
           // what Spark itself would estimate for this side: rows/ndv
           // uniformity under CBO (our ManifestStats feed), the
@@ -138,7 +144,8 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
           val sparkBytes =
             if (conf.cboEnabled) {
               val ndv =
-                if (entries.forall(_.ndv.contains(colName)))
+                if (entries.forall(
+                    _.ndv.get(colName).exists(NdvSketch.isCurrent)))
                   math.max(1L, NdvSketch.estimate(entries
                     .map(e => NdvSketch.fromHex(e.ndv(colName)))
                     .reduce(NdvSketch.merge)))
@@ -162,15 +169,33 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
           // sizeInBytes estimate in Spark rides. The BROADCAST
           // direction (the one that could OOM if width skews: the
           // matched value's rows might be systematically wider than
-          // average) takes a 2× headroom; NO_BROADCAST errs toward a
-          // shuffle, which is never unsafe.
-          if (hi * width * 2 <= thr && sparkBytes > thr)
+          // average) takes a 2× headroom PLUS an absolute row cap (r21
+          // ADVICE fix): the 2× multiplier is a guess about width skew,
+          // and a forced broadcast is the one direction that can take
+          // an executor down, so the override additionally refuses past
+          // [[MaxForcedBroadcastRows]] — bounding the worst-case build
+          // side to cap × true-row-width no matter how wrong the
+          // average is. NO_BROADCAST errs toward a shuffle, which is
+          // never unsafe, and needs no cap.
+          if (hi * width * 2 <= thr && hi <= MaxForcedBroadcastRows &&
+              sparkBytes > thr)
             Some(HintInfo(strategy = Some(BROADCAST)))
           else if (onlyEq && lo * width > thr && sparkBytes <= thr)
             Some(HintInfo(strategy = Some(NO_BROADCAST_HASH)))
           else None
+          }
         }
       }
     }
   }
+
+  /** Absolute row cap on the FORCED-broadcast side — the width-skew
+    * backstop: the byte test above divides the threshold by the
+    * table-average row width, so a hot value whose rows are
+    * systematically much wider than average could still blow past the
+    * threshold. 2²¹ rows keeps the forced build side small enough that
+    * even an order-of-magnitude width skew stays in ordinary broadcast
+    * territory (and far under Spark's 512M-row hard cap).
+    */
+  private val MaxForcedBroadcastRows: Long = 1L << 21
 }

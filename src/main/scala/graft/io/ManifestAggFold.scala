@@ -135,7 +135,7 @@ object ManifestAggFold extends Rule[LogicalPlan] {
     resolveAttr(plan, a).flatMap { col =>
       if (m.entries.isEmpty) Some(0L)
       else if (m.entries.forall(e => e.dv.isEmpty &&
-          e.ndv.contains(col.name)))
+          e.ndv.get(col.name).exists(NdvSketch.isCurrent)))
         Some(NdvSketch.estimate(m.entries
           .map(e => NdvSketch.fromHex(e.ndv(col.name)))
           .reduce(NdvSketch.merge)))

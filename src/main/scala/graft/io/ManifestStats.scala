@@ -72,7 +72,8 @@ object GraftManifestStats extends Rule[LogicalPlan] {
     val colStats = l.output.flatMap { a =>
       val ndv: Option[BigInt] =
         if (m.entries.isEmpty) Some(BigInt(0))
-        else if (clean && m.entries.forall(_.ndv.contains(a.name)))
+        else if (clean && m.entries.forall(
+            _.ndv.get(a.name).exists(NdvSketch.isCurrent)))
           Some(BigInt(NdvSketch.estimate(m.entries
             .map(e => NdvSketch.fromHex(e.ndv(a.name)))
             .reduce(NdvSketch.merge))))

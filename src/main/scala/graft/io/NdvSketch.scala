@@ -88,11 +88,33 @@ object NdvSketch {
     out
   }
 
-  def toHex(regs: Array[Byte]): String =
-    regs.map(r => f"$r%02x").mkString
+  /** Hash-DOMAIN version tag on the persisted register encoding (r21,
+    * ADVICE fix). r20's [[canonical]] moved byte/short/int/float columns
+    * into the widened hash domain, so registers persisted by pre-r20
+    * builds describe a DIFFERENT hash function; merging the two
+    * double-counts every value present on both sides (up to ~2× off,
+    * far outside the promised 4.6 % rsd) with no gate tripping. The tag
+    * makes the domain explicit: [[toHex]] stamps it, and every consumer
+    * gates on [[isCurrent]] so an untagged (legacy-domain) register
+    * string reads as a stats GAP — the decline-on-gap discipline every
+    * other stats consumer follows — until a re-ANALYZE refreshes it.
+    */
+  val Domain = "2:"
 
-  def fromHex(s: String): Array[Byte] =
-    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  /** Is this persisted register string in the current hash domain? */
+  def isCurrent(s: String): Boolean = s.startsWith(Domain)
+
+  def toHex(regs: Array[Byte]): String =
+    Domain + regs.map(r => f"$r%02x").mkString
+
+  def fromHex(s: String): Array[Byte] = {
+    require(isCurrent(s),
+      s"NDV register string lacks the current hash-domain tag '$Domain' " +
+        "— legacy-domain registers must be declined (re-ANALYZE), " +
+        "never merged")
+    s.substring(Domain.length).grouped(2)
+      .map(h => Integer.parseInt(h, 16).toByte).toArray
+  }
 
   /** (bucket, ρ) columns of one value column: bucket = top P hash bits,
     * ρ = leading-zero rank of the remaining bits (an all-zero tail maps

@@ -3789,7 +3789,8 @@ object TableFormat {
     val rows = names.map { c =>
       val ndv: Option[Long] =
         if (m.entries.isEmpty) Some(0L)
-        else if (allClean && m.entries.forall(_.ndv.contains(c)))
+        else if (allClean && m.entries.forall(
+            _.ndv.get(c).exists(NdvSketch.isCurrent)))
           Some(NdvSketch.estimate(m.entries
             .map(e => NdvSketch.fromHex(e.ndv(c)))
             .reduce(NdvSketch.merge)))

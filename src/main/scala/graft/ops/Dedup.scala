@@ -219,7 +219,8 @@ object Dedup {
     // blocking: this is the batch-lifecycle boundary, and a non-blocking
     // release defers block deletion into whatever runs next (round-7 bench:
     // the deferred churn inflated the head of the following pass 2-4×)
-    Seq(bandCache, repBandCache, dupPairCache, grpCache, embedBandCache)
+    Seq(bandCache, repBandCache, dupPairCache, grpCache, embedBandCache,
+        gramCache, embedPairCache, candPairCache)
       .foreach { cache =>
       cache.keys.toList.foreach { k =>
         cache.remove(k).foreach(_.unpersist(blocking = true))
@@ -331,8 +332,19 @@ object Dedup {
     * Consumers needing full cluster membership (components, incremental)
     * take [[componentPairs]], which re-attaches members linearly.
     */
+  /** Memoized + persisted (r21): five consumers (`q_dedup_minhash`,
+    * `_fuzzy`, `_containment`, `_incremental`, the component-label build)
+    * each re-ran the grouped bucket expansion + distinct over the cached
+    * band rows — and `q_dedup_cc_incremental` evaluates the pair set
+    * three times inside ONE query (old half, delta half, contraction).
+    * The pair frame is two longs per candidate pair — persist-tiny at
+    * any corpus scale LSH is usable at. Released via [[clearCaches]].
+    */
+  private val candPairCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def candidatePairs(s: SparkSession, dir: String): DataFrame =
-    bucketPairs(repBands(s, dir))
+    candPairCache.getOrElseUpdate((s, dir),
+      bucketPairs(repBands(s, dir)).persist(StorageLevel.MEMORY_AND_DISK))
 
   /** The full dup-graph pair set: rep-level LSH candidates plus the
     * linear (rep, member) exact-dup edges — connected components over
@@ -543,9 +555,13 @@ object Dedup {
   private[graft] def largeStar(e: DataFrame): DataFrame = {
     val sym = e.select(col("hi").as("u"), col("lo").as("v"))
       .unionByName(e.select(col("lo").as("u"), col("hi").as("v")))
-    val m = sym.groupBy("u").agg(min(col("v")).as("mv"))
-      .select(col("u").as("mu"), least(col("mv"), col("u")).as("m"))
-    sym.join(m, col("u") === col("mu"))
+    // the per-neighborhood minimum attaches via a window over the
+    // partition key instead of the r20 groupBy + self-join: ONE exchange
+    // of sym (by u) instead of two (the aggregate's and the join's), and
+    // no duplicated aggregate subtree (guide §2.4: share the exchange)
+    val w = Window.partitionBy("u")
+    sym.select(col("u"), col("v"),
+        least(min(col("v")).over(w), col("u")).as("m"))
       .filter(col("v") > col("u"))
       .select(col("v").as("hi"), col("m").as("lo"))
       .distinct()
@@ -556,11 +572,21 @@ object Dedup {
     * (x, u) with (x, m) and adds (u, m) — the star flattening step.
     */
   private[graft] def smallStar(e: DataFrame): DataFrame = {
-    val m = e.groupBy("hi").agg(min(col("lo")).as("m"))
-    val withM = e.join(m, "hi")
-    withM.select(col("lo").as("hi"), col("m").as("lo"))
-      .filter(col("hi") =!= col("lo"))
-      .unionByName(withM.select(col("hi"), col("m").as("lo")))
+    // window-attached group minimum (the largeStar rationale: one
+    // exchange, no aggregate + join pair), and the two union branches of
+    // the r20 form — which re-evaluated the whole min-attach subtree per
+    // branch — fused into ONE map-side explode: per row, (hi, m) always
+    // and (lo, m) iff lo ≠ m, exactly the rows the union produced
+    // ((hi, m) is always a valid edge: m = min(lo) < hi by canonical
+    // orientation).
+    val w = Window.partitionBy("hi")
+    e.select(col("hi"), col("lo"), min(col("lo")).over(w).as("m"))
+      .select(explode(when(col("lo") =!= col("m"),
+          array(struct(col("lo").as("hi"), col("m").as("lo")),
+            struct(col("hi").as("hi"), col("m").as("lo"))))
+        .otherwise(array(struct(col("hi").as("hi"), col("m").as("lo")))))
+        .as("p"))
+      .select(col("p.hi").as("hi"), col("p.lo").as("lo"))
       .distinct()
   }
 
@@ -587,15 +613,28 @@ object Dedup {
         .filter(col("hi") =!= col("lo"))
         .unionByName(fromInit)
         .distinct())
+    var eCount = e.count()
     var round = 0
     var done = false
     while (!done) {
       require(round < maxRounds,
         s"large-star/small-star did not converge in $maxRounds rounds")
-      val next = checkpointLabels(smallStar(largeStar(e)))
-      // exact stabilization check: same cardinality and no novel edges
-      done = next.count() == e.count() && next.exceptAll(e).isEmpty
-      e = next
+      // exact stabilization check, folded into the round's ONE
+      // materialization (r21): the stepped edge set left-joins the
+      // previous set with a presence flag, so "no novel edges" and the
+      // new cardinality are two metadata-cheap scans of the checkpointed
+      // result instead of the r20 form's separate exceptAll job (plus a
+      // re-count of e) per round. Both sets are distinct by
+      // construction, so next == e  ⇔  |next| == |e| ∧ next ⊆ e —
+      // identical convergence semantics.
+      val flagged = checkpointLabels(
+        smallStar(largeStar(e))
+          .join(e.select(col("hi"), col("lo"), lit(1).as("seen")),
+            Seq("hi", "lo"), "left"))
+      val n = flagged.count()
+      done = n == eCount && flagged.filter(col("seen").isNull).isEmpty
+      e = flagged.select(col("hi"), col("lo"))
+      eCount = n
       round += 1
     }
     val labels = init.select(col("node"))
@@ -873,17 +912,38 @@ object Dedup {
     */
   private[graft] val SubstringK = 8
 
+  /** Memoized positional k-gram rows (doc_id, pos, g) shared by BOTH
+    * substring queries (r21): the r20 form built the scan → tokenize →
+    * md5-explode subtree TWICE per query (the aggregate side and the
+    * join-back side are different subtrees, so no exchange reuse fires —
+    * plan-verified), i.e. 4 corpus re-tokenizations + gram hashings per
+    * pass across the two queries; the memo pays it once, owned by
+    * `q_dedup_substring` in sorted bench order. The gram key is the
+    * md5 as 16-BYTE BINARY (`unhex`), not the 32-char hex string — an
+    * injective re-encoding (identical grouping/join semantics, identical
+    * outputs) that halves the key bytes on every gram exchange (guide
+    * §2.3 narrower types). Positions ride along at one int/row so the
+    * run query needs no second build. Persisted like [[cachedBands]];
+    * released via [[clearCaches]].
+    */
+  private val gramCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def kgramRows(s: SparkSession, dir: String): DataFrame =
+    gramCache.getOrElseUpdate((s, dir), {
+      val ws = col("ws")
+      val idx = when(size(ws) >= SubstringK,
+        sequence(lit(1), size(ws) - (SubstringK - 1)))
+        .otherwise(array().cast("array<int>"))
+      docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(transform(idx,
+          i => unhex(md5(concat_ws(" ", slice(ws, i, lit(SubstringK))))))))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    })
+
   private def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
-    // ws materialized below the explode (the rawShinglesWs contract)
-    val ws = col("ws")
-    val idx = when(size(ws) >= SubstringK,
-      sequence(lit(1), size(ws) - (SubstringK - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = docs(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"),
-        explode(transform(idx,
-          i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))).as("g"))
+    val grams = kgramRows(s, dir).select("doc_id", "g")
     val dupGrams = grams.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -923,16 +983,9 @@ object Dedup {
   private[graft] val SubstringPostingCap = 64L
 
   private def qDedupSubstringRun(s: SparkSession, dir: String): DataFrame = {
-    // ws materialized below the explode (the rawShinglesWs contract)
-    val ws = col("ws")
-    val idx = when(size(ws) >= SubstringK,
-      sequence(lit(1), size(ws) - (SubstringK - 1)))
-      .otherwise(array().cast("array<int>"))
-    val grams = docs(s, dir)
-      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), posexplode(transform(idx,
-        i => md5(concat_ws(" ", slice(ws, i, lit(SubstringK)))))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("g"))
+    // the memoized positional gram rows (see [[kgramRows]]) — built once
+    // per pass for both substring queries instead of twice per query
+    val grams = kgramRows(s, dir)
     val shared = grams.groupBy("g")
       .agg(count_distinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2 && col("nd") <= SubstringPostingCap)
@@ -1033,9 +1086,20 @@ object Dedup {
     */
   /** The verified embedding near-dup pairs (band-join candidates that pass
     * exact cosine ≥ 0.4) — shared by the pair listing and the component
-    * labeling below.
+    * labeling below. Memoized + persisted (r21): the r20 form re-ran the
+    * band self-join + two embedding joins + cosine verification once for
+    * `q_dedup_embed_components` and AGAIN for `q_dedup_embed_lsh`; the
+    * verified pair set is pair-sized (two longs + a double per pair) and
+    * the build is owned by `_components` in sorted bench order. Released
+    * via [[clearCaches]].
     */
-  private def embedVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+  private val embedPairCache = TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def embedVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    embedPairCache.getOrElseUpdate((s, dir),
+      buildEmbedVerifiedPairs(s, dir).persist(StorageLevel.MEMORY_AND_DISK))
+
+  private def buildEmbedVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
     val bands = cachedEmbedBands(s, dir)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&

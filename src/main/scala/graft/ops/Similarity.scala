@@ -41,6 +41,57 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")
 
+  // ------------------------- map-side argmin against a broadcast codebook
+  //
+  // The r20 form of every nearest-centroid step was
+  // crossJoin(broadcast(cents)) → groupBy(vec_id) → min_by/first: a k×
+  // row fan-out whose `first(embedding)` array buffer forces a
+  // SORT-based aggregate — the plan paid Exchange + two Sorts of the
+  // fanned rows (each carrying the 64-float vector k times) for an
+  // argmin over k=16 candidates. The fold below computes the same argmin
+  // MAP-SIDE: the k-row codebook collapses to one broadcastable array
+  // row, `transform` evaluates the identical dist² doubles per centroid,
+  // and `array_min` takes the lexicographic (dist², cid) minimum — the
+  // exact min_by(cid, struct(dist2, cid)) semantics, ties to the lowest
+  // cid, no shuffle, no sort, no fan-out (guide §2.4/§1.2: remove the
+  // shuffle, don't tune it). At 100 TB this turns the corpus assignment
+  // from a k×-inflated sort-aggregate pass into a pure scan projection.
+
+  /** The k-row centroid frame collapsed to ONE broadcastable row holding
+    * the cid-ascending array of (cid, cemb, cnrm2) structs — the lookup
+    * table the map-side argmin/probe folds read. k = codebook size
+    * (16 here): broadcast-tiny at any corpus scale.
+    */
+  private def centArray(cents: DataFrame): DataFrame =
+    cents.agg(sort_array(collect_list(struct(col("cid"), col("cemb"),
+      col("cnrm2")))).as("cbk"))
+
+  /** (dist², cid) structs per codebook element: dist² = ‖v‖² − 2·v·c +
+    * ‖c‖² — the same doubles, via the same codegen'd dot, as the
+    * crossJoin form this replaces.
+    */
+  private def distStructs(embC: Column, nrm2C: Column, cbk: Column): Column =
+    transform(cbk, c => struct(
+      (nrm2C - lit(2.0) * dot(embC, c.getField("cemb"))
+        + c.getField("cnrm2")).as("dist2"),
+      c.getField("cid").as("cid")))
+
+  /** Map-side nearest-centroid argmin: array_min over (dist², cid)
+    * structs = the lexicographic minimum = min_by(cid, struct(dist2,
+    * cid)) — identical value and tie-break.
+    */
+  private def nearestCell(embC: Column, nrm2C: Column, cbk: Column): Column =
+    array_min(distStructs(embC, nrm2C, cbk)).getField("cid")
+
+  /** The `np` nearest cells as an array: ascending (dist², cid) sort +
+    * slice — the fold form of the `row_number() ≤ np` probe window
+    * (same ordering, same selection), with the per-query window exchange
+    * gone.
+    */
+  private def nearestCells(embC: Column, nrm2C: Column, cbk: Column,
+      np: Int): Column =
+    slice(array_sort(distStructs(embC, nrm2C, cbk)), 1, np)
+
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"),
       l2norm(col("embedding")).as("nrm"))
@@ -277,17 +328,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         dot(col("embedding"), col("embedding")).as("nrm2"))
     val seeds = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("seed_id"), col("embedding").as("semb"),
-        col("nrm2").as("snrm2"))
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("semb")) +
-      col("snrm2")
-    val assigned = e.crossJoin(broadcast(seeds))
-      .select(col("vec_id"), col("embedding"),
-        dist2.as("dist2"), col("seed_id"))
-      .groupBy("vec_id")
-      .agg(min_by(col("seed_id"), struct(col("dist2"), col("seed_id")))
-          .as("cluster"),
-        first(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"),
+        col("nrm2").as("cnrm2"))
+    // map-side argmin fold (see centArray) — the seed table is the
+    // codebook; same argmin doubles and lowest-seed tie-break as the
+    // crossJoin+min_by form it replaces
+    val assigned = e.crossJoin(broadcast(centArray(seeds)))
+      .select(col("vec_id"),
+        nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cluster"),
+        col("embedding"))
     centroidsOf(assigned)
   }
 
@@ -303,13 +352,12 @@ object Similarity {
   private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
     val withNrm2 = cents.select(col("cid"), col("cemb"),
       dot(col("cemb"), col("cemb")).as("cnrm2"))
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val assigned = e.crossJoin(broadcast(withNrm2))
-      .select(col("vec_id"), col("embedding"), dist2.as("dist2"), col("cid"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cluster"),
-        first(col("embedding")).as("embedding"))
+    // map-side argmin fold (see centArray) — same doubles, same
+    // lowest-cid tie-break as the crossJoin+min_by form it replaces
+    val assigned = e.crossJoin(broadcast(centArray(withNrm2)))
+      .select(col("vec_id"),
+        nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cluster"),
+        col("embedding"))
     assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
@@ -333,6 +381,10 @@ object Similarity {
   private[graft] def lloydCentroids(e: DataFrame, k: Int, steps: Int): DataFrame = {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    // deliberately a LAZY chain (measured r21: an eager localCheckpoint
+    // per step read 1.6-2.2 s standalone vs 1.35 s lazy — the per-step
+    // blocking job costs more than the one re-executed corpus pass the
+    // broadcast build pays, because the corpus side is persisted)
     (1 to steps).foreach(_ => cents = lloydStep(e, cents))
     cents
   }
@@ -363,6 +415,7 @@ object Similarity {
   private[graft] def clearMemos(): Unit = {
     corpusCache.clear()
     codebookCache.clear()
+    assignCache.clear()
   }
 
   // memos key on (session, dir) like Dedup.labelsCache: a second session
@@ -398,21 +451,18 @@ object Similarity {
     * fan-out collapses map-side in the partial aggregate.
     */
   private[graft] def assignFeaturized(e: DataFrame,
-                                      cents: DataFrame): DataFrame = {
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm2"),
-        dist2.as("dist2"), col("cid"))
-      .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cell"),
-        first(col("embedding")).as("embedding"),
-        sqrt(first(col("nrm2"))).as("nrm"),
+                                      cents: DataFrame): DataFrame =
+    // map-side argmin fold (see centArray): one broadcast row, no k×
+    // fan-out, no sort-aggregate — assignment is now a scan projection
+    e.crossJoin(broadcast(centArray(cents)))
+      .select(col("vec_id"),
+        nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cell"),
+        col("embedding"),
+        sqrt(col("nrm2")).as("nrm"),
         // raw ||v||² carried alongside its sqrt so the AT-REST index can
         // re-run the probe argmin on the exact same doubles (sqrt-then-
         // square would not round-trip)
-        first(col("nrm2")).as("nrm2"))
-  }
+        col("nrm2"))
 
   /** [[assignFeaturized]] over raw `(vec_id, embedding)` rows — the
     * entry point a streaming micro-batch uses (featurization inline).
@@ -424,8 +474,20 @@ object Similarity {
         dot(col("embedding"), col("embedding")).as("nrm2")),
       cents)
 
+  /** Memoized + persisted corpus assignment: three trained-IVF queries
+    * (nprobe 1/2/4) and the PQ cell-tagging all read the SAME inverted
+    * file — the r20 form recomputed the assignment per consumer. The
+    * frame is assignment-sized (corpus rows + a long cell id), same
+    * class as [[featurizedCorpus]]'s persist; released via
+    * [[clearMemos]]/Caches like every other memo.
+    */
+  private val assignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def trainedAssignment(s: SparkSession, dir: String): DataFrame =
-    assignFeaturized(featurizedCorpus(s, dir), trainedCodebook(s, dir))
+    assignCache.getOrElseUpdate((s, dir), graft.Caches.register(
+      assignFeaturized(featurizedCorpus(s, dir), trainedCodebook(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** Landed IVF index per (session, dir) — write-once like the postings
     * artifact. `cells/` holds every assigned vector (embedding, ||v||,
@@ -488,19 +550,17 @@ object Similarity {
     val root = ivfIndexRoot(s, dir)
     val idx = s.read.parquet(root + "/cells")
     val cents = s.read.parquet(root + "/cents")
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val wq = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
+    // probe fold (see nearestCells): same (dist² asc, cid asc) selection
+    // as the row_number window it replaces, minus the window exchange
     val q = idx.filter(col("vec_id") < 50)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        dist2.as("dist2"), col("cid"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
+      .crossJoin(broadcast(centArray(cents)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"), col("cid").as("cell"))
+        col("nrm").as("q_nrm"),
+        explode(nearestCells(col("embedding"), col("nrm2"), col("cbk"),
+          nprobe)).as("pc"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("pc.cid").as("cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("vec_id"))
     idx.join(q, "cell")
@@ -557,20 +617,18 @@ object Similarity {
     val root = ivfIndexRoot(s, dir)
     val idx = s.read.parquet(root + "/cells")
     val cents = s.read.parquet(root + "/cents")
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val wq = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
+    // probe fold (see nearestCells): same (dist² asc, cid asc) selection
+    // as the row_number window it replaces, minus the window exchange
     def probed(np: Int): DataFrame =
       idx.filter(col("vec_id") < 50)
         .select(col("vec_id"), col("embedding"), col("nrm"), col("nrm2"))
-        .crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          dist2.as("dist2"), col("cid"))
-        .withColumn("pr", row_number().over(wq))
-        .filter(col("pr") <= np)
+        .crossJoin(broadcast(centArray(cents)))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("nrm").as("q_nrm"), col("cid").as("cell"))
+          col("nrm").as("q_nrm"),
+          explode(nearestCells(col("embedding"), col("nrm2"), col("cbk"),
+            np)).as("pc"))
+        .select(col("q_id"), col("q_emb"), col("q_nrm"),
+          col("pc.cid").as("cell"))
     def search(np: Int): DataFrame = {
       val w = Window.partitionBy("q_id")
         .orderBy(col("score").desc, col("vec_id"))
@@ -654,16 +712,14 @@ object Similarity {
     val cents = s.read.parquet(root + "/cents")
     val cb = s.read.parquet(root + "/pqcb")
     val q = s.read.parquet(root + "/cells").filter(col("vec_id") < 8)
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val wq = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
+    // probe fold (see nearestCells): same (dist² asc, cid asc) selection
+    // as the row_number window it replaces, minus the window exchange
     val probed = q
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), dist2.as("dist2"), col("cid"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+      .crossJoin(broadcast(centArray(cents)))
+      .select(col("vec_id").as("q_id"),
+        explode(nearestCells(col("embedding"), col("nrm2"), col("cbk"),
+          nprobe)).as("pc"))
+      .select(col("q_id"), col("pc.cid").as("cell"))
     val qd = pqAdcTable(
       pqSubvectors(q.select(col("vec_id"), col("embedding"))), cb)
     val w = Window.partitionBy("q_id")
@@ -755,18 +811,16 @@ object Similarity {
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     val assigned = trainedAssignment(s, dir)
     val cents = trainedCodebook(s, dir)
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val wq = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
+    // probe fold (see nearestCells): same (dist² asc, cid asc) selection
+    // as the row_number window it replaces, minus the window exchange
     val q = featurizedCorpus(s, dir).filter(col("vec_id") < 50)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm2"),
-        dist2.as("dist2"), col("cid"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
+      .crossJoin(broadcast(centArray(cents)))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        sqrt(col("nrm2")).as("q_nrm"), col("cid").as("cell"))
+        sqrt(col("nrm2")).as("q_nrm"),
+        explode(nearestCells(col("embedding"), col("nrm2"), col("cbk"),
+          nprobe)).as("pc"))
+      .select(col("q_id"), col("q_emb"), col("q_nrm"),
+        col("pc.cid").as("cell"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("score").desc, col("vec_id"))
     assigned.join(q, "cell")
@@ -826,14 +880,23 @@ object Similarity {
       .select(col("s"), col("vec_id").as("cid"), col("sv").as("cemb"))
 
   /** Inverted-file side: each (vector, subspace) encoded as its nearest
-    * centroid id — ties to the lowest cid, the portable min_by pattern.
+    * centroid id — ties to the lowest cid. Map-side argmin fold over the
+    * broadcast per-subspace codebook array (the [[centArray]] device):
+    * the r20 join+groupBy form fanned every (vector, subspace) row 4×
+    * and paid an exchange + final aggregate; the fold computes the same
+    * (dist², cid) lexicographic minimum in the scan projection.
     */
-  private def pqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
-    sub.join(broadcast(cb), "s")
-      .select(col("vec_id"), col("s"), col("cid"),
-        pqD2(col("sv"), col("cemb")).as("dist2"))
-      .groupBy("vec_id", "s")
-      .agg(min_by(col("cid"), struct(col("dist2"), col("cid"))).as("cid"))
+  private def pqCodes(sub: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cb.agg(sort_array(collect_list(
+      struct(col("s"), col("cid"), col("cemb")))).as("pcb"))
+    sub.crossJoin(broadcast(cbArr))
+      .select(col("vec_id"), col("s"),
+        array_min(transform(
+          filter(col("pcb"), c => c.getField("s") === col("s")),
+          c => struct(pqD2(col("sv"), c.getField("cemb")).as("dist2"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+  }
 
   /** Query side: the per-query ADC table (4 subspaces × 4 centroids). */
   private def pqAdcTable(sub: DataFrame, cb: DataFrame): DataFrame =
@@ -883,16 +946,14 @@ object Similarity {
     // query side: probe the 2 nearest trained cells (same argmin tree as
     // ivfSearch) + the per-query ADC table
     val cents = trainedCodebook(s, dir)
-    val dist2 = col("nrm2") - lit(2.0) * dot(col("embedding"), col("cemb")) +
-      col("cnrm2")
-    val wq = Window.partitionBy("vec_id")
-      .orderBy(col("dist2").asc, col("cid").asc)
+    // probe fold (see nearestCells): same (dist² asc, cid asc) selection
+    // as the row_number window it replaces, minus the window exchange
     val probed = featurizedCorpus(s, dir).filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), dist2.as("dist2"), col("cid"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= 2)
-      .select(col("vec_id").as("q_id"), col("cid").as("cell"))
+      .crossJoin(broadcast(centArray(cents)))
+      .select(col("vec_id").as("q_id"),
+        explode(nearestCells(col("embedding"), col("nrm2"), col("cbk"),
+          2)).as("pc"))
+      .select(col("q_id"), col("pc.cid").as("cell"))
     val qd = pqAdcTable(sub, cb)
     val w = Window.partitionBy("q_id")
       .orderBy(col("adist").asc, col("vec_id").asc)

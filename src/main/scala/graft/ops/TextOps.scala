@@ -874,7 +874,12 @@ object TextOps {
       .select(col("doc_id"), explode(arr).as("p"))
       .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
     val c2 = b.groupBy("big", "w1").agg(count(lit(1)).as("c2"))
-    val c1 = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // context counts DERIVED from the bigram counts instead of a second
+    // corpus pass (r21): c1(w1) = Σ_big c2(big, w1) by definition — the
+    // reaggregation runs over the VOCAB²-bounded c2 frame, so the corpus
+    // is tokenized/exploded once less per run (guide §1.2: remove the
+    // pass, not the per-row cost)
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val v = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
       .agg(count_distinct(col("w")).as("v"))
     val model = c2.join(c1, "w1").crossJoin(broadcast(v))
@@ -975,9 +980,15 @@ object TextOps {
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-    val tot = counts.groupBy("doc_id").agg(sum(col("cnt")).as("tot"))
+    // per-doc total via a window over the (doc, char)-count frame
+    // instead of the r20 aggregate + self-join, which re-ran the corpus
+    // char-explode + count subtree once per branch (no exchange reuse —
+    // one side is aggregated): ONE corpus explode, one window exchange
+    // of the counts frame, and the final per-doc aggregate rides the
+    // window's doc_id clustering with no further shuffle
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val p = col("cnt").cast(DoubleType) / col("tot")
-    counts.join(tot, "doc_id")
+    counts.withColumn("tot", sum(col("cnt")).over(wDoc))
       .select(col("doc_id"), col("tot"),
         (p * log(p)).cast(DecimalType(20, 10)).as("term"))
       .groupBy("doc_id", "tot")
@@ -1480,10 +1491,13 @@ object TextOps {
     *     then on (the corpus is never touched again);
     *   - each round: explode adjacent symbol pairs weighted by word
     *     count → one vocab-sized aggregate → global argmax by
-    *     (total desc, pair asc) → the 1-row winner broadcasts back and a
-    *     codegen'd `replace` applies the merge to every word —
-    *     NO collect(): the argmax rides the plan as a broadcast join, so
-    *     the whole training is one lazy composition;
+    *     (total desc, pair asc) → the 1-ROW winner is collected as
+    *     bounded driver metadata (the merge table IS the training's
+    *     k-row output — the same bounded-collect class as every other
+    *     metadata read here) and a codegen'd `replace` applies the merge
+    *     to every word as a literal pattern, so each round costs exactly
+    *     one aggregate job and the vocab update is a shuffle-free
+    *     projection;
     *   - symbols are double-space-joined with sentinel spaces
     *     (` a  b  c `): a pair pattern ` a  b ` owns one boundary space
     *     on each side, so consecutive merge sites never share a
@@ -1596,37 +1610,44 @@ object TextOps {
     else df.localCheckpoint()
 
   private def trainBpeLoop(vocab0: DataFrame): (DataFrame, DataFrame) = {
+    val s = vocab0.sparkSession
     var cur: DataFrame = vocab0
-    var merges: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
     (1 to BpeMerges).foreach { step =>
-      val best = cur
+      // the global argmax is ONE row — collected as bounded driver
+      // metadata (the merge table IS the training's k-row output, the
+      // exact class of collect the engine permits everywhere else). The
+      // r20 form instead bound it as a broadcast-join subquery, which
+      // paid a broadcast-build job PLUS an eager checkpoint job per
+      // round; with the winner in hand the merge applies as a LITERAL
+      // map-side replace, the vocab update is a pure projection over the
+      // persisted vocab (no shuffle, no per-round materialization), and
+      // each round costs exactly its one aggregate job.
+      val top = cur
         .select(col("cnt"), explode(bpePairs(col("seq"))).as("p"))
         .groupBy("p").agg(sum(col("cnt")).as("total"))
         .orderBy(col("total").desc, col("p"))
         .limit(1)
-        .select(col("p").as("pair"),
-          call_function("replace", col("p"), lit(" "), lit("")).as("tok"),
-          col("total"))
-      val m = best.select(lit(step.toLong).as("step"), col("pair"),
-        col("tok"), col("total"))
-      merges = if (merges == null) m else merges.unionByName(m)
-      // LEFT join on TRUE, not crossJoin: when the pair supply is
-      // exhausted before the round budget (tiny corpora — every word
-      // already one symbol), `best` is EMPTY and a cross join would wipe
-      // the vocab; with the left join the null pattern makes the replace
-      // null and the coalesce keeps the sequence unchanged — an idempotent
-      // no-op round in both engines
-      cur = checkpointBpe(cur.join(broadcast(best), lit(true), "left")
-        .select(col("w"), coalesce(
+        .collect()
+      // empty top = pair supply exhausted before the round budget (tiny
+      // corpora — every word already one symbol): a no-op round, exactly
+      // like the r20 left-join-null path
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val total = top(0).getLong(1)
+        val tok = pair.replace(" ", "")
+        merges += ((step.toLong, pair, tok, total))
+        cur = cur.select(col("w"),
           call_function("replace", col("seq"),
-            concat(lit(" "),
-              call_function("replace", col("pair"), lit(" "), lit("  ")),
-              lit(" ")),
-            concat(lit(" "), col("tok"), lit(" "))),
-          col("seq")).as("seq"),
-          col("cnt")))
+            lit(" " + pair.replace(" ", "  ") + " "),
+            lit(" " + tok + " ")).as("seq"),
+          col("cnt"))
+      }
     }
-    (checkpointBpe(merges), checkpointBpe(cur.select(col("w"), col("seq"))))
+    import s.implicits._
+    val mergesDf = merges.toSeq.toDF("step", "pair", "tok", "total")
+    (mergesDf, checkpointBpe(cur.select(col("w"), col("seq"))))
   }
 
   private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
