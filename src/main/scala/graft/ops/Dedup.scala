@@ -56,7 +56,12 @@ object Dedup {
     * formulation (never groupBy the text itself).
     */
   private def qDedupExact(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(md5(col("text")))
+    // unhex: the window partitions on the 16-BYTE binary digest, not the
+    // 32-char hex string — same groups (hex↔binary is a bijection), half
+    // the key bytes through the window exchange (guide §2.3); applied to
+    // all three md5(text) windows (here, exactGroups, the pipeline's
+    // stage 2)
+    val w = Window.partitionBy(unhex(md5(col("text"))))
     docs(s, dir)
       .select(col("doc_id"),
         min(col("doc_id")).over(w).as("canonical_id"))
@@ -260,7 +265,7 @@ object Dedup {
     */
   private def exactGroups(s: SparkSession, dir: String): DataFrame =
     grpCache.getOrElseUpdate((s, dir), {
-      val w = Window.partitionBy(md5(col("text")))
+      val w = Window.partitionBy(unhex(md5(col("text"))))
       docs(s, dir)
         .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"))
         .persist(StorageLevel.MEMORY_AND_DISK)

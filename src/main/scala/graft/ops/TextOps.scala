@@ -1048,16 +1048,19 @@ object TextOps {
     * exact join), so the oracle SQL needs no Bloom model.
     */
   private def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-      .select(col("doc_id"), col("text"),
-        splitBucket(col("doc_id")).as("bucket"))
-    // token array materialized a select below the explode — the inlined
-    // form re-tokenizes per array element inside the (non-codegen'd)
-    // transform lambda (see Dedup.rawShinglesWs)
-    val sh = d
-      .select(col("doc_id"), col("bucket"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("bucket"),
-        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
+    // INTERNED shingle stream (r21): the one-pass codegen'd
+    // [[graft.functions.ShingleHashes]] replaces the tokenize →
+    // string-shingle lambda → explode chain, so the contamination join —
+    // this query's dominant shuffle at scale — carries 8-byte longs
+    // instead of ~20-char shingle strings (guide §2.3 narrower types).
+    // Same distinct-per-doc universe and therefore identical counts up
+    // to the ~d²/2⁶⁵ interning collision bound the SimJoin/fuzzy tier
+    // already rides (round-13 precedent); the oracle stays on string
+    // shingles and hash-matches.
+    val sh = docs(s, dir)
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"),
+        explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
+          .as("sh"))
     decontaminationScores(sh)
   }
 
@@ -1106,11 +1109,14 @@ object TextOps {
     * probe sides shrink).
     */
   private def qDecontaminateClean(s: SparkSession, dir: String): DataFrame = {
+    // INTERNED stream (the qDecontaminate rationale), with `source`
+    // carried for the boilerplate suppression; the flagged model is
+    // brought into the same hash domain by [[gramChainHash]]
     val sh = docs(s, dir)
       .select(col("doc_id"), col("source"),
-        splitBucket(col("doc_id")).as("bucket"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"), col("bucket"),
-        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
+        splitBucket(col("doc_id")).as("bucket"),
+        explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
+          .as("sh"))
     decontaminationScores(cleanShingles(s, dir, sh))
   }
 
@@ -1118,10 +1124,26 @@ object TextOps {
     * domain's flagged set — a broadcast LEFT ANTI join, map-side on the
     * corpus-sized stream.
     */
+  /** [[graft.functions.ShingleHash]]'s chained hash of a 3-token gram
+    * STRING, as a Column expression: per-token `xxhash64` (UTF-8 bytes,
+    * seed 42) seed-chained across the three token hashes — `xxhash64`
+    * over LONG children folds exactly `hashLong(c, prev)` from seed 42,
+    * matching `ShingleHash.distinctHashes`' composition value-for-value.
+    * TextOpsSpec pins the equality on real corpus text, so the flagged
+    * boilerplate model (string grams) and the interned shingle stream
+    * can never drift domains.
+    */
+  private[graft] def gramChainHash(g: Column): Column = {
+    val t = split(g, " ")
+    xxhash64(xxhash64(element_at(t, 1)), xxhash64(element_at(t, 2)),
+      xxhash64(element_at(t, 3)))
+  }
+
   private[graft] def cleanShingles(s: SparkSession, dir: String,
       sh: DataFrame): DataFrame =
     sh.join(
-      broadcast(boilerplateFlagged(docs(s, dir)).withColumnRenamed("g", "sh")),
+      broadcast(boilerplateFlagged(docs(s, dir))
+        .select(col("source"), gramChainHash(col("g")).as("sh"))),
       Seq("source", "sh"), "left_anti")
 
   /** PII redaction: scrub email addresses and phone-shaped tokens before a
@@ -1385,7 +1407,7 @@ object TextOps {
       .filter(keepRule(col("text")))
     // stage 2: exact dedup among survivors (min doc per content hash)
     val wEx = org.apache.spark.sql.expressions.Window
-      .partitionBy(md5(col("text")))
+      .partitionBy(unhex(md5(col("text"))))
     val ex = f
       .withColumn("canon", min(col("doc_id")).over(wEx))
       .filter(col("doc_id") === col("canon"))
@@ -1440,10 +1462,15 @@ object TextOps {
     // stays inside the generator: only n_sh for hit docs ever needs it
     // as a value, and that is recomputed hits-side over the tiny hit
     // set.
+    // INTERNED shingle stream (r21, the qDecontaminate rationale): the
+    // stage-5 probe joins 8-byte shingle hashes, not shingle strings —
+    // at 100 TB the train-shingle exchange is this pipeline's dominant
+    // shuffle and the narrow key roughly halves it; counts (and the
+    // 2·hits ≤ shingles keep rule) are interning-invariant
     val sh = sp
-      .select(col("doc_id"), col("bucket"), tokens(col("text")).as("ws"))
       .select(col("doc_id"), col("bucket"),
-        explode(Dedup.rawShinglesWs(col("ws"))).as("sh"))
+        explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
+          .as("sh"))
     val testShRows = sh.filter(col("bucket") >= 95).select("sh")
     val trainShRows = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), col("sh"))
@@ -1455,7 +1482,8 @@ object TextOps {
           .agg(count(lit(1)).as("n_hit"))
           .join(sp.select(col("doc_id"), col("text")), Seq("doc_id"))
           .select(col("doc_id"), col("n_hit"),
-            size(Dedup.rawShingles(col("text"))).cast(LongType).as("n_sh"))
+            size(graft.functions.ShingleExprs.shingleHashes(col("text")))
+              .cast(LongType).as("n_sh"))
       else
         trainShRows
           .join(testShRows.distinct().withColumn("hit", lit(1L)),

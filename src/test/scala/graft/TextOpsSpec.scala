@@ -183,12 +183,13 @@ class TextOpsSpec extends TestSpark {
     // the train-side rows feeding the probe join's exchange and (b) only
     // ever REMOVE contamination hits (both probe sides shrink)
     val d = graft.io.Sources.table(spark, Sf, "documents")
+    // the INTERNED stream the production query feeds (r21) — the flagged
+    // model is hashed into the same domain inside cleanShingles
     val sh = d
       .select(col("doc_id"), col("source"),
         graft.ops.TextOps.splitBucket(col("doc_id")).as("bucket"),
-        graft.ops.TextOps.tokens(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"), col("bucket"),
-        explode(graft.ops.Dedup.rawShinglesWs(col("ws"))).as("sh"))
+        explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
+          .as("sh"))
     val clean = graft.ops.TextOps.cleanShingles(spark, Sf, sh)
     val rawTrain = sh.filter(col("bucket") < 90).count()
     val cleanTrain = clean.filter(col("bucket") < 90).count()
@@ -202,6 +203,23 @@ class TextOpsSpec extends TestSpark {
     assert(cleaned <= raw,
       s"clean variant INVENTED contamination hits ($cleaned > $raw)")
     assert(SparkEntry.queries("q_decontaminate_clean")(spark, Sf).count() > 0)
+  }
+
+  test("gramChainHash lands in ShingleHashes' interned domain, gram for gram") {
+    import org.apache.spark.sql.functions.{array_distinct, col, sort_array, transform}
+    // the coupling the hashed boilerplate suppression depends on: the
+    // Column-API chained hash of a 3-token gram STRING must equal the
+    // native one-pass expression's hash of the same gram — pinned on
+    // real corpus text so the two derivations can never drift
+    val mismatches = graft.io.Sources.table(spark, Sf, "documents")
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          graft.ops.Dedup.rawShingles(col("text")),
+          g => graft.ops.TextOps.gramChainHash(g)))).as("derived"),
+        graft.functions.ShingleExprs.shingleHashes(col("text")).as("native"))
+      .filter(col("derived") =!= col("native"))
+      .count()
+    assert(mismatches === 0L, "chained gram hash drifted from ShingleHashes")
   }
 
   test("corpus pipeline output lands through the packed-shard writer") {
