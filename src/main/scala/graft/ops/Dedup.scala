@@ -336,8 +336,8 @@ object Dedup {
     * 100 k-copy group's clique here would be quadratic in output alone.
     * Consumers needing full cluster membership (components, incremental)
     * take [[componentPairs]], which re-attaches members linearly.
-    */
-  /** Memoized + persisted (r21): five consumers (`q_dedup_minhash`,
+    *
+    * Memoized + persisted (r21): five consumers (`q_dedup_minhash`,
     * `_fuzzy`, `_containment`, `_incremental`, the component-label build)
     * each re-ran the grouped bucket expansion + distinct over the cached
     * band rows — and `q_dedup_cc_incremental` evaluates the pair set

@@ -78,7 +78,10 @@ object Similarity {
 
   /** Map-side nearest-centroid argmin: array_min over (dist², cid)
     * structs = the lexicographic minimum = min_by(cid, struct(dist2,
-    * cid)) — identical value and tie-break.
+    * cid)) — identical value and tie-break. An EMPTY codebook yields
+    * NULL; callers filter assigned rows on non-null so a degenerate
+    * empty-codebook input produces an empty result, exactly like the
+    * crossJoin+groupBy form this replaced (r21 review finding).
     */
   private def nearestCell(embC: Column, nrm2C: Column, cbk: Column): Column =
     array_min(distStructs(embC, nrm2C, cbk)).getField("cid")
@@ -337,17 +340,19 @@ object Similarity {
       .select(col("vec_id"),
         nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cluster"),
         col("embedding"))
+      .filter(col("cluster").isNotNull)
     centroidsOf(assigned)
   }
 
   /** One Lloyd assignment+update step against a broadcast codebook:
     * `cents` is (cid, cemb float vector); returns the recomputed (cid,
-    * cemb) frame. Per-vector work is k codegen'd dot products against the
-    * BROADCAST codebook (map-side); the 16× candidate fan-out collapses in
-    * the partial hash aggregate before its exchange, so the shuffle carries
-    * one row per vector, and the mean aggregate's state is k × dim cells.
-    * Means accumulate in DECIMAL (partitioning-independent) and land as
-    * FLOAT so the next step's distances are bit-portable across engines.
+    * cemb) frame. Assignment is the map-side argmin fold over the
+    * broadcast codebook array (see [[centArray]]) — a pure scan
+    * projection, no fan-out and no assignment shuffle; the only
+    * exchange is the (cluster, dim) mean aggregate, whose state is
+    * k × dim cells. Means accumulate in DECIMAL
+    * (partitioning-independent) and land as FLOAT so the next step's
+    * distances are bit-portable across engines.
     */
   private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame = {
     val withNrm2 = cents.select(col("cid"), col("cemb"),
@@ -358,6 +363,7 @@ object Similarity {
       .select(col("vec_id"),
         nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cluster"),
         col("embedding"))
+      .filter(col("cluster").isNotNull)
     assigned
       .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .groupBy("cluster", "pos")
@@ -439,21 +445,18 @@ object Similarity {
           dot(col("cemb"), col("cemb")).as("cnrm2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
-  /** Corpus rows labeled with their nearest trained centroid (the inverted
-    * file): broadcast argmin, partial agg collapses the k-way fan-out
-    * map-side.
-    */
   /** Nearest-centroid assignment of featurized `(vec_id, embedding,
     * nrm2)` rows to a FROZEN codebook — shared by the full-corpus
     * assignment below and the per-micro-batch streaming index
     * maintenance ([[graft.stream.Streaming.ivfIngest]]), so batch and
-    * streamed index content can only agree. Broadcast argmin; the k-way
-    * fan-out collapses map-side in the partial aggregate.
+    * streamed index content can only agree. The map-side argmin fold
+    * over the broadcast codebook array (see [[centArray]]): one
+    * broadcast row, no k× fan-out, no sort-aggregate — assignment is a
+    * scan projection. The non-null filter restores the crossJoin
+    * form's empty-codebook semantics (empty in → empty out).
     */
   private[graft] def assignFeaturized(e: DataFrame,
                                       cents: DataFrame): DataFrame =
-    // map-side argmin fold (see centArray): one broadcast row, no k×
-    // fan-out, no sort-aggregate — assignment is now a scan projection
     e.crossJoin(broadcast(centArray(cents)))
       .select(col("vec_id"),
         nearestCell(col("embedding"), col("nrm2"), col("cbk")).as("cell"),
@@ -463,6 +466,7 @@ object Similarity {
         // re-run the probe argmin on the exact same doubles (sqrt-then-
         // square would not round-trip)
         col("nrm2"))
+      .filter(col("cell").isNotNull)
 
   /** [[assignFeaturized]] over raw `(vec_id, embedding)` rows — the
     * entry point a streaming micro-batch uses (featurization inline).
@@ -477,8 +481,10 @@ object Similarity {
   /** Memoized + persisted corpus assignment: three trained-IVF queries
     * (nprobe 1/2/4) and the PQ cell-tagging all read the SAME inverted
     * file — the r20 form recomputed the assignment per consumer. The
-    * frame is assignment-sized (corpus rows + a long cell id), same
-    * class as [[featurizedCorpus]]'s persist; released via
+    * frame carries the full embedding plus norms per row (the searches
+    * score against it), so the persist is roughly a second copy of
+    * [[featurizedCorpus]]'s cached vectors — budget both when sizing
+    * executor storage memory at scale; released via
     * [[clearMemos]]/Caches like every other memo.
     */
   private val assignCache =
@@ -896,6 +902,8 @@ object Similarity {
           c => struct(pqD2(col("sv"), c.getField("cemb")).as("dist2"),
             c.getField("cid").as("cid"))))
           .getField("cid").as("cid"))
+      // empty-codebook degenerate: the join form produced no rows
+      .filter(col("cid").isNotNull)
   }
 
   /** Query side: the per-query ADC table (4 subspaces × 4 centroids). */

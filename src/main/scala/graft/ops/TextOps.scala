@@ -1592,13 +1592,17 @@ object TextOps {
   /** Runs the [[BpeMerges]]-round training eagerly under an AQE-off
     * window — the [[graft.ops.Graph]] qPagerank recipe: a fixed-shape
     * iterative loop over vocab-sized frames pays an AQE runtime re-plan
-    * per tiny stage for nothing, and lazy chaining makes round k
-    * re-evaluate rounds 1..k-1 (measured 3.7/5.9 s for train/encode at
-    * sf0.1 under lazy persists). The one corpus-sized pass (token
-    * aggregate) is persisted, each round ends in a checkpoint so the next
-    * consumes a flat plan, and the merge table + vocab mapping come back
-    * as eager local checkpoints — training runs HERE once, consumers read
-    * materialized state.
+    * per tiny stage for nothing. The one corpus-sized pass (the token
+    * aggregate) is persisted; each round then runs exactly ONE
+    * aggregate job whose 1-row argmax is collected as bounded driver
+    * metadata (r21 — see [[trainBpeLoop]]), the vocab update chains
+    * lazily as literal map-side replaces over the persisted vocab
+    * (k−1 nested replaces per round's aggregate, cheap because the
+    * vocab is tiny — the expensive thing the old per-round eager
+    * checkpoints actually guarded against was re-running the CORPUS
+    * pass, which the persist already prevents), and only the FINAL
+    * vocab mapping is checkpointed — training runs HERE once,
+    * consumers read materialized state.
     */
   private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // conf isolation (round-10 ADVICE): training tunes AQE off and a tiny
