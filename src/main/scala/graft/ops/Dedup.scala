@@ -1022,9 +1022,13 @@ object Dedup {
     * loop does one dot product, not three.
     */
   private def qDedupEmbed(s: SparkSession, dir: String): DataFrame = {
-    val e = Sources.table(s, dir, "embeddings")
+    // the persisted featurized corpus (vec_id, embedding, nrm2 = ‖v‖²)
+    // already exists for the ANN tier — read it instead of re-scanning
+    // the embeddings parquet + recomputing norms per consumer (r22;
+    // sqrt(nrm2) is expression-identical to l2norm = sqrt(dot(v, v)))
+    val e = Similarity.featurizedCorpus(s, dir)
       .select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("nrm"))
+        sqrt(col("nrm2")).as("nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         Num.r4(Similarity.dot(col("a.embedding"), col("b.embedding"))
@@ -1066,7 +1070,7 @@ object Dedup {
         val plane = array(h.toIndexedSeq.map(v => lit(v)): _*)
         when(Similarity.dot(col("embedding"), plane) >= 0, "1").otherwise("0")
       }
-      Sources.table(s, dir, "embeddings")
+      Similarity.featurizedCorpus(s, dir)
         .select(col("vec_id"), concat(bits.toIndexedSeq: _*).as("s"))
         .select(col("vec_id"), explode(array((0 until 4).map(b =>
           struct(lit(b).as("band_id"),
@@ -1112,9 +1116,11 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
       .distinct()
-    val e = Sources.table(s, dir, "embeddings")
+    // verification sides from the persisted featurized corpus (the
+    // qDedupEmbed rationale): no embeddings re-scan, no norm recompute
+    val e = Similarity.featurizedCorpus(s, dir)
       .select(col("vec_id"), col("embedding"),
-        Similarity.l2norm(col("embedding")).as("nrm"))
+        sqrt(col("nrm2")).as("nrm"))
     cand
       .join(e.as("ea"), col("vec_a") === col("ea.vec_id"))
       .join(e.as("eb"), col("vec_b") === col("eb.vec_id"))

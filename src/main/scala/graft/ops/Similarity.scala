@@ -427,7 +427,7 @@ object Similarity {
   // memos key on (session, dir) like Dedup.labelsCache: a second session
   // sharing the dir must not receive frames bound to the first (possibly
   // stopped) session (round-5 ADVICE)
-  private def featurizedCorpus(s: SparkSession, dir: String): DataFrame =
+  private[graft] def featurizedCorpus(s: SparkSession, dir: String): DataFrame =
     corpusCache.getOrElseUpdate((s, dir), graft.Caches.register(
       emb(s, dir)
         .select(col("vec_id"), col("embedding"),

@@ -17,6 +17,29 @@ object TextOps {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "documents")
 
+  /** Memoized exploded token rows `(doc_id, w)` — the shared tokenize
+    * subtree of the text-LM family (tf, tfidf, unigram/bigram LM, BM25,
+    * postings): each of those queries used to scan + tokenize + explode
+    * the corpus independently (2-3 subtrees apiece — Spark reuses no
+    * un-persisted subtree across join/aggregate branches), so one bench
+    * pass paid ~12 corpus tokenizations for this family alone. One
+    * persisted token frame replaces them all (guide §1.2: don't recompute
+    * what you already have). TOKEN-SCALE storage: one row per token
+    * occurrence (long + short string) — like [[Dedup.kgramRows]] this is
+    * corpus-sized, not pair-sized; budget executor storage for it at
+    * scale (MEMORY_AND_DISK spills gracefully). Owned by the first
+    * consumer in bench sorted order (`q_text_bigram_lp`); released via
+    * [[clearMemos]] + `Caches.releaseAll` from `Dedup.clearCaches()`.
+    */
+  private val tokenRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def tokenRows(s: SparkSession, dir: String): DataFrame =
+    tokenRowsCache.getOrElseUpdate((s, dir), graft.Caches.register(
+      docs(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+
   /** Whitespace token array (empty tokens dropped: texts are single-spaced
     * word soup, but be robust to doubled spaces).
     */
@@ -67,9 +90,10 @@ object TextOps {
       .orderBy("doc_id")
 
   // global term frequency (top 100 terms) — classic map-side-combine agg
+  // over the shared [[tokenRows]] memo
   private def qTextTf(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(explode(tokens(col("text"))).as("word"))
+    tokenRows(s, dir)
+      .select(col("w").as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
@@ -102,8 +126,8 @@ object TextOps {
       .orderBy("token")
 
   private def qTextPostings(s: SparkSession, dir: String): DataFrame =
-    postingsFromPairs(docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
+    postingsFromPairs(
+      tokenRows(s, dir).select(col("doc_id"), col("w").as("token")))
 
   /** df threshold above which a token's posting list is sharded: a group
     * under this bound is a bounded `collect_set`, over it the list would
@@ -130,9 +154,17 @@ object TextOps {
     * whose over-cap slice broadcasts back as the routing set, then the
     * (token, shard) list aggregate.
     */
-  private[graft] def shardedPostings(in: DataFrame): DataFrame = {
-    val pairs = in
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  private[graft] def shardedPostings(in: DataFrame): DataFrame =
+    shardedPostingsFromPairs(in
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token")))
+
+  /** [[shardedPostings]] over an already-exploded `(doc_id, token)`
+    * occurrence frame — the declared query feeds the shared [[tokenRows]]
+    * memo through here so its two aggregate branches read the cache
+    * instead of re-tokenizing the corpus.
+    */
+  private[graft] def shardedPostingsFromPairs(occ: DataFrame): DataFrame = {
+    val pairs = occ
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf_pair"))
     val heavy = broadcast(
       pairs.groupBy("token").agg(count(lit(1)).as("df"))
@@ -151,7 +183,8 @@ object TextOps {
   }
 
   private def qTextPostingsSharded(s: SparkSession, dir: String): DataFrame =
-    shardedPostings(docs(s, dir))
+    shardedPostingsFromPairs(
+      tokenRows(s, dir).select(col("doc_id"), col("w").as("token")))
 
   /** The n-term phrase-match kernel over a POSITIONAL POSTINGS frame
     * `(doc_id, pos, tok)` — shared verbatim by the corpus-scan form
@@ -564,8 +597,9 @@ object TextOps {
     * token groupBys (both with map-side combine).
     */
   private def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    // three aggregate branches over ONE cached token frame (tf, dlen,
+    // dfreq) instead of three independent corpus tokenizations
+    val toks = tokenRows(s, dir)
     val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
     val dlen = toks.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
     val dfreq = toks.distinct().groupBy("w").agg(count(lit(1)).as("dfc"))
@@ -633,8 +667,7 @@ object TextOps {
   }
 
   private def qTextBm25(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val toks = tokenRows(s, dir)
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     // scalar corpus stats: N docs, average doc length (bigint/bigint IEEE
     // division — bit-identical in both engines)
@@ -691,8 +724,7 @@ object TextOps {
     * result is partitioning-independent and engine-portable.
     */
   private def qTextUnigramLp(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val toks = tokenRows(s, dir)
     val counts = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
     val lp = log(col("cnt").cast(DoubleType) / col("total"))
@@ -855,6 +887,12 @@ object TextOps {
     * with fewer than 2 tokens have no bigrams and drop out, mirrored by
     * both engines.
     */
+  /** Memoized per-pass bigram occurrence rows (doc_id, big, w1) — see the
+    * persist rationale at the use site in [[qTextBigramLp]].
+    */
+  private val bigramRowsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def qTextBigramLp(s: SparkSession, dir: String): DataFrame = {
     // ws is MATERIALIZED in a lower select: the lambda references it per
     // array element, and with the raw tokens(text) expression inlined
@@ -869,10 +907,17 @@ object TextOps {
             .as("big"),
           element_at(w2, i + 1).as("w1"))))
       .otherwise(array().cast("array<struct<big:string,w1:string>>"))
-    val b = docs(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("ws"))
-      .select(col("doc_id"), explode(arr).as("p"))
-      .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+    // the bigram stream feeds TWO aggregate branches (the model's c2
+    // counts and the per-doc scoring join); un-persisted, each branch
+    // re-ran the corpus-wide explode + per-bigram string concat — persist
+    // it once per pass (token-scale storage, the tokenRows budget note
+    // applies; released via Caches.releaseAll from Dedup.clearCaches())
+    val b = bigramRowsCache.getOrElseUpdate((s, dir), graft.Caches.register(
+      docs(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("ws"))
+        .select(col("doc_id"), explode(arr).as("p"))
+        .select(col("doc_id"), col("p.big").as("big"), col("p.w1").as("w1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val c2 = b.groupBy("big", "w1").agg(count(lit(1)).as("c2"))
     // context counts DERIVED from the bigram counts instead of a second
     // corpus pass (r21): c1(w1) = Σ_big c2(big, w1) by definition — the
@@ -880,8 +925,8 @@ object TextOps {
     // is tokenized/exploded once less per run (guide §1.2: remove the
     // pass, not the per-row cost)
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
-    val v = docs(s, dir).select(explode(tokens(col("text"))).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
+    // vocab size from the shared token memo — one less corpus tokenize
+    val v = tokenRows(s, dir).agg(count_distinct(col("w")).as("v"))
     val model = c2.join(c1, "w1").crossJoin(broadcast(v))
       .select(col("big"),
         log((col("c2") + 1).cast(DoubleType) / (col("c1") + col("v")))
@@ -1435,6 +1480,12 @@ object TextOps {
     fz.withColumn("bucket", splitBucket(col("gid")))
   }
 
+  /** Memoized stage-5 survivor shingle rows — see the single-build note
+    * at the use site in [[qCorpusPipeline]].
+    */
+  private val survivorShCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
   private def qCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
     val sp = pipelineSurvivors(s, dir)
     // stage 5: train-side decontamination against the surviving test
@@ -1466,11 +1517,22 @@ object TextOps {
     // stage-5 probe joins 8-byte shingle hashes, not shingle strings —
     // at 100 TB the train-shingle exchange is this pipeline's dominant
     // shuffle and the narrow key roughly halves it; counts (and the
-    // 2·hits ≤ shingles keep rule) are interning-invariant
-    val sh = sp
-      .select(col("doc_id"), col("bucket"),
-        explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
-          .as("sh"))
+    // 2·hits ≤ shingles keep rule) are interning-invariant.
+    // SINGLE-BUILD (r22): the survivor shingle explode used to re-run per
+    // consumer branch (test set + train set — 2-3 Generate subtrees over
+    // the cached survivors); one persisted frame feeds both. Unlike the
+    // reverted r21 raw-corpus shingle memo this explodes only post-stage-4
+    // SURVIVORS, pre-filtered to the buckets the consumers read (test
+    // ≥ 95, train < 90 — the 90-94 validation slice was exploded and
+    // discarded before). Token-scale storage (8-byte hashes), released
+    // via [[clearMemos]] + Caches.releaseAll.
+    val sh = survivorShCache.getOrElseUpdate((s, dir),
+      graft.Caches.register(sp
+        .filter(col("bucket") >= 95 || col("bucket") < 90)
+        .select(col("doc_id"), col("bucket"),
+          explode(graft.functions.ShingleExprs.shingleHashes(col("text")))
+            .as("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     val testShRows = sh.filter(col("bucket") >= 95).select("sh")
     val trainShRows = sh.filter(col("bucket") < 90)
       .select(col("doc_id"), col("sh"))
@@ -1565,10 +1627,15 @@ object TextOps {
 
   private[graft] def clearMemos(): Unit = {
     bpeCache.clear()
+    // token/bigram rows are unpersisted by Caches.releaseAll at the same
+    // boundary
+    tokenRowsCache.clear()
+    bigramRowsCache.clear()
     // blocks are unpersisted by Caches.releaseAll at the same lifecycle
     // boundary; this drops the memo references so the next invocation
     // rebuilds instead of reading an unpersisted (or stale-dir) frame
     survivorsCache.clear()
+    survivorShCache.clear()
     // landed shard dirs stay valid on disk; dropping the memo only means
     // the next q_corpus_shuffle_read call re-lands them (write-once per
     // memo lifetime, temp-dir scoped)
