@@ -132,10 +132,22 @@ object GraftFrequencyHints extends Rule[LogicalPlan] {
           // decode failures DECLINE, never fail the query (r21 ADVICE
           // fix): a corrupt or future-format hist line inside an
           // optimizer rule must read as a stats gap — the same
-          // decline-on-gap discipline every other consumer follows
-          scala.util.Try(
-            entries.map(e => FreqSketch.decode(e.hist(colName)))
-          ).toOption.flatMap { sketches =>
+          // decline-on-gap discipline every other consumer follows.
+          // Narrowed + logged (r22 ADVICE): only the decode's own
+          // parse/format failure classes decline (NumberFormat and the
+          // require both surface as IllegalArgument; a truncated line as
+          // IndexOutOfBounds) — a genuine caller bug (NPE, match error)
+          // stays loud instead of silently degrading stats forever.
+          val sketches =
+            try Some(entries.map(e => FreqSketch.decode(e.hist(colName))))
+            catch {
+              case e @ (_: IllegalArgumentException |
+                        _: IndexOutOfBoundsException) =>
+                logDebug(s"declining frequency hint for $colName: " +
+                  s"hist decode failed (${e.getMessage})")
+                None
+            }
+          sketches.flatMap { sketches =>
           val (lo, hi) = FreqSketch.estimate(sketches, value)
           val thr = conf.autoBroadcastJoinThreshold
           // what Spark itself would estimate for this side: rows/ndv

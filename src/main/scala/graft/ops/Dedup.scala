@@ -563,7 +563,16 @@ object Dedup {
     // the per-neighborhood minimum attaches via a window over the
     // partition key instead of the r20 groupBy + self-join: ONE exchange
     // of sym (by u) instead of two (the aggregate's and the join's), and
-    // no duplicated aggregate subtree (guide §2.4: share the exchange)
+    // no duplicated aggregate subtree (guide §2.4: share the exchange).
+    // SKEW EXPOSURE (r22 ADVICE note): the window routes each node's
+    // entire neighborhood through one task and AQE skew-join handling
+    // cannot split it (it only applies to joins), unlike the old
+    // aggregate+join form whose partial aggregation combined map-side —
+    // a pathological mega-hub neighborhood becomes a straggler at scale.
+    // Kept because it benches faster and star rounds keep neighborhoods
+    // near-star-shaped; if a giant component's hub stalls a round, fall
+    // back to a salted two-phase min (aggregate by (u, salt), then by u)
+    // or the join form for that pass.
     val w = Window.partitionBy("u")
     sym.select(col("u"), col("v"),
         least(min(col("v")).over(w), col("u")).as("m"))
@@ -928,8 +937,14 @@ object Dedup {
     * injective re-encoding (identical grouping/join semantics, identical
     * outputs) that halves the key bytes on every gram exchange (guide
     * §2.3 narrower types). Positions ride along at one int/row so the
-    * run query needs no second build. Persisted like [[cachedBands]];
-    * released via [[clearCaches]].
+    * run query needs no second build. Persisted like [[cachedBands]] in
+    * lifecycle, but NOT in footprint (r22 ADVICE): this frame is
+    * CORPUS-TOKEN-SCALE — one (long, int, 16-byte digest) row per token
+    * position, unlike the pair-sized memos — so executor STORAGE memory
+    * must be budgeted for it at scale, and on very large corpora
+    * DISK_ONLY is the safer level (the consumers are one-pass
+    * aggregations, so re-reading from local disk beats evicting
+    * execution memory). Released via [[clearCaches]].
     */
   private val gramCache = TrieMap.empty[(SparkSession, String), DataFrame]
 

@@ -151,7 +151,10 @@ object Graph {
         // checkpoint every SECOND round (and the last): plan depth stays ≤2
         // iterations while halving the lineage-truncation points — per-round
         // is overkill (and with the lazy local form each mark is free until
-        // the final action anyway)
+        // the final action anyway). Re-measured r22 (isolated 7-pass A/B,
+        // min/median): cadence 1 = 1.72/2.11, cadence 2 = 1.70/1.86,
+        // cadence 3 = 1.70/1.85 — all within noise, so the standing
+        // cadence stays
         pr = if (i % 2 == 0 || i == Iters) checkpoint(next) else next
         ()
       }
@@ -248,6 +251,19 @@ object Graph {
     * 100 TB the peel is the standard iterative-dataflow formulation
     * (each round strictly shrinks the edge list).
     */
+  /** One peel round over the symmetric `alive` edge frame — factored out
+    * of the loop so the per-round plan shape is dumpable on its own
+    * (`graft.Explain round:q_graph_kcore`), per the loop-operator plan
+    * evidence discipline.
+    */
+  private[graft] def kcoreRound(alive: DataFrame): DataFrame = {
+    val keep = alive.groupBy("src").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= CoreK)
+      .select("src")
+    alive.join(keep, Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+  }
+
   private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     var alive = e.select(col("src"), col("dst"))
@@ -261,13 +277,7 @@ object Graph {
     // broadcasting the semi-join build sides, and this shrinking-frame
     // loop is exactly the shape AQE's runtime re-plan serves well.
     (1 to CoreRounds).foreach { _ =>
-      val keep = alive.groupBy("src").agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= CoreK)
-        .select("src")
-      alive = checkpoint(
-        alive.join(keep, Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
-            "left_semi"))
+      alive = checkpoint(kcoreRound(alive))
     }
     alive.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

@@ -113,6 +113,20 @@ object SimJoin {
     */
   private val setsCache = TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The numeric-sorted twin of `ts` for the verification's zero-alloc
+    * merge-scan intersect ([[graft.functions.SortedIntersectCount]]) — ts
+    * itself must stay df-ordered for the prefix theorem. Derived OUTSIDE
+    * the persisted frame (r22): the memo used to carry both ~52-long
+    * arrays per doc; persisting only `ts` halves the memo's footprint and
+    * drops one array_sort per doc from the owned build, while the
+    * verification consumers sort at broadcast-build time over the
+    * document-sized cached frame (array_sort of the same longs = the same
+    * twin, exactly).
+    */
+  private def withSortedTwin(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), col("n"),
+      array_sort(col("ts")).as("tss"))
+
   private[graft] def orderedSets(s: SparkSession, dir: String): DataFrame =
     setsCache.getOrElseUpdate((s, dir), {
       // Shingling + interning in ONE native codegen'd pass
@@ -146,11 +160,6 @@ object SimJoin {
             .as("o"))
           .select(col("doc_id"),
             transform(col("o"), x => x.getField("tok")).as("ts"),
-            // numeric-sorted twin of ts for the verification's zero-alloc
-            // merge-scan intersect ([[graft.functions.SortedIntersectCount]])
-            // — ts itself must stay df-ordered for the prefix theorem
-            array_sort(transform(col("o"), x => x.getField("tok")))
-              .as("tss"),
             size(col("o")).as("n"))
           .persist(StorageLevel.MEMORY_AND_DISK))
     })
@@ -373,8 +382,10 @@ object SimJoin {
     // size stats choose SMJ) — candidates, not sets, are the big side
     // HERE because the filters collapse 12.5 M possible pairs to 190 k.
     candidates
-      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(withSortedTwin(sets).as("sa")),
+        col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(withSortedTwin(sets).as("sb")),
+        col("doc_b") === col("sb.doc_id"))
       .filter(j >= Tau)
       .select(col("doc_a"), col("doc_b"), Num.r4(j).as("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -394,8 +405,10 @@ object SimJoin {
     val c = inter.cast(DoubleType) /
       sqrt((col("sa.n") * col("sb.n")).cast(DoubleType))
     candidates
-      .join(broadcast(sets.as("sa")), col("doc_a") === col("sa.doc_id"))
-      .join(broadcast(sets.as("sb")), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(withSortedTwin(sets).as("sa")),
+        col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(withSortedTwin(sets).as("sb")),
+        col("doc_b") === col("sb.doc_id"))
       .filter(c >= TauCos)
       .select(col("doc_a"), col("doc_b"), Num.r4(c).as("cosine"))
       .orderBy("doc_a", "doc_b")

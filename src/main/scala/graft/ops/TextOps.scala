@@ -1021,24 +1021,41 @@ object TextOps {
     * splitting the empty string.
     */
   private def qTextEntropy(s: SparkSession, dir: String): DataFrame = {
-    val counts = docs(s, dir)
+    // PER-ROW run-length form (r22, guide §4 — prefer codegen'd
+    // expressions to row inflation): the r21 shape exploded the corpus
+    // to one row per CHARACTER, hash-aggregated (doc, ch) counts, and
+    // ran a per-doc window — a corpus-char-scale Generate plus two
+    // keyed operators. Per-character counts of one document are a
+    // purely LOCAL fact, so compute them inside the row: sort the char
+    // array, find run boundaries, diff into run lengths, and fold the
+    // p·ln p terms — zero Exchange, zero Generate, the scan streams.
+    // The entropy VALUE is bit-identical: the run lengths are exactly
+    // the old (doc, ch) counts, each decimal term is the same
+    // correctly-rounded double expression, and decimal addition is
+    // exact and order-independent, so the fold equals the old shuffled
+    // sum; n_chars_split = size(split) = the old per-doc count sum.
+    val cs = array_sort(split(col("text"), ""))
+    // 1-based END positions of the equal-char runs in the sorted array;
+    // ends/tot are materialized one select below their consumers (the
+    // multi-reference-alias device the bigram/shingle paths use, so no
+    // optimizer rewrite can inline-and-recompute them per element)
+    val ends = filter(sequence(lit(1), size(cs)),
+      i => i === size(cs) || element_at(cs, i) =!= element_at(cs, i + 1))
+    val cnts = transform(col("ends"), (e, j) =>
+      when(j === 0, e).otherwise(e - element_at(col("ends"), j)))
+    def term(c: Column): Column = {
+      val p = c.cast(DoubleType) / col("tot")
+      (p * log(p)).cast(DecimalType(20, 10))
+    }
+    val zero = lit(0).cast(DecimalType(20, 10))
+    val negSum = aggregate(cnts, zero,
+      (acc, c) => (acc + term(c)).cast(DecimalType(20, 10)))
+    docs(s, dir)
       .filter(length(col("text")) > 0)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("cnt"))
-    // per-doc total via a window over the (doc, char)-count frame
-    // instead of the r20 aggregate + self-join, which re-ran the corpus
-    // char-explode + count subtree once per branch (no exchange reuse —
-    // one side is aggregated): ONE corpus explode, one window exchange
-    // of the counts frame, and the final per-doc aggregate rides the
-    // window's doc_id clustering with no further shuffle
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    val p = col("cnt").cast(DoubleType) / col("tot")
-    counts.withColumn("tot", sum(col("cnt")).over(wDoc))
-      .select(col("doc_id"), col("tot"),
-        (p * log(p)).cast(DecimalType(20, 10)).as("term"))
-      .groupBy("doc_id", "tot")
-      .agg(Num.r4((sum(col("term")) * -1).cast(DoubleType)).as("entropy"))
-      .select(col("doc_id"), col("tot").as("n_chars_split"), col("entropy"))
+      .select(col("doc_id"), ends.as("ends"),
+        size(cs).cast(LongType).as("tot"))
+      .select(col("doc_id"), col("tot").as("n_chars_split"),
+        Num.r4((negSum * -1).cast(DoubleType)).as("entropy"))
       .orderBy("doc_id")
   }
 
